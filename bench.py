@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Per-query timing includes full plan execution (count-style action that
+cannot skip work) but not session startup. Each query runs once after a
+warmup of the input files' footers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_workers_spark import WorkersConfig, build_session
+from kafka_workers_spark.queries import load_all
+
+# Headline set: one per operator family — aggregation, joins, windows,
+# sessionization, sort/topk, set ops, scalar-heavy projections, plus the
+# LLM-pipeline operators once registered.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_inner_broadcast",
+    "join_left_outer",
+    "join_asof",
+    "agg_distinct",
+    "agg_cube",
+    "window_topk_per_group",
+    "window_running_sum",
+    "sort_limit_topk",
+    "events_sessionize",
+    "events_tumbling_window",
+    "scalar_json_funcs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry]
+    # include any registered query tagged as a benchmark extension
+    names += [n for n, s in registry.items() if s.category in ("dedup", "similarity", "text") and n not in names]
+
+    spark = build_session(
+        WorkersConfig(
+            app_name="kafka_workers_spark_bench",
+            extra_confs={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")},
+        )
+    )
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # force full execution without driver-side materialization of rows
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Relational operators Spark lacks natively: as-of join, range join.
+
+The reference's only join-like construct is the time-aware merge pattern
+(/root/reference/src/test/java/com/rtbhouse/kafka/workers/integration/MergerTest.java:136-201);
+as-of is its batch analog (SURVEY.md §2 Table B, "range / interval / as-of").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_alias: str = "asof_ts",
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the greatest right timestamp <= left ts,
+    per `on` key.
+
+    Implementation: union the two sides tagged 0/1, one shuffle on the key,
+    then ``last(right ts) ignoring nulls`` over the interleaved ordered
+    timeline. Scales linearly: no per-key fanout, no nested-loop join, and
+    skewed keys are handled by AQE since this is a plain window shuffle.
+    Ties (right ts == left ts) count as "at or before" — right rows sort
+    before left rows at equal timestamps.
+    """
+    lcols = left.columns
+    tagged_l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    tagged_r = (
+        right.select(F.col(on), F.col(right_ts).alias("__ts"))
+        .withColumn("__side", F.lit(0))
+    )
+    # align columns for unionByName
+    for c in lcols:
+        if c not in tagged_r.columns:
+            tagged_r = tagged_r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = tagged_l.unionByName(tagged_r.select(tagged_l.columns))
+    w = (
+        W.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = unioned.withColumn(
+        right_alias,
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w),
+    ).filter(F.col("__side") == 1)
+    out = matched.select(*lcols, right_alias)
+    if how == "inner":
+        out = out.filter(F.col(right_alias).isNotNull())
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Point-in-interval join that avoids the nested-loop plan.
+
+    Explodes each right interval into the buckets it overlaps, then
+    equi-joins on bucket + residual filter — the standard bucketized range
+    join; shuffle cost is O(intervals × avg_buckets) instead of |L|×|R|.
+    """
+    bw = F.lit(bucket_width)
+    r = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bw).cast("long"),
+                F.floor(F.col(right_hi) / bw).cast("long"),
+            )
+        ),
+    )
+    l = left.withColumn("__bucket", F.floor(F.col(left_point) / bw).cast("long"))
+    return (
+        l.join(r, "__bucket")
+        .filter((F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi)))
+        .drop("__bucket")
+    )

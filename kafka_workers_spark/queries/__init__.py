@@ -1,0 +1,61 @@
+"""Query registry: the SURVEY.md §2 operator inventory, runnable.
+
+Every implemented operator registers here as a named query: a callable
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) an equivalent
+ANSI-SQL oracle string for DuckDB. ``__spark_entry__.py`` re-exports this
+registry to the driver's correctness harness.
+
+Cross-engine determinism rules (so the driver's order-insensitive
+value-hash matches):
+
+- Sums/avgs over double columns go through DECIMAL (exact, associative,
+  partition-order-independent) and are cast back to DOUBLE at the end.
+  Raw double summation would differ between Spark and DuckDB in the last
+  bits because addition order differs.
+- Every computed column is aliased identically in the Spark plan and the
+  oracle SQL.
+- Top-k / limit queries always sort with a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only check
+    category: str = "relational"
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, category: str = "relational"):
+    """Decorator: add a query to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, category=category)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side effect: registration) and return the registry."""
+    from kafka_workers_spark.queries import (  # noqa: F401
+        dedup,
+        relational,
+        similarity,
+        streaming,
+        text,
+    )
+
+    return REGISTRY

@@ -1,0 +1,78 @@
+"""File-based sources over the driver-generated parquet test tables.
+
+Batch: plain ``spark.read.parquet`` — columnar scan with predicate pushdown
+and column pruning (verify with ``df.explain``: PushedFilters/ReadSchema).
+
+Streaming: ``spark.readStream.format("parquet")`` over the same files, used
+where the reference would consume Kafka — the downstream operator surface is
+identical (same DataFrame schema), per SURVEY.md §1.1.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Batch-read one test table (columnar, pushdown-capable).
+
+    ``events.ts`` is physically timestamp[ns], which the Spark parquet
+    reader rejects; read nanos as long and convert to a microsecond
+    timestamp (the generator's sub-microsecond part is zero, so this is
+    lossless).
+
+    The session timezone is pinned to UTC (runtime-settable): parquet
+    timestamps are instants, and a non-UTC session would shift every
+    rendered/epoch-converted value away from the UTC-naive oracle.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer DIV: float division loses precision at ns-epoch magnitude
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TABLE_NAMES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so operators can be expressed in SQL too."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming read of a test table (file source, one-file micro-batch).
+
+    Stand-in for ``readStream.format("kafka")`` in this container; schema is
+    taken from the batch read so the stream needs no inference.
+    """
+    path = table_path(sf_dir, name)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
