@@ -53,6 +53,16 @@ def main() -> None:
             extra_confs={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")},
         )
     )
+    # Warmup pass at the smallest SF: JIT/codegen compilation and parquet
+    # footer caching dominate cold first-query latency; the timed pass
+    # should measure plan execution, not JVM warmup.
+    warmup_dir = "/root/testdata/sf0.001"
+    for name in names:
+        try:
+            registry[name].fn(spark, warmup_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
