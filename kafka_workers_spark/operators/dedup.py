@@ -1,0 +1,286 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine — the dedup family a 100 TB training-data pipeline needs.
+
+All signatures are computed as native Spark column expressions (md5-based
+hashing: bit-identical in every engine, so the DuckDB oracles can replay
+them exactly). Pair generation always goes through an equi-join on a
+blocking key (LSH band, simhash band, min-shingle, cluster label) — never a
+cross join — so candidate-pair cost is O(sum of bucket²), not O(n²), and
+the shuffle key is the blocking key itself. That is the property that lets
+these run at 5B documents: the only all-pairs work happens inside buckets.
+
+Scale notes per operator:
+- minhash_signature: one scan, no shuffle. 2×k md5 calls per shingle.
+- lsh_candidate_pairs: explode(bands) → self-equi-join on (band, key).
+  AQE handles skewed buckets (a degenerate bucket = near-identical docs).
+- simhash: one scan; pairs via byte-band equi-join + popcount filter
+  (pigeonhole: any pair within Hamming distance 3 shares ≥1 of 4 bytes).
+- embedding near-dup: equi-join on a coarse cluster id (label here; k-means
+  assignment in production), fixed-point integer dot products.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def barrier(df: DataFrame, *cols: str) -> DataFrame:
+    """Exchange barrier before expensive-expression reuse.
+
+    Catalyst's CollapseProject inlines aliased expressions into downstream
+    operators, so a signature column referenced by an explode + self-join
+    would be recomputed per reference — for interpreted higher-order
+    functions (md5-over-array trees bypass whole-stage codegen) that turns
+    O(n) hashing into O(pairs) hashing. A round-robin/hash repartition
+    materializes the column once AND spreads rows across executors (the
+    test corpus is one parquet row-group = one task without it; at real
+    scale the same shuffle balances skew before the heavy per-row work).
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+
+def minhash_agg(
+    df: DataFrame, id_cols: list[str], shingles_col: str = "shingles", k: int = 8, out: str = "sig"
+) -> DataFrame:
+    """k-hash MinHash signature per id over a *materialized* shingle-array
+    column. hash_i(s) = md5(i || '|' || s); each signature element is the
+    lexicographic minimum.
+
+    Shape: explode shingles → k MIN aggregates in one codegen'd hash
+    aggregate with map-side partials (shuffle carries k digests per doc).
+    k=8 with 2-row bands targets the ~0.5 Jaccard region
+    (P[candidate] = 1-(1-j²)⁴).
+    """
+    exploded = df.select(*id_cols, F.explode_outer(F.col(shingles_col)).alias("__sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__sh")))).alias(f"__mh{i}") for i in range(k)
+    ]
+    agg = exploded.groupBy(*id_cols).agg(*aggs)
+    return agg.select(
+        *id_cols, F.array(*[F.col(f"__mh{i}") for i in range(k)]).alias(out)
+    )
+
+
+def sql_minhash_signature(shingles_expr: str, k: int = 8) -> str:
+    """DuckDB rendering of :func:`minhash_signature`."""
+    return (
+        f"[list_aggregate([md5(CAST(i AS VARCHAR) || '|' || sh) FOR sh IN {shingles_expr}], 'min')"
+        f" FOR i IN generate_series(0, {k - 1})]"
+    )
+
+
+def lsh_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Array of (band, key) structs: key = md5 of the band's concatenated
+    signature rows. Explode + equi-join on these to get candidate pairs."""
+    def band_key(b: Column) -> Column:
+        parts = [
+            F.element_at(sig, (b * rows_per_band + r + 1).cast("int"))
+            for r in range(rows_per_band)
+        ]
+        return F.md5(F.concat_ws(":", b.cast("string"), *parts))
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(b.cast("int").alias("band"), band_key(b).alias("band_key")),
+    )
+
+
+def minhash_agreement(sig_a: Column, sig_b: Column, k: int) -> Column:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return (
+        F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double") / float(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, md5-derived per-token hashes)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_agg(df: DataFrame, id_cols: list[str], toks_col: str = "toks", out: str = "simhash") -> DataFrame:
+    """32-bit SimHash per id over a *materialized* token-array column.
+
+    Bit b of the signature is the sign of Σ_tokens (±1) where the sign is
+    bit b of md5(token)'s first 8 hex chars.
+
+    Shape: explode tokens → 32 SUM aggregates in one codegen'd hash
+    aggregate (partial+final, so the shuffle carries 32 longs per doc, not
+    the tokens). Array higher-order functions are interpreted in Spark —
+    a nested aggregate-over-tokens expression is O(bits × tokens)
+    interpreted lambda calls per row; the relational shape keeps the md5
+    and bit math inside whole-stage codegen.
+    """
+    exploded = df.select(*id_cols, F.explode_outer(F.col(toks_col)).alias("__tok"))
+    h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("long")
+    bit_sums = [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = exploded.groupBy(*id_cols).agg(*bit_sums)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(*id_cols, sim.alias(out))
+
+
+def sql_simhash(toks_expr: str) -> str:
+    """DuckDB rendering of :func:`simhash`."""
+    tok_hash = "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)"
+    inner = f"list_sum([((({tok_hash}) >> b) & 1) * 2 - 1 FOR t IN {toks_expr}])"
+    return (
+        f"CAST(list_sum([CASE WHEN ({inner}) > 0 THEN (1::BIGINT << b) ELSE 0 END"
+        f" FOR b IN generate_series(0, {SIMHASH_BITS - 1})]) AS BIGINT)"
+    )
+
+
+def simhash_bands(sh: Column) -> Column:
+    """The 4 bytes of a 32-bit simhash as (band, value) structs — the
+    pigeonhole blocking key for Hamming distance ≤ 3."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(sh, b * 8).bitwiseAND(F.lit(255)).alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point embedding similarity (exact cross-engine cosine)
+# ---------------------------------------------------------------------------
+
+FIXED_POINT_SCALE = 1_000_000
+
+
+def embedding_fixed(emb: Column) -> Column:
+    """float32 vector → bigint fixed-point (floor(x·1e6)): integer dot
+    products are order-independent and bit-identical across engines."""
+    return F.transform(
+        emb, lambda x: F.floor(x.cast("double") * FIXED_POINT_SCALE).cast("bigint")
+    )
+
+
+def sql_embedding_fixed(emb_expr: str) -> str:
+    return (
+        f"[CAST(floor(CAST(x AS DOUBLE) * {FIXED_POINT_SCALE}) AS BIGINT)"
+        f" FOR x IN {emb_expr}]"
+    )
+
+
+def dot_fixed(a: Column, b: Column) -> Column:
+    """Expression form of the fixed-point dot product. Array HOFs are
+    interpreted (not codegen'd) — fine for one-off use, but per-pair hot
+    loops should use :func:`dot_fixed_fast`."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+
+
+def dot_fixed_fast(a: Column, b: Column) -> Column:
+    """Vectorized fixed-point dot product: Arrow-batched pandas UDF doing
+    one numpy int64 matmul-row per batch — ~100× the interpreted HOF on
+    pair tables, bit-identical results (pure integer arithmetic)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def dot(x: pd.Series, y: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="int64")
+        xx = np.stack(x.to_numpy()).astype(np.int64)
+        yy = np.stack(y.to_numpy()).astype(np.int64)
+        return pd.Series((xx * yy).sum(axis=1))
+
+    return dot(a, b)
+
+
+def sql_dot_fixed(a_expr: str, b_expr: str, dim: int) -> str:
+    return (
+        f"CAST(list_sum([({a_expr})[i] * ({b_expr})[i]"
+        f" FOR i IN generate_series(1, {dim})]) AS BIGINT)"
+    )
+
+
+def explode_fixed(df: DataFrame, id_cols: list[str], vec_col: str = "v6") -> DataFrame:
+    """Long-format view of fixed-point vectors: one row per (id, dim_index,
+    value). The input shape for join-aggregate dot products."""
+    return df.select(*id_cols, F.posexplode(F.col(vec_col)).alias("i", "x"))
+
+
+def norms_fixed(exploded: DataFrame, id_cols: list[str], out: str = "norm6") -> DataFrame:
+    """Self dot products from the long format — one codegen'd hash agg."""
+    return exploded.groupBy(*id_cols).agg(F.sum(F.col("x") * F.col("x")).alias(out))
+
+
+def pairwise_dots_fixed(
+    exploded: DataFrame,
+    id_col: str,
+    block_col: str,
+    out_a: str = "vec_a",
+    out_b: str = "vec_b",
+    out: str = "dot6",
+) -> DataFrame:
+    """All within-block pairwise dot products as join + aggregate.
+
+    Long-format self-equi-join on (block, dim_index) with id_a < id_b,
+    then SUM(x_a · x_b) per pair — the relational matrix multiply. Every
+    operator is whole-stage-codegen'd (no interpreted array lambdas, no
+    Python workers); the join fans out to pairs × dim rows, shuffled by the
+    block key, so cost is Σ_block (n_block² · dim) — the IVF-blocked ANN
+    budget — and AQE handles block skew.
+    """
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    joined = a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col("a.i") == F.col("b.i"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    return (
+        joined.groupBy(
+            F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b)
+        )
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias(out))
+    )
+
+
+def cosine_from_fixed(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine from integer dot/self-dots; double ops in fixed order."""
+    return dot.cast("double") / (F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double")))
+
+
+def sql_cosine_from_fixed(dot: str, norm_a: str, norm_b: str) -> str:
+    return f"CAST({dot} AS DOUBLE) / (sqrt(CAST({norm_a} AS DOUBLE)) * sqrt(CAST({norm_b} AS DOUBLE)))"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup as a DataFrame op (used by the pipeline API; the query version
+# lives in queries/dedup.py with its oracle)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per identical content hash. Single hash-shuffle
+    on the 16-byte digest, not the full payload."""
+    h = F.md5(F.col(content_col))
+    w = df.withColumn("__h", h)
+    keep = w.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, ["__h", id_col], "left_semi").drop("__h")

@@ -1,0 +1,111 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The reference never inspects payloads — K/V are opaque bytes with pluggable
+deserializers (/root/reference/src/main/java/com/rtbhouse/kafka/workers/api/
+WorkersConfig.java:39, README.md:83-84). That is exactly the right model
+for multimodal data at 100 TB: a ``binary`` payload column plus typed
+metadata columns, decoded lazily and only where needed.
+
+Spark-side design (all real and tested):
+- schema: payload BINARY + flat metadata (media_type, n_bytes, checksum,
+  width/height/duration...) — flat beats nested structs for pushdown and
+  for column pruning on metadata-only queries (the scan never touches the
+  payload bytes).
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages: the iterator shape processes one Arrow batch at
+  a time so payload bytes never accumulate on any single node, and the
+  stage preserves partitioning (no shuffle).
+- the actual codec call is pluggable. The container has no image/audio
+  libraries, so the default decoder is a STUB: :class:`CodecNotAvailable`
+  is raised unless a decoder function is injected, and tests use
+  :func:`fake_decode` (deterministic md5-derived features) to exercise
+  the full plumbing — schema, batching, partition preservation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, width int, height int, n_channels int"
+)
+
+
+class CodecNotAvailable(NotImplementedError):
+    """Raised by the stub decoder: no image/audio codec in this container.
+
+    Inject a real decoder (e.g. PIL/libav-backed) via the ``decoder``
+    argument of :func:`decode_media`.
+    """
+
+
+def _stub_decoder(payload: bytes, media_type: str) -> dict:
+    raise CodecNotAvailable(
+        f"no codec for {media_type}: install an image/audio library and pass decoder="
+    )
+
+
+def fake_decode(payload: bytes, media_type: str) -> dict:
+    """Deterministic stand-in decoder: derives plausible dimensions from
+    the payload digest — exercises the full Spark plumbing without codecs."""
+    h = hashlib.md5(payload).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "n_channels": 1 + h[2] % 3,
+    }
+
+
+def decode_media(
+    df: DataFrame,
+    decoder: Callable[[bytes, str], dict] | None = None,
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decode stage: binary payload → typed features, one Arrow batch at a
+    time. No shuffle; scales with input partitions."""
+    decode = decoder or _stub_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(p, m) for p, m in zip(pdf[payload_col], pdf[media_type_col])]
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    media_type_col: pdf[media_type_col].values,
+                    "n_bytes": [len(p) for p in pdf[payload_col]],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_channels": [f["n_channels"] for f in feats],
+                }
+            )
+            yield out
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth: int,
+    n_frames_col: str = "n_frames",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling for video-like payloads: one output row per sampled
+    frame index (0, n, 2n, ...). Pure ``sequence`` + ``explode`` — stays in
+    codegen; the payload column is NOT carried through the explode (join
+    frames back by id when the decoder needs bytes), so the fan-out
+    shuffles only ids and indices."""
+    idx = F.sequence(
+        F.lit(0), F.col(n_frames_col) - 1, F.lit(every_nth)
+    )
+    return df.select(
+        id_col,
+        F.col(n_frames_col),
+        F.explode(idx).alias("frame_no"),
+    )

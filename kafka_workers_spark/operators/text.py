@@ -1,0 +1,136 @@
+"""Text-analysis building blocks for large-scale training-data pipelines.
+
+The reference treats payloads as opaque bytes and leaves all content
+processing to user code inside ``WorkerTask.process()``
+(/root/reference/src/main/java/com/rtbhouse/kafka/workers/api/task/WorkerTask.java:50).
+This module provides the content operators a 100 TB text pipeline needs as
+*native Spark column expressions* — everything stays inside whole-stage
+codegen (no Python UDFs in the hot path), so throughput scales with
+executors and the plans survive predicate pushdown/column pruning.
+
+Design rule for cross-engine determinism (DuckDB oracles): only integer
+arithmetic, lexicographic string comparison, md5, and fixed-operand-order
+double expressions — all bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny public stopword lexicons (top function words per language) — the
+# standard lexicon-overlap language-ID heuristic. Extend per deployment.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"),
+}
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation —
+# the coarse split every byte-pair tokenizer applies before merges.
+BPE_SPLIT_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# CJK unified ideographs — presence implies Chinese/Japanese text, which
+# whitespace tokenization cannot segment.
+CJK_RE_SPARK = "[\\u4e00-\\u9fff]"
+CJK_RE_DUCK = "[\\x{4e00}-\\x{9fff}]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens. Single-space split: deterministic and identical to
+    DuckDB ``string_split(text, ' ')`` (regex \\s+ split differs on empty
+    leading fields between engines)."""
+    return F.split(text, " ")
+
+
+def normalized(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, strip non-alphanumerics,
+    collapse runs of spaces."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def sql_normalized(expr: str) -> str:
+    """DuckDB rendering of :func:`normalized` (same regexes, 'g' flag)."""
+    return (
+        "trim(regexp_replace(regexp_replace(lower(" + expr + "), '[^a-z0-9 ]', '', 'g'),"
+        " ' +', ' ', 'g'))"
+    )
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-word shingles as space-joined strings; NULL when fewer than n
+    tokens. Pure array expression — no shuffle, no Python.
+
+    IMPORTANT: pass a *materialized* token column (post-exchange), not the
+    raw ``split(text)`` tree — each ``element_at`` inside the transform
+    lambda re-evaluates its argument, so an inlined split would re-tokenize
+    the document once per shingle element (O(shingles × n) splits). See
+    :func:`tokenize_stage`.
+    """
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    make = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+    )
+    return F.when(F.size(toks) >= n, F.transform(idx, make))
+
+
+def sql_word_shingles(toks_expr: str, n: int = 3) -> str:
+    """DuckDB rendering of :func:`word_shingles` (1-based slices)."""
+    return (
+        f"CASE WHEN len({toks_expr}) >= {n} THEN "
+        f"[array_to_string(({toks_expr})[i:i+{n - 1}], ' ') "
+        f"FOR i IN generate_series(1, len({toks_expr}) - {n - 1})] END"
+    )
+
+
+def stopword_hits(toks: Column, lexicon: tuple[str, ...]) -> Column:
+    """Number of tokens (with multiplicity) found in `lexicon`."""
+    lex = F.array(*[F.lit(w) for w in lexicon])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lex, t))).cast("bigint")
+
+
+def sql_stopword_hits(toks_expr: str, lexicon: tuple[str, ...]) -> str:
+    lex = "[" + ", ".join(f"'{w}'" for w in lexicon) + "]"
+    return f"CAST(len(list_filter({toks_expr}, t -> list_contains({lex}, t))) AS BIGINT)"
+
+
+def tokenize_stage(df, text_col: str = "text", extra: dict[str, Column] | None = None):
+    """Materialize a ``toks`` column (plus optional cheap per-row columns)
+    behind an exchange.
+
+    Two reasons (both matter at 100 TB):
+    1. Downstream array lambdas (shingling, hashing) would otherwise inline
+       and re-evaluate the split per element access — a hidden quadratic.
+    2. The shuffle load-balances documents across executors before the
+       CPU-heavy per-document work, decoupling hash parallelism from the
+       input file layout.
+    """
+    from kafka_workers_spark.operators.dedup import barrier
+
+    cols = [df["*"], tokens(F.col(text_col)).alias("toks")]
+    for name, c in (extra or {}).items():
+        cols.append(c.alias(name))
+    return barrier(df.select(*cols))
+
+
+def shingle_stage(df, n: int = 3, toks_col: str = "toks", out: str = "shingles", distinct: bool = False):
+    """Materialize shingles (optionally deduplicated) behind an exchange —
+    the stage before explode-based signature aggregation."""
+    from kafka_workers_spark.operators.dedup import barrier
+
+    sh = word_shingles(F.col(toks_col), n)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return barrier(df.withColumn(out, sh))
+
+
+def cjk_char_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(CJK_RE_SPARK), 0)).cast("bigint")
+
+
+def sql_cjk_char_count(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{CJK_RE_DUCK}')) AS BIGINT)"

@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return the registry."""
     from kafka_workers_spark.queries import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         similarity,
         streaming,

@@ -1,0 +1,72 @@
+"""Multimodal-column queries: binary payloads + typed metadata.
+
+The test corpus has no real media files, so the binary payload is derived
+deterministically from `documents.text` (utf-8 bytes) — the point is the
+*column machinery*: binary type handling, metadata-only plans that never
+touch payload bytes, and frame-index fan-out. The decode stage itself is
+exercised in tests/test_multimodal.py via the injected fake decoder
+(operators/multimodal.py: real codecs are stubbed in this container).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.queries import register
+from kafka_workers_spark.sources.files import load_table
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    category="multimodal",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata columns. The plan computes metadata from
+    the payload once at ingest; downstream metadata-only queries prune the
+    payload column entirely (ReadSchema excludes it)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.to_binary(F.col("text"), F.lit("utf-8"))
+    n_bytes = F.length(payload).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        n_bytes.alias("n_bytes"),
+        F.md5(F.col("text")).alias("checksum"),
+        (F.floor(n_bytes / 100) + 1).cast("bigint").alias("n_frames"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) // 100 + 1 AS BIGINT) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 2)) AS BIGINT) AS frame_no
+    FROM media
+    """,
+    category="multimodal",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling fan-out for the 'video' payloads: sequence +
+    explode in codegen; ids and indices only — payload bytes join back
+    later by doc_id if a decoder needs them."""
+    from kafka_workers_spark.operators.multimodal import sample_frames
+
+    meta = multimodal_binary_meta(spark, sf_dir).filter(F.col("media_type") == "video")
+    frames = sample_frames(meta, every_nth=2)
+    return frames.select("doc_id", "n_frames", F.col("frame_no").cast("bigint"))

@@ -1,1 +1,169 @@
-"""Placeholder — populated in a later milestone."""
+"""Oracle-checked queries pinning the streaming layer's semantics in batch
+form (same column logic the streaming paths use; the driver's DuckDB
+harness can replay them).
+
+The events table stands in for the Kafka source: partition = user_id % 4,
+offset = event_id (per-partition offsets would be densely renumbered on a
+real topic; the semantics only need monotonicity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.queries import register
+from kafka_workers_spark.sources.files import load_table
+from kafka_workers_spark.streaming.merge import merge_ordered
+from kafka_workers_spark.streaming.subpartition import with_subpartition
+
+N_SUB = 8
+
+
+def _kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("offset"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        F.col("user_id").cast("string").alias("key"),
+        "ts",
+        "event_type",
+        "value",
+    )
+
+
+@register(
+    "stream_subpartition_roundrobin",
+    f"""
+    SELECT CAST(user_id % 4 AS INTEGER) AS partition,
+           CAST(event_id % {N_SUB} AS INTEGER) AS subpartition,
+           COUNT(*) AS n_records,
+           MIN(event_id) AS first_offset,
+           MAX(event_id) AS last_offset
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def stream_subpartition_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2b round-robin sub-partitioning (deterministic offset-mod variant,
+    SURVEY.md §7): every (partition, subpartition) sub-stream with its
+    offset span. The grouped counts pin the uniform-spread property."""
+    df = with_subpartition(_kafka_shaped(spark, sf_dir), N_SUB, mode="roundrobin")
+    return df.groupBy("partition", "subpartition").agg(
+        F.count("*").alias("n_records"),
+        F.min("offset").alias("first_offset"),
+        F.max("offset").alias("last_offset"),
+    )
+
+
+@register(
+    "stream_subpartition_hash",
+    f"""
+    SELECT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                      CAST(CAST(user_id % 4 AS INTEGER) AS VARCHAR)), 1, 15) AS BIGINT)
+               % {N_SUB} AS INTEGER) AS subpartition,
+           COUNT(*) AS n_records,
+           COUNT(DISTINCT user_id) AS n_keys
+    FROM events
+    GROUP BY 1
+    """,
+    category="streaming",
+)
+def stream_subpartition_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2c hash sub-partitioning with a cross-engine-checkable hash
+    (md5-derived; runtime mode='hash' uses JVM murmur3 and
+    mode='hash_murmur2' gives Kafka bit-parity — both pinned by unit tests,
+    this query pins the key→subpartition stability property: every key maps
+    to exactly one subpartition)."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), (F.col("user_id") % 4).cast("int").cast("string")
+    )
+    sub = (F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint") % N_SUB).cast("int")
+    return (
+        ev.select(sub.alias("subpartition"), "user_id")
+        .groupBy("subpartition")
+        .agg(F.count("*").alias("n_records"), F.countDistinct("user_id").alias("n_keys"))
+    )
+
+
+@register(
+    "stream_ordered_merge",
+    """
+    WITH tagged AS (
+      SELECT CAST(user_id % 4 AS BIGINT) AS pair,
+             CASE WHEN event_type IN ('click', 'view') THEN 'left' ELSE 'right' END AS side,
+             epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ), frontiers AS (
+      SELECT pair, MIN(max_ts) AS low_watermark, COUNT(*) AS n_sides
+      FROM (SELECT pair, side, MAX(ts_us) AS max_ts FROM tagged GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT t.pair, t.side, t.ts_us, t.event_id
+    FROM tagged t JOIN frontiers f ON t.pair = f.pair
+    WHERE f.n_sides >= 2 AND t.ts_us <= f.low_watermark
+    """,
+    category="streaming",
+)
+def stream_ordered_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 ordered merge release rule in batch form: rows released iff
+    ts <= min over sides of max(seen ts) per pair group. The golden
+    MergerTest sequence is pinned in tests/test_merge.py; this query pins
+    the release-set semantics on real data for the oracle harness."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        (F.col("user_id") % 4).cast("bigint").alias("pair"),
+        F.when(F.col("event_type").isin("click", "view"), "left").otherwise("right").alias("side0"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    left = tagged.filter(F.col("side0") == "left").drop("side0")
+    right = tagged.filter(F.col("side0") == "right").drop("side0")
+    return merge_ordered(left, right, group="pair", ts="ts_us").select(
+        "pair", "side", "ts_us", "event_id"
+    )
+
+
+@register(
+    "stream_commit_prefix",
+    """
+    WITH offsets AS (
+      SELECT CAST(user_id % 4 AS INTEGER) AS partition,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1 AS off,
+             value > 5.0 AS processed
+      FROM events
+    )
+    SELECT partition,
+           COALESCE(MIN(CASE WHEN NOT processed THEN off END), MAX(off) + 1) AS commit_offset,
+           COUNT(*) AS n_consumed,
+           CAST(SUM(CASE WHEN processed THEN 1 ELSE 0 END) AS BIGINT) AS n_processed
+    FROM offsets
+    GROUP BY partition
+    """,
+    category="streaming",
+)
+def stream_commit_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 commit semantics as a dataflow: per partition, offsets are densely
+    renumbered; 'processed' is a data-dependent subset; the committable
+    offset is the longest processed prefix (Kafka next-offset convention) —
+    exactly DefaultOffsetsState.getOffsetToCommit
+    (/root/reference/.../impl/offsets/DefaultOffsetsState.java:277-302),
+    which Structured Streaming's per-batch atomic commit reproduces. The
+    full range-algebra oracle lives in streaming/offsets.py."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy(F.col("user_id") % 4).orderBy("event_id")
+    offsets = ev.select(
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        (F.row_number().over(w) - 1).alias("off"),
+        (F.col("value") > 5.0).alias("processed"),
+    )
+    return offsets.groupBy("partition").agg(
+        F.coalesce(
+            F.min(F.when(~F.col("processed"), F.col("off"))), F.max("off") + 1
+        ).alias("commit_offset"),
+        F.count("*").alias("n_consumed"),
+        F.sum(F.when(F.col("processed"), 1).otherwise(0)).alias("n_processed"),
+    )

@@ -1,1 +1,208 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over the `documents` table (SURVEY.md §7 step 6).
+
+Language-ID, quality scoring, token counting and document fingerprinting —
+the per-document scoring passes of a training-data pipeline. All are pure
+column expressions (whole-stage codegen, no Python in the hot path): at
+100 TB these run as a single scan with column pruning, no shuffle at all
+except where a groupBy is the point of the query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.operators.text import (
+    BPE_SPLIT_RE,
+    STOPWORDS,
+    cjk_char_count,
+    normalized,
+    sql_cjk_char_count,
+    sql_normalized,
+    sql_stopword_hits,
+    sql_word_shingles,
+    stopword_hits,
+    tokens,
+    word_shingles,
+)
+from kafka_workers_spark.operators.dedup import barrier
+from kafka_workers_spark.queries import register
+from kafka_workers_spark.sources.files import load_table
+
+_TOKS_SQL = "string_split(text, ' ')"
+
+
+@register(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(n_chars AS DOUBLE) / CAST(len({_TOKS_SQL}) AS BIGINT) AS chars_per_token
+    FROM documents
+    """,
+    category="text",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-style pre-tokenization counts; one codegen'd scan."""
+    d = barrier(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    n_ws = F.size(toks).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), 0)).cast("bigint").alias("n_bpe_tokens"),
+        (F.col("n_chars").cast("double") / n_ws).alias("chars_per_token"),
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+           n_tokens,
+           stop_hits,
+           CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+           alpha_ratio,
+           len_score,
+           0.4 * len_score + 0.3 * least(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0)
+             + 0.3 * alpha_ratio AS quality
+    FROM (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             {sql_stopword_hits(_TOKS_SQL, STOPWORDS["en"])} AS stop_hits,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / n_chars AS alpha_ratio,
+             least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score
+      FROM documents
+    )
+    """,
+    category="text",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc quality in [0,1]: length, stopword density, alphabetic
+    ratio — the standard cheap pre-filters before expensive model scoring.
+    Fixed operand order keeps the double arithmetic bit-identical to the
+    oracle."""
+    d = barrier(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("bigint")
+    stop_hits = stopword_hits(toks, STOPWORDS["en"])
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double") / F.col("n_chars")
+    )
+    len_score = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+    base = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        alpha_ratio.alias("alpha_ratio"),
+        len_score.alias("len_score"),
+    )
+    stop_ratio = F.col("stop_hits").cast("double") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "stop_hits",
+        stop_ratio.alias("stop_ratio"),
+        "alpha_ratio",
+        "len_score",
+        (
+            0.4 * F.col("len_score")
+            + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+            + 0.3 * F.col("alpha_ratio")
+        ).alias("quality"),
+    )
+
+
+def _sql_langid_scores() -> str:
+    cols = [f"{sql_stopword_hits(_TOKS_SQL, lex)} AS score_{lang}" for lang, lex in STOPWORDS.items()]
+    return ",\n           ".join(cols)
+
+
+@register(
+    "text_language_id",
+    f"""
+    SELECT doc_id, score_en, score_de, score_es, score_fr, n_cjk,
+           CASE WHEN n_cjk > 0 THEN 'zh'
+                WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM (
+      SELECT doc_id,
+             {_sql_langid_scores()},
+             {sql_cjk_char_count('text')} AS n_cjk
+      FROM documents
+    )
+    """,
+    category="text",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-overlap language ID (CJK by codepoint class, Latin languages
+    by function-word hits, deterministic tie order en>de>es>fr, 'und' when
+    no evidence). The synthetic corpus shares one vocabulary across its
+    `lang` labels, so agreement with the label is not the contract — the
+    deterministic heuristic is."""
+    d = barrier(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        *[stopword_hits(toks, lex).alias(f"score_{lang}") for lang, lex in STOPWORDS.items()],
+        cjk_char_count(F.col("text")).alias("n_cjk"),
+    )
+    s = {lang: F.col(f"score_{lang}") for lang in STOPWORDS}
+    pred = (
+        F.when(F.col("n_cjk") > 0, "zh")
+        .when(F.greatest(*s.values()) == 0, "und")
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id", "score_en", "score_de", "score_es", "score_fr", "n_cjk", pred.alias("pred_lang")
+    )
+
+
+_NORM_SQL = sql_normalized("text")
+_SHINGLES_SQL = sql_word_shingles(_TOKS_SQL, 3)
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS content_hash,
+           CAST(len({_SHINGLES_SQL}) AS BIGINT) AS n_shingles,
+           list_aggregate([md5(sh) FOR sh IN {_SHINGLES_SQL}], 'min') AS min_shingle_hash
+    FROM documents
+    """,
+    category="text",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (exact identity)
+    plus the minimum 3-word-shingle hash (a 1-hash MinHash — the cheapest
+    content-similarity blocking key). Staged: tokenize → shingle →
+    explode + codegen'd MIN aggregate (interpreted array lambdas would
+    re-hash per reference; see operators/dedup.barrier)."""
+    from kafka_workers_spark.operators.text import shingle_stage, tokenize_stage
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = shingle_stage(
+        tokenize_stage(
+            d.select("doc_id", "text"),
+            extra={"content_hash": F.md5(normalized(F.col("text")))},
+        ),
+        3,
+    )
+    exploded = staged.select(
+        "doc_id",
+        "content_hash",
+        F.size("shingles").cast("bigint").alias("n_shingles"),
+        F.explode_outer("shingles").alias("__sh"),
+    )
+    return exploded.groupBy("doc_id", "content_hash", "n_shingles").agg(
+        F.min(F.md5("__sh")).alias("min_shingle_hash")
+    )

@@ -1,0 +1,138 @@
+"""Time-aware ordered merge of two streams (the reference's hardest
+semantic, SURVEY.md §7 step 4).
+
+Reference: the Merger pattern — pause the faster of two paired streams
+until the slower one catches up, so paired partitions emit in global
+timestamp order
+(/root/reference/src/test/java/com/rtbhouse/kafka/workers/integration/
+MergerTest.java:136-201; accept() at :152-162 releases a record only when
+the sibling partition's last-seen timestamp >= its own; motivation
+README.md:22).
+
+Release rule (equivalent formulation): a record with timestamp t in pair
+group g may be emitted iff t <= min over sides of max(seen ts) in g —
+the "low watermark" of the pair. The tail above the slower side's frontier
+stays buffered (reference: stays queued in the paused sub-partition).
+
+Two implementations:
+
+- :func:`merge_ordered` (batch/micro-batch): pure DataFrame ops — compute
+  each side's frontier per group (one partial-agg shuffle on small state),
+  broadcast-join the frontiers back, filter ts <= frontier, sort within
+  group. No Python, no per-key loop; at 100 TB the frontier table is tiny
+  (one row per pair group) and broadcasts.
+
+- :func:`merge_ordered_stream` (Structured Streaming): per-group buffered
+  state via applyInPandasWithState — rows accumulate in state until the
+  group's low watermark passes them, then emit in ts order. Matches the
+  reference's incremental pause/resume behavior; buffering is bounded by
+  stream skew exactly as the reference's queues are.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def merge_ordered(
+    left: DataFrame,
+    right: DataFrame,
+    group: str,
+    ts: str,
+    side_col: str = "side",
+) -> DataFrame:
+    """Batch ordered merge: union both sides, release rows up to the pair's
+    low watermark min(max_left_ts, max_right_ts) per group.
+
+    Returns released rows with a ``side`` tag, ordered within each group by
+    (ts, side, original columns) — the reference's output order for its
+    golden test (MergerTest.java:118: ties emit the earlier-seen side; we
+    use the side tag as deterministic tiebreak).
+    """
+    l_tag = left.withColumn(side_col, F.lit("left"))
+    r_tag = right.withColumn(side_col, F.lit("right"))
+    unioned = l_tag.unionByName(r_tag)
+    frontiers = (
+        unioned.groupBy(group, side_col)
+        .agg(F.max(ts).alias("__max_ts"))
+        .groupBy(group)
+        .agg(F.min("__max_ts").alias("__low_watermark"), F.count("*").alias("__n_sides"))
+    )
+    released = (
+        unioned.join(F.broadcast(frontiers), group)
+        # a group with only one side present has no sibling frontier yet:
+        # everything stays buffered, like the reference's accept() returning
+        # false while timestamps.get(otherPartition) == null
+        .filter((F.col("__n_sides") >= 2) & (F.col(ts) <= F.col("__low_watermark")))
+        .drop("__low_watermark", "__n_sides")
+    )
+    return released
+
+
+def merge_ordered_stream(
+    left: DataFrame,
+    right: DataFrame,
+    group: str,
+    ts: str,
+    output_schema: str,
+    side_col: str = "side",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming ordered merge with per-group buffering.
+
+    State per group: {"buf": [[side, ts, payload...] ...], "max": {side: ts}}.
+    Each micro-batch: fold new rows into the buffer, advance each side's
+    frontier to max(seen), emit buffered rows with ts <= min(frontiers)
+    in (ts, side) order, keep the rest buffered.
+
+    ``output_schema`` must be "<group type>, side string, <ts type>" e.g.
+    ``"pair bigint, side string, ts bigint"`` — the streaming surface keeps
+    only group/side/ts (payload columns join back by ts if needed).
+    """
+    l_tag = left.withColumn(side_col, F.lit("left")).select(group, side_col, ts)
+    r_tag = right.withColumn(side_col, F.lit("right")).select(group, side_col, ts)
+    unioned = l_tag.unionByName(r_tag)
+
+    def handle(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"buf": [], "max": {}}
+        if state.hasTimedOut:
+            state.remove()
+            return
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                side, t = getattr(row, side_col), int(getattr(row, ts))
+                st["buf"].append([side, t])
+                st["max"][side] = max(st["max"].get(side, t), t)
+        if len(st["max"]) >= 2:
+            low = min(st["max"].values())
+            ready = sorted([b for b in st["buf"] if b[1] <= low], key=lambda b: (b[1], b[0]))
+            st["buf"] = [b for b in st["buf"] if b[1] > low]
+            if ready:
+                yield pd.DataFrame(
+                    {
+                        group: [key[0]] * len(ready),
+                        side_col: [b[0] for b in ready],
+                        ts: [b[1] for b in ready],
+                    }
+                )
+        state.update((json.dumps(st),))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
+
+    timeout = GroupStateTimeout.ProcessingTimeTimeout if state_ttl_ms else GroupStateTimeout.NoTimeout
+    return unioned.groupBy(group).applyInPandasWithState(
+        handle,
+        outputStructType=output_schema,
+        stateStructType="state STRING",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -1,0 +1,101 @@
+"""Stateless task surface: the reference's ``WorkerTask.process`` for
+record transforms, with its delivery-guarantee policies.
+
+Reference: ``WorkerTask.process(record, observer)``
+(/root/reference/src/main/java/com/rtbhouse/kafka/workers/api/task/
+WorkerTask.java:50), guarantee policy
+(api/record/RecordProcessingGuarantee.java:9-28,
+impl/record/RecordStatusObserverImpl.java:33-52):
+
+- ``at_least_once``: any failure shuts the pipeline down; redelivery from
+  the last commit. Spark equivalent: let the exception propagate — the
+  micro-batch fails and retries from the checkpoint. This is the default
+  Structured Streaming contract; nothing to build.
+- ``none``: log-and-skip. Spark equivalent: catch per record, route the
+  failure into a dead-letter column so a downstream sink can split
+  good/bad — strictly more observable than the reference's log line.
+
+Transform preference order: pure column expressions (codegen) >
+``transform_batches`` (Arrow-batched) > never row-at-a-time Python UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+AT_LEAST_ONCE = "at_least_once"
+NONE = "none"
+
+ERROR_COL = "__error"
+
+
+def transform_batches(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: StructType | str,
+    guarantee: str = AT_LEAST_ONCE,
+) -> DataFrame:
+    """Apply an arbitrary batch transform (``pandas.DataFrame ->
+    pandas.DataFrame``) via ``mapInPandas`` — Arrow transfer, executes on
+    executors, works identically on batch and streaming DataFrames.
+
+    guarantee='none' requires `schema` to contain a nullable string
+    column ``__error``; a failing batch falls back row-by-row so only the
+    offending rows are marked, everything else flows.
+    """
+    if guarantee not in (AT_LEAST_ONCE, NONE):
+        raise ValueError(f"unknown guarantee: {guarantee}")
+
+    if guarantee == AT_LEAST_ONCE:
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = fn(pdf)
+                yield out
+
+        return df.mapInPandas(run, schema)
+
+    schema_obj = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    out_cols = [f.name for f in schema_obj.fields]
+    if ERROR_COL not in out_cols:
+        raise ValueError(f"guarantee='none' requires a nullable string column {ERROR_COL!r} in schema")
+
+    def run_dlq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            try:
+                out = fn(pdf)
+                if ERROR_COL not in out.columns:
+                    out[ERROR_COL] = None
+                yield out[out_cols] if set(out_cols) <= set(out.columns) else out.reindex(columns=out_cols)
+            except Exception:
+                # isolate failures row-by-row; a failed row surfaces as a
+                # schema-shaped row carrying whatever input columns overlap
+                # the output schema, plus the error
+                rows: list[pd.DataFrame] = []
+                for i in range(len(pdf)):
+                    row = pdf.iloc[[i]]
+                    try:
+                        out = fn(row)
+                        if ERROR_COL not in out.columns:
+                            out[ERROR_COL] = None
+                        rows.append(out.reindex(columns=out_cols))
+                    except Exception as exc:  # noqa: BLE001
+                        failed = row.reindex(columns=out_cols)
+                        failed[ERROR_COL] = repr(exc)
+                        rows.append(failed)
+                empty = pd.DataFrame({c: [] for c in out_cols})
+                yield pd.concat(rows, ignore_index=True) if rows else empty
+
+    return df.mapInPandas(run_dlq, schema_obj)
+
+
+def split_dlq(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a guarantee='none' output into (ok, dead-letter) streams."""
+    ok = df.filter(df[ERROR_COL].isNull()).drop(ERROR_COL)
+    dlq = df.filter(df[ERROR_COL].isNotNull())
+    return ok, dlq

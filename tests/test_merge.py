@@ -1,0 +1,76 @@
+"""A16 ordered merge — the reference's golden MergerTest scenario.
+
+Reference: MergerTest.java:87-134. Input: paired partitions of two topics;
+expected output for partition 0 is the exact merged sequence
+[10000, 30000, 50000, 70000, 90000, 110000, 120000, 130000, 140000] —
+the tail (150000 on stream one, 200000 on one.p1) stays held back because
+the sibling stream never catches up to it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.streaming.merge import merge_ordered
+
+ONE = {0: [10000, 50000, 70000, 130000, 150000], 1: [40000, 90000, 20000, 200000]}
+TWO = {0: [30000, 90000, 110000, 120000, 140000]}
+
+EXPECTED_P0 = [10000, 30000, 50000, 70000, 90000, 110000, 120000, 130000, 140000]
+
+
+def _sides(spark):
+    one = spark.createDataFrame(
+        [(p, t) for p, ts in ONE.items() for t in ts], "pair int, ts long"
+    )
+    two = spark.createDataFrame(
+        [(p, t) for p, ts in TWO.items() for t in ts], "pair int, ts long"
+    )
+    return one, two
+
+
+def test_merge_golden_sequence(spark):
+    one, two = _sides(spark)
+    released = merge_ordered(one, two, group="pair", ts="ts")
+    p0 = [r.ts for r in released.filter("pair = 0").orderBy("ts", "side").collect()]
+    assert p0 == EXPECTED_P0
+
+
+def test_merge_holds_unpaired_partition(spark):
+    # partition 1 exists only on stream one -> accept() never true ->
+    # nothing released (MergerTest accept: sibling timestamp must exist)
+    one, two = _sides(spark)
+    released = merge_ordered(one, two, group="pair", ts="ts")
+    assert released.filter("pair = 1").count() == 0
+
+
+def test_merge_streaming_matches_batch(spark, tmp_path):
+    """merge_ordered_stream over a file stream releases the same set, in
+    timestamp order per group."""
+    from kafka_workers_spark.streaming.merge import merge_ordered_stream
+
+    one, two = _sides(spark)
+    src = str(tmp_path / "src")
+    one.withColumn("side0", F.lit("left")).unionByName(
+        two.withColumn("side0", F.lit("right"))
+    ).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    left = stream.filter("side0 = 'left'").drop("side0")
+    right = stream.filter("side0 = 'right'").drop("side0")
+    out = merge_ordered_stream(
+        left, right, group="pair", ts="ts", output_schema="pair int, side string, ts long"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("merge_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM merge_out WHERE pair = 0 ORDER BY ts").collect()
+    assert [r.ts for r in rows] == EXPECTED_P0
+    assert spark.sql("SELECT * FROM merge_out WHERE pair = 1").count() == 0

@@ -1,0 +1,93 @@
+"""Sub-partitioning: murmur2 Kafka parity and assignment invariants.
+
+Reference: HashFunctionPartitioner.java:21-24 (murmur2 of "key:partition"),
+SubpartitionSupplierTest.java:20-93 (0 <= id < count validation).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.streaming.subpartition import (
+    murmur2,
+    repartition_ordered,
+    with_subpartition,
+)
+
+# Known-answer vectors for Kafka's murmur2, from the published Kafka client
+# test suite (org.apache.kafka.common.utils.UtilsTest.testMurmur2 values).
+KAFKA_MURMUR2_VECTORS = {
+    b"21": -973932308,
+    b"foobar": -790332482,
+    b"a-little-bit-long-string": -985981536,
+    b"a-little-bit-longer-string": -1486304829,
+    b"lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8": -58897971,
+    b"abc": 479470107,
+}
+
+
+@pytest.mark.parametrize(("data", "expected"), KAFKA_MURMUR2_VECTORS.items())
+def test_murmur2_kafka_parity(data, expected):
+    # murmur2() returns Kafka's toPositive(murmur2(x)) = signed & 0x7fffffff
+    assert murmur2(data) == expected & 0x7FFFFFFF
+
+
+def _kafka_df(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("offset"),
+        (F.col("id") % 3).cast("int").alias("partition"),
+        F.concat(F.lit("k"), (F.col("id") % 17)).alias("key"),
+        F.col("id").alias("payload"),
+    )
+
+
+@pytest.mark.parametrize("mode", ["default", "roundrobin", "hash", "hash_murmur2"])
+def test_subpartition_range_invariant(spark, mode):
+    # SubpartitionSupplier.java:25-33 — 0 <= subpartition < count
+    df = with_subpartition(_kafka_df(spark), count=4, mode=mode)
+    stats = df.agg(
+        F.min("subpartition").alias("lo"), F.max("subpartition").alias("hi")
+    ).first()
+    assert 0 <= stats.lo <= stats.hi < 4
+
+
+def test_subpartition_key_stability(spark):
+    # same key+partition always lands on the same subpartition
+    df = with_subpartition(_kafka_df(spark), count=4, mode="hash")
+    n = (
+        df.groupBy("key", "partition")
+        .agg(F.countDistinct("subpartition").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert n == 1
+
+
+def test_subpartition_murmur2_matches_python(spark):
+    df = with_subpartition(_kafka_df(spark, 50), count=8, mode="hash_murmur2")
+    for row in df.select("key", "partition", "subpartition").collect():
+        expected = murmur2(f"{row.key}:{row.partition}".encode()) % 8
+        assert row.subpartition == expected
+
+
+def test_invalid_count_rejected(spark):
+    with pytest.raises(ValueError):
+        with_subpartition(_kafka_df(spark), count=0)
+
+
+def test_repartition_preserves_order_within_substream(spark):
+    # README.md:20,64 — records of one sub-partition keep offset order
+    df = with_subpartition(_kafka_df(spark, 500), count=4, mode="hash")
+    parts = repartition_ordered(df, 8)
+
+    def check_sorted(it):
+        last = {}
+        for row in it:
+            k = (row.partition, row.subpartition)
+            if k in last:
+                assert row.offset > last[k], f"order broken in {k}"
+            last[k] = row.offset
+        return iter([])
+
+    parts.rdd.mapPartitions(lambda it: check_sorted(it)).count()

@@ -1,0 +1,174 @@
+"""Stateless task surface: delivery guarantees (A4/A10) and the stateful
+WorkerTask wrapper (A5/A11).
+
+Reference behaviors pinned:
+- RecordStatusObserverTest.java:69-125 — guarantee `at_least_once` fails
+  the pipeline on a processing error; `none` skips the record and keeps
+  running.
+- ProcessingFailureTest.java:68-99 — the failure cause is preserved.
+- PunctuateTest.java:70-90 — punctuate fires without data arrival.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from py4j.protocol import Py4JJavaError
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.streaming.stateful import WorkerTask, apply_worker_task
+from kafka_workers_spark.streaming.tasks import ERROR_COL, split_dlq, transform_batches
+
+
+def _records(spark, n=20):
+    return spark.range(n).select(
+        F.col("id").alias("offset"), (F.col("id") % 2).cast("int").alias("partition")
+    )
+
+
+def _double_or_fail_fn():
+    # nested so cloudpickle serializes it by value (the tests package is
+    # not importable from executor workers)
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf["offset"] == 13).any():
+            raise ValueError("record 13 poisoned")
+        out = pdf.copy()
+        out["doubled"] = out["offset"] * 2
+        return out
+
+    return fn
+
+
+def test_at_least_once_propagates_failure(spark):
+    df = transform_batches(
+        _records(spark),
+        _double_or_fail_fn(),
+        "offset long, partition int, doubled long",
+        guarantee="at_least_once",
+    )
+    with pytest.raises((Py4JJavaError, Exception)) as exc_info:
+        df.collect()
+    assert "record 13 poisoned" in str(exc_info.value)
+
+
+def test_none_guarantee_routes_to_dlq(spark):
+    df = transform_batches(
+        _records(spark),
+        _double_or_fail_fn(),
+        f"offset long, partition int, doubled long, {ERROR_COL} string",
+        guarantee="none",
+    )
+    ok, dlq = split_dlq(df)
+    ok_rows = ok.collect()
+    dlq_rows = dlq.collect()
+    assert len(ok_rows) == 19
+    assert len(dlq_rows) == 1
+    assert dlq_rows[0].offset == 13
+    assert "poisoned" in dlq_rows[0][ERROR_COL]
+    assert {r.doubled for r in ok_rows} == {2 * i for i in range(20) if i != 13}
+
+
+def test_none_guarantee_requires_error_column(spark):
+    with pytest.raises(ValueError):
+        transform_batches(_records(spark), _double_or_fail_fn(), "offset long", guarantee="none")
+
+
+# --- stateful WorkerTask ---------------------------------------------------
+
+
+def test_worker_task_counts_per_key(spark, tmp_path):
+    """Per-key state accumulates across micro-batches (WorkerTask state,
+    README.md:64) — two files -> two batches -> running count."""
+    src = str(tmp_path / "src")
+    spark.range(10).select(
+        (F.col("id") % 2).cast("int").alias("partition"), F.col("id").alias("offset")
+    ).coalesce(1).write.parquet(src)
+    spark.range(10, 16).select(
+        (F.col("id") % 2).cast("int").alias("partition"), F.col("id").alias("offset")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    task = WorkerTask(
+        init=lambda key: {"seen": 0},
+        process=lambda key, pdf, st: (
+            pd.DataFrame(
+                {"partition": [key[0]], "batch_rows": [len(pdf)], "total": [st["seen"] + len(pdf)]}
+            ),
+            {"seen": st["seen"] + len(pdf)},
+        ),
+    )
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = apply_worker_task(
+        stream,
+        ["partition"],
+        task,
+        "partition int, batch_rows long, total long",
+        order_by=["offset"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("task_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM task_out ORDER BY partition, total").collect()
+    # final totals: 16 records over 2 partitions -> 8 each
+    finals = {r.partition: r.total for r in rows}
+    assert finals == {0: 8, 1: 8}
+
+
+def test_worker_task_punctuate_fires_without_data(spark, tmp_path):
+    """A5: a key idle in a later batch gets its punctuate callback
+    (processing-time timer)."""
+    src = str(tmp_path / "src")
+    # batch 1: keys 0 and 1; batch 2 (separate file): key 1 only
+    spark.createDataFrame([(0, 0), (1, 1)], "partition int, offset long").coalesce(
+        1
+    ).write.parquet(src)
+    spark.createDataFrame([(1, 2)], "partition int, offset long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    task = WorkerTask(
+        init=lambda key: {"n": 0},
+        process=lambda key, pdf, st: (
+            pd.DataFrame({"partition": [key[0]], "kind": ["data"], "n": [st["n"] + len(pdf)]}),
+            {"n": st["n"] + len(pdf)},
+        ),
+        punctuate=lambda key, st, now: (
+            pd.DataFrame({"partition": [key[0]], "kind": ["punctuate"], "n": [st["n"]]}),
+            st,
+        ),
+    )
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = apply_worker_task(
+        stream,
+        ["partition"],
+        task,
+        "partition int, kind string, n long",
+        punctuate_interval_ms=1,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("punct_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 90
+    seen_punct = False
+    while time.time() < deadline and not seen_punct:
+        time.sleep(2)
+        seen_punct = (
+            spark.sql("SELECT * FROM punct_out WHERE kind = 'punctuate'").count() > 0
+        )
+    q.stop()
+    q.awaitTermination(30)
+    assert seen_punct, "punctuate never fired for the idle key"
