@@ -45,7 +45,11 @@ def main() -> None:
     registry = load_all()
     names = [n for n in HEADLINE if n in registry]
     # include any registered query tagged as a benchmark extension
-    names += [n for n, s in registry.items() if s.category in ("dedup", "similarity", "text") and n not in names]
+    names += [
+        n
+        for n, s in registry.items()
+        if s.category in ("dedup", "similarity", "text", "multimodal", "streaming") and n not in names
+    ]
 
     spark = build_session(
         WorkersConfig(

@@ -19,3 +19,18 @@ from kafka_workers_spark.session import WorkersConfig, build_session
 __version__ = "0.1.0"
 
 __all__ = ["WorkersConfig", "build_session", "__version__"]
+
+# Public surface map (import from the submodules):
+#   sources.files       — batch/stream readers over parquet test tables
+#   sources.kafka       — Kafka reader/sink builders (connector jar req'd)
+#   streaming.subpartition — WorkerPartitioner parity (A2)
+#   streaming.tasks     — stateless tasks + delivery guarantees (A4/A10)
+#   streaming.stateful  — per-key WorkerTask with punctuate (A5/A11)
+#   streaming.merge     — time-aware ordered merge (A16)
+#   streaming.offsets   — commit-prefix semantic model (A6 oracle)
+#   streaming.lifecycle — status machine, deadline, metrics (A14/A9/A15)
+#   streaming.sinks     — foreachBatch / exactly-once sinks
+#   operators.{relational,dedup,text,multimodal} — DataFrame operators
+#   functions           — deterministic aggregation helpers
+#   plans               — physical-plan audits (pushdown/broadcast/codegen)
+#   queries             — the oracle-checked query registry (driver gate)

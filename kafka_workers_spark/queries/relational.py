@@ -22,14 +22,7 @@ from kafka_workers_spark.queries import register
 from kafka_workers_spark.sources.files import load_table, register_views
 
 
-def dsum(col, alias: str, scale: int = 6):
-    """Order-independent sum of a double column (exact decimal arithmetic)."""
-    c = col if not isinstance(col, str) else F.col(col)
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
-
-
-def sql_dsum(expr: str, alias: str, scale: int = 6) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+from kafka_workers_spark.functions.determinism import dsum, sql_dsum  # noqa: E402
 
 
 # --------------------------------------------------------------------------

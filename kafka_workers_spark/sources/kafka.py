@@ -1,0 +1,95 @@
+"""Kafka source/sink builders: the reference's consumer surface on the
+Structured Streaming Kafka connector.
+
+Reference config → Spark option mapping (api/WorkersConfig.java,
+README.md:105-283):
+
+- ``consumer.topics``                → ``subscribe``
+- ``consumer.kafka.*`` passthrough   → ``kafka.*`` passthrough
+  (WorkersConfig strips the prefix the same way, WorkersConfig.java:39)
+- ``queue.total.size.heap.ratio`` (A8 backpressure) →
+  ``maxOffsetsPerTrigger`` / ``maxBytesPerTrigger``: Spark bounds the
+  micro-batch instead of pausing partitions behind in-heap queues — there
+  is no unbounded queue to protect.
+- ``consumer.commit.interval.ms`` (A7) → trigger interval; offsets commit
+  to the checkpoint per completed batch (exact at-least-once, stronger
+  ordering guarantee than the reference's async commit, SURVEY.md §3.2).
+- key/value deserializers → none: the source yields ``key``/``value`` as
+  BINARY (the reference's opaque-bytes model, SURVEY.md §1.2); decode with
+  ``from_json`` / ``from_avro`` / ``decode`` downstream.
+
+The Kafka connector jar is not bundled in this container, so
+:func:`kafka_stream` builds the fully-configured reader without loading
+it; tests cover the option mapping (tests/test_kafka_source.py) and the
+identical downstream surface is exercised through the file source
+(sources/files.stream_table), which yields the same schema contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.readwriter import DataStreamReader
+
+from kafka_workers_spark.session import WorkersConfig
+
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_options(config: WorkersConfig, kafka_conf: dict[str, str] | None = None) -> dict[str, str]:
+    """The reference→Spark option mapping as a plain dict (unit-testable
+    without the connector jar)."""
+    if not config.topics:
+        raise ValueError("consumer.topics is required (WorkersConfig.topics)")
+    opts: dict[str, str] = {
+        "subscribe": ",".join(config.topics),
+        "startingOffsets": "earliest",
+        # A10 at_least_once: fail on data loss so redelivery is surfaced,
+        # guarantee 'none' tolerates missing offsets (skip-and-continue)
+        "failOnDataLoss": "true" if config.guarantee == "at_least_once" else "false",
+    }
+    if config.max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(config.max_offsets_per_trigger)
+    if config.max_bytes_per_trigger is not None:
+        opts["maxTriggerDelay"] = "15m"
+        opts["maxBytesPerTrigger"] = str(config.max_bytes_per_trigger)
+    for k, v in (kafka_conf or {}).items():
+        # consumer.kafka.* passthrough — same prefix-strip as the reference
+        key = k.removeprefix("consumer.kafka.")
+        opts[f"kafka.{key}" if not key.startswith("kafka.") else key] = v
+    return opts
+
+
+def kafka_reader(
+    spark: SparkSession,
+    config: WorkersConfig,
+    bootstrap_servers: str,
+    kafka_conf: dict[str, str] | None = None,
+) -> DataStreamReader:
+    """Configured ``readStream`` builder (call ``.load()`` where the Kafka
+    connector jar is on the classpath)."""
+    reader = spark.readStream.format("kafka").option(
+        "kafka.bootstrap.servers", bootstrap_servers
+    )
+    for k, v in kafka_options(config, kafka_conf).items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def kafka_stream(
+    spark: SparkSession,
+    config: WorkersConfig,
+    bootstrap_servers: str,
+    kafka_conf: dict[str, str] | None = None,
+) -> DataFrame:
+    return kafka_reader(spark, config, bootstrap_servers, kafka_conf).load()
+
+
+def kafka_sink_options(topic: str) -> dict[str, str]:
+    """Kafka-to-Kafka produce (the MergerTest pattern: task produces to an
+    output topic, MergerTest.java:165-182). Use with
+    ``df.writeStream.format('kafka')`` — requires ``key``/``value`` binary
+    or string columns; ``topic`` may also be a per-row column."""
+    return {"topic": topic}

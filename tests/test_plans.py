@@ -1,0 +1,53 @@
+"""Plan audits: the Catalyst optimizations the engine's performance
+contract depends on actually fire (SURVEY.md §4 — nothing custom needed,
+but the free optimizations must be verified, not assumed)."""
+
+from __future__ import annotations
+
+from kafka_workers_spark.plans import audit
+from kafka_workers_spark.queries import load_all
+
+REG = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    a = audit(REG["filter_pushdown"].fn(spark, SF))
+    assert a.has_pushed_filter("o_orderstatus"), a.text[:500]
+    assert a.has_pushed_filter("o_totalprice"), a.text[:500]
+
+
+def test_projection_prunes_columns(spark):
+    a = audit(REG["projection_compute"].fn(spark, SF))
+    assert a.scans_only_columns(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"
+    ), a.read_schemas
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    a = audit(REG["join_inner_broadcast"].fn(spark, SF))
+    assert a.broadcast_joins >= 2, a.text[:800]
+    assert a.cartesian_products == 0
+
+
+def test_topk_avoids_global_sort_shuffle(spark):
+    a = audit(REG["sort_limit_topk"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in a.text
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No registered query may plan a cartesian product — the scale
+    guardrail for the whole inventory."""
+    offenders = []
+    for name, spec in REG.items():
+        a = audit(spec.fn(spark, SF))
+        if a.cartesian_products:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_dedup_hot_paths_stay_jvm_side(spark):
+    """Signature computation must not fall back to Python evaluation."""
+    for name in ["dedup_minhash_lsh", "dedup_simhash", "text_fingerprint", "dedup_embedding_cosine"]:
+        a = audit(REG[name].fn(spark, SF))
+        assert a.python_evals == 0, f"{name} plans Python eval"

@@ -1,0 +1,141 @@
+"""Watermarks + late data, streaming dedup, stream-stream interval join —
+the Table-B streaming rows the reference lacks entirely (no event time,
+SURVEY.md §2: 'Streaming: watermarks — absent') and the engine gets from
+Structured Streaming.
+
+File-source micro-batches (maxFilesPerTrigger=1) stand in for Kafka: the
+watermark advances between batches exactly as with a live source.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+
+def _ts(sec: int) -> datetime:
+    """Naive UTC timestamp `sec` seconds past 2024-01-01 00:00:00."""
+    return datetime(2024, 1, 1, sec // 3600, (sec // 60) % 60, sec % 60)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """The late batch must arrive in a *later trigger* than the one that
+    advanced the watermark, so the second file is written while the query
+    runs (availableNow coalesces all pending files into one batch)."""
+    import time
+
+    src = str(tmp_path / "src")
+    # batch 1: two rows in window [0,60) + one at 150s (watermark -> 140s)
+    spark.createDataFrame(
+        [(1, _ts(10)), (2, _ts(20)), (3, _ts(150))], "id long, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "60 seconds"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("w"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and (q.lastProgress or {}).get("batchId", -1) < 1:
+            time.sleep(1)
+        # batch 2: a late row at 30s (< watermark 140s -> dropped) + 180s
+        spark.createDataFrame(
+            [(4, _ts(30)), (5, _ts(180))], "id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            time.sleep(2)
+            if spark.sql("SELECT * FROM wm_out").count() > 0:
+                time.sleep(3)  # allow any further (unexpected) emissions
+                break
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    rows = {r.w.second + 60 * r.w.minute: r.n for r in spark.sql("SELECT * FROM wm_out").collect()}
+    # window [0,60) finalized with ONLY the two on-time rows; the late id=4
+    # (event time 30s, behind the 140s watermark) was dropped
+    assert rows.get(0) == 2, rows
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("k1", _ts(10)), ("k2", _ts(20))], "key string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+    # duplicate k1 arriving in a later batch, within the watermark window
+    spark.createDataFrame(
+        [("k1", _ts(15)), ("k3", _ts(40))], "key string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    deduped = stream.withWatermark("ts", "1 minute").dropDuplicatesWithinWatermark(["key"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    keys = sorted(r.key for r in spark.sql("SELECT * FROM dd_out").collect())
+    assert keys == ["k1", "k2", "k3"], keys
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks joined to purchases within a 60-second interval — the
+    watermark-bounded stream-stream join (Table B 'range/interval joins',
+    streaming form of operators.relational.asof_join)."""
+    left_src = str(tmp_path / "left")
+    right_src = str(tmp_path / "right")
+    spark.createDataFrame(
+        [(1, _ts(10)), (2, _ts(100)), (3, _ts(300))], "user long, click_ts timestamp"
+    ).write.parquet(left_src)
+    spark.createDataFrame(
+        [(1, _ts(40)), (2, _ts(250)), (4, _ts(310))], "user long, buy_ts timestamp"
+    ).write.parquet(right_src)
+
+    clicks = (
+        spark.readStream.schema(spark.read.parquet(left_src).schema)
+        .parquet(left_src)
+        .withWatermark("click_ts", "5 minutes")
+    )
+    buys = (
+        spark.readStream.schema(spark.read.parquet(right_src).schema)
+        .parquet(right_src)
+        .withWatermark("buy_ts", "5 minutes")
+    )
+    joined = clicks.join(
+        buys,
+        (clicks.user == buys.user)
+        & (buys.buy_ts >= clicks.click_ts)
+        & (buys.buy_ts <= clicks.click_ts + F.expr("INTERVAL 60 seconds")),
+    )
+    q = (
+        joined.select(clicks.user.alias("u"), "click_ts", "buy_ts")
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    users = sorted(r.u for r in spark.sql("SELECT * FROM ssj_out").collect())
+    # user 1: buy 30s after click -> match; user 2: buy 150s later -> no;
+    # user 3 never buys; user 4 never clicks
+    assert users == [1], users
