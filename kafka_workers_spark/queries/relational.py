@@ -672,3 +672,175 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value", "session_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Subqueries (scalar / IN) — Catalyst rewrites these into joins; the
+# engine's surface includes them because users write them (Table B)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "subquery_scalar",
+    """
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                  / COUNT(*) FROM orders) AS price_vs_avg
+    FROM orders
+    WHERE o_totalprice > 300000.0
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery → one tiny aggregate broadcast into the main scan
+    (Catalyst plans a ReusedSubquery/broadcast; no shuffle of the fact)."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                      / COUNT(*) FROM orders) AS price_vs_avg
+        FROM orders
+        WHERE o_totalprice > 300000.0
+        """
+    )
+
+
+@register(
+    "subquery_in",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left-semi hash join on the filtered (broadcastable)
+    customer set."""
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    WITH clickers AS (
+      SELECT user_id, COUNT(*) AS n_clicks FROM events WHERE event_type = 'click' GROUP BY 1
+    ), erroring AS (
+      SELECT user_id, COUNT(*) AS n_errors FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT COALESCE(c.user_id, e.user_id) AS user_id, c.n_clicks, e.n_errors
+    FROM clickers c FULL OUTER JOIN erroring e ON c.user_id = e.user_id
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.count("*").alias("n_clicks"))
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_errors"))
+        .withColumnRenamed("user_id", "e_user_id")
+    )
+    return clicks.join(errors, clicks.user_id == errors.e_user_id, "full_outer").select(
+        F.coalesce(clicks.user_id, F.col("e_user_id")).alias("user_id"), "n_clicks", "n_errors"
+    )
+
+
+@register(
+    "window_ntile_percent",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions; the unique (price, orderkey) sort key
+    makes ntile/percent_rank deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "events_session_window",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap): identical grouping to the
+    manual lag/cumsum sessionization (events_sessionize) — the oracle
+    derives the same sessions and reproduces Spark's window bounds
+    (end = last event + gap). Streaming-ready: the same expression works
+    under a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "lateral_explode_tokens",
+    """
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    category="text",
+)
+def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/lateral-view surface (explode): corpus-wide top-20 token
+    frequencies — explode feeds a partial+final hash aggregate, then a
+    20-row TakeOrdered; the shuffle carries (token, partial count) only."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )

@@ -71,8 +71,20 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Streaming read of a test table (file source, one-file micro-batch).
 
     Stand-in for ``readStream.format("kafka")`` in this container; schema is
-    taken from the batch read so the stream needs no inference.
+    taken from the batch read so the stream needs no inference. The
+    ``events`` nanos-timestamp handling mirrors :func:`load_table`.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = table_path(sf_dir, name)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).parquet(path)
+    # the test tables are single parquet FILES; the file stream source
+    # derives basePath from the glob-free prefix of the pattern and requires
+    # it to be a directory, so force one glob char to anchor basePath at the
+    # SF directory while still matching only this table's file
+    pattern = os.path.join(sf_dir, f"{name}.parque[t]")
+    df = spark.readStream.schema(schema).parquet(pattern)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
