@@ -62,10 +62,12 @@ def main() -> None:
     # should measure plan execution, not JVM warmup.
     warmup_dir = "/root/testdata/sf0.001"
     for name in names:
+        t0 = time.perf_counter()
         try:
             registry[name].fn(spark, warmup_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+        print(f"warmup {name} {time.perf_counter() - t0:.2f}s", file=sys.stderr, flush=True)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -78,6 +80,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        print(f"timed {name} {dt:.2f}s", file=sys.stderr, flush=True)
 
     print(
         json.dumps(
