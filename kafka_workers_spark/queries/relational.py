@@ -844,3 +844,74 @@ def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates — computed from exact integer moments so the
+# result is deterministic across engines, partitionings, and AQE re-plans
+# (built-in var_samp/stddev over doubles is order-dependent in last bits)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_variance_fixedpoint",
+    """
+    SELECT l_returnflag, n,
+           s1 / 1000000.0 / n AS mean_disc,
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+             / (n - 1) / 1000000.0 / 1000000.0 AS var_disc,
+           sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                / (n - 1)) / 1000000.0 AS stddev_disc
+    FROM (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(floor(l_discount * 1000000) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(floor(l_discount * 1000000) AS BIGINT)
+                      * CAST(floor(l_discount * 1000000) AS BIGINT)) AS BIGINT) AS s2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def agg_variance_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev from exact integer moments (Σx, Σx²) of the
+    ×1e6 fixed-point discount — one partial+final hash aggregate carrying
+    two bigints per group; the double arithmetic happens once per group in
+    a fixed expression tree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q6 = F.floor(F.col("l_discount") * 1_000_000).cast("bigint")
+    moments = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q6).cast("bigint").alias("s1"),
+        F.sum(q6 * q6).cast("bigint").alias("s2"),
+    )
+    var = (
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return moments.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1") / 1_000_000.0 / F.col("n")).alias("mean_disc"),
+        (var / 1_000_000.0 / 1_000_000.0).alias("var_disc"),
+        (F.sqrt(var) / 1_000_000.0).alias("stddev_disc"),
+    )
+
+
+@register(
+    "agg_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: floor-bucket key, one hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    )
