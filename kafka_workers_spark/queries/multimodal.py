@@ -70,3 +70,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = multimodal_binary_meta(spark, sf_dir).filter(F.col("media_type") == "video")
     frames = sample_frames(meta, every_nth=2)
     return frames.select("doc_id", "n_frames", F.col("frame_no").cast("bigint"))
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 192 AS width,
+           64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 192 AS height,
+           1 + CAST(('0x' || substr(md5(text), 5, 2)) AS INTEGER) % 3 AS n_channels
+    FROM documents
+    """,
+    category="multimodal",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode stage itself, oracle-checked: the fake codec
+    derives features from the payload digest, which the oracle replays from
+    md5 hex (payload = utf-8 text, so digest bytes == md5(text)). Proves
+    the Arrow batch plumbing end to end, not just the metadata columns."""
+    from kafka_workers_spark.operators.multimodal import decode_media, fake_decode
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.to_binary(F.col("text"), F.lit("utf-8")).alias("payload"),
+    )
+    return decode_media(media, decoder=fake_decode).select(
+        "doc_id",
+        "n_bytes",
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.col("n_channels").cast("int"),
+    )

@@ -167,3 +167,38 @@ def stream_commit_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_consumed"),
         F.sum(F.when(F.col("processed"), 1).otherwise(0)).alias("n_processed"),
     )
+
+
+@register(
+    "task_transform_batches",
+    """
+    SELECT event_id,
+           CAST(user_id % 4 AS INTEGER) AS partition,
+           CAST(floor(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    """,
+    category="streaming",
+)
+def task_transform_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 stateless task through the actual Python task API
+    (streaming.tasks.transform_batches / mapInPandas) — the oracle checks
+    the Arrow round trip is value-exact (floor of an IEEE product is
+    bit-identical in numpy and SQL). Same code path runs on a stream."""
+    import pandas as pd
+
+    from kafka_workers_spark.streaming.tasks import transform_batches
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 4).cast("int").alias("partition"), "value"
+    )
+
+    def task(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out = pdf[["event_id", "partition"]].copy()
+        out["value_cents"] = np.floor(pdf["value"] * 100).astype("int64")
+        return out
+
+    return transform_batches(
+        ev, task, "event_id long, partition int, value_cents long", guarantee="at_least_once"
+    )

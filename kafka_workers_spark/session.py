@@ -25,6 +25,14 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Don't delay task launch waiting for locality: after any Python-UDF
+    # stage runs, shuffle tasks carry process-local preferences for the
+    # executors holding python workers and the scheduler waits 3s per
+    # locality level per task slot — measured 20-30× slowdowns of
+    # subsequent JVM-only shuffle stages. Shuffle-heavy analytical work
+    # gains nothing from locality waits (data comes from the shuffle
+    # service/local disk either way).
+    "spark.locality.wait": "0s",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Keep broadcast threshold at default 10MB; dimension tables in the

@@ -74,3 +74,64 @@ def test_merge_streaming_matches_batch(spark, tmp_path):
     rows = spark.sql("SELECT * FROM merge_out WHERE pair = 0 ORDER BY ts").collect()
     assert [r.ts for r in rows] == EXPECTED_P0
     assert spark.sql("SELECT * FROM merge_out WHERE pair = 1").count() == 0
+
+
+def test_merge_streaming_incremental_release(spark, tmp_path):
+    """The live behavior MergerTest exercises: releases happen per batch as
+    the slower side catches up; the held-back tail stays buffered until its
+    sibling's frontier passes it."""
+    import time
+
+    from kafka_workers_spark.streaming.merge import merge_ordered_stream
+
+    src = str(tmp_path / "src")
+    batch1 = [(0, t, "left") for t in [10000, 50000, 70000]] + [
+        (0, t, "right") for t in [30000, 90000]
+    ]
+    spark.createDataFrame(batch1, "pair int, ts long, side0 string").coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = merge_ordered_stream(
+        stream.filter("side0 = 'left'").drop("side0"),
+        stream.filter("side0 = 'right'").drop("side0"),
+        group="pair",
+        ts="ts",
+        output_schema="pair int, side string, ts long",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inc_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM inc_out").count() >= 4:
+                break
+            time.sleep(1)
+        # frontier = min(max_left=70000, max_right=90000) = 70000
+        first = [r.ts for r in spark.sql("SELECT * FROM inc_out ORDER BY ts").collect()]
+        assert first == [10000, 30000, 50000, 70000], first
+
+        batch2 = [(0, t, "left") for t in [130000, 150000]] + [
+            (0, t, "right") for t in [110000, 120000, 140000]
+        ]
+        spark.createDataFrame(batch2, "pair int, ts long, side0 string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM inc_out").count() >= 9:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    final = [r.ts for r in spark.sql("SELECT * FROM inc_out ORDER BY ts").collect()]
+    # frontier now min(150000, 140000) = 140000: everything but the 150000
+    # tail (its sibling never catches up) — the golden EXPECTED_P0 sequence
+    assert final == EXPECTED_P0, final
