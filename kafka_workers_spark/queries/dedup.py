@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_workers_spark.operators.dedup import (
-    FIXED_POINT_SCALE,
+
     barrier,
     cosine_from_fixed,
     explode_fixed,

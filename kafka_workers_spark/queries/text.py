@@ -23,7 +23,6 @@ from kafka_workers_spark.operators.text import (
     sql_word_shingles,
     stopword_hits,
     tokens,
-    word_shingles,
 )
 from kafka_workers_spark.operators.dedup import barrier
 from kafka_workers_spark.queries import register

@@ -33,6 +33,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _tune_runtime(spark: SparkSession) -> None:
+    """Apply scheduler settings that matter even on externally-built
+    sessions (the driver harness constructs its own): locality waits are
+    read live from SparkConf per task set, and a non-zero wait stalls
+    JVM shuffle stages for seconds per task slot once any Python-UDF stage
+    has registered worker-affined locations (see session.py)."""
+    try:
+        spark.sparkContext._jsc.sc().conf().set("spark.locality.wait", "0s")  # noqa: SLF001
+    except Exception:  # noqa: BLE001 — best-effort on exotic session types
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch-read one test table (columnar, pushdown-capable).
 
@@ -46,6 +58,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rendered/epoch-converted value away from the UTC-naive oracle.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _tune_runtime(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
@@ -75,6 +88,7 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events`` nanos-timestamp handling mirrors :func:`load_table`.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _tune_runtime(spark)
     path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

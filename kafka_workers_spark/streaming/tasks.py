@@ -22,7 +22,7 @@ Transform preference order: pure column expressions (codegen) >
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
-from typing import Any
+
 
 import pandas as pd
 from pyspark.sql import DataFrame
