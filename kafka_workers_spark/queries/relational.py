@@ -915,3 +915,29 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket"))
         .agg(F.count("*").alias("n"), F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
     )
+
+
+@register(
+    "join_range_bucketed",
+    """
+    SELECT s_suppkey, c_custkey, c_acctbal
+    FROM supplier JOIN customer
+      ON c_acctbal >= s_acctbal - 500.0 AND c_acctbal <= s_acctbal + 500.0
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via operators.relational.range_join: each
+    interval explodes into the fixed-width buckets it overlaps, then an
+    equi-join on bucket + residual filter — O(|intervals|·buckets + pairs)
+    instead of the |L|×|R| nested loop the naive theta join plans. The
+    oracle is the brute-force inequality join (same result set)."""
+    from kafka_workers_spark.operators.relational import range_join
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 500.0).alias("lo"),
+        (F.col("s_acctbal") + 500.0).alias("hi"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    joined = range_join(c, s, left_point="c_acctbal", right_lo="lo", right_hi="hi", bucket_width=1000.0)
+    return joined.select("s_suppkey", "c_custkey", "c_acctbal")
