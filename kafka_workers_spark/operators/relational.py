@@ -20,6 +20,7 @@ def asof_join(
     right_ts: str,
     right_alias: str = "asof_ts",
     how: str = "inner",
+    tolerance: Column | None = None,
 ) -> DataFrame:
     """For each left row, attach the greatest right timestamp <= left ts,
     per `on` key.
@@ -52,6 +53,14 @@ def asof_join(
         F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w),
     ).filter(F.col("__side") == 1)
     out = matched.select(*lcols, right_alias)
+    if tolerance is not None:
+        # the matched value is the greatest right ts <= left ts, so if it
+        # falls outside the tolerance window no older value could be inside
+        # it either — nulling is exact, not approximate
+        out = out.withColumn(
+            right_alias,
+            F.when(F.col(right_alias) >= F.col(left_ts) - tolerance, F.col(right_alias)),
+        )
     if how == "inner":
         out = out.filter(F.col(right_alias).isNotNull())
     return out

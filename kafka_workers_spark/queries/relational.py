@@ -941,3 +941,39 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     joined = range_join(c, s, left_point="c_acctbal", right_lo="lo", right_hi="hi", bucket_width=1000.0)
     return joined.select("s_suppkey", "c_custkey", "c_acctbal")
+
+
+@register(
+    "join_asof_tolerance",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE) AS click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (SELECT 1 FROM events c
+                  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE)
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 30-minute tolerance: the attributed click must be
+    the most recent one AND within the window (stale matches null out —
+    exact, because any older match is further outside the window). Same
+    single-shuffle union+window plan as join_asof; the oracle is the
+    correlated-subquery formulation."""
+    from kafka_workers_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_alias="click_ts",
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )

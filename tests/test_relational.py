@@ -24,3 +24,17 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql().keys()) <= set(e.queries().keys())
+
+
+def test_exact_dedup_operator(spark):
+    """operators.dedup.exact_dedup keeps one row (min id) per content."""
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc"), (5, "bb"), (6, "aa")],
+        "id long, body string",
+    )
+    out = exact_dedup(df, content_col="body", id_col="id").collect()
+    assert sorted((r.id, r.body) for r in out) == [(1, "aa"), (2, "bb"), (4, "cc")]
