@@ -977,3 +977,48 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_alias="click_ts",
         tolerance=F.expr("INTERVAL 30 MINUTES"),
     )
+
+
+@register(
+    "agg_percentile_disc",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MIN(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+           MIN(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+           MIN(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99,
+           MAX(n) AS n
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles by rank selection (value at ceil(p·n)) —
+    deterministic across engines, unlike interpolated/approximate
+    percentile functions. One window shuffle on the group key; at scale
+    prefer approx_percentile for a single pass, this is the exact oracle
+    form."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wall = W.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+
+    def pick(p: float, alias: str):
+        return F.min(
+            F.when(F.col("rn") == F.ceil(p * F.col("n")).cast("bigint"), F.col("o_totalprice"))
+        ).alias(alias)
+
+    return ranked.groupBy("o_orderpriority").agg(
+        pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"), F.max("n").alias("n")
+    )
