@@ -1022,3 +1022,98 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("o_orderpriority").agg(
         pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"), F.max("n").alias("n")
     )
+
+
+@register(
+    "scalar_conditional_funcs",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000 THEN 'large'
+                WHEN o_totalprice >= 50000 THEN 'medium'
+                ELSE 'small' END AS size_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           IF(o_orderpriority = '1-URGENT', 'urgent', 'routine') AS urgency,
+           LEAST(o_totalprice, 100000.0) AS price_capped,
+           NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio_or_null
+    FROM orders
+    """,
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 200000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+        .alias("size_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent").otherwise("routine").alias("urgency"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("price_capped"),
+        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias("prio_or_null"),
+    )
+
+
+@register(
+    "set_union_all",
+    """
+    SELECT nationkey, src FROM (
+      SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
+    )
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics — no distinct shuffle, unlike set_union)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "window_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
+    "agg_collect_set_sorted",
+    """
+    SELECT user_id,
+           list_sort(list_distinct(list(event_type))) AS event_types,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_set) — sorted so the result is
+    deterministic regardless of partition arrival order."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.count("*").alias("n_events"),
+    )
