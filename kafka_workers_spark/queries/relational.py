@@ -1104,16 +1104,48 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set_sorted",
     """
     SELECT user_id,
-           list_sort(list_distinct(list(event_type))) AS event_types,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
            COUNT(*) AS n_events
     FROM events GROUP BY user_id
     """,
 )
 def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation (collect_set) — sorted so the result is
-    deterministic regardless of partition arrival order."""
+    """Array aggregation (collect_set) — sorted then joined to a string so
+    the result is deterministic regardless of partition arrival order and
+    hash-comparable across engines (array cells materialize differently in
+    pandas: numpy ndarray vs list)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
         F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "scalar_timestamp_funcs",
+    """
+    SELECT event_id,
+           CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS ev_hour,
+           CAST(EXTRACT(MINUTE FROM ts) AS BIGINT) AS ev_minute,
+           CAST(EXTRACT(SECOND FROM ts) AS BIGINT) AS ev_second,
+           CAST(EXTRACT(DOW FROM ts) AS BIGINT) AS ev_dow,
+           date_trunc('hour', ts) AS ev_hour_start,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ev_epoch_s,
+           epoch_us(ts) AS ev_epoch_us
+    FROM events
+    """,
+)
+def scalar_timestamp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp function family over event time (UTC-pinned session).
+    DOW convention aligned: DuckDB Sunday=0 == Spark dayofweek-1."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.hour("ts").cast("bigint").alias("ev_hour"),
+        F.minute("ts").cast("bigint").alias("ev_minute"),
+        F.second("ts").cast("bigint").alias("ev_second"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("ev_dow"),
+        F.date_trunc("hour", "ts").alias("ev_hour_start"),
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).cast("bigint").alias("ev_epoch_s"),
+        F.unix_micros("ts").alias("ev_epoch_us"),
     )

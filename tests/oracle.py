@@ -41,7 +41,7 @@ def _canon_cell(v):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     if isinstance(v, bytes):
         return v.hex()
