@@ -21,6 +21,7 @@ class PlanAudit:
     nested_loop_joins: int = 0
     cartesian_products: int = 0
     exchanges: int = 0
+    reused_exchanges: int = 0
     codegen_stages: int = 0
     python_evals: int = 0
 
@@ -56,7 +57,10 @@ def audit(df: DataFrame) -> PlanAudit:
     a.shuffled_hash_joins = len(re.findall(r"ShuffledHashJoin", text))
     a.nested_loop_joins = len(re.findall(r"BroadcastNestedLoopJoin", text))
     a.cartesian_products = len(re.findall(r"CartesianProduct", text))
-    a.exchanges = len(re.findall(r"\bExchange\b|\(\d+\) Exchange", text))
+    # count only the detail-section node headers so tree + detail lines of
+    # the same node aren't double-counted
+    a.exchanges = len(re.findall(r"^\(\d+\) Exchange\b", text, re.MULTILINE))
+    a.reused_exchanges = len(re.findall(r"^\(\d+\) ReusedExchange\b", text, re.MULTILINE))
     a.codegen_stages = len(re.findall(r"WholeStageCodegen", text))
     a.python_evals = len(re.findall(r"ArrowEvalPython|BatchEvalPython", text))
     return a

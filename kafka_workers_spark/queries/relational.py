@@ -990,9 +990,9 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_orderpriority,
-           MIN(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
-           MIN(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90,
-           MIN(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99,
+           MIN(CASE WHEN rn = (1 * n + 1) // 2 THEN o_totalprice END) AS p50,
+           MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN o_totalprice END) AS p90,
+           MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN o_totalprice END) AS p99,
            MAX(n) AS n
     FROM ranked
     GROUP BY o_orderpriority
@@ -1001,9 +1001,12 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete percentiles by rank selection (value at ceil(p·n)) —
     deterministic across engines, unlike interpolated/approximate
-    percentile functions. One window shuffle on the group key; at scale
-    prefer approx_percentile for a single pass, this is the exact oracle
-    form."""
+    percentile functions. The target rank is computed in pure integer
+    arithmetic, ceil(num·n/den) = (num·n + den - 1) DIV den, so boundary
+    counts where p·n is an exact integer (p90 with n=10) never drift a
+    rank due to float error (0.9*10 -> 9.000000000000002). One window
+    shuffle on the group key; at scale prefer approx_percentile for a
+    single pass, this is the exact oracle form."""
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     wall = W.partitionBy("o_orderpriority")
@@ -1014,13 +1017,12 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wall).alias("n"),
     )
 
-    def pick(p: float, alias: str):
-        return F.min(
-            F.when(F.col("rn") == F.ceil(p * F.col("n")).cast("bigint"), F.col("o_totalprice"))
-        ).alias(alias)
+    def pick(num: int, den: int, alias: str):
+        rank = F.expr(f"({num} * n + {den - 1}) DIV {den}")
+        return F.min(F.when(F.col("rn") == rank, F.col("o_totalprice"))).alias(alias)
 
     return ranked.groupBy("o_orderpriority").agg(
-        pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"), F.max("n").alias("n")
+        pick(1, 2, "p50"), pick(9, 10, "p90"), pick(99, 100, "p99"), F.max("n").alias("n")
     )
 
 

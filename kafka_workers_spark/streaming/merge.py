@@ -46,6 +46,7 @@ def merge_ordered(
     group: str,
     ts: str,
     side_col: str = "side",
+    single_scan: bool = False,
 ) -> DataFrame:
     """Batch ordered merge: union both sides, release rows up to the pair's
     low watermark min(max_left_ts, max_right_ts) per group.
@@ -54,10 +55,37 @@ def merge_ordered(
     (ts, side, original columns) — the reference's output order for its
     golden test (MergerTest.java:118: ties emit the earlier-seen side; we
     use the side tag as deterministic tiebreak).
+
+    Scan strategy — two shapes, both audited in ``tests/test_merge.py``:
+
+    - default (``single_scan=False``): the union is consumed twice
+      (frontier aggregate + release join), but the frontier subtree's scan
+      is column-pruned to (group, side, ts) and its shuffle is a tiny
+      partial aggregate; the broadcast join never shuffles the payload.
+      Right when payload bytes dominate (wide rows): the "second scan"
+      reads three narrow columns.
+    - ``single_scan=True``: per-side frontiers computed as window maxima
+      over ``partitionBy(group)`` — ONE scan per input, ONE full-data
+      exchange, no join. Right for narrow rows where a second scan costs
+      as much as the shuffle (ReusedExchange cannot fire on the join
+      shape: the release side's ``ts <= watermark`` condition pushes an
+      ``isnotnull(ts)`` filter the frontier subtree lacks, so the two
+      exchanges are never structurally identical).
     """
     l_tag = left.withColumn(side_col, F.lit("left"))
     r_tag = right.withColumn(side_col, F.lit("right"))
     unioned = l_tag.unionByName(r_tag)
+    if single_scan:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(group)
+        l_max = F.max(F.when(F.col(side_col) == "left", F.col(ts))).over(w)
+        r_max = F.max(F.when(F.col(side_col) == "right", F.col(ts))).over(w)
+        return (
+            unioned.withColumn("__lw", F.when(l_max.isNotNull() & r_max.isNotNull(), F.least(l_max, r_max)))
+            .filter(F.col(ts) <= F.col("__lw"))
+            .drop("__lw")
+        )
     frontiers = (
         unioned.groupBy(group, side_col)
         .agg(F.max(ts).alias("__max_ts"))
@@ -91,6 +119,13 @@ def merge_ordered_stream(
     frontier to max(seen), emit buffered rows with ts <= min(frontiers)
     in (ts, side) order, keep the rest buffered.
 
+    TTL semantics (divergence from the reference, which keeps paused
+    records queued indefinitely — README.md:22): when ``state_ttl_ms``
+    expires, the remaining buffer is FLUSHED in (ts, side) order rather
+    than dropped, so the path stays at-least-once; ordering relative to a
+    sibling that never arrived is necessarily violated (there is nothing
+    to order against).
+
     ``output_schema`` must be "<group type>, side string, <ts type>" e.g.
     ``"pair bigint, side string, ts bigint"`` — the streaming surface keeps
     only group/side/ts (payload columns join back by ts if needed).
@@ -105,7 +140,17 @@ def merge_ordered_stream(
         else:
             st = {"buf": [], "max": {}}
         if state.hasTimedOut:
+            # flush (not drop) the unreleased tail — at-least-once on TTL
+            leftovers = sorted(st["buf"], key=lambda b: (b[1], b[0]))
             state.remove()
+            if leftovers:
+                yield pd.DataFrame(
+                    {
+                        group: [key[0]] * len(leftovers),
+                        side_col: [b[0] for b in leftovers],
+                        ts: [b[1] for b in leftovers],
+                    }
+                )
             return
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):

@@ -86,6 +86,13 @@ def transform_batches(
                         rows.append(out.reindex(columns=out_cols))
                     except Exception as exc:  # noqa: BLE001
                         failed = row.reindex(columns=out_cols)
+                        # reindex fills absent columns with float NaN, which
+                        # Arrow rejects for integral output fields — coerce
+                        # them to object-dtype None so they serialize as
+                        # nulls instead of crashing the isolation path
+                        for c in out_cols:
+                            if c not in row.columns:
+                                failed[c] = pd.Series([None], index=failed.index, dtype=object)
                         failed[ERROR_COL] = repr(exc)
                         rows.append(failed)
                 empty = pd.DataFrame({c: [] for c in out_cols})

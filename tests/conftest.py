@@ -30,7 +30,13 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return SF_SMOKE
+    """Oracle-gate scale factor.
+
+    Defaults to the driver's correctness SF (sf0.01) so the local gate is an
+    exact replica of the per-round CORRECTNESS check. Override with
+    SPARK_GRAFT_TEST_SF=/root/testdata/sf0.001 for fast iteration.
+    """
+    return os.environ.get("SPARK_GRAFT_TEST_SF", SF_CORRECTNESS)
 
 
 @pytest.fixture(scope="session")

@@ -65,6 +65,96 @@ def test_lifecycle_failed_start_is_not_graceful():
         wq.start()  # terminal state
 
 
+class _StubbornQuery:
+    """awaitTermination times out `stubborn` times before succeeding."""
+
+    def __init__(self, stubborn: int):
+        self.stubborn = stubborn
+        self.stop_calls = 0
+
+    def stop(self):
+        self.stop_calls += 1
+
+    def awaitTermination(self, timeout=None):  # noqa: N802
+        if self.stubborn > 0:
+            self.stubborn -= 1
+            return False
+        return True
+
+
+def test_shutdown_forced_is_not_graceful():
+    """ShutdownTest.java:95-110 — threads stop only after the forced
+    (shutdownNow) phase -> CLOSED_NOT_GRACEFULLY, and both stop phases ran."""
+    wq = WorkersQuery(lambda: _StubbornQuery(stubborn=1), shutdown_timeout_sec=0.01)
+    wq.start()
+    assert wq.shutdown() == Status.CLOSED_NOT_GRACEFULLY
+    assert wq.query.stop_calls == 2
+
+
+def test_shutdown_cannot_stop_threads():
+    """ShutdownTest.java:112-126 — threads survive graceful AND forced
+    phases -> CANNOT_STOP_THREADS terminal state."""
+    wq = WorkersQuery(lambda: _StubbornQuery(stubborn=2), shutdown_timeout_sec=0.01)
+    wq.start()
+    assert wq.shutdown() == Status.CANNOT_STOP_THREADS
+    assert wq.status.is_terminal
+
+
+def test_shutdown_interrupted():
+    """KafkaWorkersImpl.java:184-186 — interrupt while closing ->
+    CLOSING_INTERRUPTED."""
+
+    class _InterruptedQuery(_FakeQuery):
+        def awaitTermination(self, timeout=None):  # noqa: N802
+            raise KeyboardInterrupt
+
+    wq = WorkersQuery(lambda: _InterruptedQuery())
+    wq.start()
+    assert wq.shutdown() == Status.CLOSING_INTERRUPTED
+
+
+def test_shutdown_callback_receives_cause():
+    """impl/KafkaWorkersImpl.java:214 — ShutdownCallback.onShutdown(exc)."""
+    seen = []
+
+    class _FailingQuery(_FakeQuery):
+        def awaitTermination(self, timeout=None):  # noqa: N802
+            raise RuntimeError("task died")
+
+    wq = WorkersQuery(lambda: _FailingQuery(), on_shutdown=seen.append)
+    wq.start()
+    assert wq.shutdown() == Status.CLOSED_NOT_GRACEFULLY
+    assert len(seen) == 1 and str(seen[0]) == "task died"
+
+
+def test_terminal_statuses_match_reference():
+    """api/KafkaWorkers.java:56-67 — exactly four terminal statuses."""
+    terminals = {s for s in Status if s.is_terminal}
+    assert terminals == {
+        Status.CLOSED_GRACEFULLY,
+        Status.CLOSED_NOT_GRACEFULLY,
+        Status.CANNOT_STOP_THREADS,
+        Status.CLOSING_INTERRUPTED,
+    }
+
+
+def test_wait_for_shutdown_failure_transitions_legally():
+    """ADVICE r01: the failure edge must go through the transition check,
+    not assign status directly."""
+
+    class _FailAwait(_FakeQuery):
+        def awaitTermination(self, timeout=None):  # noqa: N802
+            raise RuntimeError("poisoned record")
+
+    wq = WorkersQuery(lambda: _FailAwait())
+    wq.start()
+    with pytest.raises(RuntimeError):
+        wq.wait_for_shutdown()
+    assert wq.status == Status.CLOSED_NOT_GRACEFULLY
+    with pytest.raises(BadStatusError):
+        wq.shutdown()  # terminal — no transitions out
+
+
 # --- Kafka option mapping --------------------------------------------------
 
 

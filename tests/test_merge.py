@@ -135,3 +135,72 @@ def test_merge_streaming_incremental_release(spark, tmp_path):
     # frontier now min(150000, 140000) = 140000: everything but the 150000
     # tail (its sibling never catches up) — the golden EXPECTED_P0 sequence
     assert final == EXPECTED_P0, final
+
+
+def test_merge_single_scan_plans_one_exchange(spark):
+    """VERDICT r01 #10: single_scan=True plans each input ONE scan and ONE
+    full-data exchange (window frontier), no join — vs the default's two
+    consumptions of the union."""
+    from kafka_workers_spark.plans import audit
+
+    one, two = _sides(spark)
+    released = merge_ordered(one, two, group="pair", ts="ts", single_scan=True)
+    a = audit(released)
+    assert a.exchanges == 1, a.text[:1200]
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", a.text, re.MULTILINE)) == 2, a.text[:1200]
+    # and the semantics are unchanged
+    p0 = [r.ts for r in released.filter("pair = 0").orderBy("ts", "side").collect()]
+    assert p0 == EXPECTED_P0
+    assert released.filter("pair = 1").count() == 0
+
+
+def test_merge_stream_ttl_flushes_buffer(spark, tmp_path):
+    """ADVICE r01: state TTL must FLUSH the unreleased tail (at-least-once),
+    not silently drop it. A group with only one side present would buffer
+    forever; after the TTL fires its rows must appear in the output."""
+    import time
+
+    from kafka_workers_spark.streaming.merge import merge_ordered_stream
+
+    src = str(tmp_path / "src")
+    batch1 = [(7, t, "left") for t in [10000, 20000]]  # no right sibling ever
+    spark.createDataFrame(batch1, "pair int, ts long, side0 string").coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = merge_ordered_stream(
+        stream.filter("side0 = 'left'").drop("side0"),
+        stream.filter("side0 = 'right'").drop("side0"),
+        group="pair",
+        ts="ts",
+        output_schema="pair int, side string, ts long",
+        state_ttl_ms=2000,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        flushed = []
+        while time.time() < deadline:
+            # keep feeding unrelated groups so batches keep running and the
+            # processing-time timeout gets a chance to fire
+            spark.createDataFrame(
+                [(99, int(time.time() * 1000), "left")], "pair int, ts long, side0 string"
+            ).coalesce(1).write.mode("append").parquet(src)
+            flushed = spark.sql("SELECT ts FROM ttl_out WHERE pair = 7 ORDER BY ts").collect()
+            if len(flushed) >= 2:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert [r.ts for r in flushed] == [10000, 20000]

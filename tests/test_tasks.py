@@ -68,6 +68,27 @@ def test_none_guarantee_routes_to_dlq(spark):
     assert {r.doubled for r in ok_rows} == {2 * i for i in range(20) if i != 13}
 
 
+def test_none_guarantee_dead_letter_serializes_missing_int_columns(spark):
+    """ADVICE r01: the dead-letter row must serialize output-only integral
+    columns as real nulls — reindex's float NaN fill would crash Arrow
+    under safe conversion, defeating the isolation path."""
+    prev = spark.conf.get("spark.sql.execution.pandas.convertToArrowArraySafely", "false")
+    spark.conf.set("spark.sql.execution.pandas.convertToArrowArraySafely", "true")
+    try:
+        df = transform_batches(
+            _records(spark),
+            _double_or_fail_fn(),
+            f"offset long, partition int, doubled long, {ERROR_COL} string",
+            guarantee="none",
+        )
+        _, dlq = split_dlq(df)
+        dlq_rows = dlq.collect()
+        assert len(dlq_rows) == 1
+        assert dlq_rows[0].doubled is None
+    finally:
+        spark.conf.set("spark.sql.execution.pandas.convertToArrowArraySafely", prev)
+
+
 def test_none_guarantee_requires_error_column(spark):
     with pytest.raises(ValueError):
         transform_batches(_records(spark), _double_or_fail_fn(), "offset long", guarantee="none")
