@@ -7,7 +7,7 @@ as-of is its batch analog (SURVEY.md §2 Table B, "range / interval / as-of").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 

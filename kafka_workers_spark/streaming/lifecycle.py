@@ -150,6 +150,7 @@ class WorkersQuery:
         self._transition(Status.SHUTDOWN)
         self._transition(Status.CLOSING)
         terminal = Status.CLOSED_GRACEFULLY
+        interrupted: KeyboardInterrupt | None = None
         try:
             if self._query is not None:
                 self._query.stop()
@@ -163,14 +164,20 @@ class WorkersQuery:
                         terminal = Status.CLOSED_NOT_GRACEFULLY
                     else:
                         terminal = Status.CANNOT_STOP_THREADS
-        except KeyboardInterrupt:
+        except KeyboardInterrupt as exc:
+            # the reference's InterruptedException arm records the terminal
+            # state; unlike Java, a Python Ctrl-C must also propagate or the
+            # process keeps running — re-raised below after the callback
             terminal = Status.CLOSING_INTERRUPTED
+            interrupted = exc
         except BaseException as exc:  # noqa: BLE001 — query failed while closing
             self._failure = exc
             terminal = Status.CLOSED_NOT_GRACEFULLY
         self._transition(terminal)
         if self._on_shutdown is not None:
             self._on_shutdown(self._failure)
+        if interrupted is not None:
+            raise interrupted
         return self._status
 
     def wait_for_shutdown(self, timeout_sec: float | None = None) -> bool:
@@ -183,7 +190,13 @@ class WorkersQuery:
             return self._query.awaitTermination(timeout_sec)
         except Exception as exc:  # query failed -> not graceful
             self._failure = exc
-            self._transition(Status.CLOSED_NOT_GRACEFULLY)
+            # awaitTermination re-raises on every call: a repeat wait after a
+            # recorded failure (or one racing shutdown()) must not let a
+            # BadStatusError replace the real query exception — move to the
+            # failure state only where that edge is legal, silently otherwise
+            with self._lock:
+                if Status.CLOSED_NOT_GRACEFULLY in _LEGAL.get(self._status, set()):
+                    self._status = Status.CLOSED_NOT_GRACEFULLY
             raise
 
     @property

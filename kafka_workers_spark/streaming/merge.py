@@ -99,6 +99,10 @@ def merge_ordered(
         # false while timestamps.get(otherPartition) == null
         .filter((F.col("__n_sides") >= 2) & (F.col(ts) <= F.col("__low_watermark")))
         .drop("__low_watermark", "__n_sides")
+        # join(group) moves the group column first; restore the union's
+        # column order so both scan strategies yield one schema shape
+        # (positional consumers: union by position, insertInto)
+        .select(*unioned.columns)
     )
     return released
 

@@ -34,6 +34,22 @@ NONE = "none"
 ERROR_COL = "__error"
 
 
+def _shape_to_schema(out: pd.DataFrame, out_cols: list[str]) -> pd.DataFrame:
+    """Project/extend a frame to the declared output columns.
+
+    ``reindex`` fills absent columns with float NaN, which Arrow rejects
+    for integral output fields — absent columns become object-dtype None
+    so they serialize as nulls on every path (batch, per-row success,
+    per-row failure alike)."""
+    missing = [c for c in out_cols if c not in out.columns]
+    if not missing:
+        return out[out_cols]
+    shaped = out.reindex(columns=out_cols)
+    for c in missing:
+        shaped[c] = pd.Series([None] * len(shaped), index=shaped.index, dtype=object)
+    return shaped
+
+
 def transform_batches(
     df: DataFrame,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
@@ -71,7 +87,7 @@ def transform_batches(
                 out = fn(pdf)
                 if ERROR_COL not in out.columns:
                     out[ERROR_COL] = None
-                yield out[out_cols] if set(out_cols) <= set(out.columns) else out.reindex(columns=out_cols)
+                yield _shape_to_schema(out, out_cols)
             except Exception:
                 # isolate failures row-by-row; a failed row surfaces as a
                 # schema-shaped row carrying whatever input columns overlap
@@ -83,16 +99,9 @@ def transform_batches(
                         out = fn(row)
                         if ERROR_COL not in out.columns:
                             out[ERROR_COL] = None
-                        rows.append(out.reindex(columns=out_cols))
+                        rows.append(_shape_to_schema(out, out_cols))
                     except Exception as exc:  # noqa: BLE001
-                        failed = row.reindex(columns=out_cols)
-                        # reindex fills absent columns with float NaN, which
-                        # Arrow rejects for integral output fields — coerce
-                        # them to object-dtype None so they serialize as
-                        # nulls instead of crashing the isolation path
-                        for c in out_cols:
-                            if c not in row.columns:
-                                failed[c] = pd.Series([None], index=failed.index, dtype=object)
+                        failed = _shape_to_schema(row, out_cols)
                         failed[ERROR_COL] = repr(exc)
                         rows.append(failed)
                 empty = pd.DataFrame({c: [] for c in out_cols})

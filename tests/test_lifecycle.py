@@ -102,15 +102,21 @@ def test_shutdown_cannot_stop_threads():
 
 def test_shutdown_interrupted():
     """KafkaWorkersImpl.java:184-186 — interrupt while closing ->
-    CLOSING_INTERRUPTED."""
+    CLOSING_INTERRUPTED; unlike Java, the Python interrupt must also
+    propagate (ADVICE r02) so Ctrl-C actually stops the process, and the
+    shutdown callback still fires first."""
+    seen = []
 
     class _InterruptedQuery(_FakeQuery):
         def awaitTermination(self, timeout=None):  # noqa: N802
             raise KeyboardInterrupt
 
-    wq = WorkersQuery(lambda: _InterruptedQuery())
+    wq = WorkersQuery(lambda: _InterruptedQuery(), on_shutdown=seen.append)
     wq.start()
-    assert wq.shutdown() == Status.CLOSING_INTERRUPTED
+    with pytest.raises(KeyboardInterrupt):
+        wq.shutdown()
+    assert wq.status == Status.CLOSING_INTERRUPTED
+    assert seen == [None]
 
 
 def test_shutdown_callback_receives_cause():
@@ -153,6 +159,25 @@ def test_wait_for_shutdown_failure_transitions_legally():
     assert wq.status == Status.CLOSED_NOT_GRACEFULLY
     with pytest.raises(BadStatusError):
         wq.shutdown()  # terminal — no transitions out
+
+
+def test_wait_for_shutdown_repeat_after_failure_keeps_cause():
+    """ADVICE r02: awaitTermination re-raises on every call — a second
+    wait_for_shutdown after a recorded failure must re-raise the original
+    query exception, not a BadStatusError from an illegal
+    terminal->terminal transition."""
+
+    class _FailAwait(_FakeQuery):
+        def awaitTermination(self, timeout=None):  # noqa: N802
+            raise RuntimeError("poisoned record")
+
+    wq = WorkersQuery(lambda: _FailAwait())
+    wq.start()
+    with pytest.raises(RuntimeError, match="poisoned record"):
+        wq.wait_for_shutdown()
+    with pytest.raises(RuntimeError, match="poisoned record"):
+        wq.wait_for_shutdown()  # repeat wait: same cause, no BadStatusError
+    assert wq.status == Status.CLOSED_NOT_GRACEFULLY
 
 
 # --- Kafka option mapping --------------------------------------------------
