@@ -28,14 +28,14 @@ HEADLINE = [
     "join_inner_broadcast",
     "join_left_outer",
     "join_asof",
-    "agg_distinct",
-    "agg_cube",
+    "agg_distinct_collect",
+    "agg_grouping_rollup_cube",
     "window_topk_per_group",
-    "window_running_sum",
+    "window_frames_first_last",
     "sort_limit_topk",
-    "events_sessionize",
-    "events_tumbling_window",
-    "scalar_json_funcs",
+    "events_session_window",
+    "events_time_windows",
+    "scalar_json_timestamp",
 ]
 
 

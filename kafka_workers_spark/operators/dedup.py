@@ -42,6 +42,23 @@ def barrier(df: DataFrame, *cols: str) -> DataFrame:
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
+
+def spread(df: DataFrame) -> DataFrame:
+    """Conditional load-balance for single-scan queries (no expression reuse).
+
+    Unlike :func:`barrier` — which is a *materialization* barrier and must
+    stay unconditional wherever a computed column is reused downstream —
+    this only fixes input-layout imbalance: a corpus packed into fewer
+    splits than the session's parallelism (locally: one parquet row-group =
+    one task) is repartitioned; an already-spread input (any real 100 TB
+    scan has thousands of splits) passes through untouched, so a
+    shuffle-free single-scan plan stays shuffle-free at scale.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= min(n, df.sparkSession.sparkContext.defaultParallelism):
+        return df
+    return df.repartition(n)
+
 # ---------------------------------------------------------------------------
 # MinHash
 # ---------------------------------------------------------------------------

@@ -71,36 +71,27 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "projection_compute",
+    "scan_project_filter",
     """
-    SELECT l_orderkey, l_linenumber,
-           l_extendedprice * (1 - l_discount) AS net_price,
-           CAST(l_quantity AS BIGINT) AS qty_int
-    FROM lineitem
-    """,
-)
-def projection_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
-        F.col("l_quantity").cast("bigint").alias("qty_int"),
-    )
-
-
-@register(
-    "filter_pushdown",
-    """
-    SELECT o_orderkey, o_custkey, o_totalprice
+    SELECT o_orderkey, o_custkey,
+           o_totalprice * 0.9 AS discounted_price,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int
     FROM orders
     WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0
     """,
 )
-def filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate in one scan: both push to the parquet reader
+    (PushedFilters + pruned ReadSchema, asserted in tests/test_plans.py) —
+    the scan reads exactly the referenced columns and skips row groups via
+    min/max stats on the filter columns. FLOOR before the integer cast:
+    bare CAST(double AS BIGINT) truncates in Spark but rounds in DuckDB."""
     o = load_table(spark, sf_dir, "orders")
     return o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000.0)).select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 0.9).alias("discounted_price"),
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
     )
 
 
@@ -156,29 +147,29 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi",
+    "join_semi_anti",
     """
-    SELECT c_custkey, c_name FROM customer
+    SELECT 'semi' AS op, c_custkey, c_name FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+    UNION ALL
+    SELECT 'anti' AS op, c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
     """,
 )
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti against the same filtered build side, tagged
+    — the two partitions of customer by EXISTS, so the union is exactly one
+    row per customer (a structural invariant of the pair)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@register(
-    "join_anti",
-    """
-    SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-)
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("semi").alias("op"), "c_custkey", "c_name"
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("op"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -232,67 +223,64 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_distinct",
+    "agg_distinct_collect",
     """
-    SELECT o_orderpriority,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY o_orderpriority
+    SELECT user_id,
+           COUNT(DISTINCT event_type) AS n_types,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
     """,
 )
-def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.count("*").alias("n_orders"),
+def agg_distinct_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation + array aggregation (collect_set) in one hash
+    aggregate. The set is sorted then joined to a string so the result is
+    deterministic regardless of partition arrival order and hash-comparable
+    across engines (array cells materialize differently in pandas)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
+        F.count("*").alias("n_events"),
     )
 
 
 @register(
-    "agg_grouping_sets",
+    "agg_grouping_rollup_cube",
     f"""
-    SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity', 'sum_qty')}
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-    """,
-)
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, "lineitem")
-    return spark.sql(
-        f"""
-        SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity', 'sum_qty')}
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        """
-    )
-
-
-@register(
-    "agg_rollup",
-    f"""
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_extendedprice', 'sum_price')}
+    SELECT 'gsets' AS mode, l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    UNION ALL
+    SELECT 'rollup' AS mode, l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), dsum("l_extendedprice", "sum_price")
-    )
-
-
-@register(
-    "agg_cube",
-    f"""
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
+    UNION ALL
+    SELECT 'cube' AS mode, l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), dsum("l_quantity", "sum_qty")
+def agg_grouping_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three multi-grouping shapes tagged in one result: non-hierarchical
+    GROUPING SETS ((rf),(ls)), hierarchical ROLLUP, and full CUBE. Spark
+    plans a single Expand + hash aggregate per branch (partial+final)."""
+    register_views(spark, sf_dir, "lineitem")
+    gsets = spark.sql(
+        f"""
+        SELECT 'gsets' AS mode, l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
     )
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = [F.count("*").alias("n"), dsum("l_quantity", "sum_qty")]
+    out_cols = ["mode", "l_returnflag", "l_linestatus", "n", "sum_qty"]
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus").agg(*agg)
+        .withColumn("mode", F.lit("rollup")).select(*out_cols)
+    )
+    cube = (
+        li.cube("l_returnflag", "l_linestatus").agg(*agg)
+        .withColumn("mode", F.lit("cube")).select(*out_cols)
+    )
+    return gsets.unionByName(rollup).unionByName(cube)
 
 
 @register(
@@ -338,49 +326,36 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_running_sum",
+    "window_frames_first_last",
     """
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
     FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 )
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_frames_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frames (growing + full) with positional navigation
+    (first/last/nth) — one shuffle on o_custkey serves all four windows
+    (identical partitioning/ordering, different frames)."""
     o = load_table(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_total"),
-    )
-
-
-@register(
-    "window_lag_lead",
-    """
-    SELECT user_id, event_id, ts,
-           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
-           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
-           CAST(date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS gap_sec
-    FROM events
-    """,
-)
-def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lead("event_type").over(w).alias("next_type"),
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).cast("bigint").alias("gap_sec"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(wrun).cast("double").alias("running_total"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
 
 
@@ -412,45 +387,36 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "set_union",
+    "set_ops",
     """
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT 'union' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
     """,
 )
-def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (set semantics) over the same two inputs,
+    tagged. Bag semantics (UNION ALL, no distinct shuffle) is its own
+    query: set_union_all."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
 
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), "nationkey")
 
-@register(
-    "set_intersect",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@register(
-    "set_except",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    return (
+        tag(c.union(s).distinct(), "union")
+        .unionByName(tag(c.intersect(s), "intersect"))
+        .unionByName(tag(c.subtract(s), "except"))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -489,7 +455,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scalar_date_funcs",
+    "scalar_date_conditional",
     """
     SELECT o_orderkey,
            CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
@@ -498,14 +464,23 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS order_quarter,
            strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
            strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS order_month_start,
-           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CASE WHEN o_totalprice >= 200000 THEN 'large'
+                WHEN o_totalprice >= 50000 THEN 'medium'
+                ELSE 'small' END AS size_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           IF(o_orderpriority = '1-URGENT', 'urgent', 'routine') AS urgency,
+           LEAST(o_totalprice, 100000.0) AS price_capped,
+           NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio_or_null
     FROM orders
     """,
 )
-def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Date-valued outputs are formatted as strings: Spark DATE and DuckDB
-    # DATE materialize differently in pandas (date object vs midnight
-    # datetime64), which would break the driver's value hash.
+def scalar_date_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/calendar family + conditional family (CASE/COALESCE/NULLIF/IF/
+    LEAST) in one per-row pass over orders. Date-valued outputs are
+    formatted as strings: Spark DATE and DuckDB DATE materialize
+    differently in pandas (date object vs midnight datetime64), which
+    would break the driver's value hash."""
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
     return o.select(
@@ -517,6 +492,14 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
         F.date_format(F.date_trunc("month", "o_orderdate").cast("date"), "yyyy-MM-dd").alias("order_month_start"),
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.when(F.col("o_totalprice") >= 200000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+        .alias("size_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent").otherwise("routine").alias("urgency"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("price_capped"),
+        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias("prio_or_null"),
     )
 
 
@@ -556,43 +539,37 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scalar_json_funcs",
+    "scalar_json_timestamp",
     """
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS ev_hour,
+           CAST(EXTRACT(MINUTE FROM ts) AS BIGINT) AS ev_minute,
+           CAST(EXTRACT(SECOND FROM ts) AS BIGINT) AS ev_second,
+           CAST(EXTRACT(DOW FROM ts) AS BIGINT) AS ev_dow,
+           date_trunc('hour', ts) AS ev_hour_start,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ev_epoch_s,
+           epoch_us(ts) AS ev_epoch_us
     FROM events
     """,
 )
-def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_json_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + the timestamp function family over event time
+    (UTC-pinned session) in one per-row pass. DOW convention aligned:
+    DuckDB Sunday=0 == Spark dayofweek-1. Array functions live in
+    text_profile (documents); full schema-on-read decode in
+    value_decode_json."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
-    )
-
-
-@register(
-    "scalar_array_funcs",
-    """
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           string_split(text, ' ')[1] AS first_token,
-           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
-           list_contains(string_split(text, ' '), 'spark') AS has_spark,
-           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS vocab
-    FROM documents
-    """,
-)
-def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    return d.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        toks.getItem(0).alias("first_token"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
-        F.array_contains(toks, "spark").alias("has_spark"),
-        F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("vocab"),
+        F.hour("ts").cast("bigint").alias("ev_hour"),
+        F.minute("ts").cast("bigint").alias("ev_minute"),
+        F.second("ts").cast("bigint").alias("ev_second"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("ev_dow"),
+        F.date_trunc("hour", "ts").alias("ev_hour_start"),
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).cast("bigint").alias("ev_epoch_s"),
+        F.unix_micros("ts").alias("ev_epoch_us"),
     )
 
 
@@ -603,75 +580,48 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_tumbling_window",
+    "events_time_windows",
     f"""
-    SELECT make_timestamp(CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS window_start,
+    SELECT 'tumbling' AS kind,
+           make_timestamp(CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS window_start,
            event_type,
            COUNT(*) AS n,
            {sql_dsum('value', 'total_value')}
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind,
+           make_timestamp((CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) - k.k) * 1000000) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'total_value')}
+    FROM events CROSS JOIN (SELECT UNNEST([0, 300]) AS k) k
+    GROUP BY 2, 3
     """,
 )
-def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 5-minute window aggregate. Spark's window() aligns to the
-    epoch origin, matching the oracle's FLOOR(epoch/300)*300."""
+def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute + sliding 10-minute/5-minute window aggregates,
+    tagged. Spark's window() aligns to the epoch origin, matching the
+    oracle's FLOOR(epoch/300)*300; each event lands in exactly two sliding
+    windows (duration/slide = 2 — the oracle's UNNEST([0,300]) fan-out).
+    Same expressions run under Structured Streaming with a watermark."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "5 minutes"), "event_type")
-        .agg(F.count("*").alias("n"), dsum("value", "total_value"))
-        .select(
-            F.col("window.start").alias("window_start"),
-            "event_type",
-            "n",
-            "total_value",
+
+    def windowed(kind: str, window_col) -> DataFrame:
+        return (
+            ev.groupBy(window_col, "event_type")
+            .agg(F.count("*").alias("n"), dsum("value", "total_value"))
+            .select(
+                F.lit(kind).alias("kind"),
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n",
+                "total_value",
+            )
         )
-    )
 
-
-@register(
-    "events_sessionize",
-    f"""
-    WITH marked AS (
-      SELECT user_id, event_id, ts, value,
-             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                       OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events
-    ), sessions AS (
-      SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
-      FROM marked
-    )
-    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
-           COUNT(*) AS n_events, {sql_dsum('value', 'session_value')}
-    FROM sessions GROUP BY user_id, session_no
-    """,
-)
-def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity): lag + cumulative sum of
-    session-start markers — two window passes over one shuffle on user_id."""
-    ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = (
-        W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    marked = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        "value",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new"),
-    )
-    sessions = marked.withColumn("session_no", F.sum("is_new").over(wrun).cast("bigint"))
-    return sessions.groupBy("user_id", "session_no").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.count("*").alias("n_events"),
-        dsum("value", "session_value"),
-    )
+    tumbling = windowed("tumbling", F.window("ts", "5 minutes"))
+    sliding = windowed("sliding", F.window("ts", "10 minutes", "5 minutes"))
+    return tumbling.unionByName(sliding)
 
 
 # --------------------------------------------------------------------------
@@ -680,50 +630,24 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "subquery_scalar",
-    """
-    SELECT o_orderkey, o_totalprice,
+_SUBQUERY_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice,
            o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                                   / COUNT(*) FROM orders) AS price_vs_avg
     FROM orders
-    WHERE o_totalprice > 300000.0
-    """,
-)
-def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery → one tiny aggregate broadcast into the main scan
-    (Catalyst plans a ReusedSubquery/broadcast; no shuffle of the fact)."""
-    register_views(spark, sf_dir, "orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice,
-               o_totalprice / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                                      / COUNT(*) FROM orders) AS price_vs_avg
-        FROM orders
-        WHERE o_totalprice > 300000.0
-        """
-    )
-
-
-@register(
-    "subquery_in",
+    WHERE o_totalprice > 250000.0
+      AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
     """
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-    """,
-)
-def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-subquery → left-semi hash join on the filtered (broadcastable)
-    customer set."""
+
+
+@register("subquery_scalar_in", _SUBQUERY_SQL)
+def subquery_scalar_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + IN-subquery in one statement. Catalyst plans the
+    scalar aggregate as a tiny broadcast subquery (no shuffle of the fact)
+    and rewrites IN into a left-semi hash join on the filtered
+    (broadcastable) customer set."""
     register_views(spark, sf_dir, "orders", "customer")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey, o_totalprice
-        FROM orders
-        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-        """
-    )
+    return spark.sql(_SUBQUERY_SQL)
 
 
 @register(
@@ -755,19 +679,22 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_ntile_percent",
+    "window_analytic",
     """
     SELECT o_orderkey, o_orderpriority,
            NTILE(4) OVER w AS quartile,
            PERCENT_RANK() OVER w AS pct_rank,
-           CUME_DIST() OVER w AS cume
+           CUME_DIST() OVER w AS cume,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     """,
 )
-def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions; the unique (price, orderkey) sort key
-    makes ntile/percent_rank deterministic."""
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution (ntile/percent_rank/cume_dist) + navigation (lag/lead)
+    window functions over one shared window; the unique (price, orderkey)
+    sort key makes every output deterministic."""
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return o.select(
@@ -776,6 +703,8 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
     )
 
 
@@ -1027,35 +956,6 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scalar_conditional_funcs",
-    """
-    SELECT o_orderkey,
-           CASE WHEN o_totalprice >= 200000 THEN 'large'
-                WHEN o_totalprice >= 50000 THEN 'medium'
-                ELSE 'small' END AS size_band,
-           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
-           IF(o_orderpriority = '1-URGENT', 'urgent', 'routine') AS urgency,
-           LEAST(o_totalprice, 100000.0) AS price_capped,
-           NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio_or_null
-    FROM orders
-    """,
-)
-def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.when(F.col("o_totalprice") >= 200000, "large")
-        .when(F.col("o_totalprice") >= 50000, "medium")
-        .otherwise("small")
-        .alias("size_band"),
-        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_label"),
-        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent").otherwise("routine").alias("urgency"),
-        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("price_capped"),
-        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias("prio_or_null"),
-    )
-
-
-@register(
     "set_union_all",
     """
     SELECT nationkey, src FROM (
@@ -1076,78 +976,39 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s)
 
 
-@register(
-    "window_first_last",
-    """
-    SELECT o_custkey, o_orderkey,
-           FIRST_VALUE(o_totalprice) OVER w AS first_price,
-           LAST_VALUE(o_totalprice) OVER
-             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
-           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-)
-def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.first("o_totalprice").over(w).alias("first_price"),
-        F.last("o_totalprice").over(wfull).alias("last_price"),
-        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
-    )
-
 
 @register(
-    "agg_collect_set_sorted",
-    """
-    SELECT user_id,
-           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
-           COUNT(*) AS n_events
-    FROM events GROUP BY user_id
-    """,
-)
-def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation (collect_set) — sorted then joined to a string so
-    the result is deterministic regardless of partition arrival order and
-    hash-comparable across engines (array cells materialize differently in
-    pandas: numpy ndarray vs list)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
-        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
-        F.count("*").alias("n_events"),
-    )
-
-
-@register(
-    "scalar_timestamp_funcs",
+    "value_decode_json",
     """
     SELECT event_id,
-           CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS ev_hour,
-           CAST(EXTRACT(MINUTE FROM ts) AS BIGINT) AS ev_minute,
-           CAST(EXTRACT(SECOND FROM ts) AS BIGINT) AS ev_second,
-           CAST(EXTRACT(DOW FROM ts) AS BIGINT) AS ev_dow,
-           date_trunc('hour', ts) AS ev_hour_start,
-           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ev_epoch_s,
-           epoch_us(ts) AS ev_epoch_us
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_decoded,
+           CAST(string_split(CAST(user_id AS VARCHAR) || ',' || event_type, ',')[1] AS BIGINT) AS uid_decoded,
+           string_split(CAST(user_id AS VARCHAR) || ',' || event_type, ',')[2] AS et_decoded
     FROM events
     """,
 )
-def scalar_timestamp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timestamp function family over event time (UTC-pinned session).
-    DOW convention aligned: DuckDB Sunday=0 == Spark dayofweek-1."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
+def value_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read value decode (sources/decode.py): the reference's
+    pluggable deserializer config (api/WorkersConfig.java:39,
+    README.md:83-84 consumer.kafka.value.deserializer) re-expressed as
+    from_json / from_csv decoders over payload columns — the JSON `props`
+    column and a CSV-shaped payload built from the row. Both parse inside
+    the scan stage (codegen), no extra pass."""
+    from kafka_workers_spark.sources.decode import decode_value
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "csv_payload", F.concat(F.col("user_id").cast("string"), F.lit(","), F.col("event_type"))
+    )
+    decoded = decode_value(
+        decode_value(ev, "json", "k bigint", column="props", out="j"),
+        "csv",
+        "uid bigint, et string",
+        column="csv_payload",
+        out="c",
+    )
+    return decoded.select(
         "event_id",
-        F.hour("ts").cast("bigint").alias("ev_hour"),
-        F.minute("ts").cast("bigint").alias("ev_minute"),
-        F.second("ts").cast("bigint").alias("ev_second"),
-        (F.dayofweek("ts") - 1).cast("bigint").alias("ev_dow"),
-        F.date_trunc("hour", "ts").alias("ev_hour_start"),
-        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).cast("bigint").alias("ev_epoch_s"),
-        F.unix_micros("ts").alias("ev_epoch_us"),
+        F.col("j.k").alias("k_decoded"),
+        F.col("c.uid").alias("uid_decoded"),
+        F.col("c.et").alias("et_decoded"),
     )

@@ -34,58 +34,105 @@ def _kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_subpartition_roundrobin",
+    "stream_subpartition_modes",
     f"""
-    SELECT CAST(user_id % 4 AS INTEGER) AS partition,
+    SELECT 'roundrobin' AS mode,
+           CAST(user_id % 4 AS INTEGER) AS partition,
            CAST(event_id % {N_SUB} AS INTEGER) AS subpartition,
            COUNT(*) AS n_records,
            MIN(event_id) AS first_offset,
-           MAX(event_id) AS last_offset
+           MAX(event_id) AS last_offset,
+           CAST(NULL AS BIGINT) AS n_keys
     FROM events
-    GROUP BY 1, 2
-    """,
-    category="streaming",
-)
-def stream_subpartition_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2b round-robin sub-partitioning (deterministic offset-mod variant,
-    SURVEY.md §7): every (partition, subpartition) sub-stream with its
-    offset span. The grouped counts pin the uniform-spread property."""
-    df = with_subpartition(_kafka_shaped(spark, sf_dir), N_SUB, mode="roundrobin")
-    return df.groupBy("partition", "subpartition").agg(
-        F.count("*").alias("n_records"),
-        F.min("offset").alias("first_offset"),
-        F.max("offset").alias("last_offset"),
-    )
-
-
-@register(
-    "stream_subpartition_hash",
-    f"""
-    SELECT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'hash' AS mode,
+           CAST(NULL AS INTEGER) AS partition,
+           CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
                       CAST(CAST(user_id % 4 AS INTEGER) AS VARCHAR)), 1, 15) AS BIGINT)
                % {N_SUB} AS INTEGER) AS subpartition,
            COUNT(*) AS n_records,
+           CAST(NULL AS BIGINT) AS first_offset,
+           CAST(NULL AS BIGINT) AS last_offset,
            COUNT(DISTINCT user_id) AS n_keys
     FROM events
-    GROUP BY 1
+    GROUP BY 3
     """,
     category="streaming",
 )
-def stream_subpartition_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2c hash sub-partitioning with a cross-engine-checkable hash
-    (md5-derived; runtime mode='hash' uses JVM murmur3 and
-    mode='hash_murmur2' gives Kafka bit-parity — both pinned by unit tests,
-    this query pins the key→subpartition stability property: every key maps
+def stream_subpartition_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 sub-partitioning, both deterministic modes in one tagged result.
+
+    roundrobin (A2b, deterministic offset-mod variant per SURVEY.md §7):
+    every (partition, subpartition) sub-stream with its offset span — the
+    grouped counts pin the uniform-spread property. hash (A2c) with a
+    cross-engine-checkable md5-derived hash; runtime mode='hash' uses JVM
+    murmur3 and mode='hash_murmur2' gives Kafka bit-parity — both pinned by
+    unit tests, this query pins key→subpartition stability (every key maps
     to exactly one subpartition)."""
+    rr = (
+        with_subpartition(_kafka_shaped(spark, sf_dir), N_SUB, mode="roundrobin")
+        .groupBy("partition", "subpartition")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("offset").alias("first_offset"),
+            F.max("offset").alias("last_offset"),
+        )
+        .select(
+            F.lit("roundrobin").alias("mode"),
+            "partition",
+            "subpartition",
+            "n_records",
+            "first_offset",
+            "last_offset",
+            F.lit(None).cast("bigint").alias("n_keys"),
+        )
+    )
     ev = load_table(spark, sf_dir, "events")
     payload = F.concat(
         F.col("user_id").cast("string"), F.lit(":"), (F.col("user_id") % 4).cast("int").cast("string")
     )
     sub = (F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint") % N_SUB).cast("int")
-    return (
+    hashed = (
         ev.select(sub.alias("subpartition"), "user_id")
         .groupBy("subpartition")
         .agg(F.count("*").alias("n_records"), F.countDistinct("user_id").alias("n_keys"))
+        .select(
+            F.lit("hash").alias("mode"),
+            F.lit(None).cast("int").alias("partition"),
+            "subpartition",
+            "n_records",
+            F.lit(None).cast("bigint").alias("first_offset"),
+            F.lit(None).cast("bigint").alias("last_offset"),
+            "n_keys",
+        )
+    )
+    return rr.unionByName(hashed)
+
+
+@register(
+    "stream_dedup_watermark",
+    """
+    SELECT user_id, event_type, ts, event_id FROM (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    category="streaming",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup surface (dropDuplicatesWithinWatermark) in its
+    batch-replayable form: earliest row per (user_id, event_type) — the
+    deterministic replay of first-arrival-wins. The streaming path of the
+    same operator (bounded state via watermark TTL) is exercised end-to-end
+    in tests/test_watermark.py. See streaming/dedup.py."""
+    from kafka_workers_spark.streaming.dedup import dedup_within_watermark
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return dedup_within_watermark(
+        ev, keys=["user_id", "event_type"], ts_col="ts", tiebreaker="event_id"
     )
 
 

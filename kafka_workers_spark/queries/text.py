@@ -1,10 +1,11 @@
 """Text-analysis queries over the `documents` table (SURVEY.md §7 step 6).
 
-Language-ID, quality scoring, token counting and document fingerprinting —
-the per-document scoring passes of a training-data pipeline. All are pure
-column expressions (whole-stage codegen, no Python in the hot path): at
-100 TB these run as a single scan with column pruning, no shuffle at all
-except where a groupBy is the point of the query.
+Language-ID, quality scoring, token counting/array analytics and document
+fingerprinting — the per-document scoring passes of a training-data
+pipeline. All are pure column expressions (whole-stage codegen, no Python
+in the hot path): at 100 TB these run as a single scan with column pruning
+and NO shuffle (operators.dedup.spread only repartitions when the input has
+fewer splits than the session's parallelism — never on a real-scale scan).
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ from kafka_workers_spark.operators.text import (
     stopword_hits,
     tokens,
 )
-from kafka_workers_spark.operators.dedup import barrier
+from kafka_workers_spark.operators.dedup import spread
 from kafka_workers_spark.queries import register
 from kafka_workers_spark.sources.files import load_table
 
@@ -32,58 +33,46 @@ _TOKS_SQL = "string_split(text, ' ')"
 
 
 @register(
-    "text_token_count",
+    "text_profile",
     f"""
-    SELECT doc_id,
-           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_ws_tokens,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
-           CAST(n_chars AS DOUBLE) / CAST(len({_TOKS_SQL}) AS BIGINT) AS chars_per_token
-    FROM documents
-    """,
-    category="text",
-)
-def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-style pre-tokenization counts; one codegen'd scan."""
-    d = barrier(load_table(spark, sf_dir, "documents"))
-    toks = tokens(F.col("text"))
-    n_ws = F.size(toks).cast("bigint")
-    return d.select(
-        "doc_id",
-        n_ws.alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), 0)).cast("bigint").alias("n_bpe_tokens"),
-        (F.col("n_chars").cast("double") / n_ws).alias("chars_per_token"),
-    )
-
-
-@register(
-    "text_quality_score",
-    f"""
-    SELECT doc_id,
-           n_tokens,
+    SELECT doc_id, n_tokens, n_bpe_tokens,
+           CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token,
            stop_hits,
            CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
-           alpha_ratio,
-           len_score,
+           alpha_ratio, len_score,
            0.4 * len_score + 0.3 * least(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0)
-             + 0.3 * alpha_ratio AS quality
+             + 0.3 * alpha_ratio AS quality,
+           first_token, n_distinct_tokens, has_spark, vocab
     FROM (
-      SELECT doc_id,
+      SELECT doc_id, n_chars,
              CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
              {sql_stopword_hits(_TOKS_SQL, STOPWORDS["en"])} AS stop_hits,
              CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                / n_chars AS alpha_ratio,
-             least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score
+             least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score,
+             ({_TOKS_SQL})[1] AS first_token,
+             CAST(len(list_distinct({_TOKS_SQL})) AS BIGINT) AS n_distinct_tokens,
+             list_contains({_TOKS_SQL}, 'spark') AS has_spark,
+             array_to_string(list_sort(list_distinct({_TOKS_SQL})), ',') AS vocab
       FROM documents
     )
     """,
     category="text",
 )
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic doc quality in [0,1]: length, stopword density, alphabetic
-    ratio — the standard cheap pre-filters before expensive model scoring.
-    Fixed operand order keeps the double arithmetic bit-identical to the
-    oracle."""
-    d = barrier(load_table(spark, sf_dir, "documents"))
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document profile in one codegen'd scan: whitespace + BPE-style
+    token counts, quality heuristics (length, stopword density, alphabetic
+    ratio — the standard cheap pre-filters before model scoring), and the
+    token-array analytics surface (first/distinct/contains/sorted-vocab).
+
+    The token expression is referenced by several output columns; that is a
+    constant-factor recompute per row (CollapseProject inlines the split),
+    NOT the per-element quadratic of lambda-internal reuse — cheaper at
+    scale than materializing tokens through a full-corpus shuffle. Fixed
+    operand order keeps the double arithmetic bit-identical to the oracle.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks).cast("bigint")
     stop_hits = stopword_hits(toks, STOPWORDS["en"])
@@ -93,15 +82,23 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_score = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
     base = d.select(
         "doc_id",
+        "n_chars",
         n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), 0)).cast("bigint").alias("n_bpe_tokens"),
         stop_hits.alias("stop_hits"),
         alpha_ratio.alias("alpha_ratio"),
         len_score.alias("len_score"),
+        toks.getItem(0).alias("first_token"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("vocab"),
     )
     stop_ratio = F.col("stop_hits").cast("double") / F.col("n_tokens")
     return base.select(
         "doc_id",
         "n_tokens",
+        "n_bpe_tokens",
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("chars_per_token"),
         "stop_hits",
         stop_ratio.alias("stop_ratio"),
         "alpha_ratio",
@@ -111,6 +108,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
             + 0.3 * F.col("alpha_ratio")
         ).alias("quality"),
+        "first_token",
+        "n_distinct_tokens",
+        "has_spark",
+        "vocab",
     )
 
 
@@ -144,7 +145,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     no evidence). The synthetic corpus shares one vocabulary across its
     `lang` labels, so agreement with the label is not the contract — the
     deterministic heuristic is."""
-    d = barrier(load_table(spark, sf_dir, "documents"))
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     scored = d.select(
         "doc_id",

