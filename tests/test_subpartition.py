@@ -33,6 +33,23 @@ def test_murmur2_kafka_parity(data, expected):
     assert murmur2(data) == expected & 0x7FFFFFFF
 
 
+def test_murmur2_block_matches_scalar():
+    """The vectorized batch implementation is bit-identical to the scalar
+    reference across every tail length (0-3), the empty string, and the
+    Kafka known-answer vectors."""
+    import random
+
+    from kafka_workers_spark.streaming.subpartition import murmur2_block
+
+    rng = random.Random(42)
+    vals = list(KAFKA_MURMUR2_VECTORS) + [b""] + [
+        bytes(rng.randrange(256) for _ in range(n)) for n in range(1, 40)
+    ] + [bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200))) for _ in range(50)]
+    got = murmur2_block(vals)
+    want = [murmur2(v) for v in vals]
+    assert got.tolist() == want
+
+
 def _kafka_df(spark, n=100):
     return spark.range(n).select(
         F.col("id").alias("offset"),
