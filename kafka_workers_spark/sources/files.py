@@ -80,6 +80,41 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+def read_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """General batch file reader: parquet / orc / json / csv / text (avro
+    requires the external spark-avro package — raise a clear error rather
+    than a Py4J stack when it is absent).
+
+    Column pruning and (for columnar formats) predicate pushdown come from
+    the DataSource V2 scan; for json/csv supply ``schema`` — inference
+    costs a full extra pass over the data, which at 100 TB is the
+    difference between one scan and two.
+    """
+    fmt = fmt.lower()
+    if fmt == "avro":
+        try:
+            reader = spark.read.format("avro")
+        except Exception as exc:  # noqa: BLE001
+            raise RuntimeError(
+                "avro requires the spark-avro package (org.apache.spark:spark-avro)"
+            ) from exc
+    elif fmt in ("parquet", "orc", "json", "csv", "text"):
+        reader = spark.read.format(fmt)
+    else:
+        raise ValueError(f"unsupported format: {fmt!r}")
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Streaming read of a test table (file source, one-file micro-batch).
 
