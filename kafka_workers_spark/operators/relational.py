@@ -96,3 +96,37 @@ def range_join(
         .filter((F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi)))
         .drop("__bucket")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resilient equi-join: spread a hot key across ``salt`` shuffle
+    partitions.
+
+    A single dominant key turns a shuffle join into one straggler task.
+    AQE's skew-join split (enabled in session defaults) handles the plain
+    sort-merge case at runtime; this operator covers the plans AQE cannot
+    split (skewed key feeding an aggregate, disabled AQE, non-SMJ shapes):
+    the left (big/skewed) side gets a per-row deterministic salt from a
+    hash of the whole row, the right side replicates each row ``salt``
+    times, and the join key becomes (key, salt) — the hot key's rows land
+    on ``salt`` different reducers. Cost: right side bytes × salt (keep
+    the replicated side small); result is row-identical to the unsalted
+    join for every join type that keys only on ``on`` (inner/left).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    on = [on] if isinstance(on, str) else list(on)
+    left_s = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(salt)).cast("int"),
+    )
+    right_s = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return left_s.join(right_s, [*on, "__salt"], how).drop("__salt")

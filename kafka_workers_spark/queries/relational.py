@@ -767,7 +767,7 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (30-min gap): identical grouping to the
-    manual lag/cumsum sessionization (events_sessionize) — the oracle
+    manual lag/cumsum sessionization — the oracle
     derives the same sessions and reproduces Spark's window bounds
     (end = last event + gap). Streaming-ready: the same expression works
     under a watermark."""
@@ -1000,7 +1000,8 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL (bag semantics — no distinct shuffle, unlike set_union)."""
+    """UNION ALL (bag semantics — no distinct shuffle, unlike the set-
+    semantic branches of set_ops)."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
     )

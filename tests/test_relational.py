@@ -51,3 +51,25 @@ def test_exact_dedup_operator(spark):
     )
     out = exact_dedup(df, content_col="body", id_col="id").collect()
     assert sorted((r.id, r.body) for r in out) == [(1, "aa"), (2, "bb"), (4, "cc")]
+
+
+def test_salted_join_matches_plain_join(spark):
+    """operators.relational.salted_join: row-identical to the unsalted
+    join on a skewed input (one key = 90% of rows), inner and left."""
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.relational import salted_join
+
+    left = spark.range(2000).select(
+        F.when(F.col("id") < 1800, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame(
+        [(7, "hot"), (3, "cold"), (999, "unmatched")], "k long, tag string"
+    )
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how).groupBy("k", "tag").count()
+        salted = salted_join(left, right, "k", how, salt=8).groupBy("k", "tag").count()
+        p = {tuple(r) for r in plain.collect()}
+        s = {tuple(r) for r in salted.collect()}
+        assert s == p, f"{how}: salted != plain"
