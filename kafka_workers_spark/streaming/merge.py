@@ -118,7 +118,7 @@ def merge_ordered_stream(
 ) -> DataFrame:
     """Streaming ordered merge with per-group buffering.
 
-    State per group: {"buf": [[side, ts, payload...] ...], "max": {side: ts}}.
+    State per group: {"buf": [{side, ts, payload...} ...], "max": {side: ts}}.
     Each micro-batch: fold new rows into the buffer, advance each side's
     frontier to max(seen), emit buffered rows with ts <= min(frontiers)
     in (ts, side) order, keep the rest buffered.
@@ -130,13 +130,22 @@ def merge_ordered_stream(
     sibling that never arrived is necessarily violated (there is nothing
     to order against).
 
-    ``output_schema`` must be "<group type>, side string, <ts type>" e.g.
-    ``"pair bigint, side string, ts bigint"`` — the streaming surface keeps
-    only group/side/ts (payload columns join back by ts if needed).
+    ``output_schema`` must be "<group type>, side string, <ts type>[, payload
+    cols...]" in the union's column order — every non-group column of the
+    inputs (the full record, like the reference's queued WorkerRecords)
+    rides through the buffer; payload values must be JSON-serializable
+    (numbers/strings/bools — decode binary/timestamp columns to primitives
+    before the merge).
     """
-    l_tag = left.withColumn(side_col, F.lit("left")).select(group, side_col, ts)
-    r_tag = right.withColumn(side_col, F.lit("right")).select(group, side_col, ts)
+    l_tag = left.withColumn(side_col, F.lit("left"))
+    r_tag = right.withColumn(side_col, F.lit("right"))
     unioned = l_tag.unionByName(r_tag)
+    cols = [c for c in unioned.columns if c != group]  # side, ts, payload...
+
+    def _emit(key: tuple, recs: list[dict]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {group: [key[0]] * len(recs), **{c: [r[c] for r in recs] for c in cols}}
+        )
 
     def handle(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
@@ -145,34 +154,29 @@ def merge_ordered_stream(
             st = {"buf": [], "max": {}}
         if state.hasTimedOut:
             # flush (not drop) the unreleased tail — at-least-once on TTL
-            leftovers = sorted(st["buf"], key=lambda b: (b[1], b[0]))
+            leftovers = sorted(st["buf"], key=lambda r: (r[ts], r[side_col]))
             state.remove()
             if leftovers:
-                yield pd.DataFrame(
-                    {
-                        group: [key[0]] * len(leftovers),
-                        side_col: [b[0] for b in leftovers],
-                        ts: [b[1] for b in leftovers],
-                    }
-                )
+                yield _emit(key, leftovers)
             return
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
-                side, t = getattr(row, side_col), int(getattr(row, ts))
-                st["buf"].append([side, t])
-                st["max"][side] = max(st["max"].get(side, t), t)
+                rec = {}
+                for c in cols:
+                    v = getattr(row, c)
+                    rec[c] = v.item() if hasattr(v, "item") else v
+                rec[ts] = int(rec[ts])
+                st["buf"].append(rec)
+                side = rec[side_col]
+                st["max"][side] = max(st["max"].get(side, rec[ts]), rec[ts])
         if len(st["max"]) >= 2:
             low = min(st["max"].values())
-            ready = sorted([b for b in st["buf"] if b[1] <= low], key=lambda b: (b[1], b[0]))
-            st["buf"] = [b for b in st["buf"] if b[1] > low]
+            ready = sorted(
+                [r for r in st["buf"] if r[ts] <= low], key=lambda r: (r[ts], r[side_col])
+            )
+            st["buf"] = [r for r in st["buf"] if r[ts] > low]
             if ready:
-                yield pd.DataFrame(
-                    {
-                        group: [key[0]] * len(ready),
-                        side_col: [b[0] for b in ready],
-                        ts: [b[1] for b in ready],
-                    }
-                )
+                yield _emit(key, ready)
         state.update((json.dumps(st),))
         if state_ttl_ms:
             state.setTimeoutDuration(state_ttl_ms)

@@ -137,6 +137,50 @@ def test_merge_streaming_incremental_release(spark, tmp_path):
     assert final == EXPECTED_P0, final
 
 
+def test_merge_streaming_carries_payload_columns(spark, tmp_path):
+    """The reference merges whole WorkerRecords, not just timestamps —
+    payload columns must ride the buffer and come out attached to the
+    right rows."""
+    from kafka_workers_spark.streaming.merge import merge_ordered_stream
+
+    src = str(tmp_path / "src")
+    rows = [(0, t, f"L{t}", "left") for t in [10000, 50000]] + [
+        (0, t, f"R{t}", "right") for t in [30000, 60000]
+    ]
+    spark.createDataFrame(rows, "pair int, ts long, payload string, side0 string").coalesce(
+        1
+    ).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = merge_ordered_stream(
+        stream.filter("side0 = 'left'").drop("side0"),
+        stream.filter("side0 = 'right'").drop("side0"),
+        group="pair",
+        ts="ts",
+        output_schema="pair int, ts long, payload string, side string",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("payload_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.ts, r.payload, r.side)
+        for r in spark.sql("SELECT * FROM payload_out ORDER BY ts").collect()
+    ]
+    # frontier = min(50000, 60000) = 50000: the 60000 right row stays held
+    assert got == [
+        (10000, "L10000", "left"),
+        (30000, "R30000", "right"),
+        (50000, "L50000", "left"),
+    ], got
+
+
 def test_merge_single_scan_plans_one_exchange(spark):
     """VERDICT r01 #10: single_scan=True plans each input ONE scan and ONE
     full-data exchange (window frontier), no join — vs the default's two
