@@ -73,3 +73,45 @@ def test_salted_join_matches_plain_join(spark):
         p = {tuple(r) for r in plain.collect()}
         s = {tuple(r) for r in salted.collect()}
         assert s == p, f"{how}: salted != plain"
+
+
+def test_minhash_lsh_scales_to_production_parameters(spark):
+    """The MinHash/LSH operators are parameterized, not fixed to the
+    registered query's oracle-sized (k=8, 4×2) configuration: at k=16 with
+    8×2 bands, exact duplicates still always collide in every band (the
+    LSH completeness invariant), and near-identical docs collide in at
+    least one."""
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.dedup import lsh_bands, minhash_agg
+    from kafka_workers_spark.operators.text import shingle_stage, tokenize_stage
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact duplicate of 1
+            (3, base + " lambda"),  # near-duplicate (1 extra token)
+            (4, "completely different words nothing shared here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    staged = shingle_stage(tokenize_stage(docs), 3, distinct=True)
+    k, n_bands, rows = 16, 8, 2
+    sigs = minhash_agg(staged, ["doc_id"], k=k)
+    banded = sigs.select(
+        "doc_id", F.explode(lsh_bands(F.col("sig"), n_bands, rows)).alias("bk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+    hits = {(r.da, r.db): r.n_bands_hit for r in pairs.collect()}
+    assert hits.get((1, 2)) == n_bands  # exact dup: every band collides
+    assert (1, 3) in hits or (2, 3) in hits  # near-dup: some band collides
+    assert not any(4 in p for p in hits)  # unrelated doc: no collisions
