@@ -74,12 +74,23 @@ class WorkersConfig:
     max_offsets_per_trigger: int | None = None
     max_bytes_per_trigger: str | None = None
     guarantee: str = "at_least_once"  # or "none"
+    #: Stateful-operator backing store: 'hdfs' (default in-heap provider) or
+    #: 'rocksdb' — large keyed state (WorkerTask parity at many keys) should
+    #: use RocksDB so state size is bounded by local disk, not executor heap.
+    #: Verified working in-container with applyInPandasWithState.
+    state_store: str = "hdfs"
     extra_confs: dict[str, str] = field(default_factory=dict)
 
     def spark_confs(self) -> dict[str, str]:
         confs = dict(_DEFAULT_CONFS)
         if self.shuffle_partitions is not None:
             confs["spark.sql.shuffle.partitions"] = str(self.shuffle_partitions)
+        if self.state_store == "rocksdb":
+            confs["spark.sql.streaming.stateStore.providerClass"] = (
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+            )
+        elif self.state_store != "hdfs":
+            raise ValueError(f"unknown state_store: {self.state_store!r}")
         confs.update(self.extra_confs)
         return confs
 

@@ -9,6 +9,11 @@ impl/punctuator/PunctuatorThread.java:14-47; README.md:64 mutual-exclusion
 guarantee).
 
 Spark mapping: ``applyInPandasWithState`` keyed by the sub-partition id.
+(Spark 4's ``transformWithStateInPandas`` would add typed state + explicit
+init/close hooks, but its dedicated Python driver worker crashes in this
+container — "TransformWithStateInPySpark driver worker exited unexpectedly"
+even for a trivial processor on RocksDB — so the engine stays on the
+stable API, which covers the same semantics below.)
 Spark gives the same per-key mutual exclusion (state callbacks for one key
 are serialized) and *more* than the reference: state survives restarts via
 the checkpointed state store, where the reference's task state is volatile

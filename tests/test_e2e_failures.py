@@ -208,3 +208,62 @@ def test_metrics_snapshot_against_real_progress(spark, tmp_path):
     assert snap["batch.id"] >= 0
     assert snap["batch.duration.ms"] is None or snap["batch.duration.ms"] > 0
     assert any(r is not None and r > 0 for r in snap["state.rows"])
+
+
+def _dlq_poison_fn():
+    def task(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf["offset"] == 144).any():
+            raise RuntimeError("poisoned record 144")
+        out = pdf[["offset"]].copy()
+        return out
+
+    return task
+
+
+def test_guarantee_none_skips_poison_and_keeps_running(spark, tmp_path):
+    """RecordStatusObserverTest.java:69-125, the `none` arm: the same
+    poisoned input that kills an at_least_once pipeline completes under
+    guarantee='none' — the bad record lands in the dead-letter split with
+    its error, every other record flows."""
+    from kafka_workers_spark.streaming.tasks import split_dlq
+
+    src = str(tmp_path / "src")
+    spark.range(205).select(F.col("id").alias("offset")).coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = transform_batches(
+        stream, _dlq_poison_fn(), "offset long, __error string", guarantee="none"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dlq_e2e")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)  # completes — no shutdown, unlike at_least_once
+    result = spark.sql("SELECT * FROM dlq_e2e")
+    ok, dlq = split_dlq(result)
+    assert ok.count() == 204
+    bad = dlq.collect()
+    assert len(bad) == 1 and bad[0].offset == 144
+    assert "poisoned record 144" in bad[0]["__error"]
+
+
+def test_rocksdb_state_store_config_maps_provider():
+    """WorkersConfig(state_store='rocksdb') selects the RocksDB provider
+    (bounded-by-disk keyed state for WorkerTask parity at many keys);
+    unknown stores are rejected."""
+    import pytest as _pytest
+
+    from kafka_workers_spark.session import WorkersConfig as _WC
+
+    confs = _WC(state_store="rocksdb").spark_confs()
+    assert confs["spark.sql.streaming.stateStore.providerClass"].endswith(
+        "RocksDBStateStoreProvider"
+    )
+    assert "stateStore.providerClass" not in str(_WC().spark_confs().keys())
+    with _pytest.raises(ValueError, match="unknown state_store"):
+        _WC(state_store="cassandra").spark_confs()
