@@ -115,6 +115,29 @@ def read_files(
     return reader.load(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame as a bucketed (and optionally sorted) table.
+
+    Equi-joins and aggregations on the bucket keys between tables bucketed
+    the same way read co-located — NO shuffle on either side (asserted in
+    tests/test_plans.py). At 100 TB this is the difference between a
+    one-off layout cost at ingest and re-shuffling the fact table on every
+    join; bucket count should be sized so one bucket ≈ one task's worth of
+    data at the target scale.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Streaming read of a test table (file source, one-file micro-batch).
 

@@ -15,6 +15,8 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     spark = build_session(
         WorkersConfig(
             app_name="kafka_workers_spark_tests",
@@ -22,6 +24,7 @@ def spark():
             extra_confs={
                 "spark.driver.memory": "8g",
                 "spark.sql.streaming.checkpointLocation.deleteOnStop": "true",
+                "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="kw_warehouse_"),
             },
         )
     )

@@ -53,6 +53,28 @@ def test_dedup_hot_paths_stay_jvm_side(spark):
         assert a.python_evals == 0, f"{name} plans Python eval"
 
 
+def test_bucketed_join_needs_no_shuffle(spark):
+    """sources.files.write_bucketed: two tables bucketed on the join key
+    with the same bucket count join with ZERO exchanges — the co-located
+    join layout for repeated fact-to-fact joins at scale."""
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.sources.files import write_bucketed
+
+    left = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(5_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    write_bucketed(left, "bkt_left", ["k"], 8, sort_by=["k"])
+    write_bucketed(right, "bkt_right", ["k"], 8, sort_by=["k"])
+    try:
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        a = audit(joined)
+        assert a.exchanges == 0, a.text[:1200]
+        assert joined.count() == 5_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
 def test_spread_skips_exchange_on_balanced_input(spark):
     """operators.dedup.spread must pass an already-parallel input through
     untouched — the property that keeps single-scan text queries
