@@ -189,6 +189,9 @@ def test_merge_single_scan_plans_one_exchange(spark):
 
     one, two = _sides(spark)
     released = merge_ordered(one, two, group="pair", ts="ts", single_scan=True)
+    # ADVICE r02: both scan strategies must expose the same column ORDER
+    # (positional consumers: union by position, insertInto)
+    assert released.columns == merge_ordered(one, two, group="pair", ts="ts").columns
     a = audit(released)
     assert a.exchanges == 1, a.text[:1200]
     assert a.broadcast_joins == 0 and a.sortmerge_joins == 0

@@ -94,6 +94,37 @@ def test_none_guarantee_requires_error_column(spark):
         transform_batches(_records(spark), _double_or_fail_fn(), "offset long", guarantee="none")
 
 
+def _omits_column_or_fail_fn():
+    def fn(pdf):
+        if (pdf["offset"] == 13).any():
+            raise RuntimeError("record 13 poisoned")
+        # deliberately OMITS the declared integral column 'doubled'
+        return pdf[["offset", "partition"]].copy()
+
+    return fn
+
+
+def test_none_guarantee_success_rows_serialize_missing_int_columns(spark):
+    """ADVICE r02: same Arrow-safe null handling on the per-row SUCCESS
+    branch — a task that omits a declared integral output column must not
+    crash the isolation path (reindex's NaN fill would)."""
+    prev = spark.conf.get("spark.sql.execution.pandas.convertToArrowArraySafely", "false")
+    spark.conf.set("spark.sql.execution.pandas.convertToArrowArraySafely", "true")
+    try:
+        df = transform_batches(
+            _records(spark),
+            _omits_column_or_fail_fn(),
+            f"offset long, partition int, doubled long, {ERROR_COL} string",
+            guarantee="none",
+        )
+        ok, dlq = split_dlq(df)
+        ok_rows = ok.collect()
+        assert len(ok_rows) == 19 and all(r.doubled is None for r in ok_rows)
+        assert dlq.count() == 1
+    finally:
+        spark.conf.set("spark.sql.execution.pandas.convertToArrowArraySafely", prev)
+
+
 # --- stateful WorkerTask ---------------------------------------------------
 
 
