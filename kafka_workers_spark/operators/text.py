@@ -134,3 +134,41 @@ def cjk_char_count(text: Column) -> Column:
 
 def sql_cjk_char_count(expr: str) -> str:
     return f"CAST(len(regexp_extract_all({expr}, '{CJK_RE_DUCK}')) AS BIGINT)"
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+):
+    """Split documents into overlapping token-window chunks — the standard
+    pre-tokenization pass of an LLM training-data pipeline (long documents
+    become training-sequence-sized pieces; the overlap preserves context
+    across boundaries).
+
+    Output: one row per chunk with ``chunk_id`` (0-based, in document
+    order), ``chunk_text`` and ``chunk_n_tokens``; all other input columns
+    ride along. Shape: sequence → explode (codegen generator) → slice +
+    array_join (collection expressions, no lambda HOFs) — a single scan
+    with per-row fan-out ~n_tokens/step, no shuffle. The token column is
+    materialized first so the explode does not re-split per chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    step = chunk_tokens - overlap
+    staged = tokenize_stage(df, text_col)
+    n = F.size(F.col("toks"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    piece = F.slice(F.col("toks"), F.col("__start") + 1, chunk_tokens)
+    return (
+        staged.withColumn("__start", F.explode(starts))
+        .filter((F.col("__start") < n) | (F.col("__start") == 0))
+        .select(
+            *df.columns,
+            (F.col("__start") / step).cast("int").alias("chunk_id"),
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).cast("bigint").alias("chunk_n_tokens"),
+        )
+    )

@@ -115,3 +115,40 @@ def test_minhash_lsh_scales_to_production_parameters(spark):
     assert hits.get((1, 2)) == n_bands  # exact dup: every band collides
     assert (1, 3) in hits or (2, 3) in hits  # near-dup: some band collides
     assert not any(4 in p for p in hits)  # unrelated doc: no collisions
+
+
+def test_chunk_documents_overlapping_windows(spark):
+    """operators.text.chunk_documents: full coverage, correct overlap,
+    bounded chunk sizes, passthrough columns."""
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.text import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en"), (2, "short doc", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2).orderBy("doc_id", "chunk_id")
+    rows = out.collect()
+
+    d1 = [(r.chunk_id, r.chunk_text) for r in rows if r.doc_id == 1]
+    # step = 2: starts 0,2,4,6,8 -> 5 chunks; each 4 tokens except the tail
+    assert d1 == [
+        (0, "w0 w1 w2 w3"),
+        (1, "w2 w3 w4 w5"),
+        (2, "w4 w5 w6 w7"),
+        (3, "w6 w7 w8 w9"),
+        (4, "w8 w9"),
+    ]
+    # consecutive chunks share exactly `overlap` tokens
+    for (_, a), (_, b) in zip(d1, d1[1:]):
+        assert a.split()[-2:] == b.split()[:2]
+    d2 = [(r.chunk_id, r.chunk_text, r.lang) for r in rows if r.doc_id == 2]
+    assert d2 == [(0, "short doc", "de")]  # shorter than one chunk -> itself
+    assert all(1 <= r.chunk_n_tokens <= 4 for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
