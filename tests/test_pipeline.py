@@ -1,0 +1,77 @@
+"""End-to-end corpus curation pipeline (pipeline.py): the operators
+composing as one lazy plan, with stage-by-stage row accounting on a
+corpus with planted exact and near duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.pipeline import curate_corpus, near_dedup_lsh, quality_filter
+from kafka_workers_spark.sources.files import load_table
+
+SF = "/root/testdata/sf0.001"
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def _corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                       # exact duplicate of 1
+        (3, BASE + " tonight"),          # near duplicate of 1
+        (4, "completely different content about spark engines and parquet files here"),
+        (5, "tiny"),                     # fails min_tokens
+        (6, " ".join(f"tok{i}" for i in range(30))),  # long unique doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_quality_filter_drops_short_docs(spark):
+    out = quality_filter(_corpus(spark), min_tokens=5)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3, 4, 6]
+
+
+def test_near_dedup_keeps_lowest_id_survivor(spark):
+    docs = _corpus(spark).filter(F.col("doc_id").isin(1, 3, 4, 6))
+    out = near_dedup_lsh(docs)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 1 in ids and 3 not in ids  # near-dup of a lower id dropped
+    assert 4 in ids and 6 in ids      # unrelated docs survive
+
+
+def test_curate_corpus_end_to_end(spark):
+    chunks = curate_corpus(_corpus(spark), min_tokens=5, chunk_tokens=8, overlap=2)
+    rows = chunks.collect()
+    surviving_docs = sorted({r.doc_id for r in rows})
+    # 2 exact-dup'd away, 3 near-dup'd away, 5 quality-filtered away
+    assert surviving_docs == [1, 4, 6]
+    # doc 6 (30 tokens, step 6) chunks into ceil(30/6)=5 overlapping windows
+    d6 = [r for r in rows if r.doc_id == 6]
+    assert len(d6) == 5
+    assert all(r.chunk_n_tokens <= 8 for r in rows)
+    # chunk text reconstructs the document (drop the per-chunk overlap)
+    d6.sort(key=lambda r: r.chunk_id)
+    rebuilt = d6[0].chunk_text.split()
+    for r in d6[1:]:
+        rebuilt += r.chunk_text.split()[2:]
+    assert rebuilt == [f"tok{i}" for i in range(30)]
+
+
+def test_curate_corpus_on_test_table(spark):
+    """The pipeline runs on the real documents table and is plan-clean:
+    no cartesian products, no Python eval in the hot path."""
+    from kafka_workers_spark.plans import audit
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    chunks = curate_corpus(docs, min_tokens=3, chunk_tokens=64, overlap=8)
+    a = audit(chunks)
+    assert a.cartesian_products == 0
+    assert a.python_evals == 0
+    n_chunks = chunks.count()
+    n_docs = docs.count()
+    assert 0 < n_chunks
+    # dedup removed something on the synthetic corpus (it plants dups),
+    # and chunking never yields fewer rows than surviving docs
+    n_surviving = chunks.select("doc_id").distinct().count()
+    assert n_surviving <= n_docs
+    assert n_chunks >= n_surviving
