@@ -98,3 +98,36 @@ def curate_corpus(
     near = near_dedup_lsh(exact, id_col=id_col, text_col=text_col)
     return chunk_documents(near, text_col=text_col, id_col=id_col,
                            chunk_tokens=chunk_tokens, overlap=overlap)
+
+
+def curate_corpus_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    min_tokens: int = 5,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Streaming curation: quality-filter → exact dedup within the
+    watermark → chunking, all streaming-safe stages.
+
+    Exact dedup uses the bounded-state streaming operator
+    (streaming/dedup.py) keyed on the normalized-content digest, so state
+    size tracks the watermark delay, not corpus size. LSH near-dedup is
+    deliberately NOT in the streaming path: candidate pairing is a
+    self-join over the whole corpus — in production it runs as a periodic
+    batch compaction over the landed output (use :func:`near_dedup_lsh`
+    there), not per micro-batch, which would only dedup within a batch
+    and silently miss cross-batch near-duplicates.
+    """
+    from kafka_workers_spark.streaming.dedup import dedup_within_watermark
+
+    filtered = quality_filter(docs, text_col, min_tokens=min_tokens)
+    hashed = filtered.withColumn("__digest", F.md5(normalized(F.col(text_col))))
+    exact = dedup_within_watermark(
+        hashed, keys=["__digest"], ts_col=ts_col, delay=watermark, tiebreaker=id_col
+    ).drop("__digest")
+    return chunk_documents(exact, text_col=text_col, id_col=id_col,
+                           chunk_tokens=chunk_tokens, overlap=overlap)

@@ -75,3 +75,40 @@ def test_curate_corpus_on_test_table(spark):
     n_surviving = chunks.select("doc_id").distinct().count()
     assert n_surviving <= n_docs
     assert n_chunks >= n_surviving
+
+
+def test_curate_corpus_stream_end_to_end(spark, tmp_path):
+    """The streaming curation path on a file stream: quality filter +
+    watermark exact-dedup + chunking; the planted duplicate arriving in a
+    later batch is suppressed."""
+    from datetime import datetime
+
+    src = str(tmp_path / "src")
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows1 = [(1, BASE, t0), (5, "tiny", t0)]
+    rows2 = [(2, BASE, t0), (6, " ".join(f"tok{i}" for i in range(12)), t0)]
+    schema_str = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame(rows1, schema_str).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, schema_str).coalesce(1).write.mode("append").parquet(src)
+
+    from kafka_workers_spark.pipeline import curate_corpus_stream
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    chunks = curate_corpus_stream(stream, min_tokens=3, chunk_tokens=8, overlap=2)
+    q = (
+        chunks.writeStream.format("memory")
+        .queryName("curate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM curate_out").collect()
+    ids = sorted({r.doc_id for r in rows})
+    # 5 quality-filtered; duplicate content keeps one doc (either id — the
+    # two copies may land in one availableNow batch, where min-ts+tiebreak
+    # picks doc 1, or in separate batches, where first-arrival picks 1 too)
+    assert ids == [1, 6], ids
+    assert all(r.chunk_n_tokens <= 8 for r in rows)
