@@ -1,0 +1,126 @@
+"""A3 accept gate: head-of-queue pause semantics on a live stream.
+
+Reference: WorkerTask.accept returning false pauses the sub-partition —
+the head stays queued and everything behind it waits IN ORDER, even rows
+that would individually pass (WorkerThread.java:70-85). Un-pausing comes
+from state changes (here: a punctuate-driven budget bump, the
+timeout-release policy)."""
+
+from __future__ import annotations
+
+import time
+
+from kafka_workers_spark.streaming.gate import accept_gate
+
+
+def _budget_gate_fns():
+    # budget release: a row releases iff its cost fits the remaining
+    # budget; released rows spend it; punctuate refills it
+    def accept(row, st):
+        return row["cost"] <= st.get("budget", 5)
+
+    def on_release(row, st):
+        return {**st, "budget": st.get("budget", 5) - row["cost"] + 3}
+
+    def on_punctuate(st):
+        return {**st, "budget": st.get("budget", 5) + 10}
+
+    return accept, on_release, on_punctuate
+
+
+def test_accept_gate_head_blocks_and_punctuate_releases(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # key 0, ordered by offset: costs 2,1,20,1 — budget starts at 5:
+    # release 2 (budget 6), release 1 (8), 20 blocks (and the final 1
+    # behind it must wait despite fitting); each punctuate adds 10 →
+    # after >=2 refills the head releases and the tail follows.
+    rows = [(0, 0, 2), (0, 1, 1), (0, 2, 20), (0, 3, 1)]
+    spark.createDataFrame(rows, "k int, offset long, cost long").coalesce(1).write.parquet(src)
+
+    accept, on_release, on_punctuate = _budget_gate_fns()
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = accept_gate(
+        stream,
+        keys=["k"],
+        accept=accept,
+        output_schema="k int, offset long, cost long",
+        order_by="offset",
+        on_release=on_release,
+        on_punctuate=on_punctuate,
+        punctuate_interval_ms=500,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # phase 1: only the pre-block prefix is out, in offset order
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            got = [r.offset for r in spark.sql("SELECT * FROM gate_out ORDER BY offset").collect()]
+            if len(got) >= 2:
+                break
+            time.sleep(1)
+        assert got[:2] == [0, 1], got
+        # phase 2: punctuate refills the budget until the head releases,
+        # and the waiting tail follows in order
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = [r.offset for r in spark.sql("SELECT * FROM gate_out ORDER BY offset").collect()]
+            if len(got) == 4:
+                break
+            time.sleep(1)
+        assert got == [0, 1, 2, 3], got
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
+def test_accept_gate_never_drops_or_reorders(spark, tmp_path):
+    """Flow control, not filtering: with a predicate that eventually passes
+    everything, the full input comes out exactly once per key in order."""
+    src = str(tmp_path / "src")
+    rows = [(k, o, 1) for k in (0, 1) for o in range(6)]
+    spark.createDataFrame(rows, "k int, offset long, cost long").coalesce(1).write.parquet(src)
+
+    accept, on_release, on_punctuate = _budget_gate_fns()
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = accept_gate(
+        stream,
+        keys=["k"],
+        accept=accept,
+        output_schema="k int, offset long, cost long",
+        order_by="offset",
+        on_release=on_release,
+        on_punctuate=on_punctuate,
+        punctuate_interval_ms=300,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gate_all")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM gate_all").count() == 12:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    for k in (0, 1):
+        got = [
+            r.offset
+            for r in spark.sql(f"SELECT * FROM gate_all WHERE k = {k} ORDER BY offset").collect()
+        ]
+        assert got == list(range(6)), (k, got)
