@@ -109,3 +109,107 @@ def sample_frames(
         F.col(n_frames_col),
         F.explode(idx).alias("frame_no"),
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary, width int, height int"
+)
+
+
+def fake_resize(payload: bytes, media_type: str, width: int, height: int) -> bytes:
+    """Deterministic stand-in resizer: digest-seeded bytes of a size
+    proportional to the target area — exercises the binary-out plumbing
+    (Arrow bytes round-trip) without codecs."""
+    h = hashlib.md5(payload).digest()
+    n = max(1, (width * height) // 64)
+    return (h * (n // len(h) + 1))[:n]
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, str, int, int], bytes] | None = None,
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize stage: binary in → binary out at the target dimensions, one
+    Arrow batch at a time, no shuffle. The codec is injected like
+    :func:`decode_media`'s (stub raises :class:`CodecNotAvailable`)."""
+
+    def _stub(payload: bytes, media_type: str, w: int, h: int) -> bytes:
+        raise CodecNotAvailable(
+            f"no codec for {media_type}: install an image library and pass resizer="
+        )
+
+    fn = resizer or _stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = [
+                fn(p, m, width, height)
+                for p, m in zip(pdf[payload_col], pdf[media_type_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    media_type_col: pdf[media_type_col].values,
+                    "payload": out_payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def fake_extract_features(payload: bytes, media_type: str, dim: int) -> list[float]:
+    """Deterministic stand-in embedding extractor: md5-expanded bytes
+    scaled to [-1, 1) — same payload, same vector, every engine."""
+    out: list[float] = []
+    block = hashlib.md5(payload).digest()
+    while len(out) < dim:
+        for b in block:
+            out.append((b - 128) / 128.0)
+            if len(out) == dim:
+                break
+        block = hashlib.md5(block).digest()
+    return out
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 64,
+    extractor: Callable[[bytes, str, int], list[float]] | None = None,
+    payload_col: str = "payload",
+    media_type_col: str = "media_type",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-extraction stage: binary payload → ``array<float>``
+    embedding column, Arrow-batched, no shuffle. The output feeds the
+    similarity operators directly (operators/similarity.py expects
+    (id, embedding) — see tests/test_multimodal.py for the wiring); the
+    model call is injected like the codecs (stub raises
+    :class:`CodecNotAvailable`)."""
+
+    def _stub(payload: bytes, media_type: str, d: int) -> list[float]:
+        raise CodecNotAvailable(
+            f"no model for {media_type}: install an inference runtime and pass extractor="
+        )
+
+    fn = extractor or _stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    media_type_col: pdf[media_type_col].values,
+                    "embedding": [
+                        fn(p, m, dim) for p, m in zip(pdf[payload_col], pdf[media_type_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, f"{id_col} bigint, {media_type_col} string, embedding array<float>")

@@ -51,3 +51,54 @@ def test_sample_frames_every_nth(spark):
     assert sorted(by_doc[1]) == [0, 3, 6, 9]
     assert sorted(by_doc[2]) == [0]
     assert sorted(by_doc[3]) == [0, 3]
+
+
+def test_resize_media_binary_roundtrip(spark):
+    """Resize stage: binary out sized to the target area, deterministic per
+    payload, id/media_type preserved."""
+    from kafka_workers_spark.operators.multimodal import fake_resize, resize_media
+
+    out = resize_media(_media_df(spark, 10), 64, 32, resizer=fake_resize)
+    rows = out.collect()
+    assert len(rows) == 10
+    expected_len = (64 * 32) // 64
+    assert all(len(r.payload) == expected_len for r in rows)
+    assert all(r.width == 64 and r.height == 32 for r in rows)
+    # deterministic: same input -> same bytes
+    again = {r.doc_id: bytes(r.payload) for r in resize_media(
+        _media_df(spark, 10), 64, 32, resizer=fake_resize).collect()}
+    assert {r.doc_id: bytes(r.payload) for r in rows} == again
+
+
+def test_resize_media_stub_raises_without_codec(spark):
+    from kafka_workers_spark.operators.multimodal import resize_media
+
+    with pytest.raises((Py4JJavaError, Exception), match="CodecNotAvailable|no codec"):
+        resize_media(_media_df(spark, 3), 8, 8).collect()
+
+
+def test_extract_features_feeds_similarity_search(spark):
+    """Feature extraction emits array<float> embeddings that plug straight
+    into the ANN operators: brute-force cosine self-top-1 of an exact
+    duplicate payload is the duplicate (cosine == 1)."""
+    from kafka_workers_spark.operators.multimodal import (
+        extract_features,
+        fake_extract_features,
+    )
+    from kafka_workers_spark.operators.similarity import ivf_topk
+
+    media = _media_df(spark, 20)
+    # plant an exact duplicate payload: doc 100 copies doc 0's bytes
+    dup = media.filter(F.col("doc_id") == 0).select(
+        F.lit(100).cast("long").alias("doc_id"), "media_type", "payload"
+    )
+    emb = extract_features(media.unionByName(dup), dim=16, extractor=fake_extract_features)
+    assert dict(emb.dtypes)["embedding"] == "array<float>"
+    vecs = emb.select(
+        F.col("doc_id").alias("vec_id"), F.lit(0).alias("list_id"), "embedding"
+    )
+    top = ivf_topk(vecs, [100], nprobe=1, top_k=1)
+    rows = top.collect()
+    assert len(rows) == 1
+    assert rows[0].neighbor_id == 0  # the payload twin
+    assert rows[0].cosine > 0.999999
