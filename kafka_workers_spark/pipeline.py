@@ -100,6 +100,139 @@ def curate_corpus(
                            chunk_tokens=chunk_tokens, overlap=overlap)
 
 
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, int],
+    default_rate: int = 100,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a document iff its md5
+    coin (0-99, derived from the id — see queries/corpus.py) falls under
+    its stratum's percentage rate. Reproducible across re-runs/backfills
+    (no RNG state), pushed down as a scan predicate — no shuffle."""
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("bigint")
+        % 100
+    )
+    return docs.filter(bucket < rate)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    strata_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document its
+    training-sequence id and offset, as if all documents in a stratum were
+    concatenated in `order_col` order and cut every `budget` tokens
+    (documents straddle boundaries, exactly like production tokenization).
+
+    Adds (n_tokens, pack_shard, pack_id, pack_offset); the text payload is
+    projected away before the window shuffle. With ``shards=None`` each
+    stratum is one window partition — fine for bounded strata counts; at
+    100 TB pass ``shards`` to pack within (stratum, hash-shard) so
+    parallelism is shards×strata and only shard-edge sequences are
+    approximate."""
+    from pyspark.sql import Window as W
+
+    n_tokens = F.size(tokens(F.col(text_col))).cast("bigint")
+    shard = (
+        F.pmod(F.hash(F.col(order_col)), F.lit(shards)).cast("int")
+        if shards
+        else F.lit(0)
+    )
+    slim = docs.select(
+        strata_col, order_col, n_tokens.alias("n_tokens"), shard.alias("pack_shard")
+    )
+    w = (
+        W.partitionBy(strata_col, "pack_shard")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = slim.withColumn("__cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return packed.select(
+        strata_col,
+        order_col,
+        "n_tokens",
+        "pack_shard",
+        F.expr(f"__cum DIV {int(budget)}").alias("pack_id"),
+        (F.col("__cum") % int(budget)).alias("pack_offset"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    max_shared: int = 0,
+) -> DataFrame:
+    """Strike training documents that share more than `max_shared` word
+    n-grams with the evaluation set (n-gram-overlap decontamination).
+
+    The eval side collapses to distinct 64-bit shingle digests and
+    broadcasts (benchmarks are tiny next to the corpus); the train side's
+    only shuffle is the per-doc hit-count aggregate. Returns the surviving
+    training rows unchanged."""
+
+    def digests(df: DataFrame) -> DataFrame:
+        staged = shingle_stage(tokenize_stage(df.select(id_col, text_col)), shingle_n, distinct=True)
+        return staged.select(id_col, F.explode("shingles").alias("__s")).select(
+            id_col, F.substring(F.md5("__s"), 1, 16).alias("__h")
+        )
+
+    eval_h = digests(eval_docs).select("__h").distinct()
+    hits = (
+        digests(train)
+        .join(F.broadcast(eval_h), "__h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__n_shared"))
+        .filter(F.col("__n_shared") > max_shared)
+        .select(id_col)
+    )
+    return train.join(hits, id_col, "left_anti")
+
+
+def prepare_training_mix(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    rates: dict[str, int] | None = None,
+    default_rate: int = 100,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    min_tokens: int = 5,
+) -> DataFrame:
+    """The full batch data-mix build: curate (quality filter → exact dedup
+    → LSH near-dedup) → decontaminate against the eval set → stratified
+    mixture sampling → sequence packing. Returns per-document pack
+    assignments; join back on `id_col` for the payloads."""
+    filtered = quality_filter(docs, text_col, min_tokens=min_tokens)
+    exact = exact_dedup(
+        filtered.withColumn("__norm", normalized(F.col(text_col))),
+        content_col="__norm",
+        id_col=id_col,
+    ).drop("__norm")
+    clean = near_dedup_lsh(exact, id_col=id_col, text_col=text_col)
+    if eval_docs is not None:
+        clean = decontaminate(clean, eval_docs, id_col=id_col, text_col=text_col)
+    sampled = sample_stratified(
+        clean, rates or {}, default_rate=default_rate, strata_col=strata_col, id_col=id_col
+    )
+    return pack_sequences(
+        sampled, budget=budget, strata_col=strata_col, order_col=id_col, text_col=text_col
+    )
+
+
 def curate_corpus_stream(
     docs: DataFrame,
     id_col: str = "doc_id",

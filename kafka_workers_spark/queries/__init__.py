@@ -64,6 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         streaming,
         text,
+        corpus,
         relational,
     )
 

@@ -1,0 +1,217 @@
+"""Corpus-preparation queries: the sampling / packing / vocabulary /
+decontamination passes of a large-scale training-data pipeline, over the
+`documents` table.
+
+These are the stages that sit between per-document scoring
+(queries/text.py) and near-dedup (queries/dedup.py) in a real data-mix
+build: choose a per-language mixture (stratified sampling), concatenate
+and chunk the survivors into fixed-token training sequences (packing),
+build the corpus vocabulary (df/tf/idf), and strike training documents
+that leak evaluation-set n-grams (decontamination). All four are pure
+DataFrame plans — codegen'd expressions, broadcast joins for the tiny
+sides, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.operators.text import (
+    shingle_stage,
+    sql_word_shingles,
+    tokenize_stage,
+    tokens,
+)
+from kafka_workers_spark.queries import register
+from kafka_workers_spark.sources.files import load_table
+
+_TOKS_SQL = "string_split(text, ' ')"
+
+# Deterministic per-document coin: first 15 hex chars of md5(doc_id) as an
+# integer, mod 100 — identical in Spark (conv base-16) and DuckDB ('0x'
+# cast), non-negative (15 hex chars < 2^60). The same construction a real
+# pipeline uses so that re-runs and backfills sample identical documents.
+_SAMPLE_BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+
+
+def _sample_bucket() -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+PACK_BUDGET = 512  # tokens per training sequence
+
+
+@register(
+    "corpus_sample_pack",
+    f"""
+    WITH sampled AS (
+      SELECT lang, doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE {_SAMPLE_BUCKET_SQL} < CASE WHEN lang = 'en' THEN 75 ELSE 40 END
+    ), packed AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      FROM sampled
+    )
+    SELECT lang, doc_id, n_tokens,
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM packed
+    """,
+    category="corpus",
+)
+def corpus_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling + sequence packing in one pass.
+
+    Sampling: a deterministic md5(doc_id) coin keeps 75% of English and
+    40% of everything else — the hash-based mixture weighting every
+    training-data build uses (reproducible across re-runs; no RNG state).
+    Packing: survivors are concatenated per language in doc_id order and
+    cut into 512-token sequences; a document's pack_id/pack_offset
+    come from the exclusive running token sum, so documents straddle
+    sequence boundaries exactly as concat-then-chunk tokenization does.
+
+    Scale: the scan projects (lang, doc_id, n_tokens) only — the text
+    payload never rides the window shuffle. PARTITION BY lang alone would
+    serialize each language on one task at 100 TB; the production form
+    packs within (lang, hash-shard) instead — same plan shape, boundaries
+    approximate only at shard edges. The sampling filter is a pushed-down
+    scan predicate with no shuffle at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 75).otherwise(40)
+    sampled = d.filter(_sample_bucket() < rate).select(
+        "lang", "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    packed = sampled.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return packed.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.expr(f"cum_before DIV {PACK_BUDGET}").alias("pack_id"),
+        (F.col("cum_before") % PACK_BUDGET).alias("pack_offset"),
+    )
+
+
+@register(
+    "corpus_vocab_df",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_TOKS_SQL}) AS term FROM documents
+    ), vocab AS (
+      SELECT term,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+             COUNT(*) AS total_tf
+      FROM toks GROUP BY term
+    )
+    SELECT term, doc_freq, total_tf,
+           (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) + 1.0)
+              / (doc_freq + 1.0) AS idf_ratio
+    FROM vocab
+    ORDER BY doc_freq DESC, term LIMIT 100
+    """,
+    category="corpus",
+)
+def corpus_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: document frequency, total term frequency and the
+    smoothed idf ratio (n_docs+1)/(df+1) for the top-100 terms by df.
+
+    One explode → one hash aggregate (count-distinct handled by Catalyst's
+    two-phase expand; partial aggregation still combines map-side), the
+    corpus doc count broadcast as a 1-row cross join (scalar subquery in
+    the oracle), and TakeOrderedAndProject for the top-k — per-partition
+    heaps, no global sort shuffle. The ratio is one IEEE division over
+    exact integers — correctly rounded, so it hashes identically across
+    engines; ln() is NOT (libm last-ULP drift), so idf = ln(ratio) is left
+    to the consumer (monotone — rankings are unchanged)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    vocab = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq"), F.count("*").alias("total_tf")
+    )
+    n_docs = d.agg(F.count("*").alias("__n_docs"))
+    return (
+        vocab.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "doc_freq",
+            "total_tf",
+            ((F.col("__n_docs").cast("double") + 1.0) / (F.col("doc_freq") + 1.0)).alias("idf_ratio"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(100)
+    )
+
+
+_SHINGLE_N = 8
+_SH8_SQL = sql_word_shingles(_TOKS_SQL, _SHINGLE_N)
+
+
+@register(
+    "corpus_contamination",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct([substr(md5(s), 1, 16) FOR s IN {_SH8_SQL}])) AS h
+      FROM documents
+    ), eval_h AS (
+      SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0
+    ), scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM (SELECT * FROM sh WHERE doc_id % 50 <> 0) t
+      LEFT JOIN eval_h e ON t.h = e.h
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_shingles, n_shared,
+           CAST(n_shared AS DOUBLE) / n_shingles AS contam_frac
+    FROM scored WHERE n_shared > 0
+    """,
+    category="corpus",
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing word
+    8-grams with the held-out set (doc_id % 50 == 0 stands in for the
+    benchmark corpus).
+
+    The eval side collapses to a distinct set of 64-bit shingle digests —
+    small by construction (benchmarks are tiny next to the corpus) — and
+    broadcasts; the training side explodes shingles, hashes, and left-joins
+    the broadcast with zero shuffle of corpus bytes. The one shuffle is the
+    per-doc count aggregate over (doc_id, hit) pairs with map-side partial
+    combine. This is the standard n-gram-overlap decontamination pass
+    (8-gram granularity), shaped exactly like the production job.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = shingle_stage(tokenize_stage(d), _SHINGLE_N, distinct=True)
+    sh = staged.select(
+        "doc_id", F.explode("shingles").alias("__s")
+    ).select("doc_id", F.substring(F.md5("__s"), 1, 16).alias("h"))
+    eval_h = (
+        sh.filter(F.col("doc_id") % 50 == 0).select("h").distinct().withColumn("__hit", F.lit(1))
+    )
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    scored = (
+        train.join(F.broadcast(eval_h), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_shared"),
+        )
+    )
+    return scored.filter(F.col("n_shared") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n_shingles")).alias("contam_frac"),
+    )

@@ -196,25 +196,55 @@ def join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_asof",
     """
-    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+    SELECT 'plain' AS variant, p.event_id, p.user_id, p.ts, c.ts AS click_ts
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts >= c.ts
+    UNION ALL
+    SELECT 'tolerance' AS variant, p.event_id, p.user_id, p.ts,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE) AS click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (SELECT 1 FROM events c
+                  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE)
     """,
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (A16-adjacent; SURVEY §2 Table B "range/as-of").
+    """As-of join, plain + 30-minute-tolerance variants, tagged (A16-
+    adjacent; SURVEY §2 Table B "range/as-of").
 
     Spark lacks a native as-of join; composed as union + ordered window:
     one shuffle on user_id, then last(click ts) over the interleaved
-    timeline. Scales: no per-key fanout, no nested loop.
+    timeline. Scales: no per-key fanout, no nested loop. The tolerance
+    variant nulls out stale matches — exact, because any older match is
+    further outside the window; its oracle is the correlated-subquery
+    formulation (DuckDB ASOF JOIN has no tolerance clause).
     """
     from kafka_workers_spark.operators.relational import asof_join
 
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
-    return asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", right_alias="click_ts")
+    plain = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", right_alias="click_ts"
+    )
+    tol = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_alias="click_ts",
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+
+    def tag(df: DataFrame, variant: str) -> DataFrame:
+        return df.select(F.lit(variant).alias("variant"), *df.columns)
+
+    return tag(plain, "plain").unionByName(tag(tol, "tolerance"))
 
 
 # --------------------------------------------------------------------------
@@ -413,12 +443,17 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'except' AS op, nationkey FROM (
       SELECT c_nationkey AS nationkey FROM customer
       EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'union_all' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL SELECT s_nationkey FROM supplier)
     """,
 )
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION / INTERSECT / EXCEPT (set semantics) over the same two inputs,
-    tagged. Bag semantics (UNION ALL, no distinct shuffle) is its own
-    query: set_union_all."""
+    """UNION / INTERSECT / EXCEPT (set semantics) plus UNION ALL (bag
+    semantics — no distinct shuffle) over the same two inputs, tagged.
+    Catalyst plans the three set-semantic branches as hash aggregates /
+    joins; the bag branch is a pure concatenation with no exchange."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
 
@@ -429,6 +464,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag(c.union(s).distinct(), "union")
         .unionByName(tag(c.intersect(s), "intersect"))
         .unionByName(tag(c.subtract(s), "except"))
+        .unionByName(tag(c.unionByName(s), "union_all"))
     )
 
 
@@ -817,14 +853,14 @@ def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_variance_fixedpoint",
+    "agg_moments_histogram",
     """
-    SELECT l_returnflag, n,
-           s1 / 1000000.0 / n AS mean_disc,
+    SELECT 'moments' AS section, l_returnflag AS grp, n,
+           s1 / 1000000.0 / n AS x1,
            (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-             / (n - 1) / 1000000.0 / 1000000.0 AS var_disc,
+             / (n - 1) / 1000000.0 / 1000000.0 AS x2,
            sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-                / (n - 1)) / 1000000.0 AS stddev_disc
+                / (n - 1)) / 1000000.0 AS x3
     FROM (
       SELECT l_returnflag,
              COUNT(*) AS n,
@@ -833,13 +869,25 @@ def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * CAST(floor(l_discount * 1000000) AS BIGINT)) AS BIGINT) AS s2
       FROM lineitem GROUP BY l_returnflag
     )
+    UNION ALL
+    SELECT 'hist' AS section, CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS VARCHAR) AS grp,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS x1,
+           MAX(o_totalprice) AS x2,
+           CAST(NULL AS DOUBLE) AS x3
+    FROM orders
+    GROUP BY 2
     """,
 )
-def agg_variance_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample variance/stddev from exact integer moments (Σx, Σx²) of the
-    ×1e6 fixed-point discount — one partial+final hash aggregate carrying
-    two bigints per group; the double arithmetic happens once per group in
-    a fixed expression tree."""
+def agg_moments_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two statistical-aggregate families in one tagged result.
+
+    'moments': sample mean/variance/stddev (x1/x2/x3) from exact integer
+    moments (Σx, Σx²) of the ×1e6 fixed-point discount — one partial+final
+    hash aggregate carrying two bigints per group; the double arithmetic
+    happens once per group in a fixed expression tree.
+    'hist': fixed-width histogram of order totals — floor-bucket key, one
+    hash aggregate; x1/x2 = bucket min/max, x3 null."""
     li = load_table(spark, sf_dir, "lineitem")
     q6 = F.floor(F.col("l_discount") * 1_000_000).cast("bigint")
     moments = li.groupBy("l_returnflag").agg(
@@ -851,33 +899,28 @@ def agg_variance_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n"))
         / (F.col("n") - 1)
     )
-    return moments.select(
-        "l_returnflag",
+    moments_out = moments.select(
+        F.lit("moments").alias("section"),
+        F.col("l_returnflag").alias("grp"),
         "n",
-        (F.col("s1") / 1_000_000.0 / F.col("n")).alias("mean_disc"),
-        (var / 1_000_000.0 / 1_000_000.0).alias("var_disc"),
-        (F.sqrt(var) / 1_000_000.0).alias("stddev_disc"),
+        (F.col("s1") / 1_000_000.0 / F.col("n")).alias("x1"),
+        (var / 1_000_000.0 / 1_000_000.0).alias("x2"),
+        (F.sqrt(var) / 1_000_000.0).alias("x3"),
     )
-
-
-@register(
-    "agg_histogram",
-    """
-    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
-           COUNT(*) AS n,
-           MIN(o_totalprice) AS lo,
-           MAX(o_totalprice) AS hi
-    FROM orders
-    GROUP BY 1
-    """,
-)
-def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram: floor-bucket key, one hash aggregate."""
     o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket"))
-        .agg(F.count("*").alias("n"), F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    hist_out = (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").cast("string").alias("grp"))
+        .agg(F.count("*").alias("n"), F.min("o_totalprice").alias("x1"), F.max("o_totalprice").alias("x2"))
+        .select(
+            F.lit("hist").alias("section"),
+            "grp",
+            "n",
+            "x1",
+            "x2",
+            F.lit(None).cast("double").alias("x3"),
+        )
     )
+    return moments_out.unionByName(hist_out)
 
 
 @register(
@@ -904,42 +947,6 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     joined = range_join(c, s, left_point="c_acctbal", right_lo="lo", right_hi="hi", bucket_width=1000.0)
     return joined.select("s_suppkey", "c_custkey", "c_acctbal")
-
-
-@register(
-    "join_asof_tolerance",
-    """
-    SELECT p.event_id, p.user_id, p.ts,
-           (SELECT MAX(c.ts) FROM events c
-            WHERE c.event_type = 'click' AND c.user_id = p.user_id
-              AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE) AS click_ts
-    FROM events p
-    WHERE p.event_type = 'purchase'
-      AND EXISTS (SELECT 1 FROM events c
-                  WHERE c.event_type = 'click' AND c.user_id = p.user_id
-                    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE)
-    """,
-)
-def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join with a 30-minute tolerance: the attributed click must be
-    the most recent one AND within the window (stale matches null out —
-    exact, because any older match is further outside the window). Same
-    single-shuffle union+window plan as join_asof; the oracle is the
-    correlated-subquery formulation."""
-    from kafka_workers_spark.operators.relational import asof_join
-
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
-    return asof_join(
-        purchases,
-        clicks,
-        on="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        right_alias="click_ts",
-        tolerance=F.expr("INTERVAL 30 MINUTES"),
-    )
 
 
 @register(
@@ -987,29 +994,6 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("o_orderpriority").agg(
         pick(1, 2, "p50"), pick(9, 10, "p90"), pick(99, 100, "p99"), F.max("n").alias("n")
     )
-
-
-@register(
-    "set_union_all",
-    """
-    SELECT nationkey, src FROM (
-      SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
-      UNION ALL
-      SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
-    )
-    """,
-)
-def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL (bag semantics — no distinct shuffle, unlike the set-
-    semantic branches of set_ops)."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("src")
-    )
-    return c.unionByName(s)
-
 
 
 @register(

@@ -112,3 +112,100 @@ def test_curate_corpus_stream_end_to_end(spark, tmp_path):
     # picks doc 1, or in separate batches, where first-arrival picks 1 too)
     assert ids == [1, 6], ids
     assert all(r.chunk_n_tokens <= 8 for r in rows)
+
+
+def test_sample_stratified_deterministic_and_rate(spark):
+    from kafka_workers_spark.pipeline import sample_stratified
+
+    docs = load_table(spark, SF, "documents")
+    rates = {"en": 75}
+    a = sample_stratified(docs, rates, default_rate=40)
+    b = sample_stratified(docs, rates, default_rate=40)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b  # deterministic: same sample every run
+    # rates hold approximately per stratum (md5 coin is uniform)
+    counts = {
+        r["lang"]: (r["kept"], r["total"])
+        for r in docs.join(a.select("doc_id", F.lit(1).alias("__k")), "doc_id", "left")
+        .groupBy("lang")
+        .agg(F.count("__k").alias("kept"), F.count("*").alias("total"))
+        .collect()
+    }
+    for lang, (kept, total) in counts.items():
+        rate = 0.75 if lang == "en" else 0.40
+        assert abs(kept / total - rate) < 0.25, (lang, kept, total)
+
+
+def test_pack_sequences_invariants(spark):
+    """Recompute the packing serially per stratum: offsets stay inside the
+    budget and the assignment equals the exclusive running token sum."""
+    from kafka_workers_spark.pipeline import pack_sequences
+
+    budget = 64
+    docs = load_table(spark, SF, "documents")
+    packed = pack_sequences(docs, budget=budget).collect()
+    assert packed, "empty packing"
+    by_lang: dict[str, list] = {}
+    for r in packed:
+        assert 0 <= r.pack_offset < budget
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.pack_id == cum // budget, (lang, r)
+            assert r.pack_offset == cum % budget, (lang, r)
+            cum += r.n_tokens
+
+
+def test_pack_sequences_sharded_parallelism(spark):
+    """shards=N packs within (stratum, shard); every shard obeys the same
+    running-sum contract independently."""
+    from kafka_workers_spark.pipeline import pack_sequences
+
+    budget = 64
+    docs = load_table(spark, SF, "documents")
+    packed = pack_sequences(docs, budget=budget, shards=4).collect()
+    shards = {(r.lang, r.pack_shard) for r in packed}
+    assert len(shards) > len({r.lang for r in packed})  # actually sharded
+    groups: dict[tuple, list] = {}
+    for r in packed:
+        groups.setdefault((r.lang, r.pack_shard), []).append(r)
+    for key, rows in groups.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.pack_id == cum // budget and r.pack_offset == cum % budget, (key, r)
+            cum += r.n_tokens
+
+
+def test_decontaminate_strikes_leaked_docs(spark):
+    from kafka_workers_spark.pipeline import decontaminate
+
+    leak = " ".join(f"w{i}" for i in range(20))  # 20 tokens => 8-gram shingles exist
+    train = spark.createDataFrame(
+        [
+            (1, leak + " trailing extra words here"),          # contains eval 8-grams
+            (2, " ".join(f"x{i}" for i in range(20))),          # clean
+            (3, "short doc"),                                   # too short to shingle: kept
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    ids = sorted(r.doc_id for r in decontaminate(train, eval_docs).collect())
+    assert ids == [2, 3], ids
+
+
+def test_prepare_training_mix_composes(spark):
+    from kafka_workers_spark.pipeline import prepare_training_mix
+
+    docs = load_table(spark, SF, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    out = prepare_training_mix(
+        docs.filter(F.col("doc_id") % 50 != 0), eval_docs=eval_docs, rates={"en": 80},
+        default_rate=60, budget=128,
+    )
+    rows = out.collect()
+    assert rows and all(0 <= r.pack_offset < 128 for r in rows)
+    assert {"lang", "doc_id", "n_tokens", "pack_shard", "pack_id", "pack_offset"} <= set(out.columns)
