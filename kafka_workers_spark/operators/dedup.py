@@ -28,19 +28,34 @@ from pyspark.sql import functions as F
 
 
 def barrier(df: DataFrame, *cols: str) -> DataFrame:
-    """Exchange barrier before expensive-expression reuse.
+    """Materialization barrier before expensive-expression reuse.
 
     Catalyst's CollapseProject inlines aliased expressions into downstream
     operators, so a signature column referenced by an explode + self-join
     would be recomputed per reference — for interpreted higher-order
     functions (md5-over-array trees bypass whole-stage codegen) that turns
     O(n) hashing into O(pairs) hashing. A round-robin/hash repartition
-    materializes the column once AND spreads rows across executors (the
-    test corpus is one parquet row-group = one task without it; at real
-    scale the same shuffle balances skew before the heavy per-row work).
+    spreads rows across executors (the test corpus is one parquet
+    row-group = one task without it; at real scale the same shuffle
+    balances skew before the heavy per-row work).
+
+    The repartition alone is NOT enough to pin the computed columns:
+    Catalyst pushes deterministic filters *through* exchanges and
+    re-substitutes the full expression tree below them. The worst case is
+    `InferFiltersFromGenerate`: a downstream ``explode(shingles)`` adds
+    ``size(shingles) > 0 AND isnotnull(shingles)``, which lands at the
+    scan as two inlined copies of the whole interpreted transform over raw
+    ``split(text)`` — re-tokenizing every document O(shingles × n) times.
+    ``localCheckpoint(eager=False)`` truncates the lineage so no filter
+    can sink below this point, and branches that reuse the stage (e.g.
+    eval/train splits in decontamination) share one materialized copy
+    instead of recomputing the scan. Streaming DataFrames cannot
+    checkpoint this way and keep the plain exchange (state-store ops
+    downstream impose their own stage boundary).
     """
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n, *cols) if cols else df.repartition(n)
+    out = df.repartition(n, *cols) if cols else df.repartition(n)
+    return out if df.isStreaming else out.localCheckpoint(eager=False)
 
 
 def spread(df: DataFrame) -> DataFrame:
