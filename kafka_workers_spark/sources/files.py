@@ -43,6 +43,12 @@ def _tune_runtime(spark: SparkSession) -> None:
         spark.sparkContext._jsc.sc().conf().set("spark.locality.wait", "0s")  # noqa: SLF001
     except Exception:  # noqa: BLE001 — best-effort on exotic session types
         pass
+    # The test tables store naive timestamp[us], which Spark would infer as
+    # TIMESTAMP_NTZ (isAdjustedToUTC=false + inferTimestampNTZ default true);
+    # NTZ rejects instant-typed functions (unix_micros, to_utc_timestamp).
+    # Read timestamps as instants instead — with the session timezone pinned
+    # to UTC the rendered/epoch values are identical to the naive oracle.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
