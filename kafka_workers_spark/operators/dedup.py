@@ -44,18 +44,24 @@ def barrier(df: DataFrame, *cols: str) -> DataFrame:
     re-substitutes the full expression tree below them. The worst case is
     `InferFiltersFromGenerate`: a downstream ``explode(shingles)`` adds
     ``size(shingles) > 0 AND isnotnull(shingles)``, which lands at the
-    scan as two inlined copies of the whole interpreted transform over raw
-    ``split(text)`` — re-tokenizing every document O(shingles × n) times.
-    ``localCheckpoint(eager=False)`` truncates the lineage so no filter
-    can sink below this point, and branches that reuse the stage (e.g.
-    eval/train splits in decontamination) share one materialized copy
-    instead of recomputing the scan. Streaming DataFrames cannot
-    checkpoint this way and keep the plain exchange (state-store ops
-    downstream impose their own stage boundary).
+    scan as inlined copies of the whole interpreted transform over raw
+    ``split(text)`` — re-tokenizing every document O(shingles × n) times
+    (measured 13s instead of 0.4s for a 235k-row explode at sf0.1, once
+    per branch that reuses the stage). The engine therefore excludes that
+    optimizer rule session-wide (sources.files._tune_runtime, applied by
+    every table loader so externally-built sessions get it too); the
+    inferred filter only ever skips empty-array rows before a generate,
+    worthless for computed shingle arrays. Explicit cheap filters (e.g. on
+    scan columns) still push below the exchange, which is what you want.
+
+    A ``localCheckpoint`` here would pin the stage harder but is the wrong
+    tool at scale: it materializes the full payload into executor block
+    managers with no lineage fallback (executor loss = job failure) and
+    costs more than the recompute it avoids (measured +30-80% on the dedup
+    family at sf0.1).
     """
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    out = df.repartition(n, *cols) if cols else df.repartition(n)
-    return out if df.isStreaming else out.localCheckpoint(eager=False)
+    return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -33,6 +33,12 @@ _DEFAULT_CONFS: dict[str, str] = {
     # gains nothing from locality waits (data comes from the shuffle
     # service/local disk either way).
     "spark.locality.wait": "0s",
+    # Generate-filter inference re-derives computed array columns below
+    # repartition exchanges (full interpreted expression tree inlined at
+    # the scan, once per consuming branch) — see operators.dedup.barrier.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Keep broadcast threshold at default 10MB; dimension tables in the

@@ -33,6 +33,9 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_GENERATE_FILTER_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
 def _tune_runtime(spark: SparkSession) -> None:
     """Apply scheduler settings that matter even on externally-built
     sessions (the driver harness constructs its own): locality waits are
@@ -49,6 +52,18 @@ def _tune_runtime(spark: SparkSession) -> None:
     # Read timestamps as instants instead — with the session timezone pinned
     # to UTC the rendered/epoch values are identical to the naive oracle.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # InferFiltersFromGenerate turns explode(computed_array) into a
+    # size>0 filter that sinks below repartition exchanges with the whole
+    # array-expression tree inlined — re-deriving interpreted shingle
+    # transforms at the scan, once per consuming branch (see
+    # operators.dedup.barrier). The rule only ever skips empty-array rows
+    # before a generate; for this engine's computed arrays that saves
+    # nothing and costs O(shingles × tokens) per row.
+    current = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    rules = [r for r in (current or "").split(",") if r]
+    if _GENERATE_FILTER_RULE not in rules:
+        rules.append(_GENERATE_FILTER_RULE)
+        spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -89,3 +89,19 @@ def test_spread_skips_exchange_on_balanced_input(spark):
     assert spread(balanced) is balanced  # no new plan node at all
     narrow = spark.range(10_000).coalesce(1)
     assert spread(narrow).rdd.getNumPartitions() == n  # imbalance fixed
+
+
+def test_generate_filter_inference_stays_excluded(spark):
+    """explode(computed_array) must not re-derive the staged expression
+    tree below the barrier exchange: InferFiltersFromGenerate would sink a
+    ``size(shingles) > 0`` filter (with the whole interpreted transform
+    inlined) to the parquet scan, re-tokenizing every document once per
+    consuming branch — measured 13s instead of 0.4s for the sf0.1
+    decontamination explode. The rule is excluded session-wide by the
+    table loaders (sources.files._tune_runtime)."""
+    for name in ["corpus_contamination", "dedup_minhash_lsh", "dedup_ngram_jaccard"]:
+        a = audit(REG[name].fn(spark, SF))
+        assert "size(transform" not in a.text, f"{name} re-derives shingles below the barrier"
+        # the tokenize split appears once in the plan tree + once in the
+        # node-details section; any third occurrence is a re-derivation
+        assert a.text.count("split(text") <= 2, f"{name} tokenizes more than once"
