@@ -24,3 +24,23 @@ def dsum(col: Column | str, alias: str, scale: int = 6) -> Column:
 def sql_dsum(expr: str, alias: str, scale: int = 6) -> str:
     """ANSI-SQL rendering of :func:`dsum` for the DuckDB oracles."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def sample_coin(id_col: str = "doc_id") -> Column:
+    """Deterministic per-row coin in [0, 100): first 15 hex chars of
+    md5(id) as an integer, mod 100 — non-negative (15 hex chars < 2^60),
+    identical in Spark (conv base-16) and DuckDB ('0x' cast,
+    :func:`sql_sample_coin`). No RNG state, so re-runs and backfills
+    sample identical rows — the reproducibility contract of a production
+    sampling pass. Shared by queries/corpus.py and pipeline.py so the two
+    can never drift."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+def sql_sample_coin(id_expr: str = "doc_id") -> str:
+    """DuckDB rendering of :func:`sample_coin`."""
+    return f"CAST('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 15) AS BIGINT) % 100"

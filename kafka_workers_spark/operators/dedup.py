@@ -75,7 +75,11 @@ def spread(df: DataFrame) -> DataFrame:
     scan has thousands of splits) passes through untouched, so a
     shuffle-free single-scan plan stays shuffle-free at scale.
     """
+    if df.isStreaming:  # .rdd is undefined on streams; stateful ops
+        return df  # downstream impose their own partitioning anyway
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # .rdd forces physical planning driver-side — acceptable: plans here
+    # are file scans (cheap to plan) and it happens once per query build.
     if df.rdd.getNumPartitions() >= min(n, df.sparkSession.sparkContext.defaultParallelism):
         return df
     return df.repartition(n)

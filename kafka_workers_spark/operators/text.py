@@ -160,11 +160,17 @@ def chunk_documents(
     step = chunk_tokens - overlap
     staged = tokenize_stage(df, text_col)
     n = F.size(F.col("toks"))
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    # A start contributes NEW tokens only while start < n - overlap (the
+    # chunk one step earlier already covers through start + overlap - 1);
+    # capping the sequence there stops the tail from emitting a chunk that
+    # is a pure suffix of its predecessor — duplicated training text from
+    # the very pipeline whose job is dedup. start 0 always exists (split
+    # never yields an empty array; null text nulls the sequence and the
+    # explode drops the row).
+    starts = F.sequence(F.lit(0), F.greatest(n - 1 - overlap, F.lit(0)), F.lit(step))
     piece = F.slice(F.col("toks"), F.col("__start") + 1, chunk_tokens)
     return (
         staged.withColumn("__start", F.explode(starts))
-        .filter((F.col("__start") < n) | (F.col("__start") == 0))
         .select(
             *df.columns,
             (F.col("__start") / step).cast("int").alias("chunk_id"),

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_workers_spark.functions.determinism import sample_coin
 from kafka_workers_spark.operators.dedup import exact_dedup, lsh_bands, minhash_agg
 from kafka_workers_spark.operators.text import (
     STOPWORDS,
@@ -79,6 +80,22 @@ def near_dedup_lsh(
     return docs.join(losers, id_col, "left_anti")
 
 
+def _cleaned(
+    docs: DataFrame, id_col: str, text_col: str, min_tokens: int
+) -> DataFrame:
+    """The shared cleaning prefix: quality-filter → exact dedup over
+    normalized text → LSH near-dedup. One definition so the chunking path
+    (curate_corpus) and the mix build (prepare_training_mix) can never
+    silently diverge."""
+    filtered = quality_filter(docs, text_col, min_tokens=min_tokens)
+    exact = exact_dedup(
+        filtered.withColumn("__norm", normalized(F.col(text_col))),
+        content_col="__norm",
+        id_col=id_col,
+    ).drop("__norm")
+    return near_dedup_lsh(exact, id_col=id_col, text_col=text_col)
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -89,13 +106,7 @@ def curate_corpus(
 ) -> DataFrame:
     """quality-filter → exact dedup (normalized text) → LSH near-dedup →
     overlapping chunks. Returns chunk rows ready for tokenization."""
-    filtered = quality_filter(docs, text_col, min_tokens=min_tokens)
-    exact = exact_dedup(
-        filtered.withColumn("__norm", normalized(F.col(text_col))),
-        content_col="__norm",
-        id_col=id_col,
-    ).drop("__norm")
-    near = near_dedup_lsh(exact, id_col=id_col, text_col=text_col)
+    near = _cleaned(docs, id_col, text_col, min_tokens)
     return chunk_documents(near, text_col=text_col, id_col=id_col,
                            chunk_tokens=chunk_tokens, overlap=overlap)
 
@@ -108,17 +119,14 @@ def sample_stratified(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic stratified sampling: keep a document iff its md5
-    coin (0-99, derived from the id — see queries/corpus.py) falls under
-    its stratum's percentage rate. Reproducible across re-runs/backfills
-    (no RNG state), pushed down as a scan predicate — no shuffle."""
+    coin (0-99, functions.determinism.sample_coin — shared with the
+    registered corpus_sample_pack oracle) falls under its stratum's
+    percentage rate. Reproducible across re-runs/backfills (no RNG
+    state), pushed down as a scan predicate — no shuffle."""
     rate = F.lit(default_rate)
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("bigint")
-        % 100
-    )
-    return docs.filter(bucket < rate)
+    return docs.filter(sample_coin(id_col) < rate)
 
 
 def pack_sequences(
@@ -216,13 +224,7 @@ def prepare_training_mix(
     → LSH near-dedup) → decontaminate against the eval set → stratified
     mixture sampling → sequence packing. Returns per-document pack
     assignments; join back on `id_col` for the payloads."""
-    filtered = quality_filter(docs, text_col, min_tokens=min_tokens)
-    exact = exact_dedup(
-        filtered.withColumn("__norm", normalized(F.col(text_col))),
-        content_col="__norm",
-        id_col=id_col,
-    ).drop("__norm")
-    clean = near_dedup_lsh(exact, id_col=id_col, text_col=text_col)
+    clean = _cleaned(docs, id_col, text_col, min_tokens)
     if eval_docs is not None:
         clean = decontaminate(clean, eval_docs, id_col=id_col, text_col=text_col)
     sampled = sample_stratified(

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from kafka_workers_spark.functions.determinism import sample_coin, sql_sample_coin
 from kafka_workers_spark.operators.text import (
     shingle_stage,
     sql_word_shingles,
@@ -29,19 +30,13 @@ from kafka_workers_spark.sources.files import load_table
 
 _TOKS_SQL = "string_split(text, ' ')"
 
-# Deterministic per-document coin: first 15 hex chars of md5(doc_id) as an
-# integer, mod 100 — identical in Spark (conv base-16) and DuckDB ('0x'
-# cast), non-negative (15 hex chars < 2^60). The same construction a real
-# pipeline uses so that re-runs and backfills sample identical documents.
-_SAMPLE_BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+# Deterministic per-document md5 coin — shared with pipeline.sample_stratified
+# (functions/determinism.py) so query and pipeline can never drift.
+_SAMPLE_BUCKET_SQL = sql_sample_coin("doc_id")
 
 
 def _sample_bucket() -> Column:
-    return (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    return sample_coin("doc_id")
 
 
 PACK_BUDGET = 512  # tokens per training sequence

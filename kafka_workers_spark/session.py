@@ -40,6 +40,12 @@ _DEFAULT_CONFS: dict[str, str] = {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
     ),
     "spark.sql.session.timeZone": "UTC",
+    # Naive parquet timestamp[us] would infer as TIMESTAMP_NTZ, which
+    # rejects instant-typed functions (unix_micros, to_utc_timestamp); with
+    # the session timezone pinned to UTC, reading them as instants renders
+    # identically (sources.files._tune_runtime sets the same for
+    # externally-built sessions).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Keep broadcast threshold at default 10MB; dimension tables in the
     # TPC-H-ish star schema broadcast automatically.

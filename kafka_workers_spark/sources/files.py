@@ -118,22 +118,24 @@ def read_files(
     difference between one scan and two.
     """
     fmt = fmt.lower()
-    if fmt == "avro":
-        try:
-            reader = spark.read.format("avro")
-        except Exception as exc:  # noqa: BLE001
-            raise RuntimeError(
-                "avro requires the spark-avro package (org.apache.spark:spark-avro)"
-            ) from exc
-    elif fmt in ("parquet", "orc", "json", "csv", "text"):
-        reader = spark.read.format(fmt)
-    else:
+    if fmt not in ("parquet", "orc", "json", "csv", "text", "avro"):
         raise ValueError(f"unsupported format: {fmt!r}")
+    _tune_runtime(spark)  # naive-timestamp handling applies to any reader
+    reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
-    return reader.load(path)
+    try:
+        return reader.load(path)
+    except Exception as exc:  # noqa: BLE001
+        # data-source resolution happens at load(), not format(): map the
+        # raw Py4J "Failed to find data source: avro" to a clear error
+        if fmt == "avro" and "data source" in str(exc).lower():
+            raise RuntimeError(
+                "avro requires the spark-avro package (org.apache.spark:spark-avro)"
+            ) from exc
+        raise
 
 
 def write_bucketed(

@@ -76,6 +76,21 @@ def accept_gate(
         data.update({c: [r[c] for r in recs] for c in cols})
         return pd.DataFrame(data)
 
+    def _save(st: dict, state: GroupState) -> None:
+        # Drop state (and its re-armed timer) once a key is fully drained:
+        # without this every key ever seen keeps a state-store row forever
+        # and, with punctuate_interval_ms, fires a timeout callback every
+        # interval — micro-batch duration would grow with historical key
+        # count. A non-empty user state keeps the row (gates like the
+        # ordered merge need their high-water marks across gaps in data).
+        if not st["buf"] and not st["user"]:
+            if state.exists:
+                state.remove()
+            return
+        state.update((json.dumps(st),))
+        if punctuate_interval_ms:
+            state.setTimeoutDuration(punctuate_interval_ms)
+
     def handle(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         st = json.loads(state.get[0]) if state.exists else {"buf": [], "user": {}}
         if state.hasTimedOut:
@@ -84,9 +99,7 @@ def accept_gate(
             released = _release(st)
             if released:
                 yield _emit(key, released)
-            state.update((json.dumps(st),))
-            if punctuate_interval_ms:
-                state.setTimeoutDuration(punctuate_interval_ms)
+            _save(st, state)
             return
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
@@ -98,9 +111,7 @@ def accept_gate(
         released = _release(st)
         if released:
             yield _emit(key, released)
-        state.update((json.dumps(st),))
-        if punctuate_interval_ms:
-            state.setTimeoutDuration(punctuate_interval_ms)
+        _save(st, state)
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout

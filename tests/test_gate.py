@@ -124,3 +124,50 @@ def test_accept_gate_never_drops_or_reorders(spark, tmp_path):
             for r in spark.sql(f"SELECT * FROM gate_all WHERE k = {k} ORDER BY offset").collect()
         ]
         assert got == list(range(6)), (k, got)
+
+
+def test_accept_gate_drops_state_for_drained_keys(spark, tmp_path):
+    """A drained key (empty buffer, empty user state) must not keep a
+    state-store row or a re-armed timer: gate state grows with *blocked*
+    keys only, never with every key ever seen."""
+    src = str(tmp_path / "src")
+    rows = [(k, 0, 1) for k in range(20)]
+    spark.createDataFrame(rows, "k int, offset long, cost long").coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = accept_gate(
+        stream,
+        keys=["k"],
+        accept=lambda row, st: True,
+        output_schema="k int, offset long, cost long",
+        order_by="offset",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gate_drain")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS c FROM gate_drain").collect()[0].c
+            if n == 20:
+                break
+            time.sleep(1)
+        assert n == 20, n
+        # the batch that released the rows also removed their state
+        deadline = time.time() + 30
+        total = None
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("stateOperators"):
+                total = p["stateOperators"][0]["numRowsTotal"]
+                if total == 0:
+                    break
+            time.sleep(1)
+        assert total == 0, f"state rows left behind: {total}"
+    finally:
+        q.stop()

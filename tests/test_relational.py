@@ -133,13 +133,14 @@ def test_chunk_documents_overlapping_windows(spark):
     rows = out.collect()
 
     d1 = [(r.chunk_id, r.chunk_text) for r in rows if r.doc_id == 1]
-    # step = 2: starts 0,2,4,6,8 -> 5 chunks; each 4 tokens except the tail
+    # step = 2: starts 0,2,4,6 -> 4 chunks. A start of 8 would yield
+    # "w8 w9" — a pure suffix of the chunk at 6 (duplicated text), so the
+    # sequence is capped at n - 1 - overlap = 7.
     assert d1 == [
         (0, "w0 w1 w2 w3"),
         (1, "w2 w3 w4 w5"),
         (2, "w4 w5 w6 w7"),
         (3, "w6 w7 w8 w9"),
-        (4, "w8 w9"),
     ]
     # consecutive chunks share exactly `overlap` tokens
     for (_, a), (_, b) in zip(d1, d1[1:]):
