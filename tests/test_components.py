@@ -1,0 +1,72 @@
+"""Connected-components dedup grouping vs a union-find oracle.
+
+The operator (operators/components.py) is iterative — not expressible as
+one SQL statement — so its oracle is a driver-side union-find replay of
+the same edge list (the same approach the reference takes for its offset
+range algebra: semantic model as test oracle, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.operators.components import connected_components, dedup_groups
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min member
+    comp: dict[int, int] = {}
+    for n in parent:
+        comp[n] = find(n)
+    return comp
+
+
+def _check(spark, edges: list[tuple[int, int]]) -> None:
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert got == _union_find(edges)
+
+
+def test_components_basic_shapes(spark):
+    # chain (worst diameter), triangle, two merged clusters, singleton pair
+    _check(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    _check(spark, [(10, 11), (11, 12), (10, 12)])
+    _check(spark, [(1, 2), (3, 4), (2, 3), (7, 8)])
+
+
+def test_components_random_graphs(spark):
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        edges = [(a, b) for a, b in edges if a != b]
+        _check(spark, edges)
+
+
+def test_dedup_groups_bridging_doc_merges_clusters(spark):
+    """The exact-resolution property the greedy rule lacks: doc 3 bridging
+    {1,3} and {3,5} yields ONE group with canonical 1 — nothing deleted
+    twice, no orphaned tail."""
+    docs = spark.range(1, 7).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "doc_a long, doc_b long")
+    out = {r.doc_id: (r.group_id, r.is_canonical) for r in dedup_groups(pairs, docs).collect()}
+    assert out[1] == (1, True)
+    assert out[3] == (1, False)
+    assert out[5] == (1, False)
+    # untouched docs are their own singleton groups
+    assert out[2] == (2, True) and out[4] == (4, True) and out[6] == (6, True)
