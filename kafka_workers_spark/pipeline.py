@@ -56,15 +56,20 @@ def near_dedup_lsh(
     n_bands: int = 4,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    exact_groups: bool = False,
 ) -> DataFrame:
-    """Drop near-duplicates: MinHash signatures → LSH banding → keep only
-    documents that do not collide with a lower-id document.
+    """Drop near-duplicates: MinHash signatures → LSH banding → keep one
+    survivor per collision group.
 
-    The survivor rule is the standard greedy one (any doc colliding with a
-    lower id is dropped) — one left-anti join against the candidate-pair
-    set, no connected components; a doc bridging two clusters removes both
-    tails, which over-deletes slightly and never under-deletes. Pair cost
-    is Σ bucket² via the band equi-join (operators/dedup.py scale notes).
+    Default survivor rule is the standard greedy one (any doc colliding
+    with a lower id is dropped) — one left-anti join against the
+    candidate-pair set, no iteration; a doc bridging two clusters removes
+    both tails, which over-deletes slightly and never under-deletes.
+    ``exact_groups=True`` resolves the transitive closure instead
+    (operators/components.py min-label propagation, O(diameter) rounds)
+    and keeps exactly one canonical doc — the component minimum — per
+    group. Pair cost is Σ bucket² via the band equi-join either way
+    (operators/dedup.py scale notes).
     """
     staged = shingle_stage(tokenize_stage(docs.select(id_col, text_col)), shingle_n, distinct=True)
     sigs = minhash_agg(staged, [id_col], k=k)
@@ -72,11 +77,18 @@ def near_dedup_lsh(
         id_col, F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("bk")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    losers = (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"b.{id_col}").alias(id_col))
-        .distinct()
-    )
+    pairs = a.join(
+        b, (F.col("a.bk") == F.col("b.bk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ).select(F.col(f"a.{id_col}").alias("__pa"), F.col(f"b.{id_col}").alias("__pb"))
+    if exact_groups:
+        from kafka_workers_spark.operators.components import connected_components
+
+        comp = connected_components(pairs.distinct(), src="__pa", dst="__pb")
+        losers = comp.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("__pb").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
 
 

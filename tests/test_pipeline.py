@@ -39,6 +39,16 @@ def test_near_dedup_keeps_lowest_id_survivor(spark):
     assert 4 in ids and 6 in ids      # unrelated docs survive
 
 
+def test_near_dedup_exact_groups_one_canonical_per_component(spark):
+    """exact_groups=True resolves the transitive closure: every collision
+    component keeps exactly its minimum id, unrelated docs untouched."""
+    docs = _corpus(spark).filter(F.col("doc_id").isin(1, 2, 3, 4, 6))
+    out = near_dedup_lsh(docs, exact_groups=True)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 1 in ids and 2 not in ids and 3 not in ids  # {1,2,3} -> keep 1
+    assert 4 in ids and 6 in ids
+
+
 def test_curate_corpus_end_to_end(spark):
     chunks = curate_corpus(_corpus(spark), min_tokens=5, chunk_tokens=8, overlap=2)
     rows = chunks.collect()
