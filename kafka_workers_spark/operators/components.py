@@ -51,26 +51,42 @@ def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_rounds: int = 25,
+    max_rounds: int = 50,
 ) -> DataFrame:
     """Resolve an undirected edge list into ``(node, comp)`` where ``comp``
     is the minimum node id in the node's connected component.
+
+    EAGER: the rounds execute at call time (iterative convergence cannot
+    be expressed as one lazy plan); the returned frame reads the final
+    checkpointed labels. When ``sparkContext.setCheckpointDir`` is
+    configured the rounds use reliable ``checkpoint()`` — survives
+    executor loss, the right mode for cluster jobs; otherwise
+    ``localCheckpoint`` (block-manager, fine for local/test runs).
+
+    Raises ``RuntimeError`` if ``max_rounds`` passes without convergence
+    (component diameter > max_rounds — e.g. a 50+-hop chain of sliding
+    near-duplicates) instead of silently returning labels that would leave
+    several survivors in one group.
 
     Only nodes appearing in ``pairs`` are returned (isolated documents are
     their own component by definition — left-join the corpus afterwards
     with ``coalesce(comp, id)``).
     """
+    reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
+
+    def _pin(df: DataFrame) -> DataFrame:
+        # lineage truncation each round — see module docstring; without it
+        # the logical plan doubles per round
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+    labels = _pin(
+        edges.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
     )
     try:
         for _ in range(max_rounds):
@@ -79,17 +95,13 @@ def connected_components(
                 .groupBy("u")
                 .agg(F.min("comp").alias("nbr_comp"))
             )
-            new_labels = (
-                labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
-                .select(
+            new_labels = _pin(
+                labels.join(nbr_min, labels["node"] == nbr_min["u"], "left").select(
                     "node",
                     F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
                         "comp"
                     ),
                 )
-                # lineage truncation each round — see module docstring;
-                # without it the logical plan doubles per round
-                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -100,8 +112,11 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
-                break
-        return labels.select("node", "comp")
+                return labels.select("node", "comp")
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds); raise max_rounds"
+        )
     finally:
         edges.unpersist()
 

@@ -6,7 +6,9 @@ Every stage is a DataFrame→DataFrame transform (no collect, no driver
 loops), so the whole pipeline is one lazy plan the optimizer sees
 end-to-end; at 100 TB each stage's shape is the one audited in
 tests/test_plans.py (blocking-key equi-joins, codegen'd signature
-aggregates, single-scan profiling).
+aggregates, single-scan profiling). One documented exception:
+``near_dedup_lsh(exact_groups=True)`` executes its component rounds
+eagerly (iterative convergence has no lazy form — see its docstring).
 
 The reference has no content operators (payloads are opaque bytes —
 api/task/WorkerTask.java:50 leaves all of this to user code); this module
@@ -19,7 +21,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_workers_spark.functions.determinism import sample_coin
-from kafka_workers_spark.operators.dedup import exact_dedup, lsh_bands, minhash_agg
+from kafka_workers_spark.operators.dedup import (
+    exact_dedup,
+    lsh_bands,
+    minhash_agg,
+    minhash_agreement,
+)
 from kafka_workers_spark.operators.text import (
     STOPWORDS,
     chunk_documents,
@@ -57,6 +64,7 @@ def near_dedup_lsh(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     exact_groups: bool = False,
+    min_agreement: float | None = None,
 ) -> DataFrame:
     """Drop near-duplicates: MinHash signatures → LSH banding → keep one
     survivor per collision group.
@@ -68,22 +76,42 @@ def near_dedup_lsh(
     ``exact_groups=True`` resolves the transitive closure instead
     (operators/components.py min-label propagation, O(diameter) rounds)
     and keeps exactly one canonical doc — the component minimum — per
-    group. Pair cost is Σ bucket² via the band equi-join either way
-    (operators/dedup.py scale notes).
+    group. NOTE: this path is EAGER (the component rounds execute inside
+    this call — iterative convergence is not expressible as one lazy
+    plan), the one exception to this module's lazy-plan rule; it raises
+    rather than return unconverged groups, and uses reliable checkpoints
+    when ``sparkContext.setCheckpointDir`` is configured.
+
+    ``min_agreement`` (e.g. 0.5) verifies candidate pairs with the full
+    signature agreement before treating them as duplicate edges —
+    recommended with ``exact_groups``, where transitivity turns a single
+    false-positive band collision into a cross-cluster merge that deletes
+    another cluster's survivor. Pair cost is Σ bucket² via the band
+    equi-join either way (operators/dedup.py scale notes).
     """
     staged = shingle_stage(tokenize_stage(docs.select(id_col, text_col)), shingle_n, distinct=True)
     sigs = minhash_agg(staged, [id_col], k=k)
     banded = sigs.select(
-        id_col, F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("bk")
+        id_col, "sig", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("bk")
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = a.join(
         b, (F.col("a.bk") == F.col("b.bk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    ).select(F.col(f"a.{id_col}").alias("__pa"), F.col(f"b.{id_col}").alias("__pb"))
+    ).select(
+        F.col(f"a.{id_col}").alias("__pa"),
+        F.col(f"b.{id_col}").alias("__pb"),
+        F.col("a.sig").alias("__sig_a"),
+        F.col("b.sig").alias("__sig_b"),
+    )
+    if min_agreement is not None:
+        pairs = pairs.filter(
+            minhash_agreement(F.col("__sig_a"), F.col("__sig_b"), k) >= min_agreement
+        )
+    pairs = pairs.select("__pa", "__pb")
     if exact_groups:
         from kafka_workers_spark.operators.components import connected_components
 
-        comp = connected_components(pairs.distinct(), src="__pa", dst="__pb")
+        comp = connected_components(pairs, src="__pa", dst="__pb")
         losers = comp.filter(F.col("node") != F.col("comp")).select(
             F.col("node").alias(id_col)
         )

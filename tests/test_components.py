@@ -70,3 +70,17 @@ def test_dedup_groups_bridging_doc_merges_clusters(spark):
     assert out[5] == (1, False)
     # untouched docs are their own singleton groups
     assert out[2] == (2, True) and out[4] == (4, True) and out[6] == (6, True)
+
+
+def test_components_nonconvergence_raises(spark):
+    """A chain longer than max_rounds must raise, not silently return
+    labels that would leave several survivors in one group."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_rounds=3)
+    # and the same graph converges fine with enough rounds
+    got = {r.node: r.comp for r in connected_components(df, max_rounds=15).collect()}
+    assert set(got.values()) == {0}

@@ -219,3 +219,15 @@ def test_prepare_training_mix_composes(spark):
     rows = out.collect()
     assert rows and all(0 <= r.pack_offset < 128 for r in rows)
     assert {"lang", "doc_id", "n_tokens", "pack_shard", "pack_id", "pack_offset"} <= set(out.columns)
+
+
+def test_near_dedup_min_agreement_blocks_weak_pairs(spark):
+    """min_agreement verifies candidate pairs with the full signature
+    before they become duplicate edges: at a threshold no real pair can
+    fail (1.0 for exact dups) survivors are unchanged, and at an
+    impossible threshold (>1) nothing is dropped."""
+    docs = _corpus(spark).filter(F.col("doc_id").isin(1, 2, 4, 6))
+    strict = near_dedup_lsh(docs, exact_groups=True, min_agreement=1.0)
+    assert sorted(r.doc_id for r in strict.collect()) == [1, 4, 6]  # exact dup 2 dropped
+    none = near_dedup_lsh(docs, min_agreement=1.01)
+    assert sorted(r.doc_id for r in none.collect()) == [1, 2, 4, 6]
