@@ -178,3 +178,103 @@ def chunk_documents(
             F.size(piece).cast("bigint").alias("chunk_n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition + heuristic-quality rule set (the Gopher/C4-style filters of a
+# production corpus pipeline; Rae et al. 2021 "Scaling Language Models:
+# ... Gopher" §A1.1, Raffel et al. 2020 C4 heuristics — public papers)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line — the
+    strongest single boilerplate signal (nav bars, cookie banners).
+    Pure array expression, no shuffle."""
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    return (
+        (n - F.size(F.array_distinct(lines))).cast("double")
+        / F.greatest(n, F.lit(1)).cast("double")
+    )
+
+
+def duplicate_ngram_metrics(
+    df, id_cols: list[str], toks_col: str = "toks", n: int = 2
+) -> "DataFrame":
+    """Per-document duplicate-n-gram statistics: total n-grams, distinct
+    n-grams, and the count of the single most frequent n-gram.
+
+    Needs a per-gram frequency, so it is an explode → two-level aggregate
+    (codegen'd, map-side partials; shuffle carries 16-byte gram digests
+    per doc) rather than an array lambda — an O(distinct × total)
+    interpreted expression per row would be the slow path. Derive
+    ``dup_ngram_frac = 1 - n_distinct/n_total`` and
+    ``top_ngram_frac = top_count/n_total`` (Gopher thresholds: reject
+    dup-2-gram > 0.2, top-2-gram > 0.2)."""
+    grams = df.select(
+        *id_cols, F.explode_outer(word_shingles(F.col(toks_col), n)).alias("__g")
+    ).select(*id_cols, F.md5("__g").alias("__gh"))
+    per_gram = grams.groupBy(*id_cols, "__gh").agg(F.count("*").alias("__c"))
+    return per_gram.groupBy(*id_cols).agg(
+        F.sum("__c").cast("bigint").alias("n_ngrams"),
+        F.count("*").cast("bigint").alias("n_distinct_ngrams"),
+        F.max("__c").cast("bigint").alias("top_ngram_count"),
+    )
+
+
+def gopher_rules(text: Column, toks: Column) -> dict[str, Column]:
+    """The single-scan subset of the Gopher quality rules as named boolean
+    columns (True = passes). Combine with :func:`duplicate_ngram_metrics`
+    for the repetition thresholds."""
+    n = F.size(toks)
+    word_lens = F.transform(toks, lambda t: F.length(t))
+    mean_word_len = (
+        F.aggregate(word_lens, F.lit(0), lambda a, v: a + v).cast("double")
+        / F.greatest(n, F.lit(1))
+    )
+    lines = F.split(text, "\n")
+    bullet_like = F.size(
+        F.filter(lines, lambda ln: ln.startswith("- ") | ln.startswith("* "))
+    )
+    ellipsis_like = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    hash_or_ellipsis = F.size(F.filter(toks, lambda t: t.contains("#") | t.contains("...")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stop_presence = F.size(
+        F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(w) for w in STOPWORDS["en"]]), t))
+    )
+    return {
+        "rule_word_count": (n >= 50) & (n <= 100_000),
+        "rule_mean_word_len": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+        "rule_symbol_ratio": hash_or_ellipsis.cast("double") / F.greatest(n, F.lit(1)) <= 0.1,
+        "rule_bullet_lines": bullet_like.cast("double") / n_lines <= 0.9,
+        "rule_ellipsis_lines": ellipsis_like.cast("double") / n_lines <= 0.3,
+        "rule_alpha_words": alpha_words.cast("double") / F.greatest(n, F.lit(1)) >= 0.8,
+        "rule_stopword_presence": stop_presence >= 2,
+        "rule_dup_lines": duplicate_line_fraction(text) <= 0.3,
+    }
+
+
+def gopher_filter(
+    df,
+    text_col: str = "text",
+    min_word_count: int = 50,
+    rules: tuple[str, ...] | None = None,
+) -> "DataFrame":
+    """Apply the single-scan Gopher rules as one conjunctive filter.
+
+    ``rules`` selects a subset by name (default: all). The word-count
+    lower bound is configurable because the canonical 50 is tuned for web
+    pages; pass the deployment's own floor for short-form corpora."""
+    toks = tokens(F.col(text_col))
+    rs = gopher_rules(F.col(text_col), toks)
+    rs["rule_word_count"] = (F.size(toks) >= min_word_count) & (F.size(toks) <= 100_000)
+    selected = rules if rules is not None else tuple(rs)
+    unknown = set(selected) - set(rs)
+    if unknown:
+        raise ValueError(f"unknown gopher rules: {sorted(unknown)}")
+    cond = F.lit(True)
+    for name in selected:
+        cond = cond & rs[name]
+    return df.filter(cond)

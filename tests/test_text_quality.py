@@ -1,0 +1,68 @@
+"""Gopher/C4-style repetition + heuristic quality rules
+(operators/text.py: duplicate_line_fraction, duplicate_ngram_metrics,
+gopher_rules/gopher_filter) against hand-computed expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.operators.text import (
+    duplicate_line_fraction,
+    duplicate_ngram_metrics,
+    gopher_filter,
+    tokens,
+)
+
+
+def test_duplicate_line_fraction(spark):
+    rows = [
+        (1, "a\nb\nc\nd"),          # all unique -> 0.0
+        (2, "nav\nbody\nnav\nnav"),  # 4 lines, 2 distinct -> 0.5
+        (3, "x"),                    # single line -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.f
+        for r in df.select("doc_id", duplicate_line_fraction(F.col("text")).alias("f")).collect()
+    }
+    assert got[1] == 0.0 and got[3] == 0.0
+    assert got[2] == pytest.approx(0.5)
+
+
+def test_duplicate_ngram_metrics(spark):
+    # "a b a b a" -> 2-grams: [a b, b a, a b, b a] : total 4, distinct 2, top 2
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    staged = df.select("doc_id", tokens(F.col("text")).alias("toks"))
+    m = duplicate_ngram_metrics(staged, ["doc_id"], n=2).collect()[0]
+    assert (m.n_ngrams, m.n_distinct_ngrams, m.top_ngram_count) == (4, 2, 2)
+    # derived Gopher signals
+    assert 1 - m.n_distinct_ngrams / m.n_ngrams == pytest.approx(0.5)  # dup-2-gram frac
+    assert m.top_ngram_count / m.n_ngrams == pytest.approx(0.5)        # top-2-gram frac
+
+
+def test_gopher_filter_rules(spark):
+    good = (
+        "the cat sat on the mat and it was a good day for all of the cats "
+        "in that warm little house near the lake"
+    )
+    rows = [
+        (1, good),
+        (2, "buy now " * 10),                      # no stopwords beyond threshold
+        (3, "#tag " * 30),                          # symbol ratio
+        (4, "\n".join(["- item"] * 10)),            # all bullet lines
+        (5, " ".join(["antidisestablishmentarianism"] * 30)),  # mean word len > 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        r.doc_id for r in gopher_filter(df, min_word_count=5).collect()
+    )
+    assert out == [1]
+    # rule subsetting: with only the word-count rule, everything >=5 tokens passes
+    out2 = sorted(
+        r.doc_id
+        for r in gopher_filter(df, min_word_count=5, rules=("rule_word_count",)).collect()
+    )
+    assert out2 == [1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="unknown gopher rules"):
+        gopher_filter(df, rules=("rule_nope",))
