@@ -278,3 +278,28 @@ def gopher_filter(
     for name in selected:
         cond = cond & rs[name]
     return df.filter(cond)
+
+
+def winnowing_fingerprints(
+    shingles: Column, window: int = 4, prefix_len: int = 16
+) -> Column:
+    """Winnowing fingerprint set (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    "Winnowing: Local Algorithms for Document Fingerprinting"): hash every
+    k-gram, then keep the minimum hash of each ``window`` consecutive
+    hashes. Guarantees: any shared substring of length k + window - 1
+    contributes at least one common fingerprint (the detection guarantee),
+    while storing only ~2/(window+1) of the hashes — the standard
+    position-robust fingerprint for partial-overlap detection (quotes,
+    boilerplate spans) where whole-document MinHash dilutes.
+
+    Pure array expressions over a *materialized* shingle column
+    (shingle_stage): per row O(n_shingles × window) comparisons inside one
+    codegen stage, no shuffle. Compare corpora by exploding the result and
+    equi-joining on (fingerprint) — a blocking join like the LSH path.
+    Hashes are truncated md5 (``prefix_len`` hex chars), engine-portable.
+    """
+    hashes = F.transform(shingles, lambda s: F.substring(F.md5(s), 1, prefix_len))
+    n = F.size(hashes)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    mins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    return F.when(n >= 1, F.array_distinct(mins))

@@ -66,3 +66,35 @@ def test_gopher_filter_rules(spark):
     assert out2 == [1, 2, 3, 4, 5]
     with pytest.raises(ValueError, match="unknown gopher rules"):
         gopher_filter(df, rules=("rule_nope",))
+
+
+def test_winnowing_fingerprints(spark):
+    """Winnowing detection guarantee: documents sharing a long span share
+    at least one fingerprint; the set is smaller than the full hash list;
+    a short doc still yields one fingerprint."""
+    from kafka_workers_spark.operators.text import winnowing_fingerprints, word_shingles
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "intro words here " + span + " closing remarks now"),
+        (2, "totally different opening " + span + " and another ending"),
+        (3, "no overlap with anything else in this corpus at all today"),
+        (4, "a b c"),  # exactly one 3-shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    staged = df.select(
+        "doc_id", word_shingles(F.split(F.col("text"), " "), 3).alias("shingles")
+    )
+    out = {
+        r.doc_id: set(r.fp)
+        for r in staged.select(
+            "doc_id", winnowing_fingerprints(F.col("shingles"), window=4).alias("fp")
+        ).collect()
+    }
+    # shared 10-token span = 8 shared 3-shingles > k+w-1 guarantee window
+    assert out[1] & out[2], "shared span produced no common fingerprint"
+    assert not (out[1] & out[3]) and not (out[2] & out[3])
+    assert len(out[4]) == 1
+    # compression: fewer fingerprints than shingles for a long doc
+    n_shingles = len(rows[0][1].split()) - 2
+    assert len(out[1]) < n_shingles
