@@ -135,3 +135,77 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
     if not total:
         return 0.0
     return sum(by_q.get(qid, 0) / min(k, n) for qid, n in total.items()) / len(total)
+
+
+def rhp_lsh_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs over an embedding column —
+    the vector analog of MinHash-LSH (Charikar, STOC'02 similarity
+    estimation): bit_i = sign(v · r_i) for ``n_bits`` seeded Gaussian
+    hyperplanes; two vectors agree on a bit with probability
+    1 - angle(a, b)/π, so banding the bits yields a cosine-blocking join
+    with NO pretrained labels or centroids (contrast ivf_topk, which needs
+    a trained quantizer; dedup_embedding_cosine, which blocks on an
+    existing label).
+
+    Plan shape: the hyperplane matrix (n_bits × dim, seeded numpy — tiny)
+    broadcasts against the long-format vector explode; bits come out of
+    ONE codegen'd hash aggregate (sum of x·r per (id, bit), no Python);
+    bands equi-join like the simhash byte bands — Σ bucket², never n².
+    Fixed-point vector values keep the sign computation deterministic
+    across engines (the projection constants are exact integers).
+
+    Returns (id_a, id_b, n_shared_bands) candidate pairs; verify with
+    exact cosine (cosine_from_fixed) downstream.
+    """
+    if n_bits % n_bands != 0:
+        raise ValueError(f"n_bands ({n_bands}) must divide n_bits ({n_bits})")
+    import numpy as np
+
+    rows_per_band = n_bits // n_bands
+    rng = np.random.RandomState(seed)
+    # exact integer projection entries: signs are invariant to the 1e6
+    # scaling of both operands, and integer arithmetic is engine-portable
+    proj = np.floor(rng.standard_normal((n_bits, dim)) * 1_000_000).astype("int64")
+    spark = df.sparkSession
+    proj_rows = [
+        (b, i, int(proj[b, i])) for b in range(n_bits) for i in range(dim)
+    ]
+    proj_df = spark.createDataFrame(proj_rows, "bit int, i int, r long")
+
+    vecs = df.select(id_col, embedding_fixed(F.col(vec_col)).alias("v6"))
+    exploded = explode_fixed(vecs, [id_col])
+    bits = (
+        exploded.join(F.broadcast(proj_df), "i")
+        .groupBy(id_col, "bit")
+        .agg(F.sum(F.col("x") * F.col("r")).alias("proj6"))
+        .select(id_col, "bit", (F.col("proj6") >= 0).cast("int").alias("b"))
+    )
+    # pack each band's bits into one integer key: band = bit div rows_per_band
+    bands = (
+        bits.withColumn("band", (F.col("bit") / rows_per_band).cast("int"))
+        .withColumn("pos", F.col("bit") % rows_per_band)
+        .withColumn("contrib", F.expr("CAST(b AS BIGINT) * shiftleft(CAST(1 AS BIGINT), pos)"))
+        .groupBy(id_col, "band")
+        .agg(F.sum("contrib").alias("band_key"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").cast("int").alias("n_shared_bands"))
+    )

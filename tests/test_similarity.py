@@ -79,3 +79,33 @@ def test_ivf_exhaustive_probe_matches_brute_force_scores(spark, assigned):
         assert cosines == sorted(cosines, reverse=True) or all(
             c1 >= c2 - 1e-12 for c1, c2 in zip(cosines, cosines[1:])
         ), f"query {qid} not ranked by cosine"
+
+
+def test_rhp_lsh_pairs_blocks_by_angle(spark):
+    """Random-hyperplane LSH: a near-identical vector pair shares (almost)
+    all bands; the pair table is deterministic for a fixed seed; the plan
+    is a blocking equi-join (no cartesian, no Python)."""
+    import numpy as np
+
+    from kafka_workers_spark.operators.similarity import rhp_lsh_pairs
+    from kafka_workers_spark.plans import audit
+
+    rng = np.random.RandomState(1)
+    base = rng.standard_normal(16)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(30)]
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in base + rng.standard_normal(16) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = {(r.id_a, r.id_b): r.n_shared_bands for r in rhp_lsh_pairs(df, dim=16).collect()}
+    assert out.get((100, 101), 0) >= 3  # ~identical directions agree on ~all bits
+    # deterministic: same seed -> same pair table
+    again = {(r.id_a, r.id_b): r.n_shared_bands for r in rhp_lsh_pairs(df, dim=16).collect()}
+    assert out == again
+    a = audit(rhp_lsh_pairs(df, dim=16))
+    assert a.cartesian_products == 0 and a.python_evals == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        rhp_lsh_pairs(df, dim=16, n_bits=10, n_bands=4)
