@@ -209,3 +209,55 @@ def rhp_lsh_pairs(
         )
         .agg(F.count("*").cast("int").alias("n_shared_bands"))
     )
+
+
+def near_dedup_embeddings(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.99,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 7,
+    exact_groups: bool = False,
+) -> DataFrame:
+    """Label-free embedding near-dedup: RHP-LSH blocking →
+    exact-cosine verification → one survivor per duplicate group.
+
+    The three-stage shape of a production semantic-dedup pass over, e.g.,
+    image/text embedding tables where no cluster labels exist yet:
+    candidate pairs from :func:`rhp_lsh_pairs` (Σ bucket² blocking join),
+    each verified with the exact fixed-point cosine (vectorized Arrow dot
+    products — pair table only, never n²), survivors = docs that are not
+    a non-minimum member of a verified duplicate group. ``exact_groups``
+    resolves transitive closure via connected components (EAGER — see
+    operators/components.py); the default greedy rule drops any vector
+    verified-similar to a lower id.
+    """
+    from kafka_workers_spark.operators.dedup import dot_fixed_fast
+
+    cand = rhp_lsh_pairs(
+        df, dim, id_col=id_col, vec_col=vec_col, n_bits=n_bits, n_bands=n_bands, seed=seed
+    )
+    vecs = df.select(
+        F.col(id_col).alias("__vid"), embedding_fixed(F.col(vec_col)).alias("v6")
+    )
+    norms = norms_fixed(explode_fixed(vecs, ["__vid"]), ["__vid"])
+    enriched = (
+        cand.join(vecs.withColumnRenamed("__vid", "id_a").withColumnRenamed("v6", "va"), "id_a")
+        .join(vecs.withColumnRenamed("__vid", "id_b").withColumnRenamed("v6", "vb"), "id_b")
+        .join(norms.withColumnRenamed("__vid", "id_a").withColumnRenamed("norm6", "na"), "id_a")
+        .join(norms.withColumnRenamed("__vid", "id_b").withColumnRenamed("norm6", "nb"), "id_b")
+    )
+    verified = enriched.withColumn(
+        "cosine", cosine_from_fixed(dot_fixed_fast(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    ).filter(F.col("cosine") >= min_cosine)
+    if exact_groups:
+        from kafka_workers_spark.operators.components import connected_components
+
+        comp = connected_components(verified.select("id_a", "id_b"), src="id_a", dst="id_b")
+        losers = comp.filter(F.col("node") != F.col("comp")).select(F.col("node").alias(id_col))
+    else:
+        losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -109,3 +109,29 @@ def test_rhp_lsh_pairs_blocks_by_angle(spark):
 
     with pytest.raises(ValueError, match="divide"):
         rhp_lsh_pairs(df, dim=16, n_bits=10, n_bands=4)
+
+
+def test_near_dedup_embeddings_label_free(spark):
+    """RHP blocking + exact-cosine verify + survivor rule: planted
+    duplicate directions collapse to the lowest id; unrelated vectors all
+    survive — no labels, no training."""
+    import numpy as np
+
+    from kafka_workers_spark.operators.similarity import near_dedup_embeddings
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(16)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(20)]
+    rows += [
+        (100, [float(x) for x in base]),
+        (101, [float(x) for x in base * 2.0]),            # same direction
+        (102, [float(x) for x in base + rng.standard_normal(16) * 0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for exact in (False, True):
+        out = sorted(
+            r.vec_id
+            for r in near_dedup_embeddings(df, dim=16, exact_groups=exact).collect()
+        )
+        assert 100 in out and 101 not in out and 102 not in out, out
+        assert [i for i in range(20) if i not in out] == [], out
