@@ -98,3 +98,33 @@ def test_winnowing_fingerprints(spark):
     # compression: fewer fingerprints than shingles for a long doc
     n_shingles = len(rows[0][1].split()) - 2
     assert len(out[1]) < n_shingles
+
+
+def test_chunk_reconstruction_roundtrip_randomized(spark):
+    """Property: for random documents and window geometries, dropping each
+    chunk's leading overlap and concatenating reconstructs the document
+    exactly — full coverage, no duplicated tail text."""
+    import random
+
+    from kafka_workers_spark.operators.text import chunk_documents
+
+    rng = random.Random(11)
+    docs, originals = [], {}
+    for doc_id in range(40):
+        n = rng.randint(1, 60)
+        toks = [f"t{doc_id}_{i}" for i in range(n)]
+        originals[doc_id] = toks
+        docs.append((doc_id, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for chunk_tokens, overlap in [(8, 2), (5, 4), (16, 0), (3, 1)]:
+        rows = chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert set(by_doc) == set(originals)
+        for doc_id, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r.chunk_id)
+            rebuilt = chunks[0].chunk_text.split()
+            for r in chunks[1:]:
+                rebuilt += r.chunk_text.split()[overlap:]
+            assert rebuilt == originals[doc_id], (doc_id, chunk_tokens, overlap)
