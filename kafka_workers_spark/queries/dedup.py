@@ -206,10 +206,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
+        # Filter BEFORE the pair dedup: hamming is a function of the
+        # pair's simhashes, so the result set is identical, but the
+        # dropDuplicates shuffle now carries only near pairs instead of
+        # every candidate (Catalyst cannot push this itself — after the
+        # dedup rewrite the predicate references first(sh_a), a
+        # non-grouping aggregate output).
+        .filter(hamming32(F.col("sh_a"), F.col("sh_b")) <= 6)
         .dropDuplicates(["doc_a", "doc_b"])
     )
     ham = hamming32(F.col("sh_a"), F.col("sh_b"))
-    return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(F.col("hamming") <= 6)
+    return pairs.select("doc_a", "doc_b", ham.alias("hamming"))
 
 
 # ---------------------------------------------------------------------------
