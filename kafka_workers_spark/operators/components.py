@@ -72,12 +72,32 @@ def connected_components(
     their own component by definition — left-join the corpus afterwards
     with ``coalesce(comp, id)``).
     """
-    reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
 
     def _pin(df: DataFrame) -> DataFrame:
         # lineage truncation each round — see module docstring; without it
         # the logical plan doubles per round
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    def _persistent_ids() -> set[int]:
+        try:
+            return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}  # noqa: SLF001
+        except Exception:  # noqa: BLE001 — best-effort bookkeeping only
+            return set()
+
+    def _free(rdd_ids: set[int]) -> None:
+        # superseded local checkpoints otherwise stay pinned in executor
+        # block managers until GC notices the dropped python reference;
+        # at 10⁹ nodes each round is ~16 bytes × n, so free them promptly
+        try:
+            jmap = sc._jsc.getPersistentRDDs()  # noqa: SLF001
+            for rid in rdd_ids:
+                jrdd = jmap.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001
+            pass
 
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -85,9 +105,11 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    before = _persistent_ids()
     labels = _pin(
         edges.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
     )
+    label_ids = _persistent_ids() - before
     try:
         for _ in range(max_rounds):
             nbr_min = (
@@ -95,6 +117,7 @@ def connected_components(
                 .groupBy("u")
                 .agg(F.min("comp").alias("nbr_comp"))
             )
+            before = _persistent_ids()
             new_labels = _pin(
                 labels.join(nbr_min, labels["node"] == nbr_min["u"], "left").select(
                     "node",
@@ -103,6 +126,7 @@ def connected_components(
                     ),
                 )
             )
+            new_ids = _persistent_ids() - before
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
@@ -110,6 +134,8 @@ def connected_components(
                 .limit(1)
                 .count()
             )
+            _free(label_ids)  # the superseded round; changed-check is done with it
+            label_ids = new_ids
             labels = new_labels
             if changed == 0:
                 return labels.select("node", "comp")

@@ -136,8 +136,13 @@ def lsh_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
 
 
 def minhash_agreement(sig_a: Column, sig_b: Column, k: int) -> Column:
-    """Estimated Jaccard = fraction of agreeing signature positions."""
-    eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    """Estimated Jaccard = fraction of agreeing signature positions.
+
+    Null-safe compare: documents with fewer tokens than the shingle width
+    have all-NULL signatures; a plain ``==`` would make their agreement
+    NULL, silently failing any downstream ``>= threshold`` verification —
+    exact-duplicate tiny docs must agree at 1.0, not NULL."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: x.eqNullSafe(y).cast("int"))
     return (
         F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double") / float(k)
     )

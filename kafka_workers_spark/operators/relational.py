@@ -112,27 +112,34 @@ def salted_join(
     AQE's skew-join split (enabled in session defaults) handles the plain
     sort-merge case at runtime; this operator covers the plans AQE cannot
     split (skewed key feeding an aggregate, disabled AQE, non-SMJ shapes):
-    the left (big/skewed) side gets a per-row round-robin salt, the right
-    side replicates each row ``salt`` times, and the join key becomes
+    the left (big/skewed) side gets a per-row salt, the right side
+    replicates each row ``salt`` times, and the join key becomes
     (key, salt) — the hot key's rows land on ``salt`` different reducers.
     Cost: right side bytes × salt (keep the replicated side small); result
     is row-identical to the unsalted join for every join type that keys
     only on ``on`` (inner/left).
 
-    The salt must NOT be a hash of the row's columns: the pathological
-    skew case is a hot key whose rows are (near-)identical — deduplicated
-    feeds, narrow projections — where any content hash is constant and the
-    straggler survives salting. ``monotonically_increasing_id`` cycles
-    every row through all ``salt`` values regardless of content. It is
-    nondeterministic across retries, which is safe here: every salt value
-    matches exactly one replicated right-side row, so the join result does
-    not depend on which salt a row draws.
+    The salt mixes a content hash with ``spark_partition_id()`` so that
+    (a) it stays DETERMINISTIC under task retry — a per-row random or
+    monotonic id re-draws salts when a map task reruns, and a reducer mix
+    of attempt-1 and attempt-2 outputs then silently loses or duplicates
+    rows (the indeterminate-shuffle-key class of bug Spark guards its own
+    round-robin repartition against) — and (b) identical rows of a hot
+    key still split whenever they span input partitions (the common
+    identical-row skew case: a replicated/deduplicated feed read from
+    many splits). Residual caveat: identical rows within ONE input
+    partition share a salt; if a single split holds the whole hot key,
+    pre-spread the input or dedup-and-weight instead.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     on = [on] if isinstance(on, str) else list(on)
     left_s = left.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
+        "__salt",
+        F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in left.columns]), F.spark_partition_id()),
+            F.lit(salt),
+        ).cast("int"),
     )
     right_s = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

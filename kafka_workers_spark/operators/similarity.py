@@ -180,7 +180,18 @@ def rhp_lsh_pairs(
     ]
     proj_df = spark.createDataFrame(proj_rows, "bit int, i int, r long")
 
-    vecs = df.select(id_col, embedding_fixed(F.col(vec_col)).alias("v6"))
+    # fail loudly on a dim mismatch: the projection join on i < dim would
+    # otherwise silently truncate longer vectors to a prefix, quietly
+    # degrading blocking recall (assert_true evaluates NULL per row when
+    # the size matches, throws on the first mismatch)
+    checked = F.when(
+        F.assert_true(
+            F.size(F.col(vec_col)) == dim,
+            F.lit(f"rhp_lsh_pairs: embedding length != dim ({dim})"),
+        ).isNull(),
+        embedding_fixed(F.col(vec_col)),
+    )
+    vecs = df.select(id_col, checked.alias("v6"))
     exploded = explode_fixed(vecs, [id_col])
     bits = (
         exploded.join(F.broadcast(proj_df), "i")

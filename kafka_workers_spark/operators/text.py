@@ -158,15 +158,17 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
     step = chunk_tokens - overlap
-    staged = tokenize_stage(df, text_col)
+    # drop null-text docs explicitly: greatest(NULL, 0) = 0, so a NULL
+    # token array would otherwise still generate start 0 and emit one
+    # chunk row with NULL chunk_text
+    staged = tokenize_stage(df, text_col).filter(F.col("toks").isNotNull())
     n = F.size(F.col("toks"))
     # A start contributes NEW tokens only while start < n - overlap (the
     # chunk one step earlier already covers through start + overlap - 1);
     # capping the sequence there stops the tail from emitting a chunk that
     # is a pure suffix of its predecessor — duplicated training text from
     # the very pipeline whose job is dedup. start 0 always exists (split
-    # never yields an empty array; null text nulls the sequence and the
-    # explode drops the row).
+    # of any non-null text yields at least one element).
     starts = F.sequence(F.lit(0), F.greatest(n - 1 - overlap, F.lit(0)), F.lit(step))
     piece = F.slice(F.col("toks"), F.col("__start") + 1, chunk_tokens)
     return (
@@ -216,17 +218,29 @@ def duplicate_ngram_metrics(
         *id_cols, F.explode_outer(word_shingles(F.col(toks_col), n)).alias("__g")
     ).select(*id_cols, F.md5("__g").alias("__gh"))
     per_gram = grams.groupBy(*id_cols, "__gh").agg(F.count("*").alias("__c"))
+    # null-safe aggregates: a doc with fewer than n tokens contributes one
+    # all-NULL row via explode_outer, which must read as ZERO n-grams (not
+    # one maximally-repetitive gram — deriving top_ngram_frac = 1.0 would
+    # reject empty docs as boilerplate)
+    real = F.col("__gh").isNotNull()
     return per_gram.groupBy(*id_cols).agg(
-        F.sum("__c").cast("bigint").alias("n_ngrams"),
-        F.count("*").cast("bigint").alias("n_distinct_ngrams"),
-        F.max("__c").cast("bigint").alias("top_ngram_count"),
+        F.coalesce(F.sum(F.when(real, F.col("__c"))), F.lit(0)).cast("bigint").alias("n_ngrams"),
+        F.count(F.col("__gh")).cast("bigint").alias("n_distinct_ngrams"),
+        F.coalesce(F.max(F.when(real, F.col("__c"))), F.lit(0)).cast("bigint").alias("top_ngram_count"),
     )
 
 
-def gopher_rules(text: Column, toks: Column) -> dict[str, Column]:
+def gopher_rules(
+    text: Column, toks: Column, min_word_count: int = 50
+) -> dict[str, Column]:
     """The single-scan subset of the Gopher quality rules as named boolean
     columns (True = passes). Combine with :func:`duplicate_ngram_metrics`
-    for the repetition thresholds."""
+    for the repetition thresholds.
+
+    All rules reference the same ``toks``/``split(text)`` subtrees inside
+    one Filter/Project operator, where whole-stage codegen's subexpression
+    elimination evaluates each distinct subtree once per row — no staging
+    exchange needed for a filter-only pass."""
     n = F.size(toks)
     word_lens = F.transform(toks, lambda t: F.length(t))
     mean_word_len = (
@@ -241,11 +255,9 @@ def gopher_rules(text: Column, toks: Column) -> dict[str, Column]:
     n_lines = F.greatest(F.size(lines), F.lit(1))
     hash_or_ellipsis = F.size(F.filter(toks, lambda t: t.contains("#") | t.contains("...")))
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
-    stop_presence = F.size(
-        F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(w) for w in STOPWORDS["en"]]), t))
-    )
+    stop_presence = stopword_hits(toks, STOPWORDS["en"])
     return {
-        "rule_word_count": (n >= 50) & (n <= 100_000),
+        "rule_word_count": (n >= min_word_count) & (n <= 100_000),
         "rule_mean_word_len": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
         "rule_symbol_ratio": hash_or_ellipsis.cast("double") / F.greatest(n, F.lit(1)) <= 0.1,
         "rule_bullet_lines": bullet_like.cast("double") / n_lines <= 0.9,
@@ -268,8 +280,7 @@ def gopher_filter(
     lower bound is configurable because the canonical 50 is tuned for web
     pages; pass the deployment's own floor for short-form corpora."""
     toks = tokens(F.col(text_col))
-    rs = gopher_rules(F.col(text_col), toks)
-    rs["rule_word_count"] = (F.size(toks) >= min_word_count) & (F.size(toks) <= 100_000)
+    rs = gopher_rules(F.col(text_col), toks, min_word_count=min_word_count)
     selected = rules if rules is not None else tuple(rs)
     unknown = set(selected) - set(rs)
     if unknown:

@@ -128,3 +128,22 @@ def test_chunk_reconstruction_roundtrip_randomized(spark):
             for r in chunks[1:]:
                 rebuilt += r.chunk_text.split()[overlap:]
             assert rebuilt == originals[doc_id], (doc_id, chunk_tokens, overlap)
+
+
+def test_duplicate_ngram_metrics_empty_doc_zero(spark):
+    """A doc with fewer than n tokens has ZERO n-grams — not one
+    'maximally repetitive' NULL gram (which would read as
+    top_ngram_frac = 1.0 and reject the doc as boilerplate)."""
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    staged = df.select("doc_id", tokens(F.col("text")).alias("toks"))
+    m = duplicate_ngram_metrics(staged, ["doc_id"], n=2).collect()[0]
+    assert (m.n_ngrams, m.n_distinct_ngrams, m.top_ngram_count) == (0, 0, 0)
+
+
+def test_chunk_documents_drops_null_text(spark):
+    from kafka_workers_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=2, overlap=0).collect()
+    assert sorted({r.doc_id for r in rows}) == [2]
+    assert all(r.chunk_text is not None for r in rows)
