@@ -135,3 +135,23 @@ def test_near_dedup_embeddings_label_free(spark):
         )
         assert 100 in out and 101 not in out and 102 not in out, out
         assert [i for i in range(20) if i not in out] == [], out
+
+
+def test_new_similarity_ops_on_real_embeddings_table(spark):
+    """rhp_lsh_pairs and near_dedup_embeddings run against the actual
+    embeddings parquet (64-dim float vectors) with clean plans: blocking
+    equi-joins only, no Python eval."""
+    from kafka_workers_spark.operators.similarity import near_dedup_embeddings, rhp_lsh_pairs
+    from kafka_workers_spark.plans import audit
+    from kafka_workers_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = rhp_lsh_pairs(emb, dim=64)
+    a = audit(pairs)
+    assert a.cartesian_products == 0 and a.python_evals == 0
+    assert pairs.count() >= 0  # executes end-to-end (dim assert passes)
+    survivors = near_dedup_embeddings(emb, dim=64, min_cosine=0.999)
+    n_in = emb.count()
+    n_out = survivors.count()
+    assert 0 < n_out <= n_in
+    assert survivors.columns == emb.columns  # passthrough schema
