@@ -1,0 +1,90 @@
+"""Mergeable sketch aggregates: the incremental-rollup surface of a
+100 TB analytics pipeline.
+
+At scale you do not re-scan history to answer "distinct users this
+quarter" — you keep a per-day (or per-partition) SKETCH column and merge
+sketches. HLL register-merge is associative and commutative, so a union
+of partial sketches estimates the same set within the same error bound
+no matter how the data was partitioned (DataSketches' sparse→dense
+representation transitions make the merged bytes — and the last decimals
+of the estimate — differ slightly from a single pass, but the rank error
+guarantee is unchanged): rollups read only pre-aggregated rows, never
+raw history. Spark exposes Apache DataSketches HLL
+(hll_sketch_agg / hll_union_agg / hll_sketch_estimate) natively — these
+wrappers pin the engine's chosen defaults and shape the rollup pattern.
+
+The reference framework has no aggregate surface at all (opaque payloads,
+user tasks); this module is part of the engine's analytical extension,
+like the dedup/similarity families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: log2 of HLL register count: 4KB sketches, ~1.6% relative standard error
+DEFAULT_LG_K = 12
+
+
+def distinct_sketch(col: Column | str, lg_k: int = DEFAULT_LG_K) -> Column:
+    """HLL sketch (binary, mergeable) of a column's distinct values —
+    store this per partition/day instead of raw values."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.hll_sketch_agg(c, F.lit(lg_k))
+
+
+def merge_distinct_sketches(sketch_col: Column | str, lg_k: int = DEFAULT_LG_K) -> Column:
+    """Union previously-stored sketches (register max-merge — associative,
+    so any grouping of partials gives identical state)."""
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    return F.hll_union_agg(c, F.lit(True))
+
+
+def distinct_estimate(sketch_col: Column | str) -> Column:
+    """Cardinality estimate from a sketch column (bigint)."""
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    return F.hll_sketch_estimate(c)
+
+
+def incremental_distinct_rollup(
+    df: DataFrame,
+    partition_cols: list[str],
+    value_col: str,
+    lg_k: int = DEFAULT_LG_K,
+    out: str = "distinct_sketch",
+) -> DataFrame:
+    """The store-this shape: one mergeable sketch row per partition.
+
+    Downstream, any partition subset rolls up without touching raw data::
+
+        daily = incremental_distinct_rollup(events, ["day"], "user_id")
+        q = daily.where(...).agg(
+            distinct_estimate(merge_distinct_sketches("distinct_sketch"))
+              .alias("distinct_users"))
+    """
+    return df.groupBy(*partition_cols).agg(distinct_sketch(value_col, lg_k).alias(out))
+
+
+def approx_quantiles(
+    col: Column | str, probabilities: list[float], accuracy: int = 10_000
+) -> Column:
+    """Mergeable approximate quantiles (Greenwald-Khanna variant behind
+    percentile_approx): rank error <= 1/accuracy. The partial+final merge
+    is automatic — partition-count independent within the error bound."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.percentile_approx(
+        c, F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, cols: list[str], k: int, min_count: int = 1
+) -> DataFrame:
+    """Exact top-k frequent values with scale-correct shape: the groupBy
+    count runs with map-side partial aggregation (shuffle carries one
+    partial count per distinct value per partition, never raw rows) and
+    the top-k is a TakeOrdered, not a global sort. Deterministic
+    tiebreak on the value itself."""
+    counts = df.groupBy(*cols).agg(F.count("*").alias("n")).filter(F.col("n") >= min_count)
+    return counts.orderBy(F.desc("n"), *[F.asc(c) for c in cols]).limit(k)
