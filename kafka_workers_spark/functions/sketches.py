@@ -7,9 +7,9 @@ sketches. HLL register-merge is associative and commutative, so a union
 of partial sketches estimates the same set within the same error bound
 no matter how the data was partitioned (DataSketches' sparse→dense
 representation transitions make the merged bytes — and the last decimals
-of the estimate — differ slightly from a single pass, but the rank error
-guarantee is unchanged): rollups read only pre-aggregated rows, never
-raw history. Spark exposes Apache DataSketches HLL
+of the estimate — differ slightly from a single pass, but the relative
+standard error bound is unchanged): rollups read only pre-aggregated
+rows, never raw history. Spark exposes Apache DataSketches HLL
 (hll_sketch_agg / hll_union_agg / hll_sketch_estimate) natively — these
 wrappers pin the engine's chosen defaults and shape the rollup pattern.
 
@@ -34,11 +34,19 @@ def distinct_sketch(col: Column | str, lg_k: int = DEFAULT_LG_K) -> Column:
     return F.hll_sketch_agg(c, F.lit(lg_k))
 
 
-def merge_distinct_sketches(sketch_col: Column | str, lg_k: int = DEFAULT_LG_K) -> Column:
+def merge_distinct_sketches(
+    sketch_col: Column | str, allow_different_lg_k: bool = False
+) -> Column:
     """Union previously-stored sketches (register max-merge — associative,
-    so any grouping of partials gives identical state)."""
+    so any grouping of partials estimates within the same bound).
+
+    ``allow_different_lg_k=False`` (default) makes a precision mismatch
+    ERROR instead of silently downgrading the union to the lowest
+    precision present — a backfill written at a smaller lg_k would
+    otherwise quietly void the error bound of every rollup touching it.
+    """
     c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
-    return F.hll_union_agg(c, F.lit(True))
+    return F.hll_union_agg(c, F.lit(allow_different_lg_k))
 
 
 def distinct_estimate(sketch_col: Column | str) -> Column:
@@ -79,12 +87,15 @@ def approx_quantiles(
 
 
 def heavy_hitters(
-    df: DataFrame, cols: list[str], k: int, min_count: int = 1
+    df: DataFrame, cols: list[str], k: int, min_count: int = 1, out: str = "hh_count"
 ) -> DataFrame:
     """Exact top-k frequent values with scale-correct shape: the groupBy
     count runs with map-side partial aggregation (shuffle carries one
     partial count per distinct value per partition, never raw rows) and
     the top-k is a TakeOrdered, not a global sort. Deterministic
-    tiebreak on the value itself."""
-    counts = df.groupBy(*cols).agg(F.count("*").alias("n")).filter(F.col("n") >= min_count)
-    return counts.orderBy(F.desc("n"), *[F.asc(c) for c in cols]).limit(k)
+    tiebreak on the value itself. ``out`` names the count column
+    (collision-checked against the grouping columns)."""
+    if out in cols:
+        raise ValueError(f"count column name {out!r} collides with a grouping column")
+    counts = df.groupBy(*cols).agg(F.count("*").alias(out)).filter(F.col(out) >= min_count)
+    return counts.orderBy(F.desc(out), *[F.asc(c) for c in cols]).limit(k)

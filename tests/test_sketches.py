@@ -62,7 +62,7 @@ def test_approx_quantiles_rank_error(spark):
 def test_heavy_hitters_exact(spark):
     li = load_table(spark, SF, "lineitem")
     got = [
-        (r.l_returnflag, r.n) for r in heavy_hitters(li, ["l_returnflag"], k=3).collect()
+        (r.l_returnflag, r.hh_count) for r in heavy_hitters(li, ["l_returnflag"], k=3).collect()
     ]
     pdf = li.groupBy("l_returnflag").count().toPandas()
     want = sorted(
