@@ -84,7 +84,7 @@ def main() -> None:
     # CPU) on random queries; re-run outliers once and keep the minimum so
     # a stall doesn't masquerade as a plan regression.
     med = sorted(timings.values())[len(timings) // 2]
-    threshold = max(8.0, 5 * med)
+    threshold = max(5.0, 4 * med)
     for name in [n for n, t in timings.items() if t > threshold]:
         for _ in range(2):
             retry = run_once(name)
