@@ -63,3 +63,15 @@ def test_decode_value_requires_schema(spark):
     df = spark.createDataFrame([("x",)], "value string")
     with pytest.raises(ValueError, match="requires a DDL schema"):
         decode_value(df, "json")
+
+
+def test_avro_missing_package_clear_error(spark, tmp_path):
+    """Data-source resolution happens at load(): without the external
+    spark-avro package the reader must surface the documented RuntimeError,
+    not a raw Py4J stack."""
+    import pytest
+
+    from kafka_workers_spark.sources.files import read_files
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_files(spark, str(tmp_path / "x.avro"), "avro")
