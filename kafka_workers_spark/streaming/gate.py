@@ -27,11 +27,14 @@ use ``on_punctuate`` to implement timeout-release policies.
 from __future__ import annotations
 
 import json
+import time
 from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kafka_workers_spark.streaming.offsets import ProcessingTimeoutError
 
 
 def accept_gate(
@@ -43,6 +46,7 @@ def accept_gate(
     on_release: Callable[[dict, dict], dict] | None = None,
     on_punctuate: Callable[[dict], dict] | None = None,
     punctuate_interval_ms: int | None = None,
+    max_buffer_age_ms: int | None = None,
 ) -> DataFrame:
     """Head-blocking release gate over a (streaming or batch-grouped)
     DataFrame.
@@ -54,14 +58,28 @@ def accept_gate(
     ``output_schema`` must list the key columns first, then the remaining
     input columns in input order. Rows are JSON-buffered: values must be
     JSON-serializable primitives.
+
+    ``max_buffer_age_ms`` is the A9 record-granular processing deadline
+    for gated records: a row buffered (consumed but never released)
+    longer than this raises ``ProcessingTimeoutError`` and fails the
+    query with that cause — the reference's
+    ``consumer.processing.timeout.ms`` watchdog semantics
+    (impl/offsets/DefaultOffsetsState.java:223-256: oldest
+    consumed-but-unprocessed record past the deadline kills the
+    pipeline), at record granularity for exactly the rows the engine is
+    holding. Pair with ``punctuate_interval_ms`` so the deadline fires
+    even when no new data arrives. Batch-granular coverage for
+    non-buffered paths stays with ``lifecycle.BatchDeadlineListener``.
     """
     cols = [c for c in df.columns if c not in keys]
 
     def _release(st: dict) -> list[dict]:
-        buf = sorted(st["buf"], key=lambda r: r[order_by])
+        # buffer entries are {"r": row, "t": first-seen ms} — the t drives
+        # the record-granular deadline
+        buf = sorted(st["buf"], key=lambda e: e["r"][order_by])
         released = []
         while buf:
-            head = buf[0]
+            head = buf[0]["r"]
             if not accept(head, st["user"]):
                 break  # head blocks: everything behind it waits
             released.append(head)
@@ -70,6 +88,17 @@ def accept_gate(
                 st["user"] = on_release(head, st["user"])
         st["buf"] = buf
         return released
+
+    def _check_deadline(st: dict) -> None:
+        if max_buffer_age_ms is None or not st["buf"]:
+            return
+        now_ms = int(time.time() * 1000)
+        oldest = min(e["t"] for e in st["buf"])
+        if now_ms - oldest > max_buffer_age_ms:
+            raise ProcessingTimeoutError(
+                f"record buffered for {now_ms - oldest} ms "
+                f"(> {max_buffer_age_ms} ms) without being released"
+            )
 
     def _emit(key: tuple, recs: list[dict]) -> pd.DataFrame:
         data = {k: [key[i]] * len(recs) for i, k in enumerate(keys)}
@@ -99,18 +128,21 @@ def accept_gate(
             released = _release(st)
             if released:
                 yield _emit(key, released)
+            _check_deadline(st)
             _save(st, state)
             return
+        now_ms = int(time.time() * 1000)
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
                 rec = {}
                 for c in cols:
                     v = getattr(row, c)
                     rec[c] = v.item() if hasattr(v, "item") else v
-                st["buf"].append(rec)
+                st["buf"].append({"r": rec, "t": now_ms})
         released = _release(st)
         if released:
             yield _emit(key, released)
+        _check_deadline(st)
         _save(st, state)
 
     timeout = (

@@ -171,3 +171,43 @@ def test_accept_gate_drops_state_for_drained_keys(spark, tmp_path):
         assert total == 0, f"state rows left behind: {total}"
     finally:
         q.stop()
+
+
+def test_gate_record_deadline_fails_query(spark, tmp_path):
+    """A9 record granularity for buffered records: a head blocked past
+    max_buffer_age_ms raises ProcessingTimeoutError and the live query
+    terminates with that cause (reference:
+    ProcessingTimeoutTest.java:75-104 — one unacked record kills the
+    pipeline)."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    rows = [(0, 0, 99)]  # cost 99 never fits: head blocks forever
+    spark.createDataFrame(rows, "k int, offset long, cost long").coalesce(1).write.parquet(src)
+    accept, on_release, on_punctuate = _budget_gate_fns()
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = accept_gate(
+        stream,
+        keys=["k"],
+        accept=lambda row, st: row["cost"] <= 5,
+        output_schema="k int, offset long, cost long",
+        order_by="offset",
+        punctuate_interval_ms=500,
+        max_buffer_age_ms=2000,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gate_deadline")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    with pytest.raises(Exception) as exc_info:
+        q.awaitTermination(90)
+        if q.exception() is not None:
+            raise q.exception()
+    assert "ProcessingTimeoutError" in str(exc_info.value) or "buffered for" in str(
+        exc_info.value
+    ), str(exc_info.value)[:500]
