@@ -30,7 +30,14 @@ __all__ = ["WorkersConfig", "build_session", "__version__"]
 #   streaming.offsets   — commit-prefix semantic model (A6 oracle)
 #   streaming.lifecycle — status machine, deadline, metrics (A14/A9/A15)
 #   streaming.sinks     — foreachBatch / exactly-once sinks
-#   operators.{relational,dedup,text,multimodal} — DataFrame operators
-#   functions           — deterministic aggregation helpers
+#   streaming.gate      — generic accept gate (A3) + record deadline (A9)
+#   streaming.dedup     — watermark-bounded streaming dedup
+#   operators.{relational,dedup,components,similarity,text,multimodal}
+#                       — DataFrame operators (joins, dedup families,
+#                         connected components, ANN/RHP-LSH, quality
+#                         rules, winnowing, chunking, binary columns)
+#   pipeline            — corpus curation / training-mix composition
+#   functions           — deterministic aggregation helpers + mergeable
+#                         sketches (HLL rollups, quantiles, heavy hitters)
 #   plans               — physical-plan audits (pushdown/broadcast/codegen)
 #   queries             — the oracle-checked query registry (driver gate)
