@@ -105,3 +105,15 @@ def test_generate_filter_inference_stays_excluded(spark):
         # the tokenize split appears once in the plan tree + once in the
         # node-details section; any third occurrence is a re-derivation
         assert a.text.count("split(text") <= 2, f"{name} tokenizes more than once"
+
+
+def test_self_join_reuses_signature_stage(spark):
+    """The banded self-joins must not compute signatures twice: AQE's
+    stage-level exchange reuse shares one materialized signature pipeline
+    between the two join branches at runtime (the static plan prints two
+    scans; the executed plan must show a ReusedExchange)."""
+    for name in ["dedup_simhash_pairs", "dedup_minhash_lsh"]:
+        df = REG[name].fn(spark, SF)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "ReusedExchange" in final, f"{name}: no exchange reuse in executed plan"
