@@ -182,6 +182,43 @@ def simhash_agg(df: DataFrame, id_cols: list[str], toks_col: str = "toks", out: 
     return agg.select(*id_cols, sim.alias(out))
 
 
+def simhash_expr(toks: Column) -> Column:
+    """Expression form of :func:`simhash_agg` — bit-identical signature as
+    a single column expression, no aggregation.
+
+    This is the STREAMING path: computing the signature before a
+    stateful operator (e.g. ``dropDuplicatesWithinWatermark`` keyed on
+    it) cannot go through a groupBy on a stream. It is also the slow
+    path — an interpreted aggregate-over-tokens lambda, O(bits × tokens)
+    per row vs the codegen'd relational shape — so batch signature scans
+    should keep using :func:`simhash_agg`.
+
+    Token order does not affect the signature (it is a sum over the
+    multiset), so permuted near-duplicates hash identically — the class
+    of duplicate a normalized-content digest misses.
+    """
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+
+    def tok_bits(tok: Column) -> Column:
+        # bit b of md5(tok)'s first 8 hex chars, as ±1: (h div 2^b) % 2
+        h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+        return F.transform(powers, lambda p: ((h / p).cast("long") % 2) * 2 - 1)
+
+    zeros = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
+    counters = F.aggregate(
+        F.coalesce(toks, F.array().cast("array<string>")),
+        zeros,
+        lambda acc, tok: F.zip_with(acc, tok_bits(tok), lambda a, v: a + v),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def sql_simhash(toks_expr: str) -> str:
     """DuckDB rendering of :func:`simhash`."""
     tok_hash = "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)"

@@ -284,23 +284,39 @@ def curate_corpus_stream(
     min_tokens: int = 5,
     chunk_tokens: int = 128,
     overlap: int = 16,
+    dedup_on: str = "content",
 ) -> DataFrame:
-    """Streaming curation: quality-filter → exact dedup within the
-    watermark → chunking, all streaming-safe stages.
+    """Streaming curation: quality-filter → dedup within the watermark →
+    chunking, all streaming-safe stages.
 
-    Exact dedup uses the bounded-state streaming operator
-    (streaming/dedup.py) keyed on the normalized-content digest, so state
-    size tracks the watermark delay, not corpus size. LSH near-dedup is
-    deliberately NOT in the streaming path: candidate pairing is a
-    self-join over the whole corpus — in production it runs as a periodic
-    batch compaction over the landed output (use :func:`near_dedup_lsh`
-    there), not per micro-batch, which would only dedup within a batch
-    and silently miss cross-batch near-duplicates.
+    ``dedup_on='content'`` keys the bounded-state streaming dedup
+    (streaming/dedup.py) on the normalized-content md5 — exact dedup.
+    ``dedup_on='simhash'`` keys it on the 32-bit SimHash expression
+    (operators/dedup.simhash_expr, bit-identical to the batch aggregate):
+    token-multiset near-duplicates — reordered boilerplate, shuffled list
+    items — collapse too, the duplicate class a content digest misses.
+    Either way state size tracks the watermark delay, not corpus size.
+
+    Full LSH near-dedup is deliberately NOT in the streaming path:
+    candidate pairing is a self-join over the whole corpus — in
+    production it runs as a periodic batch compaction over the landed
+    output (use :func:`near_dedup_lsh` there), not per micro-batch, which
+    would only dedup within a batch and silently miss cross-batch
+    near-duplicates.
     """
+    from kafka_workers_spark.operators.dedup import simhash_expr
+    from kafka_workers_spark.operators.text import tokens
     from kafka_workers_spark.streaming.dedup import dedup_within_watermark
 
+    if dedup_on not in ("content", "simhash"):
+        raise ValueError(f"dedup_on must be 'content' or 'simhash', got {dedup_on!r}")
     filtered = quality_filter(docs, text_col, min_tokens=min_tokens)
-    hashed = filtered.withColumn("__digest", F.md5(normalized(F.col(text_col))))
+    digest = (
+        F.md5(normalized(F.col(text_col)))
+        if dedup_on == "content"
+        else simhash_expr(tokens(normalized(F.col(text_col)))).cast("string")
+    )
+    hashed = filtered.withColumn("__digest", digest)
     exact = dedup_within_watermark(
         hashed, keys=["__digest"], ts_col=ts_col, delay=watermark, tiebreaker=id_col
     ).drop("__digest")

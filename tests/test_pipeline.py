@@ -231,3 +231,65 @@ def test_near_dedup_min_agreement_blocks_weak_pairs(spark):
     assert sorted(r.doc_id for r in strict.collect()) == [1, 4, 6]  # exact dup 2 dropped
     none = near_dedup_lsh(docs, min_agreement=1.01)
     assert sorted(r.doc_id for r in none.collect()) == [1, 2, 4, 6]
+
+
+def test_simhash_expr_matches_aggregate_form(spark):
+    """The streaming signature expression is bit-identical to the batch
+    explode-aggregate form, and invariant to token order."""
+    from kafka_workers_spark.operators.dedup import simhash_agg, simhash_expr
+    from kafka_workers_spark.operators.text import tokens
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text").limit(200)
+    staged = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    agg = {r.doc_id: r.simhash for r in simhash_agg(staged, ["doc_id"]).collect()}
+    expr = {
+        r.doc_id: r.sh
+        for r in staged.select("doc_id", simhash_expr(F.col("toks")).alias("sh")).collect()
+    }
+    assert agg == expr
+    t = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    ts = t.select(tokens(F.col("text")).alias("toks"))
+    vals = [r.sh for r in ts.select(simhash_expr(F.col("toks")).alias("sh")).collect()]
+    assert vals[0] == vals[1]
+
+
+def test_curate_corpus_stream_simhash_collapses_permuted_dup(spark, tmp_path):
+    """dedup_on='simhash' suppresses a token-permuted near-duplicate
+    arriving in a later batch — the duplicate class the content digest
+    cannot catch (its md5 differs)."""
+    from datetime import datetime
+
+    from kafka_workers_spark.pipeline import curate_corpus_stream
+
+    src = str(tmp_path / "src")
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "dog lazy the over jumps fox brown quick the"  # permutation of a
+    schema_str = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame([(1, a, t0)], schema_str).coalesce(1).write.parquet(src)
+    spark.createDataFrame([(2, b, t0)], schema_str).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    chunks = curate_corpus_stream(
+        stream, min_tokens=3, chunk_tokens=8, overlap=2, dedup_on="simhash"
+    )
+    q = (
+        chunks.writeStream.format("memory")
+        .queryName("curate_simhash")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted({r.doc_id for r in spark.sql("SELECT * FROM curate_simhash").collect()})
+    assert len(ids) == 1, ids  # permuted copy suppressed
+
+    import pytest
+
+    with pytest.raises(ValueError, match="dedup_on"):
+        curate_corpus_stream(stream, dedup_on="nope")
