@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: decode_media's output shape with default column names (the function
+#: interpolates id_col/media_type_col, so renamed inputs stay supported)
 DECODED_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes bigint, width int, height int, n_channels int"
 )
@@ -69,17 +71,22 @@ def decode_media(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Decode stage: binary payload → typed features, one Arrow batch at a
-    time. No shuffle; scales with input partitions."""
+    time. No shuffle; scales with input partitions. NULL payloads pass
+    through with NULL features (the decoder is never called on them)."""
     decode = decoder or _stub_decoder
+    _none = {"width": None, "height": None, "n_channels": None}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode(p, m) for p, m in zip(pdf[payload_col], pdf[media_type_col])]
+            feats = [
+                _none if p is None else decode(p, m)
+                for p, m in zip(pdf[payload_col], pdf[media_type_col])
+            ]
             out = pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
                     media_type_col: pdf[media_type_col].values,
-                    "n_bytes": [len(p) for p in pdf[payload_col]],
+                    "n_bytes": [None if p is None else len(p) for p in pdf[payload_col]],
                     "width": [f["width"] for f in feats],
                     "height": [f["height"] for f in feats],
                     "n_channels": [f["n_channels"] for f in feats],
@@ -87,7 +94,11 @@ def decode_media(
             )
             yield out
 
-    return df.mapInPandas(run, DECODED_SCHEMA)
+    schema = (
+        f"{id_col} bigint, {media_type_col} string, n_bytes bigint, "
+        "width int, height int, n_channels int"
+    )
+    return df.mapInPandas(run, schema)
 
 
 def sample_frames(
@@ -101,8 +112,14 @@ def sample_frames(
     codegen; the payload column is NOT carried through the explode (join
     frames back by id when the decoder needs bytes), so the fan-out
     shuffles only ids and indices."""
-    idx = F.sequence(
-        F.lit(0), F.col(n_frames_col) - 1, F.lit(every_nth)
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+    # n_frames = 0 (or NULL) must yield zero frames, not a runtime error:
+    # sequence(0, -1, +step) throws, so gate it to NULL and let the
+    # explode drop the row
+    idx = F.when(
+        F.col(n_frames_col) > 0,
+        F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_nth)),
     )
     return df.select(
         id_col,
@@ -148,7 +165,7 @@ def resize_media(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payloads = [
-                fn(p, m, width, height)
+                None if p is None else fn(p, m, width, height)
                 for p, m in zip(pdf[payload_col], pdf[media_type_col])
             ]
             yield pd.DataFrame(
@@ -161,7 +178,10 @@ def resize_media(
                 }
             )
 
-    return df.mapInPandas(run, RESIZED_SCHEMA)
+    schema = (
+        f"{id_col} bigint, {media_type_col} string, payload binary, width int, height int"
+    )
+    return df.mapInPandas(run, schema)
 
 
 def fake_extract_features(payload: bytes, media_type: str, dim: int) -> list[float]:
@@ -207,7 +227,8 @@ def extract_features(
                     id_col: pdf[id_col].values,
                     media_type_col: pdf[media_type_col].values,
                     "embedding": [
-                        fn(p, m, dim) for p, m in zip(pdf[payload_col], pdf[media_type_col])
+                        None if p is None else fn(p, m, dim)
+                        for p, m in zip(pdf[payload_col], pdf[media_type_col])
                     ],
                 }
             )

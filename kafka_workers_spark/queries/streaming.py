@@ -243,7 +243,9 @@ def task_transform_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         out = pdf[["event_id", "partition"]].copy()
-        out["value_cents"] = np.floor(pdf["value"] * 100).astype("int64")
+        # nullable Int64 keeps NULL values NULL (plain int64 astype raises
+        # on NaN), matching the oracle's CAST(floor(NULL) AS BIGINT)
+        out["value_cents"] = pd.Series(np.floor(pdf["value"] * 100)).astype("Int64")
         return out
 
     return transform_batches(

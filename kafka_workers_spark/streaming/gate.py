@@ -133,11 +133,12 @@ def accept_gate(
             return
         now_ms = int(time.time() * 1000)
         for pdf in pdfs:
-            for row in pdf.itertuples(index=False):
-                rec = {}
-                for c in cols:
-                    v = getattr(row, c)
-                    rec[c] = v.item() if hasattr(v, "item") else v
+            # to_dict keeps arbitrary column names (itertuples mangles
+            # non-identifier names like "user-agent" into _N positions)
+            for raw in pdf[cols].to_dict("records"):
+                rec = {
+                    c: (v.item() if hasattr(v, "item") else v) for c, v in raw.items()
+                }
                 st["buf"].append({"r": rec, "t": now_ms})
         released = _release(st)
         if released:

@@ -51,10 +51,13 @@ def merge_ordered(
     """Batch ordered merge: union both sides, release rows up to the pair's
     low watermark min(max_left_ts, max_right_ts) per group.
 
-    Returns released rows with a ``side`` tag, ordered within each group by
-    (ts, side, original columns) — the reference's output order for its
-    golden test (MergerTest.java:118: ties emit the earlier-seen side; we
-    use the side tag as deterministic tiebreak).
+    Returns the released ROW SET with a ``side`` tag; physical row order
+    is not part of the batch contract (Spark output order is
+    partition-dependent) — consumers needing the merged order sort by
+    (ts, side), which reproduces the reference's golden sequence
+    (MergerTest.java:118: ties emit the earlier-seen side; the side tag is
+    the deterministic tiebreak). The streaming form emits in that order
+    per batch by construction.
 
     Scan strategy — two shapes, both audited in ``tests/test_merge.py``:
 
@@ -90,7 +93,12 @@ def merge_ordered(
         unioned.groupBy(group, side_col)
         .agg(F.max(ts).alias("__max_ts"))
         .groupBy(group)
-        .agg(F.min("__max_ts").alias("__low_watermark"), F.count("*").alias("__n_sides"))
+        # count NON-NULL frontiers: a side whose ts values are all NULL has
+        # an unknown frontier (max ignores nulls) and must buffer its
+        # sibling, exactly like a side with no rows — matching the
+        # single_scan branch's isNotNull guard and the reference's accept()
+        # while timestamps.get(otherPartition) == null
+        .agg(F.min("__max_ts").alias("__low_watermark"), F.count("__max_ts").alias("__n_sides"))
     )
     released = (
         unioned.join(F.broadcast(frontiers), group)
@@ -130,12 +138,14 @@ def merge_ordered_stream(
     sibling that never arrived is necessarily violated (there is nothing
     to order against).
 
-    ``output_schema`` must be "<group type>, side string, <ts type>[, payload
-    cols...]" in the union's column order — every non-group column of the
-    inputs (the full record, like the reference's queued WorkerRecords)
-    rides through the buffer; payload values must be JSON-serializable
-    (numbers/strings/bools — decode binary/timestamp columns to primitives
-    before the merge).
+    ``output_schema`` must name the group column, ``side``, ``ts`` and
+    every payload column of the inputs — applyInPandasWithState assigns
+    output struct fields BY NAME, so the declaration order in the schema
+    string is free (the conventional shape is "<group>, side, <ts>,
+    payload..."). Every non-group column (the full record, like the
+    reference's queued WorkerRecords) rides through the buffer; payload
+    values must be JSON-serializable (numbers/strings/bools — decode
+    binary/timestamp columns to primitives before the merge).
     """
     l_tag = left.withColumn(side_col, F.lit("left"))
     r_tag = right.withColumn(side_col, F.lit("right"))
@@ -160,11 +170,12 @@ def merge_ordered_stream(
                 yield _emit(key, leftovers)
             return
         for pdf in pdfs:
-            for row in pdf.itertuples(index=False):
-                rec = {}
-                for c in cols:
-                    v = getattr(row, c)
-                    rec[c] = v.item() if hasattr(v, "item") else v
+            # to_dict keeps arbitrary column names (itertuples mangles
+            # non-identifier names like "user-agent" into _N positions)
+            for raw in pdf[cols].to_dict("records"):
+                rec = {
+                    c: (v.item() if hasattr(v, "item") else v) for c, v in raw.items()
+                }
                 rec[ts] = int(rec[ts])
                 st["buf"].append(rec)
                 side = rec[side_col]

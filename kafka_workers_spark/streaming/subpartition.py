@@ -147,6 +147,8 @@ def subpartition_col(
     offset: str | Column = "offset",
 ) -> Column:
     """The sub-partition id column for a given mode (see module doc)."""
+    if count < 1:
+        raise ValueError(f"count must be >= 1, got {count}")  # pmod(x, 0) = NULL
     key_c = F.col(key) if isinstance(key, str) else key
     part_c = F.col(partition) if isinstance(partition, str) else partition
     off_c = F.col(offset) if isinstance(offset, str) else offset

@@ -300,3 +300,18 @@ def test_merge_release_rule_property(spark):
                     want.add((g, side, t))
         assert got == want, f"case {case}: default path"
         assert got_ss == want, f"case {case}: single_scan path"
+
+
+def test_merge_null_frontier_side_buffers_sibling(spark):
+    """A side whose ts values are all NULL has an UNKNOWN frontier: both
+    scan strategies must release nothing (the default join branch used to
+    treat the null frontier as caught-up and release the sibling)."""
+    from kafka_workers_spark.streaming.merge import merge_ordered
+
+    left = spark.createDataFrame(
+        [(1, None), (1, None)], "pair int, ts long"
+    )
+    right = spark.createDataFrame([(1, 3), (1, 5)], "pair int, ts long")
+    for single_scan in (False, True):
+        out = merge_ordered(left, right, "pair", "ts", single_scan=single_scan)
+        assert out.count() == 0, f"single_scan={single_scan} released rows"

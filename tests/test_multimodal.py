@@ -102,3 +102,21 @@ def test_extract_features_feeds_similarity_search(spark):
     assert len(rows) == 1
     assert rows[0].neighbor_id == 0  # the payload twin
     assert rows[0].cosine > 0.999999
+
+
+def test_decode_media_renamed_columns_and_null_payload(spark):
+    """id_col/media_type_col are honored in the output schema, and NULL
+    payloads yield NULL features instead of crashing the decoder."""
+    from kafka_workers_spark.operators.multimodal import decode_media, fake_decode
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"abc")), (2, "image", None)],
+        "img_id long, kind string, payload binary",
+    )
+    out = decode_media(
+        df, decoder=fake_decode, id_col="img_id", media_type_col="kind"
+    ).orderBy("img_id")
+    rows = out.collect()
+    assert out.columns[:2] == ["img_id", "kind"]
+    assert rows[0].n_bytes == 3 and rows[0].width is not None
+    assert rows[1].n_bytes is None and rows[1].width is None
