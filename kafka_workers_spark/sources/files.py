@@ -11,6 +11,7 @@ identical (same DataFrame schema), per SURVEY.md §1.1.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +35,22 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 _GENERATE_FILTER_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+@contextmanager
+def _nanos_as_long(spark: SparkSession):
+    """Scope spark.sql.legacy.parquet.nanosAsLong=true to one relation
+    resolution (restores the previous value, set or unset, after)."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def _tune_runtime(spark: SparkSession) -> None:
@@ -81,8 +98,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     _tune_runtime(spark)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        # nanosAsLong only while resolving THIS relation (the schema is
+        # inferred eagerly at read.parquet); leaking it session-wide would
+        # silently type every later user parquet read's timestamp[ns]
+        # columns as bigint
+        with _nanos_as_long(spark):
+            df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             # integer DIV: float division loses precision at ns-epoch magnitude
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -172,8 +193,10 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _tune_runtime(spark)
     path = table_path(sf_dir, name)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+        with _nanos_as_long(spark):
+            schema = spark.read.parquet(path).schema
+    else:
+        schema = spark.read.parquet(path).schema
     # the test tables are single parquet FILES; the file stream source
     # derives basePath from the glob-free prefix of the pattern and requires
     # it to be a directory, so force one glob char to anchor basePath at the

@@ -20,7 +20,8 @@ README.md:105-283):
 
 The Kafka connector jar is not bundled in this container, so
 :func:`kafka_stream` builds the fully-configured reader without loading
-it; tests cover the option mapping (tests/test_kafka_source.py) and the
+it; tests cover the option mapping (tests/test_lifecycle.py:
+test_kafka_options_mapping and siblings) and the
 identical downstream surface is exercised through the file source
 (sources/files.stream_table), which yields the same schema contract.
 """
@@ -38,9 +39,27 @@ KAFKA_SOURCE_SCHEMA = (
 )
 
 
+#: Kafka SOURCE-level option names: a kafka_conf key matching one of these
+#: is passed through un-prefixed (everything else is a consumer property
+#: and gets the kafka. prefix, mirroring the reference's consumer.kafka.*)
+_SOURCE_OPTIONS = frozenset(
+    {
+        "startingoffsets", "endingoffsets", "startingoffsetsbytimestamp",
+        "startingtimestamp", "failondataloss", "maxoffsetspertrigger",
+        "minoffsetspertrigger", "maxtriggerdelay", "maxbytespertrigger",
+        "minpartitions", "includeheaders",
+    }
+)
+
+
 def kafka_options(config: WorkersConfig, kafka_conf: dict[str, str] | None = None) -> dict[str, str]:
     """The reference→Spark option mapping as a plain dict (unit-testable
-    without the connector jar)."""
+    without the connector jar).
+
+    ``kafka_conf`` keys naming Kafka SOURCE options (startingOffsets,
+    minPartitions, ...) override the defaults un-prefixed; all other keys
+    are consumer properties and get the ``kafka.`` prefix (the reference's
+    ``consumer.kafka.*`` passthrough)."""
     if not config.topics:
         raise ValueError("consumer.topics is required (WorkersConfig.topics)")
     opts: dict[str, str] = {
@@ -53,12 +72,16 @@ def kafka_options(config: WorkersConfig, kafka_conf: dict[str, str] | None = Non
     if config.max_offsets_per_trigger is not None:
         opts["maxOffsetsPerTrigger"] = str(config.max_offsets_per_trigger)
     if config.max_bytes_per_trigger is not None:
-        opts["maxTriggerDelay"] = "15m"
+        # NOTE: no maxTriggerDelay here — the connector only honors it
+        # alongside minOffsetsPerTrigger; setting it with only a byte
+        # bound would be inert and misleading
         opts["maxBytesPerTrigger"] = str(config.max_bytes_per_trigger)
     for k, v in (kafka_conf or {}).items():
-        # consumer.kafka.* passthrough — same prefix-strip as the reference
         key = k.removeprefix("consumer.kafka.")
-        opts[f"kafka.{key}" if not key.startswith("kafka.") else key] = v
+        if key.lower() in _SOURCE_OPTIONS:
+            opts[key] = v
+        else:
+            opts[f"kafka.{key}" if not key.startswith("kafka.") else key] = v
     return opts
 
 

@@ -19,12 +19,19 @@ are serialized) and *more* than the reference: state survives restarts via
 the checkpointed state store, where the reference's task state is volatile
 (README.md:64; SURVEY.md §7 risk list — tests must not assume loss).
 
-Punctuate parity: a processing-time timeout per key. When no data arrives
-for a key within ``punctuate_interval``, Spark fires the group callback
-with an empty iterator and ``state.hasTimedOut`` — the engine then invokes
-``WorkerTask.punctuate``. With data flowing, punctuate fires on every
-batch containing the key (the reference fires every interval regardless;
-batch-granularity divergence documented in SURVEY.md §7).
+Punctuate parity: the reference fires ``punctuate(now)`` every
+``punctuator.interval.ms`` regardless of data (WorkerThread.java:87-102).
+Here both legs are covered: with no data, the per-key processing-time
+timeout fires the callback; with data flowing, the data path itself
+invokes ``punctuate`` whenever the interval has elapsed since the last
+firing (the engine tracks the last-punctuate clock in a state envelope).
+Granularity is micro-batch-quantized — documented divergence (SURVEY.md
+§7).
+
+Lifecycle parity: ``init`` on first state creation; ``close`` when a key
+expires after ``idle_timeout_ms`` without data — state is removed and the
+timer disarmed, so state size tracks the ACTIVE key set, not every key
+ever seen.
 
 At 100 TB: state is partitioned by key across executors (RocksDB-backed
 state store in production configs); no driver-side state, no collect.
@@ -32,9 +39,9 @@ state store in production configs); no driver-side state, no collect.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable, Iterator
-from dataclasses import dataclass, field
-
+from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -48,16 +55,20 @@ class WorkerTask:
 
     - ``init(key)``: called when the key's state is first created
       (WorkerTask.java:22 init-on-assignment).
-    - ``process(key, pdf, state)``: batch of this key's records (ordered by
-      the caller's sort columns); returns output rows (pandas DataFrame)
-      and the new state dict.
-    - ``punctuate(key, state, now_ms)``: processing-time callback when the
-      key timed out with no data (WorkerTask.java:59-60).
+    - ``process(key, pdf, state)``: this key's records for the batch —
+      concatenated across Arrow chunks and ordered by the caller's sort
+      columns; returns output rows (pandas DataFrame) and the new state.
+    - ``punctuate(key, state, now_ms)``: processing-time callback, fired
+      every interval with or without data (WorkerTask.java:59-60).
+    - ``close(key, state)``: called when the key expires after
+      ``idle_timeout_ms`` without data (WorkerTask.java:67-68 close on
+      revocation); may return final output rows (or None).
     """
 
     init: Callable[[tuple], dict] | None = None
     process: Callable[[tuple, pd.DataFrame, dict], tuple[pd.DataFrame, dict]] | None = None
     punctuate: Callable[[tuple, dict, int], tuple[pd.DataFrame, dict]] | None = None
+    close: Callable[[tuple, dict], pd.DataFrame | None] | None = None
 
 
 def apply_worker_task(
@@ -67,53 +78,86 @@ def apply_worker_task(
     output_schema: StructType | str,
     punctuate_interval_ms: int | None = None,
     order_by: list[str] | None = None,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Run a :class:`WorkerTask` per key group over a (streaming or batch-
     grouped) DataFrame.
 
-    State is a plain dict serialized into a single JSON string column —
-    schema-free like the reference's arbitrary task fields.
+    User state is a plain dict serialized to JSON — schema-free like the
+    reference's arbitrary task fields. (Internally it rides in an envelope
+    with the engine's punctuate/idle clocks; user code only ever sees its
+    own dict.) ``idle_timeout_ms`` expires keys that stop receiving data:
+    ``task.close`` runs, state is removed, the timer stops.
     """
-    import json
-
-    state_schema = "state STRING"
+    if idle_timeout_ms and not punctuate_interval_ms:
+        # idle expiry needs a timer to fire on silent keys
+        timer_ms = idle_timeout_ms
+    else:
+        timer_ms = punctuate_interval_ms
     timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if punctuate_interval_ms
-        else GroupStateTimeout.NoTimeout
+        GroupStateTimeout.ProcessingTimeTimeout if timer_ms else GroupStateTimeout.NoTimeout
     )
 
     def handle(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            task_state = json.loads(state.get[0])
+            env = json.loads(state.get[0])
         else:
-            task_state = task.init(key) if task.init else {}
+            env = {"u": task.init(key) if task.init else {}, "p": None, "d": None}
+        now = state.getCurrentProcessingTimeMs()
+
+        def _punctuate_if_due(force: bool = False):
+            nonlocal env
+            if not task.punctuate or not punctuate_interval_ms:
+                return None
+            last = env["p"]
+            if force or last is None or now - last >= punctuate_interval_ms:
+                out, env["u"] = task.punctuate(key, env["u"], now)
+                env["p"] = now
+                return out
+            return None
 
         if state.hasTimedOut:
-            if task.punctuate:
-                out, task_state = task.punctuate(key, task_state, state.getCurrentProcessingTimeMs())
-                if out is not None and len(out):
-                    yield out
-            state.update((json.dumps(task_state),))
-            if punctuate_interval_ms:
-                state.setTimeoutDuration(punctuate_interval_ms)
+            if idle_timeout_ms and env["d"] is not None and now - env["d"] >= idle_timeout_ms:
+                # key expired: close, emit final rows, drop state + timer
+                if task.close:
+                    out = task.close(key, env["u"])
+                    if out is not None and len(out):
+                        yield out
+                state.remove()
+                return
+            out = _punctuate_if_due(force=True)
+            if out is not None and len(out):
+                yield out
+            state.update((json.dumps(env),))
+            if timer_ms:
+                state.setTimeoutDuration(timer_ms)
             return
 
-        for pdf in pdfs:
+        # concatenate Arrow chunks before sorting: each chunk is at most
+        # spark.sql.execution.arrow.maxRecordsPerBatch rows, so a per-chunk
+        # sort would silently break global (e.g. per-offset) order for any
+        # key group larger than one chunk
+        parts = [p for p in pdfs if len(p)]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
             if order_by:
                 pdf = pdf.sort_values(order_by)
             if task.process:
-                out, task_state = task.process(key, pdf, task_state)
+                out, env["u"] = task.process(key, pdf, env["u"])
                 if out is not None and len(out):
                     yield out
-        state.update((json.dumps(task_state),))
-        if punctuate_interval_ms:
-            state.setTimeoutDuration(punctuate_interval_ms)
+        env["d"] = now
+        out = _punctuate_if_due()
+        if out is not None and len(out):
+            yield out
+        state.update((json.dumps(env),))
+        if timer_ms:
+            state.setTimeoutDuration(timer_ms)
 
     return df.groupBy(*keys).applyInPandasWithState(
         handle,
         outputStructType=output_schema,
-        stateStructType=state_schema,
+        stateStructType="state STRING",
         outputMode="append",
         timeoutConf=timeout,
     )

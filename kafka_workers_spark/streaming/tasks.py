@@ -50,6 +50,37 @@ def _shape_to_schema(out: pd.DataFrame, out_cols: list[str]) -> pd.DataFrame:
     return shaped
 
 
+_PY_TYPES: dict[str, tuple[type, ...]] = {
+    "long": (int,), "integer": (int,), "short": (int,), "byte": (int,),
+    "double": (int, float), "float": (int, float),
+    "string": (str,), "boolean": (bool,), "binary": (bytes, bytearray),
+}
+
+
+def _coerce_to_schema(row: pd.DataFrame, schema_obj: StructType) -> pd.DataFrame:
+    """Null out input values that cannot serialize under the declared
+    output type for their column — the DLQ row must never be the thing
+    that crashes the Arrow conversion (e.g. the unparseable string that
+    made ``fn`` raise, sitting in a column declared double)."""
+    out = row.copy()
+    types = {f.name: f.dataType.typeName() for f in schema_obj.fields}
+    for c in out.columns:
+        t = types.get(c)
+        if t is None:
+            continue
+        allowed = _PY_TYPES.get(t)
+        if allowed is None:
+            continue
+
+        def ok(v):  # noqa: ANN001
+            base = v.item() if hasattr(v, "item") else v
+            return base is None or isinstance(base, allowed)
+
+        if not all(ok(v) for v in out[c]):
+            out[c] = pd.Series([None] * len(out), index=out.index, dtype=object)
+    return out
+
+
 def transform_batches(
     df: DataFrame,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
@@ -62,7 +93,15 @@ def transform_batches(
 
     guarantee='none' requires `schema` to contain a nullable string
     column ``__error``; a failing batch falls back row-by-row so only the
-    offending rows are marked, everything else flows.
+    offending rows are marked, everything else flows. Two contracts of
+    that mode: (1) ``fn`` should be a pure transform (side effects belong
+    in sinks) — the fallback re-invokes ``fn`` per row after the batch
+    attempt, so side effects of already-successful rows would run twice;
+    (2) a failed row's DLQ record carries only the input values that FIT
+    the declared output type for their column — a value of the wrong type
+    (e.g. the unparseable string that made ``fn`` raise in a double
+    column) is nulled, with the error string carrying the exception; add
+    matching-typed passthrough columns to the schema to keep raw payloads.
     """
     if guarantee not in (AT_LEAST_ONCE, NONE):
         raise ValueError(f"unknown guarantee: {guarantee}")
@@ -101,7 +140,7 @@ def transform_batches(
                             out[ERROR_COL] = None
                         rows.append(_shape_to_schema(out, out_cols))
                     except Exception as exc:  # noqa: BLE001
-                        failed = _shape_to_schema(row, out_cols)
+                        failed = _shape_to_schema(_coerce_to_schema(row, schema_obj), out_cols)
                         failed[ERROR_COL] = repr(exc)
                         rows.append(failed)
                 empty = pd.DataFrame({c: [] for c in out_cols})

@@ -267,3 +267,109 @@ def test_rocksdb_state_store_config_maps_provider():
     assert "stateStore.providerClass" not in str(_WC().spark_confs().keys())
     with _pytest.raises(ValueError, match="unknown state_store"):
         _WC(state_store="cassandra").spark_confs()
+
+
+def test_punctuate_fires_under_steady_data(spark, tmp_path):
+    """The reference punctuates every interval REGARDLESS of data flow
+    (WorkerThread.java:87-102). With data arriving every batch — so the
+    state timeout never fires — the data path itself must invoke
+    punctuate once the interval elapses."""
+    src = str(tmp_path / "src")
+    for i in range(12):  # one file per micro-batch = steady data
+        spark.createDataFrame([(0, i)], "partition int, offset long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = apply_worker_task(
+        stream,
+        ["partition"],
+        _punctuate_task(),
+        "partition int, kind string, n long",
+        punctuate_interval_ms=400,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("punct_steady")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        fired, batches = 0, 0
+        while time.time() < deadline:
+            time.sleep(2)
+            fired = (
+                spark.sql("SELECT MAX(n) AS m FROM punct_steady WHERE kind = 'punctuate'")
+                .first()
+                .m
+                or 0
+            )
+            batches = (
+                spark.sql("SELECT COUNT(*) AS c FROM punct_steady WHERE kind = 'data'")
+                .first()
+                .c
+            )
+            if fired >= 2 and batches >= 3:
+                break
+        assert batches >= 3, "stream did not process steady data batches"
+        assert fired >= 2, f"punctuate fired {fired}× despite steady data"
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
+def test_idle_timeout_closes_key_and_drops_state(spark, tmp_path):
+    """A11 close parity + bounded state: a key idle past idle_timeout_ms
+    gets task.close (final row emitted) and its state row removed."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(0, 0)], "partition int, offset long").coalesce(1).write.parquet(src)
+
+    def close(key, st):
+        return pd.DataFrame({"partition": [key[0]], "kind": ["closed"], "n": [st["n"]]})
+
+    task = _punctuate_task()
+    task.close = close
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = apply_worker_task(
+        stream,
+        ["partition"],
+        task,
+        "partition int, kind string, n long",
+        punctuate_interval_ms=300,
+        idle_timeout_ms=1500,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("idle_close")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        closed, state_rows = 0, None
+        while time.time() < deadline:
+            time.sleep(2)
+            closed = (
+                spark.sql("SELECT COUNT(*) AS c FROM idle_close WHERE kind = 'closed'")
+                .first()
+                .c
+            )
+            p = q.lastProgress
+            if p and p.get("stateOperators"):
+                state_rows = p["stateOperators"][0]["numRowsTotal"]
+            if closed >= 1 and state_rows == 0:
+                break
+        assert closed == 1, f"close fired {closed}× (want exactly once)"
+        assert state_rows == 0, f"state rows left: {state_rows}"
+    finally:
+        q.stop()
+        q.awaitTermination(30)

@@ -232,3 +232,29 @@ def test_deadline_listener_records_violation():
     assert len(listener.violations) == 1
     v = listener.violations[0]
     assert v.batch_id == 2 and v.duration_ms == 1500 and v.deadline_ms == 1000
+
+
+def test_kafka_source_level_options_override_unprefixed():
+    """kafka_conf keys naming SOURCE options (startingOffsets, ...) must
+    override the defaults un-prefixed; consumer properties still get the
+    kafka. prefix (the reference's consumer.kafka.* passthrough)."""
+    from kafka_workers_spark.session import WorkersConfig
+    from kafka_workers_spark.sources.kafka import kafka_options
+
+    cfg = WorkersConfig(topics=["t"])
+    opts = kafka_options(
+        cfg,
+        {
+            "startingOffsets": "latest",
+            "minPartitions": "64",
+            "consumer.kafka.fetch.min.bytes": "1048576",
+        },
+    )
+    assert opts["startingOffsets"] == "latest"  # overridden, not kafka.-prefixed
+    assert opts["minPartitions"] == "64"
+    assert opts["kafka.fetch.min.bytes"] == "1048576"
+    assert "kafka.startingOffsets" not in opts
+    # maxTriggerDelay is only meaningful with minOffsetsPerTrigger; a
+    # byte-bounded config must not emit it inert
+    opts2 = kafka_options(WorkersConfig(topics=["t"], max_bytes_per_trigger="1g"))
+    assert "maxTriggerDelay" not in opts2 and opts2["maxBytesPerTrigger"] == "1g"

@@ -224,3 +224,27 @@ def test_worker_task_punctuate_fires_without_data(spark, tmp_path):
     q.stop()
     q.awaitTermination(30)
     assert seen_punct, "punctuate never fired for the idle key"
+
+
+def test_dlq_row_with_incompatible_input_dtype(spark):
+    """A failed row whose input value cannot serialize under the declared
+    output type (the unparseable string that made fn raise, in a column
+    declared double) must become a NULL + error DLQ row — not an Arrow
+    crash that kills the guarantee='none' pipeline."""
+    from kafka_workers_spark.streaming.tasks import split_dlq, transform_batches
+
+    df = spark.createDataFrame(
+        [(1, "1.5"), (2, "abc"), (3, "2.5")], "id long, value string"
+    )
+
+    def fn(pdf):
+        out = pdf.copy()
+        out["value"] = out["value"].astype("float64")  # 'abc' raises
+        return out
+
+    res = transform_batches(df, fn, "id long, value double, __error string", guarantee="none")
+    ok, dlq = split_dlq(res)
+    assert sorted(r.id for r in ok.collect()) == [1, 3]
+    bad = dlq.collect()
+    assert len(bad) == 1 and bad[0].id == 2
+    assert bad[0].value is None and "could not convert" in bad[0]["__error"]
