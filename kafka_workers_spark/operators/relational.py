@@ -31,11 +31,19 @@ def asof_join(
     skewed keys are handled by AQE since this is a plain window shuffle.
     Ties (right ts == left ts) count as "at or before" — right rows sort
     before left rows at equal timestamps.
+
+    NULL join keys never match (SQL equi-join semantics): right rows with
+    a NULL key are dropped up front — Window.partitionBy would otherwise
+    group all NULL keys into one partition and match them to each other,
+    which ``ASOF JOIN ... ON l.key = r.key`` never does.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports inner/left, got {how!r}")
     lcols = left.columns
     tagged_l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     tagged_r = (
-        right.select(F.col(on), F.col(right_ts).alias("__ts"))
+        right.filter(F.col(on).isNotNull())
+        .select(F.col(on), F.col(right_ts).alias("__ts"))
         .withColumn("__side", F.lit(0))
     )
     # align columns for unionByName

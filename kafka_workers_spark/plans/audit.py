@@ -44,23 +44,47 @@ def audit(df: DataFrame) -> PlanAudit:
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     text = df._jdf.queryExecution().explainString(mode)  # noqa: SLF001
     a = PlanAudit(text=text)
+    def split_filters(inner: str) -> list[str]:
+        # paren-aware top-level comma split: GreaterThan(x,1.0) and
+        # In(c, [a,b]) are single entries, not comma fragments
+        parts, depth, cur = [], 0, []
+        for ch in inner:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            parts.append("".join(cur).strip())
+        return [p for p in parts if p]
+
     for line in text.splitlines():
         line = line.strip()
         if line.startswith("PushedFilters:"):
             inner = line.split(":", 1)[1].strip().strip("[]")
             if inner:
-                a.pushed_filters.extend(p.strip() for p in inner.split(","))
+                a.pushed_filters.extend(split_filters(inner))
         elif line.startswith("ReadSchema:"):
             a.read_schemas.append(line.split(":", 1)[1].strip())
-    a.broadcast_joins = len(re.findall(r"BroadcastHashJoin", text))
-    a.sortmerge_joins = len(re.findall(r"SortMergeJoin", text))
-    a.shuffled_hash_joins = len(re.findall(r"ShuffledHashJoin", text))
-    a.nested_loop_joins = len(re.findall(r"BroadcastNestedLoopJoin", text))
-    a.cartesian_products = len(re.findall(r"CartesianProduct", text))
-    # count only the detail-section node headers so tree + detail lines of
-    # the same node aren't double-counted
-    a.exchanges = len(re.findall(r"^\(\d+\) Exchange\b", text, re.MULTILINE))
-    a.reused_exchanges = len(re.findall(r"^\(\d+\) ReusedExchange\b", text, re.MULTILINE))
-    a.codegen_stages = len(re.findall(r"WholeStageCodegen", text))
-    a.python_evals = len(re.findall(r"ArrowEvalPython|BatchEvalPython", text))
+    # count only the detail-section node headers ("(N) NodeName") so the
+    # tree line + detail line of one node aren't double-counted — each
+    # node prints twice in EXPLAIN FORMATTED
+    def nodes(name: str) -> int:
+        return len(re.findall(rf"^\(\d+\) {name}\b", text, re.MULTILINE))
+
+    a.broadcast_joins = nodes("BroadcastHashJoin")
+    a.sortmerge_joins = nodes("SortMergeJoin")
+    a.shuffled_hash_joins = nodes("ShuffledHashJoin")
+    a.nested_loop_joins = nodes("BroadcastNestedLoopJoin")
+    a.cartesian_products = nodes("CartesianProduct")
+    a.exchanges = nodes("Exchange")
+    a.reused_exchanges = nodes("ReusedExchange")
+    # formatted mode renders codegen as "[codegen id : N]" annotations,
+    # never the literal WholeStageCodegen node name
+    a.codegen_stages = len(set(re.findall(r"\[codegen id : (\d+)\]", text)))
+    a.python_evals = nodes("ArrowEvalPython") + nodes("BatchEvalPython")
     return a

@@ -497,7 +497,14 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").cast("bigint").alias("name_len"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
-        F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
+        # exact CONCAT parity: DuckDB CONCAT skips NULL arguments but keeps
+        # the ':' literal; concat_ws would drop the separator with the value
+        # and F.concat would null the whole result
+        F.concat(
+            F.coalesce(F.col("c_name"), F.lit("")),
+            F.lit(":"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("")),
+        ).alias("name_seg"),
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
         F.trim(F.col("c_name")).alias("name_trim"),
     )
@@ -784,7 +791,11 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts, value,
              CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                       OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                       -- exact microsecond gap >= 30min: Spark sessions merge only
+                       -- while the next event is strictly inside prev_ts + gap;
+                       -- date_diff('second') counts boundary crossings and would
+                       -- diverge on sub-second timestamps near the 1800s edge
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
                   THEN 1 ELSE 0 END AS is_new,
              event_id
       FROM events

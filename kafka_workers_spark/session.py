@@ -94,7 +94,17 @@ class WorkersConfig:
     extra_confs: dict[str, str] = field(default_factory=dict)
 
     def spark_confs(self) -> dict[str, str]:
+        if self.guarantee not in ("at_least_once", "none"):
+            # a typo here must not silently weaken delivery semantics —
+            # sources/kafka.py maps any non-at_least_once value to
+            # failOnDataLoss=false (skip-and-continue)
+            raise ValueError(f"unknown guarantee: {self.guarantee!r}")
         confs = dict(_DEFAULT_CONFS)
+        if self.master and not self.master.startswith("local"):
+            # 127.0.0.1 as the driver address is a local-mode convenience
+            # (stops hostname-resolution stalls in containers); on a real
+            # cluster executors must dial the actual driver host
+            confs.pop("spark.driver.host", None)
         if self.shuffle_partitions is not None:
             confs["spark.sql.shuffle.partitions"] = str(self.shuffle_partitions)
         if self.state_store == "rocksdb":
