@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from kafka_workers_spark.queries import register
 from kafka_workers_spark.sources.files import load_table, register_views
@@ -294,12 +295,17 @@ def agg_grouping_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ONE scan of the fact table: the finest-granularity (rf, ls) aggregate
     is computed once (partial+final hash agg, decimal partials kept EXACT
-    — not yet cast to double), cached, and each mode re-aggregates that
+    — not yet cast to double), persisted, and each mode re-aggregates that
     ~|rf|×|ls|-row intermediate with the real rollup()/cube() operators.
     Decimal re-aggregation of exact partials equals a direct aggregate, so
     the oracle (which aggregates the fact table per mode) hash-matches.
     The naive form scans the fact table three times — 3× the I/O at 100 TB
-    for byte-identical output."""
+    for byte-identical output.
+
+    The pin is ``persist(MEMORY_AND_DISK)``, NOT ``localCheckpoint``:
+    persist keeps lineage, so losing an executor recomputes the lost
+    blocks instead of failing the job — the engine's own fault-tolerance
+    rule for barriers (operators/dedup.py ``barrier`` docstring)."""
     li = load_table(spark, sf_dir, "lineitem")
     base = (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -307,7 +313,7 @@ def agg_grouping_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n0"),
             F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sq0"),
         )
-        .localCheckpoint(eager=False)  # tiny; stop re-scanning per branch
+        .persist(StorageLevel.MEMORY_AND_DISK)  # tiny; stop re-scanning per branch
     )
     agg = [
         F.sum("n0").alias("n"),
@@ -665,7 +671,12 @@ def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     two constituent 5-minute buckets, so the sliding branch re-aggregates
     the tiny base instead of re-scanning the fact table — the standard
     pane/slice optimization for overlapping windows. The same tumbling
-    base + pane-merge runs under Structured Streaming with a watermark."""
+    base + pane-merge runs under Structured Streaming with a watermark
+    (pinned by tests/test_watermark.py::test_sliding_pane_merge_streaming).
+
+    Pinned with lineage-preserving ``persist(MEMORY_AND_DISK)`` (not
+    ``localCheckpoint``) so executor loss recomputes, not fails — see
+    agg_grouping_rollup_cube."""
     ev = load_table(spark, sf_dir, "events")
     base = (
         ev.groupBy(F.window("ts", "5 minutes"), "event_type")
@@ -674,7 +685,7 @@ def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sv0"),
         )
         .select(F.col("window.start").alias("bucket"), "event_type", "n0", "sv0")
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tumbling = base.select(
         F.lit("tumbling").alias("kind"),

@@ -107,6 +107,21 @@ def test_generate_filter_inference_stays_excluded(spark):
         assert a.text.count("split(text") <= 2, f"{name} tokenizes more than once"
 
 
+def test_shared_agg_base_pins_with_lineage(spark):
+    """The multi-branch aggregate queries pin their shared tiny base with
+    persist() — lineage-preserving, so one lost executor recomputes the
+    lost blocks — never localCheckpoint(), which drops lineage and turns
+    executor loss into job failure (VERDICT r03 'What's wrong' #1; the
+    rule itself lives in operators/dedup.py's barrier docstring)."""
+    for name in ["agg_grouping_rollup_cube", "events_time_windows"]:
+        df = REG[name].fn(spark, SF)
+        a = audit(df)
+        assert "Scan ExistingRDD" not in a.text, f"{name}: checkpoint-style RDD scan in plan"
+        assert "InMemoryTableScan" in a.text or "InMemoryRelation" in a.text, (
+            f"{name}: shared base is not persisted"
+        )
+
+
 def test_self_join_reuses_signature_stage(spark):
     """The banded self-joins must not compute signatures twice: AQE's
     stage-level exchange reuse shares one materialized signature pipeline
