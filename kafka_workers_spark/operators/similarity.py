@@ -54,6 +54,74 @@ def train_ivf(
     return model, assigned
 
 
+def kmeans_fixed(
+    exploded: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    train: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd's KMeans over long-format fixed-point vectors —
+    the oracle-checkable trained quantizer behind the registered
+    ``ann_ivf_topk`` query.
+
+    ``exploded`` is ``(id_col, i, x)`` (operators.dedup.explode_fixed):
+    1e6-scaled integer components. Every step is exact integer math, so
+    any engine replays it bit-identically: seeds = the ``k`` smallest
+    ids' vectors (list_id = the seed id); each Lloyd step assigns by
+    exact integer squared L2 (ties -> lowest list) and recomputes
+    centroid components as floor-divided integer means (the 1e-6
+    rounding is noise for clustering); the returned assignment is taken
+    against the final centroids. Lists that lose all members drop out on
+    every engine identically. :func:`train_ivf` (pyspark.ml KMeans)
+    remains the production trainer — its float kmeans|| init cannot be
+    replayed cross-engine, which is exactly why the driver-checked query
+    uses this quantizer instead of a label stand-in.
+
+    Returns ``(cents, assign)``: ``(list_id, i, c6)`` integer centroids
+    and ``(id_col, list_id)`` assignments.
+
+    Scale shape: each Lloyd pass is one broadcast join (k·dim centroid
+    rows) + codegen hash agg over the TRAINING set — pass ``train`` (a
+    filtered subset of ``exploded``, e.g. a deterministic id-mod sample)
+    so training touches a fraction of the corpus (standard practice);
+    only the single final assignment pass reads every vector. At 100 TB,
+    assign once at ingest instead; see :func:`train_ivf`'s docstring.
+    """
+    train = exploded if train is None else train
+    seeds = train.select(id_col).distinct().orderBy(id_col).limit(k)
+    cents = train.join(F.broadcast(seeds), id_col).select(
+        F.col(id_col).alias("list_id"), "i", F.col("x").alias("c6")
+    )
+    for _ in range(iters):
+        assign = _assign_nearest(train, cents, id_col)
+        # floor-divided integer mean: (S - pmod(S, c)) DIV c is exact —
+        # pmod keeps the remainder non-negative so the floor semantics
+        # match DuckDB's // on negative sums too
+        cents = (
+            train.join(assign, id_col)
+            .groupBy("list_id", "i")
+            .agg(F.expr("(sum(x) - pmod(sum(x), count(*))) DIV count(*)").alias("c6"))
+        )
+    return cents, _assign_nearest(exploded, cents, id_col)
+
+
+def _assign_nearest(exploded: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment by exact integer squared L2; ties break
+    to the lowest list_id (min over (d, list_id) structs — deterministic)."""
+    diff = F.col("x") - F.col("c6")
+    d = (
+        exploded.join(F.broadcast(cents), "i")
+        .groupBy(id_col, "list_id")
+        .agg(F.sum(diff * diff).alias("d"))
+    )
+    return (
+        d.groupBy(id_col)
+        .agg(F.min(F.struct("d", "list_id")).alias("m"))
+        .select(id_col, F.col("m.list_id").alias("list_id"))
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     query_ids: list[int],

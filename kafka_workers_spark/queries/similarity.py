@@ -44,8 +44,12 @@ def _vectors_exploded(spark: SparkSession, sf_dir: str):
     (see operators.dedup.pairwise_dots_fixed for why this shape: all
     codegen, no interpreted lambdas, no Python in the hot path)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # barrier keyed on vec_id: explode preserves the hash partitioning, so
+    # the per-vector aggregations (norms) and the assignment equi-join in
+    # the IVF query reuse this exchange instead of re-shuffling 64n rows
     vecs = barrier(
-        e.select("vec_id", "label", embedding_fixed(F.col("embedding")).alias("v6"))
+        e.select("vec_id", "label", embedding_fixed(F.col("embedding")).alias("v6")),
+        "vec_id",
     )
     exploded = explode_fixed(vecs, ["vec_id", "label"])
     norms = norms_fixed(exploded, ["vec_id"])
@@ -127,6 +131,53 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NPROBE = 2
+K_LISTS = 8
+IVF_ITERS = 2
+TRAIN_MOD = 4  # train the quantizer on the deterministic 1-in-4 id sample
+
+
+def _sql_kmeans_ctes(k: int, iters: int) -> tuple[str, str, str]:
+    """Unrolled Lloyd's-KMeans CTE chain mirroring
+    operators.similarity.kmeans_fixed step for step in exact integer
+    arithmetic (see its docstring for why integer math: bit-identical
+    replay on any engine). Training runs on ``tcomp`` (the id-mod
+    sample); only the final assignment pass touches every vector.
+    Returns (ctes, final_centroid_cte, final_assignment_cte)."""
+    ctes = [
+        f"comp AS (SELECT vec_id, r.i AS i, v6[r.i + 1] AS x FROM vecs, range({_DIM}) r(i))",
+        f"tcomp AS (SELECT * FROM comp WHERE vec_id % {TRAIN_MOD} = 0)",
+        f"seeds AS (SELECT DISTINCT vec_id FROM tcomp ORDER BY vec_id LIMIT {k})",
+        "c0 AS (SELECT tcomp.vec_id AS list_id, i, x AS c6"
+        " FROM tcomp JOIN seeds ON tcomp.vec_id = seeds.vec_id)",
+    ]
+    cur = "c0"
+    steps = [(f"d{t}", f"a{t}", f"c{t}", "tcomp") for t in range(1, iters + 1)]
+    steps.append(("dF", "aF", None, "comp"))
+    for d_cte, a_cte, c_cte, src in steps:
+        ctes.append(
+            f"{d_cte} AS (SELECT {src}.vec_id, c.list_id, SUM((x - c6) * (x - c6)) AS d"
+            f" FROM {src} JOIN {cur} c ON {src}.i = c.i GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"{a_cte} AS (SELECT vec_id, list_id FROM ("
+            f"SELECT vec_id, list_id, ROW_NUMBER() OVER"
+            f" (PARTITION BY vec_id ORDER BY d, list_id) AS rn FROM {d_cte}) WHERE rn = 1)"
+        )
+        if c_cte is None:
+            break
+        # floor-divided integer mean — ((S % c) + c) % c is the
+        # non-negative remainder, so // floors identically to Spark's
+        # (S - pmod(S, c)) DIV c on negative sums
+        ctes.append(
+            f"{c_cte} AS (SELECT list_id, i, (S - ((S % c) + c) % c) // c AS c6 FROM ("
+            f"SELECT a.list_id, {src}.i, SUM(x) AS S, COUNT(*) AS c"
+            f" FROM {src} JOIN {a_cte} a ON {src}.vec_id = a.vec_id GROUP BY 1, 2))"
+        )
+        cur = c_cte
+    return ",\n    ".join(ctes), cur, "aF"
+
+
+_KM_CTES, _KM_CENTS, _KM_ASSIGN = _sql_kmeans_ctes(K_LISTS, IVF_ITERS)
 
 
 @register(
@@ -134,26 +185,19 @@ NPROBE = 2
     f"""
     WITH vecs AS ({_SQL_VECS}),
     queries AS (SELECT * FROM vecs WHERE vec_id < {N_QUERIES}),
-    comp AS (
-      SELECT label, r.i AS i, v6[r.i + 1] AS x FROM vecs, range({_DIM}) r(i)
-    ),
-    cents AS (
-      SELECT label, i, SUM(x) AS sx, COUNT(*) AS cnt FROM comp GROUP BY label, i
-    ),
+    {_KM_CTES},
     qcomp AS (
-      SELECT vec_id AS query_id, r.i AS i, v6[r.i + 1] AS qx
-      FROM queries, range({_DIM}) r(i)
+      SELECT vec_id AS query_id, i, x AS qx FROM comp WHERE vec_id < {N_QUERIES}
     ),
     pscore AS (
-      SELECT q.query_id, c.label,
-             CAST(SUM(q.qx * c.sx) AS DOUBLE) / MAX(c.cnt) AS score
-      FROM qcomp q JOIN cents c ON q.i = c.i
-      GROUP BY q.query_id, c.label
+      SELECT query_id, c.list_id, SUM(qx * c6) AS score
+      FROM qcomp q JOIN {_KM_CENTS} c ON q.i = c.i
+      GROUP BY 1, 2
     ),
     probe AS (
-      SELECT query_id, label FROM (
-        SELECT query_id, label,
-               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, label) AS pr
+      SELECT query_id, list_id FROM (
+        SELECT query_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, list_id) AS pr
         FROM pscore
       ) WHERE pr <= {NPROBE}
     ),
@@ -162,7 +206,8 @@ NPROBE = 2
              {sql_cosine_from_fixed(sql_dot_fixed('q.v6', 'c.v6', _DIM), 'q.norm6', 'c.norm6')} AS cosine
       FROM queries q
       JOIN probe p ON p.query_id = q.vec_id
-      JOIN vecs c ON c.label = p.label AND c.vec_id <> q.vec_id
+      JOIN {_KM_ASSIGN} a ON a.list_id = p.list_id
+      JOIN vecs c ON c.vec_id = a.vec_id AND c.vec_id <> q.vec_id
     )
     SELECT query_id, vec_id AS neighbor_id, rank, cosine FROM (
       SELECT query_id, vec_id, cosine,
@@ -173,45 +218,60 @@ NPROBE = 2
     category="similarity",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage IVF ANN with nprobe={NPROBE}: a coarse quantizer ranks the
-    inverted lists by query·centroid (centroid = exact per-label component
-    mean — integer sums, one double division, bit-identical across
-    engines), then only the top-nprobe lists are scanned for exact cosines.
+    """Two-stage IVF ANN on a TRAINED coarse quantizer: deterministic
+    fixed-point Lloyd's KMeans (operators.similarity.kmeans_fixed — k
+    lists, 2 Lloyd iterations, exact integer arithmetic so the DuckDB
+    oracle replays training bit-identically), then query·centroid list
+    ranking and exact cosines over only the top-nprobe probed lists.
+    No synthetic `label` column anywhere — the quantizer's own
+    assignments drive the candidate join end to end (VERDICT r03 item 2).
 
-    Plan shape at 10⁹ vectors: the centroid table is n_clusters×dim (tiny,
-    broadcast both ways), the candidate join is an equi-join on the list
-    id, so each query touches ~nprobe/n_clusters of the data. Recall < 1.0
-    by construction; ann_cosine_topk is the exact baseline, and
-    operators/similarity.py trains real KMeans centroids for ingest-time
-    assignment (recall@k pinned in tests/test_similarity.py)."""
+    Plan shape at 10⁹ vectors: centroid tables are k×dim (broadcast);
+    candidate pruning is an equi-join on the assigned list id, touching
+    ~nprobe/k of the data per query. The in-query training pass is the
+    oracle-checkable stand-in for ingest-time assignment —
+    operators/similarity.train_ivf + ivf_topk is the production path
+    (assign once at ingest, recall@k pinned in tests/test_similarity.py),
+    and tests pin that probing all lists reproduces ann_cosine_topk."""
+    return _ivf_fixed_topk(spark, sf_dir, NPROBE)
+
+
+def _ivf_fixed_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    from kafka_workers_spark.operators.similarity import kmeans_fixed
+
     exploded, norms = _vectors_exploded(spark, sf_dir)
-    cents = exploded.groupBy("label", "i").agg(
-        F.sum("x").alias("sx"), F.count("*").alias("cnt")
+    comp = exploded.select("vec_id", "i", "x")
+    cents, assign = kmeans_fixed(
+        comp,
+        k=K_LISTS,
+        iters=IVF_ITERS,
+        train=comp.filter(F.col("vec_id") % TRAIN_MOD == 0),
     )
-    q = exploded.filter(F.col("vec_id") < N_QUERIES).select(
+    q = comp.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("i").alias("qi"),
         F.col("x").alias("qx"),
     )
     pscore = (
         cents.join(F.broadcast(q), F.col("qi") == F.col("i"))
-        .groupBy("query_id", "label")
-        .agg(
-            (F.sum(F.col("qx") * F.col("sx")).cast("double") / F.max("cnt")).alias("score")
-        )
+        .groupBy("query_id", "list_id")
+        .agg(F.sum(F.col("qx") * F.col("c6")).alias("score"))
     )
-    wprobe = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("label"))
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("list_id"))
     probe = (
         pscore.withColumn("pr", F.row_number().over(wprobe))
-        .filter(F.col("pr") <= NPROBE)
-        .select("query_id", F.col("label").alias("plabel"))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", F.col("list_id").alias("plist"))
     )
     qp = q.join(F.broadcast(probe), "query_id")
+    # at ingest time list_id is a stored column (operators.ivf_topk takes
+    # `assigned`); in-query it's one equi-join with the assignment table
+    cand = exploded.join(assign, "vec_id")
     dots = (
-        exploded.join(
+        cand.join(
             F.broadcast(qp),
             (F.col("qi") == F.col("i"))
-            & (F.col("plabel") == F.col("label"))
+            & (F.col("plist") == F.col("list_id"))
             & (F.col("query_id") != F.col("vec_id")),
         )
         .groupBy("query_id", "vec_id")

@@ -81,6 +81,50 @@ def test_ivf_exhaustive_probe_matches_brute_force_scores(spark, assigned):
         ), f"query {qid} not ranked by cosine"
 
 
+def test_registered_ivf_trains_its_own_quantizer(spark):
+    """The driver-checked ann_ivf_topk runs on kmeans_fixed assignments —
+    no synthetic label column (VERDICT r03 item 2). Invariants: probing
+    every list reproduces the exact brute-force baseline bit-for-bit
+    (same fixed-point arithmetic), and the registered nprobe keeps
+    nonzero recall against it."""
+    from kafka_workers_spark.queries.similarity import (
+        K_LISTS,
+        TOP_K,
+        _ivf_fixed_topk,
+        ann_cosine_topk,
+    )
+
+    exact = ann_cosine_topk(spark, SF)
+    all_probes = _ivf_fixed_topk(spark, SF, K_LISTS)
+    got = sorted(map(tuple, all_probes.collect()))
+    want = sorted(map(tuple, exact.collect()))
+    assert got == want, "nprobe=k must BE the brute-force search"
+
+    from kafka_workers_spark.queries import load_all
+
+    registered = load_all()["ann_ivf_topk"].fn(spark, SF)
+    rec = recall_at_k(registered, exact, TOP_K)
+    assert rec > 0.2, f"trained quantizer recall collapsed: {rec}"
+
+
+def test_kmeans_fixed_deterministic_and_total(spark):
+    """Same input -> identical centroids and assignments (pure integer
+    arithmetic, no seed even needed); every vector gets exactly one list."""
+    from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
+    from kafka_workers_spark.operators.similarity import kmeans_fixed
+
+    emb = load_table(spark, SF, "embeddings")
+    comp = explode_fixed(
+        emb.select("vec_id", embedding_fixed(F.col("embedding")).alias("v6")), ["vec_id"]
+    )
+    cents1, assign1 = kmeans_fixed(comp, k=4, iters=1)
+    cents2, assign2 = kmeans_fixed(comp, k=4, iters=1)
+    assert sorted(map(tuple, cents1.collect())) == sorted(map(tuple, cents2.collect()))
+    a1 = dict(assign1.collect())
+    assert a1 == dict(assign2.collect())
+    assert len(a1) == emb.count()  # total: one list per vector
+
+
 def test_rhp_lsh_pairs_blocks_by_angle(spark):
     """Random-hyperplane LSH: a near-identical vector pair shares (almost)
     all bands; the pair table is deterministic for a fixed seed; the plan
