@@ -8,9 +8,60 @@ timeout-release policy)."""
 
 from __future__ import annotations
 
+import json
 import time
 
-from kafka_workers_spark.streaming.gate import accept_gate
+import pandas as pd
+import pytest
+
+from kafka_workers_spark.streaming.gate import (
+    GateBufferLimitExceeded,
+    _gate_handler,
+    accept_gate,
+)
+from kafka_workers_spark.streaming.offsets import ProcessingTimeoutError
+
+
+class FakeGroupState:
+    """Minimal GroupState double for driving _gate_handler directly —
+    includes the processing-time clock so deadline tests don't depend on
+    wall time (the gate must use state.getCurrentProcessingTimeMs, not
+    time.time — ADVICE r03)."""
+
+    def __init__(self, now_ms: int = 0):
+        self._tuple = None
+        self.now_ms = now_ms
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._tuple is not None
+
+    @property
+    def get(self):
+        return self._tuple
+
+    def update(self, t):
+        self._tuple = tuple(t)
+
+    def remove(self):
+        self._tuple = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+    def getCurrentProcessingTimeMs(self):
+        return self.now_ms
+
+
+def _drive(handle, state, rows):
+    """Feed one micro-batch of rows through the handler; return released rows."""
+    out = []
+    pdf = pd.DataFrame(rows) if rows else None
+    it = iter([pdf]) if pdf is not None else iter([])
+    for emitted in handle((0,), it, state):
+        out.extend(emitted.to_dict("records"))
+    return out
 
 
 def _budget_gate_fns():
@@ -211,3 +262,105 @@ def test_gate_record_deadline_fails_query(spark, tmp_path):
     assert "ProcessingTimeoutError" in str(exc_info.value) or "buffered for" in str(
         exc_info.value
     ), str(exc_info.value)[:500]
+
+
+def _handler(**kw):
+    defaults = dict(
+        df_columns=["k", "offset", "cost"],
+        keys=["k"],
+        accept=lambda row, st: st.get("open", False),
+        order_by="offset",
+        on_release=None,
+        on_punctuate=lambda st: {**st, "open": True},
+        punctuate_interval_ms=1000,
+        max_buffer_age_ms=None,
+        max_buffer_rows=None,
+        max_buffer_bytes=None,
+    )
+    defaults.update(kw)
+    return _gate_handler(**defaults)
+
+
+def test_gate_large_stalled_buffer_releases_in_order_fast():
+    """10k rows stall behind a closed gate across many batches, then one
+    punctuate opens it: the whole backlog releases in one linear pass, in
+    offset order, exactly once (the r03 O(n^2) re-sort + pop(0) shape is
+    gone: sorted-insert on ingest, single-slice release)."""
+    handle = _handler()
+    state = FakeGroupState()
+    t0 = time.perf_counter()
+    n = 0
+    for batch in range(10):
+        rows = [{"k": 0, "offset": batch * 1000 + j, "cost": 1} for j in range(1000)]
+        assert _drive(handle, state, rows) == []
+        n += len(rows)
+    assert len(json.loads(state.get[0])["buf"]) == n
+    state.hasTimedOut = True
+    released = _drive(handle, state, [])
+    elapsed = time.perf_counter() - t0
+    assert [r["offset"] for r in released] == list(range(n))
+    assert elapsed < 10.0, f"gate buffer handling took {elapsed:.1f}s for {n} rows"
+
+
+def test_gate_insort_keeps_out_of_order_arrivals_ordered():
+    """Arrivals out of offset order (late batch) still release in order."""
+    handle = _handler()
+    state = FakeGroupState()
+    _drive(handle, state, [{"k": 0, "offset": o, "cost": 1} for o in (5, 3, 9)])
+    _drive(handle, state, [{"k": 0, "offset": o, "cost": 1} for o in (1, 7)])
+    state.hasTimedOut = True
+    released = _drive(handle, state, [])
+    assert [r["offset"] for r in released] == [1, 3, 5, 7, 9]
+
+
+def test_gate_rows_cap_raises():
+    handle = _handler(max_buffer_rows=50)
+    state = FakeGroupState()
+    _drive(handle, state, [{"k": 0, "offset": o, "cost": 1} for o in range(50)])
+    with pytest.raises(GateBufferLimitExceeded, match="51 rows buffered"):
+        _drive(handle, state, [{"k": 0, "offset": 50, "cost": 1}])
+
+
+def test_gate_bytes_cap_raises():
+    handle = _handler(max_buffer_bytes=400)
+    state = FakeGroupState()
+    with pytest.raises(GateBufferLimitExceeded, match="bytes"):
+        _drive(
+            handle,
+            state,
+            [{"k": 0, "offset": o, "cost": 1} for o in range(50)],
+        )
+
+
+def test_gate_deadline_uses_state_clock_not_wall_clock():
+    """The record deadline is driven by getCurrentProcessingTimeMs — fully
+    mockable, consistent with the stateful operator's timers."""
+    handle = _handler(max_buffer_age_ms=5000)
+    state = FakeGroupState(now_ms=1_000)
+    _drive(handle, state, [{"k": 0, "offset": 0, "cost": 1}])  # buffers at t=1000
+    state.now_ms = 5_000  # within deadline
+    _drive(handle, state, [{"k": 0, "offset": 1, "cost": 1}])
+    state.now_ms = 6_001  # 5001ms after first buffered row
+    with pytest.raises(ProcessingTimeoutError, match="buffered for 5001 ms"):
+        _drive(handle, state, [{"k": 0, "offset": 2, "cost": 1}])
+
+
+def test_gate_legacy_unversioned_state_migrates():
+    """State written before the sorted-buffer invariant (no 'v' marker,
+    arbitrary buffer order) is sorted once on load instead of breaking
+    head-of-queue order after a checkpoint restart (ADVICE r03)."""
+    handle = _handler()
+    state = FakeGroupState()
+    legacy = {
+        "buf": [
+            {"r": {"offset": 9, "cost": 1}, "t": 0},
+            {"r": {"offset": 2, "cost": 1}, "t": 0},
+            {"r": {"offset": 5, "cost": 1}, "t": 0},
+        ],
+        "user": {},
+    }
+    state.update((json.dumps(legacy),))
+    state.hasTimedOut = True
+    # punctuate opens the gate; legacy buffer must come out sorted
+    released = _drive(handle, state, [])
+    assert [r["offset"] for r in released] == [2, 5, 9]
