@@ -139,3 +139,78 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # user 1: buy 30s after click -> match; user 2: buy 150s later -> no;
     # user 3 never buys; user 4 never clicks
     assert users == [1], users
+
+
+def test_sliding_pane_merge_streaming(spark, tmp_path):
+    """The events_time_windows pane/slice optimization runs under
+    Structured Streaming: tumbling 5-minute aggregate (watermarked) →
+    chained 10-minute/5-minute window re-aggregation of the tiny panes
+    (Spark's multiple-stateful-operator support, window() over the window
+    column). Closed windows must equal the batch pane-merge on the same
+    input — the docstring claim VERDICT r03 flagged as unverified (item 3)."""
+    src = str(tmp_path / "src")
+    data = [
+        ("a", _ts(10), 5),
+        ("a", _ts(70), 7),
+        ("b", _ts(200), 1),
+        ("a", _ts(320), 11),
+        ("b", _ts(610), 2),
+    ]
+    late = [("a", _ts(900), 3), ("b", _ts(1210), 9)]
+    schema = "event_type string, ts timestamp, value long"
+    spark.createDataFrame(data, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+    # two sentinel batches: the first advances the watermark past every
+    # real window; the second makes Spark run one more batch so the
+    # emission actually happens (watermark updates apply next-batch)
+    spark.createDataFrame(
+        [("s", datetime(2024, 1, 2), 0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("s", datetime(2024, 1, 3), 0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    base = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n0"), F.sum("value").alias("sv0"))
+    )
+    sliding = (
+        base.groupBy(
+            F.window(F.col("window"), "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.sum("n0").alias("n"), F.sum("sv0").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    q = (
+        sliding.writeStream.format("memory")
+        .queryName("pane_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    cutoff = datetime(2024, 1, 1, 12)
+    got = {
+        (r.window_start, r.event_type, r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM pane_out").collect()
+        if r.window_start < cutoff
+    }
+
+    batch = spark.createDataFrame(data + late, schema)
+    expected = {
+        (r.window_start, r.event_type, r.n, r.total_value)
+        for r in (
+            batch.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+            .collect()
+        )
+    }
+    assert got == expected, (sorted(got), sorted(expected))
