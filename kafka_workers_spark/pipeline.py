@@ -300,9 +300,9 @@ def curate_corpus_stream(
     Full LSH near-dedup is deliberately NOT in the streaming path:
     candidate pairing is a self-join over the whole corpus — in
     production it runs as a periodic batch compaction over the landed
-    output (use :func:`near_dedup_lsh` there), not per micro-batch, which
-    would only dedup within a batch and silently miss cross-batch
-    near-duplicates.
+    output (:func:`compact_landed_corpus`, tested end-to-end in
+    tests/test_pipeline.py), not per micro-batch, which would only dedup
+    within a batch and silently miss cross-batch near-duplicates.
     """
     from kafka_workers_spark.operators.dedup import simhash_expr
     from kafka_workers_spark.operators.text import tokens
@@ -322,3 +322,31 @@ def curate_corpus_stream(
     ).drop("__digest")
     return chunk_documents(exact, text_col=text_col, id_col=id_col,
                            chunk_tokens=chunk_tokens, overlap=overlap)
+
+
+def compact_landed_corpus(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Periodic batch compaction over landed streaming output: the
+    cross-batch near-dedup that :func:`curate_corpus_stream` deliberately
+    defers (its watermark dedup is per content/simhash key; two near-dup
+    documents arriving in different micro-batches both land).
+
+    ``chunks`` is the landed chunk table (chunk_documents output — the
+    original document columns ride along on every chunk row). The
+    compaction collapses back to one row per document, runs the full
+    :func:`near_dedup_lsh` pairing over the accumulated corpus, and keeps
+    only the chunks of surviving documents. Run it on a schedule (e.g.
+    per landing-partition) and atomically swap the compacted output in —
+    the standard lambda-architecture split: cheap bounded-state dedup on
+    the stream, exhaustive Σ bucket² pairing in batch where a self-join
+    is affordable.
+    """
+    docs = chunks.select(id_col, text_col).dropDuplicates([id_col])
+    survivors = near_dedup_lsh(docs, id_col=id_col, text_col=text_col, **lsh_kwargs).select(
+        id_col
+    )
+    return chunks.join(survivors, id_col, "left_semi")

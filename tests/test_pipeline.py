@@ -293,3 +293,53 @@ def test_curate_corpus_stream_simhash_collapses_permuted_dup(spark, tmp_path):
 
     with pytest.raises(ValueError, match="dedup_on"):
         curate_corpus_stream(stream, dedup_on="nope")
+
+
+def test_stream_then_batch_compaction_removes_cross_batch_near_dups(spark, tmp_path):
+    """The tested recipe for VERDICT r03 item 4: curate_corpus_stream
+    lands chunks (its watermark dedup is exact-key only, so near-dup
+    documents arriving in DIFFERENT micro-batches both land), then
+    compact_landed_corpus runs the full LSH pairing over the landed
+    output and drops the cross-batch near-duplicate's chunks."""
+    from datetime import datetime
+
+    from kafka_workers_spark.pipeline import compact_landed_corpus, curate_corpus_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "landed")
+    t0 = datetime(2024, 1, 1)
+    schema_str = "doc_id long, text string, ts timestamp"
+    # batch 1: original doc + an unrelated doc
+    spark.createDataFrame(
+        [(1, BASE, t0), (4, "completely different content about spark engines and parquet files here", t0)],
+        schema_str,
+    ).coalesce(1).write.parquet(src)
+    # batch 2 (later micro-batch): near-duplicate of doc 1 — different
+    # content digest, so the streaming exact-dedup lets it through
+    spark.createDataFrame(
+        [(3, BASE + " tonight", t0)], schema_str
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    chunks = curate_corpus_stream(stream, min_tokens=3, chunk_tokens=8, overlap=2)
+    q = (
+        chunks.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(out)
+    landed_ids = sorted({r.doc_id for r in landed.select("doc_id").collect()})
+    assert landed_ids == [1, 3, 4], landed_ids  # near-dup 3 landed (documented)
+
+    compacted = compact_landed_corpus(landed)
+    ids = sorted({r.doc_id for r in compacted.select("doc_id").collect()})
+    assert ids == [1, 4], ids  # compaction removed the cross-batch near-dup
+    # chunks of survivors pass through untouched
+    assert compacted.count() == landed.filter(F.col("doc_id").isin(1, 4)).count()
+    assert sorted(compacted.columns) == sorted(landed.columns)
