@@ -135,6 +135,69 @@ def lsh_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
     )
 
 
+def lsh_plan(
+    n_docs: int,
+    target_jaccard: float,
+    background_jaccard: float = 0.05,
+    max_k: int = 256,
+    threshold_slack: float = 0.05,
+) -> tuple[int, int, int]:
+    """Size a MinHash-LSH scheme for a corpus: returns
+    ``(k, n_bands, rows_per_band)`` with ``k = n_bands * rows_per_band``.
+
+    S-curve math (Leskovec/Rajaraman/Ullman, *Mining of Massive
+    Datasets* ch. 3 — public): with ``b`` bands of ``r`` rows, a pair at
+    Jaccard ``s`` becomes a candidate with probability
+    ``P(s) = 1 - (1 - s^r)^b``; the curve's threshold (steepest point)
+    sits near ``t = (1/b)^(1/r)``. Sizing therefore solves two
+    constraints:
+
+    1. *Threshold placement*: ``|t - target_jaccard| <= threshold_slack``
+       — pairs above the target are (almost) always candidates, pairs
+       well below almost never.
+    2. *False-positive budget*: the band join's cost is Σ bucket², so the
+       expected sub-threshold candidates per document —
+       ``n_docs * P(background_jaccard)`` — must stay ≤ 1. Bigger
+       corpora have ~n more background pairs per doc, which drives
+       ``rows_per_band`` (and so k) up logarithmically with n: exactly
+       why a fixed toy scheme that is fine at 10⁴ docs melts at 10⁹.
+
+    Picks the CHEAPEST scheme (min k — signature compute and shuffle
+    width scale with k) meeting both; when no scheme under ``max_k``
+    meets the FP budget (huge corpora), returns the threshold-correct
+    scheme with the lowest FP rate and the caller should also verify
+    pairs (``min_agreement`` in pipeline.near_dedup_lsh) before trusting
+    candidates. The toy default (8, 4, 2) is exactly
+    ``lsh_plan(100, 0.5)`` — correct for test corpora, undersized
+    beyond ~10⁴ docs.
+    """
+    if not 0.0 < target_jaccard < 1.0:
+        raise ValueError(f"target_jaccard must be in (0, 1), got {target_jaccard}")
+    if n_docs < 1:
+        raise ValueError(f"n_docs must be >= 1, got {n_docs}")
+    feasible: list[tuple[int, float, int, int]] = []  # (k, |t-target|, b, r)
+    closest: list[tuple[float, int, int, int]] = []  # (fp, k, b, r)
+    for r in range(1, 33):
+        for b in range(1, max_k // r + 1):
+            t = (1.0 / b) ** (1.0 / r)
+            if abs(t - target_jaccard) > threshold_slack:
+                continue
+            fp = n_docs * (1.0 - (1.0 - background_jaccard**r) ** b)
+            if fp <= 1.0:
+                feasible.append((b * r, abs(t - target_jaccard), b, r))
+            closest.append((fp, b * r, b, r))
+    if feasible:
+        k, _, b, r = min(feasible)
+        return k, b, r
+    if not closest:
+        raise ValueError(
+            f"no (bands, rows) scheme with k <= {max_k} places the S-curve "
+            f"threshold within {threshold_slack} of {target_jaccard}"
+        )
+    _, k, b, r = min(closest)
+    return k, b, r
+
+
 def minhash_agreement(sig_a: Column, sig_b: Column, k: int) -> Column:
     """Estimated Jaccard = fraction of agreeing signature positions.
 

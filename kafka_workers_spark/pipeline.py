@@ -65,9 +65,20 @@ def near_dedup_lsh(
     shingle_n: int = 3,
     exact_groups: bool = False,
     min_agreement: float | None = None,
+    corpus_size: int | None = None,
+    target_jaccard: float = 0.5,
 ) -> DataFrame:
     """Drop near-duplicates: MinHash signatures → LSH banding → keep one
     survivor per collision group.
+
+    Pass ``corpus_size`` (approximate document count) to SIZE the scheme
+    instead of using the explicit ``k``/``n_bands``/``rows_per_band``:
+    ``operators.dedup.lsh_plan(corpus_size, target_jaccard)`` picks the
+    cheapest (k, bands, rows) whose S-curve threshold sits at the target
+    AND whose expected false-positive candidates stay ≤ 1 per document —
+    the literal defaults (8, 4×2) are ``lsh_plan(100, 0.5)``, right for
+    test corpora and undersized beyond ~10⁴ docs (see lsh_plan's
+    docstring for the math and the 10⁹-doc behavior).
 
     Default survivor rule is the standard greedy one (any doc colliding
     with a lower id is dropped) — one left-anti join against the
@@ -89,6 +100,10 @@ def near_dedup_lsh(
     another cluster's survivor. Pair cost is Σ bucket² via the band
     equi-join either way (operators/dedup.py scale notes).
     """
+    if corpus_size is not None:
+        from kafka_workers_spark.operators.dedup import lsh_plan
+
+        k, n_bands, rows_per_band = lsh_plan(corpus_size, target_jaccard)
     staged = shingle_stage(tokenize_stage(docs.select(id_col, text_col)), shingle_n, distinct=True)
     sigs = minhash_agg(staged, [id_col], k=k)
     banded = sigs.select(

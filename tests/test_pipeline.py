@@ -343,3 +343,41 @@ def test_stream_then_batch_compaction_removes_cross_batch_near_dups(spark, tmp_p
     # chunks of survivors pass through untouched
     assert compacted.count() == landed.filter(F.col("doc_id").isin(1, 4)).count()
     assert sorted(compacted.columns) == sorted(landed.columns)
+
+
+def test_lsh_plan_operating_points():
+    """lsh_plan sizes the MinHash scheme from (corpus size, target
+    Jaccard): threshold lands on target, FP budget drives k up with n,
+    and the engine's toy default is exactly the 100-doc plan."""
+    import pytest
+
+    from kafka_workers_spark.operators.dedup import lsh_plan
+
+    assert lsh_plan(100, 0.5) == (8, 4, 2)  # the literal toy default
+    assert lsh_plan(10_000, 0.5) == (44, 11, 4)
+    assert lsh_plan(1_000_000, 0.5) == (222, 37, 6)
+
+    # monotone: a bigger corpus never gets a cheaper scheme
+    ks = [lsh_plan(n, 0.5)[0] for n in (100, 10_000, 1_000_000, 10**9)]
+    assert ks == sorted(ks), ks
+
+    # threshold placement: (1/b)^(1/r) within slack of target, k = b*r
+    for n in (100, 10_000, 10**8):
+        for target in (0.3, 0.5, 0.8):
+            k, b, r = lsh_plan(n, target)
+            assert k == b * r
+            assert abs((1.0 / b) ** (1.0 / r) - target) <= 0.05 + 1e-12
+
+    with pytest.raises(ValueError, match="target_jaccard"):
+        lsh_plan(100, 1.5)
+    with pytest.raises(ValueError, match="n_docs"):
+        lsh_plan(0, 0.5)
+
+
+def test_near_dedup_lsh_sized_by_corpus(spark):
+    """corpus_size plumbs lsh_plan into near_dedup_lsh: the 100-doc plan
+    must reproduce the explicit-default behavior on the planted corpus."""
+    docs = _corpus(spark).filter(F.col("doc_id").isin(1, 3, 4, 6))
+    out = near_dedup_lsh(docs, corpus_size=100, target_jaccard=0.5)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 1 in ids and 3 not in ids and 4 in ids and 6 in ids
