@@ -251,11 +251,15 @@ def rhp_lsh_pairs(
     # fail loudly on a dim mismatch: the projection join on i < dim would
     # otherwise silently truncate longer vectors to a prefix, quietly
     # degrading blocking recall (assert_true evaluates NULL per row when
-    # the size matches, throws on the first mismatch)
+    # the size matches, throws on the first mismatch). size(NULL) = -1,
+    # so NULL embeddings land here too — say so in the message (ADVICE r03)
     checked = F.when(
         F.assert_true(
             F.size(F.col(vec_col)) == dim,
-            F.lit(f"rhp_lsh_pairs: embedding length != dim ({dim})"),
+            F.lit(
+                f"rhp_lsh_pairs: NULL embedding or length != dim ({dim}) — "
+                "filter NULL vectors upstream or fix the dim argument"
+            ),
         ).isNull(),
         embedding_fixed(F.col(vec_col)),
     )

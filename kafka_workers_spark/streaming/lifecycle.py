@@ -33,6 +33,7 @@ Documented divergences from the reference transition matrix:
 from __future__ import annotations
 
 import enum
+import json
 import threading
 from dataclasses import dataclass
 from typing import Any, Callable
@@ -208,10 +209,6 @@ class WorkersQuery:
 #: (impl/metrics/WorkersMetrics.java:36-64). Kept importable so the parity
 #: gap is inspectable instead of silent.
 UNMAPPED_SENSORS: dict[str, str] = {
-    "consumer-thread.paused-partitions": (
-        "Spark sources have no pause(); backpressure is admission control "
-        "via maxOffsetsPerTrigger/maxBytesPerTrigger (sources/kafka.py)"
-    ),
     "consumer-thread.input-records.serialized-size": (
         "progress reports row counts, not serialized bytes"
     ),
@@ -219,8 +216,9 @@ UNMAPPED_SENSORS: dict[str, str] = {
         "progress reports row counts, not serialized bytes"
     ),
     "worker-thread.accepting-offset": (
-        "accept gate is re-expressed as a merge release rule (streaming/"
-        "merge.py); there is no per-record accepting position"
+        "accept gate is re-expressed as a release rule (streaming/gate.py, "
+        "streaming/merge.py); progress exposes no per-record accepting "
+        "position — backlog size is visible via state.rows instead"
     ),
     "worker-thread.accepted-offset": "see worker-thread.accepting-offset",
     "queues-manager.queues-total-size-limit.bytes": (
@@ -258,6 +256,47 @@ def snapshot(query: StreamingQuery) -> dict[str, Any]:
         vals = [v for v in vals if v is not None]
         return sum(vals) if vals else None
 
+    def _behind(src) -> int:
+        """Positions where the source holds data beyond the batch end —
+        the paused-partition analog: under admission control
+        (maxOffsetsPerTrigger/maxBytesPerTrigger) these are exactly the
+        partitions whose consumption the engine deferred, the condition
+        the reference reports as paused (QueuesManager.java:117-143).
+        Offsets come as per-partition dicts (Kafka: {topic: {part: off}}),
+        flat dicts (file source: {logOffset: n}) or scalars (rate)."""
+        end, latest = src.get("endOffset"), src.get("latestOffset")
+        for parse in (json.loads,):
+            if isinstance(end, str):
+                try:
+                    end = parse(end)
+                except ValueError:
+                    return 0
+            if isinstance(latest, str):
+                try:
+                    latest = parse(latest)
+                except ValueError:
+                    return 0
+        if end is None or latest is None:
+            return 0
+        if isinstance(end, (int, float)) and isinstance(latest, (int, float)):
+            return int(latest > end)
+        if isinstance(end, dict) and isinstance(latest, dict):
+            n = 0
+            for topic, parts in latest.items():
+                if isinstance(parts, dict):
+                    for part, off in parts.items():
+                        e = (end.get(topic) or {}).get(part)
+                        if isinstance(off, (int, float)) and (
+                            not isinstance(e, (int, float)) or off > e
+                        ):
+                            n += 1
+                elif isinstance(parts, (int, float)):
+                    e = end.get(topic)
+                    if not isinstance(e, (int, float)) or parts > e:
+                        n += 1
+            return n
+        return 0
+
     return {
         # consumer thread (WorkersMetrics.java:37-43)
         "consumer-thread.consumed-offset": [s.get("endOffset") for s in sources],
@@ -265,6 +304,9 @@ def snapshot(query: StreamingQuery) -> dict[str, Any]:
         "consumer-thread.available-offset": [s.get("latestOffset") for s in sources],
         "consumer-thread.poll.records.count": p.get("numInputRows"),
         "consumer-thread.poll.records.count-per-sec": p.get("inputRowsPerSecond"),
+        # paused-partition analog: partitions with available-but-deferred
+        # data (admission control), 0 when the batch drained the source
+        "consumer-thread.paused-partitions": _sum(_behind(s) for s in sources),
         # worker thread (WorkersMetrics.java:45-51)
         "worker-thread.processing-offset": [s.get("startOffset") for s in sources],
         "worker-thread.processed-offset": [s.get("endOffset") for s in sources],

@@ -97,20 +97,53 @@ def apply_worker_task(
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout if timer_ms else GroupStateTimeout.NoTimeout
     )
+    handle = _task_handler(task, punctuate_interval_ms, order_by, idle_timeout_ms, timer_ms)
+    return df.groupBy(*keys).applyInPandasWithState(
+        handle,
+        outputStructType=output_schema,
+        stateStructType="state STRING",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def _task_handler(
+    task: WorkerTask,
+    punctuate_interval_ms: int | None,
+    order_by: list[str] | None,
+    idle_timeout_ms: int | None,
+    timer_ms: int | None,
+):
+    """Build the applyInPandasWithState handler — split out so tests can
+    drive the envelope/punctuate/idle logic directly against a fake
+    GroupState (legacy-state migration and timer epochs don't need a live
+    query)."""
 
     def handle(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        now = state.getCurrentProcessingTimeMs()
         if state.exists:
             env = json.loads(state.get[0])
+            if not (isinstance(env, dict) and {"u", "p", "d"} <= env.keys()):
+                # legacy checkpoint written before the state envelope: the
+                # raw value IS the user dict — wrap it instead of crashing
+                # on restart (ADVICE r03); clocks restart at now
+                env = {"u": env if isinstance(env, dict) else {}, "p": now, "d": now}
         else:
-            env = {"u": task.init(key) if task.init else {}, "p": None, "d": None}
-        now = state.getCurrentProcessingTimeMs()
+            # the punctuate epoch starts NOW: the first interval-flush
+            # fires one interval after the key appears, matching the
+            # reference's punctuator (PunctuatorThread.java:34-41 — no
+            # epoch-zero firing on task creation; ADVICE r03)
+            env = {"u": task.init(key) if task.init else {}, "p": now, "d": None}
 
         def _punctuate_if_due(force: bool = False):
             nonlocal env
             if not task.punctuate or not punctuate_interval_ms:
                 return None
             last = env["p"]
-            if force or last is None or now - last >= punctuate_interval_ms:
+            if last is None:  # very old state predating the p clock
+                env["p"] = now
+                return None
+            if force or now - last >= punctuate_interval_ms:
                 out, env["u"] = task.punctuate(key, env["u"], now)
                 env["p"] = now
                 return out
@@ -154,10 +187,4 @@ def apply_worker_task(
         if timer_ms:
             state.setTimeoutDuration(timer_ms)
 
-    return df.groupBy(*keys).applyInPandasWithState(
-        handle,
-        outputStructType=output_schema,
-        stateStructType="state STRING",
-        outputMode="append",
-        timeoutConf=timeout,
-    )
+    return handle

@@ -21,6 +21,8 @@ Transform preference order: pure column expressions (codegen) >
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 from collections.abc import Callable, Iterator
 
 
@@ -54,6 +56,10 @@ _PY_TYPES: dict[str, tuple[type, ...]] = {
     "long": (int,), "integer": (int,), "short": (int,), "byte": (int,),
     "double": (int, float), "float": (int, float),
     "string": (str,), "boolean": (bool,), "binary": (bytes, bytearray),
+    # pd.Timestamp subclasses datetime; np scalars unwrap via .item()
+    "timestamp": (_dt.datetime,),
+    "date": (_dt.date,),
+    "decimal": (_decimal.Decimal, int),
 }
 
 
@@ -61,7 +67,11 @@ def _coerce_to_schema(row: pd.DataFrame, schema_obj: StructType) -> pd.DataFrame
     """Null out input values that cannot serialize under the declared
     output type for their column — the DLQ row must never be the thing
     that crashes the Arrow conversion (e.g. the unparseable string that
-    made ``fn`` raise, sitting in a column declared double)."""
+    made ``fn`` raise, sitting in a column declared double). Columns whose
+    declared type has no verifier here (arrays, maps, structs, ...) are
+    nulled wholesale: unverifiable means a wrong-typed survivor could
+    still crash the conversion this helper exists to prevent (ADVICE
+    r03); declare matching-typed passthrough columns to keep payloads."""
     out = row.copy()
     types = {f.name: f.dataType.typeName() for f in schema_obj.fields}
     for c in out.columns:
@@ -70,6 +80,7 @@ def _coerce_to_schema(row: pd.DataFrame, schema_obj: StructType) -> pd.DataFrame
             continue
         allowed = _PY_TYPES.get(t)
         if allowed is None:
+            out[c] = pd.Series([None] * len(out), index=out.index, dtype=object)
             continue
 
         def ok(v):  # noqa: ANN001

@@ -204,6 +204,10 @@ def test_metrics_snapshot_against_real_progress(spark, tmp_path):
     # worker-threads: the streaming aggregate registers one state operator
     assert snap["worker-threads.task-count"] >= 1
     assert snap["offsets.consumed.count"] == 500
+    # drained availableNow query: nothing available-but-deferred, so the
+    # paused-partition analog reads 0 (or None where the source reports
+    # no latestOffset at all)
+    assert not snap["consumer-thread.paused-partitions"]
     # batch extras used by the deadline listener
     assert snap["batch.id"] >= 0
     assert snap["batch.duration.ms"] is None or snap["batch.duration.ms"] > 0

@@ -258,3 +258,46 @@ def test_kafka_source_level_options_override_unprefixed():
     # byte-bounded config must not emit it inert
     opts2 = kafka_options(WorkersConfig(topics=["t"], max_bytes_per_trigger="1g"))
     assert "maxTriggerDelay" not in opts2 and opts2["maxBytesPerTrigger"] == "1g"
+
+
+def test_paused_partitions_analog_from_progress_shapes():
+    """A15: consumer-thread.paused-partitions maps to the count of
+    partitions with available-but-deferred data (admission control) —
+    the closest Spark analog of the reference's paused partitions
+    (QueuesManager.java:117-143). All three source offset shapes parse:
+    Kafka per-partition dicts (also JSON-encoded), file-source flat
+    dicts, and scalar offsets."""
+    from kafka_workers_spark.streaming.lifecycle import UNMAPPED_SENSORS, snapshot
+
+    class FakeQuery:
+        def __init__(self, progress):
+            self.lastProgress = progress
+
+    def snap(sources):
+        return snapshot(FakeQuery({"sources": sources}))
+
+    # Kafka shape: partition 1 of topic t has 4 deferred records
+    kafka = [{
+        "endOffset": {"t": {"0": 10, "1": 5}},
+        "latestOffset": {"t": {"0": 10, "1": 9}},
+    }]
+    assert snap(kafka)["consumer-thread.paused-partitions"] == 1
+    # the same, JSON-encoded (progress sometimes carries offsets as strings)
+    kafka_str = [{
+        "endOffset": '{"t": {"0": 10, "1": 5}}',
+        "latestOffset": '{"t": {"0": 10, "1": 9}}',
+    }]
+    assert snap(kafka_str)["consumer-thread.paused-partitions"] == 1
+    # file source drained / behind
+    assert snap([{"endOffset": {"logOffset": 2}, "latestOffset": {"logOffset": 2}}])[
+        "consumer-thread.paused-partitions"
+    ] == 0
+    assert snap([{"endOffset": {"logOffset": 2}, "latestOffset": {"logOffset": 3}}])[
+        "consumer-thread.paused-partitions"
+    ] == 1
+    # scalar offsets (rate source), plus a source with no latestOffset
+    assert snap([{"endOffset": 5, "latestOffset": 7}, {"endOffset": 5}])[
+        "consumer-thread.paused-partitions"
+    ] == 1
+    # the sensor is mapped now — it must no longer be listed as unmapped
+    assert "consumer-thread.paused-partitions" not in UNMAPPED_SENSORS

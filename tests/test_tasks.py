@@ -248,3 +248,137 @@ def test_dlq_row_with_incompatible_input_dtype(spark):
     bad = dlq.collect()
     assert len(bad) == 1 and bad[0].id == 2
     assert bad[0].value is None and "could not convert" in bad[0]["__error"]
+
+
+# ---------------------------------------------------------------------------
+# Direct-handler tests (fake GroupState): envelope migration + timer epochs
+# (ADVICE r03) — no live query needed
+# ---------------------------------------------------------------------------
+
+
+class _FakeState:
+    def __init__(self, now_ms=0):
+        self._tuple = None
+        self.now_ms = now_ms
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._tuple is not None
+
+    @property
+    def get(self):
+        return self._tuple
+
+    def update(self, t):
+        self._tuple = tuple(t)
+
+    def remove(self):
+        self._tuple = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+    def getCurrentProcessingTimeMs(self):
+        return self.now_ms
+
+
+def _drive_task(handle, state, rows):
+    out = []
+    it = iter([pd.DataFrame(rows)]) if rows else iter([])
+    for emitted in handle((0,), it, state):
+        out.extend(emitted.to_dict("records"))
+    return out
+
+
+def _counting_task():
+    from kafka_workers_spark.streaming.stateful import WorkerTask
+
+    def process(key, pdf, st):
+        st = {**st, "n": st.get("n", 0) + len(pdf)}
+        return pdf[["offset"]], st
+
+    def punctuate(key, st, now_ms):
+        return pd.DataFrame({"offset": [-1]}), {**st, "flushes": st.get("flushes", 0) + 1}
+
+    return WorkerTask(process=process, punctuate=punctuate)
+
+
+def test_punctuate_epoch_starts_at_key_creation():
+    """A new key must NOT punctuate on its first data batch — the first
+    interval-flush fires one interval after the key appears, like the
+    reference's punctuator (ADVICE r03: no spurious epoch-zero output)."""
+    import json
+
+    from kafka_workers_spark.streaming.stateful import _task_handler
+
+    handle = _task_handler(_counting_task(), 1000, ["offset"], None, 1000)
+    state = _FakeState(now_ms=5000)
+    out = _drive_task(handle, state, [{"offset": 1}])
+    assert [r["offset"] for r in out] == [1]  # no -1 flush row
+    env = json.loads(state.get[0])
+    assert env["p"] == 5000 and env["u"].get("flushes") is None
+
+    state.now_ms = 5999  # interval not yet elapsed
+    out = _drive_task(handle, state, [{"offset": 2}])
+    assert [r["offset"] for r in out] == [2]
+
+    state.now_ms = 6000  # one full interval after creation -> fires
+    out = _drive_task(handle, state, [{"offset": 3}])
+    assert [r["offset"] for r in out] == [3, -1]
+    assert json.loads(state.get[0])["u"]["flushes"] == 1
+
+
+def test_legacy_raw_dict_state_migrates_into_envelope():
+    """A checkpoint written before the {'u','p','d'} envelope stored the
+    raw user dict; restarting on it must wrap, not crash with KeyError
+    (ADVICE r03), and the user state must carry over."""
+    import json
+
+    from kafka_workers_spark.streaming.stateful import _task_handler
+
+    handle = _task_handler(_counting_task(), 1000, ["offset"], None, 1000)
+    state = _FakeState(now_ms=9000)
+    state.update((json.dumps({"n": 7}),))  # legacy: raw user dict, no envelope
+    out = _drive_task(handle, state, [{"offset": 4}])
+    assert [r["offset"] for r in out] == [4]
+    env = json.loads(state.get[0])
+    assert env["u"]["n"] == 8  # legacy count carried over and incremented
+    assert env["p"] == 9000 and env["d"] == 9000  # clocks restarted at now
+
+
+def test_coerce_to_schema_nulls_unverifiable_types():
+    """DLQ coercion: values of unverifiable declared types (arrays, ...)
+    are nulled — they could still crash the Arrow conversion the helper
+    exists to prevent; verifiable timestamp/date/decimal values now pass
+    through when well-typed (ADVICE r03)."""
+    import datetime
+    import decimal
+
+    from pyspark.sql.types import StructType
+
+    from kafka_workers_spark.streaming.tasks import _coerce_to_schema
+
+    schema = StructType.fromDDL(
+        "a array<int>, t timestamp, d date, m decimal(10,2), s string"
+    )
+    row = pd.DataFrame(
+        {
+            "a": [[1, 2, 3]],
+            "t": [datetime.datetime(2024, 1, 1, 12)],
+            "d": [datetime.date(2024, 1, 1)],
+            "m": [decimal.Decimal("3.14")],
+            "s": ["ok"],
+        }
+    )
+    out = _coerce_to_schema(row, schema)
+    assert out["a"].iloc[0] is None  # unverifiable -> nulled
+    assert out["t"].iloc[0] == datetime.datetime(2024, 1, 1, 12)
+    assert out["d"].iloc[0] == datetime.date(2024, 1, 1)
+    assert out["m"].iloc[0] == decimal.Decimal("3.14")
+    assert out["s"].iloc[0] == "ok"
+
+    # a mismatched timestamp value (string where timestamp declared) nulls
+    bad = pd.DataFrame({"t": ["not-a-time"], "s": ["x"]})
+    out = _coerce_to_schema(bad, schema)
+    assert out["t"].iloc[0] is None and out["s"].iloc[0] == "x"
