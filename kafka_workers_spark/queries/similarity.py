@@ -237,6 +237,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_fixed_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     from kafka_workers_spark.operators.similarity import kmeans_fixed
 
     exploded, norms = _vectors_exploded(spark, sf_dir)
@@ -247,6 +249,14 @@ def _ivf_fixed_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         iters=IVF_ITERS,
         train=comp.filter(F.col("vec_id") % TRAIN_MOD == 0),
     )
+    # Pin the two training products that multiple branches consume:
+    # cents (k×dim rows — probe scoring AND the final assignment pass)
+    # and assign (2 longs per vector — the candidate join; at ingest time
+    # this is a stored column, see operators.ivf_topk). persist keeps
+    # lineage, so executor loss recomputes instead of failing the job —
+    # never localCheckpoint (ARCHITECTURE.md §4 rule 3).
+    cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
+    assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
     q = comp.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("i").alias("qi"),
