@@ -344,3 +344,55 @@ def near_dedup_embeddings(
     else:
         losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Embedding storage: symmetric int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    codes_col: str = "q_codes",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``code_i = round(x_i / scale)`` in [-127, 127], stored as
+    ``array<tinyint>`` + one float scale — 4x smaller than float32 at
+    rest, the standard storage form for 10⁹-vector ANN corpora (per-
+    component reconstruction error ≤ scale/2, cosine distortion O(1/255)
+    — verify with exact re-ranking on the shortlist, exactly what
+    :func:`ivf_topk`'s probed search produces).
+
+    All collection expressions (array_max/array_min/transform) — a
+    single per-row O(dim) pass, no Python, no shuffle. All-zero (and
+    NULL-free) vectors get scale 0 and all-zero codes; NULL vectors stay
+    NULL in both output columns.
+    """
+    v = F.col(vec_col)
+    peak = F.greatest(F.array_max(v), -F.array_min(v)).cast("double")
+    scale = (peak / F.lit(127.0)).cast("double")
+    codes = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.withColumn(codes_col, codes).withColumn(scale_col, scale.cast("float"))
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    codes_col: str = "q_codes",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``x_i ≈ code_i * scale``
+    as ``array<float>`` — the shape every ANN/dedup operator here takes,
+    so quantized corpora plug straight back into the similarity family."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(codes_col),
+            lambda c: (c.cast("double") * F.col(scale_col)).cast("float"),
+        ),
+    )

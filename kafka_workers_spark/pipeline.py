@@ -365,3 +365,69 @@ def compact_landed_corpus(
         id_col
     )
     return chunks.join(survivors, id_col, "left_semi")
+
+
+def split_corpus(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    dup_pairs: DataFrame | None = None,
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split with near-duplicate leakage
+    safety.
+
+    ``weights`` maps split name → integer percent (must sum to 100;
+    default ``{"train": 98, "val": 1, "test": 1}``). Each document's
+    split comes from an md5 coin over ``salt || group_id`` — no RNG
+    state, so re-runs and backfills split identically (the same
+    reproducibility contract as :func:`sample_stratified`, salted so the
+    split coin is independent of the sampling coin).
+
+    ``dup_pairs`` is the leakage guard: pass a near-duplicate edge list
+    (e.g. the verified pairs from LSH/RHP blocking) and the coin is
+    taken over the document's duplicate-COMPONENT id (min-id via
+    operators/components.connected_components) instead of its own id —
+    every member of a near-dup cluster lands in the SAME split. Without
+    this, a validation set silently contains near-twins of training
+    documents and evals measure memorization, which is the entire reason
+    per-doc random splitting is wrong for dedup'd corpora. NOTE: with
+    ``dup_pairs`` the call is EAGER (component rounds execute now — the
+    same documented exception as ``near_dedup_lsh(exact_groups=True)``).
+
+    Scale: one broadcast-or-shuffle join against the (pairs-sized)
+    component table plus pure column expressions; no collect.
+    """
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    if any(w <= 0 for w in weights.values()) or sum(weights.values()) != 100:
+        raise ValueError(f"weights must be positive ints summing to 100, got {weights}")
+    if dup_pairs is not None:
+        from kafka_workers_spark.operators.components import connected_components
+
+        src, dst = pair_cols
+        comp = connected_components(dup_pairs, src=src, dst=dst)
+        docs = docs.join(
+            comp.select(F.col("node").alias(id_col), F.col("comp").alias("__grp")),
+            id_col,
+            "left",
+        )
+        grp = F.coalesce(F.col("__grp"), F.col(id_col))
+    else:
+        grp = F.col(id_col)
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}|"), grp.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        expr = F.when(coin < acc, name) if expr is None else expr.when(coin < acc, name)
+    out = docs.withColumn(out_col, expr)
+    return out.drop("__grp") if dup_pairs is not None else out

@@ -381,3 +381,50 @@ def test_near_dedup_lsh_sized_by_corpus(spark):
     out = near_dedup_lsh(docs, corpus_size=100, target_jaccard=0.5)
     ids = sorted(r.doc_id for r in out.collect())
     assert 1 in ids and 3 not in ids and 4 in ids and 6 in ids
+
+
+def test_split_corpus_deterministic_and_complete(spark):
+    from kafka_workers_spark.pipeline import split_corpus
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    out = split_corpus(docs, weights={"train": 90, "val": 5, "test": 5})
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert set(got.values()) <= {"train", "val", "test"}
+    assert len(got) == docs.count()  # total: every doc gets a split
+    # deterministic: identical on re-run
+    again = {r.doc_id: r.split for r in split_corpus(
+        docs, weights={"train": 90, "val": 5, "test": 5}).collect()}
+    assert got == again
+    # roughly proportional (md5 coin, 500 docs): train strictly dominates
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert c["train"] > 300 and c["val"] + c["test"] < 200
+
+    import pytest
+
+    with pytest.raises(ValueError, match="summing to 100"):
+        split_corpus(docs, weights={"train": 50, "val": 10})
+
+
+def test_split_corpus_keeps_near_dup_groups_together(spark):
+    """The leakage guard: every member of a duplicate component gets the
+    SAME split — a validation doc can never be a near-twin of a training
+    doc."""
+    from kafka_workers_spark.pipeline import split_corpus
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # duplicate clusters: {0..4} chained, {10,11}, {20,21,22} star
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "id_a long, id_b long",
+    )
+    out = split_corpus(
+        docs, weights={"train": 50, "val": 25, "test": 25}, dup_pairs=pairs
+    )
+    got = {r.doc_id: r.split for r in out.collect()}
+    for cluster in ([0, 1, 2, 3, 4], [10, 11], [20, 21, 22]):
+        splits = {got[i] for i in cluster}
+        assert len(splits) == 1, (cluster, splits)
+    # singletons still split deterministically and completely
+    assert len(got) == 200 and set(got.values()) == {"train", "val", "test"}

@@ -199,3 +199,60 @@ def test_new_similarity_ops_on_real_embeddings_table(spark):
     n_out = survivors.count()
     assert 0 < n_out <= n_in
     assert survivors.columns == emb.columns  # passthrough schema
+
+
+def test_quantize_embeddings_roundtrip_and_cosine_preservation(spark):
+    """int8 symmetric quantization: codes are tinyint in [-127,127] with a
+    per-vector float scale; dequantized vectors reconstruct within
+    scale/2 per component and preserve cosine to ~1e-3 on the real
+    embeddings table — good enough for candidate generation, with exact
+    re-ranking downstream."""
+    import math
+
+    from kafka_workers_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    q = quantize_embeddings(emb)
+    rows = q.select("vec_id", "embedding", "q_codes", "q_scale").collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r.q_codes)
+        assert len(r.q_codes) == len(r.embedding)
+        peak = max(abs(x) for x in r.embedding)
+        assert r.q_scale == pytest.approx(peak / 127.0, rel=1e-5)
+
+    deq = dequantize_embeddings(q.drop("embedding"), out_col="embedding")
+    joined = (
+        emb.select("vec_id", F.col("embedding").alias("orig"))
+        .join(deq.select("vec_id", F.col("embedding").alias("back")), "vec_id")
+        .collect()
+    )
+    for r in joined:
+        dot = sum(a * b for a, b in zip(r.orig, r.back))
+        na = math.sqrt(sum(a * a for a in r.orig))
+        nb = math.sqrt(sum(b * b for b in r.back))
+        for a, b, in zip(r.orig, r.back):
+            assert abs(a - b) <= (na and max(abs(x) for x in r.orig) / 127.0) / 2 + 1e-6
+        if na > 0 and nb > 0:
+            assert dot / (na * nb) > 0.999
+
+
+def test_quantize_embeddings_zero_vector(spark):
+    from kafka_workers_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_embeddings(df)
+    rows = {r.vec_id: r for r in q.collect()}
+    assert list(rows[1].q_codes) == [0, 0, 0] and rows[1].q_scale == 0.0
+    assert rows[2].q_codes[1] == -127  # the peak component saturates
+    back = {r.vec_id: r.embedding for r in dequantize_embeddings(q.drop("embedding")).collect()}
+    assert back[1] == [0.0, 0.0, 0.0]
