@@ -182,6 +182,50 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 256,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write with files sized for the target scale — the small-files /
+    giant-files answer for 100 TB outputs.
+
+    Uses the AQE ``REBALANCE`` hint: the exchange is sized AT RUNTIME
+    from the actual shuffle statistics (advisoryPartitionSizeInBytes =
+    ``target_mb``), splitting skewed partitions and coalescing tiny ones
+    — strictly better than a static ``repartition(n)`` guess, which
+    under- or over-shoots the moment the input volume drifts. A curation
+    pipeline that filtered 90% of its input would otherwise write
+    thousands of near-empty files (metadata pressure on every downstream
+    scan); an unfiltered one would write multi-GB files (no scan
+    parallelism without splitting).
+
+    With ``partition_by``, rebalances ON those columns so each Hive
+    partition's rows land together before the write (one file per
+    partition-value per ~target, not one per task per value — the
+    classic partitioned-write file explosion).
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(target_mb * 1024 * 1024)
+    )
+    try:
+        balanced = df.hint("rebalance", *(partition_by or []))
+        writer = balanced.write.format(fmt).mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        else:
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev)
+
+
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Streaming read of a test table (file source, one-file micro-batch).
 

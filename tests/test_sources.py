@@ -75,3 +75,43 @@ def test_avro_missing_package_clear_error(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="spark-avro"):
         read_files(spark, str(tmp_path / "x.avro"), "avro")
+
+
+def test_write_sized_coalesces_tiny_output(spark, tmp_path):
+    """write_sized: a many-partition tiny DataFrame lands in few
+    right-sized files (AQE REBALANCE coalesces), not one near-empty file
+    per task — and the content round-trips."""
+    import os
+
+    from kafka_workers_spark.sources.files import write_sized
+
+    out = str(tmp_path / "sized")
+    df = spark.range(10_000).repartition(32).selectExpr("id", "id * 2 AS v")
+    before = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
+    write_sized(df, out, target_mb=64)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= 4, files  # 32 tiny tasks coalesced
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(v)").first()[0] == 10_000 * 9_999
+    # the advisory size conf is restored to its pre-call value
+    after = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
+    assert after == before
+
+
+def test_write_sized_partitioned_no_file_explosion(spark, tmp_path):
+    """partition_by rebalances on the partition columns first: each
+    Hive-partition directory holds ONE file here, not one per input
+    task (the classic partitioned-write explosion)."""
+    import os
+
+    from kafka_workers_spark.sources.files import write_sized
+
+    out = str(tmp_path / "byk")
+    df = spark.range(5_000).repartition(16).selectExpr("id", "id % 3 AS k")
+    write_sized(df, out, target_mb=64, partition_by=["k"])
+    for k in (0, 1, 2):
+        d = os.path.join(out, f"k={k}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (k, files)
+    assert spark.read.parquet(out).count() == 5_000
