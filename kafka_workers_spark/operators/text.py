@@ -314,3 +314,118 @@ def winnowing_fingerprints(
     idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
     mins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, window)))
     return F.when(n >= 1, F.array_distinct(mins))
+
+
+# ---------------------------------------------------------------------------
+# Global span-level dedup (C4-style) and PII redaction — the two remaining
+# standard stages of a production text-curation pipeline (Raffel et al. 2020
+# C4 §2.2 deduplicates repeated spans ACROSS documents, not just whole docs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_paragraphs(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+):
+    """Global paragraph-level dedup: any paragraph that appears in more
+    than one place across the ENTIRE corpus keeps only its first
+    occurrence (lowest (doc, position)); documents are reassembled with
+    surviving paragraphs in their original order. Whole-document dedup
+    misses this class entirely — boilerplate headers/footers/license
+    blocks repeated across distinct pages — which is why C4 dedups at
+    span granularity.
+
+    Shape: split → posexplode (codegen generator) → ONE window shuffle
+    keyed by the paragraph's md5 digest (16-byte keys, never the text —
+    rule 4 in ARCHITECTURE.md §4) to rank occurrences → reassembly
+    aggregate keyed by ``id_col``. Paragraphs shorter than ``min_chars``
+    (after trim) are passthrough — "", bullets, and separators are not
+    meaningful duplicates and would weld unrelated documents into one
+    dedup class.
+
+    Returns ``id_col, {text_col} (reassembled), n_paragraphs,
+    n_dropped``; documents whose every paragraph was dropped keep an
+    empty string (filter on ``n_paragraphs > n_dropped`` to drop them).
+    """
+    from pyspark.sql import Window as W
+
+    exploded = (
+        docs.select(id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"))
+        .withColumn("__meaningful", F.length(F.trim(F.col("__para"))) >= min_chars)
+        .withColumn("__digest", F.md5(F.col("__para")))
+    )
+    w = W.partitionBy("__digest").orderBy(id_col, "__pos")
+    ranked = exploded.withColumn(
+        "__keep",
+        (~F.col("__meaningful")) | (F.row_number().over(w) == 1),
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__keep"), F.struct("__pos", "__para"))
+                        )
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count("*").alias("n_paragraphs"),
+            F.sum((~F.col("__keep")).cast("bigint")).alias("n_dropped"),
+        )
+    )
+
+
+#: (pattern, replacement) redaction rules — conservative, precision-first
+#: (a training pipeline prefers leaving an ambiguous token over mangling
+#: prose); extend per deployment policy.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    # order IS the contract: the phone rule's separator class ('.', ' ',
+    # '-') would otherwise eat email digits, IPv4 octets, and card runs —
+    # the more specific shapes run first
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4
+    (r"(?<![\w.])(?:\d{1,3}\.){3}\d{1,3}(?![\w.])", "<IP>"),
+    # 13-19 digit runs with optional spaces/dashes (card-shaped)
+    (r"(?<![\w.])(?:\d[ \-]?){12,18}\d(?![\w.])", "<CARD>"),
+    # international-ish phone numbers: 7+ digits with optional +, separators
+    (r"(?<![\w.])\+?\d[\d\-\s().]{5,}\d(?![\w.])", "<PHONE>"),
+)
+
+
+def redact_pii(
+    docs,
+    text_col: str = "text",
+    rules: tuple[tuple[str, str], ...] = PII_RULES,
+    count_col: str | None = None,
+):
+    """Regex PII redaction (emails, phone numbers, IPv4, card-shaped digit
+    runs) as chained ``regexp_replace`` — single scan, whole-stage
+    codegen, no Python. Rule order matters and is part of the contract
+    (specific shapes — email, IP, card — run before the greedy phone
+    rule). With ``count_col``, also emits how many rule hits the
+    document had BEFORE redaction — rank-and-audit material (documents
+    with hundreds of hits are usually dumps, not prose, and belong in
+    quality filtering, not redaction).
+    """
+    redacted = F.col(text_col)
+    for pattern, replacement in rules:
+        redacted = F.regexp_replace(redacted, pattern, replacement)
+    if count_col:
+        # hit counts come from the ORIGINAL text (the count column is added
+        # before the text column is replaced, so F.col(text_col) here still
+        # reads the input)
+        hits = F.lit(0).cast("bigint")
+        for pattern, _ in rules:
+            hits = hits + F.coalesce(
+                F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))),
+                F.lit(0),
+            ).cast("bigint")
+        docs = docs.withColumn(count_col, hits)
+    return docs.withColumn(text_col, redacted)

@@ -147,3 +147,87 @@ def test_chunk_documents_drops_null_text(spark):
     rows = chunk_documents(df, chunk_tokens=2, overlap=0).collect()
     assert sorted({r.doc_id for r in rows}) == [2]
     assert all(r.chunk_text is not None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Global paragraph dedup (C4-style spans) + PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_paragraphs_keeps_first_occurrence_globally(spark):
+    from kafka_workers_spark.operators.text import dedup_paragraphs
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n{boiler}\nalpha two"),
+            (2, f"{boiler}\nbeta body"),
+            (3, f"gamma body\n{boiler}"),
+            (4, "delta only unique text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    # the boilerplate line survives only at its first (lowest doc, pos) site
+    assert out[1].text == f"alpha one\n{boiler}\nalpha two"
+    assert out[2].text == "beta body" and out[2].n_dropped == 1
+    assert out[3].text == "gamma body" and out[3].n_dropped == 1
+    assert out[4].text == "delta only unique text" and out[4].n_dropped == 0
+    assert out[1].n_paragraphs == 3 and out[1].n_dropped == 0
+
+
+def test_dedup_paragraphs_short_lines_pass_through(spark):
+    """Blank/short separator lines are not dedup classes: they survive
+    everywhere (welding unrelated docs on "" would be nonsense)."""
+    from kafka_workers_spark.operators.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "one\n\ntwo"), (2, "three\n\nfour")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in dedup_paragraphs(docs, min_chars=2).collect()}
+    assert out[1] == "one\n\ntwo"
+    assert out[2] == "three\n\nfour"  # the empty line was NOT deduped away
+
+
+def test_redact_pii_rules_and_counts(spark):
+    from kafka_workers_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.com or call +1 (555) 123-4567."),
+            (2, "server at 192.168.1.10 charged card 4111 1111 1111 1111 ok"),
+            (3, "no pii here, just prose from twenty twenty four"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs, count_col="pii_hits").collect()}
+    assert "<EMAIL>" in out[1].text and "example.com" not in out[1].text
+    assert "<PHONE>" in out[1].text and "555" not in out[1].text
+    assert "<IP>" in out[2].text and "192.168" not in out[2].text
+    assert "<CARD>" in out[2].text and "4111" not in out[2].text
+    assert out[3].text == "no pii here, just prose from twenty twenty four"
+    assert out[1].pii_hits >= 2 and out[2].pii_hits >= 2 and out[3].pii_hits == 0
+
+
+def test_redact_pii_plan_stays_jvm_side(spark):
+    from kafka_workers_spark.operators.text import redact_pii
+    from kafka_workers_spark.plans import audit
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = audit(redact_pii(docs, count_col="pii_hits"))
+    assert a.python_evals == 0 and a.cartesian_products == 0
+    assert redact_pii(docs).count() == docs.count()
+
+
+def test_dedup_paragraphs_on_real_documents(spark):
+    from kafka_workers_spark.operators.text import dedup_paragraphs
+    from kafka_workers_spark.plans import audit
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    out = dedup_paragraphs(docs)
+    a = audit(out)
+    assert a.python_evals == 0 and a.cartesian_products == 0
+    rows = out.collect()
+    assert len(rows) == docs.count()  # one row per document, always
