@@ -364,3 +364,95 @@ def test_gate_legacy_unversioned_state_migrates():
     # punctuate opens the gate; legacy buffer must come out sorted
     released = _drive(handle, state, [])
     assert [r["offset"] for r in released] == [2, 5, 9]
+
+
+def test_gate_random_arrivals_match_reference_model():
+    """Property (hypothesis): for ANY arrival order, batching, and
+    punctuate bump schedule, the gate's cumulative output equals a
+    reference model's — the longest order-prefix of everything ingested
+    whose offsets are under the current limit — with no drops,
+    duplicates, or reorders. Ports the spirit of the reference's
+    randomized OffsetsStateTest processing orders to the A3 gate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        offsets=st.permutations(list(range(12))),
+        batch_sizes=st.lists(st.integers(1, 5), min_size=1, max_size=12),
+        bumps=st.lists(st.integers(0, 6), min_size=1, max_size=8),
+    )
+    def run(offsets, batch_sizes, bumps):
+        padded = list(bumps) + [100] * 40  # eventually opens fully
+
+        def limit_after(ticks: int) -> int:
+            return -1 + sum(padded[:ticks])
+
+        def on_punctuate(s):
+            t = s.get("ticks", 0) + 1
+            return {"ticks": t, "limit": limit_after(t)}
+
+        handle = _handler(
+            accept=lambda row, s: row["offset"] <= s.get("limit", -1),
+            on_punctuate=on_punctuate,
+        )
+        state = FakeGroupState()
+
+        import itertools
+
+        batches, it = [], iter(offsets)
+        for size in batch_sizes:
+            batch = list(itertools.islice(it, size))
+            if batch:
+                batches.append(batch)
+        rest = list(it)
+        if rest:
+            batches.append(rest)
+
+        released: list[int] = []
+        model: list[int] = []
+        ingested: list[int] = []
+        ticks = 0
+
+        def model_release():
+            pending = sorted(set(ingested) - set(model))
+            lim = limit_after(ticks)
+            for o in pending:
+                if o > lim:
+                    break
+                model.append(o)
+
+        for batch in batches:
+            ingested.extend(batch)
+            got = _drive(handle, state, [{"k": 0, "offset": o, "cost": 1} for o in batch])
+            released.extend(r["offset"] for r in got)
+            model_release()
+            state.hasTimedOut = True
+            got = _drive(handle, state, [])
+            state.hasTimedOut = False
+            ticks += 1
+            released.extend(r["offset"] for r in got)
+            model_release()
+        for _ in range(40):  # drain
+            if len(released) == len(offsets):
+                break
+            state.hasTimedOut = True
+            got = _drive(handle, state, [])
+            state.hasTimedOut = False
+            ticks += 1
+            released.extend(r["offset"] for r in got)
+            model_release()
+        assert released == model, (released, model)
+        assert sorted(released) == sorted(offsets)  # no drops, no dupes
+        # head-of-queue order holds among co-buffered rows: a released
+        # offset is never followed by a smaller one that was ALREADY
+        # buffered when it went out (a late-arriving smaller offset
+        # legitimately releases later — same as the reference, where a
+        # record can only be processed after it arrives)
+        seen_batches = {o: bi for bi, b in enumerate(batches) for o in b}
+        for i, a in enumerate(released):
+            for b in released[i + 1 :]:
+                if b < a:
+                    assert seen_batches[b] > seen_batches[a], (a, b, released)
+
+    run()
