@@ -338,13 +338,17 @@ def dedup_paragraphs(
     blocks repeated across distinct pages — which is why C4 dedups at
     span granularity.
 
-    Shape: split → posexplode (codegen generator) → ONE window shuffle
-    keyed by the paragraph's md5 digest (16-byte keys, never the text —
-    rule 4 in ARCHITECTURE.md §4) to rank occurrences → reassembly
-    aggregate keyed by ``id_col``. Paragraphs shorter than ``min_chars``
-    (after trim) are passthrough — "", bullets, and separators are not
-    meaningful duplicates and would weld unrelated documents into one
-    dedup class.
+    Shape: split → posexplode (codegen generator) → the occurrence
+    ranking runs on a SLIM (digest, id, pos) projection, so the
+    digest-keyed window shuffle carries 16-byte keys, never the text
+    (rule 4 in ARCHITECTURE.md §4) — crucial because repeated
+    boilerplate is exactly where digest keys are SKEWED: a
+    million-occurrence disclaimer would otherwise land a million text
+    copies on one partition. Keep-decisions join back on (id, pos) —
+    uniformly distributed — and the reassembly aggregate is keyed by
+    ``id_col``. Paragraphs shorter than ``min_chars`` (after trim) are
+    passthrough — "", bullets, and separators are not meaningful
+    duplicates and would weld unrelated documents into one dedup class.
 
     Returns ``id_col, {text_col} (reassembled), n_paragraphs,
     n_dropped``; documents whose every paragraph was dropped keep an
@@ -352,16 +356,18 @@ def dedup_paragraphs(
     """
     from pyspark.sql import Window as W
 
-    exploded = (
-        docs.select(id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"))
-        .withColumn("__meaningful", F.length(F.trim(F.col("__para"))) >= min_chars)
-        .withColumn("__digest", F.md5(F.col("__para")))
+    exploded = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para")
+    ).withColumn("__meaningful", F.length(F.trim(F.col("__para"))) >= min_chars)
+    slim = exploded.select(
+        id_col, "__pos", "__meaningful", F.md5(F.col("__para")).alias("__digest")
     )
     w = W.partitionBy("__digest").orderBy(id_col, "__pos")
-    ranked = exploded.withColumn(
+    keep_keys = slim.withColumn(
         "__keep",
         (~F.col("__meaningful")) | (F.row_number().over(w) == 1),
-    )
+    ).select(id_col, "__pos", "__keep")
+    ranked = exploded.join(keep_keys, [id_col, "__pos"])
     return (
         ranked.groupBy(id_col)
         .agg(
