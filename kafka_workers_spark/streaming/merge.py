@@ -1,5 +1,5 @@
-"""Time-aware ordered merge of two streams (the reference's hardest
-semantic, SURVEY.md §7 step 4).
+"""Time-aware ordered merge of paired streams (the reference's hardest
+semantic, SURVEY.md §7 step 4), generalized to N-way feeds.
 
 Reference: the Merger pattern — pause the faster of two paired streams
 until the slower one catches up, so paired partitions emit in global
@@ -48,7 +48,9 @@ def merge_ordered(
     side_col: str = "side",
     single_scan: bool = False,
 ) -> DataFrame:
-    """Batch ordered merge: union both sides, release rows up to the pair's
+    """Batch ordered merge of a stream PAIR — the reference's exact shape;
+    see :func:`merge_ordered_many` for the N-way generalization this
+    delegates to. Union both sides, release rows up to the pair's
     low watermark min(max_left_ts, max_right_ts) per group.
 
     Returns the released ROW SET with a ``side`` tag; physical row order
@@ -75,17 +77,49 @@ def merge_ordered(
       ``isnotnull(ts)`` filter the frontier subtree lacks, so the two
       exchanges are never structurally identical).
     """
-    l_tag = left.withColumn(side_col, F.lit("left"))
-    r_tag = right.withColumn(side_col, F.lit("right"))
-    unioned = l_tag.unionByName(r_tag)
+    return merge_ordered_many(
+        {"left": left, "right": right}, group, ts, side_col=side_col, single_scan=single_scan
+    )
+
+
+def merge_ordered_many(
+    streams: dict[str, DataFrame],
+    group: str,
+    ts: str,
+    side_col: str = "side",
+    single_scan: bool = False,
+) -> DataFrame:
+    """N-way batch ordered merge: release rows up to the group's low
+    watermark ``min over sides of max(seen ts)``, with EVERY side's
+    frontier known (a side with no rows — or all-NULL timestamps — holds
+    the whole group back, the reference's accept()-while-sibling-unknown
+    rule generalized from 2 to N feeds). ``streams`` maps side name →
+    DataFrame; all sides must share a schema. Same scan strategies and
+    release semantics as :func:`merge_ordered` (its docstring is the
+    contract); frontier state is one row per (group, side) — tiny at any
+    scale — and the payload is never shuffled on the default path.
+    """
+    if len(streams) < 2:
+        raise ValueError(f"merge needs >= 2 streams, got {list(streams)}")
+    tagged = [df.withColumn(side_col, F.lit(name)) for name, df in streams.items()]
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.unionByName(t)
+    n_sides = len(streams)
     if single_scan:
         from pyspark.sql import Window as W
 
         w = W.partitionBy(group)
-        l_max = F.max(F.when(F.col(side_col) == "left", F.col(ts))).over(w)
-        r_max = F.max(F.when(F.col(side_col) == "right", F.col(ts))).over(w)
+        maxes = [
+            F.max(F.when(F.col(side_col) == name, F.col(ts))).over(w) for name in streams
+        ]
+        all_present = maxes[0].isNotNull()
+        for m in maxes[1:]:
+            all_present = all_present & m.isNotNull()
+        # F.least skips NULLs, so the all_present guard (not least itself)
+        # is what holds a group back while any side's frontier is unknown
         return (
-            unioned.withColumn("__lw", F.when(l_max.isNotNull() & r_max.isNotNull(), F.least(l_max, r_max)))
+            unioned.withColumn("__lw", F.when(all_present, F.least(*maxes)))
             .filter(F.col(ts) <= F.col("__lw"))
             .drop("__lw")
         )
@@ -95,17 +129,15 @@ def merge_ordered(
         .groupBy(group)
         # count NON-NULL frontiers: a side whose ts values are all NULL has
         # an unknown frontier (max ignores nulls) and must buffer its
-        # sibling, exactly like a side with no rows — matching the
+        # siblings, exactly like a side with no rows — matching the
         # single_scan branch's isNotNull guard and the reference's accept()
         # while timestamps.get(otherPartition) == null
         .agg(F.min("__max_ts").alias("__low_watermark"), F.count("__max_ts").alias("__n_sides"))
     )
     released = (
         unioned.join(F.broadcast(frontiers), group)
-        # a group with only one side present has no sibling frontier yet:
-        # everything stays buffered, like the reference's accept() returning
-        # false while timestamps.get(otherPartition) == null
-        .filter((F.col("__n_sides") >= 2) & (F.col(ts) <= F.col("__low_watermark")))
+        # a group missing any side's frontier stays fully buffered
+        .filter((F.col("__n_sides") >= n_sides) & (F.col(ts) <= F.col("__low_watermark")))
         .drop("__low_watermark", "__n_sides")
         # join(group) moves the group column first; restore the union's
         # column order so both scan strategies yield one schema shape
@@ -147,9 +179,36 @@ def merge_ordered_stream(
     values must be JSON-serializable (numbers/strings/bools — decode
     binary/timestamp columns to primitives before the merge).
     """
-    l_tag = left.withColumn(side_col, F.lit("left"))
-    r_tag = right.withColumn(side_col, F.lit("right"))
-    unioned = l_tag.unionByName(r_tag)
+    return merge_ordered_stream_many(
+        {"left": left, "right": right},
+        group,
+        ts,
+        output_schema,
+        side_col=side_col,
+        state_ttl_ms=state_ttl_ms,
+    )
+
+
+def merge_ordered_stream_many(
+    streams: dict[str, DataFrame],
+    group: str,
+    ts: str,
+    output_schema: str,
+    side_col: str = "side",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """N-way streaming ordered merge — :func:`merge_ordered_stream`'s
+    semantics (its docstring is the contract) generalized to any number
+    of named feeds: a group's rows release only once EVERY side's
+    frontier is known, up to the minimum frontier, in (ts, side) order.
+    """
+    if len(streams) < 2:
+        raise ValueError(f"merge needs >= 2 streams, got {list(streams)}")
+    n_sides = len(streams)
+    tagged = [df.withColumn(side_col, F.lit(name)) for name, df in streams.items()]
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.unionByName(t)
     cols = [c for c in unioned.columns if c != group]  # side, ts, payload...
 
     def _emit(key: tuple, recs: list[dict]) -> pd.DataFrame:
@@ -180,7 +239,7 @@ def merge_ordered_stream(
                 st["buf"].append(rec)
                 side = rec[side_col]
                 st["max"][side] = max(st["max"].get(side, rec[ts]), rec[ts])
-        if len(st["max"]) >= 2:
+        if len(st["max"]) >= n_sides:
             low = min(st["max"].values())
             ready = sorted(
                 [r for r in st["buf"] if r[ts] <= low], key=lambda r: (r[ts], r[side_col])

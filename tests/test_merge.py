@@ -315,3 +315,66 @@ def test_merge_null_frontier_side_buffers_sibling(spark):
     for single_scan in (False, True):
         out = merge_ordered(left, right, "pair", "ts", single_scan=single_scan)
         assert out.count() == 0, f"single_scan={single_scan} released rows"
+
+
+def test_merge_ordered_many_three_way(spark):
+    """N-way generalization: a group releases only up to the minimum of
+    ALL three sides' frontiers, and a group missing any side stays fully
+    buffered — the reference's pairwise rule extended to N feeds."""
+    from kafka_workers_spark.streaming.merge import merge_ordered_many
+
+    a = spark.createDataFrame([(0, 10), (0, 40), (1, 5)], "g int, t long")
+    b = spark.createDataFrame([(0, 20), (0, 35)], "g int, t long")
+    c = spark.createDataFrame([(0, 30)], "g int, t long")
+    # group 0 frontiers: a=40, b=35, c=30 -> low watermark 30:
+    # released = {a:10, b:20, c:30}; a:40 and b:35 buffered.
+    # group 1 exists only on side a -> nothing released.
+    for single_scan in (False, True):
+        out = sorted(
+            (r.g, r.t, r.side)
+            for r in merge_ordered_many(
+                {"a": a, "b": b, "c": c}, "g", "t", single_scan=single_scan
+            ).collect()
+        )
+        assert out == [(0, 10, "a"), (0, 20, "b"), (0, 30, "c")], (single_scan, out)
+
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 2 streams"):
+        merge_ordered_many({"a": a}, "g", "t")
+
+
+def test_merge_ordered_stream_many_three_way(spark, tmp_path):
+    """Streaming N-way merge: releases follow min-of-three frontiers
+    across micro-batches; the late third feed unblocks its group."""
+    import time
+
+    from kafka_workers_spark.streaming.merge import merge_ordered_stream_many
+
+    dirs = {}
+    for name, rows in {
+        "a": [(0, 10), (0, 40)],
+        "b": [(0, 20), (0, 35)],
+        "c": [(0, 30)],
+    }.items():
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows, "g int, t long").coalesce(1).write.parquet(d)
+        dirs[name] = d
+    schema = spark.read.parquet(dirs["a"]).schema
+    streams = {
+        name: spark.readStream.schema(schema).parquet(d) for name, d in dirs.items()
+    }
+    out = merge_ordered_stream_many(
+        streams, "g", "t", "g int, side string, t long"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nway_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.g, r.t, r.side) for r in spark.sql("SELECT * FROM nway_out").collect())
+    assert got == [(0, 10, "a"), (0, 20, "b"), (0, 30, "c")], got
