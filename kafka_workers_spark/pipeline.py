@@ -136,13 +136,36 @@ def near_dedup_lsh(
 
 
 def _cleaned(
-    docs: DataFrame, id_col: str, text_col: str, min_tokens: int
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    redact: bool = False,
+    paragraph_dedup: bool = False,
 ) -> DataFrame:
-    """The shared cleaning prefix: quality-filter → exact dedup over
-    normalized text → LSH near-dedup. One definition so the chunking path
-    (curate_corpus) and the mix build (prepare_training_mix) can never
-    silently diverge."""
+    """The shared cleaning prefix: [PII redaction →] quality-filter →
+    [global paragraph dedup →] exact dedup over normalized text → LSH
+    near-dedup. One definition so the chunking path (curate_corpus) and
+    the mix build (prepare_training_mix) can never silently diverge.
+
+    Stage order is deliberate: redaction first (so dedup digests see the
+    redacted form — two docs differing only in PII values collapse);
+    paragraph dedup before whole-doc dedup (cross-document boilerplate
+    removal changes document digests, and stripping it FIRST lets
+    otherwise-identical pages collapse in the exact pass)."""
+    if redact:
+        from kafka_workers_spark.operators.text import redact_pii
+
+        docs = redact_pii(docs, text_col=text_col)
     filtered = quality_filter(docs, text_col, min_tokens=min_tokens)
+    if paragraph_dedup:
+        from kafka_workers_spark.operators.text import dedup_paragraphs
+
+        kept = dedup_paragraphs(filtered, id_col=id_col, text_col=text_col)
+        filtered = filtered.drop(text_col).join(
+            kept.filter(F.col("n_paragraphs") > F.col("n_dropped")).select(id_col, text_col),
+            id_col,
+        )
     exact = exact_dedup(
         filtered.withColumn("__norm", normalized(F.col(text_col))),
         content_col="__norm",
@@ -158,10 +181,16 @@ def curate_corpus(
     min_tokens: int = 5,
     chunk_tokens: int = 128,
     overlap: int = 16,
+    redact: bool = False,
+    paragraph_dedup: bool = False,
 ) -> DataFrame:
-    """quality-filter → exact dedup (normalized text) → LSH near-dedup →
-    overlapping chunks. Returns chunk rows ready for tokenization."""
-    near = _cleaned(docs, id_col, text_col, min_tokens)
+    """[PII redaction →] quality-filter → [global paragraph dedup →]
+    exact dedup (normalized text) → LSH near-dedup → overlapping chunks.
+    Returns chunk rows ready for tokenization. ``redact`` and
+    ``paragraph_dedup`` opt into the round-4 text stages (see _cleaned
+    for why the order is what it is)."""
+    near = _cleaned(docs, id_col, text_col, min_tokens,
+                    redact=redact, paragraph_dedup=paragraph_dedup)
     return chunk_documents(near, text_col=text_col, id_col=id_col,
                            chunk_tokens=chunk_tokens, overlap=overlap)
 

@@ -428,3 +428,37 @@ def test_split_corpus_keeps_near_dup_groups_together(spark):
         assert len(splits) == 1, (cluster, splits)
     # singletons still split deterministically and completely
     assert len(got) == 200 and set(got.values()) == {"train", "val", "test"}
+
+
+def test_curate_corpus_with_redaction_and_paragraph_dedup(spark):
+    """The opt-in text stages compose into the standard pipeline:
+    PII is gone from every chunk; cross-document boilerplate paragraphs
+    survive only at their first site; docs identical after boilerplate
+    stripping collapse in the exact pass."""
+    from kafka_workers_spark.pipeline import curate_corpus
+
+    boiler = "all rights reserved contact legal department for details"
+    docs = spark.createDataFrame(
+        [
+            (1, f"the quick brown fox jumps over the dog\n{boiler}"),
+            (2, f"a completely different story about engines\n{boiler}"),
+            # 3 equals 2 after boilerplate stripping -> exact-dup'd away
+            (3, f"{boiler}\na completely different story about engines"),
+            (4, "mail jane.doe@example.com about the quarterly update report"),
+        ],
+        "doc_id long, text string",
+    )
+    chunks = curate_corpus(
+        docs, min_tokens=3, chunk_tokens=16, overlap=2,
+        redact=True, paragraph_dedup=True,
+    )
+    rows = chunks.collect()
+    ids = sorted({r.doc_id for r in rows})
+    text_by_doc = {
+        d: " ".join(r.chunk_text for r in sorted(rows, key=lambda r: r.chunk_id) if r.doc_id == d)
+        for d in ids
+    }
+    assert 1 in ids and 2 in ids and 4 in ids
+    assert 3 not in ids, ids  # identical to 2 once boilerplate stripped
+    assert "legal" in text_by_doc[1] and "legal" not in text_by_doc[2]
+    assert "<EMAIL>" in text_by_doc[4] and "example.com" not in text_by_doc[4]
