@@ -1,0 +1,137 @@
+"""DuckDB-oracle checks for operators OUTSIDE the 50-query driver window.
+
+The registry is capped at the driver's correctness window, so newer
+operators can't earn driver rows — these tests give them the same
+cross-engine verification locally: run the Spark operator and an
+independent DuckDB SQL implementation over the same parquet table and
+compare values exactly. (redact_pii is excluded by construction: its
+rules use lookbehind, which DuckDB's RE2 engine does not support.)
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+
+
+def test_dedup_paragraphs_matches_duckdb_oracle(spark):
+    """Global paragraph dedup replayed independently in DuckDB SQL
+    (split → ordinality-unnest → digest window → filtered ordered
+    string_agg): per-document reassembled text and drop counts must
+    match exactly on the real documents table."""
+    from kafka_workers_spark.operators.text import dedup_paragraphs
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    got = {
+        r.doc_id: (r.text, r.n_paragraphs, r.n_dropped)
+        for r in dedup_paragraphs(docs).collect()
+    }
+
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"""
+        WITH splitted AS (
+          SELECT doc_id, string_split(text, chr(10)) AS parts FROM '{DOCS}'
+        ),
+        exploded AS (
+          SELECT doc_id,
+                 UNNEST([{{'pos': i - 1, 'para': parts[i]}}
+                         FOR i IN generate_series(1, len(parts))],
+                        recursive := true)
+          FROM splitted
+        ),
+        marked AS (
+          SELECT *, length(trim(para)) >= 1 AS meaningful, md5(para) AS digest
+          FROM exploded
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id, pos) AS rn
+          FROM marked
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(para, chr(10) ORDER BY pos)
+                        FILTER (WHERE (NOT meaningful) OR rn = 1), '') AS text,
+               COUNT(*) AS n_paragraphs,
+               COUNT(*) FILTER (WHERE meaningful AND rn > 1) AS n_dropped
+        FROM ranked GROUP BY doc_id
+        """
+    ).fetchall()
+    con.close()
+    want = {r[0]: (r[1], r[2], r[3]) for r in oracle}
+    assert set(got) == set(want)
+    mismatches = {d: (got[d], want[d]) for d in got if got[d] != want[d]}
+    assert not mismatches, list(mismatches.items())[:3]
+
+
+def test_split_corpus_matches_duckdb_oracle(spark):
+    """The salted md5 split coin replays exactly in DuckDB (same
+    conv/'0x'-cast trick as the registered sample_coin oracle): every
+    document's split assignment must match."""
+    from kafka_workers_spark.pipeline import split_corpus
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    got = {
+        r.doc_id: r.split
+        for r in split_corpus(docs, weights={"train": 90, "val": 5, "test": 5}).collect()
+    }
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"""
+        SELECT doc_id,
+               CASE WHEN coin < 90 THEN 'train'
+                    WHEN coin < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 100 AS coin
+          FROM '{DOCS}'
+        )
+        """
+    ).fetchall()
+    con.close()
+    want = dict(oracle)
+    assert got == want
+
+
+def test_merge_ordered_many_matches_duckdb_oracle(spark):
+    """The N-way merge release rule replayed in SQL: rows <= the minimum
+    per-group frontier, only for groups where every side is present."""
+    from kafka_workers_spark.streaming.merge import merge_ordered_many
+
+    rows = {
+        "a": [(g, t) for g in range(4) for t in range(0, 50, 7)],
+        "b": [(g, t) for g in range(3) for t in range(3, 40, 5)],
+        "c": [(g, t) for g in range(5) for t in range(1, 60, 11)],
+    }
+    dfs = {
+        name: spark.createDataFrame(data, "g int, t long") for name, data in rows.items()
+    }
+    got = sorted(
+        (r.g, r.t, r.side) for r in merge_ordered_many(dfs, "g", "t").collect()
+    )
+
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({g}, {t}, '{name}')" for name, data in rows.items() for g, t in data
+    )
+    oracle = con.execute(
+        f"""
+        WITH u(g, t, side) AS (VALUES {values}),
+        fr AS (
+          SELECT g, MIN(mx) AS lw, COUNT(*) AS n FROM (
+            SELECT g, side, MAX(t) AS mx FROM u GROUP BY 1, 2
+          ) GROUP BY g
+        )
+        SELECT u.g, u.t, u.side FROM u JOIN fr ON u.g = fr.g
+        WHERE fr.n >= 3 AND u.t <= fr.lw
+        ORDER BY 1, 2, 3
+        """
+    ).fetchall()
+    con.close()
+    assert got == [tuple(r) for r in oracle]
