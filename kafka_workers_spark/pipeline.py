@@ -460,3 +460,78 @@ def split_corpus(
         expr = F.when(coin < acc, name) if expr is None else expr.when(coin < acc, name)
     out = docs.withColumn(out_col, expr)
     return out.drop("__grp") if dup_pairs is not None else out
+
+
+def sample_by_quality(
+    docs: DataFrame,
+    score_col: str,
+    keep_fraction: float,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep the top ``keep_fraction`` of documents by a quality score
+    (e.g. operators.text.gopher_rules outputs or a model score) — the
+    quality-pruning pass of a data mix, as a threshold filter.
+
+    The cutoff is the (1 - keep_fraction) quantile from ONE
+    percentile_approx aggregate (mergeable sketch, rank error ≤
+    1/accuracy — functions/sketches.py discussion), so the pass is a
+    tiny aggregate plus a pushed-down scan filter: no sort, no window,
+    no per-row rank shuffle — sorting 100 TB to take the top third is
+    exactly the plan this avoids. EAGER in one small way: the cutoff
+    value is computed now (two-pass by nature, like every
+    quantile-threshold filter).
+    """
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
+    if keep_fraction == 1.0:
+        return docs
+    cutoff = docs.agg(
+        F.percentile_approx(score_col, 1.0 - keep_fraction, accuracy)
+    ).first()[0]
+    if cutoff is None:  # all-NULL scores: nothing to rank, keep nothing
+        return docs.filter(F.lit(False))
+    return docs.filter(F.col(score_col) >= F.lit(cutoff))
+
+
+def mixture_rates(
+    token_counts: dict[str, int],
+    target_weights: dict[str, float],
+    token_budget: int,
+) -> dict[str, int]:
+    """Solve per-stratum sampling percentages for a target data mix:
+    given available tokens per stratum, desired mixture weights, and a
+    total token budget, return the integer percent rates to feed
+    :func:`sample_stratified`.
+
+    A stratum's ideal take is ``budget * weight / available``; rates cap
+    at 100 (this engine never upsamples — repeat-epoch weighting belongs
+    in the training loop, not in corpus prep, where silent duplication
+    would undo the dedup passes). Driver-side pure math over a
+    strata-sized dict (the per-stratum token counts come from one tiny
+    aggregate, e.g. ``docs.groupBy('lang').agg(sum(n_tokens))``).
+    Raises if the requested mix is infeasible even at rate 100 for a
+    stratum with nonzero weight — a silent mix distortion is worse than
+    a loud one.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    total_w = sum(target_weights.values())
+    if total_w <= 0:
+        raise ValueError("target_weights must sum to a positive value")
+    rates: dict[str, int] = {}
+    for stratum, w in target_weights.items():
+        want = token_budget * (w / total_w)
+        have = token_counts.get(stratum, 0)
+        if want == 0:
+            rates[stratum] = 0
+            continue
+        # 1e-9 relative slack: weight sums like 0.6+0.3+0.1 are not exactly
+        # 1.0 in floats, and a stratum consumed in full must not read as
+        # infeasible by one ulp
+        if have <= 0 or want > have * (1 + 1e-9):
+            raise ValueError(
+                f"stratum {stratum!r}: need {want:.0f} tokens for the mix "
+                f"but only {have} are available (cannot upsample)"
+            )
+        rates[stratum] = min(100, max(1, round(100.0 * want / have)))
+    return rates

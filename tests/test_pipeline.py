@@ -462,3 +462,36 @@ def test_curate_corpus_with_redaction_and_paragraph_dedup(spark):
     assert 3 not in ids, ids  # identical to 2 once boilerplate stripped
     assert "legal" in text_by_doc[1] and "legal" not in text_by_doc[2]
     assert "<EMAIL>" in text_by_doc[4] and "example.com" not in text_by_doc[4]
+
+
+def test_sample_by_quality_thresholds_top_fraction(spark):
+    from kafka_workers_spark.pipeline import sample_by_quality
+
+    docs = spark.range(1000).selectExpr("id AS doc_id", "CAST(id AS DOUBLE) AS score")
+    kept = sample_by_quality(docs, "score", 0.25)
+    n = kept.count()
+    assert 240 <= n <= 260, n  # approx quantile, tight at this accuracy
+    assert kept.agg(F.min("score")).first()[0] >= 740  # top quarter only
+    assert sample_by_quality(docs, "score", 1.0) is docs
+
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_fraction"):
+        sample_by_quality(docs, "score", 0.0)
+
+
+def test_mixture_rates_solves_and_refuses_upsampling():
+    import pytest
+
+    from kafka_workers_spark.pipeline import mixture_rates
+
+    counts = {"en": 1_000_000, "de": 200_000, "fr": 50_000}
+    rates = mixture_rates(counts, {"en": 0.6, "de": 0.3, "fr": 0.1}, 500_000)
+    # en: need 300k of 1M -> 30%; de: 150k of 200k -> 75%; fr: 50k of 50k -> 100%
+    assert rates == {"en": 30, "de": 75, "fr": 100}
+
+    with pytest.raises(ValueError, match="cannot upsample"):
+        mixture_rates(counts, {"en": 0.2, "fr": 0.8}, 500_000)  # fr needs 400k of 50k
+    with pytest.raises(ValueError, match="token_budget"):
+        mixture_rates(counts, {"en": 1.0}, 0)
+    assert mixture_rates(counts, {"en": 1.0, "de": 0.0}, 100_000)["de"] == 0
