@@ -99,3 +99,69 @@ def heavy_hitters(
         raise ValueError(f"count column name {out!r} collides with a grouping column")
     counts = df.groupBy(*cols).agg(F.count("*").alias(out)).filter(F.col(out) >= min_count)
     return counts.orderBy(F.desc(out), *[F.asc(c) for c in cols]).limit(k)
+
+
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    capacity: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """Approximate top-k frequent values in BOUNDED memory — the mergeable
+    companion to :func:`heavy_hitters` for ultra-high-cardinality columns,
+    where even the exact groupBy's per-partition partial map is the
+    problem (one entry per distinct value per partition).
+
+    Misra-Gries summaries (batched form: fold each Arrow batch's
+    value_counts into <= ``capacity`` counters, subtracting the minimum
+    count whenever the table overflows), one per partition, then an
+    exact count-sum merge — summing MG underestimates is itself a valid
+    MG merge, so the guarantees compose: every item with true count
+    > n/(capacity+1) is PRESENT, and for each returned item
+    ``count_min <= true count <= count_max`` (count_max adds the total
+    decrement mass, tracked per partition and summed).
+
+    Values are compared as strings (cast before the sketch) so one
+    implementation serves any input type. The per-partition summary is
+    <= capacity rows — the merge input is partitions x capacity rows, not
+    data-sized.
+    """
+    import pandas as pd
+
+    src = df.select(F.col(col).cast("string").alias("__v"))
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        dec = 0
+        for pdf in batches:
+            vc = pdf["__v"].dropna().value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            while len(counters) > capacity:
+                m = min(counters.values())
+                dec += m
+                counters = {key: c - m for key, c in counters.items() if c > m}
+        out = pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "cnt": [int(c) for c in counters.values()] + [0],
+                "dec": [0] * len(counters) + [dec],
+            }
+        )
+        yield out
+
+    summaries = src.mapInPandas(mg, "item string, cnt long, dec long")
+    # the decrement bound is global: broadcast the one-row aggregate back
+    bound = summaries.agg(F.sum("dec").alias("__bound"))
+    merged = (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("count_min"))
+        .crossJoin(F.broadcast(bound))
+        .select(
+            "item",
+            "count_min",
+            (F.col("count_min") + F.col("__bound")).alias("count_max"),
+        )
+    )
+    return merged.orderBy(F.desc("count_min"), F.asc("item")).limit(k)

@@ -70,3 +70,55 @@ def test_heavy_hitters_exact(spark):
         key=lambda t: (-t[1], t[0]),
     )[:3]
     assert got == [(m, n) for m, n in want]
+
+
+def test_frequent_items_misra_gries_guarantees(spark):
+    """Bounded-memory frequent items: planted heavy values are all
+    present with count_min <= true <= count_max; ranking by count_min
+    puts the heaviest first; tail values above the n/(capacity+1)
+    threshold cannot be missed."""
+    from kafka_workers_spark.functions.sketches import frequent_items
+
+    heavy = {"alpha": 5000, "beta": 3000, "gamma": 1500}
+    rows = [(v,) for v, n in heavy.items() for _ in range(n)]
+    rows += [(f"tail{i}",) for i in range(4000)]  # 4000 singletons
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+
+    out = {r.item: (r.count_min, r.count_max) for r in frequent_items(df, "v", capacity=64, k=10).collect()}
+    n = len(rows)
+    for item, true in heavy.items():
+        assert item in out, (item, out)
+        lo, hi = out[item]
+        assert lo <= true <= hi, (item, lo, true, hi)
+        assert hi - lo <= n  # sanity: bound is finite and global
+    top = sorted(out.items(), key=lambda kv: -kv[1][0])[:3]
+    assert [t[0] for t in top] == ["alpha", "beta", "gamma"]
+
+
+def test_frequent_items_exact_when_capacity_suffices(spark):
+    """With capacity >= distinct count nothing decrements: counts are
+    exact and count_min == count_max."""
+    from kafka_workers_spark.functions.sketches import frequent_items
+
+    rows = [("a",)] * 10 + [("b",)] * 5 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    out = {r.item: (r.count_min, r.count_max) for r in frequent_items(df, "v", capacity=16, k=5).collect()}
+    assert out == {"a": (10, 10), "b": (5, 5), "c": (2, 2)}
+
+
+def test_assert_scale_safe_flags_cartesian(spark):
+    import pytest
+
+    from kafka_workers_spark.plans import assert_scale_safe
+
+    a = spark.range(10)
+    b = spark.range(10)
+    clean = a.join(b.withColumnRenamed("id", "id2"), a.id == F.col("id2"))
+    assert_scale_safe(clean)  # equi-join: fine
+    # force the true cartesian operator (a plain crossJoin of two tiny
+    # ranges plans as a broadcast nested loop, which is not the n² shape
+    # the guard exists for)
+    cart = a.hint("shuffle_replicate_nl").crossJoin(b.withColumnRenamed("id", "id2"))
+    with pytest.raises(AssertionError, match="CartesianProduct"):
+        assert_scale_safe(cart)
+    assert_scale_safe(cart, allow_cartesian=True)
