@@ -535,3 +535,84 @@ def mixture_rates(
             )
         rates[stratum] = min(100, max(1, round(100.0 * want / have)))
     return rates
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Materialize the stored state for incremental near-dedup: one row
+    per (doc, band) with the LSH band key — ``(id_col, band, band_key)``.
+    Persist this next to the corpus (e.g. ``write_sized`` partitioned by
+    band) and hand it to :func:`near_dedup_incremental` at every ingest;
+    the index is corpus-sized × n_bands ROWS but only ~50 bytes each —
+    the whole point is that ingest never re-reads corpus text.
+    Parameters must match between index builds and ingest calls (same
+    k/bands/shingles or the keys are meaningless — store them with the
+    index)."""
+    staged = shingle_stage(tokenize_stage(docs.select(id_col, text_col)), shingle_n, distinct=True)
+    sigs = minhash_agg(staged, [id_col], k=k)
+    return sigs.select(
+        id_col, F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("__b")
+    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.band_key").alias("band_key"))
+
+
+def near_dedup_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an ingest batch against an EXISTING corpus without touching
+    corpus text: a new document is dropped if any of its LSH band keys
+    collides with the stored index (near-dup of something already
+    landed) or with a lower-id surviving document in the same batch
+    (within-batch greedy rule, same as :func:`near_dedup_lsh`).
+
+    Returns ``(survivors, new_index_rows)``: append the second to the
+    index so the next ingest sees this batch — the incremental loop a
+    production pipeline actually runs (per-batch cost is
+    batch_sigs + one equi-join against the index, NOT a corpus self-join;
+    contrast :func:`compact_landed_corpus`, the periodic full pass).
+
+    Within-batch semantics note: batch docs colliding ONLY with each
+    other resolve greedily (lowest id wins), and the survivor's bands
+    enter the index even when it also collided with a dropped sibling.
+    """
+    new_bands = build_dedup_index(
+        new_docs, id_col=id_col, text_col=text_col, k=k,
+        n_bands=n_bands, rows_per_band=rows_per_band, shingle_n=shingle_n,
+    )
+    # vs stored corpus: any band-key hit kills the new doc
+    hit_existing = (
+        new_bands.join(
+            index.select("band", "band_key").distinct(), ["band", "band_key"]
+        )
+        .select(id_col)
+        .distinct()
+    )
+    fresh_bands = new_bands.join(hit_existing, id_col, "left_anti")
+    # within the remaining batch: greedy lowest-id survivor per collision
+    a, b = fresh_bands.alias("a"), fresh_bands.alias("b")
+    batch_losers = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    surviving_bands = fresh_bands.join(batch_losers, id_col, "left_anti")
+    survivor_ids = surviving_bands.select(id_col).distinct()
+    return new_docs.join(survivor_ids, id_col, "left_semi"), surviving_bands

@@ -495,3 +495,43 @@ def test_mixture_rates_solves_and_refuses_upsampling():
     with pytest.raises(ValueError, match="token_budget"):
         mixture_rates(counts, {"en": 1.0}, 0)
     assert mixture_rates(counts, {"en": 1.0, "de": 0.0}, 100_000)["de"] == 0
+
+
+def test_near_dedup_incremental_against_stored_index(spark):
+    """The incremental ingest loop: batch docs near-duplicating the
+    landed corpus are dropped via one join against the stored band index
+    (no corpus text touched); within-batch near-dups resolve greedily;
+    survivors' bands extend the index so the NEXT batch sees them."""
+    from kafka_workers_spark.pipeline import build_dedup_index, near_dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, "completely different content about spark engines and parquet files here")],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(corpus)
+    assert index.columns == ["doc_id", "band", "band_key"]
+    assert index.count() == 2 * 4  # n_bands rows per doc
+
+    batch1 = spark.createDataFrame(
+        [
+            (10, BASE + " tonight"),             # near-dup of landed doc 1 -> dropped
+            (11, " ".join(f"w{i}" for i in range(20))),  # novel -> kept
+            (12, " ".join(f"w{i}" for i in range(20)) + " extra"),  # near-dup of 11 -> greedy drop
+        ],
+        "doc_id long, text string",
+    )
+    kept, new_rows = near_dedup_incremental(batch1, index)
+    assert sorted(r.doc_id for r in kept.collect()) == [11]
+    index = index.unionByName(new_rows)
+
+    # next batch: a near-dup of batch-1 survivor 11 must now be caught
+    batch2 = spark.createDataFrame(
+        [(20, " ".join(f"w{i}" for i in range(20)) + " more")], "doc_id long, text string"
+    )
+    kept2, new_rows2 = near_dedup_incremental(batch2, index)
+    assert kept2.count() == 0 and new_rows2.count() == 0
+
+    # re-running batch1 against the grown index drops everything (11 now
+    # collides with its own stored bands) — idempotent landings
+    kept_again, _ = near_dedup_incremental(batch1, index)
+    assert kept_again.count() == 0
