@@ -396,3 +396,27 @@ def dequantize_embeddings(
             lambda c: (c.cast("double") * F.col(scale_col)).cast("float"),
         ),
     )
+
+
+def assign_lists(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """Ingest-time IVF list assignment against STORED integer centroids —
+    the one-broadcast-pass loop the training docstrings promise: train
+    once (:func:`kmeans_fixed` → persist ``cents`` as a table), then
+    assign every new batch here and land ``list_col`` as a stored column
+    for :func:`ivf_topk`-style probed search. Exact integer squared-L2
+    with lowest-list tie-break — identical arithmetic to training, so
+    re-assigning training vectors reproduces their training lists.
+    """
+    from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
+
+    exploded = explode_fixed(
+        df.select(id_col, embedding_fixed(F.col(vec_col)).alias("v6")), [id_col]
+    )
+    assign = _assign_nearest(exploded, cents, id_col)
+    return df.join(assign.withColumnRenamed("list_id", list_col), id_col)

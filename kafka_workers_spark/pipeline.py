@@ -616,3 +616,29 @@ def near_dedup_incremental(
     surviving_bands = fresh_bands.join(batch_losers, id_col, "left_anti")
     survivor_ids = surviving_bands.select(id_col).distinct()
     return new_docs.join(survivor_ids, id_col, "left_semi"), surviving_bands
+
+
+def diff_corpora(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff for corpus backfills/audits: one row per document
+    present in either snapshot, tagged ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` (content compared by md5 digest, so the
+    full-outer join shuffles 16-byte digests + ids, never two copies of
+    the text). The audit that answers "what did this reprocess actually
+    touch" before swapping a landed corpus — filter out ``unchanged``
+    and you have the changelog.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__old_digest"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__new_digest"))
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__old_digest").isNull(), F.lit("added"))
+        .when(F.col("__new_digest").isNull(), F.lit("removed"))
+        .when(F.col("__old_digest") != F.col("__new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(id_col, status.alias("status"))

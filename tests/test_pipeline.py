@@ -535,3 +535,16 @@ def test_near_dedup_incremental_against_stored_index(spark):
     # collides with its own stored bands) — idempotent landings
     kept_again, _ = near_dedup_incremental(batch1, index)
     assert kept_again.count() == 0
+
+
+def test_diff_corpora_tags_all_four_states(spark):
+    from kafka_workers_spark.pipeline import diff_corpora
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in diff_corpora(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

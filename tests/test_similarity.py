@@ -256,3 +256,23 @@ def test_quantize_embeddings_zero_vector(spark):
     assert rows[2].q_codes[1] == -127  # the peak component saturates
     back = {r.vec_id: r.embedding for r in dequantize_embeddings(q.drop("embedding")).collect()}
     assert back[1] == [0.0, 0.0, 0.0]
+
+
+def test_assign_lists_reproduces_training_assignment(spark):
+    """Ingest-time assignment against stored centroids: re-assigning the
+    training vectors reproduces kmeans_fixed's own assignment exactly
+    (same integer arithmetic), and novel vectors get a valid list."""
+    from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
+    from kafka_workers_spark.operators.similarity import assign_lists, kmeans_fixed
+
+    emb = load_table(spark, SF, "embeddings")
+    comp = explode_fixed(
+        emb.select("vec_id", embedding_fixed(F.col("embedding")).alias("v6")), ["vec_id"]
+    )
+    cents, train_assign = kmeans_fixed(comp, k=4, iters=1)
+    cents = cents.cache()
+    got = assign_lists(emb, cents)
+    train = {r.vec_id: r.list_id for r in train_assign.collect()}
+    assigned = {r.vec_id: r.list_id for r in got.select("vec_id", "list_id").collect()}
+    assert assigned == train
+    assert got.columns == emb.columns + ["list_id"]
