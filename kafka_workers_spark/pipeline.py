@@ -329,9 +329,13 @@ def curate_corpus_stream(
     chunk_tokens: int = 128,
     overlap: int = 16,
     dedup_on: str = "content",
+    redact: bool = False,
 ) -> DataFrame:
-    """Streaming curation: quality-filter → dedup within the watermark →
-    chunking, all streaming-safe stages.
+    """Streaming curation: [PII redaction →] quality-filter → dedup
+    within the watermark → chunking, all streaming-safe stages
+    (redaction is pure column expressions, so it runs identically on the
+    stream — and BEFORE the digest, so documents differing only in PII
+    values collapse, same ordering rationale as the batch _cleaned).
 
     ``dedup_on='content'`` keys the bounded-state streaming dedup
     (streaming/dedup.py) on the normalized-content md5 — exact dedup.
@@ -354,6 +358,10 @@ def curate_corpus_stream(
 
     if dedup_on not in ("content", "simhash"):
         raise ValueError(f"dedup_on must be 'content' or 'simhash', got {dedup_on!r}")
+    if redact:
+        from kafka_workers_spark.operators.text import redact_pii
+
+        docs = redact_pii(docs, text_col=text_col)
     filtered = quality_filter(docs, text_col, min_tokens=min_tokens)
     digest = (
         F.md5(normalized(F.col(text_col)))
@@ -642,3 +650,41 @@ def diff_corpora(
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(id_col, status.alias("status"))
+
+
+def curate_embeddings(
+    vecs: DataFrame,
+    dim: int,
+    cents: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.99,
+    quantize: bool = False,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """The embedding-side analog of :func:`curate_corpus`: label-free
+    near-dedup (RHP-LSH blocking → exact-cosine verify → greedy
+    survivor, operators.similarity.near_dedup_embeddings) → optional
+    ingest-time IVF list assignment against stored centroids
+    (:func:`~kafka_workers_spark.operators.similarity.assign_lists`,
+    pass the persisted ``cents`` table) → optional int8 storage
+    quantization. One composition so an embedding table lands
+    dedup'd, searchable, and 4× smaller in a single pass.
+    """
+    from kafka_workers_spark.operators.similarity import (
+        assign_lists,
+        near_dedup_embeddings,
+        quantize_embeddings,
+    )
+
+    out = near_dedup_embeddings(
+        vecs, dim, id_col=id_col, vec_col=vec_col, min_cosine=min_cosine,
+        n_bits=n_bits, n_bands=n_bands, seed=seed,
+    )
+    if cents is not None:
+        out = assign_lists(out, cents, id_col=id_col, vec_col=vec_col)
+    if quantize:
+        out = quantize_embeddings(out, vec_col=vec_col)
+    return out

@@ -548,3 +548,50 @@ def test_diff_corpora_tags_all_four_states(spark):
     )
     got = {r.doc_id: r.status for r in diff_corpora(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_curate_embeddings_composition(spark):
+    """Embedding-side curation: near-dups collapse, surviving vectors get
+    a list assignment from stored centroids and int8 codes in one pass."""
+    from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
+    from kafka_workers_spark.operators.similarity import kmeans_fixed
+    from kafka_workers_spark.pipeline import curate_embeddings
+
+    emb = load_table(spark, SF, "embeddings")
+    comp = explode_fixed(
+        emb.select("vec_id", embedding_fixed(F.col("embedding")).alias("v6")), ["vec_id"]
+    )
+    cents, _ = kmeans_fixed(comp, k=4, iters=1)
+    out = curate_embeddings(emb, dim=64, cents=cents.cache(), quantize=True, min_cosine=0.999)
+    rows = out.collect()
+    assert 0 < len(rows) <= emb.count()
+    assert {"list_id", "q_codes", "q_scale"} <= set(out.columns)
+    assert all(r.list_id is not None for r in rows)
+    assert all(-127 <= c <= 127 for r in rows for c in r.q_codes)
+
+
+def test_curate_corpus_stream_redacts(spark, tmp_path):
+    from datetime import datetime
+
+    from kafka_workers_spark.pipeline import curate_corpus_stream
+
+    src = str(tmp_path / "src")
+    t0 = datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, "write to jane.doe@example.com for the full quarterly report", t0)],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    chunks = curate_corpus_stream(stream, min_tokens=3, chunk_tokens=16, overlap=2, redact=True)
+    q = (
+        chunks.writeStream.format("memory")
+        .queryName("redact_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    text = " ".join(r.chunk_text for r in spark.sql("SELECT * FROM redact_stream_out").collect())
+    assert "<EMAIL>" in text and "example.com" not in text

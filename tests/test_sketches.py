@@ -122,3 +122,12 @@ def test_assert_scale_safe_flags_cartesian(spark):
     with pytest.raises(AssertionError, match="CartesianProduct"):
         assert_scale_safe(cart)
     assert_scale_safe(cart, allow_cartesian=True)
+
+
+def test_frequent_items_empty_and_all_null(spark):
+    from kafka_workers_spark.functions.sketches import frequent_items
+
+    empty = spark.createDataFrame([], "v string")
+    assert frequent_items(empty, "v").count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "v string")
+    assert frequent_items(nulls, "v").count() == 0
