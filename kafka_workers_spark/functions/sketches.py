@@ -165,3 +165,28 @@ def frequent_items(
         )
     )
     return merged.orderBy(F.desc("count_min"), F.asc("item")).limit(k)
+
+
+def skew_report(
+    df: DataFrame,
+    cols: list[str],
+    capacity: int = 1024,
+    k: int = 10,
+) -> DataFrame:
+    """Pre-join skew diagnostic: the top-k heaviest key values of a
+    prospective join/groupBy key with their corpus fraction — read this
+    BEFORE shipping a join at 100 TB (a key holding 10% of rows makes
+    one task do 10% of the shuffle; that's a salting candidate, see
+    operators/relational.py's salted join). Bounded memory via
+    :func:`frequent_items`; fractions use count_min (conservative:
+    reported fraction never exceeds truth by more than the MG bound).
+    """
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    items = frequent_items(df.select(key.alias("__key")), "__key", capacity=capacity, k=k)
+    total = df.count()
+    return items.select(
+        F.col("item").alias("key"),
+        "count_min",
+        "count_max",
+        (F.col("count_min") / F.lit(max(total, 1))).alias("fraction_min"),
+    )

@@ -688,3 +688,20 @@ def curate_embeddings(
     if quantize:
         out = quantize_embeddings(out, vec_col=vec_col)
     return out
+
+
+def shuffle_corpus(
+    docs: DataFrame,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: sort by
+    md5(seed || id). The standard at-scale trick — a range-partitioned
+    sort on a uniform hash IS a uniform permutation, reproducible across
+    re-runs and resumable mid-epoch (the order is a pure function of
+    (seed, id), no RNG state to lose); a new ``seed`` per epoch gives an
+    independent order. One sort shuffle; write the result with
+    ``sources.files.write_sized`` and downstream readers stream it in
+    shuffled order for free.
+    """
+    return docs.orderBy(F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))))

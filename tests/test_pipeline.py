@@ -595,3 +595,16 @@ def test_curate_corpus_stream_redacts(spark, tmp_path):
     q.awaitTermination(120)
     text = " ".join(r.chunk_text for r in spark.sql("SELECT * FROM redact_stream_out").collect())
     assert "<EMAIL>" in text and "example.com" not in text
+
+
+def test_shuffle_corpus_deterministic_permutation(spark):
+    from kafka_workers_spark.pipeline import shuffle_corpus
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    a = [r.doc_id for r in shuffle_corpus(docs, seed="e1").collect()]
+    b = [r.doc_id for r in shuffle_corpus(docs, seed="e1").collect()]
+    c = [r.doc_id for r in shuffle_corpus(docs, seed="e2").collect()]
+    assert a == b                       # reproducible
+    assert sorted(a) == sorted(c)       # same multiset
+    assert a != c                       # epochs differ
+    assert a != sorted(a)               # actually shuffled

@@ -131,3 +131,13 @@ def test_frequent_items_empty_and_all_null(spark):
     assert frequent_items(empty, "v").count() == 0
     nulls = spark.createDataFrame([(None,), (None,)], "v string")
     assert frequent_items(nulls, "v").count() == 0
+
+
+def test_skew_report_surfaces_hot_keys(spark):
+    from kafka_workers_spark.functions.sketches import skew_report
+
+    rows = [("hot",)] * 5000 + [(f"k{i}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    rep = skew_report(df, ["v"], capacity=64, k=3).collect()
+    assert rep[0].key == "hot"
+    assert rep[0].fraction_min > 0.4  # ~50% of rows on one key
