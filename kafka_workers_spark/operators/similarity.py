@@ -205,6 +205,77 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
     return sum(by_q.get(qid, 0) / min(k, n) for qid, n in total.items()) / len(total)
 
 
+def rhp_bands(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane band keys per vector — ``(id_col, band,
+    band_key)``, the persistable RHP index (same role as
+    pipeline.build_dedup_index for text): bit_i = sign(v · r_i) for
+    seeded integer Gaussian hyperplanes, bits packed per band into one
+    integer key. Deterministic for a (seed, n_bits, n_bands, dim)
+    tuple — store those with the index. :func:`rhp_lsh_pairs` is the
+    self-join consumer; :func:`near_dedup_embeddings_incremental` joins
+    new batches against a stored copy.
+
+    Plan shape: the hyperplane matrix (n_bits × dim, tiny) broadcasts
+    against the long-format vector explode; bits come out of ONE
+    codegen'd hash aggregate (no Python). Fixed-point values keep signs
+    deterministic across engines.
+    """
+    if n_bits % n_bands != 0:
+        raise ValueError(f"n_bands ({n_bands}) must divide n_bits ({n_bits})")
+    import numpy as np
+
+    rows_per_band = n_bits // n_bands
+    rng = np.random.RandomState(seed)
+    # exact integer projection entries: signs are invariant to the 1e6
+    # scaling of both operands, and integer arithmetic is engine-portable
+    proj = np.floor(rng.standard_normal((n_bits, dim)) * 1_000_000).astype("int64")
+    spark = df.sparkSession
+    proj_rows = [
+        (b, i, int(proj[b, i])) for b in range(n_bits) for i in range(dim)
+    ]
+    proj_df = spark.createDataFrame(proj_rows, "bit int, i int, r long")
+
+    # fail loudly on a dim mismatch: the projection join on i < dim would
+    # otherwise silently truncate longer vectors to a prefix, quietly
+    # degrading blocking recall (assert_true evaluates NULL per row when
+    # the size matches, throws on the first mismatch). size(NULL) = -1,
+    # so NULL embeddings land here too — say so in the message (ADVICE r03)
+    checked = F.when(
+        F.assert_true(
+            F.size(F.col(vec_col)) == dim,
+            F.lit(
+                f"rhp_bands: NULL embedding or length != dim ({dim}) — "
+                "filter NULL vectors upstream or fix the dim argument"
+            ),
+        ).isNull(),
+        embedding_fixed(F.col(vec_col)),
+    )
+    vecs = df.select(id_col, checked.alias("v6"))
+    exploded = explode_fixed(vecs, [id_col])
+    bits = (
+        exploded.join(F.broadcast(proj_df), "i")
+        .groupBy(id_col, "bit")
+        .agg(F.sum(F.col("x") * F.col("r")).alias("proj6"))
+        .select(id_col, "bit", (F.col("proj6") >= 0).cast("int").alias("b"))
+    )
+    # pack each band's bits into one integer key: band = bit div rows_per_band
+    return (
+        bits.withColumn("band", (F.col("bit") / rows_per_band).cast("int"))
+        .withColumn("pos", F.col("bit") % rows_per_band)
+        .withColumn("contrib", F.expr("CAST(b AS BIGINT) * shiftleft(CAST(1 AS BIGINT), pos)"))
+        .groupBy(id_col, "band")
+        .agg(F.sum("contrib").alias("band_key"))
+    )
+
+
 def rhp_lsh_pairs(
     df: DataFrame,
     dim: int,
@@ -233,51 +304,8 @@ def rhp_lsh_pairs(
     Returns (id_a, id_b, n_shared_bands) candidate pairs; verify with
     exact cosine (cosine_from_fixed) downstream.
     """
-    if n_bits % n_bands != 0:
-        raise ValueError(f"n_bands ({n_bands}) must divide n_bits ({n_bits})")
-    import numpy as np
-
-    rows_per_band = n_bits // n_bands
-    rng = np.random.RandomState(seed)
-    # exact integer projection entries: signs are invariant to the 1e6
-    # scaling of both operands, and integer arithmetic is engine-portable
-    proj = np.floor(rng.standard_normal((n_bits, dim)) * 1_000_000).astype("int64")
-    spark = df.sparkSession
-    proj_rows = [
-        (b, i, int(proj[b, i])) for b in range(n_bits) for i in range(dim)
-    ]
-    proj_df = spark.createDataFrame(proj_rows, "bit int, i int, r long")
-
-    # fail loudly on a dim mismatch: the projection join on i < dim would
-    # otherwise silently truncate longer vectors to a prefix, quietly
-    # degrading blocking recall (assert_true evaluates NULL per row when
-    # the size matches, throws on the first mismatch). size(NULL) = -1,
-    # so NULL embeddings land here too — say so in the message (ADVICE r03)
-    checked = F.when(
-        F.assert_true(
-            F.size(F.col(vec_col)) == dim,
-            F.lit(
-                f"rhp_lsh_pairs: NULL embedding or length != dim ({dim}) — "
-                "filter NULL vectors upstream or fix the dim argument"
-            ),
-        ).isNull(),
-        embedding_fixed(F.col(vec_col)),
-    )
-    vecs = df.select(id_col, checked.alias("v6"))
-    exploded = explode_fixed(vecs, [id_col])
-    bits = (
-        exploded.join(F.broadcast(proj_df), "i")
-        .groupBy(id_col, "bit")
-        .agg(F.sum(F.col("x") * F.col("r")).alias("proj6"))
-        .select(id_col, "bit", (F.col("proj6") >= 0).cast("int").alias("b"))
-    )
-    # pack each band's bits into one integer key: band = bit div rows_per_band
-    bands = (
-        bits.withColumn("band", (F.col("bit") / rows_per_band).cast("int"))
-        .withColumn("pos", F.col("bit") % rows_per_band)
-        .withColumn("contrib", F.expr("CAST(b AS BIGINT) * shiftleft(CAST(1 AS BIGINT), pos)"))
-        .groupBy(id_col, "band")
-        .agg(F.sum("contrib").alias("band_key"))
+    bands = rhp_bands(
+        df, dim, id_col=id_col, vec_col=vec_col, n_bits=n_bits, n_bands=n_bands, seed=seed
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -420,3 +448,108 @@ def assign_lists(
     )
     assign = _assign_nearest(exploded, cents, id_col)
     return df.join(assign.withColumnRenamed("list_id", list_col), id_col)
+
+
+def near_dedup_embeddings_incremental(
+    new_vecs: DataFrame,
+    index: DataFrame,
+    corpus_vecs: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.99,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 7,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an embedding ingest batch against a landed corpus via its
+    stored RHP band index — the vector analog of
+    pipeline.near_dedup_incremental, with one extra step text doesn't
+    need: band collisions are only CANDIDATES here, so hits are verified
+    with the exact fixed-point cosine before anything is dropped (an
+    unverified band hit at 16 bits would false-positive far too often to
+    delete on).
+
+    ``index`` is :func:`rhp_bands` output for the landed corpus (same
+    seed/n_bits/n_bands/dim — store them with it); ``corpus_vecs`` is
+    the landed vector table, touched ONLY for the candidates' rows (a
+    semi-join by id — the corpus is never rescanned). Batch-internal
+    near-dups resolve greedily (lowest id wins), also cosine-verified.
+
+    Returns ``(survivors, new_index_rows)``; append the latter to the
+    index. Per-batch cost: batch band computation + one equi-join against
+    the index + exact cosines on the candidate pairs only.
+    """
+    from kafka_workers_spark.operators.dedup import dot_fixed_fast
+
+    new_bands = rhp_bands(
+        new_vecs, dim, id_col=id_col, vec_col=vec_col,
+        n_bits=n_bits, n_bands=n_bands, seed=seed,
+    )
+
+    def _fixed(df: DataFrame, out_id: str) -> DataFrame:
+        vecs = df.select(
+            F.col(id_col).alias(out_id), embedding_fixed(F.col(vec_col)).alias(f"__v_{out_id}")
+        )
+        norms = norms_fixed(
+            explode_fixed(vecs.withColumnRenamed(f"__v_{out_id}", "v6"), [out_id]), [out_id]
+        ).withColumnRenamed("norm6", f"__n_{out_id}")
+        return vecs.join(norms, out_id)
+
+    def _verified(pairs: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
+        """(new_id, other_id) pairs verified at >= min_cosine."""
+        enriched = pairs.join(left, "new_id").join(right, "other_id")
+        return enriched.withColumn(
+            "__cos",
+            cosine_from_fixed(
+                dot_fixed_fast(F.col("__v_new_id"), F.col("__v_other_id")),
+                F.col("__n_new_id"),
+                F.col("__n_other_id"),
+            ),
+        ).filter(F.col("__cos") >= min_cosine)
+
+    # corpus hits: candidates from the index join, vectors fetched for
+    # candidate ids only
+    cand_corpus = (
+        new_bands.join(index.withColumnRenamed(id_col, "__old"), ["band", "band_key"])
+        .select(F.col(id_col).alias("new_id"), F.col("__old").alias("other_id"))
+        .distinct()
+    )
+    new_fixed = _fixed(new_vecs, "new_id")
+    corpus_needed = corpus_vecs.join(
+        cand_corpus.select(F.col("other_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    corpus_fixed = _fixed(corpus_needed, "other_id")
+    dropped_vs_corpus = _verified(cand_corpus, new_fixed, corpus_fixed).select(
+        F.col("new_id").alias(id_col)
+    ).distinct()
+
+    # batch-internal: candidate pairs among the not-yet-dropped rows,
+    # greedy lowest-id survivor, also cosine-verified
+    fresh_bands = new_bands.join(dropped_vs_corpus, id_col, "left_anti")
+    a, b = fresh_bands.alias("a"), fresh_bands.alias("b")
+    cand_batch = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("new_id"), F.col(f"a.{id_col}").alias("other_id")
+        )
+        .distinct()
+    )
+    other_fixed = (
+        new_fixed.withColumnRenamed("new_id", "other_id")
+        .withColumnRenamed("__v_new_id", "__v_other_id")
+        .withColumnRenamed("__n_new_id", "__n_other_id")
+    )
+    dropped_in_batch = _verified(cand_batch, new_fixed, other_fixed).select(
+        F.col("new_id").alias(id_col)
+    ).distinct()
+
+    all_dropped = dropped_vs_corpus.unionByName(dropped_in_batch).distinct()
+    survivors = new_vecs.join(all_dropped, id_col, "left_anti")
+    new_index_rows = new_bands.join(all_dropped, id_col, "left_anti")
+    return survivors, new_index_rows

@@ -276,3 +276,59 @@ def test_assign_lists_reproduces_training_assignment(spark):
     assigned = {r.vec_id: r.list_id for r in got.select("vec_id", "list_id").collect()}
     assert assigned == train
     assert got.columns == emb.columns + ["list_id"]
+
+
+def test_near_dedup_embeddings_incremental_loop(spark):
+    """The vector ingest loop: batch vectors near-duplicating the landed
+    corpus are caught via the stored RHP band index + exact-cosine
+    verify (corpus vectors touched only for candidates); batch-internal
+    near-dups resolve greedily; survivors' bands extend the index."""
+    import numpy as np
+
+    from kafka_workers_spark.operators.similarity import (
+        near_dedup_embeddings_incremental,
+        rhp_bands,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal(16)
+    other = rng.standard_normal(16)
+    corpus = spark.createDataFrame(
+        [(1, [float(x) for x in base])]
+        + [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(2, 8)],
+        "vec_id long, embedding array<float>",
+    )
+    index = rhp_bands(corpus, dim=16)
+
+    batch = spark.createDataFrame(
+        [
+            (10, [float(x) for x in base * 1.5]),      # same direction as landed 1 -> dropped
+            (11, [float(x) for x in other]),            # novel -> kept
+            (12, [float(x) for x in other * 2.0]),      # dup of 11 within batch -> dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kept, new_rows = near_dedup_embeddings_incremental(
+        batch, index, corpus, dim=16, min_cosine=0.99
+    )
+    assert sorted(r.vec_id for r in kept.collect()) == [11]
+    assert set(r.vec_id for r in new_rows.collect()) == {11}
+
+    # the grown index catches the next batch's near-dup of 11
+    index2 = index.unionByName(new_rows)
+    corpus2 = corpus.unionByName(batch.filter(F.col("vec_id") == 11))
+    batch2 = spark.createDataFrame(
+        [(20, [float(x) for x in other + rng.standard_normal(16) * 0.001])],
+        "vec_id long, embedding array<float>",
+    )
+    kept2, new2 = near_dedup_embeddings_incremental(
+        batch2, index2, corpus2, dim=16, min_cosine=0.99
+    )
+    assert kept2.count() == 0 and new2.count() == 0
+
+    # an unverified band collision must NOT delete: raise the threshold
+    # so the candidate fails verification and survives
+    kept3, _ = near_dedup_embeddings_incremental(
+        batch2, index2, corpus2, dim=16, min_cosine=0.9999999
+    )
+    assert kept3.count() == 1
