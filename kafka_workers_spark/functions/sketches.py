@@ -150,7 +150,14 @@ def frequent_items(
         )
         yield out
 
-    summaries = src.mapInPandas(mg, "item string, cnt long, dec long")
+    from pyspark.storagelevel import StorageLevel
+
+    # two consumers (bound aggregate + count merge) — pin the tiny
+    # summaries (<= partitions x capacity rows) so the data scan runs
+    # once, with lineage retained (ARCHITECTURE.md §4 rule 3)
+    summaries = src.mapInPandas(mg, "item string, cnt long, dec long").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # the decrement bound is global: broadcast the one-row aggregate back
     bound = summaries.agg(F.sum("dec").alias("__bound"))
     merged = (

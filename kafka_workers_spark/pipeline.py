@@ -421,7 +421,9 @@ def split_corpus(
     split comes from an md5 coin over ``salt || group_id`` — no RNG
     state, so re-runs and backfills split identically (the same
     reproducibility contract as :func:`sample_stratified`, salted so the
-    split coin is independent of the sampling coin).
+    split coin is independent of the sampling coin). The dict's
+    INSERTION ORDER fixes which coin range each split owns — keep it
+    stable across runs, like the salt.
 
     ``dup_pairs`` is the leakage guard: pass a near-duplicate edge list
     (e.g. the verified pairs from LSH/RHP blocking) and the coin is
