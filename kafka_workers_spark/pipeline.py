@@ -303,12 +303,31 @@ def prepare_training_mix(
     text_col: str = "text",
     strata_col: str = "lang",
     min_tokens: int = 5,
+    redact: bool = False,
+    paragraph_dedup: bool = False,
+    quality_keep_fraction: float | None = None,
+    scorer=None,
 ) -> DataFrame:
-    """The full batch data-mix build: curate (quality filter → exact dedup
-    → LSH near-dedup) → decontaminate against the eval set → stratified
-    mixture sampling → sequence packing. Returns per-document pack
-    assignments; join back on `id_col` for the payloads."""
-    clean = _cleaned(docs, id_col, text_col, min_tokens)
+    """The full batch data-mix build: curate ([PII redaction →] quality
+    filter → [global paragraph dedup →] exact dedup → LSH near-dedup) →
+    [model scoring + top-fraction quality pruning →] decontaminate
+    against the eval set → stratified mixture sampling → sequence
+    packing. Returns per-document pack assignments; join back on
+    `id_col` for the payloads.
+
+    ``quality_keep_fraction`` opts into the model-quality pruning stage:
+    documents are scored (``scorer``, or operators.scoring's default
+    heuristic) and only the top fraction survives
+    (:func:`sample_by_quality`) — after dedup (so duplicate clusters
+    don't distort the score quantile) and before decontamination (no
+    point scanning eval n-grams for documents the mix won't use)."""
+    clean = _cleaned(docs, id_col, text_col, min_tokens,
+                     redact=redact, paragraph_dedup=paragraph_dedup)
+    if quality_keep_fraction is not None:
+        from kafka_workers_spark.operators.scoring import score_documents
+
+        scored = score_documents(clean, text_col=text_col, score_col="__q", scorer=scorer)
+        clean = sample_by_quality(scored, "__q", quality_keep_fraction).drop("__q")
     if eval_docs is not None:
         clean = decontaminate(clean, eval_docs, id_col=id_col, text_col=text_col)
     sampled = sample_stratified(

@@ -608,3 +608,40 @@ def test_shuffle_corpus_deterministic_permutation(spark):
     assert sorted(a) == sorted(c)       # same multiset
     assert a != c                       # epochs differ
     assert a != sorted(a)               # actually shuffled
+
+
+def test_prepare_training_mix_full_modern_pipeline(spark):
+    """The whole modern pipeline in one composition on the real documents
+    table: redaction, paragraph dedup, model-quality pruning, eval-set
+    decontamination, stratified sampling, and packing — with row
+    accounting at each boundary and the packing invariants intact."""
+    from kafka_workers_spark.pipeline import prepare_training_mix
+
+    docs = load_table(spark, SF, "documents")
+    eval_docs = docs.limit(5).select("doc_id", "text")
+    packed = prepare_training_mix(
+        docs,
+        eval_docs=eval_docs,
+        rates={"en": 80},
+        default_rate=60,
+        budget=64,
+        redact=True,
+        paragraph_dedup=True,
+        quality_keep_fraction=0.8,
+    )
+    rows = packed.collect()
+    assert 0 < len(rows) < docs.count()  # every stage pruned something overall
+    budget = 64
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.pack_offset < budget
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, lrows in by_lang.items():
+        lrows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in lrows:
+            assert r.pack_id == cum // budget and r.pack_offset == cum % budget, (lang, r)
+            cum += r.n_tokens
+    # the eval near-copies were decontaminated away (8-gram overlap)
+    eval_ids = {r.doc_id for r in eval_docs.collect()}
+    assert not eval_ids & {r.doc_id for r in rows}
