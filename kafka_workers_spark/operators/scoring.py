@@ -11,18 +11,29 @@ scorer — the Spark-side plumbing (broadcast of model bytes, per-worker
 lazy load, Arrow batch shape, schema) is real and tested; swap the
 loader where the dependency exists.
 
-Scale shape: mapInPandas with a per-executor-process model instance
-(loaded once per worker via the closure cache, not per batch); model
-bytes travel by broadcast, not in the closure pickle; scoring is
-embarrassingly parallel — no shuffle.
+Scale shape: mapInPandas with a per-worker-process model instance
+(module-level cache keyed by model digest — survives Spark's Python
+worker reuse across tasks, so the model loads once per process, not per
+task or batch); model bytes travel by broadcast, not in the closure
+pickle; scoring is embarrassingly parallel — no shuffle.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
 
+import hashlib
+from typing import Any
+
 import pandas as pd
 from pyspark.sql import DataFrame
+
+#: module-level model cache: Spark reuses Python worker PROCESSES across
+#: tasks (spark.python.worker.reuse), and module state survives reuse —
+#: so a loaded model is shared by every task this worker ever runs,
+#: keyed by the model bytes' digest. A closure-local cache would reload
+#: per task (the closure is re-deserialized with each task).
+_MODEL_CACHE: dict[str, Any] = {}
 
 
 def heuristic_scorer(texts: pd.Series) -> pd.Series:
@@ -56,9 +67,9 @@ def score_documents(
       small and picklable — it ships in the task closure).
     - ``model_loader`` (+ optional ``model_bytes``): for real models.
       The bytes broadcast ONCE; the loader runs lazily per worker
-      process and its result is cached for every subsequent batch on
-      that worker — the model never rides in the closure and never
-      reloads per batch.
+      process (module-level cache keyed by the bytes' digest, so worker
+      reuse carries the loaded model across tasks) — the model never
+      rides in the closure and never reloads per batch or task.
     - neither: :func:`heuristic_scorer`.
 
     Output rows/columns are the input plus the score — no reorder, no
@@ -70,15 +81,15 @@ def score_documents(
         raise ValueError(f"score column {score_col!r} already exists")
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(model_bytes) if model_loader is not None else None
-    cache: dict[str, Callable[[pd.Series], pd.Series]] = {}
+    model_key = hashlib.md5(model_bytes or b"").hexdigest() if model_loader else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if scorer is not None:
             fn = scorer
         elif model_loader is not None:
-            if "fn" not in cache:  # once per worker process, not per batch
-                cache["fn"] = model_loader(bc.value)
-            fn = cache["fn"]
+            if model_key not in _MODEL_CACHE:  # once per worker PROCESS
+                _MODEL_CACHE[model_key] = model_loader(bc.value)
+            fn = _MODEL_CACHE[model_key]
         else:
             fn = heuristic_scorer
         for pdf in batches:
