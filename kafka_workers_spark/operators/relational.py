@@ -21,16 +21,22 @@ def asof_join(
     right_alias: str = "asof_ts",
     how: str = "inner",
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the greatest right timestamp <= left ts,
-    per `on` key.
+    """For each left row, attach the matching right timestamp per ``on``
+    key: the greatest right ts <= left ts (``direction='backward'``, the
+    default), the smallest right ts >= left ts (``'forward'``), or the
+    closer of the two (``'nearest'``, ties to backward) — the pandas
+    ``merge_asof`` direction surface (tests cross-check against it).
 
     Implementation: union the two sides tagged 0/1, one shuffle on the key,
-    then ``last(right ts) ignoring nulls`` over the interleaved ordered
+    then ``last``/``first`` (ignoring nulls) over the interleaved ordered
     timeline. Scales linearly: no per-key fanout, no nested-loop join, and
-    skewed keys are handled by AQE since this is a plain window shuffle.
-    Ties (right ts == left ts) count as "at or before" — right rows sort
-    before left rows at equal timestamps.
+    skewed keys are handled by AQE since this is a plain window shuffle;
+    every direction shares the single exchange (differently-ordered
+    window sorts run on the same partitioning). Ties (right ts == left
+    ts) count as a match in every direction, like
+    ``merge_asof(allow_exact_matches=True)``.
 
     NULL join keys never match (SQL equi-join semantics): right rows with
     a NULL key are dropped up front — Window.partitionBy would otherwise
@@ -39,6 +45,8 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join supports inner/left, got {how!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     lcols = left.columns
     tagged_l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     tagged_r = (
@@ -51,23 +59,48 @@ def asof_join(
         if c not in tagged_r.columns:
             tagged_r = tagged_r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = tagged_l.unionByName(tagged_r.select(tagged_l.columns))
-    w = (
+    # backward: rights at equal ts sort BEFORE the left row, so the
+    # trailing window sees them (ties match)
+    w_back = (
         W.partitionBy(on)
         .orderBy("__ts", "__side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    matched = unioned.withColumn(
-        right_alias,
-        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w),
-    ).filter(F.col("__side") == 1)
+    back = F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w_back)
+    # forward-inclusive: rights at equal ts sort AFTER the left row
+    # (desc side), so the leading window sees them (ties match)
+    w_fwd = (
+        W.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    fwd = F.first(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w_fwd)
+    if direction == "backward":
+        chosen = back
+    elif direction == "forward":
+        chosen = fwd
+    else:
+        # nearest: closer of the two; exact ties (equal distance) go
+        # backward, matching pandas merge_asof(direction='nearest')
+        chosen = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when((fwd - F.col("__ts")) < (F.col("__ts") - back), fwd)
+            .otherwise(back)
+        )
+    matched = unioned.withColumn(right_alias, chosen).filter(F.col("__side") == 1)
     out = matched.select(*lcols, right_alias)
     if tolerance is not None:
-        # the matched value is the greatest right ts <= left ts, so if it
-        # falls outside the tolerance window no older value could be inside
-        # it either — nulling is exact, not approximate
+        # the matched value is the extremal right ts in its direction, so
+        # if it falls outside the tolerance window no better value could
+        # be inside it either — nulling is exact, not approximate
         out = out.withColumn(
             right_alias,
-            F.when(F.col(right_alias) >= F.col(left_ts) - tolerance, F.col(right_alias)),
+            F.when(
+                (F.col(right_alias) >= F.col(left_ts) - tolerance)
+                & (F.col(right_alias) <= F.col(left_ts) + tolerance),
+                F.col(right_alias),
+            ),
         )
     if how == "inner":
         out = out.filter(F.col(right_alias).isNotNull())

@@ -153,3 +153,61 @@ def test_chunk_documents_overlapping_windows(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_asof_join_directions_match_pandas_merge_asof(spark):
+    """backward / forward / nearest cross-checked against pandas
+    merge_asof on randomized-but-fixed data, including equal-timestamp
+    ties (allow_exact_matches semantics) and keys with no match."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_workers_spark.operators.relational import asof_join
+
+    rng = np.random.RandomState(5)
+    left_rows = [(int(k), int(t)) for k in range(4) for t in sorted(rng.randint(0, 100, 6))]
+    right_rows = [(int(k), int(t)) for k in range(3) for t in sorted(rng.randint(0, 100, 4))]
+    right_rows.append((0, left_rows[0][1]))  # planted exact tie
+    left = spark.createDataFrame(left_rows, "k long, lts long")
+    right = spark.createDataFrame(right_rows, "k long, rts long")
+
+    lpd = pd.DataFrame(left_rows, columns=["k", "lts"]).sort_values("lts", kind="stable")
+    rpd = pd.DataFrame(right_rows, columns=["k", "rts"]).sort_values("rts", kind="stable")
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            (r.k, r.lts): r.asof_ts
+            for r in asof_join(
+                left, right, "k", "lts", "rts", how="left", direction=direction
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lpd, rpd, left_on="lts", right_on="rts", by="k", direction=direction
+        )
+        want = {
+            (r.k, r.lts): (None if pd.isna(r.rts) else int(r.rts))
+            for r in want_df.itertuples()
+        }
+        assert got == want, (direction, {x: (got[x], want[x]) for x in got if got[x] != want[x]})
+
+
+def test_asof_join_forward_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 50)], "k long, lts long")
+    right = spark.createDataFrame([(1, 12), (1, 90)], "k long, rts long")
+    out = {
+        r.lts: r.asof_ts
+        for r in asof_join(
+            left, right, "k", "lts", "rts", how="left",
+            direction="forward", tolerance=F.lit(5),
+        ).collect()
+    }
+    assert out == {10: 12, 50: None}  # 90 is 40 ahead of 50: outside tolerance
+
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", "lts", "rts", direction="sideways")
