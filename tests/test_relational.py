@@ -211,3 +211,17 @@ def test_asof_join_forward_tolerance(spark):
 
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, "k", "lts", "rts", direction="sideways")
+
+
+def test_asof_nearest_shares_one_exchange(spark):
+    """The docstring's scale claim: backward+forward windows ride ONE key
+    shuffle (same partitioning, two sorts) — nearest must not double the
+    exchange count of backward."""
+    from kafka_workers_spark.operators.relational import asof_join
+    from kafka_workers_spark.plans import audit
+
+    left = spark.createDataFrame([(1, 10)], "k long, lts long")
+    right = spark.createDataFrame([(1, 12)], "k long, rts long")
+    back = audit(asof_join(left, right, "k", "lts", "rts", direction="backward"))
+    near = audit(asof_join(left, right, "k", "lts", "rts", direction="nearest"))
+    assert near.exchanges == back.exchanges, (near.exchanges, back.exchanges)
