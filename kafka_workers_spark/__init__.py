@@ -32,12 +32,21 @@ __all__ = ["WorkersConfig", "build_session", "__version__"]
 #   streaming.sinks     — foreachBatch / exactly-once sinks
 #   streaming.gate      — generic accept gate (A3) + record deadline (A9)
 #   streaming.dedup     — watermark-bounded streaming dedup
-#   operators.{relational,dedup,components,similarity,text,multimodal}
-#                       — DataFrame operators (joins, dedup families,
-#                         connected components, ANN/RHP-LSH, quality
-#                         rules, winnowing, chunking, binary columns)
-#   pipeline            — corpus curation / training-mix composition
+#   operators.{relational,dedup,components,similarity,text,multimodal,
+#              scoring} — DataFrame operators (directional as-of/range/
+#                         salted joins, dedup families incl. global
+#                         paragraph dedup + PII redaction, connected
+#                         components, ANN/IVF/RHP-LSH + int8 quantization,
+#                         quality rules, winnowing, chunking, binary
+#                         columns, Arrow-batched model scoring)
+#   pipeline            — corpus curation / training-mix composition:
+#                         batch + streaming curation, stream→batch
+#                         compaction, incremental dedup index, leakage-
+#                         safe splits, quality sampling, mixture solving,
+#                         packing, deterministic shuffling, snapshot diff
 #   functions           — deterministic aggregation helpers + mergeable
-#                         sketches (HLL rollups, quantiles, heavy hitters)
+#                         sketches (HLL rollups, quantiles, heavy hitters,
+#                         Misra-Gries frequent items, skew reports)
 #   plans               — physical-plan audits (pushdown/broadcast/codegen)
+#                         + assert_scale_safe pre-flight guard
 #   queries             — the oracle-checked query registry (driver gate)
