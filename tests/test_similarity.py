@@ -334,11 +334,12 @@ def test_near_dedup_embeddings_incremental_loop(spark):
     assert kept3.count() == 1
 
 
-def test_ivf_search_over_quantized_storage(spark):
+def test_ivf_search_over_quantized_storage(spark, assigned):
     """The storage path composes with search: quantize → dequantize →
     probed IVF keeps high recall against the exact full-precision
     baseline (int8 cosine distortion is far below the list-pruning
-    effect)."""
+    effect). The full-precision side reuses the module's trained
+    assignment fixture (same k/seed)."""
     from kafka_workers_spark.operators.similarity import (
         dequantize_embeddings,
         ivf_topk,
@@ -350,11 +351,9 @@ def test_ivf_search_over_quantized_storage(spark):
     emb = load_table(spark, SF, "embeddings")
     stored = quantize_embeddings(emb).drop("embedding")
     restored = dequantize_embeddings(stored, out_col="embedding")
-    _, assigned = train_ivf(restored, k=K_LISTS, seed=7)
-    assigned = assigned.cache()
-    approx = ivf_topk(assigned, QUERY_IDS, nprobe=K_LISTS, top_k=TOP_K)
+    _, q_assigned = train_ivf(restored, k=K_LISTS, seed=7)
+    approx = ivf_topk(q_assigned.cache(), QUERY_IDS, nprobe=K_LISTS, top_k=TOP_K)
 
-    _, exact_assigned = train_ivf(emb, k=K_LISTS, seed=7)
-    exact = ivf_topk(exact_assigned.cache(), QUERY_IDS, nprobe=K_LISTS, top_k=TOP_K)
+    exact = ivf_topk(assigned, QUERY_IDS, nprobe=K_LISTS, top_k=TOP_K)
     rec = recall_at_k(approx, exact, TOP_K)
     assert rec >= 0.9, f"quantized-storage recall dropped to {rec}"
