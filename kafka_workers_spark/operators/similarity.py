@@ -346,11 +346,29 @@ def near_dedup_embeddings(
     operators/components.py); the default greedy rule drops any vector
     verified-similar to a lower id.
     """
-    from kafka_workers_spark.operators.dedup import dot_fixed_fast
-
     cand = rhp_lsh_pairs(
         df, dim, id_col=id_col, vec_col=vec_col, n_bits=n_bits, n_bands=n_bands, seed=seed
     )
+    return _survivors_after_verify(df, cand, id_col, vec_col, min_cosine, exact_groups)
+
+
+def _survivors_after_verify(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float,
+    exact_groups: bool,
+) -> DataFrame:
+    """Shared verify-then-survive tail of the embedding dedup operators:
+    candidate ``(id_a, id_b)`` pairs (id_a < id_b) are verified with the
+    exact fixed-point cosine (vectorized Arrow dots on the pair table
+    only, never n²); survivors keep every row not dropped by the survivor
+    rule — greedy (any id verified-similar to a lower id loses) or exact
+    transitive groups via connected components (EAGER, see
+    operators/components.py)."""
+    from kafka_workers_spark.operators.dedup import dot_fixed_fast
+
     vecs = df.select(
         F.col(id_col).alias("__vid"), embedding_fixed(F.col(vec_col)).alias("v6")
     )
@@ -372,6 +390,68 @@ def near_dedup_embeddings(
     else:
         losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    min_cosine: float = 0.99,
+    iters: int = 2,
+    train_mod: int | None = 4,
+    exact_groups: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the corpus with a TRAINED coarse quantizer, then near-dedup
+    within each cluster by exact cosine — blocking comes from the
+    quantizer's own lists, no pre-existing label column and no random
+    hyperplanes.
+
+    The quantizer is :func:`kmeans_fixed` (exact integer Lloyd's — the
+    same arithmetic the registered ``ann_ivf_topk`` query replays
+    bit-identically in DuckDB, so this whole operator is cross-engine
+    checkable; see tests/test_oracle_extra.py). Training runs on the
+    deterministic ``id % train_mod == 0`` sample (``None`` trains on
+    everything; ``id_col`` must be numeric for the sample); the single
+    full pass is the final list assignment. Candidate pairs are the
+    within-list self-join — cost Σ list², bounded by n²/k for balanced
+    lists, so ``k`` scales with the corpus exactly like IVF list count.
+    Pairs straddling a cluster boundary are not candidates — the paper's
+    accepted recall trade; :func:`near_dedup_embeddings` (RHP blocking)
+    is the complementary pass whose recall is independent of cluster
+    geometry.
+
+    Plan shape: training = ``iters`` broadcast-join + codegen-agg passes
+    over the sample; assignment = one broadcast pass over the corpus;
+    the assignment table (2 longs per vector) is pinned with a
+    lineage-preserving persist because the pair self-join consumes it
+    twice (ARCHITECTURE.md §4 rule 2a); verification touches only the
+    candidate pair table.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    comp = explode_fixed(
+        df.select(id_col, embedding_fixed(F.col(vec_col)).alias("v6")), [id_col]
+    )
+    train = (
+        comp.filter(F.pmod(F.col(id_col), F.lit(train_mod)) == 0)
+        if train_mod is not None
+        else None
+    )
+    _, assign = kmeans_fixed(comp, k=k, iters=iters, id_col=id_col, train=train)
+    assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = assign.alias("a"), assign.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    return _survivors_after_verify(df, cand, id_col, vec_col, min_cosine, exact_groups)
 
 
 # ---------------------------------------------------------------------------

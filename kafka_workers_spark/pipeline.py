@@ -684,26 +684,44 @@ def curate_embeddings(
     n_bits: int = 16,
     n_bands: int = 4,
     seed: int = 7,
+    method: str = "rhp",
+    semantic_k: int = 16,
 ) -> DataFrame:
     """The embedding-side analog of :func:`curate_corpus`: label-free
-    near-dedup (RHP-LSH blocking → exact-cosine verify → greedy
-    survivor, operators.similarity.near_dedup_embeddings) → optional
-    ingest-time IVF list assignment against stored centroids
-    (:func:`~kafka_workers_spark.operators.similarity.assign_lists`,
+    near-dedup → optional ingest-time IVF list assignment against stored
+    centroids (:func:`~kafka_workers_spark.operators.similarity.assign_lists`,
     pass the persisted ``cents`` table) → optional int8 storage
     quantization. One composition so an embedding table lands
     dedup'd, searchable, and 4× smaller in a single pass.
+
+    ``method`` picks the blocking strategy for the dedup stage, both
+    ending in the same exact-cosine verify: ``"rhp"`` (default) is
+    random-hyperplane LSH (operators.similarity.near_dedup_embeddings —
+    recall independent of cluster geometry); ``"semantic"`` is
+    SemDeDup-style trained-cluster blocking
+    (operators.similarity.semantic_dedup with ``semantic_k`` lists —
+    pairs straddling a cluster boundary are not candidates, the paper's
+    accepted trade).
     """
     from kafka_workers_spark.operators.similarity import (
         assign_lists,
         near_dedup_embeddings,
         quantize_embeddings,
+        semantic_dedup,
     )
 
-    out = near_dedup_embeddings(
-        vecs, dim, id_col=id_col, vec_col=vec_col, min_cosine=min_cosine,
-        n_bits=n_bits, n_bands=n_bands, seed=seed,
-    )
+    if method == "semantic":
+        out = semantic_dedup(
+            vecs, dim, id_col=id_col, vec_col=vec_col, k=semantic_k,
+            min_cosine=min_cosine,
+        )
+    elif method == "rhp":
+        out = near_dedup_embeddings(
+            vecs, dim, id_col=id_col, vec_col=vec_col, min_cosine=min_cosine,
+            n_bits=n_bits, n_bands=n_bands, seed=seed,
+        )
+    else:
+        raise ValueError(f"curate_embeddings: unknown method {method!r}")
     if cents is not None:
         out = assign_lists(out, cents, id_col=id_col, vec_col=vec_col)
     if quantize:

@@ -99,6 +99,59 @@ def test_split_corpus_matches_duckdb_oracle(spark):
     assert got == want
 
 
+def test_semantic_dedup_matches_duckdb_oracle(spark):
+    """semantic_dedup replayed end-to-end in DuckDB: the trained
+    quantizer is the SAME unrolled Lloyd's-KMeans CTE chain the
+    registered ann_ivf_topk oracle uses (exact integer arithmetic →
+    bit-identical lists on both engines), followed by the within-list
+    pair join, fixed-point cosine verify, and greedy survivor rule.
+    Survivor id sets must match exactly on the real embeddings table —
+    and the threshold is chosen so a large fraction actually drops."""
+    from kafka_workers_spark.operators.dedup import sql_cosine_from_fixed, sql_dot_fixed
+    from kafka_workers_spark.operators.similarity import semantic_dedup
+    from kafka_workers_spark.queries.similarity import _DIM, _SQL_VECS, _sql_kmeans_ctes
+    from kafka_workers_spark.sources.files import load_table
+
+    K, ITERS, MIN_COS = 8, 2, 0.3
+    emb = load_table(spark, SF, "embeddings")
+    got = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            emb, dim=_DIM, k=K, min_cosine=MIN_COS, iters=ITERS, train_mod=4
+        ).collect()
+    )
+
+    ctes, _, assign = _sql_kmeans_ctes(K, ITERS)
+    vecs_sql = _SQL_VECS.replace("embeddings", f"'{SF}/embeddings.parquet'")
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"""
+        WITH vecs AS ({vecs_sql}),
+        {ctes},
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM {assign} a JOIN {assign} b
+            ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        ),
+        ver AS (
+          SELECT id_a, id_b FROM pairs
+          JOIN vecs va ON va.vec_id = pairs.id_a
+          JOIN vecs vb ON vb.vec_id = pairs.id_b
+          WHERE {sql_cosine_from_fixed(
+              sql_dot_fixed('va.v6', 'vb.v6', _DIM), 'va.norm6', 'vb.norm6'
+          )} >= {MIN_COS}
+        )
+        SELECT vec_id FROM vecs
+        WHERE vec_id NOT IN (SELECT id_b FROM ver)
+        ORDER BY vec_id
+        """
+    ).fetchall()
+    con.close()
+    want = [r[0] for r in oracle]
+    assert len(want) < 500  # the threshold really dedups, this isn't vacuous
+    assert got == want
+
+
 def test_merge_ordered_many_matches_duckdb_oracle(spark):
     """The N-way merge release rule replayed in SQL: rows <= the minimum
     per-group frontier, only for groups where every side is present."""

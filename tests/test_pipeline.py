@@ -4,6 +4,7 @@ corpus with planted exact and near duplicates."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_workers_spark.pipeline import curate_corpus, near_dedup_lsh, quality_filter
@@ -568,6 +569,17 @@ def test_curate_embeddings_composition(spark):
     assert {"list_id", "q_codes", "q_scale"} <= set(out.columns)
     assert all(r.list_id is not None for r in rows)
     assert all(-127 <= c <= 127 for r in rows for c in r.q_codes)
+
+    # the SemDeDup-style blocking path composes identically (same output
+    # surface, different candidate generation) and rejects unknown methods
+    sem = curate_embeddings(
+        emb, dim=64, cents=cents, quantize=True, min_cosine=0.999,
+        method="semantic", semantic_k=4,
+    )
+    assert 0 < sem.count() <= emb.count()
+    assert {"list_id", "q_codes", "q_scale"} <= set(sem.columns)
+    with pytest.raises(ValueError, match="unknown method"):
+        curate_embeddings(emb, dim=64, method="nope")
 
 
 def test_curate_corpus_stream_redacts(spark, tmp_path):

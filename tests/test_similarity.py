@@ -181,6 +181,92 @@ def test_near_dedup_embeddings_label_free(spark):
         assert [i for i in range(20) if i not in out] == [], out
 
 
+def test_semantic_dedup_drops_planted_near_dups(spark):
+    """SemDeDup-style dedup on the trained quantizer: planted near-dup
+    directions collapse to the lowest id inside their cluster; the
+    distinct base vectors all survive. No label column, no hyperplanes —
+    blocking comes from the quantizer's own lists."""
+    import numpy as np
+
+    from kafka_workers_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    dim = 16
+    base = rng.standard_normal((6, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    for nid, src in ((100, 0), (101, 3)):
+        v = base[src] + rng.standard_normal(dim) * 1e-3
+        rows.append((nid, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            df, dim, k=4, min_cosine=0.995, train_mod=None
+        ).collect()
+    )
+    assert kept == [0, 1, 2, 3, 4, 5], kept
+
+
+def test_semantic_dedup_exact_groups_vs_greedy_star(spark):
+    """The star case that separates the survivor rules: b is similar to
+    both a and c, but a and c are not similar to each other. Greedy drops
+    only b (the higher id of each verified pair); exact transitive groups
+    collapse the whole component to its minimum."""
+    import math
+
+    from kafka_workers_spark.operators.similarity import semantic_dedup
+
+    dim = 8
+    th = math.radians(60.0)
+    a = [1.0] + [0.0] * (dim - 1)
+    c = [math.cos(th), math.sin(th)] + [0.0] * (dim - 2)
+    mid = [(x + y) for x, y in zip(a, c)]
+    n = math.sqrt(sum(x * x for x in mid))
+    b = [x / n for x in mid]
+    rows = [
+        (0, [0.0, 0.0, 1.0] + [0.0] * (dim - 3)),
+        (3, a),
+        (5, c),
+        (7, b),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    # cos(a,b) = cos(b,c) = cos30 ~ .866 >= .8; cos(a,c) = cos60 = .5 < .8
+    greedy = sorted(
+        r.vec_id
+        for r in semantic_dedup(df, dim, k=1, min_cosine=0.8, train_mod=None).collect()
+    )
+    exact = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            df, dim, k=1, min_cosine=0.8, train_mod=None, exact_groups=True
+        ).collect()
+    )
+    assert greedy == [0, 3, 5], greedy
+    assert exact == [0, 3], exact
+
+
+def test_semantic_dedup_on_real_embeddings_table(spark):
+    """semantic_dedup runs end-to-end on the actual 64-dim embeddings
+    parquet with a scale-safe plan: blocking equi-joins only, zero
+    cartesian products, zero Python eval."""
+    from kafka_workers_spark.operators.similarity import semantic_dedup
+    from kafka_workers_spark.plans import audit
+    from kafka_workers_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = semantic_dedup(emb, dim=64, k=8, min_cosine=0.999)
+    a = audit(out)
+    # the single Arrow-batched eval is the documented pair-table cosine
+    # verify (dot_fixed_fast) — it touches candidate pairs only, never
+    # the corpus; everything upstream is codegen equi-join/aggregate
+    assert a.cartesian_products == 0 and a.python_evals <= 1
+    n_in, n_out = emb.count(), out.count()
+    assert 0 < n_out <= n_in
+
+
 def test_new_similarity_ops_on_real_embeddings_table(spark):
     """rhp_lsh_pairs and near_dedup_embeddings run against the actual
     embeddings parquet (64-dim float vectors) with clean plans: blocking
