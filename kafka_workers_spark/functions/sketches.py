@@ -174,6 +174,158 @@ def frequent_items(
     return merged.orderBy(F.desc("count_min"), F.asc("item")).limit(k)
 
 
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable Bloom membership sketch: one row per group holding the
+    filter as ``words array<bigint>`` (``n_bits``/64 longs) plus its
+    ``n_bits``/``n_hashes`` parameters — the fixed-size answer to "have
+    we seen this value before?" when the value set is too large to
+    broadcast exactly (historical-corpus membership, cross-run URL
+    dedup, decontamination against a huge eval union). One-sided error:
+    absent values may false-positive at ~(1 - e^(-kn/m))^k (16 bits/item
+    at k=4 → ~0.24%), present values NEVER false-negative — so a probe
+    used for dropping rows over-drops by at most the FP rate and never
+    leaks a true member.
+
+    Build shape: positions are ``pmod(xxhash64(value, j), n_bits)`` for
+    the ``n_hashes`` seeds — deterministic, codegen — then one hash
+    aggregate ORs each word's bits and one per-group assembly step packs
+    the sparse (word, bits) rows into the dense array (sketch-sized
+    work, not data-sized). At 1M bits the sketch is 128 KB — hundreds of
+    groups still broadcast comfortably.
+    """
+    if n_bits % 64 != 0:
+        raise ValueError(f"n_bits ({n_bits}) must be a multiple of 64")
+    group_cols = list(group_cols or [])
+    n_words = n_bits // 64
+    c = F.col(col)
+    pos = F.explode(
+        F.array(*[F.pmod(F.xxhash64(c, F.lit(j)), F.lit(n_bits)) for j in range(n_hashes)])
+    ).alias("__pos")
+    words = (
+        df.where(c.isNotNull())
+        .select(*group_cols, pos)
+        .groupBy(*group_cols, F.expr("__pos DIV 64").alias("__word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT)))"
+            ).alias("__bits")
+        )
+    )
+    # pack sparse (word, bits) rows into the dense word array once per
+    # group — map lookup over a sketch-sized map, never data-sized work
+    packed = (
+        words.groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("__word", "__bits"))).alias("__m")
+        )
+        .select(
+            *group_cols,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda w: F.coalesce(
+                    F.element_at(F.col("__m"), w.cast("long")), F.lit(0).cast("bigint")
+                ),
+            ).alias("words"),
+            F.lit(n_bits).alias("n_bits"),
+            F.lit(n_hashes).alias("n_hashes"),
+        )
+    )
+    return packed
+
+
+def bloom_contains(col: str, n_bits: int, n_hashes: int, words_col: str = "words") -> Column:
+    """Probe expression against a joined-in ``words_col`` array: true iff
+    every hash position's bit is set. A static conjunction of
+    ``n_hashes`` codegen'd array lookups — row-local, no explode, no
+    shuffle; pair with a broadcast join on the sketch row
+    (:func:`bloom_probe` does exactly that). ``col`` is a column NAME
+    (the expression is built as SQL text so the shift amount stays a
+    single codegen expression)."""
+    checks = []
+    for j in range(n_hashes):
+        p = f"pmod(xxhash64({col}, {j}), CAST({n_bits} AS BIGINT))"
+        w = f"element_at({words_col}, CAST(({p}) DIV 64 AS INT) + 1)"
+        b = f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))"
+        checks.append(f"(({w} & {b}) != 0)")
+    return F.expr(" AND ".join(checks))
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    out: str = "might_contain",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """``df`` plus a boolean ``out`` column: whether each row's ``col``
+    might be in the Bloom sketch (false = definitely absent). The sketch
+    (one small row per group) broadcasts; the probe itself is a pure map
+    pass — the scale shape for filtering a 100 TB corpus against a
+    history too large to broadcast exactly. Reads ``n_bits``/``n_hashes``
+    from the sketch row (they parameterized the build, so a mismatched
+    probe cannot silently use different hashing).
+    """
+    group_cols = list(group_cols or [])
+    n_bits, n_hashes = _bloom_params(bloom, "bloom_probe")
+    side = bloom.select(*group_cols, "words")
+    joined = (
+        df.join(F.broadcast(side), group_cols, "left")
+        if group_cols
+        else df.crossJoin(F.broadcast(side))
+    )
+    # NULL is not a member (build excludes it); a row whose group has no
+    # sketch row is also definitely absent
+    flag = F.when(F.col(col).isNotNull(), bloom_contains(col, n_bits, n_hashes))
+    return joined.withColumn(out, F.coalesce(flag, F.lit(False))).drop("words")
+
+
+def bloom_merge(blooms: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Union previously-stored Bloom sketches (bitwise OR per word) —
+    associative and lossless, like the HLL register merge: per-day
+    sketches roll up to any range without touching raw history. Work is
+    sketch-sized (dense word arrays are zip_with-OR'ed pairwise through
+    one aggregate). All inputs must share ONE (n_bits, n_hashes) scheme —
+    OR-ing different geometries would silently void the FP bound, so a
+    mix raises up front (the check reads only the tiny parameter
+    columns, exactly like :func:`bloom_probe`).
+    """
+    group_cols = list(group_cols or [])
+    n_bits, _ = _bloom_params(blooms, "bloom_merge")
+    n_words = n_bits // 64
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), n_words)
+    return (
+        blooms.groupBy(*group_cols)
+        .agg(
+            F.aggregate(
+                F.collect_list("words"),
+                zeros,
+                lambda acc, ws: F.zip_with(acc, ws, lambda a, b: a.bitwiseOR(b)),
+            ).alias("words"),
+            F.first("n_bits").alias("n_bits"),
+            F.first("n_hashes").alias("n_hashes"),
+        )
+    )
+
+
+def _bloom_params(bloom: DataFrame, caller: str) -> tuple[int, int]:
+    """The sketch table's single (n_bits, n_hashes) scheme; raises on a
+    mix — a probe or merge under the wrong geometry returns garbage
+    silently, so this is checked eagerly against the tiny param columns."""
+    params = bloom.select("n_bits", "n_hashes").distinct().collect()
+    if len(params) != 1:
+        raise ValueError(
+            f"{caller}: sketch has {len(params)} distinct (n_bits, n_hashes) "
+            "parameter pairs; rebuild or merge with one scheme"
+        )
+    return params[0].n_bits, params[0].n_hashes
+
+
 def skew_report(
     df: DataFrame,
     cols: list[str],

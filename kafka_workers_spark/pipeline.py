@@ -293,6 +293,74 @@ def decontaminate(
     return train.join(hits, id_col, "left_anti")
 
 
+def eval_digest_bloom(
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 8,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom sketch of an eval union's shingle digests — the fixed-size
+    form of :func:`decontaminate`'s eval side for when the union of every
+    benchmark is itself large: build once per benchmark, store the sketch
+    row, `bloom_merge` across benchmarks, and pass the result as
+    ``decontaminate(..., eval_bloom=...)``. Same tokenizer/shingler/digest
+    as the exact path, so the two sides stay comparable. 4M bits = 512 KB
+    regardless of eval cardinality."""
+    from kafka_workers_spark.functions.sketches import bloom_build
+
+    staged = shingle_stage(
+        tokenize_stage(eval_docs.select(text_col), text_col=text_col),
+        shingle_n,
+        distinct=True,
+    )
+    digs = staged.select(F.explode("shingles").alias("__s")).select(
+        F.substring(F.md5("__s"), 1, 16).alias("__h")
+    )
+    return bloom_build(digs, "__h", n_bits=n_bits, n_hashes=n_hashes)
+
+
+def decontaminate_with_bloom(
+    train: DataFrame,
+    eval_bloom: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    max_shared: int = 0,
+) -> DataFrame:
+    """:func:`decontaminate` against a STORED Bloom of eval digests
+    (:func:`eval_digest_bloom`) instead of the exact broadcast set — the
+    shape for a huge, slowly-growing eval union: the corpus pass probes a
+    fixed 512 KB sketch, no eval-side recompute per run.
+
+    One-sided error, and on the safe side for leakage: a true shared
+    shingle ALWAYS counts (no false negatives), while false-positive
+    shingles can only over-count — so contaminated docs are never missed,
+    and clean docs are over-dropped with probability ≈ 1-(1-fpr)^shingles
+    per doc (at the default ~1e-4 fpr and 1k-shingle docs, ~10% over-drop;
+    raise ``n_bits`` or ``max_shared`` to trade retention against strictness).
+    """
+    from kafka_workers_spark.functions.sketches import bloom_probe
+
+    staged = shingle_stage(
+        tokenize_stage(train.select(id_col, text_col), text_col=text_col),
+        shingle_n,
+        distinct=True,
+    )
+    grams = staged.select(id_col, F.explode("shingles").alias("__s")).select(
+        id_col, F.substring(F.md5("__s"), 1, 16).alias("__h")
+    )
+    hits = (
+        bloom_probe(grams, eval_bloom, "__h", out="__hit")
+        .filter(F.col("__hit"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__n_shared"))
+        .filter(F.col("__n_shared") > max_shared)
+        .select(id_col)
+    )
+    return train.join(hits, id_col, "left_anti")
+
+
 def prepare_training_mix(
     docs: DataFrame,
     eval_docs: DataFrame | None = None,

@@ -208,6 +208,47 @@ def test_decontaminate_strikes_leaked_docs(spark):
     assert ids == [2, 3], ids
 
 
+def test_decontaminate_with_bloom_matches_exact_path(spark):
+    """The Bloom-backed decontamination drops every doc the exact path
+    drops (no false negatives — a true shared shingle always counts) and,
+    at this scale's negligible FP rate, nothing more: survivors match the
+    exact path on both the synthetic leak case and the real documents
+    table."""
+    from kafka_workers_spark.pipeline import (
+        decontaminate,
+        decontaminate_with_bloom,
+        eval_digest_bloom,
+    )
+
+    leak = " ".join(f"w{i}" for i in range(20))
+    train = spark.createDataFrame(
+        [
+            (1, leak + " trailing extra words here"),
+            (2, " ".join(f"x{i}" for i in range(20))),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    bloom = eval_digest_bloom(eval_docs)
+    ids = sorted(
+        r.doc_id for r in decontaminate_with_bloom(train, bloom).collect()
+    )
+    assert ids == [2, 3], ids
+
+    docs = load_table(spark, SF, "documents")
+    real_eval = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    exact = {r.doc_id for r in decontaminate(corpus, real_eval).collect()}
+    got = {
+        r.doc_id
+        for r in decontaminate_with_bloom(
+            corpus, eval_digest_bloom(real_eval)
+        ).collect()
+    }
+    assert got == exact
+
+
 def test_prepare_training_mix_composes(spark):
     from kafka_workers_spark.pipeline import prepare_training_mix
 

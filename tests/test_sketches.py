@@ -141,3 +141,105 @@ def test_skew_report_surfaces_hot_keys(spark):
     rep = skew_report(df, ["v"], capacity=64, k=3).collect()
     assert rep[0].key == "hot"
     assert rep[0].fraction_min > 0.4  # ~50% of rows on one key
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    """The Bloom contract: every inserted value probes True (one-sided
+    error — a membership drop can over-drop but never leak a member);
+    non-members false-positive at well under the scheme's analytic rate."""
+    from kafka_workers_spark.functions.sketches import bloom_build, bloom_probe
+
+    members = spark.range(0, 1000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("v")
+    )
+    bloom = bloom_build(members, "v", n_bits=1 << 16, n_hashes=4)
+    probes = spark.range(0, 6000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("v")
+    )
+    got = bloom_probe(probes, bloom, "v")
+    hits = {r.v: r.might_contain for r in got.collect()}
+    assert all(hits[f"doc-{i}"] for i in range(1000))  # no false negatives
+    fps = sum(1 for i in range(1000, 6000) if hits[f"doc-{i}"])
+    # analytic FPR at m/n=65.5, k=4 is ~1e-5; allow generous slack
+    assert fps / 5000 < 0.01, fps
+
+
+def test_bloom_merge_is_exact_union(spark):
+    """Bitwise-OR merge of two sketches IS the sketch of the union —
+    exactly, word for word (the property that makes per-day sketches
+    roll up losslessly)."""
+    from kafka_workers_spark.functions.sketches import bloom_build, bloom_merge
+
+    a = spark.range(0, 300).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(200, 500).select(F.col("id").cast("string").alias("v"))
+    merged = bloom_merge(
+        bloom_build(a, "v", n_bits=1 << 12, n_hashes=3).unionByName(
+            bloom_build(b, "v", n_bits=1 << 12, n_hashes=3)
+        )
+    ).collect()[0]
+    whole = bloom_build(
+        a.unionByName(b), "v", n_bits=1 << 12, n_hashes=3
+    ).collect()[0]
+    assert merged.words == whole.words
+    assert (merged.n_bits, merged.n_hashes) == (whole.n_bits, whole.n_hashes)
+
+
+def test_bloom_grouped_and_null_semantics(spark):
+    """Grouped sketches: probes join their own group's filter; a probe in
+    a group with no sketch row is definitely absent (left join, False);
+    NULL values are excluded on build and probe False."""
+    from kafka_workers_spark.functions.sketches import bloom_build, bloom_probe
+
+    df = spark.createDataFrame(
+        [("en", "alpha"), ("en", "beta"), ("de", "gamma")], "lang string, v string"
+    )
+    bloom = bloom_build(df, "v", n_bits=1 << 10, n_hashes=3, group_cols=["lang"])
+    probes = spark.createDataFrame(
+        [("en", "alpha"), ("en", "gamma"), ("de", "gamma"), ("fr", "alpha"), ("en", None)],
+        "lang string, v string",
+    )
+    got = {
+        (r.lang, r.v): r.might_contain
+        for r in bloom_probe(probes, bloom, "v", group_cols=["lang"]).collect()
+    }
+    assert got[("en", "alpha")] is True
+    assert got[("de", "gamma")] is True
+    assert got[("en", "gamma")] is False  # gamma only in de's filter
+    assert got[("fr", "alpha")] is False  # no sketch for fr at all
+    assert got[("en", None)] is False
+
+
+def test_bloom_scheme_mismatch_raises(spark):
+    from kafka_workers_spark.functions.sketches import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    a = spark.range(0, 10).select(F.col("id").cast("string").alias("v"))
+    mixed = bloom_build(a, "v", n_bits=1 << 10, n_hashes=3).unionByName(
+        bloom_build(a, "v", n_bits=1 << 10, n_hashes=4)
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="distinct"):
+        bloom_merge(mixed)
+    with pytest.raises(ValueError, match="distinct"):
+        bloom_probe(a, mixed, "v")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(a, "v", n_bits=100)
+
+
+def test_bloom_probe_plan_is_scale_safe(spark):
+    """The probe is a broadcast of the sketch row + a row-local codegen
+    conjunction: no cartesian product, no Python eval, no shuffle of the
+    probe side."""
+    from kafka_workers_spark.functions.sketches import bloom_build, bloom_probe
+    from kafka_workers_spark.plans import audit
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("v")
+    )
+    bloom = bloom_build(li.limit(100), "v", n_bits=1 << 12, n_hashes=4)
+    plan = audit(bloom_probe(li, bloom, "v"))
+    assert plan.cartesian_products == 0 and plan.python_evals == 0
