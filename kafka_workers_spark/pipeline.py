@@ -183,14 +183,21 @@ def curate_corpus(
     overlap: int = 16,
     redact: bool = False,
     paragraph_dedup: bool = False,
+    max_per_key: tuple[list[str], int] | None = None,
 ) -> DataFrame:
     """[PII redaction →] quality-filter → [global paragraph dedup →]
-    exact dedup (normalized text) → LSH near-dedup → overlapping chunks.
-    Returns chunk rows ready for tokenization. ``redact`` and
-    ``paragraph_dedup`` opt into the round-4 text stages (see _cleaned
-    for why the order is what it is)."""
+    exact dedup (normalized text) → LSH near-dedup → [per-key cap →]
+    overlapping chunks. Returns chunk rows ready for tokenization.
+    ``redact`` and ``paragraph_dedup`` opt into the round-4 text stages
+    (see _cleaned for why the order is what it is);
+    ``max_per_key=(key_cols, cap)`` opts into the anti-domain-dominance
+    cap (:func:`cap_per_key`) AFTER dedup — capping pre-dedup would let
+    a domain's duplicates consume its budget."""
     near = _cleaned(docs, id_col, text_col, min_tokens,
                     redact=redact, paragraph_dedup=paragraph_dedup)
+    if max_per_key is not None:
+        key_cols, cap = max_per_key
+        near = cap_per_key(near, key_cols, cap, id_col=id_col)
     return chunk_documents(near, text_col=text_col, id_col=id_col,
                            chunk_tokens=chunk_tokens, overlap=overlap)
 
@@ -795,6 +802,52 @@ def curate_embeddings(
     if quantize:
         out = quantize_embeddings(out, vec_col=vec_col)
     return out
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    cap: int,
+    id_col: str = "doc_id",
+    seed: str = "cap",
+) -> DataFrame:
+    """At most ``cap`` rows per key — the anti-domain-dominance pass of
+    corpus curation (a handful of boilerplate-heavy domains otherwise
+    swamp the training mix). Selection is deterministic: within a key,
+    the ``cap`` rows with the smallest md5(seed|id) coin survive, so
+    re-runs and engine changes keep the identical subset (same coin
+    family as :func:`sample_stratified`; a new ``seed`` draws an
+    independent subset).
+
+    Scale shape (the skew problem IS the point here — the keys worth
+    capping are exactly the hottest ones): a naive global window would
+    shuffle the whole corpus and hand each hot key's full row set to one
+    sort task. Instead the per-key counts (map-side partial aggregate,
+    counts-only shuffle) find the over-cap keys — typically a tiny
+    fraction — and that key list broadcasts into two joins: under-cap
+    rows pass through with NO data shuffle at all, and only over-cap
+    keys' rows enter the per-key ranking window. The residual cost is
+    sorting each hot key's own rows in one task; if a single key can
+    exceed one task's memory, pre-filter its rows by a coin threshold of
+    a few×cap/n before the window (the coin is uniform, so the true
+    top-``cap`` survives the threshold with overwhelming probability).
+    """
+    if cap < 1:
+        raise ValueError(f"cap_per_key: cap must be >= 1, got {cap}")
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("__n"))
+    over = counts.filter(F.col("__n") > cap).select(*key_cols)
+    passthrough = df.join(F.broadcast(over), key_cols, "left_anti")
+    hot = df.join(F.broadcast(over), key_cols, "left_semi")
+    from pyspark.sql import Window as W
+
+    coin = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    w = W.partitionBy(*key_cols).orderBy(coin.asc(), F.col(id_col).asc())
+    capped = (
+        hot.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    return passthrough.unionByName(capped)
 
 
 def shuffle_corpus(

@@ -88,6 +88,22 @@ def test_curate_corpus_on_test_table(spark):
     assert n_chunks >= n_surviving
 
 
+def test_curate_corpus_caps_per_source(spark):
+    """The opt-in anti-domain-dominance stage: with max_per_key set, no
+    source contributes more than cap surviving docs to the chunk output."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "source")
+    chunks = curate_corpus(
+        docs, min_tokens=3, chunk_tokens=64, overlap=8,
+        max_per_key=(["source"], 5),
+    )
+    per_source = (
+        chunks.select("doc_id", "source").distinct()
+        .groupBy("source").agg(F.count("*").alias("n"))
+    )
+    assert per_source.filter(F.col("n") > 5).count() == 0
+    assert chunks.count() > 0
+
+
 def test_curate_corpus_stream_end_to_end(spark, tmp_path):
     """The streaming curation path on a file stream: quality filter +
     watermark exact-dedup + chunking; the planted duplicate arriving in a
