@@ -36,17 +36,22 @@ __all__ = ["WorkersConfig", "build_session", "__version__"]
 #              scoring} — DataFrame operators (directional as-of/range/
 #                         salted joins, dedup families incl. global
 #                         paragraph dedup + PII redaction, connected
-#                         components, ANN/IVF/RHP-LSH + int8 quantization,
+#                         components, ANN/IVF/RHP-LSH + SemDeDup-style
+#                         semantic_dedup + int8 quantization,
 #                         quality rules, winnowing, chunking, binary
 #                         columns, Arrow-batched model scoring)
 #   pipeline            — corpus curation / training-mix composition:
 #                         batch + streaming curation, stream→batch
 #                         compaction, incremental dedup index, leakage-
 #                         safe splits, quality sampling, mixture solving,
-#                         packing, deterministic shuffling, snapshot diff
+#                         packing, deterministic shuffling, snapshot diff,
+#                         per-key caps (cap_per_key), Bloom-backed
+#                         decontamination (eval_digest_bloom +
+#                         decontaminate_with_bloom)
 #   functions           — deterministic aggregation helpers + mergeable
 #                         sketches (HLL rollups, quantiles, heavy hitters,
-#                         Misra-Gries frequent items, skew reports)
+#                         Misra-Gries frequent items, skew reports, Bloom
+#                         membership filters: bloom_build/probe/merge)
 #   plans               — physical-plan audits (pushdown/broadcast/codegen)
 #                         + assert_scale_safe pre-flight guard
 #   queries             — the oracle-checked query registry (driver gate)
