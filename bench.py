@@ -81,10 +81,14 @@ def main() -> None:
         print(f"timed {name} {timings[name]:.2f}s", file=sys.stderr, flush=True)
 
     # This environment shows rare multi-minute scheduler stalls (~95% idle
-    # CPU) on random queries; re-run outliers once and keep the minimum so
-    # a stall doesn't masquerade as a plan regression.
+    # CPU) on random queries, plus ±several-second jitter on individual
+    # runs; re-run outliers and keep the minimum so machine noise doesn't
+    # masquerade as a plan regression. The threshold is median-relative
+    # with a 2s floor: sub-second queries spiking to 4-5s are noise worth
+    # retrying, while genuinely heavy queries (several x median) still
+    # retry at most twice.
     med = sorted(timings.values())[len(timings) // 2]
-    threshold = max(5.0, 4 * med)
+    threshold = max(2.0, 3 * med)
     for name in [n for n, t in timings.items() if t > threshold]:
         for _ in range(2):
             retry = run_once(name)
