@@ -201,6 +201,12 @@ def bloom_build(
     """
     if n_bits % 64 != 0:
         raise ValueError(f"n_bits ({n_bits}) must be a multiple of 64")
+    if n_bits > 1 << 28:
+        # 256M bits = a 32 MB array per sketch row: past any sane
+        # broadcast size, and the dense assembly transform would build
+        # a 4M-element array per group — use more groups, more hashes,
+        # or an exact digest join instead of pushing m this far
+        raise ValueError(f"n_bits ({n_bits}) exceeds the 2^28 sketch-row bound")
     group_cols = list(group_cols or [])
     n_words = n_bits // 64
     c = F.col(col)

@@ -440,6 +440,15 @@ def semantic_dedup(
         if train_mod is not None
         else None
     )
+    # an empty training sample would make the quantizer empty and the
+    # whole operator a SILENT no-op — the worst failure mode a dedup
+    # pass can have. The limit(1) probe stops at the first sample row,
+    # so the happy path pays almost nothing.
+    if train is not None and train.limit(1).count() == 0:
+        raise ValueError(
+            f"semantic_dedup: no id satisfies id % {train_mod} == 0 — the "
+            "training sample is empty; pass a different train_mod or None"
+        )
     _, assign = kmeans_fixed(comp, k=k, iters=iters, id_col=id_col, train=train)
     assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = assign.alias("a"), assign.alias("b")

@@ -443,3 +443,17 @@ def test_ivf_search_over_quantized_storage(spark, assigned):
     exact = ivf_topk(assigned, QUERY_IDS, nprobe=K_LISTS, top_k=TOP_K)
     rec = recall_at_k(approx, exact, TOP_K)
     assert rec >= 0.9, f"quantized-storage recall dropped to {rec}"
+
+
+def test_semantic_dedup_empty_training_sample_raises(spark):
+    """A train_mod no id satisfies must fail loudly — an empty quantizer
+    would silently turn the dedup pass into a no-op."""
+    import pytest
+
+    from kafka_workers_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="training sample is empty"):
+        semantic_dedup(df, dim=2, k=2, train_mod=2)

@@ -243,3 +243,13 @@ def test_bloom_probe_plan_is_scale_safe(spark):
     bloom = bloom_build(li.limit(100), "v", n_bits=1 << 12, n_hashes=4)
     plan = audit(bloom_probe(li, bloom, "v"))
     assert plan.cartesian_products == 0 and plan.python_evals == 0
+
+
+def test_bloom_build_rejects_oversized_sketch(spark):
+    import pytest
+
+    from kafka_workers_spark.functions.sketches import bloom_build
+
+    df = spark.range(1).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="2\\^28"):
+        bloom_build(df, "v", n_bits=1 << 29)
