@@ -329,14 +329,21 @@ def dedup_paragraphs(
     text_col: str = "text",
     sep: str = "\n",
     min_chars: int = 1,
+    scope: str = "corpus",
 ):
-    """Global paragraph-level dedup: any paragraph that appears in more
-    than one place across the ENTIRE corpus keeps only its first
-    occurrence (lowest (doc, position)); documents are reassembled with
-    surviving paragraphs in their original order. Whole-document dedup
-    misses this class entirely — boilerplate headers/footers/license
-    blocks repeated across distinct pages — which is why C4 dedups at
-    span granularity.
+    """Paragraph-level dedup: any paragraph that appears in more than
+    one place keeps only its first occurrence (lowest (doc, position));
+    documents are reassembled with surviving paragraphs in their
+    original order. ``scope="corpus"`` (default) dedups across the
+    ENTIRE corpus — whole-document dedup misses this class entirely
+    (boilerplate headers/footers/license blocks repeated across distinct
+    pages), which is why C4 dedups at span granularity.
+    ``scope="document"`` dedups only WITHIN each document (nav menus and
+    sidebars repeated on one page) — its window partitions by
+    (doc, digest), so even a corpus-wide boilerplate paragraph is not a
+    skewed key, and legitimately common paragraphs survive once per
+    document rather than once globally; run it before the corpus pass
+    when both are wanted.
 
     Shape: split → posexplode (codegen generator) → the occurrence
     ranking runs on a SLIM (digest, id, pos) projection, so the
@@ -356,13 +363,16 @@ def dedup_paragraphs(
     """
     from pyspark.sql import Window as W
 
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"dedup_paragraphs: unknown scope {scope!r}")
     exploded = docs.select(
         id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para")
     ).withColumn("__meaningful", F.length(F.trim(F.col("__para"))) >= min_chars)
     slim = exploded.select(
         id_col, "__pos", "__meaningful", F.md5(F.col("__para")).alias("__digest")
     )
-    w = W.partitionBy("__digest").orderBy(id_col, "__pos")
+    part = ["__digest"] if scope == "corpus" else [id_col, "__digest"]
+    w = W.partitionBy(*part).orderBy(id_col, "__pos")
     keep_keys = slim.withColumn(
         "__keep",
         (~F.col("__meaningful")) | (F.row_number().over(w) == 1),

@@ -67,6 +67,55 @@ def test_dedup_paragraphs_matches_duckdb_oracle(spark):
     assert not mismatches, list(mismatches.items())[:3]
 
 
+def test_dedup_paragraphs_document_scope_matches_duckdb_oracle(spark):
+    """The within-document scope replayed in DuckDB: identical to the
+    corpus-scope oracle except the occurrence window partitions by
+    (doc_id, digest)."""
+    from kafka_workers_spark.operators.text import dedup_paragraphs
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    got = {
+        r.doc_id: (r.text, r.n_paragraphs, r.n_dropped)
+        for r in dedup_paragraphs(docs, scope="document").collect()
+    }
+
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"""
+        WITH splitted AS (
+          SELECT doc_id, string_split(text, chr(10)) AS parts FROM '{DOCS}'
+        ),
+        exploded AS (
+          SELECT doc_id,
+                 UNNEST([{{'pos': i - 1, 'para': parts[i]}}
+                         FOR i IN generate_series(1, len(parts))],
+                        recursive := true)
+          FROM splitted
+        ),
+        marked AS (
+          SELECT *, length(trim(para)) >= 1 AS meaningful, md5(para) AS digest
+          FROM exploded
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, digest ORDER BY doc_id, pos) AS rn
+          FROM marked
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(para, chr(10) ORDER BY pos)
+                        FILTER (WHERE (NOT meaningful) OR rn = 1), '') AS text,
+               COUNT(*) AS n_paragraphs,
+               COUNT(*) FILTER (WHERE meaningful AND rn > 1) AS n_dropped
+        FROM ranked GROUP BY doc_id
+        """
+    ).fetchall()
+    con.close()
+    want = {r[0]: (r[1], r[2], r[3]) for r in oracle}
+    assert set(got) == set(want)
+    mismatches = {d: (got[d], want[d]) for d in got if got[d] != want[d]}
+    assert not mismatches, list(mismatches.items())[:3]
+
+
 def test_split_corpus_matches_duckdb_oracle(spark):
     """The salted md5 split coin replays exactly in DuckDB (same
     conv/'0x'-cast trick as the registered sample_coin oracle): every

@@ -231,3 +231,28 @@ def test_dedup_paragraphs_on_real_documents(spark):
     assert a.python_evals == 0 and a.cartesian_products == 0
     rows = out.collect()
     assert len(rows) == docs.count()  # one row per document, always
+
+
+def test_dedup_paragraphs_document_scope(spark):
+    """scope='document': repeats within one page collapse, but a
+    paragraph shared across documents survives once in EACH — the
+    within-page boilerplate pass, not the corpus pass."""
+    import pytest
+
+    from kafka_workers_spark.operators.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "menu\nbody one\nmenu\ntail"),
+            (2, "menu\nbody two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs, scope="document").collect()}
+    assert out[1].text == "menu\nbody one\ntail"
+    assert out[1].n_dropped == 1
+    assert out[2].text == "menu\nbody two"  # cross-doc repeat untouched
+    assert out[2].n_dropped == 0
+
+    with pytest.raises(ValueError, match="unknown scope"):
+        dedup_paragraphs(docs, scope="page")
