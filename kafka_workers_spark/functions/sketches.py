@@ -278,7 +278,7 @@ def bloom_probe(
     probe cannot silently use different hashing).
     """
     group_cols = list(group_cols or [])
-    n_bits, n_hashes = _bloom_params(bloom, "bloom_probe")
+    n_bits, n_hashes, bloom = _bloom_params(bloom, "bloom_probe")
     side = bloom.select(*group_cols, "words")
     joined = (
         df.join(F.broadcast(side), group_cols, "left")
@@ -302,7 +302,7 @@ def bloom_merge(blooms: DataFrame, group_cols: list[str] | None = None) -> DataF
     columns, exactly like :func:`bloom_probe`).
     """
     group_cols = list(group_cols or [])
-    n_bits, _ = _bloom_params(blooms, "bloom_merge")
+    n_bits, _, blooms = _bloom_params(blooms, "bloom_merge")
     n_words = n_bits // 64
     zeros = F.array_repeat(F.lit(0).cast("bigint"), n_words)
     return (
@@ -319,17 +319,24 @@ def bloom_merge(blooms: DataFrame, group_cols: list[str] | None = None) -> DataF
     )
 
 
-def _bloom_params(bloom: DataFrame, caller: str) -> tuple[int, int]:
+def _bloom_params(bloom: DataFrame, caller: str) -> tuple[int, int, DataFrame]:
     """The sketch table's single (n_bits, n_hashes) scheme; raises on a
     mix — a probe or merge under the wrong geometry returns garbage
-    silently, so this is checked eagerly against the tiny param columns."""
+    silently, so this is checked eagerly against the tiny param columns.
+    The scheme read is an action, so the sketch is pinned with a
+    lineage-preserving persist FIRST and the pinned handle returned —
+    a sketch built inline (not yet stored) would otherwise be computed
+    twice: once for the check, again inside the probe/merge plan."""
+    from pyspark.storagelevel import StorageLevel
+
+    bloom = bloom.persist(StorageLevel.MEMORY_AND_DISK)
     params = bloom.select("n_bits", "n_hashes").distinct().collect()
     if len(params) != 1:
         raise ValueError(
             f"{caller}: sketch has {len(params)} distinct (n_bits, n_hashes) "
             "parameter pairs; rebuild or merge with one scheme"
         )
-    return params[0].n_bits, params[0].n_hashes
+    return params[0].n_bits, params[0].n_hashes, bloom
 
 
 def skew_report(
