@@ -382,20 +382,32 @@ def prepare_training_mix(
     paragraph_dedup: bool = False,
     quality_keep_fraction: float | None = None,
     scorer=None,
+    max_per_key: tuple[list[str], int] | None = None,
+    eval_bloom: DataFrame | None = None,
 ) -> DataFrame:
     """The full batch data-mix build: curate ([PII redaction →] quality
     filter → [global paragraph dedup →] exact dedup → LSH near-dedup) →
-    [model scoring + top-fraction quality pruning →] decontaminate
-    against the eval set → stratified mixture sampling → sequence
-    packing. Returns per-document pack assignments; join back on
-    `id_col` for the payloads.
+    [model scoring + top-fraction quality pruning →] [per-key caps →]
+    decontaminate against the eval set → stratified mixture sampling →
+    sequence packing. Returns per-document pack assignments; join back
+    on `id_col` for the payloads.
 
     ``quality_keep_fraction`` opts into the model-quality pruning stage:
     documents are scored (``scorer``, or operators.scoring's default
     heuristic) and only the top fraction survives
     (:func:`sample_by_quality`) — after dedup (so duplicate clusters
     don't distort the score quantile) and before decontamination (no
-    point scanning eval n-grams for documents the mix won't use)."""
+    point scanning eval n-grams for documents the mix won't use).
+    ``max_per_key=(key_cols, cap)`` opts into the anti-domain-dominance
+    cap (:func:`cap_per_key`), after dedup and quality pruning so each
+    domain's budget goes to its best unique docs. ``eval_bloom`` swaps
+    the exact decontamination for the stored-sketch form
+    (:func:`decontaminate_with_bloom`) — mutually exclusive with
+    ``eval_docs``."""
+    if eval_docs is not None and eval_bloom is not None:
+        raise ValueError(
+            "prepare_training_mix: pass eval_docs OR eval_bloom, not both"
+        )
     clean = _cleaned(docs, id_col, text_col, min_tokens,
                      redact=redact, paragraph_dedup=paragraph_dedup)
     if quality_keep_fraction is not None:
@@ -403,8 +415,15 @@ def prepare_training_mix(
 
         scored = score_documents(clean, text_col=text_col, score_col="__q", scorer=scorer)
         clean = sample_by_quality(scored, "__q", quality_keep_fraction).drop("__q")
+    if max_per_key is not None:
+        key_cols, cap = max_per_key
+        clean = cap_per_key(clean, key_cols, cap, id_col=id_col)
     if eval_docs is not None:
         clean = decontaminate(clean, eval_docs, id_col=id_col, text_col=text_col)
+    elif eval_bloom is not None:
+        clean = decontaminate_with_bloom(
+            clean, eval_bloom, id_col=id_col, text_col=text_col
+        )
     sampled = sample_stratified(
         clean, rates or {}, default_rate=default_rate, strata_col=strata_col, id_col=id_col
     )

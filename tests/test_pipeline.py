@@ -279,6 +279,33 @@ def test_prepare_training_mix_composes(spark):
     assert {"lang", "doc_id", "n_tokens", "pack_shard", "pack_id", "pack_offset"} <= set(out.columns)
 
 
+def test_prepare_training_mix_with_caps_and_bloom(spark):
+    """The new opt-in stages compose through the full mix build: per-key
+    caps bound each source's contribution, and the Bloom form of
+    decontamination is accepted in place of eval_docs (passing both
+    raises)."""
+    from kafka_workers_spark.pipeline import eval_digest_bloom, prepare_training_mix
+
+    docs = load_table(spark, SF, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bloom = eval_digest_bloom(eval_docs)
+    out = prepare_training_mix(
+        corpus, eval_bloom=bloom, rates={"en": 80}, default_rate=60, budget=128,
+        max_per_key=(["source"], 4),
+    )
+    rows = out.collect()
+    assert rows and all(0 <= r.pack_offset < 128 for r in rows)
+    per_source = (
+        out.select("doc_id").distinct()
+        .join(corpus.select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(F.count("*").alias("n"))
+    )
+    assert per_source.filter(F.col("n") > 4).count() == 0
+    with pytest.raises(ValueError, match="not both"):
+        prepare_training_mix(corpus, eval_docs=eval_docs, eval_bloom=bloom)
+
+
 def test_near_dedup_min_agreement_blocks_weak_pairs(spark):
     """min_agreement verifies candidate pairs with the full signature
     before they become duplicate edges: at a threshold no real pair can
