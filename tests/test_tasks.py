@@ -172,6 +172,66 @@ def test_worker_task_counts_per_key(spark, tmp_path):
     assert finals == {0: 8, 1: 8}
 
 
+def test_worker_task_state_survives_restart(spark, tmp_path):
+    """The documented upgrade over the reference (ARCHITECTURE.md §5):
+    task state is checkpointed, so a restarted query CONTINUES its per-key
+    counts instead of resetting — and the commit prefix advanced, so the
+    first run's files are not reprocessed (A6: a restart emits output for
+    new offsets only)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    dst = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 2), (1, 3)], "partition int, offset long"
+    ).coalesce(1).write.parquet(src)
+
+    task = WorkerTask(
+        init=lambda key: {"seen": 0},
+        process=lambda key, pdf, st: (
+            pd.DataFrame({"partition": [key[0]], "total": [st["seen"] + len(pdf)]}),
+            {"seen": st["seen"] + len(pdf)},
+        ),
+    )
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = apply_worker_task(
+            stream, ["partition"], task, "partition int, total long",
+            order_by=["offset"],
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", dst)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    finals1 = {
+        r.partition: r.total
+        for r in spark.read.parquet(dst)
+        .groupBy("partition").agg(F.max("total").alias("total")).collect()
+    }
+    assert finals1 == {0: 2, 1: 2}
+
+    # new data lands between runs; the second query resumes from the
+    # same checkpoint
+    spark.createDataFrame(
+        [(0, 4), (1, 5), (1, 6)], "partition int, offset long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    rows = [(r.partition, r.total) for r in spark.read.parquet(dst).collect()]
+    # commit prefix advanced: the restart emitted ONE new row per key on
+    # top of run 1's two — a replay of the first batch would add more
+    assert len(rows) == 4, rows
+    # state survived: counts continue from 2, not restart at the batch size
+    assert sorted(rows) == [(0, 2), (0, 3), (1, 2), (1, 4)], sorted(rows)
+
+
 def test_worker_task_punctuate_fires_without_data(spark, tmp_path):
     """A5: a key idle in a later batch gets its punctuate callback
     (processing-time timer)."""
