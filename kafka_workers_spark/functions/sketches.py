@@ -280,11 +280,20 @@ def bloom_probe(
     group_cols = list(group_cols or [])
     n_bits, n_hashes, bloom = _bloom_params(bloom, "bloom_probe")
     side = bloom.select(*group_cols, "words")
-    joined = (
-        df.join(F.broadcast(side), group_cols, "left")
-        if group_cols
-        else df.crossJoin(F.broadcast(side))
-    )
+    if group_cols:
+        joined = df.join(F.broadcast(side), group_cols, "left")
+    else:
+        # the ungrouped probe joins ONE sketch row per probe row; a
+        # stored multi-row sketch table (e.g. per-benchmark rows not yet
+        # merged) would silently multiply the probe N-fold through the
+        # cross join and inflate every downstream count
+        n_rows = bloom.count()  # cheap: pinned by _bloom_params
+        if n_rows != 1:
+            raise ValueError(
+                f"bloom_probe: ungrouped probe needs exactly 1 sketch row, "
+                f"got {n_rows} — bloom_merge them first (or pass group_cols)"
+            )
+        joined = df.crossJoin(F.broadcast(side))
     # NULL is not a member (build excludes it); a row whose group has no
     # sketch row is also definitely absent
     flag = F.when(F.col(col).isNotNull(), bloom_contains(col, n_bits, n_hashes))

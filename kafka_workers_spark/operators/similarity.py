@@ -432,8 +432,19 @@ def semantic_dedup(
     """
     from pyspark.storagelevel import StorageLevel
 
+    from kafka_workers_spark.operators.dedup import barrier
+
+    # barrier before the explode: kmeans_fixed references the exploded
+    # frame from every Lloyd pass (seeds, per-iteration assignment and
+    # centroid recompute, final assignment) — without the exchange pin
+    # each reference would re-scan the input and re-run the interpreted
+    # fixed-point conversion (same shape as _vectors_exploded in
+    # queries/similarity.py)
     comp = explode_fixed(
-        df.select(id_col, embedding_fixed(F.col(vec_col)).alias("v6")), [id_col]
+        barrier(
+            df.select(id_col, embedding_fixed(F.col(vec_col)).alias("v6")), id_col
+        ),
+        [id_col],
     )
     train = (
         comp.filter(F.pmod(F.col(id_col), F.lit(train_mod)) == 0)

@@ -283,7 +283,11 @@ def decontaminate(
     training rows unchanged."""
 
     def digests(df: DataFrame) -> DataFrame:
-        staged = shingle_stage(tokenize_stage(df.select(id_col, text_col)), shingle_n, distinct=True)
+        staged = shingle_stage(
+            tokenize_stage(df.select(id_col, text_col), text_col=text_col),
+            shingle_n,
+            distinct=True,
+        )
         return staged.select(id_col, F.explode("shingles").alias("__s")).select(
             id_col, F.substring(F.md5("__s"), 1, 16).alias("__h")
         )
@@ -310,8 +314,9 @@ def eval_digest_bloom(
     """Bloom sketch of an eval union's shingle digests — the fixed-size
     form of :func:`decontaminate`'s eval side for when the union of every
     benchmark is itself large: build once per benchmark, store the sketch
-    row, `bloom_merge` across benchmarks, and pass the result as
-    ``decontaminate(..., eval_bloom=...)``. Same tokenizer/shingler/digest
+    row, `bloom_merge` across benchmarks, and pass the result to
+    :func:`decontaminate_with_bloom` (or
+    ``prepare_training_mix(..., eval_bloom=...)``). Same tokenizer/shingler/digest
     as the exact path, so the two sides stay comparable. 4M bits = 512 KB
     regardless of eval cardinality."""
     from kafka_workers_spark.functions.sketches import bloom_build
@@ -399,11 +404,13 @@ def prepare_training_mix(
     don't distort the score quantile) and before decontamination (no
     point scanning eval n-grams for documents the mix won't use).
     ``max_per_key=(key_cols, cap)`` opts into the anti-domain-dominance
-    cap (:func:`cap_per_key`), after dedup and quality pruning so each
-    domain's budget goes to its best unique docs. ``eval_bloom`` swaps
-    the exact decontamination for the stored-sketch form
-    (:func:`decontaminate_with_bloom`) — mutually exclusive with
-    ``eval_docs``."""
+    cap (:func:`cap_per_key`), LAST — after dedup, quality pruning, and
+    decontamination — so each domain's budget is spent only on clean,
+    unique, high-quality docs (a contaminated doc struck after capping
+    would leave its domain under-filled although clean replacements
+    existed). ``eval_bloom`` swaps the exact decontamination for the
+    stored-sketch form (:func:`decontaminate_with_bloom`) — mutually
+    exclusive with ``eval_docs``."""
     if eval_docs is not None and eval_bloom is not None:
         raise ValueError(
             "prepare_training_mix: pass eval_docs OR eval_bloom, not both"
@@ -415,15 +422,15 @@ def prepare_training_mix(
 
         scored = score_documents(clean, text_col=text_col, score_col="__q", scorer=scorer)
         clean = sample_by_quality(scored, "__q", quality_keep_fraction).drop("__q")
-    if max_per_key is not None:
-        key_cols, cap = max_per_key
-        clean = cap_per_key(clean, key_cols, cap, id_col=id_col)
     if eval_docs is not None:
         clean = decontaminate(clean, eval_docs, id_col=id_col, text_col=text_col)
     elif eval_bloom is not None:
         clean = decontaminate_with_bloom(
             clean, eval_bloom, id_col=id_col, text_col=text_col
         )
+    if max_per_key is not None:
+        key_cols, cap = max_per_key
+        clean = cap_per_key(clean, key_cols, cap, id_col=id_col)
     sampled = sample_stratified(
         clean, rates or {}, default_rate=default_rate, strata_col=strata_col, id_col=id_col
     )
@@ -780,6 +787,7 @@ def curate_embeddings(
     seed: int = 7,
     method: str = "rhp",
     semantic_k: int = 16,
+    semantic_train_mod: int | None = 4,
 ) -> DataFrame:
     """The embedding-side analog of :func:`curate_corpus`: label-free
     near-dedup → optional ingest-time IVF list assignment against stored
@@ -795,7 +803,9 @@ def curate_embeddings(
     SemDeDup-style trained-cluster blocking
     (operators.similarity.semantic_dedup with ``semantic_k`` lists —
     pairs straddling a cluster boundary are not candidates, the paper's
-    accepted trade).
+    accepted trade). ``semantic_train_mod`` is the quantizer's id-mod
+    training sample; pass ``None`` when the id space has no multiples
+    of it (e.g. sharded odd-only allocation) to train on everything.
     """
     from kafka_workers_spark.operators.similarity import (
         assign_lists,
@@ -807,7 +817,7 @@ def curate_embeddings(
     if method == "semantic":
         out = semantic_dedup(
             vecs, dim, id_col=id_col, vec_col=vec_col, k=semantic_k,
-            min_cosine=min_cosine,
+            min_cosine=min_cosine, train_mod=semantic_train_mod,
         )
     elif method == "rhp":
         out = near_dedup_embeddings(
@@ -853,11 +863,27 @@ def cap_per_key(
     """
     if cap < 1:
         raise ValueError(f"cap_per_key: cap must be >= 1, got {cap}")
-    counts = df.groupBy(*key_cols).agg(F.count("*").alias("__n"))
-    over = counts.filter(F.col("__n") > cap).select(*key_cols)
-    passthrough = df.join(F.broadcast(over), key_cols, "left_anti")
-    hot = df.join(F.broadcast(over), key_cols, "left_semi")
     from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
+
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("__n"))
+    # keys-only, tiny, consumed by BOTH branch joins — the rule-2a pin
+    # (ARCHITECTURE.md §4) so the counts aggregate runs once
+    over = (
+        counts.filter(F.col("__n") > cap)
+        .select(*[F.col(c).alias(f"__k_{c}") for c in key_cols])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # null-SAFE key matching: groupBy treats NULL as a real group (messy
+    # metadata is exactly where domination hides), but a plain equi-join
+    # would never match it — every NULL-key row would silently bypass
+    # the cap. eqNullSafe keeps NULL groups cappable.
+    cond = None
+    for c in key_cols:
+        clause = df[c].eqNullSafe(over[f"__k_{c}"])
+        cond = clause if cond is None else (cond & clause)
+    passthrough = df.join(F.broadcast(over), cond, "left_anti")
+    hot = df.join(F.broadcast(over), cond, "left_semi")
 
     coin = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
     w = W.partitionBy(*key_cols).orderBy(coin.asc(), F.col(id_col).asc())

@@ -298,3 +298,21 @@ def test_merge_ordered_many_matches_duckdb_oracle(spark):
     ).fetchall()
     con.close()
     assert got == [tuple(r) for r in oracle]
+
+
+def test_cap_per_key_caps_null_keys_too(spark):
+    """NULL is a real group (messy metadata is where domination hides):
+    an over-cap NULL-key group must be capped like any other, not slip
+    through the equi-join."""
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.pipeline import cap_per_key
+
+    rows = [(i, None) for i in range(8)] + [(100 + i, "hot") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_key(df, ["source"], 3)
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {None: 3, "hot": 3}, counts

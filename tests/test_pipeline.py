@@ -741,3 +741,31 @@ def test_prepare_training_mix_full_modern_pipeline(spark):
     # the eval near-copies were decontaminated away (8-gram overlap)
     eval_ids = {r.doc_id for r in eval_docs.collect()}
     assert not eval_ids & {r.doc_id for r in rows}
+
+
+def test_decontaminate_honors_custom_text_col(spark):
+    """Both decontamination paths accept a non-default text column (the
+    exact path used to hard-code 'text' in its tokenizer call)."""
+    from kafka_workers_spark.pipeline import (
+        decontaminate,
+        decontaminate_with_bloom,
+        eval_digest_bloom,
+    )
+
+    leak = " ".join(f"w{i}" for i in range(20))
+    train = spark.createDataFrame(
+        [(1, leak + " tail"), (2, " ".join(f"x{i}" for i in range(20)))],
+        "doc_id long, body string",
+    )
+    eval_docs = spark.createDataFrame([(100, leak)], "doc_id long, body string")
+    exact = sorted(
+        r.doc_id
+        for r in decontaminate(train, eval_docs, text_col="body").collect()
+    )
+    assert exact == [2], exact
+    bloom = eval_digest_bloom(eval_docs, text_col="body")
+    via_bloom = sorted(
+        r.doc_id
+        for r in decontaminate_with_bloom(train, bloom, text_col="body").collect()
+    )
+    assert via_bloom == [2], via_bloom

@@ -253,3 +253,19 @@ def test_bloom_build_rejects_oversized_sketch(spark):
     df = spark.range(1).select(F.col("id").cast("string").alias("v"))
     with pytest.raises(ValueError, match="2\\^28"):
         bloom_build(df, "v", n_bits=1 << 29)
+
+
+def test_bloom_probe_rejects_unmerged_multi_row_global_sketch(spark):
+    """An ungrouped probe against a multi-row sketch table would cross-
+    join every probe row per sketch row (silently multiplying the
+    output); it must raise and point at bloom_merge."""
+    import pytest
+
+    from kafka_workers_spark.functions.sketches import bloom_build, bloom_probe
+
+    a = spark.range(0, 10).select(F.col("id").cast("string").alias("v"))
+    two_rows = bloom_build(a, "v", n_bits=1 << 10).unionByName(
+        bloom_build(a, "v", n_bits=1 << 10)
+    )
+    with pytest.raises(ValueError, match="bloom_merge"):
+        bloom_probe(a, two_rows, "v")
