@@ -316,3 +316,26 @@ def test_cap_per_key_caps_null_keys_too(spark):
         for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {None: 3, "hot": 3}, counts
+
+
+def test_cap_per_key_plan_shape(spark):
+    """The skew-aware two-path claim, plan-asserted: both branch joins
+    are BROADCAST hash joins on the pinned over-cap key list (eqNullSafe
+    compiles to coalesce/isnull hash keys, not a nested loop), the
+    passthrough branch reaches the union with no data exchange, and the
+    hot branch's single exchange is preceded by a partial
+    WindowGroupLimit — each map task forwards at most cap rows per key,
+    so even the hot keys' shuffle is cap-bounded, not data-bounded."""
+    from kafka_workers_spark.pipeline import cap_per_key
+    from kafka_workers_spark.plans import audit
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, SF, "documents")
+    a = audit(cap_per_key(docs, ["source"], 10))
+    assert a.cartesian_products == 0 and a.python_evals == 0
+    assert a.nested_loop_joins == 0
+    assert a.broadcast_joins == 2  # anti + semi, both on the tiny key list
+    # counts aggregate exchange + the hot-branch window exchange; the
+    # passthrough data path contributes none
+    assert a.exchanges <= 2, a.exchanges
+    assert "WindowGroupLimit" in a.text
