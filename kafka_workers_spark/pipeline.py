@@ -855,11 +855,13 @@ def cap_per_key(
     counts-only shuffle) find the over-cap keys — typically a tiny
     fraction — and that key list broadcasts into two joins: under-cap
     rows pass through with NO data shuffle at all, and only over-cap
-    keys' rows enter the per-key ranking window. The residual cost is
-    sorting each hot key's own rows in one task; if a single key can
-    exceed one task's memory, pre-filter its rows by a coin threshold of
-    a few×cap/n before the window (the coin is uniform, so the true
-    top-``cap`` survives the threshold with overwhelming probability).
+    keys' rows enter the per-key ranking window. That window plans with
+    a PARTIAL WindowGroupLimit below its exchange (plan-asserted in
+    tests/test_oracle_extra.py): each map task forwards at most ``cap``
+    rows per key, so the shuffle and the final per-key sort are
+    cap-bounded, not data-bounded — a key holding 10% of the corpus
+    ships cap×tasks rows, never its full row set. NULL keys are capped
+    too (null-safe join keys); groupBy already treats NULL as a group.
     """
     if cap < 1:
         raise ValueError(f"cap_per_key: cap must be >= 1, got {cap}")
