@@ -457,3 +457,66 @@ def test_semantic_dedup_empty_training_sample_raises(spark):
     )
     with pytest.raises(ValueError, match="training sample is empty"):
         semantic_dedup(df, dim=2, k=2, train_mod=2)
+
+
+def test_streaming_ingest_assigns_lists_and_quantizes(spark, tmp_path):
+    """The 'assign once at ingest' story, run for real on a stream:
+    centroids trained once on the landed corpus, then each arriving
+    micro-batch of embeddings is list-assigned against the STORED
+    centroids and landed quantized via foreachBatch. The landed
+    assignments must agree exactly with a batch recompute — streaming
+    ingest and backfill produce the same index."""
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
+    from kafka_workers_spark.operators.similarity import (
+        assign_lists,
+        kmeans_fixed,
+        quantize_embeddings,
+    )
+    from kafka_workers_spark.sources.files import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    comp = explode_fixed(
+        emb.select("vec_id", embedding_fixed(F.col("embedding")).alias("v6")), ["vec_id"]
+    )
+    cents, _ = kmeans_fixed(comp, k=4, iters=1)
+    cents = cents.cache()
+    cents.count()
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "landed")
+    # two files -> two micro-batches of "new" vectors (shifted ids)
+    batch = emb.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    batch.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(src)
+    batch.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+    def land(bdf, batch_id):
+        out = quantize_embeddings(assign_lists(bdf, cents))
+        out.write.mode("append").parquet(dst)
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(dst)
+    assert landed.count() == emb.count()
+    assert {"list_id", "q_codes", "q_scale"} <= set(landed.columns)
+    # streaming assignment == batch recompute, row for row
+    recomputed = assign_lists(batch, cents).select(
+        "vec_id", F.col("list_id").alias("expect")
+    )
+    diff = (
+        landed.select("vec_id", "list_id")
+        .join(recomputed, "vec_id")
+        .filter(F.col("list_id") != F.col("expect"))
+        .count()
+    )
+    assert diff == 0
