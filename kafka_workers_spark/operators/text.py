@@ -445,3 +445,104 @@ def redact_pii(
             ).cast("bigint")
         docs = docs.withColumn(count_col, hits)
     return docs.withColumn(text_col, redacted)
+
+
+def tfidf_weights(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_fraction: float = 0.5,
+):
+    """Long-format fixed-point TF-IDF vectors — ``(id_col, term, w6)``
+    with integer weights ``tf × floor(1e6 · ln((N+1)/(df+1)) + 1e6)``
+    (smoothed idf, 1e6-scaled like the embedding fixed-point family, so
+    downstream dot products are EXACT integers and replay bit-identically
+    on any engine).
+
+    ``max_df_fraction`` drops terms present in more than that fraction
+    of documents — the stopword cut, and at scale the COST cut: the
+    sparse-dot join below is the inverted index (one posting list per
+    term), whose join cost is Σ posting², dominated by exactly the
+    near-universal terms this prunes. ``min_df`` prunes hapax noise.
+
+    Tokens are the engine's whitespace tokens over :func:`normalized`
+    text (deterministic, engine-portable). N is the total document
+    count, embedded as a literal via one tiny eager aggregate.
+    """
+    base = docs.select(id_col, normalized(F.col(text_col)).alias("__t"))
+    n_docs = base.count()
+    toked = base.select(
+        id_col, F.explode(tokens(F.col("__t"))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toked.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    max_df = int(max_df_fraction * n_docs)
+    kept = df_t.filter((F.col("__df") >= min_df) & (F.col("__df") <= max_df))
+    idf6 = F.floor(
+        F.lit(1_000_000.0) * F.log((F.lit(float(n_docs + 1))) / (F.col("__df") + 1))
+        + F.lit(1_000_000.0)
+    ).cast("bigint")
+    return tf.join(kept.select("term", idf6.alias("__idf6")), "term").select(
+        id_col, "term", (F.col("__tf") * F.col("__idf6")).alias("w6")
+    )
+
+
+def tfidf_topk(
+    docs,
+    query_ids: list[int],
+    top_k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_fraction: float = 0.5,
+):
+    """Sparse TF-IDF cosine top-k over raw text — IR-style similarity
+    search with NO embedding model, the text twin of
+    operators.similarity's dense ANN: query docs broadcast in long
+    format, the dot join touches only SHARED terms (the inverted-index
+    shape — a term's posting list meets the query's terms via one
+    equi-join, cost Σ posting² over surviving terms, bounded by
+    ``max_df_fraction``), exact integer dots, one window shuffle for
+    the per-query top-k. Returns (query_id, neighbor_id, rank, cosine).
+    """
+    from pyspark.sql import Window as W
+
+    w = tfidf_weights(
+        docs, id_col=id_col, text_col=text_col,
+        min_df=min_df, max_df_fraction=max_df_fraction,
+    )
+    from kafka_workers_spark.operators.dedup import barrier
+
+    # the weighted long format feeds norms AND the dot join — pin the
+    # exchange so tf/df aggregation runs once (rule 3)
+    w = barrier(w, id_col)
+    norms = w.groupBy(id_col).agg(F.sum(F.col("w6") * F.col("w6")).alias("norm6"))
+    q = w.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "term", F.col("w6").alias("qw6")
+    )
+    dots = (
+        w.join(F.broadcast(q), "term")
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("qw6") * F.col("w6")).alias("dot6"))
+    )
+    qn = norms.withColumnRenamed(id_col, "query_id").withColumnRenamed("norm6", "qn")
+    scored = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(norms, id_col)
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.col("dot6").cast("double")
+                / F.sqrt(F.col("qn").cast("double") * F.col("norm6").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
+    )

@@ -318,6 +318,76 @@ def test_cap_per_key_caps_null_keys_too(spark):
     assert counts == {None: 3, "hot": 3}, counts
 
 
+def test_tfidf_topk_matches_duckdb_oracle(spark):
+    """The sparse TF-IDF search replayed end-to-end in DuckDB: same
+    normalization, tokenization, df/tf counts, floor'd fixed-point idf,
+    exact integer dots, and IEEE-exact cosine (one division + sqrt over
+    identical integers), so full (query, neighbor, rank, cosine) tuples
+    must match on the real documents table."""
+    from kafka_workers_spark.operators.text import sql_normalized, tfidf_topk
+    from kafka_workers_spark.sources.files import load_table
+
+    # 0.8: the synthetic docs share template vocabulary, so a 0.5 cut
+    # leaves three of the four query docs with no surviving terms
+    TOP_K, QUERIES, MAX_DF = 5, [0, 1, 2, 3], 0.8
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.cosine, 9))
+        for r in tfidf_topk(docs, QUERIES, top_k=TOP_K, max_df_fraction=MAX_DF).collect()
+    )
+
+    con = duckdb.connect()
+    n_docs = con.execute(f"SELECT COUNT(*) FROM '{DOCS}'").fetchone()[0]
+    oracle = con.execute(
+        f"""
+        WITH toked AS (
+          SELECT doc_id, UNNEST(string_split({sql_normalized('text')}, ' ')) AS term
+          FROM '{DOCS}'
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toked
+          WHERE length(term) > 0 GROUP BY 1, 2
+        ),
+        dft AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+          HAVING COUNT(*) >= 1 AND COUNT(*) <= {int(MAX_DF * n_docs)}
+        ),
+        w AS (
+          SELECT doc_id, tf.term,
+                 tf * CAST(floor(1000000.0 * ln({float(n_docs + 1)} / (df + 1))
+                                + 1000000.0) AS BIGINT) AS w6
+          FROM tf JOIN dft ON tf.term = dft.term
+        ),
+        norms AS (SELECT doc_id, SUM(w6 * w6) AS norm6 FROM w GROUP BY 1),
+        q AS (SELECT doc_id AS query_id, term, w6 AS qw6 FROM w
+              WHERE doc_id IN ({', '.join(map(str, QUERIES))})),
+        dots AS (
+          SELECT query_id, w.doc_id, SUM(qw6 * w6) AS dot6
+          FROM w JOIN q ON w.term = q.term AND w.doc_id <> q.query_id
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT dots.query_id, dots.doc_id,
+                 CAST(dot6 AS DOUBLE)
+                   / sqrt(CAST(qn.norm6 AS DOUBLE) * CAST(cn.norm6 AS DOUBLE)) AS cosine
+          FROM dots
+          JOIN norms qn ON qn.doc_id = dots.query_id
+          JOIN norms cn ON cn.doc_id = dots.doc_id
+        )
+        SELECT query_id, rank, doc_id AS neighbor_id, cosine FROM (
+          SELECT query_id, doc_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, doc_id) AS rank
+          FROM scored
+        ) WHERE rank <= {TOP_K}
+        """
+    ).fetchall()
+    con.close()
+    want = sorted((r[0], r[1], r[2], round(r[3], 9)) for r in oracle)
+    assert len(want) == len(QUERIES) * TOP_K
+    assert got == want
+
+
 def test_cap_per_key_plan_shape(spark):
     """The skew-aware two-path claim, plan-asserted: both branch joins
     are BROADCAST hash joins on the pinned over-cap key list (eqNullSafe

@@ -256,3 +256,37 @@ def test_dedup_paragraphs_document_scope(spark):
 
     with pytest.raises(ValueError, match="unknown scope"):
         dedup_paragraphs(docs, scope="page")
+
+
+def test_tfidf_topk_finds_topically_similar_docs(spark):
+    """Sparse TF-IDF search: a document's nearest neighbor is the one
+    sharing its rare terms, not the one sharing only ubiquitous terms
+    (which the max_df cut removes)."""
+    from kafka_workers_spark.operators.text import tfidf_topk
+
+    rows = [
+        (0, "the spark engine shuffles partitions across executors"),
+        (1, "the spark engine shuffles data across the cluster"),
+        (2, "a recipe for sourdough bread with rye flour"),
+        (3, "bake sourdough bread using rye flour and patience"),
+        (4, "the the the the the the"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in tfidf_topk(docs, [0, 2], top_k=1, max_df_fraction=0.7).collect()
+    }
+    assert out[(0, 1)] == 1  # spark doc matches the other spark doc
+    assert out[(2, 1)] == 3  # bread doc matches the other bread doc
+
+
+def test_tfidf_plan_is_inverted_index_shape(spark):
+    """The sparse dot is a term-keyed equi-join with the query side
+    broadcast: zero cartesian products, zero Python eval."""
+    from kafka_workers_spark.operators.text import tfidf_topk
+    from kafka_workers_spark.plans import audit
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    plan = audit(tfidf_topk(docs, [0, 1], top_k=5))
+    assert plan.cartesian_products == 0 and plan.python_evals == 0
