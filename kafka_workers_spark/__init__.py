@@ -38,7 +38,8 @@ __all__ = ["WorkersConfig", "build_session", "__version__"]
 #                         paragraph dedup + PII redaction, connected
 #                         components, ANN/IVF/RHP-LSH + SemDeDup-style
 #                         semantic_dedup + int8 quantization,
-#                         quality rules, winnowing, chunking, binary
+#                         quality rules, winnowing, chunking, sparse
+#                         TF-IDF search (tfidf_topk), binary
 #                         columns, Arrow-batched model scoring)
 #   pipeline            — corpus curation / training-mix composition:
 #                         batch + streaming curation, stream→batch
