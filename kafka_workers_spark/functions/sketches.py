@@ -281,6 +281,17 @@ def bloom_probe(
     n_bits, n_hashes, bloom = _bloom_params(bloom, "bloom_probe")
     side = bloom.select(*group_cols, "words")
     if group_cols:
+        # same silent-multiplication trap as the ungrouped branch, one
+        # level down: two sketch rows for one group would duplicate every
+        # probe row in that group through the left join
+        dup = (
+            bloom.groupBy(*group_cols).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "bloom_probe: some group has multiple sketch rows — "
+                "bloom_merge them first"
+            )
         joined = df.join(F.broadcast(side), group_cols, "left")
     else:
         # the ungrouped probe joins ONE sketch row per probe row; a

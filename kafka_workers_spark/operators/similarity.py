@@ -171,10 +171,18 @@ def ivf_topk(
         .groupBy("query_id", id_col)
         .agg(F.sum(F.col("qx") * F.col("x")).alias("dot6"))
     )
-    qn = norms.withColumnRenamed(id_col, "query_id").withColumnRenamed("norm6", "qn")
+    # query norms filtered to the query ids BEFORE the broadcast hint —
+    # hinting the full norms table would ship one row per corpus vector;
+    # the candidate-side norm join stays unhinted (AQE broadcasts it at
+    # small scale, shuffle-joins it at 10⁹ vectors)
+    qn = (
+        norms.filter(F.col(id_col).isin(query_ids))
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("norm6", "qn")
+    )
     scored = (
         dots.join(F.broadcast(qn), "query_id")
-        .join(F.broadcast(norms), id_col)
+        .join(norms, id_col)
         .select(
             "query_id",
             id_col,
@@ -434,6 +442,19 @@ def semantic_dedup(
 
     from kafka_workers_spark.operators.dedup import barrier
 
+    # an empty training sample would make the quantizer empty and the
+    # whole operator a SILENT no-op — the worst failure mode a dedup
+    # pass can have. Probe on the RAW frame (ids only, pre-barrier,
+    # pre-conversion): limit(1) short-circuits a plain scan, so the
+    # happy path pays almost nothing — probing below the barrier would
+    # force a full shuffle map stage just to read one row.
+    if train_mod is not None:
+        probe = df.filter(F.pmod(F.col(id_col), F.lit(train_mod)) == 0)
+        if probe.select(id_col).limit(1).count() == 0:
+            raise ValueError(
+                f"semantic_dedup: no id satisfies id % {train_mod} == 0 — the "
+                "training sample is empty; pass a different train_mod or None"
+            )
     # barrier before the explode: kmeans_fixed references the exploded
     # frame from every Lloyd pass (seeds, per-iteration assignment and
     # centroid recompute, final assignment) — without the exchange pin
@@ -451,15 +472,6 @@ def semantic_dedup(
         if train_mod is not None
         else None
     )
-    # an empty training sample would make the quantizer empty and the
-    # whole operator a SILENT no-op — the worst failure mode a dedup
-    # pass can have. The limit(1) probe stops at the first sample row,
-    # so the happy path pays almost nothing.
-    if train is not None and train.limit(1).count() == 0:
-        raise ValueError(
-            f"semantic_dedup: no id satisfies id % {train_mod} == 0 — the "
-            "training sample is empty; pass a different train_mod or None"
-        )
     _, assign = kmeans_fixed(comp, k=k, iters=iters, id_col=id_col, train=train)
     assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = assign.alias("a"), assign.alias("b")

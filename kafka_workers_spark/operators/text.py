@@ -457,8 +457,13 @@ def tfidf_weights(
     """Long-format fixed-point TF-IDF vectors — ``(id_col, term, w6)``
     with integer weights ``tf × floor(1e6 · ln((N+1)/(df+1)) + 1e6)``
     (smoothed idf, 1e6-scaled like the embedding fixed-point family, so
-    downstream dot products are EXACT integers and replay bit-identically
-    on any engine).
+    downstream dots/norms are EXACT integer arithmetic). One honest
+    caveat, unlike the pure-integer families elsewhere: ``ln`` is a libm
+    call, and engines can differ in the last ulp — the floor flips only
+    when 1e6·ln(x) lands within ~1 ulp of an integer (≈1e-10 per
+    distinct df value), so the quantized weights are deterministic in
+    practice but not unconditionally (see queries/corpus.py:129 for why
+    the registered vocab query avoids ln entirely).
 
     ``max_df_fraction`` drops terms present in more than that fraction
     of documents — the stopword cut, and at scale the COST cut: the
@@ -472,6 +477,12 @@ def tfidf_weights(
     """
     base = docs.select(id_col, normalized(F.col(text_col)).alias("__t"))
     n_docs = base.count()
+    if int(max_df_fraction * n_docs) < min_df:
+        raise ValueError(
+            f"tfidf_weights: max_df_fraction×N ({max_df_fraction}×{n_docs}) < "
+            f"min_df ({min_df}) keeps NO terms — every query would silently "
+            "return empty; widen the df window or grow the corpus"
+        )
     toked = base.select(
         id_col, F.explode(tokens(F.col("__t"))).alias("term")
     ).filter(F.length("term") > 0)
@@ -527,7 +538,14 @@ def tfidf_topk(
         .groupBy("query_id", id_col)
         .agg(F.sum(F.col("qw6") * F.col("w6")).alias("dot6"))
     )
-    qn = norms.withColumnRenamed(id_col, "query_id").withColumnRenamed("norm6", "qn")
+    # only the QUERY rows' norms carry a broadcast hint (a hinted full
+    # norms table would ship one row per corpus doc); the candidate-side
+    # norm join below stays unhinted for AQE to size
+    qn = (
+        norms.filter(F.col(id_col).isin(query_ids))
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("norm6", "qn")
+    )
     scored = (
         dots.join(F.broadcast(qn), "query_id")
         .join(norms, id_col)

@@ -392,10 +392,10 @@ def prepare_training_mix(
 ) -> DataFrame:
     """The full batch data-mix build: curate ([PII redaction →] quality
     filter → [global paragraph dedup →] exact dedup → LSH near-dedup) →
-    [model scoring + top-fraction quality pruning →] [per-key caps →]
-    decontaminate against the eval set → stratified mixture sampling →
-    sequence packing. Returns per-document pack assignments; join back
-    on `id_col` for the payloads.
+    [model scoring + top-fraction quality pruning →] decontaminate
+    against the eval set → [per-key caps →] stratified mixture
+    sampling → sequence packing. Returns per-document pack assignments;
+    join back on `id_col` for the payloads.
 
     ``quality_keep_fraction`` opts into the model-quality pruning stage:
     documents are scored (``scorer``, or operators.scoring's default

@@ -74,10 +74,18 @@ def _ann_scored(exploded: DataFrame, norms: DataFrame, same_label: bool) -> Data
         .groupBy("query_id", "vec_id")
         .agg(F.sum(F.col("qx") * F.col("x")).alias("dot6"))
     )
-    qn = norms.withColumnRenamed("vec_id", "query_id").withColumnRenamed("norm6", "qn")
+    # broadcast ONLY the query rows' norms (filtered first — hinting the
+    # full norms table would ship one row per corpus vector to every
+    # executor); the candidate-side norm join is left unhinted so AQE
+    # broadcasts it at test scale but shuffle-joins at 10⁹ vectors
+    qn = (
+        norms.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("norm6", "qn")
+    )
     return (
         dots.join(F.broadcast(qn), "query_id")
-        .join(F.broadcast(norms), "vec_id")
+        .join(norms, "vec_id")
         .select(
             "query_id",
             "vec_id",
@@ -287,10 +295,16 @@ def _ivf_fixed_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(F.sum(F.col("qx") * F.col("x")).alias("dot6"))
     )
-    qn = norms.withColumnRenamed("vec_id", "query_id").withColumnRenamed("norm6", "qn")
+    # query norms filtered before the broadcast hint; candidate norms
+    # unhinted (see _ann_scored — same full-table-broadcast trap)
+    qn = (
+        norms.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("norm6", "qn")
+    )
     scored = (
         dots.join(F.broadcast(qn), "query_id")
-        .join(F.broadcast(norms), "vec_id")
+        .join(norms, "vec_id")
         .select(
             "query_id",
             "vec_id",

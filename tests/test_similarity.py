@@ -504,7 +504,7 @@ def test_streaming_ingest_assigns_lists_and_quantizes(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "ingest stream timed out"
 
     landed = spark.read.parquet(dst)
     assert landed.count() == emb.count()

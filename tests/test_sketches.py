@@ -269,3 +269,16 @@ def test_bloom_probe_rejects_unmerged_multi_row_global_sketch(spark):
     )
     with pytest.raises(ValueError, match="bloom_merge"):
         bloom_probe(a, two_rows, "v")
+
+
+def test_bloom_probe_rejects_duplicate_group_sketch_rows(spark):
+    import pytest
+
+    from kafka_workers_spark.functions.sketches import bloom_build, bloom_probe
+
+    df = spark.createDataFrame([("en", "a"), ("en", "b")], "lang string, v string")
+    doubled = bloom_build(df, "v", n_bits=1 << 10, group_cols=["lang"]).unionByName(
+        bloom_build(df, "v", n_bits=1 << 10, group_cols=["lang"])
+    )
+    with pytest.raises(ValueError, match="bloom_merge"):
+        bloom_probe(df, doubled, "v", group_cols=["lang"])

@@ -290,3 +290,13 @@ def test_tfidf_plan_is_inverted_index_shape(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
     plan = audit(tfidf_topk(docs, [0, 1], top_k=5))
     assert plan.cartesian_products == 0 and plan.python_evals == 0
+
+
+def test_tfidf_raises_when_df_window_keeps_nothing(spark):
+    import pytest
+
+    from kafka_workers_spark.operators.text import tfidf_topk
+
+    one = spark.createDataFrame([(0, "single document corpus")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="keeps NO terms"):
+        tfidf_topk(one, [0], top_k=1)  # max_df = int(0.5*1) = 0 < min_df
