@@ -122,9 +122,20 @@ def _assign_nearest(exploded: DataFrame, cents: DataFrame, id_col: str) -> DataF
     )
 
 
+def _query_id_filter(frame: DataFrame, id_col: str, query_ids) -> DataFrame:
+    """Restrict ``frame`` to the query ids — an ``isin`` literal for a
+    Python list (fine up to a few thousand ids), or a broadcast LEFT SEMI
+    join when the queries arrive as a DataFrame of ids (the production
+    shape: a query table, not a driver-side literal list)."""
+    if isinstance(query_ids, DataFrame):
+        ids = query_ids.select(F.col(query_ids.columns[0]).alias(id_col))
+        return frame.join(F.broadcast(ids), id_col, "left_semi")
+    return frame.filter(F.col(id_col).isin(query_ids))
+
+
 def ivf_topk(
     assigned: DataFrame,
-    query_ids: list[int],
+    query_ids: list[int] | DataFrame,
     nprobe: int,
     top_k: int,
     id_col: str = "vec_id",
@@ -138,6 +149,9 @@ def ivf_topk(
     nearest lists without shipping the model into the plan. All stages are
     codegen'd relational ops on fixed-point integers (operators/dedup.py);
     probing all lists reproduces the exact brute-force result.
+    ``query_ids`` is a Python list or a one-column DataFrame of ids (the
+    at-scale form — a stored query table semi-joins in, no driver
+    literal).
     """
     vecs = assigned.select(id_col, list_col, embedding_fixed(F.col(vec_col)).alias("v6"))
     exploded = explode_fixed(vecs, [id_col, list_col])
@@ -146,7 +160,7 @@ def ivf_topk(
     cents = exploded.groupBy(list_col, "i").agg(
         F.sum("x").alias("sx"), F.count("*").alias("cnt")
     )
-    q = exploded.filter(F.col(id_col).isin(query_ids)).select(
+    q = _query_id_filter(exploded, id_col, query_ids).select(
         F.col(id_col).alias("query_id"), F.col("i").alias("qi"), F.col("x").alias("qx")
     )
     pscore = (
@@ -176,7 +190,7 @@ def ivf_topk(
     # the candidate-side norm join stays unhinted (AQE broadcasts it at
     # small scale, shuffle-joins it at 10⁹ vectors)
     qn = (
-        norms.filter(F.col(id_col).isin(query_ids))
+        _query_id_filter(norms, id_col, query_ids)
         .withColumnRenamed(id_col, "query_id")
         .withColumnRenamed("norm6", "qn")
     )

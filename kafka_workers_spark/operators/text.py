@@ -501,7 +501,7 @@ def tfidf_weights(
 
 def tfidf_topk(
     docs,
-    query_ids: list[int],
+    query_ids,
     top_k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -516,6 +516,8 @@ def tfidf_topk(
     equi-join, cost Σ posting² over surviving terms, bounded by
     ``max_df_fraction``), exact integer dots, one window shuffle for
     the per-query top-k. Returns (query_id, neighbor_id, rank, cosine).
+    ``query_ids`` is a Python list or a one-column DataFrame of ids
+    (semi-joined in — the at-scale form).
     """
     from pyspark.sql import Window as W
 
@@ -528,8 +530,10 @@ def tfidf_topk(
     # the weighted long format feeds norms AND the dot join — pin the
     # exchange so tf/df aggregation runs once (rule 3)
     w = barrier(w, id_col)
+    from kafka_workers_spark.operators.similarity import _query_id_filter
+
     norms = w.groupBy(id_col).agg(F.sum(F.col("w6") * F.col("w6")).alias("norm6"))
-    q = w.filter(F.col(id_col).isin(query_ids)).select(
+    q = _query_id_filter(w, id_col, query_ids).select(
         F.col(id_col).alias("query_id"), "term", F.col("w6").alias("qw6")
     )
     dots = (
@@ -542,7 +546,7 @@ def tfidf_topk(
     # norms table would ship one row per corpus doc); the candidate-side
     # norm join below stays unhinted for AQE to size
     qn = (
-        norms.filter(F.col(id_col).isin(query_ids))
+        _query_id_filter(norms, id_col, query_ids)
         .withColumnRenamed(id_col, "query_id")
         .withColumnRenamed("norm6", "qn")
     )

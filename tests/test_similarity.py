@@ -520,3 +520,12 @@ def test_streaming_ingest_assigns_lists_and_quantizes(spark, tmp_path):
         .count()
     )
     assert diff == 0
+
+
+def test_ivf_topk_accepts_query_id_dataframe(spark, assigned):
+    """The at-scale query form: a one-column DataFrame of ids semi-joins
+    in and returns exactly what the literal list form returns."""
+    by_list = ivf_topk(assigned, QUERY_IDS, nprobe=2, top_k=TOP_K)
+    qdf = spark.createDataFrame([(i,) for i in QUERY_IDS], "qid long")
+    by_df = ivf_topk(assigned, qdf, nprobe=2, top_k=TOP_K)
+    assert sorted(map(tuple, by_df.collect())) == sorted(map(tuple, by_list.collect()))
