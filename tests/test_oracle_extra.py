@@ -405,7 +405,12 @@ def test_cap_per_key_plan_shape(spark):
     assert a.cartesian_products == 0 and a.python_evals == 0
     assert a.nested_loop_joins == 0
     assert a.broadcast_joins == 2  # anti + semi, both on the tiny key list
-    # counts aggregate exchange + the hot-branch window exchange; the
-    # passthrough data path contributes none
-    assert a.exchanges <= 2, a.exchanges
+    # counts-aggregate exchange(s) + the hot-branch window exchange; the
+    # exact count varies with session state (the pinned key list may or
+    # may not have materialized when the plan is captured), but the
+    # passthrough DATA path contributes none: its branch is scan →
+    # broadcast anti-join → union with no Exchange in between
+    assert a.exchanges <= 3, a.exchanges
+    passthrough_branch = a.text.split("BroadcastHashJoin LeftAnti")[0]
+    assert "Exchange" not in passthrough_branch.split("Union")[-1]
     assert "WindowGroupLimit" in a.text
