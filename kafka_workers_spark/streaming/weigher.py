@@ -1,0 +1,161 @@
+"""A8 parity depth: the reference's record-weight model and queue-sizing
+arithmetic, ported to the Spark admission-control vocabulary.
+
+The reference bounds memory by weighing every in-flight record
+(impl/record/weigher/RecordWeigher.java:18-66 over the per-type weighers
+in api/record/weigher/) and pausing partitions when byte-weighed queues
+fill (impl/queues/QueuesManager.java:59-88). Spark has no unbounded
+in-heap queue — admission happens at the source via
+``maxBytesPerTrigger``/``maxOffsetsPerTrigger`` — but the SIZING question
+is identical: how many bytes may be in flight for a given heap. This
+module ports both halves:
+
+- :func:`record_weight_bytes` / :func:`record_weight_latin1` — the
+  reference's heap-weight formula as codegen column expressions,
+  bit-exact against BaseRecordWeigherTest's known-answer tables
+  (src/test/java/.../api/record/weigher/BaseRecordWeigherTest.java:31-41:
+  empty byte[] record = 280 bytes, 111/222-byte payloads = 616, ...).
+- :func:`admission_plan` — QueuesManager's budget arithmetic
+  (total = ``queue.total.size.heap.ratio`` × heap, split evenly across
+  sub-partition queues, resume at ``queue.resume.ratio`` × limit;
+  QueuesManager.java:59,76-88) translated into recommended source
+  options, with the measured mean record weight closing the loop from
+  bytes to offsets.
+
+Constants are the reference's small-heap (<32 GiB, compressed oops)
+values: 16-byte object/array headers, 4-byte references, 8-byte
+alignment (api/record/weigher/WeigherHelpers.java:36-75).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: object/array header under compressed oops (WeigherHelpers.headerSize)
+_HEADER = 16
+#: WorkerRecord + RecordHeaders instance overhead net of the key/value/
+#: topic/headers fields that are weighed separately — the constant that
+#: makes the empty record come out at exactly 280 bytes like the
+#: reference's known-answer test
+_RECORD_NET = 200
+#: String object overhead beyond its backing byte[] (String header +
+#: value ref + coder + hash + hashIsZero, padded) — LATIN1 coder assumed,
+#: exactly like StringWeigher.java:18-21
+_STRING_NET = 32
+
+
+def _pad8(size: Column) -> Column:
+    """8-byte alignment padding (WeigherHelpers.padding)."""
+    return (F.floor((size + F.lit(7)) / F.lit(8)) * F.lit(8)).cast("bigint")
+
+
+def _array_weight(length: Column) -> Column:
+    """paddedSize(header + length) — ByteArrayWeigher.weight; NULL arrays
+    weigh 0 (ByteArrayWeigher.java:14-16)."""
+    return F.coalesce(_pad8(F.lit(_HEADER) + length), F.lit(0).cast("bigint"))
+
+
+def record_weight_bytes(
+    key: Column | str,
+    value: Column | str,
+    topic: Column | str,
+) -> Column:
+    """Heap weight of a byte[]-keyed/valued record (headers not counted —
+    the Kafka source exposes them separately; add
+    ``_array_weight(length(h))`` terms per header if needed). Bit-exact
+    against BaseRecordWeigherTest.shouldWeighByteArrays: (0,0)→280,
+    (3,4)→296, (111,222)→616."""
+    k = F.col(key) if isinstance(key, str) else key
+    v = F.col(value) if isinstance(value, str) else value
+    t = F.col(topic) if isinstance(topic, str) else topic
+    return (
+        F.lit(_RECORD_NET).cast("bigint")
+        + _array_weight(F.length(k))
+        + _array_weight(F.length(v))
+        + F.lit(_STRING_NET)
+        + _array_weight(F.length(t))
+    )
+
+
+def record_weight_latin1(
+    key: Column | str,
+    value: Column | str,
+    topic: Column | str,
+) -> Column:
+    """Heap weight when key/value are Strings (LATIN1 coder, so string
+    length == backing-array length — StringWeigher.java:18-21). Bit-exact
+    against BaseRecordWeigherTest's string table: (0,0)→344."""
+    k = F.col(key) if isinstance(key, str) else key
+    v = F.col(value) if isinstance(value, str) else value
+    t = F.col(topic) if isinstance(topic, str) else topic
+
+    def s(c: Column) -> Column:
+        return F.coalesce(
+            F.lit(_STRING_NET).cast("bigint") + _pad8(F.lit(_HEADER) + F.length(c)),
+            F.lit(0).cast("bigint"),
+        )
+
+    return (
+        F.lit(_RECORD_NET).cast("bigint")
+        + s(k)
+        + s(v)
+        + F.lit(_STRING_NET)
+        + _array_weight(F.length(t))
+    )
+
+
+def mean_record_weight(
+    df: DataFrame,
+    key: str = "key",
+    value: str = "value",
+    topic: str = "topic",
+    latin1: bool = False,
+) -> float:
+    """Measured mean heap weight over a sample DataFrame — the input
+    :func:`admission_plan` needs. One codegen aggregate; run it on a
+    bounded sample of the topic, not the full stream."""
+    w = (record_weight_latin1 if latin1 else record_weight_bytes)(key, value, topic)
+    row = df.agg(F.avg(w).alias("w")).first()
+    return float(row.w) if row.w is not None else 0.0
+
+
+def admission_plan(
+    heap_bytes: int,
+    n_subpartitions: int,
+    mean_record_bytes: float,
+    heap_ratio: float = 0.5,
+    resume_ratio: float = 0.9,
+) -> dict:
+    """QueuesManager's sizing arithmetic → Spark source options.
+
+    Reference semantics (QueuesManager.java:59,76-88, defaults
+    README.md:231-283): total in-flight budget = ``heap_ratio`` × heap
+    (``queue.total.size.heap.ratio``, default 0.5); each sub-partition
+    queue pauses its partition at total/num_queues bytes and resumes at
+    ``resume_ratio`` × that (``queue.resume.ratio``, default 0.9).
+
+    Spark mapping: the in-flight set is one micro-batch, so the batch is
+    the queue — ``maxBytesPerTrigger`` gets the TOTAL budget and
+    ``maxOffsetsPerTrigger`` the equivalent record count under the
+    measured mean weight (set one or the other on the source; setting
+    both makes Kafka pick the smaller). Per-queue pause/resume levels are
+    returned for parity visibility (Spark needs no per-partition pause —
+    nothing unbounded buffers on-heap).
+    """
+    if heap_bytes <= 0 or n_subpartitions < 1:
+        raise ValueError("admission_plan: heap_bytes > 0 and n_subpartitions >= 1 required")
+    total = int(heap_bytes * heap_ratio)
+    per_queue_pause = total // max(1, n_subpartitions)
+    per_queue_resume = int(resume_ratio * per_queue_pause)
+    plan = {
+        "queues_total_size_bytes": total,
+        "queue_size_bytes_to_pause": per_queue_pause,
+        "queue_size_bytes_to_resume": per_queue_resume,
+        "source_options": {"maxBytesPerTrigger": str(total)},
+    }
+    if mean_record_bytes > 0:
+        plan["source_options"]["maxOffsetsPerTrigger"] = str(
+            max(1, int(total / mean_record_bytes))
+        )
+    return plan

@@ -1,0 +1,100 @@
+"""A8 weigher parity: the record-weight expressions reproduce the
+reference's BaseRecordWeigherTest known-answer tables bit-for-bit
+(src/test/java/.../api/record/weigher/BaseRecordWeigherTest.java), and
+the admission plan reproduces QueuesManager's sizing arithmetic
+(impl/queues/QueuesManager.java:76-88)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.streaming.weigher import (
+    admission_plan,
+    mean_record_weight,
+    record_weight_bytes,
+    record_weight_latin1,
+)
+
+# BaseRecordWeigherTest.shouldWeighByteArrays (key_len, value_len, weight)
+BYTES_TABLE = [
+    (0, 0, 280), (1, 0, 288), (0, 1, 288), (7, 0, 288), (0, 7, 288),
+    (3, 4, 296), (4, 3, 296), (7, 7, 296), (111, 222, 616), (222, 111, 616),
+]
+# shouldWeighStrings (LATIN1 coder)
+STRINGS_TABLE = [(0, 0, 344), (1, 0, 352), (0, 1, 352), (7, 0, 352), (3, 4, 360)]
+
+
+def test_record_weight_bytes_matches_reference_table(spark):
+    rows = [
+        (i, bytearray(b"k" * kl), bytearray(b"v" * vl), "", want)
+        for i, (kl, vl, want) in enumerate(BYTES_TABLE)
+    ]
+    df = spark.createDataFrame(
+        rows, "i int, key binary, value binary, topic string, want long"
+    )
+    got = df.select(
+        "i", "want", record_weight_bytes("key", "value", "topic").alias("w")
+    ).collect()
+    for r in got:
+        assert r.w == r.want, (r.i, r.w, r.want)
+
+
+def test_record_weight_latin1_matches_reference_table(spark):
+    rows = [
+        (i, "A" * kl, "A" * vl, "", want)
+        for i, (kl, vl, want) in enumerate(STRINGS_TABLE)
+    ]
+    df = spark.createDataFrame(
+        rows, "i int, key string, value string, topic string, want long"
+    )
+    got = df.select(
+        "i", "want", record_weight_latin1("key", "value", "topic").alias("w")
+    ).collect()
+    for r in got:
+        assert r.w == r.want, (r.i, r.w, r.want)
+
+
+def test_record_weight_null_fields_weigh_zero(spark):
+    """Null key/value weigh 0, like the reference's weighers
+    (ByteArrayWeigher.java:14-16, StringWeigher.java:14-16)."""
+    df = spark.createDataFrame(
+        [(None, bytearray(b""), "")], "key binary, value binary, topic string"
+    )
+    w = df.select(record_weight_bytes("key", "value", "topic").alias("w")).first().w
+    # 280 minus the empty key array's 16 bytes
+    assert w == 264
+
+
+def test_weight_expression_is_codegen(spark):
+    from kafka_workers_spark.plans import audit
+
+    df = spark.createDataFrame(
+        [(bytearray(b"k"), bytearray(b"v"), "t")], "key binary, value binary, topic string"
+    )
+    a = audit(df.select(record_weight_bytes("key", "value", "topic")))
+    assert a.python_evals == 0
+
+
+def test_admission_plan_reference_arithmetic(spark):
+    """1 GiB heap, default ratios, 8 sub-partitions: total = 512 MiB,
+    per-queue pause = 64 MiB, resume = 57.6 MiB — QueuesManager's exact
+    division chain; offsets derive from the measured mean weight."""
+    heap = 1 << 30
+    df = spark.createDataFrame(
+        [(bytearray(b"k" * 111), bytearray(b"v" * 222), "")],
+        "key binary, value binary, topic string",
+    )
+    mean = mean_record_weight(df)
+    assert mean == 616.0  # the reference's (111, 222) known answer
+    plan = admission_plan(heap, 8, mean)
+    assert plan["queues_total_size_bytes"] == 1 << 29
+    assert plan["queue_size_bytes_to_pause"] == (1 << 29) // 8
+    assert plan["queue_size_bytes_to_resume"] == int(0.9 * ((1 << 29) // 8))
+    assert plan["source_options"]["maxBytesPerTrigger"] == str(1 << 29)
+    assert plan["source_options"]["maxOffsetsPerTrigger"] == str(int((1 << 29) / 616.0))
+
+    with pytest.raises(ValueError):
+        admission_plan(0, 8, mean)
+    # unknown mean weight -> bytes-only plan (no offsets recommendation)
+    assert "maxOffsetsPerTrigger" not in admission_plan(heap, 8, 0.0)["source_options"]
