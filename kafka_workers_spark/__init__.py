@@ -32,6 +32,7 @@ __all__ = ["WorkersConfig", "build_session", "__version__"]
 #   streaming.sinks     — foreachBatch / exactly-once sinks
 #   streaming.gate      — generic accept gate (A3) + record deadline (A9)
 #   streaming.dedup     — watermark-bounded streaming dedup
+#   streaming.weigher   — record-weight model + admission sizing (A8)
 #   operators.{relational,dedup,components,similarity,text,multimodal,
 #              scoring} — DataFrame operators (directional as-of/range/
 #                         salted joins, dedup families incl. global
