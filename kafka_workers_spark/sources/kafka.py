@@ -73,6 +73,15 @@ def kafka_options(config: WorkersConfig, kafka_conf: dict[str, str] | None = Non
         # guarantee 'none' tolerates missing offsets (skip-and-continue)
         "failOnDataLoss": "true" if config.guarantee == "at_least_once" else "false",
     }
+    if config.max_offsets_per_trigger is not None and config.max_bytes_per_trigger is not None:
+        # the connector's getDefaultReadLimit rejects the pair outright
+        # ("Max offset and max bytes per trigger can't be set at the same
+        # time") — fail here with the config vocabulary instead of at
+        # stream start with the connector's
+        raise ValueError(
+            "set max_offsets_per_trigger OR max_bytes_per_trigger, not both: "
+            "the Kafka source rejects the combination"
+        )
     if config.max_offsets_per_trigger is not None:
         opts["maxOffsetsPerTrigger"] = str(config.max_offsets_per_trigger)
     if config.max_bytes_per_trigger is not None:

@@ -136,12 +136,16 @@ def admission_plan(
     ``resume_ratio`` × that (``queue.resume.ratio``, default 0.9).
 
     Spark mapping: the in-flight set is one micro-batch, so the batch is
-    the queue — ``maxBytesPerTrigger`` gets the TOTAL budget and
-    ``maxOffsetsPerTrigger`` the equivalent record count under the
-    measured mean weight (set one or the other on the source; setting
-    both makes Kafka pick the smaller). Per-queue pause/resume levels are
-    returned for parity visibility (Spark needs no per-partition pause —
-    nothing unbounded buffers on-heap).
+    the queue — ``source_options`` carries ``maxBytesPerTrigger`` with
+    the TOTAL budget, ready to apply verbatim. The equivalent record
+    count under the measured mean weight is reported separately as
+    ``max_offsets_equivalent`` (NOT under ``source_options``: the Kafka
+    source REJECTS setting both bounds at once — "Max offset and max
+    bytes per trigger can't be set at the same time" — so the offsets
+    form is for sources that lack a byte bound; swap it in as
+    ``maxOffsetsPerTrigger`` INSTEAD of the byte option). Per-queue
+    pause/resume levels are returned for parity visibility (Spark needs
+    no per-partition pause — nothing unbounded buffers on-heap).
     """
     if heap_bytes <= 0 or n_subpartitions < 1:
         raise ValueError("admission_plan: heap_bytes > 0 and n_subpartitions >= 1 required")
@@ -155,7 +159,5 @@ def admission_plan(
         "source_options": {"maxBytesPerTrigger": str(total)},
     }
     if mean_record_bytes > 0:
-        plan["source_options"]["maxOffsetsPerTrigger"] = str(
-            max(1, int(total / mean_record_bytes))
-        )
+        plan["max_offsets_equivalent"] = max(1, int(total / mean_record_bytes))
     return plan

@@ -258,6 +258,14 @@ def test_kafka_source_level_options_override_unprefixed():
     # byte-bounded config must not emit it inert
     opts2 = kafka_options(WorkersConfig(topics=["t"], max_bytes_per_trigger="1g"))
     assert "maxTriggerDelay" not in opts2 and opts2["maxBytesPerTrigger"] == "1g"
+    # the connector rejects the offsets+bytes pair at stream start —
+    # surface it at config time instead
+    with pytest.raises(ValueError, match="not both"):
+        kafka_options(
+            WorkersConfig(
+                topics=["t"], max_offsets_per_trigger=1000, max_bytes_per_trigger="1g"
+            )
+        )
 
 
 def test_paused_partitions_analog_from_progress_shapes():

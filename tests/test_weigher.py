@@ -91,10 +91,13 @@ def test_admission_plan_reference_arithmetic(spark):
     assert plan["queues_total_size_bytes"] == 1 << 29
     assert plan["queue_size_bytes_to_pause"] == (1 << 29) // 8
     assert plan["queue_size_bytes_to_resume"] == int(0.9 * ((1 << 29) // 8))
-    assert plan["source_options"]["maxBytesPerTrigger"] == str(1 << 29)
-    assert plan["source_options"]["maxOffsetsPerTrigger"] == str(int((1 << 29) / 616.0))
+    # options are applicable verbatim: the byte bound only — the source
+    # rejects maxBytesPerTrigger + maxOffsetsPerTrigger together, so the
+    # offsets form is a separate advisory figure, never a second option
+    assert plan["source_options"] == {"maxBytesPerTrigger": str(1 << 29)}
+    assert plan["max_offsets_equivalent"] == int((1 << 29) / 616.0)
 
     with pytest.raises(ValueError):
         admission_plan(0, 8, mean)
     # unknown mean weight -> bytes-only plan (no offsets recommendation)
-    assert "maxOffsetsPerTrigger" not in admission_plan(heap, 8, 0.0)["source_options"]
+    assert "max_offsets_equivalent" not in admission_plan(heap, 8, 0.0)
