@@ -85,6 +85,15 @@ class WorkersConfig:
     processing_timeout_ms: int = 300_000
     max_offsets_per_trigger: int | None = None
     max_bytes_per_trigger: str | None = None
+    #: Batch-sizing FLOOR: wait until at least this many offsets are
+    #: available before firing a micro-batch — the analog of the
+    #: reference's queues filling ahead of the worker thread
+    #: (impl/queues/QueuesManager.java buffers records until the task
+    #: drains them; a floor amortizes per-batch overhead the same way).
+    #: ``max_trigger_delay`` (e.g. "15m") bounds the wait so a quiet
+    #: topic still flushes; it is only meaningful with the floor set.
+    min_offsets_per_trigger: int | None = None
+    max_trigger_delay: str | None = None
     guarantee: str = "at_least_once"  # or "none"
     #: Stateful-operator backing store: 'hdfs' (default in-heap provider) or
     #: 'rocksdb' — large keyed state (WorkerTask parity at many keys) should

@@ -73,17 +73,29 @@ def kafka_options(config: WorkersConfig, kafka_conf: dict[str, str] | None = Non
         # guarantee 'none' tolerates missing offsets (skip-and-continue)
         "failOnDataLoss": "true" if config.guarantee == "at_least_once" else "false",
     }
-    if config.max_offsets_per_trigger is not None and config.max_bytes_per_trigger is not None:
-        # the connector's getDefaultReadLimit rejects the pair outright
-        # ("Max offset and max bytes per trigger can't be set at the same
-        # time") — fail here with the config vocabulary instead of at
-        # stream start with the connector's
+    if config.max_bytes_per_trigger is not None and (
+        config.max_offsets_per_trigger is not None or config.min_offsets_per_trigger is not None
+    ):
+        # the connector's getDefaultReadLimit rejects either offsets bound
+        # combined with the byte bound ("Max offset and max bytes per
+        # trigger can't be set at the same time" / the min-offsets twin) —
+        # fail here with the config vocabulary instead of at stream start
+        # with the connector's
         raise ValueError(
-            "set max_offsets_per_trigger OR max_bytes_per_trigger, not both: "
+            "set max/min_offsets_per_trigger OR max_bytes_per_trigger, not both: "
             "the Kafka source rejects the combination"
         )
+    if config.max_trigger_delay is not None and config.min_offsets_per_trigger is None:
+        # same inertness trap the byte-bound NOTE below documents: the
+        # connector silently ignores maxTriggerDelay without the floor
+        raise ValueError("max_trigger_delay requires min_offsets_per_trigger")
     if config.max_offsets_per_trigger is not None:
         opts["maxOffsetsPerTrigger"] = str(config.max_offsets_per_trigger)
+    if config.min_offsets_per_trigger is not None:
+        # batch-sizing floor (+ bounded wait): the queue-fill analog —
+        # min and max offsets together form a composite read limit
+        opts["minOffsetsPerTrigger"] = str(config.min_offsets_per_trigger)
+        opts["maxTriggerDelay"] = config.max_trigger_delay or "15m"
     if config.max_bytes_per_trigger is not None:
         # NOTE: no maxTriggerDelay here — the connector only honors it
         # alongside minOffsetsPerTrigger; setting it with only a byte

@@ -266,6 +266,31 @@ def test_kafka_source_level_options_override_unprefixed():
                 topics=["t"], max_offsets_per_trigger=1000, max_bytes_per_trigger="1g"
             )
         )
+    with pytest.raises(ValueError, match="not both"):
+        kafka_options(
+            WorkersConfig(
+                topics=["t"], min_offsets_per_trigger=100, max_bytes_per_trigger="1g"
+            )
+        )
+    # batch-sizing floor: min offsets always rides with a bounded wait
+    # (the connector ignores maxTriggerDelay without the floor, and a
+    # floor without a delay bound could stall a quiet topic forever)
+    opts3 = kafka_options(
+        WorkersConfig(
+            topics=["t"],
+            min_offsets_per_trigger=10_000,
+            max_offsets_per_trigger=50_000,
+            max_trigger_delay="1m",
+        )
+    )
+    assert opts3["minOffsetsPerTrigger"] == "10000"
+    assert opts3["maxOffsetsPerTrigger"] == "50000"  # composite limit is legal
+    assert opts3["maxTriggerDelay"] == "1m"
+    assert kafka_options(
+        WorkersConfig(topics=["t"], min_offsets_per_trigger=10_000)
+    )["maxTriggerDelay"] == "15m"  # the connector default, made explicit
+    with pytest.raises(ValueError, match="min_offsets_per_trigger"):
+        kafka_options(WorkersConfig(topics=["t"], max_trigger_delay="1m"))
 
 
 def test_paused_partitions_analog_from_progress_shapes():
