@@ -221,12 +221,6 @@ UNMAPPED_SENSORS: dict[str, str] = {
         "position — backlog size is visible via state.rows instead"
     ),
     "worker-thread.accepted-offset": "see worker-thread.accepting-offset",
-    "queues-manager.queues-total-size-limit.bytes": (
-        "static config (maxBytesPerTrigger), not a runtime gauge"
-    ),
-    "queues-manager.queue-size-limit.bytes": (
-        "static config (maxBytesPerTrigger), not a runtime gauge"
-    ),
     "offset-ranges.consumed.count": (
         "contiguous-range bookkeeping is Spark's checkpoint; the semantic "
         "model lives in streaming/offsets.py for tests"
@@ -235,7 +229,7 @@ UNMAPPED_SENSORS: dict[str, str] = {
 }
 
 
-def snapshot(query: StreamingQuery) -> dict[str, Any]:
+def snapshot(query: StreamingQuery, admission: dict | None = None) -> dict[str, Any]:
     """Reference-sensor-named snapshot from the last StreamingQueryProgress.
 
     Keys follow impl/metrics/WorkersMetrics.java:36-64 sensor names. Offset
@@ -243,6 +237,12 @@ def snapshot(query: StreamingQuery) -> dict[str, Any]:
     durably committed to the checkpoint is the batch's ``endOffset`` —
     ``latestOffset`` is merely what the source has available, exposed here
     under the non-reference name ``consumer-thread.available-offset``.
+
+    ``admission`` is an optional :func:`streaming.weigher.admission_plan`
+    result; when given, the two limit gauges the reference computes from
+    its heap-ratio config at startup (QueuesManager.java:59-64, exposed
+    via WorkersMetrics as queues-total-size-limit / queue-size-limit) are
+    reported from the same arithmetic here.
     """
     p = query.lastProgress
     if p is None:
@@ -297,7 +297,19 @@ def snapshot(query: StreamingQuery) -> dict[str, Any]:
             return n
         return 0
 
-    return {
+    limits: dict[str, Any] = {}
+    if admission is not None:
+        # the reference's startup-computed limit gauges, from the same
+        # budget arithmetic (streaming/weigher.admission_plan)
+        limits = {
+            "queues-manager.queues-total-size-limit.bytes": admission.get(
+                "queues_total_size_bytes"
+            ),
+            "queues-manager.queue-size-limit.bytes": admission.get(
+                "queue_size_bytes_to_pause"
+            ),
+        }
+    return limits | {
         # consumer thread (WorkersMetrics.java:37-43)
         "consumer-thread.consumed-offset": [s.get("endOffset") for s in sources],
         "consumer-thread.committed-offset": [s.get("endOffset") for s in sources],

@@ -334,3 +334,28 @@ def test_paused_partitions_analog_from_progress_shapes():
     ] == 1
     # the sensor is mapped now — it must no longer be listed as unmapped
     assert "consumer-thread.paused-partitions" not in UNMAPPED_SENSORS
+
+
+def test_limit_gauges_from_admission_plan():
+    """A15: the reference's startup-computed queue limit gauges
+    (QueuesManager.java:59-64 → WorkersMetrics queues-total-size-limit /
+    queue-size-limit) surface when snapshot() is handed the admission
+    plan, from the same budget arithmetic."""
+    from kafka_workers_spark.streaming.lifecycle import UNMAPPED_SENSORS, snapshot
+    from kafka_workers_spark.streaming.weigher import admission_plan
+
+    class FakeQuery:
+        def __init__(self, progress):
+            self.lastProgress = progress
+
+    plan = admission_plan(1 << 30, 8, 616.0)
+    snap = snapshot(FakeQuery({"sources": []}), admission=plan)
+    assert snap["queues-manager.queues-total-size-limit.bytes"] == 1 << 29
+    assert snap["queues-manager.queue-size-limit.bytes"] == (1 << 29) // 8
+    # without the plan the gauges are simply absent, not None
+    assert "queues-manager.queue-size-limit.bytes" not in snapshot(FakeQuery({}))
+    for name in (
+        "queues-manager.queues-total-size-limit.bytes",
+        "queues-manager.queue-size-limit.bytes",
+    ):
+        assert name not in UNMAPPED_SENSORS
