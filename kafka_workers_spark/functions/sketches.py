@@ -276,10 +276,18 @@ def bloom_probe(
     history too large to broadcast exactly. Reads ``n_bits``/``n_hashes``
     from the sketch row (they parameterized the build, so a mismatched
     probe cannot silently use different hashing).
+
+    The sketch's word array joins in under the reserved name
+    ``__bloom_words`` (and is dropped again), so a probe frame that
+    itself has a ``words`` column keeps it untouched. Pinning: this
+    call persists the ``bloom`` argument (see :func:`_bloom_params`) —
+    the pin lives on the caller's handle, so a long-lived driver
+    probing many DISTINCT sketch frames should ``sketch.unpersist()``
+    once the consuming plan has materialized.
     """
     group_cols = list(group_cols or [])
     n_bits, n_hashes, bloom = _bloom_params(bloom, "bloom_probe")
-    side = bloom.select(*group_cols, "words")
+    side = bloom.select(*group_cols, F.col("words").alias("__bloom_words"))
     if group_cols:
         # same silent-multiplication trap as the ungrouped branch, one
         # level down: two sketch rows for one group would duplicate every
@@ -307,8 +315,11 @@ def bloom_probe(
         joined = df.crossJoin(F.broadcast(side))
     # NULL is not a member (build excludes it); a row whose group has no
     # sketch row is also definitely absent
-    flag = F.when(F.col(col).isNotNull(), bloom_contains(col, n_bits, n_hashes))
-    return joined.withColumn(out, F.coalesce(flag, F.lit(False))).drop("words")
+    flag = F.when(
+        F.col(col).isNotNull(),
+        bloom_contains(col, n_bits, n_hashes, words_col="__bloom_words"),
+    )
+    return joined.withColumn(out, F.coalesce(flag, F.lit(False))).drop("__bloom_words")
 
 
 def bloom_merge(blooms: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
@@ -346,16 +357,29 @@ def _bloom_params(bloom: DataFrame, caller: str) -> tuple[int, int, DataFrame]:
     The scheme read is an action, so the sketch is pinned with a
     lineage-preserving persist FIRST and the pinned handle returned —
     a sketch built inline (not yet stored) would otherwise be computed
-    twice: once for the check, again inside the probe/merge plan."""
+    twice: once for the check, again inside the probe/merge plan.
+
+    Pin ownership: ``persist`` mutates the CALLER's DataFrame handle
+    (Spark's CacheManager dedupes same-plan re-pins, so repeated probes
+    of one sketch do not accumulate), which means the caller can — and
+    in a long-lived driver probing many distinct sketch frames, should —
+    ``sketch.unpersist()`` once the consuming plan has materialized.
+    A failed scheme check releases any pin this call created."""
     from pyspark.storagelevel import StorageLevel
 
+    pinned_here = not bloom.is_cached
     bloom = bloom.persist(StorageLevel.MEMORY_AND_DISK)
-    params = bloom.select("n_bits", "n_hashes").distinct().collect()
-    if len(params) != 1:
-        raise ValueError(
-            f"{caller}: sketch has {len(params)} distinct (n_bits, n_hashes) "
-            "parameter pairs; rebuild or merge with one scheme"
-        )
+    try:
+        params = bloom.select("n_bits", "n_hashes").distinct().collect()
+        if len(params) != 1:
+            raise ValueError(
+                f"{caller}: sketch has {len(params)} distinct (n_bits, n_hashes) "
+                "parameter pairs; rebuild or merge with one scheme"
+            )
+    except Exception:
+        if pinned_here:
+            bloom.unpersist()
+        raise
     return params[0].n_bits, params[0].n_hashes, bloom
 
 

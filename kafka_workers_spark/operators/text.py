@@ -339,30 +339,30 @@ def dedup_paragraphs(
     (boilerplate headers/footers/license blocks repeated across distinct
     pages), which is why C4 dedups at span granularity.
     ``scope="document"`` dedups only WITHIN each document (nav menus and
-    sidebars repeated on one page) — its window partitions by
-    (doc, digest), so even a corpus-wide boilerplate paragraph is not a
-    skewed key, and legitimately common paragraphs survive once per
-    document rather than once globally; run it before the corpus pass
-    when both are wanted.
+    sidebars repeated on one page) — its first-occurrence aggregate is
+    keyed by (doc, digest), and legitimately common paragraphs survive
+    once per document rather than once globally; run it before the
+    corpus pass when both are wanted.
 
-    Shape: split → posexplode (codegen generator) → the occurrence
-    ranking runs on a SLIM (digest, id, pos) projection, so the
-    digest-keyed window shuffle carries 16-byte keys, never the text
-    (rule 4 in ARCHITECTURE.md §4) — crucial because repeated
-    boilerplate is exactly where digest keys are SKEWED: a
-    million-occurrence disclaimer would otherwise land a million text
-    copies on one partition. Keep-decisions join back on (id, pos) —
-    uniformly distributed — and the reassembly aggregate is keyed by
-    ``id_col``. Paragraphs shorter than ``min_chars`` (after trim) are
-    passthrough — "", bullets, and separators are not meaningful
-    duplicates and would weld unrelated documents into one dedup class.
+    Shape: split → posexplode (codegen generator) → the first-occurrence
+    decision is a ``min(struct(id, pos))`` AGGREGATE over a SLIM
+    (digest, id, pos) projection, never a corpus-wide window (rule 4 in
+    ARCHITECTURE.md §4) — crucial because repeated boilerplate is
+    exactly where digest keys are SKEWED: a million-occurrence
+    disclaimer contributes one partial-min row per map partition, so no
+    task ever collects a hot digest's full (id, pos) set the way a
+    ``row_number()`` window would. Non-meaningful paragraphs (shorter
+    than ``min_chars`` after trim — "", bullets, separators) never
+    enter the aggregate at all: they are unconditionally kept, so
+    routing them through the digest grouping would only manufacture the
+    hottest keys of all (``md5("")``). Keep-decisions join back on
+    (id, pos) — uniformly distributed — and the reassembly aggregate is
+    keyed by ``id_col``.
 
     Returns ``id_col, {text_col} (reassembled), n_paragraphs,
     n_dropped``; documents whose every paragraph was dropped keep an
     empty string (filter on ``n_paragraphs > n_dropped`` to drop them).
     """
-    from pyspark.sql import Window as W
-
     if scope not in ("corpus", "document"):
         raise ValueError(f"dedup_paragraphs: unknown scope {scope!r}")
     exploded = docs.select(
@@ -372,12 +372,23 @@ def dedup_paragraphs(
         id_col, "__pos", "__meaningful", F.md5(F.col("__para")).alias("__digest")
     )
     part = ["__digest"] if scope == "corpus" else [id_col, "__digest"]
-    w = W.partitionBy(*part).orderBy(id_col, "__pos")
-    keep_keys = slim.withColumn(
-        "__keep",
-        (~F.col("__meaningful")) | (F.row_number().over(w) == 1),
-    ).select(id_col, "__pos", "__keep")
-    ranked = exploded.join(keep_keys, [id_col, "__pos"])
+    # min(struct) orders by (id, pos) — identical to the occurrence rank
+    # a window's orderBy(id, pos)/row_number()==1 would pick, but fully
+    # partial-aggregatable (skew-safe: map-side combine caps any digest's
+    # reduce-side fan-in at one row per upstream partition)
+    firsts = (
+        slim.filter(F.col("__meaningful"))
+        .groupBy(*part)
+        .agg(F.min(F.struct(id_col, "__pos")).alias("__first"))
+        .select(
+            F.col("__first").getField(id_col).alias(id_col),
+            F.col("__first").getField("__pos").alias("__pos"),
+            F.lit(True).alias("__first_occ"),
+        )
+    )
+    ranked = exploded.join(firsts, [id_col, "__pos"], "left").withColumn(
+        "__keep", (~F.col("__meaningful")) | F.coalesce("__first_occ", F.lit(False))
+    )
     return (
         ranked.groupBy(id_col)
         .agg(
@@ -453,6 +464,7 @@ def tfidf_weights(
     text_col: str = "text",
     min_df: int = 1,
     max_df_fraction: float = 0.5,
+    n_docs: int | None = None,
 ):
     """Long-format fixed-point TF-IDF vectors — ``(id_col, term, w6)``
     with integer weights ``tf × floor(1e6 · ln((N+1)/(df+1)) + 1e6)``
@@ -473,25 +485,60 @@ def tfidf_weights(
 
     Tokens are the engine's whitespace tokens over :func:`normalized`
     text (deterministic, engine-portable). N is the total document
-    count, embedded as a literal via one tiny eager aggregate.
+    count. Pass ``n_docs`` when you have it (catalog stats, a prior
+    pin) — it folds in as a literal and the build stays job-free with
+    the empty-keep check raised eagerly as ``ValueError``. Without it,
+    N is derived IN-PLAN as ``count(distinct id)`` over the same tf
+    aggregate the weights already need (a one-row broadcast join —
+    ReusedExchange, never a second corpus scan, and NO eager action at
+    operator-construction time); the empty-keep guard then fires at
+    first execution via ``raise_error`` instead of at build.
     """
     base = docs.select(id_col, normalized(F.col(text_col)).alias("__t"))
-    n_docs = base.count()
-    if int(max_df_fraction * n_docs) < min_df:
-        raise ValueError(
-            f"tfidf_weights: max_df_fraction×N ({max_df_fraction}×{n_docs}) < "
-            f"min_df ({min_df}) keeps NO terms — every query would silently "
-            "return empty; widen the df window or grow the corpus"
-        )
     toked = base.select(
         id_col, F.explode(tokens(F.col("__t"))).alias("term")
     ).filter(F.length("term") > 0)
     tf = toked.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("__df"))
-    max_df = int(max_df_fraction * n_docs)
+    if n_docs is not None:
+        if int(max_df_fraction * n_docs) < min_df:
+            raise ValueError(
+                f"tfidf_weights: max_df_fraction×N ({max_df_fraction}×{n_docs}) < "
+                f"min_df ({min_df}) keeps NO terms — every query would silently "
+                "return empty; widen the df window or grow the corpus"
+            )
+        n_col = F.lit(int(n_docs)).cast("bigint")
+    else:
+        n_row = tf.groupBy().agg(F.count_distinct(F.col(id_col)).alias("__n"))
+        # the build-time ValueError's lazy twin: same message, raised by
+        # the first action that touches the weights
+        n_row = n_row.select(
+            F.when(
+                F.floor(F.lit(float(max_df_fraction)) * F.col("__n")) >= F.lit(min_df),
+                F.col("__n"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"tfidf_weights: max_df_fraction×N ({max_df_fraction}×"),
+                        F.col("__n").cast("string"),
+                        F.lit(
+                            f") < min_df ({min_df}) keeps NO terms — every query "
+                            "would silently return empty; widen the df window or "
+                            "grow the corpus"
+                        ),
+                    )
+                ).cast("bigint")
+            )
+            .alias("__n")
+        )
+        df_t = df_t.crossJoin(F.broadcast(n_row))
+        n_col = F.col("__n")
+    max_df = F.floor(F.lit(float(max_df_fraction)) * n_col)
     kept = df_t.filter((F.col("__df") >= min_df) & (F.col("__df") <= max_df))
     idf6 = F.floor(
-        F.lit(1_000_000.0) * F.log((F.lit(float(n_docs + 1))) / (F.col("__df") + 1))
+        F.lit(1_000_000.0)
+        * F.log((n_col + 1).cast("double") / (F.col("__df") + 1))
         + F.lit(1_000_000.0)
     ).cast("bigint")
     return tf.join(kept.select("term", idf6.alias("__idf6")), "term").select(
@@ -507,6 +554,7 @@ def tfidf_topk(
     text_col: str = "text",
     min_df: int = 1,
     max_df_fraction: float = 0.5,
+    n_docs: int | None = None,
 ):
     """Sparse TF-IDF cosine top-k over raw text — IR-style similarity
     search with NO embedding model, the text twin of
@@ -523,7 +571,7 @@ def tfidf_topk(
 
     w = tfidf_weights(
         docs, id_col=id_col, text_col=text_col,
-        min_df=min_df, max_df_fraction=max_df_fraction,
+        min_df=min_df, max_df_fraction=max_df_fraction, n_docs=n_docs,
     )
     from kafka_workers_spark.operators.dedup import barrier
 

@@ -846,7 +846,12 @@ def cap_per_key(
     the ``cap`` rows with the smallest md5(seed|id) coin survive, so
     re-runs and engine changes keep the identical subset (same coin
     family as :func:`sample_stratified`; a new ``seed`` draws an
-    independent subset).
+    independent subset). PRECONDITION (shared with the whole coin
+    family): ``id_col`` must be unique — it is both the coin input and
+    the final tie-break, so duplicate ids within a key produce equal
+    (coin, id) sort keys and the surviving subset becomes
+    engine/run-dependent for exactly those rows. Deduplicate or add a
+    uniquifier first if ids can repeat.
 
     Scale shape (the skew problem IS the point here — the keys worth
     capping are exactly the hottest ones): a naive global window would

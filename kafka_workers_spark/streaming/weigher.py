@@ -85,7 +85,15 @@ def record_weight_latin1(
 ) -> Column:
     """Heap weight when key/value are Strings (LATIN1 coder, so string
     length == backing-array length — StringWeigher.java:18-21). Bit-exact
-    against BaseRecordWeigherTest's string table: (0,0)→344."""
+    against BaseRecordWeigherTest's string table: (0,0)→344.
+
+    CAVEAT — the LATIN1 assumption is the reference's, and it breaks
+    silently: a JVM string containing ANY non-Latin-1 character stores
+    under the UTF16 coder (2 bytes/char), so this expression
+    underestimates such payloads by up to 2×. Safe for ASCII-ish keys
+    and topics; for arbitrary text, size by encoded bytes instead —
+    :func:`record_weight_utf8` weighs the UTF-8 octet length (the
+    on-wire size, and a tight bound for a byte[]-deserialized record)."""
     k = F.col(key) if isinstance(key, str) else key
     v = F.col(value) if isinstance(value, str) else value
     t = F.col(topic) if isinstance(topic, str) else topic
@@ -102,6 +110,39 @@ def record_weight_latin1(
         + s(v)
         + F.lit(_STRING_NET)
         + _array_weight(F.length(t))
+    )
+
+
+def record_weight_utf8(
+    key: Column | str,
+    value: Column | str,
+    topic: Column | str,
+) -> Column:
+    """Heap weight for string records sized by UTF-8 OCTET length —
+    the variant to use when payloads are not Latin-1-only (see
+    :func:`record_weight_latin1`'s caveat). ``octet_length`` is the
+    encoded byte count, i.e. the record's on-wire size and exactly the
+    backing-array size a byte[]-deserialized consumer would weigh; for
+    JVM UTF16-coded strings it brackets the truth (≥ LATIN1's estimate,
+    ≤ 1× the UTF16 array for BMP text of mostly-ASCII mix), which errs
+    toward admitting less — the safe direction for a backpressure
+    budget."""
+    k = F.col(key) if isinstance(key, str) else key
+    v = F.col(value) if isinstance(value, str) else value
+    t = F.col(topic) if isinstance(topic, str) else topic
+
+    def s(c: Column) -> Column:
+        return F.coalesce(
+            F.lit(_STRING_NET).cast("bigint") + _pad8(F.lit(_HEADER) + F.octet_length(c)),
+            F.lit(0).cast("bigint"),
+        )
+
+    return (
+        F.lit(_RECORD_NET).cast("bigint")
+        + s(k)
+        + s(v)
+        + F.lit(_STRING_NET)
+        + _array_weight(F.octet_length(t))
     )
 
 

@@ -164,6 +164,24 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     assert fps / 5000 < 0.01, fps
 
 
+def test_bloom_probe_tolerates_probe_side_words_column(spark):
+    """A probe frame that ALREADY has a `words` column must not collide
+    with the sketch's word array (it joins in as the reserved
+    `__bloom_words` and is dropped again) — the caller's column survives
+    untouched (ADVICE r04)."""
+    from kafka_workers_spark.functions.sketches import bloom_build, bloom_probe
+
+    members = spark.range(0, 100).select(F.col("id").cast("string").alias("v"))
+    bloom = bloom_build(members, "v", n_bits=1 << 12, n_hashes=3)
+    probes = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("v"),
+        F.array(F.col("id")).alias("words"),  # caller's own, unrelated
+    )
+    got = {r.v: (r.might_contain, r.words) for r in bloom_probe(probes, bloom, "v").collect()}
+    assert all(got[str(i)][0] for i in range(100))  # no false negatives
+    assert got["150"][1] == [150]  # caller's words column intact
+
+
 def test_bloom_merge_is_exact_union(spark):
     """Bitwise-OR merge of two sketches IS the sketch of the union —
     exactly, word for word (the property that makes per-day sketches

@@ -298,5 +298,47 @@ def test_tfidf_raises_when_df_window_keeps_nothing(spark):
     from kafka_workers_spark.operators.text import tfidf_topk
 
     one = spark.createDataFrame([(0, "single document corpus")], "doc_id long, text string")
+    # with explicit n_docs the guard is eager (build-time ValueError) …
     with pytest.raises(ValueError, match="keeps NO terms"):
-        tfidf_topk(one, [0], top_k=1)  # max_df = int(0.5*1) = 0 < min_df
+        tfidf_topk(one, [0], top_k=1, n_docs=1)  # max_df = int(0.5*1) = 0 < min_df
+    # … with derived-in-plan N it fires lazily, at the first action
+    lazy = tfidf_topk(one, [0], top_k=1)
+    with pytest.raises(Exception, match="keeps NO terms"):
+        lazy.collect()
+
+
+def test_tfidf_build_runs_no_job(spark):
+    """Operator construction is plan-only: deriving N in-plan (instead of
+    an eager base.count()) means no Spark job runs until the caller acts
+    on the result (VERDICT r04 item 3)."""
+    from kafka_workers_spark.operators.text import tfidf_topk, tfidf_weights
+    from kafka_workers_spark.sources.files import load_table
+
+    sc = spark.sparkContext
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    sc.setJobGroup("tfidf-build-probe", "assert no eager action")
+    try:
+        tfidf_weights(docs)
+        tfidf_topk(docs, [0, 1], top_k=5)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("tfidf-build-probe")) == []
+
+
+def test_dedup_paragraphs_corpus_scope_plans_no_window(spark):
+    """The corpus-scope first-occurrence decision must be a partial
+    min(struct) aggregate, not a digest-partitioned window: a hot
+    boilerplate digest then costs one row per map partition instead of
+    piling its full (id, pos) set onto one sort task (VERDICT r04 #1)."""
+    from kafka_workers_spark.operators.text import dedup_paragraphs
+    from kafka_workers_spark.plans import audit
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    plan = audit(dedup_paragraphs(docs))
+    import re
+
+    assert not re.search(r"^\(\d+\) Window\b", plan.text, re.MULTILINE), plan.text[:2000]
+    assert re.search(r"partial_min\(", plan.text) or re.search(
+        r"Functions \[partial[^\]]*min\(", plan.text
+    ), plan.text[:2000]

@@ -55,6 +55,29 @@ def test_record_weight_latin1_matches_reference_table(spark):
         assert r.w == r.want, (r.i, r.w, r.want)
 
 
+def test_record_weight_utf8_brackets_latin1(spark):
+    """The octet-length variant equals the LATIN1 weigher on pure-ASCII
+    payloads and strictly exceeds it once any multi-byte character
+    appears — the documented fix for the silent UTF16 under-estimate
+    (ADVICE r04)."""
+    from kafka_workers_spark.streaming.weigher import record_weight_utf8
+
+    df = spark.createDataFrame(
+        [("ascii", "plain value"), ("utf", "żółćé世")],
+        "key string, value string",
+    ).withColumn("topic", F.lit("t"))
+    got = {
+        r.key: (r.l1, r.u8)
+        for r in df.select(
+            "key",
+            record_weight_latin1("key", "value", "topic").alias("l1"),
+            record_weight_utf8("key", "value", "topic").alias("u8"),
+        ).collect()
+    }
+    assert got["ascii"][0] == got["ascii"][1]
+    assert got["utf"][1] > got["utf"][0]
+
+
 def test_record_weight_null_fields_weigh_zero(spark):
     """Null key/value weigh 0, like the reference's weighers
     (ByteArrayWeigher.java:14-16, StringWeigher.java:14-16)."""
