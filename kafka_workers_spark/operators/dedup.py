@@ -92,12 +92,17 @@ def spread(df: DataFrame) -> DataFrame:
         if len(files) >= floor:
             return df
         return df.repartition(n)
-    # Non-file plan (in-memory relation, constructed DataFrame): fall back
-    # to the planned partition count; .rdd costs driver-side physical
-    # planning, acceptable for these always-small local plans.
-    if df.rdd.getNumPartitions() >= floor:
-        return df
-    return df.repartition(n)
+    # Non-file plan: decide from the ANALYZED logical plan (already built
+    # the moment the DataFrame exists — no .rdd, whose getNumPartitions
+    # forces driver-side physical planning; VERDICT r04 #3). Driver-local
+    # data (LocalRelation — createDataFrame test frames) starts life on
+    # one or few tasks and gains from a spread; any other non-file plan
+    # (a prior shuffle, a cached frame, a stream sink's output) is
+    # already distributed by whatever produced it — pass through.
+    analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    if "LocalRelation" in analyzed or "OneRowRelation" in analyzed:
+        return df.repartition(n)
+    return df
 
 # ---------------------------------------------------------------------------
 # MinHash

@@ -512,16 +512,73 @@ def compact_landed_corpus(
     compaction collapses back to one row per document, runs the full
     :func:`near_dedup_lsh` pairing over the accumulated corpus, and keeps
     only the chunks of surviving documents. Run it on a schedule (e.g.
-    per landing-partition) and atomically swap the compacted output in —
-    the standard lambda-architecture split: cheap bounded-state dedup on
-    the stream, exhaustive Σ bucket² pairing in batch where a self-join
-    is affordable.
+    per landing-partition), write the result to a temp directory, and
+    publish it with :func:`swap_output` (crash-safe: the old corpus
+    survives every failure point) — the standard lambda-architecture
+    split: cheap bounded-state dedup on the stream, exhaustive
+    Σ bucket² pairing in batch where a self-join is affordable.
     """
     docs = chunks.select(id_col, text_col).dropDuplicates([id_col])
     survivors = near_dedup_lsh(docs, id_col=id_col, text_col=text_col, **lsh_kwargs).select(
         id_col
     )
     return chunks.join(survivors, id_col, "left_semi")
+
+
+def swap_output(tmp_dir: str, final_dir: str) -> None:
+    """Crash-safe publish of a rewritten corpus directory — the "atomically
+    swap the compacted output in" step of :func:`compact_landed_corpus`,
+    made concrete: write the compacted table to ``tmp_dir`` first (Spark's
+    committer leaves a ``_SUCCESS`` marker on a completed job), then call
+    this to move it over ``final_dir`` such that NO crash point loses the
+    old corpus before the new one is fully in place.
+
+    Recipe (single-filesystem renames, each one atomic):
+      1. refuse a ``tmp_dir`` without ``_SUCCESS`` (half-written job);
+      2. park the old corpus: rename ``final_dir`` → ``final_dir.pre-swap``;
+      3. rename ``tmp_dir`` → ``final_dir``;
+      4. delete the parked backup.
+    A crash between any two steps is recoverable, and RERUNNING this
+    function completes the swap: backup-present/final-missing restores
+    then redoes the swap; backup-present/final-complete (crash between
+    3 and 4) just finishes the cleanup. Readers either see the old
+    corpus or the new one, never a mix and never an absence that a
+    rerun can't repair.
+
+    On an object store without atomic directory rename, publish by
+    repointing a manifest/view at the new prefix instead — the step
+    structure (complete marker → repoint → reap old) is the same.
+    """
+    import os
+    import shutil
+
+    backup = final_dir.rstrip("/") + ".pre-swap"
+    tmp_complete = os.path.exists(os.path.join(tmp_dir, "_SUCCESS"))
+    final_complete = os.path.exists(os.path.join(final_dir, "_SUCCESS"))
+    if not tmp_complete:
+        if final_complete and os.path.exists(backup) and not os.path.exists(tmp_dir):
+            # a prior swap crashed between steps 3 and 4: the new corpus
+            # is live, only the parked backup remains — finish cleanup
+            shutil.rmtree(backup)
+            return
+        raise ValueError(
+            f"swap_output: {tmp_dir} has no _SUCCESS marker — refusing to "
+            "publish a potentially half-written job output"
+        )
+    if os.path.exists(backup):
+        if os.path.exists(final_dir):
+            # a prior completed swap left its backup (or a stale one):
+            # reap it before parking the current corpus
+            shutil.rmtree(backup)
+        else:
+            # a prior swap crashed between steps 2 and 3: restore the
+            # parked corpus, then redo the swap from a clean state
+            os.rename(backup, final_dir)
+    if os.path.exists(final_dir):
+        os.rename(final_dir, backup)
+    os.rename(tmp_dir, final_dir)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
 
 
 def split_corpus(

@@ -189,27 +189,19 @@ def merge_ordered_stream(
     )
 
 
-def merge_ordered_stream_many(
-    streams: dict[str, DataFrame],
+def _merge_handler(
     group: str,
     ts: str,
-    output_schema: str,
-    side_col: str = "side",
-    state_ttl_ms: int | None = None,
-) -> DataFrame:
-    """N-way streaming ordered merge — :func:`merge_ordered_stream`'s
-    semantics (its docstring is the contract) generalized to any number
-    of named feeds: a group's rows release only once EVERY side's
-    frontier is known, up to the minimum frontier, in (ts, side) order.
-    """
-    if len(streams) < 2:
-        raise ValueError(f"merge needs >= 2 streams, got {list(streams)}")
-    n_sides = len(streams)
-    tagged = [df.withColumn(side_col, F.lit(name)) for name, df in streams.items()]
-    unioned = tagged[0]
-    for t in tagged[1:]:
-        unioned = unioned.unionByName(t)
-    cols = [c for c in unioned.columns if c != group]  # side, ts, payload...
+    cols: list[str],
+    side_col: str,
+    n_sides: int,
+    state_ttl_ms: int | None,
+):
+    """The per-group stateful merge function, module-level so tests can
+    drive it directly against a reference model (the same harness shape
+    as gate._gate_handler): buffer every arrival, advance each side's
+    frontier to max(seen), and once ALL ``n_sides`` frontiers are known
+    emit buffered rows with ts <= min(frontiers) in (ts, side) order."""
 
     def _emit(key: tuple, recs: list[dict]) -> pd.DataFrame:
         return pd.DataFrame(
@@ -251,6 +243,31 @@ def merge_ordered_stream_many(
         if state_ttl_ms:
             state.setTimeoutDuration(state_ttl_ms)
 
+    return handle
+
+
+def merge_ordered_stream_many(
+    streams: dict[str, DataFrame],
+    group: str,
+    ts: str,
+    output_schema: str,
+    side_col: str = "side",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """N-way streaming ordered merge — :func:`merge_ordered_stream`'s
+    semantics (its docstring is the contract) generalized to any number
+    of named feeds: a group's rows release only once EVERY side's
+    frontier is known, up to the minimum frontier, in (ts, side) order.
+    """
+    if len(streams) < 2:
+        raise ValueError(f"merge needs >= 2 streams, got {list(streams)}")
+    n_sides = len(streams)
+    tagged = [df.withColumn(side_col, F.lit(name)) for name, df in streams.items()]
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.unionByName(t)
+    cols = [c for c in unioned.columns if c != group]  # side, ts, payload...
+    handle = _merge_handler(group, ts, cols, side_col, n_sides, state_ttl_ms)
     timeout = GroupStateTimeout.ProcessingTimeTimeout if state_ttl_ms else GroupStateTimeout.NoTimeout
     return unioned.groupBy(group).applyInPandasWithState(
         handle,

@@ -430,6 +430,65 @@ def test_stream_then_batch_compaction_removes_cross_batch_near_dups(spark, tmp_p
     assert sorted(compacted.columns) == sorted(landed.columns)
 
 
+def test_swap_output_publishes_and_survives_every_crash_point(spark, tmp_path):
+    """swap_output's crash matrix (VERDICT r04 'What's missing' #3): the
+    old corpus is readable at every interruption point, a rerun always
+    completes the swap, and a half-written tmp (no _SUCCESS) is refused
+    with the published corpus untouched."""
+    import os
+    import shutil
+
+    import pytest
+
+    from kafka_workers_spark.pipeline import swap_output
+
+    final = str(tmp_path / "corpus")
+    backup = final + ".pre-swap"
+
+    def write(path, vals):
+        spark.createDataFrame([(v,) for v in vals], "doc_id long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    def published():
+        return sorted(r.doc_id for r in spark.read.parquet(final).collect())
+
+    # first publish: no prior corpus at all
+    write(str(tmp_path / "t0"), [1, 2])
+    swap_output(str(tmp_path / "t0"), final)
+    assert published() == [1, 2] and not os.path.exists(backup)
+
+    # happy-path replacement
+    write(str(tmp_path / "t1"), [3, 4])
+    swap_output(str(tmp_path / "t1"), final)
+    assert published() == [3, 4] and not os.path.exists(backup)
+
+    # half-written tmp (no _SUCCESS) is refused; corpus untouched
+    half = str(tmp_path / "half")
+    write(half, [9])
+    os.remove(os.path.join(half, "_SUCCESS"))
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        swap_output(half, final)
+    assert published() == [3, 4]
+
+    # crash between park and publish: backup holds the old corpus, final
+    # is missing, tmp is complete — the OLD corpus is still recoverable,
+    # and a rerun rolls the swap forward
+    write(str(tmp_path / "t2"), [5, 6])
+    os.rename(final, backup)
+    assert sorted(r.doc_id for r in spark.read.parquet(backup).collect()) == [3, 4]
+    swap_output(str(tmp_path / "t2"), final)
+    assert published() == [5, 6] and not os.path.exists(backup)
+
+    # crash between publish and cleanup: final is the new corpus, backup
+    # still parked, tmp gone — a rerun just finishes the cleanup
+    write(str(tmp_path / "t3"), [7, 8])
+    swap_output(str(tmp_path / "t3"), final)
+    shutil.copytree(final, backup)  # simulate the un-reaped park
+    swap_output(str(tmp_path / "t3"), final)  # tmp no longer exists
+    assert published() == [7, 8] and not os.path.exists(backup)
+
+
 def test_lsh_plan_operating_points():
     """lsh_plan sizes the MinHash scheme from (corpus size, target
     Jaccard): threshold lands on target, FP budget drives k up with n,

@@ -87,8 +87,21 @@ def test_spread_skips_exchange_on_balanced_input(spark):
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     balanced = spark.range(10_000).repartition(n).withColumn("text", F.lit("a b c"))
     assert spread(balanced) is balanced  # no new plan node at all
+    # non-file plans pass through, decided from the analyzed logical plan
+    # alone (no .rdd physical planning — VERDICT r04 #3): a PySpark
+    # createDataFrame frame is a LogicalRDD already sliced at
+    # defaultParallelism, and producer-partitioned plans keep their layout
+    local = spark.createDataFrame([(i, "a b c") for i in range(100)], "id long, text string")
+    assert spread(local) is local
     narrow = spark.range(10_000).coalesce(1)
-    assert spread(narrow).rdd.getNumPartitions() == n  # imbalance fixed
+    assert spread(narrow) is narrow
+    # pure-SQL literal rows ARE driver-local (LocalRelation /
+    # OneRowRelation — single-task) — spread them
+    for one_task in (
+        spark.sql("SELECT * FROM VALUES (1), (2), (3) AS t(id)"),
+        spark.sql("SELECT explode(sequence(1, 100)) AS id"),
+    ):
+        assert spread(one_task).rdd.getNumPartitions() == n
 
 
 def test_spread_uses_file_count_not_rdd_planning(spark, tmp_path):
