@@ -17,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from kafka_workers_spark.queries import register
 from kafka_workers_spark.sources.files import load_table, register_views
@@ -295,17 +294,22 @@ def agg_grouping_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ONE scan of the fact table: the finest-granularity (rf, ls) aggregate
     is computed once (partial+final hash agg, decimal partials kept EXACT
-    — not yet cast to double), persisted, and each mode re-aggregates that
+    — not yet cast to double) and each mode re-aggregates that
     ~|rf|×|ls|-row intermediate with the real rollup()/cube() operators.
     Decimal re-aggregation of exact partials equals a direct aggregate, so
     the oracle (which aggregates the fact table per mode) hash-matches.
     The naive form scans the fact table three times — 3× the I/O at 100 TB
     for byte-identical output.
 
-    The pin is ``persist(MEMORY_AND_DISK)``, NOT ``localCheckpoint``:
-    persist keeps lineage, so losing an executor recomputes the lost
-    blocks instead of failing the job — the engine's own fault-tolerance
-    rule for barriers (operators/dedup.py ``barrier`` docstring)."""
+    The shared base carries NO explicit pin: the four consumers' base
+    aggregate subtrees canonicalize identically, so AQE's runtime stage
+    reuse materializes the exchange ONCE and feeds every branch from it
+    (executed plan shows 3 ReusedExchange nodes — asserted in
+    tests/test_plans.py::test_multi_consumer_base_reuses_exchange_at_runtime).
+    One fact scan at any scale, full lineage, and none of the persist
+    write/read overhead that made the pinned form the round-4 bench
+    mover (measured medians sf0.1×5: pinned 1.11 s vs 0.66 s unpinned —
+    PLANS.md round-5 addendum)."""
     li = load_table(spark, sf_dir, "lineitem")
     base = (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -313,7 +317,6 @@ def agg_grouping_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n0"),
             F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sq0"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)  # tiny; stop re-scanning per branch
     )
     agg = [
         F.sum("n0").alias("n"),
@@ -674,9 +677,15 @@ def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     base + pane-merge runs under Structured Streaming with a watermark
     (pinned by tests/test_watermark.py::test_sliding_pane_merge_streaming).
 
-    Pinned with lineage-preserving ``persist(MEMORY_AND_DISK)`` (not
-    ``localCheckpoint``) so executor loss recomputes, not fails — see
-    agg_grouping_rollup_cube."""
+    No explicit pin: both consumers' tumbling-aggregate subtrees
+    canonicalize identically, so AQE's runtime stage reuse feeds the
+    sliding branch from the tumbling branch's shuffle stage
+    (ReusedExchange in the executed plan — asserted in
+    tests/test_plans.py::test_multi_consumer_base_reuses_exchange_at_runtime).
+    One fact scan at any scale with full lineage; the round-4
+    persist(MEMORY_AND_DISK) pin was the bench mover here (sf0.1×5
+    medians: 1.71 s pinned, 1.50 s MEMORY_ONLY, 1.05 s unpinned —
+    PLANS.md round-5 addendum)."""
     ev = load_table(spark, sf_dir, "events")
     base = (
         ev.groupBy(F.window("ts", "5 minutes"), "event_type")
@@ -685,7 +694,6 @@ def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sv0"),
         )
         .select(F.col("window.start").alias("bucket"), "event_type", "n0", "sv0")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tumbling = base.select(
         F.lit("tumbling").alias("kind"),

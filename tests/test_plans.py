@@ -143,18 +143,19 @@ def test_generate_filter_inference_stays_excluded(spark):
         assert a.text.count("split(text") <= 2, f"{name} tokenizes more than once"
 
 
-def test_shared_agg_base_pins_with_lineage(spark):
-    """The multi-branch aggregate queries pin their shared tiny base with
-    persist() — lineage-preserving, so one lost executor recomputes the
-    lost blocks — never localCheckpoint(), which drops lineage and turns
-    executor loss into job failure (VERDICT r03 'What's wrong' #1; the
-    rule itself lives in operators/dedup.py's barrier docstring)."""
+def test_shared_agg_base_has_no_checkpoint_or_pin(spark):
+    """The multi-branch aggregate queries share their tiny base through
+    AQE runtime exchange reuse, with neither a localCheckpoint (drops
+    lineage — VERDICT r03 #1) nor a persist pin (the round-4 bench
+    mover, +0.4-0.7 s of cache write/read overhead — VERDICT r04 #2) in
+    the plan; the runtime half of the contract is asserted in
+    test_multi_consumer_base_reuses_exchange_at_runtime."""
     for name in ["agg_grouping_rollup_cube", "events_time_windows"]:
         df = REG[name].fn(spark, SF)
         a = audit(df)
         assert "Scan ExistingRDD" not in a.text, f"{name}: checkpoint-style RDD scan in plan"
-        assert "InMemoryTableScan" in a.text or "InMemoryRelation" in a.text, (
-            f"{name}: shared base is not persisted"
+        assert "InMemoryTableScan" not in a.text and "InMemoryRelation" not in a.text, (
+            f"{name}: unexpected persist pin reappeared"
         )
 
 
@@ -168,3 +169,22 @@ def test_self_join_reuses_signature_stage(spark):
         df.collect()
         final = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         assert "ReusedExchange" in final, f"{name}: no exchange reuse in executed plan"
+
+
+def test_multi_consumer_base_reuses_exchange_at_runtime(spark):
+    """agg_grouping_rollup_cube and events_time_windows share one base
+    aggregate across branches WITHOUT an explicit pin: their branch
+    subtrees canonicalize identically, so AQE's runtime stage reuse must
+    materialize the base exchange once (ReusedExchange in the EXECUTED
+    plan — the static plan shows N scans, the runtime plan one). This is
+    the single-scan-at-scale guarantee that replaced the round-4 persist
+    pins (VERDICT r04 #2; measured medians in PLANS.md round 5)."""
+    import re
+
+    from kafka_workers_spark.queries import REGISTRY
+
+    for name in ("agg_grouping_rollup_cube", "events_time_windows"):
+        df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        df.collect()
+        txt = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"ReusedExchange", txt), f"{name}: no runtime exchange reuse"
