@@ -457,6 +457,7 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_nationkey AS nationkey FROM customer
       UNION ALL SELECT s_nationkey FROM supplier)
     """,
+    windowed=False,  # rotated out of the driver window round 5 (VERDICT r04 #4)
 )
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT (set semantics) plus UNION ALL (bag
@@ -496,6 +497,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRIM(c_name) AS name_trim
     FROM customer
     """,
+    windowed=False,  # rotated out of the driver window round 5 (VERDICT r04 #4)
 )
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -583,6 +585,7 @@ def scalar_date_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAST(l_tax, l_discount) AS min_rate
     FROM lineitem
     """,
+    windowed=False,  # rotated out of the driver window round 5 (VERDICT r04 #4)
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ROUND goes through DECIMAL: rounding raw doubles at a .x5 boundary is

@@ -312,3 +312,53 @@ def _ivf_fixed_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         )
     )
     return _topk(scored, TOP_K)
+
+
+SEMDEDUP_MIN_COS = 0.3  # chosen so a large fraction of the synthetic corpus dedups
+
+
+@register(
+    "ann_semantic_dedup",
+    f"""
+    WITH vecs AS ({_SQL_VECS}),
+    {_KM_CTES},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM {_KM_ASSIGN} a JOIN {_KM_ASSIGN} b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    ),
+    ver AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN vecs va ON va.vec_id = pairs.id_a
+      JOIN vecs vb ON vb.vec_id = pairs.id_b
+      WHERE {sql_cosine_from_fixed(
+          sql_dot_fixed('va.v6', 'vb.v6', _DIM), 'va.norm6', 'vb.norm6'
+      )} >= {SEMDEDUP_MIN_COS}
+    )
+    SELECT vec_id FROM vecs
+    WHERE vec_id NOT IN (SELECT id_b FROM ver)
+    """,
+    category="similarity",
+)
+def ann_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators.similarity.semantic_dedup,
+    Abbas et al. 2023 arXiv:2303.09540): cluster with the SAME trained
+    integer-Lloyd's quantizer the ann_ivf_topk oracle replays
+    bit-identically (k lists, 2 iterations, 1-in-4 id training sample),
+    pair within lists, verify by exact fixed-point cosine, keep each
+    verified pair's lower id. Rotated into the driver window in round 5
+    (VERDICT r04 #4); previously DuckDB-oracled in
+    tests/test_oracle_extra.py. Blocking cost is Σ list² (≈ n²/k
+    balanced) — the quantizer's lists ARE the blocking keys, so no
+    all-pairs join at any scale."""
+    from kafka_workers_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb,
+        dim=_DIM,
+        k=K_LISTS,
+        min_cosine=SEMDEDUP_MIN_COS,
+        iters=IVF_ITERS,
+        train_mod=TRAIN_MOD,
+    ).select("vec_id")
