@@ -1,0 +1,114 @@
+"""int8-quantized-storage recall rep (VERDICT r04 item 8).
+
+Measures what int8 storage (operators.similarity.quantize_embeddings)
+costs in recall@k when the quantized corpus feeds IVF search, on the
+same synthetic sf1* corpus as scripts/stress_dedup.py (20k vectors =
+10 replicas of sf0.1's embeddings — verbatim replicas, so the corpus is
+duplicate-cluster-heavy and near-ties abound; an adversarial setting
+for quantization, which perturbs exactly those near-ties).
+
+Three comparisons against the exact float brute-force top-k (ivf_topk
+probing ALL lists reproduces brute force — its documented property):
+
+  - float IVF at nprobe 1/2/4: the probe-pruning cost alone
+  - int8->dequantized IVF at the same nprobes: storage + pruning
+  - int8->dequantized probing ALL lists: the pure storage cost
+
+One KMeans model (trained on the float corpus, fixed seed) assigns both
+corpora, so list membership is identical and the delta isolates the
+quantized vectors' effect on scoring, not on clustering.
+
+    python scripts/recall_quantized.py [--replicas 10]
+
+Numbers go into PLANS.md (round-5 addendum).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TOP_K = 10
+K_LISTS = 32
+N_QUERIES = 32
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    args = ap.parse_args()
+
+    from scripts.stress_dedup import DST, build_corpus
+
+    build_corpus(args.replicas)
+
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("recall_quantized")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from kafka_workers_spark.operators.similarity import (
+        dequantize_embeddings,
+        ivf_topk,
+        quantize_embeddings,
+        recall_at_k,
+        train_ivf,
+    )
+    from kafka_workers_spark.sources.files import load_table
+
+    emb = load_table(spark, DST, "embeddings").select("vec_id", "embedding")
+    qids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(N_QUERIES).collect()]
+
+    model, assigned_f = train_ivf(emb, k=K_LISTS)
+    assigned_f = assigned_f.persist()
+
+    # int8 storage round-trip, assigned by the SAME model (list parity)
+    deq = dequantize_embeddings(
+        quantize_embeddings(emb).drop("embedding"), out_col="embedding"
+    )
+    feats = deq.withColumn(
+        "__features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    assigned_q = (
+        model.transform(feats)  # train_ivf's model predicts into "__list"
+        .withColumn("list_id", F.col("__list").cast("int"))
+        .drop("__features", "__list")
+        .persist()
+    )
+
+    t0 = time.perf_counter()
+    exact = ivf_topk(assigned_f, qids, nprobe=K_LISTS, top_k=TOP_K).persist()
+    exact.count()
+    print(f"exact float brute-force ({time.perf_counter() - t0:.1f}s)")
+
+    rows = []
+    for label, assigned in (("float", assigned_f), ("int8", assigned_q)):
+        for nprobe in (1, 2, 4, K_LISTS):
+            t0 = time.perf_counter()
+            approx = ivf_topk(assigned, qids, nprobe=nprobe, top_k=TOP_K)
+            r = recall_at_k(approx, exact, TOP_K)
+            rows.append((label, nprobe, r))
+            print(
+                f"{label:6s} nprobe={nprobe:3d} recall@{TOP_K}={r:.4f} "
+                f"({time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
