@@ -43,19 +43,28 @@ def _check(spark, edges: list[tuple[int, int]]) -> None:
 
 
 def test_components_basic_shapes(spark):
-    # chain (worst diameter), triangle, two merged clusters, singleton pair
-    _check(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
-    _check(spark, [(10, 11), (11, 12), (10, 12)])
-    _check(spark, [(1, 2), (3, 4), (2, 3), (7, 8)])
+    # chain (worst diameter), triangle, two merged clusters, singleton
+    # pair — on disjoint id ranges in ONE call: connected components is
+    # inherently multi-component, so one run exercises every shape while
+    # paying the per-round job latency once, not per graph
+    _check(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 5)]                  # chain
+        + [(10, 11), (11, 12), (10, 12)]                  # triangle
+        + [(21, 22), (23, 24), (22, 23), (27, 28)],       # merge + pair
+    )
 
 
 def test_components_random_graphs(spark):
+    # three independent 60-node random graphs on disjoint id ranges,
+    # resolved in one call (same rationale as basic_shapes)
     rng = random.Random(7)
-    for _ in range(3):
-        n = 60
-        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
-        edges = [(a, b) for a, b in edges if a != b]
-        _check(spark, edges)
+    edges = []
+    for g in range(3):
+        base = g * 1000
+        es = [(base + rng.randrange(60), base + rng.randrange(60)) for _ in range(45)]
+        edges += [(a, b) for a, b in es if a != b]
+    _check(spark, edges)
 
 
 def test_dedup_groups_bridging_doc_merges_clusters(spark):

@@ -160,7 +160,7 @@ def test_punctuate_repeats_without_data(spark, tmp_path):
         deadline = time.time() + 60
         fired = 0
         while time.time() < deadline:
-            time.sleep(2)
+            time.sleep(0.5)
             fired = (
                 spark.sql("SELECT MAX(n) AS m FROM punct_e2e WHERE kind = 'punctuate'")
                 .first()
@@ -278,11 +278,25 @@ def test_punctuate_fires_under_steady_data(spark, tmp_path):
     (WorkerThread.java:87-102). With data arriving every batch — so the
     state timeout never fires — the data path itself must invoke
     punctuate once the interval elapses."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     src = str(tmp_path / "src")
+    os.makedirs(src)
     for i in range(12):  # one file per micro-batch = steady data
-        spark.createDataFrame([(0, i)], "partition int, offset long").coalesce(
-            1
-        ).write.mode("append").parquet(src)
+        # pyarrow writes, not 12 sequential Spark jobs — the data is the
+        # stream's fuel, not the thing under test
+        pq.write_table(
+            pa.table(
+                {
+                    "partition": pa.array([0], pa.int32()),
+                    "offset": pa.array([i], pa.int64()),
+                }
+            ),
+            os.path.join(src, f"part-{i:02d}.parquet"),
+        )
 
     schema = spark.read.parquet(src).schema
     stream = (
@@ -307,7 +321,7 @@ def test_punctuate_fires_under_steady_data(spark, tmp_path):
         deadline = time.time() + 60
         fired, batches = 0, 0
         while time.time() < deadline:
-            time.sleep(2)
+            time.sleep(0.5)
             fired = (
                 spark.sql("SELECT MAX(n) AS m FROM punct_steady WHERE kind = 'punctuate'")
                 .first()
@@ -361,7 +375,7 @@ def test_idle_timeout_closes_key_and_drops_state(spark, tmp_path):
         deadline = time.time() + 60
         closed, state_rows = 0, None
         while time.time() < deadline:
-            time.sleep(2)
+            time.sleep(0.5)
             closed = (
                 spark.sql("SELECT COUNT(*) AS c FROM idle_close WHERE kind = 'closed'")
                 .first()

@@ -246,7 +246,7 @@ def test_merge_stream_ttl_flushes_buffer(spark, tmp_path):
             flushed = spark.sql("SELECT ts FROM ttl_out WHERE pair = 7 ORDER BY ts").collect()
             if len(flushed) >= 2:
                 break
-            time.sleep(2)
+            time.sleep(0.5)
     finally:
         q.stop()
         q.awaitTermination(30)

@@ -430,14 +430,19 @@ def test_stream_then_batch_compaction_removes_cross_batch_near_dups(spark, tmp_p
     assert sorted(compacted.columns) == sorted(landed.columns)
 
 
-def test_swap_output_publishes_and_survives_every_crash_point(spark, tmp_path):
+def test_swap_output_publishes_and_survives_every_crash_point(tmp_path):
     """swap_output's crash matrix (VERDICT r04 'What's missing' #3): the
     old corpus is readable at every interruption point, a rerun always
     completes the swap, and a half-written tmp (no _SUCCESS) is refused
-    with the published corpus untouched."""
+    with the published corpus untouched. Directories are written with
+    pyarrow + a manual _SUCCESS marker — swap_output only inspects the
+    marker and renames, so exercising Spark's committer here would buy
+    nothing but seconds."""
     import os
     import shutil
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import pytest
 
     from kafka_workers_spark.pipeline import swap_output
@@ -446,12 +451,15 @@ def test_swap_output_publishes_and_survives_every_crash_point(spark, tmp_path):
     backup = final + ".pre-swap"
 
     def write(path, vals):
-        spark.createDataFrame([(v,) for v in vals], "doc_id long").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(path)
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path)
+        pq.write_table(pa.table({"doc_id": vals}), os.path.join(path, "part-0.parquet"))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
 
     def published():
-        return sorted(r.doc_id for r in spark.read.parquet(final).collect())
+        return sorted(
+            pq.read_table(os.path.join(final, "part-0.parquet")).column("doc_id").to_pylist()
+        )
 
     # first publish: no prior corpus at all
     write(str(tmp_path / "t0"), [1, 2])
@@ -476,7 +484,9 @@ def test_swap_output_publishes_and_survives_every_crash_point(spark, tmp_path):
     # and a rerun rolls the swap forward
     write(str(tmp_path / "t2"), [5, 6])
     os.rename(final, backup)
-    assert sorted(r.doc_id for r in spark.read.parquet(backup).collect()) == [3, 4]
+    assert sorted(
+        pq.read_table(os.path.join(backup, "part-0.parquet")).column("doc_id").to_pylist()
+    ) == [3, 4]
     swap_output(str(tmp_path / "t2"), final)
     assert published() == [5, 6] and not os.path.exists(backup)
 
@@ -666,7 +676,11 @@ def test_near_dedup_incremental_against_stored_index(spark):
     )
     kept, new_rows = near_dedup_incremental(batch1, index)
     assert sorted(r.doc_id for r in kept.collect()) == [11]
-    index = index.unionByName(new_rows)
+    # pin the grown index like production stores it (a table, not a lazy
+    # recompute chain) — every later action would otherwise re-run the
+    # whole batch-1 dedup
+    index = index.unionByName(new_rows).persist()
+    index.count()
 
     # next batch: a near-dup of batch-1 survivor 11 must now be caught
     batch2 = spark.createDataFrame(

@@ -397,12 +397,19 @@ def test_near_dedup_embeddings_incremental_loop(spark):
     kept, new_rows = near_dedup_embeddings_incremental(
         batch, index, corpus, dim=16, min_cosine=0.99
     )
+    # materialize round 1's outputs before reusing them, exactly as
+    # production does (the band index is a STORED table between ingests,
+    # never a lazy recompute chain) — without the pin every round-2
+    # action re-ran the whole round-1 pipeline (~20s per action here)
+    kept = kept.persist()
+    new_rows = new_rows.persist()
     assert sorted(r.vec_id for r in kept.collect()) == [11]
     assert set(r.vec_id for r in new_rows.collect()) == {11}
 
     # the grown index catches the next batch's near-dup of 11
-    index2 = index.unionByName(new_rows)
-    corpus2 = corpus.unionByName(batch.filter(F.col("vec_id") == 11))
+    index2 = index.unionByName(new_rows).persist()
+    corpus2 = corpus.unionByName(batch.filter(F.col("vec_id") == 11)).persist()
+    index2.count(), corpus2.count()
     batch2 = spark.createDataFrame(
         [(20, [float(x) for x in other + rng.standard_normal(16) * 0.001])],
         "vec_id long, embedding array<float>",

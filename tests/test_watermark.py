@@ -57,9 +57,9 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         ).coalesce(1).write.mode("append").parquet(src)
         deadline = time.time() + 90
         while time.time() < deadline:
-            time.sleep(2)
+            time.sleep(0.5)
             if spark.sql("SELECT * FROM wm_out").count() > 0:
-                time.sleep(3)  # allow any further (unexpected) emissions
+                time.sleep(1.5)  # allow any further (unexpected) emissions
                 break
     finally:
         q.stop()
