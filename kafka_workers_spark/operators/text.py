@@ -492,7 +492,11 @@ def tfidf_weights(
     aggregate the weights already need (a one-row broadcast join —
     ReusedExchange, never a second corpus scan, and NO eager action at
     operator-construction time); the empty-keep guard then fires at
-    first execution via ``raise_error`` instead of at build.
+    first execution via ``raise_error`` instead of at build. The two
+    Ns differ only when token-LESS documents exist: derived N counts
+    documents that produced at least one token (the only ones idf can
+    see), so pass ``n_docs`` explicitly if the denominator must include
+    empty documents.
     """
     base = docs.select(id_col, normalized(F.col(text_col)).alias("__t"))
     toked = base.select(
