@@ -50,6 +50,25 @@ def test_murmur2_block_matches_scalar():
     assert got.tolist() == want
 
 
+def test_murmur2_block_property_random_bytes():
+    """Property (hypothesis): for ANY byte strings — arbitrary lengths,
+    high-bit bytes, embedded NULs — the vectorized batch murmur2 is
+    bit-identical to the scalar reference. The seeded test above pins
+    known answers and tail lengths; this one lets hypothesis hunt the
+    input space (shrinking to a minimal counterexample on failure)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_workers_spark.streaming.subpartition import murmur2_block
+
+    @settings(max_examples=200, deadline=None)
+    @given(vals=st.lists(st.binary(min_size=0, max_size=257), min_size=1, max_size=20))
+    def run(vals):
+        assert murmur2_block(vals).tolist() == [murmur2(v) for v in vals]
+
+    run()
+
+
 def _kafka_df(spark, n=100):
     return spark.range(n).select(
         F.col("id").alias("offset"),
