@@ -61,7 +61,7 @@ def test_murmur2_block_property_random_bytes():
 
     from kafka_workers_spark.streaming.subpartition import murmur2_block
 
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=100, deadline=None)
     @given(vals=st.lists(st.binary(min_size=0, max_size=257), min_size=1, max_size=20))
     def run(vals):
         assert murmur2_block(vals).tolist() == [murmur2(v) for v in vals]
