@@ -14,6 +14,7 @@ class PlanAudit:
 
     text: str
     pushed_filters: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
     broadcast_joins: int = 0
     sortmerge_joins: int = 0
@@ -36,6 +37,12 @@ class PlanAudit:
 
     def has_pushed_filter(self, fragment: str) -> bool:
         return any(fragment in f for f in self.pushed_filters)
+
+    def has_partition_filter(self, fragment: str) -> bool:
+        """True if a scan prunes Hive partitions on `fragment` — the
+        directory-level skip (whole partitions never listed), a stronger
+        cut than row-group PushedFilters."""
+        return any(fragment in f for f in self.partition_filters)
 
 
 def audit(df: DataFrame) -> PlanAudit:
@@ -68,6 +75,10 @@ def audit(df: DataFrame) -> PlanAudit:
             inner = line.split(":", 1)[1].strip().strip("[]")
             if inner:
                 a.pushed_filters.extend(split_filters(inner))
+        elif line.startswith("PartitionFilters:"):
+            inner = line.split(":", 1)[1].strip().strip("[]")
+            if inner:
+                a.partition_filters.extend(split_filters(inner))
         elif line.startswith("ReadSchema:"):
             a.read_schemas.append(line.split(":", 1)[1].strip())
     # count only the detail-section node headers ("(N) NodeName") so the

@@ -188,3 +188,31 @@ def test_multi_consumer_base_reuses_exchange_at_runtime(spark):
         df.collect()
         txt = df._jdf.queryExecution().executedPlan().toString()
         assert re.search(r"ReusedExchange", txt), f"{name}: no runtime exchange reuse"
+
+
+def test_partitioned_write_prunes_partitions_at_scan(spark, tmp_path):
+    """write_sized(partition_by=...) produces a Hive-partitioned layout
+    whose reads PRUNE at the directory level: a filter on the partition
+    column appears as a PartitionFilter on the scan (whole partitions
+    never listed — the strongest scan cut at 100 TB, above row-group
+    PushedFilters), and the filtered read touches only the matching
+    partition's files."""
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.sources.files import write_sized
+
+    out = str(tmp_path / "parted")
+    df = spark.range(2_000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("shard"),
+    )
+    write_sized(df, out, target_mb=1, partition_by=["shard"])
+
+    read = spark.read.parquet(out).filter(F.col("shard") == "2")
+    a = audit(read)
+    # the PartitionFilters entry IS the pruning proof: the scan's file
+    # index applies it before listing splits (inputFiles() reports the
+    # relation pre-pruning, so it can't witness this)
+    assert a.has_partition_filter("shard"), a.text[:1500]
+    assert not a.has_pushed_filter("shard"), a.pushed_filters  # dir-level, not row-group
+    assert read.count() == 500
