@@ -216,3 +216,34 @@ def test_partitioned_write_prunes_partitions_at_scan(spark, tmp_path):
     assert a.has_partition_filter("shard"), a.text[:1500]
     assert not a.has_pushed_filter("shard"), a.pushed_filters  # dir-level, not row-group
     assert read.count() == 500
+
+
+def test_dynamic_partition_pruning_fires_on_dim_filtered_join(spark, tmp_path):
+    """Dynamic partition pruning — the RUNTIME sibling of the static
+    PartitionFilters test: joining a Hive-partitioned fact to a FILTERED
+    dimension on the partition column must inject a dynamicpruning
+    subquery into the fact scan, so only the dim-selected partitions are
+    listed at execution (at 100 TB this is the difference between
+    scanning one day and scanning the decade when the date list comes
+    from another table)."""
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.sources.files import write_sized
+
+    out = str(tmp_path / "fact")
+    fact = spark.range(4_000).select(
+        F.col("id"), (F.col("id") % 8).cast("string").alias("day")
+    )
+    write_sized(fact, out, target_mb=1, partition_by=["day"])
+    dim = spark.range(8).select(
+        F.col("id").cast("string").alias("day"), (F.col("id") % 2 == 0).alias("keep")
+    )
+
+    joined = (
+        spark.read.parquet(out)
+        .join(dim.filter(F.col("keep")), "day")
+        .select("id", "day")
+    )
+    a = audit(joined)
+    assert "dynamicpruning" in a.text.lower(), a.text[:2000]
+    assert joined.count() == 2_000
