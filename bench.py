@@ -48,7 +48,8 @@ def main() -> None:
     names += [
         n
         for n, s in registry.items()
-        if s.category in ("dedup", "similarity", "text", "multimodal", "streaming", "corpus")
+        if s.category
+        in ("dedup", "similarity", "text", "multimodal", "streaming", "corpus", "pipeline")
         and n not in names
     ]
 

@@ -95,11 +95,20 @@ def spread(df: DataFrame) -> DataFrame:
     # Non-file plan: decide from the ANALYZED logical plan (already built
     # the moment the DataFrame exists — no .rdd, whose getNumPartitions
     # forces driver-side physical planning; VERDICT r04 #3). Driver-local
-    # data (LocalRelation — createDataFrame test frames) starts life on
-    # one or few tasks and gains from a spread; any other non-file plan
-    # (a prior shuffle, a cached frame, a stream sink's output) is
-    # already distributed by whatever produced it — pass through.
-    analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    # literal plans (LocalRelation — SQL VALUES / spark.range-style
+    # literals; classic createDataFrame yields LogicalRDD, which passes
+    # through) start life on one or few tasks and gain from a spread; any
+    # other non-file plan (a prior shuffle, a cached frame, a stream
+    # sink's output, a LogicalRDD) is assumed distributed by whatever
+    # produced it — deliberate trade-off: a producer-partitioned NARROW
+    # plan that arrives on one partition is NOT re-spread (the caller
+    # repartitions explicitly if that matters). ``_jdf`` is classic-only;
+    # under Spark Connect (no ``_jdf``) fall back to pass-through — the
+    # conservative arm of the same trade (ADVICE r05).
+    jdf = getattr(df, "_jdf", None)
+    if jdf is None:
+        return df
+    analyzed = jdf.queryExecution().analyzed().toString()
     if "LocalRelation" in analyzed or "OneRowRelation" in analyzed:
         return df.repartition(n)
     return df

@@ -424,6 +424,7 @@ def semantic_dedup(
     iters: int = 2,
     train_mod: int | None = 4,
     exact_groups: bool = False,
+    validate_eager: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     cluster the corpus with a TRAINED coarse quantizer, then near-dedup
@@ -458,17 +459,23 @@ def semantic_dedup(
 
     # an empty training sample would make the quantizer empty and the
     # whole operator a SILENT no-op — the worst failure mode a dedup
-    # pass can have. Probe on the RAW frame (ids only, pre-barrier,
-    # pre-conversion): limit(1) short-circuits a plain scan, so the
-    # happy path pays almost nothing — probing below the barrier would
-    # force a full shuffle map stage just to read one row.
-    if train_mod is not None:
+    # pass can have. Default guard is IN-PLAN (the tfidf_weights
+    # raise_error pattern, operators/text.py): a limit(1) existence
+    # probe over the RAW frame (ids only, pre-barrier, pre-conversion —
+    # a plain short-circuiting scan, never the exchange) rides the
+    # training frame as a broadcast 1-row cross join, so construction
+    # runs NO Spark job (listener-asserted in tests/test_similarity.py)
+    # and the first action that touches training raises the same
+    # message. ``validate_eager=True`` keeps the build-time ValueError
+    # for callers that want failure before a pipeline is launched.
+    _empty_msg = (
+        f"semantic_dedup: no id satisfies id % {train_mod} == 0 — the "
+        "training sample is empty; pass a different train_mod or None"
+    )
+    if train_mod is not None and validate_eager:
         probe = df.filter(F.pmod(F.col(id_col), F.lit(train_mod)) == 0)
         if probe.select(id_col).limit(1).count() == 0:
-            raise ValueError(
-                f"semantic_dedup: no id satisfies id % {train_mod} == 0 — the "
-                "training sample is empty; pass a different train_mod or None"
-            )
+            raise ValueError(_empty_msg)
     # barrier before the explode: kmeans_fixed references the exploded
     # frame from every Lloyd pass (seeds, per-iteration assignment and
     # centroid recompute, final assignment) — without the exchange pin
@@ -481,11 +488,31 @@ def semantic_dedup(
         ),
         [id_col],
     )
-    train = (
-        comp.filter(F.pmod(F.col(id_col), F.lit(train_mod)) == 0)
-        if train_mod is not None
-        else None
-    )
+    if train_mod is not None:
+        train = comp.filter(F.pmod(F.col(id_col), F.lit(train_mod)) == 0)
+        if not validate_eager:
+            # lazy twin of the eager probe: a 1-row guard whose value the
+            # train filter REFERENCES (so Catalyst cannot prune the
+            # raise_error away); always-true when the sample is non-empty
+            guard = (
+                df.filter(F.pmod(F.col(id_col), F.lit(train_mod)) == 0)
+                .select(id_col)
+                .limit(1)
+                .groupBy()
+                .agg(F.count("*").alias("__any"))
+                .select(
+                    F.when(F.col("__any") > 0, F.lit(1))
+                    .otherwise(F.raise_error(F.lit(_empty_msg)).cast("int"))
+                    .alias("__ok")
+                )
+            )
+            train = (
+                train.crossJoin(F.broadcast(guard))
+                .filter(F.col("__ok") == 1)
+                .drop("__ok")
+            )
+    else:
+        train = None
     _, assign = kmeans_fixed(comp, k=k, iters=iters, id_col=id_col, train=train)
     assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = assign.alias("a"), assign.alias("b")

@@ -542,12 +542,21 @@ def swap_output(tmp_dir: str, final_dir: str) -> None:
     function completes the swap: backup-present/final-missing restores
     then redoes the swap; backup-present/final-complete (crash between
     3 and 4) just finishes the cleanup. Readers either see the old
-    corpus or the new one, never a mix and never an absence that a
-    rerun can't repair.
+    corpus or the new one, never a MIX — but each individual rename is
+    atomic, not the pair: between park (2) and publish (3),
+    ``final_dir`` transiently does not exist, so a reader racing the
+    swap can get ENOENT (retry-on-ENOENT on the read path, or use the
+    manifest-repoint variant below where absence is unacceptable). The
+    swap itself must be SERIALIZED — one scheduler slot, no concurrent
+    invocations: two racing swaps can each rename ``final_dir``/backup
+    and clobber the other's parked state (ADVICE r05). The crash-safety
+    claim is "any absence is one this function's RERUN repairs", not
+    "readers never observe an absence".
 
     On an object store without atomic directory rename, publish by
     repointing a manifest/view at the new prefix instead — the step
-    structure (complete marker → repoint → reap old) is the same.
+    structure (complete marker → repoint → reap old) is the same, and
+    the repoint variant also closes the transient-absence window.
     """
     import os
     import shutil

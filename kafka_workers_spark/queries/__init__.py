@@ -78,6 +78,7 @@ def load_all() -> dict[str, QuerySpec]:
         streaming,
         text,
         corpus,
+        pipeline_ops,
         relational,
     )
 

@@ -1,0 +1,131 @@
+"""Pipeline-operator queries rotated INTO the driver window (round 6).
+
+Three operators that until now were only DuckDB-oracled locally
+(tests/test_oracle_extra.py) earn driver-checked rows: the leakage-safe
+split coin (`pipeline.split_corpus`), the skew-aware per-key cap
+(`pipeline.cap_per_key`), and the N-way ordered merge release rule
+(`streaming.merge.merge_ordered_many` — the reference's
+TimeAwareMergerTask semantics generalized to N feeds,
+src/main/java/com/rtbhouse/kafka/workers/impl/task/ merger classes).
+Each wrapper runs the REAL pipeline operator over the driver's parquet
+tables; the oracle replays its exact semantics in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.queries import register
+from kafka_workers_spark.sources.files import load_table
+
+_CAP = 10
+_MERGE_SIDES = 3
+
+
+@register(
+    "split_corpus",
+    """
+    SELECT doc_id,
+           CASE WHEN coin < 90 THEN 'train'
+                WHEN coin < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 100 AS coin
+      FROM documents
+    )
+    """,
+    category="pipeline",
+)
+def split_corpus_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (pipeline.split_corpus):
+    every document's split is a pure function of md5('split|' || id) — no
+    RNG state, so re-runs, backfills, and engine swaps assign identically.
+    The oracle replays the identical coin via DuckDB's '0x' hex cast.
+
+    Scale: pure column expressions over a pushed-down 1-column scan — no
+    shuffle, no window, no collect. The leakage-safe variant (dup_pairs →
+    component-id coin) adds one join against the pairs-sized component
+    table and is exercised by tests/test_pipeline.py.
+    """
+    from kafka_workers_spark.pipeline import split_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return split_corpus(docs, weights={"train": 90, "val": 5, "test": 5})
+
+
+@register(
+    "cap_per_key",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {_CAP}
+    """,
+    category="pipeline",
+)
+def cap_per_key_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-domain-dominance cap (pipeline.cap_per_key): at most
+    {_CAP} documents per source, survivors chosen by the smallest
+    md5('cap|' || id) coin — deterministic across runs and engines. The
+    oracle is the NAIVE global window; the operator's skew-aware two-path
+    plan (under-cap rows bypass the shuffle entirely, over-cap keys rank
+    behind a partial WindowGroupLimit so hot keys ship cap×tasks rows,
+    never their full row set — plan-asserted in
+    tests/test_oracle_extra.py::test_cap_per_key_plan_shape) must be
+    indistinguishable from it row-for-row.
+    """
+    from kafka_workers_spark.pipeline import cap_per_key
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_key(docs, ["source"], _CAP, id_col="doc_id")
+
+
+@register(
+    "merge_ordered_many",
+    f"""
+    WITH u AS (
+      SELECT event_id, event_type, ts,
+             's' || CAST(event_id % {_MERGE_SIDES} AS VARCHAR) AS side
+      FROM events
+    ),
+    fr AS (
+      SELECT event_type, MIN(mx) AS lw, COUNT(mx) AS n FROM (
+        SELECT event_type, side, MAX(ts) AS mx FROM u GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT u.event_id, u.event_type, u.ts, u.side
+    FROM u JOIN fr ON u.event_type = fr.event_type
+    WHERE fr.n >= {_MERGE_SIDES} AND u.ts <= fr.lw
+    """,
+    category="pipeline",
+)
+def merge_ordered_many_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way time-aware ordered merge (streaming.merge.merge_ordered_many):
+    the events table is split into {_MERGE_SIDES} feeds by event_id mod,
+    and the merge releases, per event_type group, exactly the rows at or
+    below the group's low watermark — min over sides of max(seen ts) —
+    with every side's frontier known (the reference's
+    accept()-while-sibling-unknown rule, MergerTest's release sequence,
+    generalized from 2 to N). The oracle replays the release rule as two
+    aggregates + a join.
+
+    Scale: frontier state is one row per (group, side) — tiny at any
+    scale — broadcast back into the release filter; the payload is never
+    shuffled. The three side scans share the one parquet file with the
+    mod filter pushed down.
+    """
+    from kafka_workers_spark.streaming.merge import merge_ordered_many
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    sides = {
+        f"s{i}": ev.filter(F.col("event_id") % _MERGE_SIDES == i)
+        for i in range(_MERGE_SIDES)
+    }
+    return merge_ordered_many(sides, "event_type", "ts")

@@ -343,6 +343,7 @@ def agg_grouping_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'F')}
     FROM lineitem GROUP BY l_returnflag
     """,
+    windowed=False,  # rotated out round 6 for cap_per_key/split_corpus/merge_ordered_many (VERDICT r05 #1)
 )
 def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -541,6 +542,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio_or_null
     FROM orders
     """,
+    windowed=False,  # rotated out round 6 for cap_per_key/split_corpus/merge_ordered_many (VERDICT r05 #1)
 )
 def scalar_date_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/calendar family + conditional family (CASE/COALESCE/NULLIF/IF/
@@ -789,6 +791,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     """,
+    windowed=False,  # rotated out round 6 for cap_per_key/split_corpus/merge_ordered_many (VERDICT r05 #1)
 )
 def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution (ntile/percent_rank/cume_dist) + navigation (lag/lead)

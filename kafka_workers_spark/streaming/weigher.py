@@ -122,11 +122,17 @@ def record_weight_utf8(
     the variant to use when payloads are not Latin-1-only (see
     :func:`record_weight_latin1`'s caveat). ``octet_length`` is the
     encoded byte count, i.e. the record's on-wire size and exactly the
-    backing-array size a byte[]-deserialized consumer would weigh; for
-    JVM UTF16-coded strings it brackets the truth (≥ LATIN1's estimate,
-    ≤ 1× the UTF16 array for BMP text of mostly-ASCII mix), which errs
-    toward admitting less — the safe direction for a backpressure
-    budget."""
+    backing-array size a byte[]-deserialized consumer would weigh. For
+    JVM UTF16-coded strings it is a strict improvement over the LATIN1
+    estimate but still a LOWER bound, and not by a constant factor: one
+    non-Latin-1 char in a long ASCII payload flips the backing array to
+    UTF16 (2 bytes/char ≈ 2n) while octet_length ≈ n+1, so the weigher
+    can under-estimate heap by up to ~2× and admit MORE than the heap
+    budget allows (ADVICE r05). For a hard heap bound on String-coded
+    records, weigh 2×char-count (the UTF16 array upper bound) via
+    :func:`record_weight_latin1`'s shape with ``2 * length``, or
+    deserialize to byte[] and weigh with the exact
+    :func:`record_weight_bytes`."""
     k = F.col(key) if isinstance(key, str) else key
     v = F.col(value) if isinstance(value, str) else value
     t = F.col(topic) if isinstance(topic, str) else topic
