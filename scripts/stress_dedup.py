@@ -58,10 +58,172 @@ def build_corpus(replicas: int) -> None:
     con.close()
 
 
+BOILERPLATE = (
+    "This content is provided as-is without warranty of any kind. "
+    "All rights reserved. Reproduction prohibited."
+)
+
+
+def build_boilerplate_corpus(replicas: int, frac_pct: int = 50) -> None:
+    """sf1*-style documents with ONE shared boilerplate paragraph appended
+    to ``frac_pct`` % of documents — a single digest occurring in half the
+    corpus, the adversarial distribution for any per-digest shuffle."""
+    import duckdb
+
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(f"{DST}/documents.parquet", exist_ok=True)
+    con = duckdb.connect()
+    for i in range(replicas):
+        con.execute(
+            f"""
+            COPY (
+              SELECT doc_id + {i * ID_STRIDE} AS doc_id,
+                     CASE WHEN (doc_id + {i}) % 100 < {frac_pct}
+                          THEN text || chr(10) || '{BOILERPLATE}'
+                          ELSE text END AS text,
+                     lang, source, n_chars
+              FROM '{SRC}/documents.parquet'
+            ) TO '{DST}/documents.parquet/part-{i:02d}.parquet' (FORMAT PARQUET)
+            """
+        )
+    con.close()
+
+
+def _dedup_paragraphs_window_shape(docs, id_col="doc_id", text_col="text",
+                                   sep="\n", min_chars=1):
+    """The PRE-round-5 corpus-scope shape: first-occurrence decided by a
+    corpus-wide row_number() window PARTITIONED BY digest — the form the
+    aggregate rewrite replaced. Kept here (script-only) as the timed
+    baseline for the skew stress; semantics identical on corpora without
+    (id, pos) ties."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    exploded = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para")
+    ).withColumn("__meaningful", F.length(F.trim(F.col("__para"))) >= min_chars)
+    digested = exploded.withColumn("__digest", F.md5(F.col("__para")))
+    w = W.partitionBy("__digest").orderBy(id_col, "__pos")
+    ranked = digested.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__keep", (~F.col("__meaningful")) | (F.col("__rn") == 1)
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__keep"), F.struct("__pos", "__para"))
+                        )
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count("*").alias("n_paragraphs"),
+            F.sum((~F.col("__keep")).cast("bigint")).alias("n_dropped"),
+        )
+    )
+
+
+def _max_task_ms(spark, job_group: str) -> int | None:
+    """Max completed-task duration (ms) across the stages of the jobs in
+    ``job_group``, via the UI REST API; None if the UI is unavailable."""
+    import json as _json
+    from urllib.request import urlopen
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        apps = _json.load(urlopen(f"{base}/api/v1/applications", timeout=5))
+        app_id = apps[0]["id"]
+        jobs = _json.load(urlopen(f"{base}/api/v1/applications/{app_id}/jobs", timeout=5))
+        stage_ids = sorted(
+            {s for j in jobs if j.get("jobGroup") == job_group for s in j["stageIds"]}
+        )
+        worst = 0
+        for sid in stage_ids:
+            try:
+                summ = _json.load(
+                    urlopen(
+                        f"{base}/api/v1/applications/{app_id}/stages/{sid}/0/"
+                        "taskSummary?quantiles=1.0",
+                        timeout=5,
+                    )
+                )
+                worst = max(worst, int(summ["duration"][0]))
+            except Exception:
+                continue
+        return worst or None
+    except Exception:
+        return None
+
+
+def run_paragraph_stress(replicas: int) -> int:
+    """VERDICT r05 #3: time the corpus-scope paragraph dedup old shape
+    (digest-partitioned window) vs new shape (partial min(struct)
+    aggregate) on a corpus where ONE digest occurs in 50% of documents,
+    and record wall time + max single-task duration."""
+    build_boilerplate_corpus(replicas)
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stress_paragraph_dedup")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "true")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from kafka_workers_spark.operators.text import dedup_paragraphs
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, DST, "documents").select("doc_id", "text")
+    n_docs = docs.count()  # warm the scan
+    print(f"== boilerplate corpus: {n_docs} docs, 1 digest in ~50% of them")
+    shapes = {
+        "window (old)": lambda: _dedup_paragraphs_window_shape(docs),
+        "aggregate (new)": lambda: dedup_paragraphs(docs, scope="corpus"),
+    }
+    results = {}
+    for tag, build in shapes.items():
+        sc = spark.sparkContext
+        group = f"para-{tag.split()[0]}"
+        sc.setJobGroup(group, tag)
+        t0 = time.perf_counter()
+        out = build().select("doc_id", "n_dropped")
+        dropped = out.agg({"n_dropped": "sum"}).first()[0]
+        wall = time.perf_counter() - t0
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        worst = _max_task_ms(spark, group)
+        results[tag] = (wall, worst, dropped)
+        print(
+            f"{tag:16s} wall={wall:6.2f}s max_task="
+            f"{'n/a' if worst is None else f'{worst / 1000.0:.2f}s'} "
+            f"total_dropped={dropped}",
+            flush=True,
+        )
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--paragraphs",
+        action="store_true",
+        help="run the corpus-scope paragraph-dedup skew stress instead",
+    )
     args = ap.parse_args()
+    if args.paragraphs:
+        return run_paragraph_stress(args.replicas)
     build_corpus(args.replicas)
 
     from pyspark.sql import SparkSession
