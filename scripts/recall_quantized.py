@@ -20,7 +20,18 @@ quantized vectors' effect on scoring, not on clustering.
 
     python scripts/recall_quantized.py [--replicas 10]
 
-Numbers go into PLANS.md (round-5 addendum).
+Round-6 (--jitter, VERDICT r05 #6): the round-5 zero-recall-cost
+finding is duplicate-heavy-specific — verbatim replicas give the top-10
+wide cosine margins that int8's O(1/255) distortion cannot flip. The
+jitter mode perturbs each REPLICA's components with deterministic
+per-(vec_id, dim) noise of relative size eps, so a query's replica
+cluster becomes a band of near-ties with margins that TIGHTEN as eps
+shrinks, and sweeps eps for the first nonzero int8 delta at full probe
+(the pure storage cost):
+
+    python scripts/recall_quantized.py --jitter 0.001,0.003,0.01,0.03
+
+Numbers go into PLANS.md (round-5 + round-6 addenda).
 """
 
 from __future__ import annotations
@@ -40,6 +51,13 @@ N_QUERIES = 32
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--jitter",
+        type=str,
+        default=None,
+        help="comma-separated relative-noise eps values; sweeps the pure "
+        "int8 storage cost on margin-tightened replica corpora",
+    )
     args = ap.parse_args()
 
     from scripts.stress_dedup import DST, build_corpus
@@ -72,6 +90,60 @@ def main() -> int:
 
     emb = load_table(spark, DST, "embeddings").select("vec_id", "embedding")
     qids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(N_QUERIES).collect()]
+
+    if args.jitter is not None:
+        from scripts.stress_dedup import ID_STRIDE
+
+        def jittered(eps: float):
+            """Replica components scaled by (1 + eps*u), u deterministic
+            per (vec_id, dim) in [-1, 1]; replica 0 stays verbatim so
+            every query keeps an exact self-match."""
+            u = lambda i: (  # noqa: E731
+                F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(2001)) - 1000
+            ).cast("double") / 1000.0
+            pert = F.transform(
+                F.col("embedding"),
+                lambda x, i: (x.cast("double") * (1.0 + eps * u(i))).cast("float"),
+            )
+            return emb.select(
+                "vec_id",
+                F.when(F.col("vec_id") >= ID_STRIDE, pert)
+                .otherwise(F.col("embedding"))
+                .alias("embedding"),
+            )
+
+        for eps in [float(e) for e in args.jitter.split(",")]:
+            corpus = jittered(eps)
+            model, af = train_ivf(corpus, k=K_LISTS)
+            af = af.persist()
+            deq = dequantize_embeddings(
+                quantize_embeddings(corpus).drop("embedding"), out_col="embedding"
+            )
+            feats = deq.withColumn(
+                "__features", array_to_vector(F.col("embedding").cast("array<double>"))
+            )
+            aq = (
+                model.transform(feats)
+                .withColumn("list_id", F.col("__list").cast("int"))
+                .drop("__features", "__list")
+                .persist()
+            )
+            exact = ivf_topk(af, qids, nprobe=K_LISTS, top_k=TOP_K).persist()
+            exact.count()
+            r_store = recall_at_k(
+                ivf_topk(aq, qids, nprobe=K_LISTS, top_k=TOP_K), exact, TOP_K
+            )
+            r_probe4 = recall_at_k(
+                ivf_topk(aq, qids, nprobe=4, top_k=TOP_K), exact, TOP_K
+            )
+            print(
+                f"eps={eps:<7g} int8 all-lists recall@{TOP_K}={r_store:.4f} "
+                f"(pure storage)  int8 nprobe=4 recall@{TOP_K}={r_probe4:.4f}",
+                flush=True,
+            )
+            for df in (af, aq, exact):
+                df.unpersist()
+        return 0
 
     model, assigned_f = train_ivf(emb, k=K_LISTS)
     assigned_f = assigned_f.persist()
