@@ -362,3 +362,104 @@ def ann_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=IVF_ITERS,
         train_mod=TRAIN_MOD,
     ).select("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# RHP-LSH label-free near-dedup (off-window: rotation currency for the
+# driver's 50-query window — same QuerySpec contract, oracle run by
+# tests/test_oracle_extra.py::test_rotated_out_queries_still_match_oracle)
+# ---------------------------------------------------------------------------
+
+RHP_BITS = 16
+RHP_BANDS = 4
+RHP_SEED = 7
+RHP_MIN_COS = 0.99
+
+
+def _sql_rhp_proj_values() -> str:
+    """The rhp_bands hyperplane matrix as a VALUES list — the SAME seeded
+    integer constants the Spark operator broadcasts
+    (operators/similarity.py rhp_bands: floor(N(0,1) * 1e6) under
+    RandomState(seed)), so sign bits replay bit-identically in DuckDB."""
+    import numpy as np
+
+    rng = np.random.RandomState(RHP_SEED)
+    proj = np.floor(rng.standard_normal((RHP_BITS, _DIM)) * 1_000_000).astype("int64")
+    return ", ".join(
+        f"({b}, {i}, {int(proj[b, i])})" for b in range(RHP_BITS) for i in range(_DIM)
+    )
+
+
+_RHP_ROWS_PER_BAND = RHP_BITS // RHP_BANDS
+
+
+@register(
+    "ann_near_dedup_rhp",
+    f"""
+    WITH vecs AS (
+      SELECT vec_id, {_EMB6} AS v6 FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, {sql_dot_fixed('v6', 'v6', _DIM)} AS norm6 FROM vecs
+    ),
+    comp AS (
+      SELECT vec_id,
+             UNNEST([{{'i': i - 1, 'x': v6[i]}} FOR i IN generate_series(1, {_DIM})],
+                    recursive := true)
+      FROM vecs
+    ),
+    proj(bit, i, r) AS (VALUES {_sql_rhp_proj_values()}),
+    bits AS (
+      SELECT vec_id, bit, CASE WHEN SUM(x * r) >= 0 THEN 1 ELSE 0 END AS b
+      FROM comp JOIN proj USING (i)
+      GROUP BY vec_id, bit
+    ),
+    bands AS (
+      SELECT vec_id, bit // {_RHP_ROWS_PER_BAND} AS band,
+             CAST(SUM(CAST(b AS BIGINT)
+                      * (CAST(1 AS BIGINT) << (bit % {_RHP_ROWS_PER_BAND}))) AS BIGINT)
+               AS band_key
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+    ),
+    ver AS (
+      SELECT DISTINCT c.id_b
+      FROM cand c
+      JOIN vecs va ON va.vec_id = c.id_a
+      JOIN vecs vb ON vb.vec_id = c.id_b
+      JOIN norms na ON na.vec_id = c.id_a
+      JOIN norms nb ON nb.vec_id = c.id_b
+      WHERE {sql_cosine_from_fixed(sql_dot_fixed('va.v6', 'vb.v6', _DIM), 'na.norm6', 'nb.norm6')}
+            >= {RHP_MIN_COS}
+    )
+    SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM ver)
+    """,
+    category="similarity",
+    windowed=False,
+)
+def ann_near_dedup_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free RHP-LSH near-dedup survivors
+    (operators.similarity.near_dedup_embeddings, Charikar STOC'02 sign
+    bits): 16 seeded integer hyperplanes → 4-band blocking equi-join →
+    exact fixed-point cosine verify on candidate pairs only → greedy
+    survivor rule (any vector verified ≥ {RHP_MIN_COS} cosine to a
+    lower id is dropped). The oracle replays the ENTIRE chain — the
+    hyperplane constants are embedded as a VALUES list, so sign bits,
+    band keys, candidates, and cosines are all bit-identical across
+    engines. Blocking cost is Σ bucket² over band collisions, never n²;
+    verification touches candidate pairs only."""
+    from kafka_workers_spark.operators.similarity import near_dedup_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return near_dedup_embeddings(
+        emb,
+        dim=_DIM,
+        min_cosine=RHP_MIN_COS,
+        n_bits=RHP_BITS,
+        n_bands=RHP_BANDS,
+        seed=RHP_SEED,
+    ).select("vec_id")

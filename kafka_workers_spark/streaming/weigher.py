@@ -15,6 +15,10 @@ module ports both halves:
   bit-exact against BaseRecordWeigherTest's known-answer tables
   (src/test/java/.../api/record/weigher/BaseRecordWeigherTest.java:31-41:
   empty byte[] record = 280 bytes, 111/222-byte payloads = 616, ...).
+  :func:`record_weight_utf8` (on-wire octet sizing) and
+  :func:`record_weight_utf16_bound` (hard heap upper bound) extend the
+  string family beyond the reference's LATIN1 assumption — see each
+  docstring for which coder regime it covers.
 - :func:`admission_plan` — QueuesManager's budget arithmetic
   (total = ``queue.total.size.heap.ratio`` × heap, split evenly across
   sub-partition queues, resume at ``queue.resume.ratio`` × limit;
@@ -129,10 +133,9 @@ def record_weight_utf8(
     UTF16 (2 bytes/char ≈ 2n) while octet_length ≈ n+1, so the weigher
     can under-estimate heap by up to ~2× and admit MORE than the heap
     budget allows (ADVICE r05). For a hard heap bound on String-coded
-    records, weigh 2×char-count (the UTF16 array upper bound) via
-    :func:`record_weight_latin1`'s shape with ``2 * length``, or
-    deserialize to byte[] and weigh with the exact
-    :func:`record_weight_bytes`."""
+    records, weigh the UTF16 array upper bound with
+    :func:`record_weight_utf16_bound`, or deserialize to byte[] and
+    weigh with the exact :func:`record_weight_bytes`."""
     k = F.col(key) if isinstance(key, str) else key
     v = F.col(value) if isinstance(value, str) else value
     t = F.col(topic) if isinstance(topic, str) else topic
@@ -149,6 +152,43 @@ def record_weight_utf8(
         + s(v)
         + F.lit(_STRING_NET)
         + _array_weight(F.octet_length(t))
+    )
+
+
+def record_weight_utf16_bound(
+    key: Column | str,
+    value: Column | str,
+    topic: Column | str,
+) -> Column:
+    """UPPER-bound heap weight for String-coded records: backing arrays
+    sized at 2×char-count, the UTF16 coder's array size — the hard arm
+    of the string-weigher family. The JVM stores a string as LATIN1
+    (1 byte/char) when it can and UTF16 (2 bytes/char) when any char
+    needs it, so for every payload the true backing array is ≤ this
+    expression's; an admission budget weighed with it can never admit
+    more than the heap holds (the guarantee neither
+    :func:`record_weight_latin1` — up to 2× under on UTF16 — nor
+    :func:`record_weight_utf8` — under on UTF16-coded mostly-ASCII mixes
+    — provides). Price: ASCII-only traffic is over-weighed ~2×, halving
+    effective queue depth; pick per topic — latin1 for known-ASCII,
+    utf8 for on-wire accounting, this for a hard heap bound."""
+    k = F.col(key) if isinstance(key, str) else key
+    v = F.col(value) if isinstance(value, str) else value
+    t = F.col(topic) if isinstance(topic, str) else topic
+
+    def s(c: Column) -> Column:
+        return F.coalesce(
+            F.lit(_STRING_NET).cast("bigint")
+            + _pad8(F.lit(_HEADER) + 2 * F.length(c)),
+            F.lit(0).cast("bigint"),
+        )
+
+    return (
+        F.lit(_RECORD_NET).cast("bigint")
+        + s(k)
+        + s(v)
+        + F.lit(_STRING_NET)
+        + _array_weight(2 * F.length(t))
     )
 
 

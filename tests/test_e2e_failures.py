@@ -93,12 +93,12 @@ def test_deadline_listener_stops_live_query(spark, tmp_path):
             .writeStream.format("noop")
             .outputMode("complete")
             .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(processingTime="1 second")
+            .trigger(processingTime="500 milliseconds")
             .start()
         )
         deadline = time.time() + 90
         while q.isActive and time.time() < deadline:
-            time.sleep(1)
+            time.sleep(0.3)
         assert not q.isActive, "watchdog did not stop the query"
         assert listener.violations, "no deadline violation recorded"
         v = listener.violations[0]
@@ -160,7 +160,7 @@ def test_punctuate_repeats_without_data(spark, tmp_path):
         deadline = time.time() + 60
         fired = 0
         while time.time() < deadline:
-            time.sleep(0.5)
+            time.sleep(0.3)
             fired = (
                 spark.sql("SELECT MAX(n) AS m FROM punct_e2e WHERE kind = 'punctuate'")
                 .first()
@@ -321,7 +321,7 @@ def test_punctuate_fires_under_steady_data(spark, tmp_path):
         deadline = time.time() + 60
         fired, batches = 0, 0
         while time.time() < deadline:
-            time.sleep(0.5)
+            time.sleep(0.3)
             fired = (
                 spark.sql("SELECT MAX(n) AS m FROM punct_steady WHERE kind = 'punctuate'")
                 .first()
@@ -375,7 +375,7 @@ def test_idle_timeout_closes_key_and_drops_state(spark, tmp_path):
         deadline = time.time() + 60
         closed, state_rows = 0, None
         while time.time() < deadline:
-            time.sleep(0.5)
+            time.sleep(0.3)
             closed = (
                 spark.sql("SELECT COUNT(*) AS c FROM idle_close WHERE kind = 'closed'")
                 .first()

@@ -116,7 +116,7 @@ def test_accept_gate_head_blocks_and_punctuate_releases(spark, tmp_path):
             got = [r.offset for r in spark.sql("SELECT * FROM gate_out ORDER BY offset").collect()]
             if len(got) >= 2:
                 break
-            time.sleep(1)
+            time.sleep(0.3)
         assert got[:2] == [0, 1], got
         # phase 2: punctuate refills the budget until the head releases,
         # and the waiting tail follows in order
@@ -125,7 +125,7 @@ def test_accept_gate_head_blocks_and_punctuate_releases(spark, tmp_path):
             got = [r.offset for r in spark.sql("SELECT * FROM gate_out ORDER BY offset").collect()]
             if len(got) == 4:
                 break
-            time.sleep(1)
+            time.sleep(0.3)
         assert got == [0, 1, 2, 3], got
     finally:
         q.stop()
@@ -165,7 +165,7 @@ def test_accept_gate_never_drops_or_reorders(spark, tmp_path):
         while time.time() < deadline:
             if spark.sql("SELECT * FROM gate_all").count() == 12:
                 break
-            time.sleep(1)
+            time.sleep(0.3)
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -207,7 +207,7 @@ def test_accept_gate_drops_state_for_drained_keys(spark, tmp_path):
             n = spark.sql("SELECT count(*) AS c FROM gate_drain").collect()[0].c
             if n == 20:
                 break
-            time.sleep(1)
+            time.sleep(0.3)
         assert n == 20, n
         # the batch that released the rows also removed their state
         deadline = time.time() + 30
@@ -218,7 +218,7 @@ def test_accept_gate_drops_state_for_drained_keys(spark, tmp_path):
                 total = p["stateOperators"][0]["numRowsTotal"]
                 if total == 0:
                     break
-            time.sleep(1)
+            time.sleep(0.3)
         assert total == 0, f"state rows left behind: {total}"
     finally:
         q.stop()

@@ -9,6 +9,8 @@ the sibling stream never catches up to it.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kafka_workers_spark.streaming.merge import merge_ordered
@@ -104,7 +106,7 @@ def test_merge_streaming_incremental_release(spark, tmp_path):
         .queryName("inc_out")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(processingTime="1 second")
+        .trigger(processingTime="500 milliseconds")
         .start()
     )
     try:
@@ -112,7 +114,7 @@ def test_merge_streaming_incremental_release(spark, tmp_path):
         while time.time() < deadline:
             if spark.sql("SELECT * FROM inc_out").count() >= 4:
                 break
-            time.sleep(1)
+            time.sleep(0.3)
         # frontier = min(max_left=70000, max_right=90000) = 70000
         first = [r.ts for r in spark.sql("SELECT * FROM inc_out ORDER BY ts").collect()]
         assert first == [10000, 30000, 50000, 70000], first
@@ -127,7 +129,7 @@ def test_merge_streaming_incremental_release(spark, tmp_path):
         while time.time() < deadline:
             if spark.sql("SELECT * FROM inc_out").count() >= 9:
                 break
-            time.sleep(1)
+            time.sleep(0.3)
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -224,14 +226,14 @@ def test_merge_stream_ttl_flushes_buffer(spark, tmp_path):
         group="pair",
         ts="ts",
         output_schema="pair int, side string, ts long",
-        state_ttl_ms=2000,
+        state_ttl_ms=1200,
     )
     q = (
         out.writeStream.format("memory")
         .queryName("ttl_out")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(processingTime="1 second")
+        .trigger(processingTime="500 milliseconds")
         .start()
     )
     try:
@@ -246,7 +248,7 @@ def test_merge_stream_ttl_flushes_buffer(spark, tmp_path):
             flushed = spark.sql("SELECT ts FROM ttl_out WHERE pair = 7 ORDER BY ts").collect()
             if len(flushed) >= 2:
                 break
-            time.sleep(0.5)
+            time.sleep(0.3)
     finally:
         q.stop()
         q.awaitTermination(30)

@@ -15,6 +15,20 @@ from kafka_workers_spark.sources.files import load_table
 
 SF = "/root/testdata/sf0.001"
 K_LISTS = 8
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _no_aqe(spark):
+    """AQE off for this module: similarity tests run many actions over
+    handfuls of rows through deep multi-exchange plans (RHP banding,
+    Lloyd rounds, verify joins), where AQE's per-stage materialization
+    round-trips dominate wall time; every asserted value is
+    AQE-independent (the driver-replica oracle runs live in
+    tests/test_relational.py under the session default, AQE on)."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.adaptive.enabled", old)
 TOP_K = 5
 QUERY_IDS = list(range(8))
 
@@ -384,7 +398,10 @@ def test_near_dedup_embeddings_incremental_loop(spark):
         + [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(2, 8)],
         "vec_id long, embedding array<float>",
     )
-    index = rhp_bands(corpus, dim=16)
+    # 8 bits x 2 bands (vs the 16x4 default) halves the hyperplane
+    # expression tree — same collisions for the sign-identical test
+    # vectors, ~2x faster analysis on the five actions below
+    index = rhp_bands(corpus, dim=16, n_bits=8, n_bands=2)
 
     batch = spark.createDataFrame(
         [
@@ -395,7 +412,7 @@ def test_near_dedup_embeddings_incremental_loop(spark):
         "vec_id long, embedding array<float>",
     )
     kept, new_rows = near_dedup_embeddings_incremental(
-        batch, index, corpus, dim=16, min_cosine=0.99
+        batch, index, corpus, dim=16, min_cosine=0.99, n_bits=8, n_bands=2
     )
     # materialize round 1's outputs before reusing them, exactly as
     # production does (the band index is a STORED table between ingests,
@@ -415,14 +432,14 @@ def test_near_dedup_embeddings_incremental_loop(spark):
         "vec_id long, embedding array<float>",
     )
     kept2, new2 = near_dedup_embeddings_incremental(
-        batch2, index2, corpus2, dim=16, min_cosine=0.99
+        batch2, index2, corpus2, dim=16, min_cosine=0.99, n_bits=8, n_bands=2
     )
     assert kept2.count() == 0 and new2.count() == 0
 
     # an unverified band collision must NOT delete: raise the threshold
     # so the candidate fails verification and survives
     kept3, _ = near_dedup_embeddings_incremental(
-        batch2, index2, corpus2, dim=16, min_cosine=0.9999999
+        batch2, index2, corpus2, dim=16, min_cosine=0.9999999, n_bits=8, n_bands=2
     )
     assert kept3.count() == 1
 

@@ -269,7 +269,7 @@ def test_worker_task_punctuate_fires_without_data(spark, tmp_path):
         .queryName("punct_out")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt2"))
-        .trigger(processingTime="2 seconds")
+        .trigger(processingTime="500 milliseconds")
         .start()
     )
     import time
@@ -277,7 +277,7 @@ def test_worker_task_punctuate_fires_without_data(spark, tmp_path):
     deadline = time.time() + 90
     seen_punct = False
     while time.time() < deadline and not seen_punct:
-        time.sleep(0.5)
+        time.sleep(0.25)
         seen_punct = (
             spark.sql("SELECT * FROM punct_out WHERE kind = 'punctuate'").count() > 0
         )

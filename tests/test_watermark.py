@@ -9,6 +9,8 @@ watermark advances between batches exactly as with a live source.
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
@@ -44,22 +46,22 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         .queryName("wm_out")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(processingTime="1 second")
+        .trigger(processingTime="500 milliseconds")
         .start()
     )
     try:
         deadline = time.time() + 60
         while time.time() < deadline and (q.lastProgress or {}).get("batchId", -1) < 1:
-            time.sleep(1)
+            time.sleep(0.3)
         # batch 2: a late row at 30s (< watermark 140s -> dropped) + 180s
         spark.createDataFrame(
             [(4, _ts(30)), (5, _ts(180))], "id long, ts timestamp"
         ).coalesce(1).write.mode("append").parquet(src)
         deadline = time.time() + 90
         while time.time() < deadline:
-            time.sleep(0.5)
+            time.sleep(0.3)
             if spark.sql("SELECT * FROM wm_out").count() > 0:
-                time.sleep(1.5)  # allow any further (unexpected) emissions
+                time.sleep(1.0)  # allow any further (unexpected) emissions
                 break
     finally:
         q.stop()
@@ -158,8 +160,11 @@ def test_sliding_pane_merge_streaming(spark, tmp_path):
     ]
     late = [("a", _ts(900), 3), ("b", _ts(1210), 9)]
     schema = "event_type string, ts timestamp, value long"
-    spark.createDataFrame(data, schema).coalesce(1).write.parquet(src)
-    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+    # one initial file: the "late" rows are future events (ahead of the
+    # first batch's max ts), so landing them with the first batch changes
+    # nothing semantically — window closure is driven entirely by the
+    # sentinel batches — and saves one dual-stateful micro-batch
+    spark.createDataFrame(data + late, schema).coalesce(1).write.parquet(src)
     # two sentinel batches: the first advances the watermark past every
     # real window; the second makes Spark run one more batch so the
     # emission actually happens (watermark updates apply next-batch)

@@ -78,6 +78,41 @@ def test_record_weight_utf8_brackets_latin1(spark):
     assert got["utf"][1] > got["utf"][0]
 
 
+def test_record_weight_utf16_bound_dominates_all(spark):
+    """The hard-bound arm (ADVICE r05): 2×char-count arrays sit at or
+    above the true backing array for EVERY coder, so the bound weigher
+    must dominate latin1 AND utf8 on every payload — including the
+    UTF16-coded mostly-ASCII mix where utf8 under-estimates (one
+    non-Latin-1 char in a long ASCII string: real array 2n, octets
+    ~n+1)."""
+    from kafka_workers_spark.streaming.weigher import (
+        record_weight_utf8,
+        record_weight_utf16_bound,
+    )
+
+    mostly_ascii = "x" * 400 + "ż"  # flips the JVM coder to UTF16
+    df = spark.createDataFrame(
+        [("ascii", "plain value"), ("utf", "żółćé世"), ("mix", mostly_ascii)],
+        "key string, value string",
+    ).withColumn("topic", F.lit("t"))
+    rows = df.select(
+        "key",
+        record_weight_latin1("key", "value", "topic").alias("l1"),
+        record_weight_utf8("key", "value", "topic").alias("u8"),
+        record_weight_utf16_bound("key", "value", "topic").alias("u16"),
+    ).collect()
+    for r in rows:
+        assert r.u16 >= r.u8 >= r.l1 or (r.u16 >= r.l1 and r.u16 >= r.u8), r
+    # the mix payload is the documented failure mode: utf8 barely moves
+    # (~n+1 octets) while the true UTF16 array is 2n — only the bound
+    # weigher covers it
+    mix = {r.key: r for r in rows}["mix"]
+    assert mix.u8 < mix.u16  # utf8 under the hard bound
+    # the bound doubles the char-count ARRAY (not the fixed overheads):
+    # the long value string alone adds ~len extra bytes over latin1
+    assert mix.u16 - mix.l1 >= len(mostly_ascii) - 8
+
+
 def test_record_weight_null_fields_weigh_zero(spark):
     """Null key/value weigh 0, like the reference's weighers
     (ByteArrayWeigher.java:14-16, StringWeigher.java:14-16)."""
