@@ -323,3 +323,153 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(
         docs, _TFIDF_QUERIES, top_k=_TFIDF_TOP_K, max_df_fraction=_TFIDF_MAX_DF
     )
+
+
+# ---------------------------------------------------------------------------
+# Off-window text-operator queries (rotation currency — same QuerySpec
+# contract, oracle run by tests/test_oracle_extra.py's rotated-query test)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+_CHUNK_STEP = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@register(
+    "text_chunks",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE text IS NOT NULL
+    ),
+    st AS (
+      SELECT doc_id, toks,
+             UNNEST([s FOR s IN generate_series(
+               0, greatest(len(toks) - 1 - {_CHUNK_OVERLAP}, 0), {_CHUNK_STEP})]) AS start
+      FROM toked
+    )
+    SELECT doc_id,
+           CAST(start / {_CHUNK_STEP} AS INT) AS chunk_id,
+           array_to_string(toks[start + 1 : start + {_CHUNK_TOKENS}], ' ') AS chunk_text,
+           CAST(len(toks[start + 1 : start + {_CHUNK_TOKENS}]) AS BIGINT) AS chunk_n_tokens
+    FROM st
+    """,
+    category="text",
+    windowed=False,
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators.text.chunk_documents):
+    {_CHUNK_TOKENS}-token chunks with {_CHUNK_OVERLAP}-token overlap, the
+    pre-tokenization pass that turns long documents into
+    training-sequence-sized pieces. The oracle replays the start-sequence
+    arithmetic (including the no-pure-suffix-tail cap) and the slice
+    joins exactly. One scan, per-row fan-out ~n_tokens/step, no shuffle."""
+    from kafka_workers_spark.operators.text import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(
+        d, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    ).select("doc_id", "chunk_id", "chunk_text", "chunk_n_tokens")
+
+
+_LINES_SQL = "string_split(text, chr(10))"
+
+
+@register(
+    "text_gopher_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks, {_LINES_SQL} AS lines
+      FROM documents WHERE text IS NOT NULL
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             greatest(len(toks), 1) AS n1,
+             greatest(len(lines), 1) AS n_lines,
+             CAST(list_sum([length(t) FOR t IN toks]) AS DOUBLE)
+               / greatest(len(toks), 1) AS mean_word_len,
+             len(list_filter(lines, ln -> starts_with(ln, '- ')
+                                          OR starts_with(ln, '* '))) AS bullet_like,
+             len(list_filter(lines, ln -> suffix(ln, '...'))) AS ellipsis_like,
+             len(list_filter(toks, t -> contains(t, '#')
+                                        OR contains(t, '...'))) AS hash_or_ellipsis,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS alpha_words,
+             {sql_stopword_hits('toks', STOPWORDS['en'])} AS stop_hits,
+             CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+               / greatest(len(lines), 1) AS dup_line_frac
+      FROM base
+    )
+    SELECT doc_id,
+           n >= 50 AND n <= 100000 AS rule_word_count,
+           mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS rule_mean_word_len,
+           CAST(hash_or_ellipsis AS DOUBLE) / n1 <= 0.1 AS rule_symbol_ratio,
+           CAST(bullet_like AS DOUBLE) / n_lines <= 0.9 AS rule_bullet_lines,
+           CAST(ellipsis_like AS DOUBLE) / n_lines <= 0.3 AS rule_ellipsis_lines,
+           CAST(alpha_words AS DOUBLE) / n1 >= 0.8 AS rule_alpha_words,
+           stop_hits >= 2 AS rule_stopword_presence,
+           dup_line_frac <= 0.3 AS rule_dup_lines
+    FROM m
+    """,
+    category="text",
+    windowed=False,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-scan Gopher quality rules (operators.text.gopher_rules,
+    Rae et al. 2021 §A1.1) as per-document boolean columns — the exact
+    decision surface gopher_filter conjuncts. The oracle recomputes every
+    ratio with the same integer counts and double divisions, so the
+    booleans (including threshold-boundary cases) are bit-identical.
+    One scan, codegen subexpression elimination shares the token/line
+    subtrees, no shuffle."""
+    from kafka_workers_spark.operators.text import gopher_rules
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.filter(F.col("text").isNotNull())
+    toks = tokens(F.col("text"))
+    rs = gopher_rules(F.col("text"), toks)
+    return d.select("doc_id", *[c.alias(name) for name, c in rs.items()])
+
+
+_REP_N = 2
+
+
+@register(
+    "text_ngram_repetition",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, UNNEST(COALESCE(
+               [md5(g) FOR g IN {sql_word_shingles('toks', _REP_N)}],
+               [CAST(NULL AS VARCHAR)])) AS gh
+      FROM toked
+    ),
+    per_gram AS (
+      SELECT doc_id, gh, COUNT(*) AS c FROM grams GROUP BY doc_id, gh
+    )
+    SELECT doc_id,
+           CAST(COALESCE(SUM(c) FILTER (WHERE gh IS NOT NULL), 0) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(gh) AS BIGINT) AS n_distinct_ngrams,
+           CAST(COALESCE(MAX(c) FILTER (WHERE gh IS NOT NULL), 0) AS BIGINT) AS top_ngram_count
+    FROM per_gram GROUP BY doc_id
+    """,
+    category="text",
+    windowed=False,
+)
+def text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-n-gram statistics
+    (operators.text.duplicate_ngram_metrics, n={_REP_N}): total /
+    distinct / most-frequent n-gram counts, from which the Gopher
+    repetition thresholds derive (dup_ngram_frac = 1 - distinct/total,
+    top_ngram_frac = top/total). Null-safety parity: a document with
+    fewer than {_REP_N} tokens reads as ZERO n-grams on both engines.
+    Explode → two-level codegen aggregate; the shuffle carries 16-byte
+    gram digests, never text."""
+    from kafka_workers_spark.operators.text import (
+        duplicate_ngram_metrics,
+        tokenize_stage,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_ngram_metrics(tokenize_stage(d), ["doc_id"], n=_REP_N)
