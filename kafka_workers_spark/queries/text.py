@@ -473,3 +473,53 @@ def text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return duplicate_ngram_metrics(tokenize_stage(d), ["doc_id"], n=_REP_N)
+
+
+_WIN_W = 4
+_WIN_PREFIX = 16
+_WIN_SH_SQL = sql_word_shingles("string_split(text, ' ')", 3)
+
+
+@register(
+    "text_winnowing",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN {_WIN_SH_SQL} IS NOT NULL
+                  THEN [substr(md5(s), 1, {_WIN_PREFIX}) FOR s IN {_WIN_SH_SQL}]
+             END AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN h IS NOT NULL AND len(h) >= 1 THEN
+             list_sort(list_distinct([
+               list_aggregate(h[i : i + {_WIN_W - 1}], 'min')
+               FOR i IN generate_series(1, greatest(len(h) - {_WIN_W - 1}, 1))]))
+           END AS fp
+    FROM base
+    """,
+    category="text",
+    windowed=False,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (operators.text.winnowing_fingerprints,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): min-hash of each {_WIN_W}-wide
+    window over the 3-word-shingle hash sequence, deduplicated — the
+    position-robust partial-overlap fingerprint. Output sets are SORTED
+    in both engines (a fingerprint set has no inherent order; DuckDB's
+    list_distinct does not preserve one). Pure array expressions over a
+    materialized shingle column — one scan, no shuffle."""
+    from kafka_workers_spark.operators.text import (
+        shingle_stage,
+        tokenize_stage,
+        winnowing_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = shingle_stage(tokenize_stage(d), 3)
+    return staged.select(
+        "doc_id",
+        F.array_sort(
+            winnowing_fingerprints(F.col("shingles"), window=_WIN_W, prefix_len=_WIN_PREFIX)
+        ).alias("fp"),
+    )
