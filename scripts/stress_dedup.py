@@ -213,6 +213,86 @@ def run_paragraph_stress(replicas: int) -> int:
     return 0
 
 
+def run_cap_stress(replicas: int) -> int:
+    """Timed skew rep for cap_per_key's two-path plan: a corpus where one
+    key holds ~50% of all rows (the exact distribution the operator
+    exists for), timed against the naive global window the oracle uses.
+    Identical surviving row COUNTS are asserted; the subsets differ only
+    if coins collide (they don't — ids are unique)."""
+    import duckdb
+
+    from pyspark.sql import SparkSession, Window as W
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(f"{DST}/documents.parquet", exist_ok=True)
+    con = duckdb.connect()
+    for i in range(replicas):
+        # half of each replica lands in one hot pseudo-source
+        con.execute(
+            f"""
+            COPY (
+              SELECT doc_id + {i * ID_STRIDE} AS doc_id, text, lang,
+                     CASE WHEN doc_id % 2 = 0 THEN 'hot-domain'
+                          ELSE source || '-{i}' END AS source,
+                     n_chars
+              FROM '{SRC}/documents.parquet'
+            ) TO '{DST}/documents.parquet/part-{i:02d}.parquet' (FORMAT PARQUET)
+            """
+        )
+    con.close()
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stress_cap")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "true")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from kafka_workers_spark.pipeline import cap_per_key
+    from kafka_workers_spark.sources.files import load_table
+
+    CAP = 100
+    docs = load_table(spark, DST, "documents").select("doc_id", "source")
+    n = docs.count()  # warm scan
+    hot = docs.filter(F.col("source") == "hot-domain").count()
+    print(f"== cap corpus: {n} rows, hot key holds {hot} ({100.0 * hot / n:.0f}%)")
+
+    def naive():
+        coin = F.md5(F.concat(F.lit("cap|"), F.col("doc_id").cast("string")))
+        w = W.partitionBy("source").orderBy(coin.asc(), F.col("doc_id").asc())
+        return (
+            docs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= CAP)
+            .drop("__rn")
+        )
+
+    shapes = {
+        "global window (naive)": naive,
+        "two-path cap_per_key": lambda: cap_per_key(docs, ["source"], CAP),
+    }
+    for tag, build in shapes.items():
+        sc = spark.sparkContext
+        group = f"cap-{tag.split()[0]}"
+        sc.setJobGroup(group, tag)
+        t0 = time.perf_counter()
+        kept = build().count()
+        wall = time.perf_counter() - t0
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        worst = _max_task_ms(spark, group)
+        print(
+            f"{tag:24s} wall={wall:6.2f}s max_task="
+            f"{'n/a' if worst is None else f'{worst / 1000.0:.2f}s'} kept={kept}",
+            flush=True,
+        )
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -221,9 +301,16 @@ def main() -> int:
         action="store_true",
         help="run the corpus-scope paragraph-dedup skew stress instead",
     )
+    ap.add_argument(
+        "--cap",
+        action="store_true",
+        help="run the cap_per_key hot-key skew stress instead",
+    )
     args = ap.parse_args()
     if args.paragraphs:
         return run_paragraph_stress(args.replicas)
+    if args.cap:
+        return run_cap_stress(args.replicas)
     build_corpus(args.replicas)
 
     from pyspark.sql import SparkSession
@@ -292,3 +379,4 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
