@@ -72,8 +72,11 @@ def connected_components(
     their own component by definition — left-join the corpus afterwards
     with ``coalesce(comp, id)``).
     """
-    sc = pairs.sparkSession.sparkContext
-    reliable = sc.getCheckpointDir() is not None
+    # sparkContext is classic-only; under Spark Connect there is no
+    # checkpoint-dir query and no RDD bookkeeping — fall back to
+    # localCheckpoint-only rounds with no eager unpersist (the GC path)
+    sc = getattr(pairs.sparkSession, "sparkContext", None)
+    reliable = sc is not None and sc.getCheckpointDir() is not None
 
     def _pin(df: DataFrame) -> DataFrame:
         # lineage truncation each round — see module docstring; without it

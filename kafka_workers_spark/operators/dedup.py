@@ -79,7 +79,11 @@ def spread(df: DataFrame) -> DataFrame:
         return df  # downstream impose their own partitioning anyway
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    floor = min(n, spark.sparkContext.defaultParallelism)
+    # sparkContext is classic-only; under Spark Connect fall back to the
+    # shuffle-partition count as the parallelism floor (same Connect
+    # stance as the _jdf guard below — degrade conservatively)
+    sc = getattr(spark, "sparkContext", None)
+    floor = min(n, sc.defaultParallelism) if sc is not None else n
     files = df.inputFiles()
     if files:
         # File-backed plan: estimate parallelism as one split per input

@@ -51,6 +51,23 @@ def heuristic_scorer(texts: pd.Series) -> pd.Series:
     return (length_term + alpha_term + word_len).astype("float64")
 
 
+def _model_payload(spark, model_loader, model_bytes):
+    """(broadcast, closure_bytes) for shipping model bytes to workers.
+
+    ``sparkContext.broadcast`` is classic-only; under Spark Connect (no
+    ``sparkContext`` attribute) the bytes ship in the task closure
+    instead — pickled per task, but the per-worker ``_MODEL_CACHE``
+    still makes the LOAD happen once per process, which is the
+    expensive part. Same degrade-conservatively Connect stance as
+    ``operators.dedup.spread`` (ADVICE r05)."""
+    if model_loader is None:
+        return None, None
+    sc = getattr(spark, "sparkContext", None)
+    if sc is None:
+        return None, model_bytes
+    return sc.broadcast(model_bytes), None
+
+
 def score_documents(
     df: DataFrame,
     text_col: str = "text",
@@ -80,7 +97,7 @@ def score_documents(
     if score_col in cols:
         raise ValueError(f"score column {score_col!r} already exists")
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(model_bytes) if model_loader is not None else None
+    bc, closure_bytes = _model_payload(spark, model_loader, model_bytes)
     model_key = hashlib.md5(model_bytes or b"").hexdigest() if model_loader else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -88,7 +105,8 @@ def score_documents(
             fn = scorer
         elif model_loader is not None:
             if model_key not in _MODEL_CACHE:  # once per worker PROCESS
-                _MODEL_CACHE[model_key] = model_loader(bc.value)
+                payload = bc.value if bc is not None else closure_bytes
+                _MODEL_CACHE[model_key] = model_loader(payload)
             fn = _MODEL_CACHE[model_key]
         else:
             fn = heuristic_scorer

@@ -49,6 +49,30 @@ def test_score_documents_injected_model_loader(spark):
     assert out == {1: 2.0, 2: 4.0}
 
 
+def test_model_payload_degrades_without_spark_context(spark):
+    """Spark Connect has no sparkContext: the model bytes must ship in
+    the closure instead of a broadcast (the per-process load cache
+    still deduplicates the expensive LOAD). The payload decision is the
+    Connect-sensitive part, so it is tested directly against a session
+    double with no sparkContext — the same guard family as
+    operators.dedup.spread (ADVICE r05)."""
+    from kafka_workers_spark.operators.scoring import _model_payload
+
+    loader = object()
+    # classic: broadcast, nothing in the closure
+    bc, closure = _model_payload(spark, loader, b"m")
+    assert bc is not None and bc.value == b"m" and closure is None
+    bc.unpersist()
+
+    class NoContext:  # Connect double: the attribute simply doesn't exist
+        pass
+
+    bc, closure = _model_payload(NoContext(), loader, b"m")
+    assert bc is None and closure == b"m"
+    # no model at all: nothing ships either way
+    assert _model_payload(NoContext(), None, None) == (None, None)
+
+
 def test_score_documents_feeds_quality_sampling(spark):
     from kafka_workers_spark.pipeline import sample_by_quality
 
