@@ -129,3 +129,46 @@ def merge_ordered_many_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(_MERGE_SIDES)
     }
     return merge_ordered_many(sides, "event_type", "ts")
+
+
+@register(
+    "corpus_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [edited]'
+                      ELSE text END) AS d
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.d IS NULL THEN 'added'
+                WHEN n.d IS NULL THEN 'removed'
+                WHEN o.d <> n.d THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+    """,
+    category="pipeline",
+    windowed=False,
+)
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differ (pipeline.diff_corpora): two synthetic snapshots of
+    the documents table — the 'old' drops doc_id % 7 == 0, the 'new'
+    drops doc_id % 5 == 0 and edits doc_id % 11 == 0 — produce the full
+    added/removed/changed/unchanged changelog, every status class
+    populated. The full-outer join shuffles 16-byte digests + ids only,
+    never two copies of the text; the oracle replays the digest compare
+    exactly."""
+    from kafka_workers_spark.pipeline import diff_corpora
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        ).otherwise(F.col("text")),
+    )
+    return diff_corpora(old, new)
