@@ -158,6 +158,45 @@ def test_chunk_documents_overlapping_windows(spark):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
 
 
+def test_chunk_documents_property_vs_model(spark):
+    """Randomized geometries and lengths vs a pure Python reference
+    model — full token coverage, exact overlap arithmetic, no
+    pure-suffix tail chunk. Batched: one Spark round-trip per geometry
+    (lengths vary within a call), seeded RNG for reproducibility."""
+    import random as _random
+
+    from kafka_workers_spark.operators.text import chunk_documents
+
+    def model(words, chunk_tokens, overlap):
+        step = chunk_tokens - overlap
+        stop = max(len(words) - 1 - overlap, 0)
+        out, s = [], 0
+        while s <= stop:
+            piece = words[s : s + chunk_tokens]
+            out.append((s // step, " ".join(piece), len(piece)))
+            s += step
+        return out
+
+    r = _random.Random(7)
+    for _ in range(6):
+        ct = r.randint(2, 12)
+        ov = r.randint(0, ct - 1)
+        lengths = [r.randint(0, 40) for _ in range(6)]
+        rows = [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(lengths)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r2 in chunk_documents(docs, chunk_tokens=ct, overlap=ov).collect():
+            got.setdefault(r2.doc_id, []).append(
+                (r2.chunk_id, r2.chunk_text, r2.chunk_n_tokens)
+            )
+        for i, n in enumerate(lengths):
+            # split(" ") of an empty string yields [""] — one empty
+            # token; mirror the engine's tokenizer in the model
+            words = [f"t{j}" for j in range(n)] if n else [""]
+            want = model(words, ct, ov)
+            assert sorted(got.get(i, [])) == sorted(want), (ct, ov, n)
+
+
 def test_asof_join_directions_match_pandas_merge_asof(spark):
     """backward / forward / nearest cross-checked against pandas
     merge_asof on randomized-but-fixed data, including equal-timestamp
