@@ -9,11 +9,14 @@ impl/punctuator/PunctuatorThread.java:14-47; README.md:64 mutual-exclusion
 guarantee).
 
 Spark mapping: ``applyInPandasWithState`` keyed by the sub-partition id.
-(Spark 4's ``transformWithStateInPandas`` would add typed state + explicit
-init/close hooks, but its dedicated Python driver worker crashes in this
-container — "TransformWithStateInPySpark driver worker exited unexpectedly"
-even for a trivial processor on RocksDB — so the engine stays on the
-stable API, which covers the same semantics below.)
+(Spark 4's ``transformWithStateInPandas`` adds typed state + explicit
+init/close hooks + real one-shot timers, but its dedicated Python runner
+needs ``google.protobuf`` at query runtime, absent in this container —
+"TransformWithStateInPySpark driver worker exited unexpectedly". The v2
+adapter EXISTS and is semantics-tested against fake handles —
+:mod:`streaming.stateful_v2`, ``apply_worker_task_v2`` — with a live
+contract test that self-activates when the environment gains protobuf;
+until then this module is the production surface.)
 Spark gives the same per-key mutual exclusion (state callbacks for one key
 are serialized) and *more* than the reference: state survives restarts via
 the checkpointed state store, where the reference's task state is volatile
