@@ -175,9 +175,16 @@ class WorkerTaskProcessor(_BASE):
     def _save_env(self, env: dict, now: int) -> None:
         self._env.update((json.dumps(env),))
         if self._timer_ms:
-            # one-shot timers: arm the next tick; an expired timer is
-            # already gone, and registerTimer on a live key just adds the
-            # next absolute expiry
+            # ROLL the timer, don't add one: registerTimer is additive
+            # (one-shot absolute expiries), so arming a fresh tick per
+            # batch without clearing the old ones would accumulate a
+            # pending timer per batch — and every stale expiry would
+            # force-fire punctuate at batch frequency instead of the
+            # configured interval. Clearing first reproduces v1's rolling
+            # setTimeoutDuration: the single pending timer only expires
+            # after timer_ms with NO data.
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
             self._handle.registerTimer(now + self._timer_ms)
 
     def _punctuate_if_due(self, key, env, now, force: bool = False):

@@ -161,25 +161,32 @@ def record_weight_utf16_bound(
     topic: Column | str,
 ) -> Column:
     """UPPER-bound heap weight for String-coded records: backing arrays
-    sized at 2×char-count, the UTF16 coder's array size — the hard arm
-    of the string-weigher family. The JVM stores a string as LATIN1
-    (1 byte/char) when it can and UTF16 (2 bytes/char) when any char
-    needs it, so for every payload the true backing array is ≤ this
-    expression's; an admission budget weighed with it can never admit
-    more than the heap holds (the guarantee neither
-    :func:`record_weight_latin1` — up to 2× under on UTF16 — nor
-    :func:`record_weight_utf8` — under on UTF16-coded mostly-ASCII mixes
-    — provides). Price: ASCII-only traffic is over-weighed ~2×, halving
-    effective queue depth; pick per topic — latin1 for known-ASCII,
-    utf8 for on-wire accounting, this for a hard heap bound."""
+    sized at 2 bytes per UTF-16 CODE UNIT (``octet_length(encode(c,
+    'UTF-16BE'))`` — exactly the UTF16 coder's array size, surrogate
+    pairs included) — the hard arm of the string-weigher family. The
+    JVM stores a string as LATIN1 (1 byte/char) when it can and UTF16
+    (2 bytes/code unit) when any char needs it, so for every payload
+    the true backing array is ≤ this expression's; an admission budget
+    weighed with it can never admit more than the heap holds (the
+    guarantee neither :func:`record_weight_latin1` — up to 2× under on
+    UTF16 — nor :func:`record_weight_utf8` — under on UTF16-coded
+    mostly-ASCII mixes — provides). NOTE ``2 × length()`` would NOT be
+    a bound: Spark's ``length`` counts code points, so supplementary
+    chars (emoji — two code units each) would be under-weighed 2×.
+    Price: ASCII-only traffic is over-weighed ~2×, halving effective
+    queue depth; pick per topic — latin1 for known-ASCII, utf8 for
+    on-wire accounting, this for a hard heap bound."""
     k = F.col(key) if isinstance(key, str) else key
     v = F.col(value) if isinstance(value, str) else value
     t = F.col(topic) if isinstance(topic, str) else topic
 
+    def units2(c: Column) -> Column:
+        # bytes of the UTF16 backing array: 2 per code unit, no BOM
+        return F.octet_length(F.encode(c, "UTF-16BE"))
+
     def s(c: Column) -> Column:
         return F.coalesce(
-            F.lit(_STRING_NET).cast("bigint")
-            + _pad8(F.lit(_HEADER) + 2 * F.length(c)),
+            F.lit(_STRING_NET).cast("bigint") + _pad8(F.lit(_HEADER) + units2(c)),
             F.lit(0).cast("bigint"),
         )
 
@@ -188,7 +195,7 @@ def record_weight_utf16_bound(
         + s(k)
         + s(v)
         + F.lit(_STRING_NET)
-        + _array_weight(2 * F.length(t))
+        + _array_weight(units2(t))
     )
 
 

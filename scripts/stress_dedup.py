@@ -275,6 +275,7 @@ def run_cap_stress(replicas: int) -> int:
         "global window (naive)": naive,
         "two-path cap_per_key": lambda: cap_per_key(docs, ["source"], CAP),
     }
+    kept_counts = {}
     for tag, build in shapes.items():
         sc = spark.sparkContext
         group = f"cap-{tag.split()[0]}"
@@ -284,11 +285,14 @@ def run_cap_stress(replicas: int) -> int:
         wall = time.perf_counter() - t0
         sc.setLocalProperty("spark.jobGroup.id", None)
         worst = _max_task_ms(spark, group)
+        kept_counts[tag] = kept
         print(
             f"{tag:24s} wall={wall:6.2f}s max_task="
             f"{'n/a' if worst is None else f'{worst / 1000.0:.2f}s'} kept={kept}",
             flush=True,
         )
+    a, b = kept_counts.values()
+    assert a == b, f"two-path diverged from the naive window: {kept_counts}"
     spark.stop()
     return 0
 

@@ -49,3 +49,21 @@ def duck():
     con = duckdb.connect()
     yield con
     con.close()
+
+
+@pytest.fixture(scope="module")
+def no_aqe(spark):
+    """Module-scoped AQE-off: for modules whose tests run many actions
+    over tiny data through deep multi-exchange plans, where AQE's
+    per-stage materialization round-trips dominate wall time and every
+    asserted value is AQE-independent. Windowed-query fidelity tests
+    (test_relational.py) keep the session default (AQE on, the
+    driver's config). Activate per module with:
+
+        _no_aqe = pytest.fixture(scope="module", autouse=True)(
+            lambda no_aqe: None)
+    """
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.adaptive.enabled", old)

@@ -16,16 +16,8 @@ from pyspark.sql import functions as F
 from kafka_workers_spark.operators.components import connected_components, dedup_groups
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _no_aqe(spark):
-    """AQE off for this module: each component round is an eager action
-    over a handful of rows, where AQE's per-stage materialization
-    round-trips dominate wall time; component labels are
-    AQE-independent."""
-    old = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    yield
-    spark.conf.set("spark.sql.adaptive.enabled", old)
+# AQE off module-wide — shared conftest fixture, see its docstring
+_no_aqe = pytest.fixture(scope="module", autouse=True)(lambda no_aqe: None)
 
 
 def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:

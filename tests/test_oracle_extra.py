@@ -17,18 +17,8 @@ SF = "/root/testdata/sf0.001"
 DOCS = f"{SF}/documents.parquet"
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _no_aqe(spark):
-    """AQE off for this module: off-window queries' ONLY runtime surface
-    is this pytest gate, their values are AQE-independent, and the deep
-    tiny-data plans (notably ann_near_dedup_rhp's banding + verify
-    chain) pay AQE's per-stage materialization latency for nothing.
-    Driver-window fidelity (AQE on, the driver's default) is exercised
-    by tests/test_relational.py over the 50 windowed queries."""
-    old = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    yield
-    spark.conf.set("spark.sql.adaptive.enabled", old)
+# AQE off module-wide — shared conftest fixture, see its docstring
+_no_aqe = pytest.fixture(scope="module", autouse=True)(lambda no_aqe: None)
 
 
 def test_dedup_paragraphs_document_scope_matches_duckdb_oracle(spark):

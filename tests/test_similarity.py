@@ -17,18 +17,8 @@ SF = "/root/testdata/sf0.001"
 K_LISTS = 8
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _no_aqe(spark):
-    """AQE off for this module: similarity tests run many actions over
-    handfuls of rows through deep multi-exchange plans (RHP banding,
-    Lloyd rounds, verify joins), where AQE's per-stage materialization
-    round-trips dominate wall time; every asserted value is
-    AQE-independent (the driver-replica oracle runs live in
-    tests/test_relational.py under the session default, AQE on)."""
-    old = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    yield
-    spark.conf.set("spark.sql.adaptive.enabled", old)
+# AQE off module-wide — shared conftest fixture, see its docstring
+_no_aqe = pytest.fixture(scope="module", autouse=True)(lambda no_aqe: None)
 TOP_K = 5
 QUERY_IDS = list(range(8))
 
@@ -487,6 +477,15 @@ def test_semantic_dedup_empty_training_sample_raises(spark):
     lazy = semantic_dedup(df, dim=2, k=2, train_mod=2)
     with pytest.raises(Exception, match="training sample is empty"):
         lazy.collect()
+    # the guard must also fire under AQE (the driver's default config):
+    # empty-relation propagation must not prune the raise_error before
+    # the guard aggregate evaluates (code-review r06 concern, pinned)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        with pytest.raises(Exception, match="training sample is empty"):
+            semantic_dedup(df, dim=2, k=2, train_mod=2).collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
 
 def test_semantic_dedup_build_runs_no_job(spark):

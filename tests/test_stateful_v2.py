@@ -138,6 +138,18 @@ def test_expired_timer_forces_punctuate_and_rearms():
     assert h.timers[-1] == 7050  # re-armed from the expiry handling time
 
 
+def test_timers_roll_instead_of_accumulating():
+    """registerTimer is additive one-shot; the adapter must ROLL the
+    pending timer per batch (v1's setTimeoutDuration semantics) — data
+    every 5 s under a 60 s interval must leave exactly ONE pending
+    timer, not one per batch piling up to fire punctuate at batch
+    frequency (code-review r06 finding)."""
+    p, h = _proc(punctuate_interval_ms=60_000)
+    for i in range(5):
+        _rows(p, (1,), [pd.DataFrame({"v": [1]})], now=5_000 * i)
+    assert h.timers == [20_000 + 60_000], h.timers  # last batch's tick only
+
+
 def test_idle_timeout_closes_key_and_clears_state():
     p, h = _proc(punctuate_interval_ms=1000, idle_timeout_ms=3000)
     _rows(p, (1,), [pd.DataFrame({"v": [1]})], now=5000)

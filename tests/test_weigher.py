@@ -91,8 +91,14 @@ def test_record_weight_utf16_bound_dominates_all(spark):
     )
 
     mostly_ascii = "x" * 400 + "ż"  # flips the JVM coder to UTF16
+    emoji = "\U0001f600" * 8  # supplementary plane: 2 code units/char
     df = spark.createDataFrame(
-        [("ascii", "plain value"), ("utf", "żółćé世"), ("mix", mostly_ascii)],
+        [
+            ("ascii", "plain value"),
+            ("utf", "żółćé世"),
+            ("mix", mostly_ascii),
+            ("emoji", emoji),
+        ],
         "key string, value string",
     ).withColumn("topic", F.lit("t"))
     rows = df.select(
@@ -111,6 +117,16 @@ def test_record_weight_utf16_bound_dominates_all(spark):
     # the bound doubles the char-count ARRAY (not the fixed overheads):
     # the long value string alone adds ~len extra bytes over latin1
     assert mix.u16 - mix.l1 >= len(mostly_ascii) - 8
+    # supplementary chars are TWO code units each: the bound must weigh
+    # the value array at 4 bytes per emoji (2 units x 2 bytes), i.e.
+    # strictly above 2x the code-POINT count — the code-review r06
+    # counter-example to a 2*length() implementation
+    em = {r.key: r for r in rows}["emoji"]
+    n_pts = 8
+    # value-array bytes inside u16 for the emoji value = 4*n_pts; with
+    # a 2*length() bound it would be 2*n_pts — assert the gap
+    assert em.u16 - em.l1 >= 2 * n_pts  # 4B/emoji vs latin1's length-byte est.
+    assert em.u16 >= em.u8  # utf8 is 4B/emoji too; bound never below it
 
 
 def test_record_weight_null_fields_weigh_zero(spark):
