@@ -231,3 +231,98 @@ def test_worker_task_v2_live_counts(spark, tmp_path):
         for r in spark.sql("SELECT * FROM tws_v2_out").collect()
     }
     assert got[(0, "data")] == 2 and got[(1, "data")] == 1
+
+
+class V1FakeState:
+    """applyInPandasWithState GroupState double (same surface as
+    test_tasks' _FakeState) for the differential drive below."""
+
+    def __init__(self, now_ms=0):
+        self._tuple = None
+        self.now_ms = now_ms
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._tuple is not None
+
+    @property
+    def get(self):
+        return self._tuple
+
+    def update(self, t):
+        self._tuple = tuple(t)
+
+    def remove(self):
+        self._tuple = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+    def getCurrentProcessingTimeMs(self):
+        return self.now_ms
+
+
+def test_v1_v2_differential_random_scenarios():
+    """The v2 adapter must be OBSERVATIONALLY IDENTICAL to v1
+    (apply_worker_task's handler) on random interleavings of data
+    batches and timer fires, across punctuate/idle configurations:
+    same emitted rows, same state envelope (or both gone after idle
+    close). This is the parity claim that lets v2 replace v1 when the
+    environment gains protobuf — pinned without a live query."""
+    import random
+
+    from kafka_workers_spark.streaming.stateful import _task_handler
+
+    for seed in range(10):
+        r = random.Random(seed)
+        punct = r.choice([None, 1000])
+        idle = r.choice([None, 3000])
+        timer_ms = idle if (idle and not punct) else punct
+
+        task = _counting_task()
+        h1 = _task_handler(task, punct, ["v"], idle, timer_ms)
+        st1 = V1FakeState()
+        p2 = WorkerTaskProcessor(
+            task, punctuate_interval_ms=punct, order_by=["v"], idle_timeout_ms=idle
+        )
+        fh = FakeHandle()
+        p2.init(fh)
+
+        def drive_v1(rows, now, timed_out):
+            st1.now_ms = now
+            st1.hasTimedOut = timed_out
+            it = iter([pd.DataFrame(rows)]) if rows else iter([])
+            out = []
+            for pdf in h1((1,), it, st1):
+                out.extend(pdf.to_dict("records"))
+            return out
+
+        def drive_v2(rows, now, timed_out):
+            out_pdfs = (
+                p2.handleExpiredTimer((1,), FakeTimerValues(now), FakeExpiredTimerInfo(now))
+                if timed_out
+                else p2.handleInputRows((1,), iter([pd.DataFrame(rows)]), FakeTimerValues(now))
+            )
+            out = []
+            for pdf in out_pdfs:
+                out.extend(pdf.to_dict("records"))
+            return out
+
+        now = 1_000
+        for step in range(14):
+            now += r.randint(0, 1_500)
+            timer_fire = timer_ms is not None and r.random() < 0.4
+            rows = (
+                []
+                if timer_fire
+                else [{"v": r.randint(0, 9)} for _ in range(r.randint(1, 3))]
+            )
+            o1 = drive_v1(rows, now, timer_fire)
+            o2 = drive_v2(rows, now, timer_fire)
+            assert o1 == o2, (seed, step, timer_fire, o1, o2)
+            s1 = st1.get
+            s2 = fh.states["env"].get()
+            assert (s1 is None) == (s2 is None), (seed, step, s1, s2)
+            if s1 is not None:
+                assert json.loads(s1[0]) == json.loads(s2[0]), (seed, step)
