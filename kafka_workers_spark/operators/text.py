@@ -409,6 +409,117 @@ def dedup_paragraphs(
     )
 
 
+def dedup_substrings(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    prefix_len: int = 16,
+):
+    """Exact duplicated-substring dedup, token-aligned (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 §4.1 ExactSubstr): any run of ``k`` or more
+    whitespace tokens that occurs more than once in the corpus survives
+    only at its first occurrence (lowest (doc, position) of each
+    duplicated window); every other copy is cut out of its document and
+    the surrounding text reassembled. :func:`dedup_paragraphs` (C4-style)
+    only catches spans that are WHOLE paragraphs — this catches
+    duplicated runs anywhere: quoted passages, templated sentences,
+    licence text pasted mid-paragraph. ``k=50`` is the paper's operating
+    point for web text; lower it for short-form corpora.
+
+    The paper's suffix-array formulation is inherently sequential; the
+    Spark-scalable equivalent used here: a token run of length >= k
+    repeats iff every k-token window inside it repeats, so marking all
+    duplicated k-windows and dropping the token positions they cover
+    removes exactly the union of maximal duplicated runs of length >= k
+    (token-aligned, where the paper is byte-aligned). Windows are hashed
+    (truncated md5, ``prefix_len`` hex chars = 4*prefix_len bits,
+    engine-portable), so only (id, pos, digest) rows ever shuffle —
+    never document payloads.
+
+    Shape, stage by stage (the dedup_paragraphs skew discipline
+    throughout):
+    1. split -> materialized token arrays behind an exchange
+       (:func:`barrier` — load-balances documents before the per-row
+       hashing and pins the computed arrays against CollapseProject
+       re-inlining).
+    2. k-window hashes via :func:`word_shingles` + md5, posexplode to a
+       SLIM (id, pos, hash) projection.
+    3. First-occurrence decision = ``min(struct(id, pos))`` + count
+       AGGREGATE keyed by hash — fully partial-aggregatable, so a
+       million-occurrence boilerplate window contributes one partial row
+       per map partition (never a corpus-wide window function).
+    4. Keep-verdicts join back occurrence rows to the count>1 hashes —
+       digests-only equi-join, AQE splits any hot hash.
+    5. Dropped window starts aggregate per document; covered token
+       positions expand in-plan (sequence/flatten/array_distinct) and a
+       single indexed array filter rebuilds the text — per-row work,
+       no further shuffle.
+
+    Returns ``id_col, {text_col} (reassembled), n_tokens, n_removed``.
+    Documents with fewer than k tokens pass through untouched (their
+    window array is NULL; posexplode of NULL emits nothing). The
+    single-space split round-trips exactly (split + join with the same
+    delimiter preserves empty fields), so untouched documents are
+    byte-identical to their input.
+
+    Reference parity: the reference pipeline leaves content dedup to
+    user task code (WorkerTask.java:50); this is the standard
+    training-corpus stage that code would implement.
+    """
+    from kafka_workers_spark.operators.dedup import barrier
+
+    staged = barrier(
+        docs.select(id_col, F.split(F.col(text_col), " ").alias("__toks"))
+    )
+    win_hashes = F.transform(
+        word_shingles(F.col("__toks"), k),
+        lambda s: F.substring(F.md5(s), 1, prefix_len),
+    )
+    occ = staged.select(
+        id_col, F.posexplode(win_hashes).alias("__pos", "__h")
+    )
+    dups = (
+        occ.groupBy("__h")
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.min(F.struct(id_col, "__pos")).alias("__first"),
+        )
+        .filter(F.col("__cnt") > 1)
+        .select(
+            "__h",
+            F.col("__first").getField(id_col).alias("__fid"),
+            F.col("__first").getField("__pos").alias("__fpos"),
+        )
+    )
+    drops = (
+        occ.join(dups, "__h")
+        .filter(
+            ~((F.col(id_col) == F.col("__fid")) & (F.col("__pos") == F.col("__fpos")))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__wins"))
+    )
+    covered = F.array_distinct(
+        F.flatten(F.transform("__wins", lambda w: F.sequence(w, w + k - 1)))
+    )
+    joined = staged.join(drops, id_col, "left").withColumn(
+        "__cov", F.when(F.col("__wins").isNotNull(), covered)
+    )
+    kept = F.when(F.col("__cov").isNull(), F.col("__toks")).otherwise(
+        F.filter(
+            F.col("__toks"), lambda t, i: ~F.array_contains(F.col("__cov"), i)
+        )
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias(text_col),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size("__cov"), F.lit(0)).cast("bigint").alias("n_removed"),
+    )
+
+
 #: (pattern, replacement) redaction rules — conservative, precision-first
 #: (a training pipeline prefers leaving an ambiguous token over mangling
 #: prose); extend per deployment policy.

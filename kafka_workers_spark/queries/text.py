@@ -523,3 +523,61 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             winnowing_fingerprints(F.col("shingles"), window=_WIN_W, prefix_len=_WIN_PREFIX)
         ).alias("fp"),
     )
+
+
+_SUB_K = 8  # window length for the testdata corpus (~50-token docs);
+# the operator default is the paper's k=50 for web-scale text
+
+
+@register(
+    "text_dedup_substrings",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    occ AS (
+      SELECT doc_id,
+             UNNEST([{{'pos': i - 1,
+                      'wh': substr(md5(array_to_string(toks[i:i+{_SUB_K - 1}], ' ')), 1, 16)}}
+                     FOR i IN generate_series(1, len(toks) - {_SUB_K - 1})],
+                    recursive := true)
+      FROM base WHERE len(toks) >= {_SUB_K}
+    ),
+    ranked AS (
+      SELECT doc_id, pos, wh,
+             ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+             COUNT(*) OVER (PARTITION BY wh) AS cnt
+      FROM occ
+    ),
+    cov AS (
+      SELECT doc_id,
+             list_distinct(flatten(list(generate_series(pos, pos + {_SUB_K - 1})))) AS cov
+      FROM ranked WHERE cnt > 1 AND rn > 1
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(array_to_string([b.toks[i] FOR i IN generate_series(1, len(b.toks))
+                                     IF c.cov IS NULL OR NOT list_contains(c.cov, i - 1)],
+                                    ' '), '') AS text,
+           CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed
+    FROM base b LEFT JOIN cov c USING (doc_id)
+    """,
+    category="text",
+    windowed=False,
+)
+def text_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring dedup (operators.text.dedup_substrings,
+    Lee et al. 2021 ExactSubstr, token-aligned): every corpus-duplicated
+    run of >= k tokens keeps only its first occurrence; texts are
+    reassembled around the cut spans. The oracle replays the semantics
+    naively (a global ROW_NUMBER window over window-hash occurrences);
+    the Spark operator computes the same first-occurrence verdict as a
+    skew-safe min(struct) aggregate — identical output, different
+    physical shape, which is exactly what the cross-engine check is
+    for. k=8 here so the testdata's repeated sentences actually trip
+    the path (the operator default is the paper's k=50)."""
+    from kafka_workers_spark.operators.text import dedup_substrings
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_substrings(d, k=_SUB_K)

@@ -37,9 +37,13 @@ def test_topk_avoids_global_sort_shuffle(spark):
 
 def test_no_cartesian_products_anywhere(spark):
     """No registered query may plan a cartesian product — the scale
-    guardrail for the whole inventory."""
+    guardrail for the whole inventory, INCLUDING the off-window overflow
+    registry (rotation must never move a query out of the guard's
+    reach)."""
+    from kafka_workers_spark.queries import load_extra
+
     offenders = []
-    for name, spec in REG.items():
+    for name, spec in {**REG, **load_extra()}.items():
         a = audit(spec.fn(spark, SF))
         if a.cartesian_products:
             offenders.append(name)

@@ -342,3 +342,75 @@ def test_dedup_paragraphs_corpus_scope_plans_no_window(spark):
     assert re.search(r"partial_min\(", plan.text) or re.search(
         r"Functions \[partial[^\]]*min\(", plan.text
     ), plan.text[:2000]
+
+
+# ---------------------------------------------------------------------------
+# dedup_substrings (Lee et al. 2021 ExactSubstr, token-aligned)
+# ---------------------------------------------------------------------------
+
+
+def _subdup_corpus(spark):
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, f"intro one {span} tail one"),
+        (2, f"different head {span} different tail"),
+        (3, "completely unique text with  double space preserved"),
+        (4, "short doc"),
+        (5, span),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_substrings_keeps_first_occurrence_only(spark):
+    """A repeated 8-token run survives in the lowest-(doc,pos) document
+    only; every other copy is cut with the surrounding text reassembled."""
+    from kafka_workers_spark.operators.text import dedup_substrings
+
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in dedup_substrings(_subdup_corpus(spark), k=8).collect()
+    }
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    assert got[1] == (f"intro one {span} tail one", 12, 0)  # first occurrence kept
+    assert got[2] == ("different head different tail", 12, 8)
+    assert got[5] == ("", 8, 8)  # wholly-duplicated doc empties out
+    # unique docs round-trip byte-identically (incl. the double space)
+    assert got[3] == ("completely unique text with  double space preserved", 8, 0)
+    # below-k docs never enter the window path
+    assert got[4] == ("short doc", 2, 0)
+
+
+def test_dedup_substrings_long_run_cut_whole(spark):
+    """A duplicated run LONGER than k is covered by its overlapping
+    k-windows and removed end to end, not just the first k tokens."""
+    from kafka_workers_spark.operators.text import dedup_substrings
+
+    run = " ".join(f"w{i}" for i in range(12))  # 12-token duplicated run
+    df = spark.createDataFrame(
+        [(1, f"keep {run}"), (2, f"other {run} ending")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_removed) for r in dedup_substrings(df, k=8).collect()}
+    assert got[1] == (f"keep {run}", 0)
+    assert got[2] == ("other ending", 12)
+
+
+def test_dedup_substrings_plans_no_window(spark):
+    """Same skew discipline as dedup_paragraphs: the first-occurrence
+    decision must be a partial min(struct)+count aggregate keyed by the
+    window hash, never a hash-partitioned window function (a boilerplate
+    window repeated millions of times would otherwise sort its whole
+    occurrence set on one task)."""
+    import re
+
+    from kafka_workers_spark.operators.text import dedup_substrings
+    from kafka_workers_spark.plans import audit
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    plan = audit(dedup_substrings(docs, k=8))
+    assert not re.search(r"^\(\d+\) Window\b", plan.text, re.MULTILINE), plan.text[:2000]
+    assert re.search(r"partial_min\(", plan.text) or re.search(
+        r"Functions \[partial[^\]]*min\(", plan.text
+    ), plan.text[:2000]
+    assert plan.cartesian_products == 0 and plan.python_evals == 0
