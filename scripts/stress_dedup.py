@@ -213,6 +213,139 @@ def run_paragraph_stress(replicas: int) -> int:
     return 0
 
 
+#: a 60-token licence block — longer than the paper's k=50, so the k=50
+#: windows inside it are duplicated across every document that carries it
+LICENCE_BLOCK = " ".join(
+    (
+        "this software is provided by the copyright holders and contributors "
+        "as is and any express or implied warranties including but not limited "
+        "to the implied warranties of merchantability and fitness for a "
+        "particular purpose are disclaimed in no event shall the copyright "
+        "holder or contributors be liable for any direct indirect incidental "
+        "special exemplary or consequential damages however caused and on any "
+        "theory of liability arising in any way out of the use of this software"
+    ).split()[:60]
+)
+
+
+def _dedup_substrings_window_shape(docs, k=50, id_col="doc_id", text_col="text"):
+    """The naive first-occurrence shape for dedup_substrings: a corpus-wide
+    row_number() window PARTITIONED BY window hash. Script-only baseline —
+    on a boilerplate-heavy corpus each hot hash's full occurrence set
+    sorts on ONE task, which is what the shipped min(struct) aggregate
+    avoids. Semantics identical (no (id, pos) ties by construction)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.dedup import barrier
+    from kafka_workers_spark.operators.text import word_shingles
+
+    staged = barrier(docs.select(id_col, F.split(F.col(text_col), " ").alias("__toks")))
+    win_hashes = F.transform(
+        word_shingles(F.col("__toks"), k), lambda s: F.substring(F.md5(s), 1, 16)
+    )
+    occ = staged.select(id_col, F.posexplode(win_hashes).alias("__pos", "__h"))
+    w = W.partitionBy("__h").orderBy(id_col, "__pos")
+    ranked = (
+        occ.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count("*").over(W.partitionBy("__h")))
+        .filter((F.col("__cnt") > 1) & (F.col("__rn") > 1))
+    )
+    drops = ranked.groupBy(id_col).agg(F.collect_list("__pos").alias("__wins"))
+    covered = F.array_distinct(
+        F.flatten(F.transform("__wins", lambda x: F.sequence(x, x + k - 1)))
+    )
+    joined = staged.join(drops, id_col, "left").withColumn(
+        "__cov", F.when(F.col("__wins").isNotNull(), covered)
+    )
+    kept = F.when(F.col("__cov").isNull(), F.col("__toks")).otherwise(
+        F.filter(F.col("__toks"), lambda t, i: ~F.array_contains(F.col("__cov"), i))
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias(text_col),
+        F.coalesce(F.size("__cov"), F.lit(0)).cast("bigint").alias("n_removed"),
+    )
+
+
+def run_substr_stress(replicas: int) -> int:
+    """Timed skew rep for dedup_substrings: a corpus where ONE 60-token
+    licence block is appended to 50% of documents, so each k=50 window
+    inside the block occurs in half the corpus — the hot-hash
+    distribution the operator's min(struct) aggregate is built for.
+    Times the shipped aggregate shape against the naive window shape and
+    asserts identical total tokens removed."""
+    import duckdb
+
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(f"{DST}/documents.parquet", exist_ok=True)
+    con = duckdb.connect()
+    for i in range(replicas):
+        con.execute(
+            f"""
+            COPY (
+              SELECT doc_id + {i * ID_STRIDE} AS doc_id,
+                     CASE WHEN (doc_id + {i}) % 100 < 50
+                          THEN text || ' ' || '{LICENCE_BLOCK}'
+                          ELSE text END AS text,
+                     lang, source, n_chars
+              FROM '{SRC}/documents.parquet'
+            ) TO '{DST}/documents.parquet/part-{i:02d}.parquet' (FORMAT PARQUET)
+            """
+        )
+    con.close()
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stress_substr_dedup")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "true")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.text import dedup_substrings
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, DST, "documents").select("doc_id", "text")
+    n_docs = docs.count()  # warm the scan
+    print(f"== licence corpus: {n_docs} docs, one 60-token block in ~50%")
+    shapes = {
+        "window (naive)": lambda: _dedup_substrings_window_shape(docs, k=50),
+        "aggregate (shipped)": lambda: dedup_substrings(docs, k=50),
+    }
+    removed = {}
+    for tag, build in shapes.items():
+        sc = spark.sparkContext
+        group = f"substr-{tag.split()[0]}"
+        sc.setJobGroup(group, tag)
+        t0 = time.perf_counter()
+        stats = build().agg(
+            F.sum("n_removed").alias("toks"),
+            F.sum((F.col("n_removed") > 0).cast("bigint")).alias("docs"),
+        ).first()
+        wall = time.perf_counter() - t0
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        worst = _max_task_ms(spark, group)
+        removed[tag] = (stats.toks, stats.docs)
+        print(
+            f"{tag:20s} wall={wall:6.2f}s max_task="
+            f"{'n/a' if worst is None else f'{worst / 1000.0:.2f}s'} "
+            f"tokens_removed={stats.toks} docs_touched={stats.docs}",
+            flush=True,
+        )
+    a, b = removed.values()
+    assert a == b, f"aggregate shape diverged from the naive window: {removed}"
+    spark.stop()
+    return 0
+
+
 def run_cap_stress(replicas: int) -> int:
     """Timed skew rep for cap_per_key's two-path plan: a corpus where one
     key holds ~50% of all rows (the exact distribution the operator
@@ -310,11 +443,18 @@ def main() -> int:
         action="store_true",
         help="run the cap_per_key hot-key skew stress instead",
     )
+    ap.add_argument(
+        "--substr",
+        action="store_true",
+        help="run the dedup_substrings hot-window skew stress instead",
+    )
     args = ap.parse_args()
     if args.paragraphs:
         return run_paragraph_stress(args.replicas)
     if args.cap:
         return run_cap_stress(args.replicas)
+    if args.substr:
+        return run_substr_stress(args.replicas)
     build_corpus(args.replicas)
 
     from pyspark.sql import SparkSession
