@@ -731,3 +731,130 @@ def tfidf_topk(
         .filter(F.col("rank") <= top_k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cosine")
     )
+
+
+def bigram_lm_score(
+    docs,
+    ref_docs=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    vocab_size: int | None = None,
+):
+    """CCNet-style statistical language-model quality scoring (Wenzek et
+    al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data", arXiv:1911.00359 — there a KenLM 5-gram over
+    Wikipedia; here the Spark-native equivalent: an add-α smoothed
+    BIGRAM model trained on ``ref_docs`` and scored over ``docs``).
+    Documents whose token transitions look unlike the reference corpus
+    (gibberish, word salad, boilerplate lists) score high perplexity —
+    the standard model-based quality signal one step above
+    :func:`gopher_filter`'s rule heuristics.
+
+    Per-token transition probability ``p(cur|prev) = (c(prev,cur) + α) /
+    (c(prev) + α·V)``; a document's score is the mean log-probability of
+    its transitions and ``ppl = exp(-avg_logprob)``. ``ref_docs=None``
+    self-scores (train and score on the same corpus — every transition
+    then has count >= 1). Tokens are whitespace tokens over
+    :func:`normalized` text (the same engine-portable tokenization the
+    TF-IDF family uses).
+
+    Build is JOB-FREE (package contract): context counts derive from the
+    bigram-count aggregate (``c(prev) = Σ_w c(prev,w)`` — the correct
+    bigram denominator, and one aggregate over the small counts table
+    instead of a second corpus shuffle), and V either comes in as
+    ``vocab_size`` (catalog stats — folds in as a literal) or derives
+    IN-PLAN as the distinct-token count over the same counts table (a
+    one-row broadcast, no eager action). Derived-V semantics: tokens
+    observed in some transition — a token occurring only in one-token
+    documents is invisible to the model; pass ``vocab_size`` when the
+    denominator must include them.
+
+    Shape at scale: two partial-aggregatable shuffles build the model
+    (bigram counts; context counts over that output), the scoring join
+    ships SLIM (id, prev, cur) rows against the counts tables (hot
+    transitions like "of the" are 1-to-N equi-join fans AQE splits),
+    and the per-document aggregate is keyed by ``id_col``. No document
+    payloads shuffle. Returns one row per input document:
+    ``id_col, n_bigrams, n_unseen, sum_bigram_count, sum_context_count,
+    avg_logprob, ppl`` — the first five are exact integers (the
+    DuckDB-oracle surface; ln() differs across engines in the last ulp,
+    so the float columns are verified by a differential test instead),
+    NULL floats / zero counts for documents with fewer than two tokens.
+
+    Reference parity: content scoring lives in user task code in the
+    reference (WorkerTask.java:50); this is the curation stage that code
+    would implement.
+    """
+    from kafka_workers_spark.operators.dedup import barrier
+
+    def transitions(frame):
+        toks = F.filter(
+            tokens(normalized(F.col(text_col))), lambda t: F.length(t) > 0
+        )
+        staged = barrier(frame.select(id_col, toks.alias("__toks")))
+        pairs = F.when(
+            F.size("__toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("__toks", i + 1).alias("__prev"),
+                    F.element_at("__toks", i + 2).alias("__cur"),
+                ),
+            ),
+        )
+        return staged.select(
+            id_col, F.explode(pairs).alias("__bg")
+        ).select(id_col, "__bg.__prev", "__bg.__cur")
+
+    ref = transitions(ref_docs if ref_docs is not None else docs)
+    cb = ref.groupBy("__prev", "__cur").agg(F.count("*").alias("__cb"))
+    cb = barrier(cb, "__prev")  # feeds cc, V, and the scoring join once
+    cc = cb.groupBy("__prev").agg(F.sum("__cb").alias("__cc"))
+    if vocab_size is not None:
+        v_col = F.lit(int(vocab_size)).cast("bigint")
+        scored_base = transitions(docs) if ref_docs is not None else ref
+    else:
+        v_row = (
+            cb.select(F.explode(F.array("__prev", "__cur")).alias("__t"))
+            .agg(F.count_distinct("__t").alias("__v"))
+        )
+        scored_base = (transitions(docs) if ref_docs is not None else ref).crossJoin(
+            F.broadcast(v_row)
+        )
+        v_col = F.col("__v")
+    joined = (
+        scored_base.join(cc, "__prev", "left")
+        .join(cb, ["__prev", "__cur"], "left")
+        .select(
+            id_col,
+            F.coalesce("__cb", F.lit(0)).cast("bigint").alias("__cb"),
+            F.coalesce("__cc", F.lit(0)).cast("bigint").alias("__cc"),
+            v_col.alias("__v"),
+        )
+    )
+    a = float(alpha)
+    logp = F.log(
+        (F.col("__cb").cast("double") + F.lit(a))
+        / (F.col("__cc").cast("double") + F.lit(a) * F.col("__v").cast("double"))
+    )
+    stats = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum((F.col("__cb") == 0).cast("bigint")).alias("n_unseen"),
+        F.sum("__cb").alias("sum_bigram_count"),
+        F.sum("__cc").alias("sum_context_count"),
+        F.avg(logp).alias("avg_logprob"),
+    )
+    return (
+        docs.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("n_unseen", F.lit(0)).cast("bigint").alias("n_unseen"),
+            F.coalesce("sum_bigram_count", F.lit(0)).cast("bigint").alias("sum_bigram_count"),
+            F.coalesce("sum_context_count", F.lit(0)).cast("bigint").alias("sum_context_count"),
+            F.col("avg_logprob"),
+            F.exp(-F.col("avg_logprob")).alias("ppl"),
+        )
+    )

@@ -581,3 +581,64 @@ def text_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup_substrings(d, k=_SUB_K)
+
+
+_LM_TOKS_SQL = f"list_filter(string_split({sql_normalized('text')}, ' '), t -> len(t) > 0)"
+
+
+@register(
+    "text_lm_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_LM_TOKS_SQL} AS toks FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             UNNEST([{{'prev': toks[i], 'cur': toks[i+1]}}
+                     FOR i IN generate_series(1, len(toks) - 1)],
+                    recursive := true)
+      FROM base WHERE len(toks) >= 2
+    ),
+    cb AS (
+      SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM big WHERE doc_id % 2 = 0 GROUP BY prev, cur
+    ),
+    cc AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cc FROM cb GROUP BY prev)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(s.n_unseen, 0) AS BIGINT) AS n_unseen,
+           CAST(COALESCE(s.sum_bigram_count, 0) AS BIGINT) AS sum_bigram_count,
+           CAST(COALESCE(s.sum_context_count, 0) AS BIGINT) AS sum_context_count
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN (
+      SELECT g.doc_id,
+             COUNT(*) AS n_bigrams,
+             SUM(CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END) AS n_unseen,
+             SUM(COALESCE(cb.cb, 0)) AS sum_bigram_count,
+             SUM(COALESCE(cc.cc, 0)) AS sum_context_count
+      FROM big g
+      LEFT JOIN cb ON g.prev = cb.prev AND g.cur = cb.cur
+      LEFT JOIN cc ON g.prev = cc.prev
+      GROUP BY g.doc_id
+    ) s USING (doc_id)
+    """,
+    category="text",
+    windowed=False,
+)
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality scoring
+    (operators.text.bigram_lm_score, Wenzek et al. 2020): the model
+    trains on the even-doc_id half of the corpus and scores EVERY
+    document, so the unseen-transition path is exercised. The registered
+    surface is the operator's exact-integer columns (transition counts);
+    its float columns (avg_logprob/ppl) hit libm ln(), which differs
+    across engines in the last ulp, so they are verified by the
+    differential test against a Python reference model instead
+    (tests/test_text_quality.py)."""
+    from kafka_workers_spark.operators.text import bigram_lm_score
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    return bigram_lm_score(d, ref_docs=ref).select(
+        "doc_id", "n_bigrams", "n_unseen", "sum_bigram_count", "sum_context_count"
+    )

@@ -414,3 +414,131 @@ def test_dedup_substrings_plans_no_window(spark):
         r"Functions \[partial[^\]]*min\(", plan.text
     ), plan.text[:2000]
     assert plan.cartesian_products == 0 and plan.python_evals == 0
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_score (CCNet-style model-based quality, Wenzek et al. 2020)
+# ---------------------------------------------------------------------------
+
+
+def _py_bigram_reference(rows, alpha=1.0, train=lambda doc_id: True):
+    """Pure-Python reference model: add-alpha smoothed bigram LM over
+    normalized whitespace tokens, trained on ``train``-selected docs."""
+    import math
+    import re
+    from collections import Counter
+
+    def norm(t):
+        t = re.sub(r"[^a-z0-9 ]", "", t.lower())
+        return [x for x in re.sub(r" +", " ", t).strip().split(" ") if x]
+
+    toks = {r.doc_id: norm(r.text) for r in rows}
+    cb, cc = Counter(), Counter()
+    for did, ts in toks.items():
+        if not train(did):
+            continue
+        for a, b in zip(ts, ts[1:]):
+            cb[(a, b)] += 1
+            cc[a] += 1
+    vocab = len({t for pair in cb for t in pair})
+    out = {}
+    for did, ts in toks.items():
+        bgs = list(zip(ts, ts[1:]))
+        if not bgs:
+            out[did] = (0, 0, 0, 0, None, None)
+            continue
+        lp = sum(
+            math.log((cb[bg] + alpha) / (cc[bg[0]] + alpha * vocab)) for bg in bgs
+        ) / len(bgs)
+        out[did] = (
+            len(bgs),
+            sum(1 for bg in bgs if cb[bg] == 0),
+            sum(cb[bg] for bg in bgs),
+            sum(cc[bg[0]] for bg in bgs),
+            lp,
+            math.exp(-lp),
+        )
+    return out
+
+
+def test_bigram_lm_self_score_matches_python_reference(spark):
+    """Self-scored LM over the test corpus: integer transition stats match
+    the Python reference EXACTLY; avg_logprob/ppl within 1e-9 (ln() is
+    libm — last-ulp differences are why the floats are differential- not
+    oracle-tested)."""
+    from kafka_workers_spark.operators.text import bigram_lm_score
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    expected = _py_bigram_reference(docs.collect())
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_unseen, r.sum_bigram_count, r.sum_context_count,
+                   r.avg_logprob, r.ppl)
+        for r in bigram_lm_score(docs).collect()
+    }
+    assert set(got) == set(expected)
+    for did, exp in expected.items():
+        g = got[did]
+        assert g[:4] == exp[:4], (did, g[:4], exp[:4])
+        if exp[4] is None:
+            assert g[4] is None and g[5] is None
+        else:
+            assert abs(g[4] - exp[4]) < 1e-9, (did, g[4], exp[4])
+            assert abs(g[5] - exp[5]) / exp[5] < 1e-9, (did, g[5], exp[5])
+    # self-scoring means every observed transition is in the model
+    assert all(v[1] == 0 for v in got.values())
+
+
+def test_bigram_lm_ref_corpus_flags_unseen_transitions(spark):
+    """Training on a reference corpus and scoring a disjoint one: unseen
+    transitions get the floor probability alpha/(c(prev)+alpha*V) and are
+    counted; a gibberish doc scores strictly higher perplexity than an
+    in-distribution one."""
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.text import bigram_lm_score
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [
+            (100, "the quick brown fox"),          # fully in-distribution
+            (101, "zz qq xx vv kk"),               # gibberish: all unseen
+            (102, "solo"),                          # < 2 tokens: NULL floats
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_lm_score(target, ref_docs=ref).collect()}
+    assert got[100].n_unseen == 0 and got[100].n_bigrams == 3
+    assert got[101].n_unseen == 4 and got[101].sum_bigram_count == 0
+    assert got[102].n_bigrams == 0 and got[102].ppl is None
+    assert got[101].ppl > got[100].ppl
+    # expected floor: ref has V=8 distinct transition tokens, unseen ctx -> 1/V
+    import math
+    assert abs(got[101].avg_logprob - math.log(1.0 / 8.0)) < 1e-12
+
+
+def test_bigram_lm_build_runs_no_job(spark):
+    """Same job-free-build contract as tfidf_weights: counts, derived V
+    (one-row broadcast) and the scoring joins are all in-plan — operator
+    construction runs NO Spark job, and the plan stays window-free and
+    Python-free."""
+    from kafka_workers_spark.operators.text import bigram_lm_score, dedup_substrings
+    from kafka_workers_spark.plans import audit
+    from kafka_workers_spark.sources.files import load_table
+
+    sc = spark.sparkContext
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    sc.setJobGroup("lm-build-probe", "assert no eager action")
+    try:
+        out = bigram_lm_score(docs)
+        out_ref = bigram_lm_score(docs, ref_docs=docs.limit(100))
+        sub = dedup_substrings(docs, k=8)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("lm-build-probe")) == []
+    for frame in (out, out_ref, sub):
+        a = audit(frame)
+        assert a.cartesian_products == 0 and a.python_evals == 0
