@@ -689,6 +689,58 @@ def sample_by_quality(
     return docs.filter(F.col(score_col) >= F.lit(cutoff))
 
 
+def score_buckets(
+    docs: DataFrame,
+    score_col: str,
+    cuts: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    accuracy: int = 10_000,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Partition a corpus into quantile buckets of a score column — the
+    CCNet head/middle/tail split (Wenzek et al. 2020 §4.4: terciles of
+    LM perplexity, ascending, so "head" is the most in-distribution
+    text; feed :func:`kafka_workers_spark.operators.text.bigram_lm_score`'s
+    ``ppl`` here). A generalization of :func:`sample_by_quality` from
+    one threshold-keep to labelled multi-way bucketing.
+
+    Unlike sample_by_quality's documented-eager cutoff, this is fully
+    JOB-FREE at build: the cut values come from ONE ``percentile_approx``
+    aggregate (mergeable sketch, rank error <= 1/accuracy) carried
+    in-plan as a one-row broadcast — no sort, no window, no per-row rank
+    shuffle, and no action until the caller's first. Bucket boundaries
+    are therefore approximate with sketch error, which is the correct
+    trade at 100 TB (exact terciles would need a global sort).
+
+    Rows with a NULL score get a NULL bucket (they have no rank); if the
+    score column is entirely NULL every bucket is NULL. Boundary rule:
+    ``score <= cut`` goes to the lower bucket.
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need exactly len(cuts)+1 labels, got {len(labels)} labels "
+            f"for {len(cuts)} cuts"
+        )
+    if not all(0.0 < c < 1.0 for c in cuts) or list(cuts) != sorted(set(cuts)):
+        raise ValueError(f"cuts must be strictly increasing within (0, 1): {cuts}")
+    q = docs.agg(
+        F.percentile_approx(
+            score_col, F.array(*[F.lit(float(c)) for c in cuts]), F.lit(accuracy)
+        ).alias("__cuts")
+    )
+    expr = F.when(
+        F.col(score_col).isNull() | F.col("__cuts").isNull(), F.lit(None).cast("string")
+    )
+    for i, lab in enumerate(labels[:-1]):
+        expr = expr.when(F.col(score_col) <= F.element_at("__cuts", i + 1), F.lit(lab))
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return (
+        docs.crossJoin(F.broadcast(q))
+        .withColumn(bucket_col, expr)
+        .drop("__cuts")
+    )
+
+
 def mixture_rates(
     token_counts: dict[str, int],
     target_weights: dict[str, float],

@@ -842,3 +842,40 @@ def test_decontaminate_honors_custom_text_col(spark):
         for r in decontaminate_with_bloom(train, bloom, text_col="body").collect()
     )
     assert via_bloom == [2], via_bloom
+
+
+def test_score_buckets_ccnet_terciles(spark):
+    """CCNet head/middle/tail: 300 distinct scores split into three
+    ~equal quantile buckets, job-free at build, NULL scores get NULL
+    buckets, bad label/cut combinations raise."""
+    import pytest
+
+    from kafka_workers_spark.pipeline import score_buckets
+
+    rows = [(i, float(i)) for i in range(300)] + [(900, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, score double")
+    sc = spark.sparkContext
+    sc.setJobGroup("buckets-build-probe", "assert no eager action")
+    try:
+        out = score_buckets(docs, "score")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("buckets-build-probe")) == []
+    got = {r.doc_id: r.bucket for r in out.collect()}
+    assert got[900] is None
+    counts = {b: sum(1 for v in got.values() if v == b) for b in ("head", "middle", "tail")}
+    # percentile_approx at accuracy 10k is exact on 300 distinct values
+    assert counts == {"head": 100, "middle": 100, "tail": 100}
+    # ascending semantics: lowest scores land in head
+    assert got[0] == "head" and got[150] == "middle" and got[299] == "tail"
+    with pytest.raises(ValueError):
+        score_buckets(docs, "score", cuts=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        score_buckets(docs, "score", cuts=(0.7, 0.3), labels=("a", "b", "c"))
+
+
+def test_score_buckets_all_null_scores(spark):
+    from kafka_workers_spark.pipeline import score_buckets
+
+    docs = spark.createDataFrame([(1, None), (2, None)], "doc_id long, score double")
+    assert [r.bucket for r in score_buckets(docs, "score").collect()] == [None, None]
