@@ -741,6 +741,38 @@ def score_buckets(
     )
 
 
+def temperature_weights(
+    token_counts: dict[str, int], temperature: float = 1.0
+) -> dict[str, float]:
+    """Temperature-smoothed mixture weights from per-stratum token
+    counts — the standard multilingual/domain rebalancing rule
+    (Conneau & Lample 2019, XLM §3.1; also mT5, BLOOM data mixes):
+    ``w_i ∝ p_i^(1/T)`` where ``p_i`` is the stratum's natural share.
+    ``T=1`` reproduces the natural distribution; ``T>1`` flattens it
+    (upweights low-resource strata — the usual direction, e.g. T=3.33
+    for mT5's alpha=0.3); ``T<1`` sharpens it. Returns weights summing
+    to 1.0, ready for :func:`mixture_rates`'s ``target_weights``.
+
+    Driver-side pure math over a strata-sized dict, like
+    :func:`mixture_rates` — the counts come from one tiny aggregate.
+    Note the feasibility interaction: flattening demands MORE tokens
+    from small strata, so a high ``T`` makes :func:`mixture_rates`
+    correctly refuse token budgets a natural mix would satisfy (this
+    engine never upsamples; repeat-epoch weighting belongs in the
+    training loop).
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    if not token_counts:
+        raise ValueError("token_counts is empty")
+    total = float(sum(token_counts.values()))
+    if total <= 0:
+        raise ValueError("token_counts must sum to a positive value")
+    raw = {s: (c / total) ** (1.0 / temperature) for s, c in token_counts.items()}
+    z = sum(raw.values())
+    return {s: v / z for s, v in raw.items()}
+
+
 def mixture_rates(
     token_counts: dict[str, int],
     target_weights: dict[str, float],

@@ -879,3 +879,32 @@ def test_score_buckets_all_null_scores(spark):
 
     docs = spark.createDataFrame([(1, None), (2, None)], "doc_id long, score double")
     assert [r.bucket for r in score_buckets(docs, "score").collect()] == [None, None]
+
+
+def test_temperature_weights_flatten_and_feed_mixture_rates():
+    """T=1 reproduces natural shares; T→inf approaches uniform; T>1
+    strictly upweights the low-resource stratum; output feeds
+    mixture_rates directly, and the flattening correctly tightens
+    feasibility (a budget the natural mix satisfies can be infeasible
+    at high T — no silent upsampling)."""
+    import pytest
+
+    from kafka_workers_spark.pipeline import mixture_rates, temperature_weights
+
+    counts = {"en": 900_000, "de": 90_000, "fr": 10_000}
+    natural = temperature_weights(counts, 1.0)
+    assert natural == pytest.approx({"en": 0.9, "de": 0.09, "fr": 0.01})
+    flat = temperature_weights(counts, 100.0)
+    assert all(abs(v - 1.0 / 3.0) < 0.02 for v in flat.values())
+    t2 = temperature_weights(counts, 2.0)
+    assert t2["fr"] > natural["fr"] and t2["en"] < natural["en"]
+    assert sum(t2.values()) == pytest.approx(1.0)
+    # natural mix at this budget is feasible...
+    assert mixture_rates(counts, natural, 100_000)["fr"] >= 1
+    # ...but near-uniform demands ~33k fr tokens of the 10k available
+    with pytest.raises(ValueError):
+        mixture_rates(counts, flat, 100_000)
+    with pytest.raises(ValueError):
+        temperature_weights(counts, 0.0)
+    with pytest.raises(ValueError):
+        temperature_weights({})
