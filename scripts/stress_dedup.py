@@ -346,6 +346,57 @@ def run_substr_stress(replicas: int) -> int:
     return 0
 
 
+def run_lm_stress(replicas: int) -> int:
+    """Scale rep for bigram_lm_score: self-score sf0.1 and the replicas×
+    corpus (build_corpus — every document in an N-strong near-duplicate
+    cluster, so bigram counts are N× hot: "of the"-style transitions
+    grow linearly with corpus size, stressing the partial aggregates
+    and the 1-to-N scoring join)."""
+    build_corpus(replicas)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stress_lm")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "true")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from kafka_workers_spark.operators.text import bigram_lm_score
+    from kafka_workers_spark.sources.files import load_table
+
+    for sf_dir, tag in ((SRC, "sf0.1"), (DST, f"sf1* ({replicas}x)")):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.count()  # warm the scan
+        sc = spark.sparkContext
+        group = f"lm-{tag.split()[0]}"
+        sc.setJobGroup(group, tag)
+        t0 = time.perf_counter()
+        stats = bigram_lm_score(docs).agg(
+            F.count("*").alias("rows"),
+            F.sum("n_bigrams").alias("transitions"),
+            F.avg("ppl").alias("mean_ppl"),
+        ).first()
+        wall = time.perf_counter() - t0
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        worst = _max_task_ms(spark, group)
+        print(
+            f"bigram_lm_score {tag:12s} wall={wall:6.2f}s max_task="
+            f"{'n/a' if worst is None else f'{worst / 1000.0:.2f}s'} "
+            f"docs={stats.rows} transitions={stats.transitions} "
+            f"mean_ppl={stats.mean_ppl:.3f}",
+            flush=True,
+        )
+    spark.stop()
+    return 0
+
+
 def run_cap_stress(replicas: int) -> int:
     """Timed skew rep for cap_per_key's two-path plan: a corpus where one
     key holds ~50% of all rows (the exact distribution the operator
@@ -448,6 +499,11 @@ def main() -> int:
         action="store_true",
         help="run the dedup_substrings hot-window skew stress instead",
     )
+    ap.add_argument(
+        "--lm",
+        action="store_true",
+        help="run the bigram_lm_score scale rep instead",
+    )
     args = ap.parse_args()
     if args.paragraphs:
         return run_paragraph_stress(args.replicas)
@@ -455,6 +511,8 @@ def main() -> int:
         return run_cap_stress(args.replicas)
     if args.substr:
         return run_substr_stress(args.replicas)
+    if args.lm:
+        return run_lm_stress(args.replicas)
     build_corpus(args.replicas)
 
     from pyspark.sql import SparkSession
