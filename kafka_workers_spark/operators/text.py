@@ -415,6 +415,7 @@ def dedup_substrings(
     text_col: str = "text",
     k: int = 50,
     prefix_len: int = 16,
+    scope: str = "corpus",
 ):
     """Exact duplicated-substring dedup, token-aligned (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better",
@@ -457,6 +458,14 @@ def dedup_substrings(
        single indexed array filter rebuilds the text — per-row work,
        no further shuffle.
 
+    ``scope="corpus"`` (default) dedups across the ENTIRE corpus;
+    ``scope="document"`` keys the first-occurrence aggregate by
+    (doc, hash) instead, cutting only runs repeated WITHIN one document
+    (keyword stuffing, copy-pasted sections) while runs legitimately
+    shared across documents survive once per document — the same
+    scope split as :func:`dedup_paragraphs`, and like there the
+    document pass composes before a corpus pass when both are wanted.
+
     Returns ``id_col, {text_col} (reassembled), n_tokens, n_removed``.
     Documents with fewer than k tokens pass through untouched (their
     window array is NULL; posexplode of NULL emits nothing). The
@@ -468,6 +477,8 @@ def dedup_substrings(
     user task code (WorkerTask.java:50); this is the standard
     training-corpus stage that code would implement.
     """
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"dedup_substrings: unknown scope {scope!r}")
     from kafka_workers_spark.operators.dedup import barrier
 
     staged = barrier(
@@ -480,21 +491,22 @@ def dedup_substrings(
     occ = staged.select(
         id_col, F.posexplode(win_hashes).alias("__pos", "__h")
     )
+    keys = ["__h"] if scope == "corpus" else [id_col, "__h"]
     dups = (
-        occ.groupBy("__h")
+        occ.groupBy(*keys)
         .agg(
             F.count("*").alias("__cnt"),
             F.min(F.struct(id_col, "__pos")).alias("__first"),
         )
         .filter(F.col("__cnt") > 1)
         .select(
-            "__h",
+            *keys,
             F.col("__first").getField(id_col).alias("__fid"),
             F.col("__first").getField("__pos").alias("__fpos"),
         )
     )
     drops = (
-        occ.join(dups, "__h")
+        occ.join(dups, keys)
         .filter(
             ~((F.col(id_col) == F.col("__fid")) & (F.col("__pos") == F.col("__fpos")))
         )

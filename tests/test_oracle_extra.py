@@ -262,3 +262,56 @@ def test_rotated_out_queries_still_match_oracle(spark, spec):
     from tests.oracle import compare_query
 
     compare_query(spark, SF, spec)
+
+
+def test_dedup_substrings_document_scope_matches_duckdb_oracle(spark):
+    """The within-document scope replayed in DuckDB: identical to the
+    corpus-scope oracle (the registered text_dedup_substrings query)
+    except the occurrence window partitions by (doc_id, wh)."""
+    K = 8
+    from kafka_workers_spark.operators.text import dedup_substrings
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in dedup_substrings(docs, k=K, scope="document").collect()
+    }
+
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM '{DOCS}'
+        ),
+        occ AS (
+          SELECT doc_id,
+                 UNNEST([{{'pos': i - 1,
+                          'wh': substr(md5(array_to_string(toks[i:i+{K - 1}], ' ')), 1, 16)}}
+                         FOR i IN generate_series(1, len(toks) - {K - 1})],
+                        recursive := true)
+          FROM base WHERE len(toks) >= {K}
+        ),
+        ranked AS (
+          SELECT doc_id, pos, wh,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, wh ORDER BY pos) AS rn,
+                 COUNT(*) OVER (PARTITION BY doc_id, wh) AS cnt
+          FROM occ
+        ),
+        cov AS (
+          SELECT doc_id,
+                 list_distinct(flatten(list(generate_series(pos, pos + {K - 1})))) AS cov
+          FROM ranked WHERE cnt > 1 AND rn > 1
+          GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               COALESCE(array_to_string([b.toks[i] FOR i IN generate_series(1, len(b.toks))
+                                         IF c.cov IS NULL OR NOT list_contains(c.cov, i - 1)],
+                                        ' '), '') AS text,
+               CAST(len(b.toks) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed
+        FROM base b LEFT JOIN cov c USING (doc_id)
+        """
+    ).fetchall()
+    expected = {r[0]: (r[1], r[2], r[3]) for r in oracle}
+    assert got == expected

@@ -542,3 +542,91 @@ def test_bigram_lm_build_runs_no_job(spark):
     for frame in (out, out_ref, sub):
         a = audit(frame)
         assert a.cartesian_products == 0 and a.python_evals == 0
+
+
+def test_dedup_substrings_property_matches_python_reference(spark):
+    """Randomized corpora over a 3-token alphabet (duplicated runs arise
+    constantly) checked against a direct Python model of the semantics:
+    every non-first occurrence of a duplicated k-window is covered;
+    covered positions are cut; texts reassemble in order. Sampled-batch
+    style (one Spark round-trip per corpus, like test_merge's golden
+    randomization)."""
+    import warnings
+
+    from hypothesis import strategies as st
+    from hypothesis.errors import NonInteractiveExampleWarning
+
+    from kafka_workers_spark.operators.text import dedup_substrings
+
+    K = 3
+    corpus_st = st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14),
+        min_size=1,
+        max_size=12,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", NonInteractiveExampleWarning)
+        corpora = [corpus_st.example() for _ in range(5)]
+    # hand-picked regressions: all-identical docs, empty docs, exact-k docs
+    corpora.append([["a"] * 5, ["a"] * 5, [], ["a", "b", "c"], ["a", "b", "c"]])
+
+    for toks_by_doc in corpora:
+        texts = [(i, " ".join(ts)) for i, ts in enumerate(toks_by_doc)]
+
+        def reference(rows, k):
+            count: dict = {}
+            first: dict = {}
+            for did, text in rows:
+                ts = text.split(" ")
+                for p in range(len(ts) - k + 1):
+                    key = tuple(ts[p : p + k])
+                    count[key] = count.get(key, 0) + 1
+                    first.setdefault(key, (did, p))
+            out = {}
+            for did, text in rows:
+                ts = text.split(" ")
+                cov = set()
+                for p in range(len(ts) - k + 1):
+                    key = tuple(ts[p : p + k])
+                    if count[key] > 1 and first[key] != (did, p):
+                        cov.update(range(p, p + k))
+                kept = [t for i, t in enumerate(ts) if i not in cov]
+                out[did] = (" ".join(kept), len(ts), len(cov))
+            return out
+
+        expected = reference(texts, K)
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_tokens, r.n_removed)
+            for r in dedup_substrings(df, k=K).collect()
+        }
+        assert got == expected, f"corpus={texts}"
+
+
+def test_dedup_substrings_document_scope(spark):
+    """scope="document": a run repeated twice INSIDE one document loses
+    its second copy, but the same run appearing once in each of two
+    documents survives in both (cross-document repeats are corpus
+    scope's job)."""
+    import pytest
+
+    from kafka_workers_spark.operators.text import dedup_substrings
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    df = spark.createDataFrame(
+        [(1, f"{run} middle {run}"), (2, f"also has {run} once")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in dedup_substrings(df, k=8, scope="document").collect()
+    }
+    assert got[1] == (f"{run} middle", 8)
+    assert got[2] == (f"also has {run} once", 0)
+    # corpus scope on the same frame also cuts doc 2's copy
+    got_c = {
+        r.doc_id: r.n_removed for r in dedup_substrings(df, k=8, scope="corpus").collect()
+    }
+    assert got_c == {1: 8, 2: 8}
+    with pytest.raises(ValueError):
+        dedup_substrings(df, scope="page")
