@@ -870,3 +870,51 @@ def bigram_lm_score(
             F.exp(-F.col("avg_logprob")).alias("ppl"),
         )
     )
+
+
+def blocklist_metrics(
+    docs,
+    lexicon: tuple[str, ...],
+    text_col: str = "text",
+    count_col: str = "n_blocked",
+    fraction_col: str = "blocked_fraction",
+):
+    """Token-level blocklist hit metrics (C4, Raffel et al. 2020 §2.2
+    removes any page containing a word from a public "bad words" list;
+    Gopher and CCNet variants threshold on the hit fraction instead).
+    Adds ``count_col`` (hits with multiplicity) and ``fraction_col``
+    (hits / tokens, 0.0 for token-less documents) over whitespace tokens
+    of the :func:`normalized` text — supply the lexicon ALREADY in
+    normalized form (lowercase alphanumeric), or entries can never
+    match. The lexicon folds in as an array literal (broadcast-free,
+    single codegen scan, no shuffle); ship a join-based variant instead
+    if a deployment's list outgrows a literal (thousands of entries).
+    """
+    toks = F.filter(tokens(normalized(F.col(text_col))), lambda t: F.length(t) > 0)
+    hits = stopword_hits(toks, lexicon)
+    n = F.size(toks)
+    return docs.withColumn(count_col, hits).withColumn(
+        fraction_col,
+        F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0)),
+    )
+
+
+def blocklist_filter(
+    docs,
+    lexicon: tuple[str, ...],
+    max_fraction: float = 0.0,
+    text_col: str = "text",
+):
+    """Drop documents whose blocklist hit fraction exceeds
+    ``max_fraction``. The default 0.0 is C4's rule (any hit drops the
+    page); CCNet-style deployments pass a small positive threshold so a
+    single quoted word cannot delete an otherwise clean document. Pure
+    pushable filter over :func:`blocklist_metrics`' columns, which are
+    dropped again — compose metrics yourself to keep the audit trail.
+    """
+    if not 0.0 <= max_fraction <= 1.0:
+        raise ValueError(f"max_fraction must be in [0, 1], got {max_fraction}")
+    m = blocklist_metrics(docs, lexicon, text_col=text_col)
+    return m.filter(F.col("blocked_fraction") <= F.lit(float(max_fraction))).drop(
+        "n_blocked", "blocked_fraction"
+    )

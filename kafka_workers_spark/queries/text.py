@@ -642,3 +642,52 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(d, ref_docs=ref).select(
         "doc_id", "n_bigrams", "n_unseen", "sum_bigram_count", "sum_context_count"
     )
+
+
+#: placeholder blocklist for the testdata corpus — real deployments pass
+#: their policy list (normalized form) to the operator
+_BLOCK_LEX = ("window", "merge", "join")
+_BLOCK_MAX_FRACTION = 0.05
+_BLOCK_TOKS_SQL = _LM_TOKS_SQL  # normalized non-empty whitespace tokens
+
+
+@register(
+    "text_blocklist",
+    f"""
+    SELECT doc_id, n_tokens, n_blocked,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END AS blocked_fraction,
+           (CASE WHEN n_tokens > 0
+                 THEN CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 ELSE 0.0 END) <= {_BLOCK_MAX_FRACTION} AS keep
+    FROM (
+      SELECT doc_id,
+             CAST(len({_BLOCK_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             {sql_stopword_hits(_BLOCK_TOKS_SQL, _BLOCK_LEX)} AS n_blocked
+      FROM documents
+    )
+    """,
+    category="text",
+    windowed=False,
+)
+def text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist metrics + C4-style keep verdict
+    (operators.text.blocklist_metrics / blocklist_filter, Raffel et al.
+    2020 §2.2): hit counts and fractions over normalized tokens, with
+    keep = fraction <= threshold. The placeholder lexicon picks
+    high-frequency testdata words so both verdicts occur; the fraction
+    divisions are fixed-operand-order doubles, bit-identical across
+    engines (the text_profile discipline)."""
+    from kafka_workers_spark.operators.text import blocklist_metrics, normalized, tokens
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = blocklist_metrics(d, _BLOCK_LEX)
+    toks = F.filter(tokens(normalized(F.col("text"))), lambda t: F.length(t) > 0)
+    return m.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        "n_blocked",
+        "blocked_fraction",
+        (F.col("blocked_fraction") <= F.lit(_BLOCK_MAX_FRACTION)).alias("keep"),
+    )

@@ -630,3 +630,36 @@ def test_dedup_substrings_document_scope(spark):
     assert got_c == {1: 8, 2: 8}
     with pytest.raises(ValueError):
         dedup_substrings(df, scope="page")
+
+
+def test_blocklist_filter_c4_rule_and_threshold(spark):
+    """C4 default (max_fraction=0.0): any hit drops the page; a small
+    positive threshold spares a document with one quoted word; the
+    lexicon matches in NORMALIZED space (punctuation and case do not
+    hide a hit); token-less docs always survive."""
+    import pytest
+
+    from kafka_workers_spark.operators.text import blocklist_filter, blocklist_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "perfectly clean text here"),
+            (2, "one Bad-Word! among twenty other perfectly acceptable words "
+                "of ordinary prose in this sentence overall today"),
+            (3, "badword badword badword"),
+            (4, "???"),
+        ],
+        "doc_id long, text string",
+    )
+    lex = ("badword",)
+    m = {r.doc_id: (r.n_blocked, r.blocked_fraction) for r in blocklist_metrics(docs, lex).collect()}
+    assert m[1] == (0, 0.0)
+    assert m[2][0] == 1  # "Bad-Word!" normalizes to "badword"
+    assert m[3] == (3, 1.0)
+    assert m[4] == (0, 0.0)  # normalizes to empty: no tokens, fraction 0
+    strict = {r.doc_id for r in blocklist_filter(docs, lex).collect()}
+    assert strict == {1, 4}
+    lenient = {r.doc_id for r in blocklist_filter(docs, lex, max_fraction=0.1).collect()}
+    assert lenient == {1, 2, 4}
+    with pytest.raises(ValueError):
+        blocklist_filter(docs, lex, max_fraction=1.5)
