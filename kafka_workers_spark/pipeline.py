@@ -142,21 +142,32 @@ def _cleaned(
     min_tokens: int,
     redact: bool = False,
     paragraph_dedup: bool = False,
+    blocklist: tuple[str, ...] | None = None,
+    substring_dedup: int | None = None,
 ) -> DataFrame:
-    """The shared cleaning prefix: [PII redaction →] quality-filter →
-    [global paragraph dedup →] exact dedup over normalized text → LSH
-    near-dedup. One definition so the chunking path (curate_corpus) and
-    the mix build (prepare_training_mix) can never silently diverge.
+    """The shared cleaning prefix: [PII redaction →] [blocklist →]
+    quality-filter → [global paragraph dedup →] [global substring
+    dedup →] exact dedup over normalized text → LSH near-dedup. One
+    definition so the chunking path (curate_corpus) and the mix build
+    (prepare_training_mix) can never silently diverge.
 
     Stage order is deliberate: redaction first (so dedup digests see the
     redacted form — two docs differing only in PII values collapse);
-    paragraph dedup before whole-doc dedup (cross-document boilerplate
-    removal changes document digests, and stripping it FIRST lets
-    otherwise-identical pages collapse in the exact pass)."""
+    the blocklist next (a pure scan filter — C4's any-hit rule, pass
+    the lexicon in normalized form — cutting documents before any
+    heavy stage spends work on them); span dedup (paragraphs, then
+    ``substring_dedup``-token runs — coarse to fine, and paragraph
+    removal changes window positions, not the surviving runs) before
+    whole-doc dedup, because stripping cross-document boilerplate FIRST
+    lets otherwise-identical pages collapse in the exact pass."""
     if redact:
         from kafka_workers_spark.operators.text import redact_pii
 
         docs = redact_pii(docs, text_col=text_col)
+    if blocklist is not None:
+        from kafka_workers_spark.operators.text import blocklist_filter
+
+        docs = blocklist_filter(docs, blocklist, text_col=text_col)
     filtered = quality_filter(docs, text_col, min_tokens=min_tokens)
     if paragraph_dedup:
         from kafka_workers_spark.operators.text import dedup_paragraphs
@@ -164,6 +175,14 @@ def _cleaned(
         kept = dedup_paragraphs(filtered, id_col=id_col, text_col=text_col)
         filtered = filtered.drop(text_col).join(
             kept.filter(F.col("n_paragraphs") > F.col("n_dropped")).select(id_col, text_col),
+            id_col,
+        )
+    if substring_dedup is not None:
+        from kafka_workers_spark.operators.text import dedup_substrings
+
+        kept = dedup_substrings(filtered, id_col=id_col, text_col=text_col, k=substring_dedup)
+        filtered = filtered.drop(text_col).join(
+            kept.filter(F.col("n_tokens") > F.col("n_removed")).select(id_col, text_col),
             id_col,
         )
     exact = exact_dedup(
@@ -183,18 +202,24 @@ def curate_corpus(
     overlap: int = 16,
     redact: bool = False,
     paragraph_dedup: bool = False,
+    blocklist: tuple[str, ...] | None = None,
+    substring_dedup: int | None = None,
     max_per_key: tuple[list[str], int] | None = None,
 ) -> DataFrame:
-    """[PII redaction →] quality-filter → [global paragraph dedup →]
-    exact dedup (normalized text) → LSH near-dedup → [per-key cap →]
+    """[PII redaction →] [blocklist →] quality-filter → [global
+    paragraph dedup →] [global substring dedup →] exact dedup
+    (normalized text) → LSH near-dedup → [per-key cap →]
     overlapping chunks. Returns chunk rows ready for tokenization.
-    ``redact`` and ``paragraph_dedup`` opt into the round-4 text stages
+    ``redact``, ``paragraph_dedup``, ``blocklist`` (normalized-form
+    lexicon, C4 any-hit rule) and ``substring_dedup`` (the ExactSubstr
+    window length k, e.g. 50) opt into the text stages
     (see _cleaned for why the order is what it is);
     ``max_per_key=(key_cols, cap)`` opts into the anti-domain-dominance
     cap (:func:`cap_per_key`) AFTER dedup — capping pre-dedup would let
     a domain's duplicates consume its budget."""
     near = _cleaned(docs, id_col, text_col, min_tokens,
-                    redact=redact, paragraph_dedup=paragraph_dedup)
+                    redact=redact, paragraph_dedup=paragraph_dedup,
+                    blocklist=blocklist, substring_dedup=substring_dedup)
     if max_per_key is not None:
         key_cols, cap = max_per_key
         near = cap_per_key(near, key_cols, cap, id_col=id_col)
@@ -385,6 +410,8 @@ def prepare_training_mix(
     min_tokens: int = 5,
     redact: bool = False,
     paragraph_dedup: bool = False,
+    blocklist: tuple[str, ...] | None = None,
+    substring_dedup: int | None = None,
     quality_keep_fraction: float | None = None,
     scorer=None,
     max_per_key: tuple[list[str], int] | None = None,
@@ -416,7 +443,8 @@ def prepare_training_mix(
             "prepare_training_mix: pass eval_docs OR eval_bloom, not both"
         )
     clean = _cleaned(docs, id_col, text_col, min_tokens,
-                     redact=redact, paragraph_dedup=paragraph_dedup)
+                     redact=redact, paragraph_dedup=paragraph_dedup,
+                     blocklist=blocklist, substring_dedup=substring_dedup)
     if quality_keep_fraction is not None:
         from kafka_workers_spark.operators.scoring import score_documents
 

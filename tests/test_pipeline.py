@@ -908,3 +908,38 @@ def test_temperature_weights_flatten_and_feed_mixture_rates():
         temperature_weights(counts, 0.0)
     with pytest.raises(ValueError):
         temperature_weights({})
+
+
+def test_curate_corpus_blocklist_and_substring_stages(spark):
+    """The opt-in blocklist and substring-dedup stages compose into the
+    curation chain: a blocked doc disappears entirely; a cross-document
+    duplicated run survives only at its first occurrence in the chunked
+    output; with both opts off the chain behaves as before."""
+    from kafka_workers_spark.pipeline import curate_corpus
+
+    run = " ".join(f"tok{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"clean document with the shared run {run} inside it"),
+            (2, f"another page carrying {run} plus its own unique ending words"),
+            (3, "spam spam forbidden spam spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs,
+        min_tokens=3,
+        chunk_tokens=64,
+        overlap=8,
+        blocklist=("forbidden",),
+        substring_dedup=8,
+    )
+    rows = out.collect()
+    ids = {r.doc_id for r in rows}
+    assert 3 not in ids  # blocklisted
+    text_by_id = {r.doc_id: " ".join(c.chunk_text for c in rows if c.doc_id == r.doc_id) for r in rows}
+    assert run in text_by_id[1]       # first occurrence kept
+    assert run not in text_by_id[2]   # second occurrence cut
+    # defaults untouched: all three docs survive without the opt-ins
+    base_ids = {r.doc_id for r in curate_corpus(docs, min_tokens=3, chunk_tokens=64, overlap=8).collect()}
+    assert base_ids == {1, 2, 3}
