@@ -610,7 +610,8 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_json_timestamp",
-    """
+    windowed=False,
+    oracle="""
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
            CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS ev_hour,
@@ -741,7 +742,7 @@ _SUBQUERY_SQL = """
     """
 
 
-@register("subquery_scalar_in", _SUBQUERY_SQL)
+@register("subquery_scalar_in", _SUBQUERY_SQL, windowed=False)
 def subquery_scalar_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery + IN-subquery in one statement. Catalyst plans the
     scalar aggregate as a tiny broadcast subquery (no shuffle of the fact)

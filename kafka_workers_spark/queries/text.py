@@ -564,7 +564,6 @@ _SUB_K = 8  # window length for the testdata corpus (~50-token docs);
     FROM base b LEFT JOIN cov c USING (doc_id)
     """,
     category="text",
-    windowed=False,
 )
 def text_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring dedup (operators.text.dedup_substrings,
@@ -623,7 +622,6 @@ _LM_TOKS_SQL = f"list_filter(string_split({sql_normalized('text')}, ' '), t -> l
     ) s USING (doc_id)
     """,
     category="text",
-    windowed=False,
 )
 def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram-LM quality scoring
