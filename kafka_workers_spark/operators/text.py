@@ -453,10 +453,13 @@ def dedup_substrings(
        per map partition (never a corpus-wide window function).
     4. Keep-verdicts join back occurrence rows to the count>1 hashes —
        digests-only equi-join, AQE splits any hot hash.
-    5. Dropped window starts aggregate per document; covered token
-       positions expand in-plan (sequence/flatten/array_distinct) and a
-       single indexed array filter rebuilds the text — per-row work,
-       no further shuffle.
+    5. Dropped window starts aggregate per document and merge into
+       sorted DISJOINT [start, end) intervals in-plan (one array fold);
+       a single indexed array filter against the intervals rebuilds the
+       text — O(tokens × intervals) per row, where intervals is the
+       number of maximal duplicated runs (small), NOT the number of
+       covered positions (a half-covered 100k-token document would make
+       a per-position membership test quadratic). No further shuffle.
 
     ``scope="corpus"`` (default) dedups across the ENTIRE corpus;
     ``scope="document"`` keys the first-occurrence aggregate by
@@ -465,6 +468,18 @@ def dedup_substrings(
     shared across documents survive once per document — the same
     scope split as :func:`dedup_paragraphs`, and like there the
     document pass composes before a corpus pass when both are wanted.
+
+    One honest semantic edge: the first-occurrence guarantee is
+    PER-WINDOW, so SELF-OVERLAPPING (periodic) duplicated runs collapse
+    harder than one-copy-survives. In ``"a a a a a"`` repeated twice
+    with k=3, every window shares one hash; the windows at positions
+    1..2 of the FIRST copy are themselves non-first occurrences and
+    their coverage eats into it, leaving only the tokens before the
+    second window start (here one token) — and the other copy nothing.
+    What always holds: only tokens inside some duplicated k-window are
+    ever removed, and a duplicated run with no self-overlap keeps its
+    first copy intact. (Suffix-array ExactSubstr implementations make
+    the same collapse on periodic strings, where "copies" overlap.)
 
     Returns ``id_col, {text_col} (reassembled), n_tokens, n_removed``.
     Documents with fewer than k tokens pass through untouched (their
@@ -479,6 +494,11 @@ def dedup_substrings(
     """
     if scope not in ("corpus", "document"):
         raise ValueError(f"dedup_substrings: unknown scope {scope!r}")
+    if k < 2:
+        # k=0/1 would hash every position (k<=0 degenerately hashes the
+        # empty window) and silently wipe virtually the whole corpus;
+        # "disabled" is expressed by not calling the operator
+        raise ValueError(f"dedup_substrings: k must be >= 2, got {k}")
     from kafka_workers_spark.operators.dedup import barrier
 
     staged = barrier(
@@ -513,22 +533,49 @@ def dedup_substrings(
         .groupBy(id_col)
         .agg(F.collect_list("__pos").alias("__wins"))
     )
-    covered = F.array_distinct(
-        F.flatten(F.transform("__wins", lambda w: F.sequence(w, w + k - 1)))
-    )
+    # merge dropped window starts into sorted disjoint [s, e) intervals:
+    # one fold over the sorted starts, extending the last interval while
+    # the next window overlaps it (w <= last.e; windows cover k tokens)
+    sorted_wins = F.array_sort("__wins")
+    first_w = F.element_at(sorted_wins, 1)
+    init = F.array(F.struct(first_w.alias("s"), (first_w + k).alias("e")))
+    rest = F.slice(sorted_wins, 2, F.greatest(F.size(sorted_wins) - 1, F.lit(0)))
+
+    def _merge(acc, w):
+        last = F.element_at(acc, -1)
+        return F.when(
+            w <= last["e"],
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last["s"].alias("s"),
+                        F.greatest(last["e"], w + k).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(F.struct(w.alias("s"), (w + k).alias("e")))))
+
+    intervals = F.aggregate(rest, init, _merge)
     joined = staged.join(drops, id_col, "left").withColumn(
-        "__cov", F.when(F.col("__wins").isNotNull(), covered)
+        "__iv", F.when(F.col("__wins").isNotNull(), intervals)
     )
-    kept = F.when(F.col("__cov").isNull(), F.col("__toks")).otherwise(
+    kept = F.when(F.col("__iv").isNull(), F.col("__toks")).otherwise(
         F.filter(
-            F.col("__toks"), lambda t, i: ~F.array_contains(F.col("__cov"), i)
+            F.col("__toks"),
+            lambda t, i: ~F.exists(
+                F.col("__iv"), lambda v: (i >= v["s"]) & (i < v["e"])
+            ),
         )
+    )
+    n_removed = F.aggregate(
+        "__iv", F.lit(0), lambda a, v: a + (v["e"] - v["s"])
     )
     return joined.select(
         id_col,
         F.array_join(kept, " ").alias(text_col),
         F.size("__toks").cast("bigint").alias("n_tokens"),
-        F.coalesce(F.size("__cov"), F.lit(0)).cast("bigint").alias("n_removed"),
+        F.coalesce(n_removed, F.lit(0)).cast("bigint").alias("n_removed"),
     )
 
 
@@ -914,7 +961,15 @@ def blocklist_filter(
     """
     if not 0.0 <= max_fraction <= 1.0:
         raise ValueError(f"max_fraction must be in [0, 1], got {max_fraction}")
-    m = blocklist_metrics(docs, lexicon, text_col=text_col)
-    return m.filter(F.col("blocked_fraction") <= F.lit(float(max_fraction))).drop(
-        "n_blocked", "blocked_fraction"
+    # reserved internal names (the module convention), so a caller's own
+    # n_blocked/blocked_fraction audit columns pass through untouched
+    m = blocklist_metrics(
+        docs,
+        lexicon,
+        text_col=text_col,
+        count_col="__blocklist_hits",
+        fraction_col="__blocklist_fraction",
+    )
+    return m.filter(F.col("__blocklist_fraction") <= F.lit(float(max_fraction))).drop(
+        "__blocklist_hits", "__blocklist_fraction"
     )

@@ -793,6 +793,12 @@ def temperature_weights(
         raise ValueError(f"temperature must be positive, got {temperature}")
     if not token_counts:
         raise ValueError("token_counts is empty")
+    negative = {s: c for s, c in token_counts.items() if c < 0}
+    if negative:
+        # a negative base under a fractional exponent would silently
+        # produce complex "weights" — fail at the cause (a broken
+        # upstream aggregate), not in a later consumer
+        raise ValueError(f"token_counts must be non-negative: {negative}")
     total = float(sum(token_counts.values()))
     if total <= 0:
         raise ValueError("token_counts must sum to a positive value")

@@ -943,3 +943,12 @@ def test_curate_corpus_blocklist_and_substring_stages(spark):
     # defaults untouched: all three docs survive without the opt-ins
     base_ids = {r.doc_id for r in curate_corpus(docs, min_tokens=3, chunk_tokens=64, overlap=8).collect()}
     assert base_ids == {1, 2, 3}
+
+
+def test_temperature_weights_rejects_negative_counts():
+    import pytest
+
+    from kafka_workers_spark.pipeline import temperature_weights
+
+    with pytest.raises(ValueError, match="non-negative"):
+        temperature_weights({"en": -5, "de": 10}, 2.0)

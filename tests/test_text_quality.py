@@ -663,3 +663,29 @@ def test_blocklist_filter_c4_rule_and_threshold(spark):
     assert lenient == {1, 2, 4}
     with pytest.raises(ValueError):
         blocklist_filter(docs, lex, max_fraction=1.5)
+
+
+def test_blocklist_filter_preserves_caller_audit_columns(spark):
+    """blocklist_filter uses reserved internal names, so a caller's own
+    n_blocked/blocked_fraction audit columns (e.g. from a prior
+    blocklist_metrics pass with a different lexicon) ride through."""
+    from kafka_workers_spark.operators.text import blocklist_filter, blocklist_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "clean text"), (2, "badword here")], "doc_id long, text string"
+    )
+    audited = blocklist_metrics(docs, ("unrelated",))  # all zeros, kept as audit
+    out = blocklist_filter(audited, ("badword",)).collect()
+    assert {r.doc_id for r in out} == {1}
+    assert out[0].n_blocked == 0 and out[0].blocked_fraction == 0.0
+
+
+def test_dedup_substrings_rejects_degenerate_k(spark):
+    import pytest
+
+    from kafka_workers_spark.operators.text import dedup_substrings
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0, 1, -3):
+        with pytest.raises(ValueError, match="k must be >= 2"):
+            dedup_substrings(docs, k=bad)
