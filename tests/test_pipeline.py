@@ -952,3 +952,42 @@ def test_temperature_weights_rejects_negative_counts():
 
     with pytest.raises(ValueError, match="non-negative"):
         temperature_weights({"en": -5, "de": 10}, 2.0)
+
+
+def test_bigram_lm_scores_stream_batches_against_static_model(spark, tmp_path):
+    """The production LM-scoring pattern for streams: the reference model
+    is trained batch-side, and each micro-batch is scored in foreachBatch
+    (bigram_lm_score is a pure transform, so it composes there without a
+    streaming-aggregation mode). Documents full of transitions unseen in
+    the reference score strictly higher perplexity."""
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "zz qq xx vv kk")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+
+    from kafka_workers_spark.operators.text import bigram_lm_score
+
+    scored_rows = []
+
+    def score_batch(batch_df, _batch_id):
+        scored_rows.extend(bigram_lm_score(batch_df, ref_docs=ref).collect())
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in scored_rows}
+    assert set(got) == {100, 101}
+    assert got[100].n_unseen == 0
+    assert got[101].n_unseen == 4
+    assert got[101].ppl > got[100].ppl
