@@ -115,3 +115,115 @@ def test_write_sized_partitioned_no_file_explosion(spark, tmp_path):
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, (k, files)
     assert spark.read.parquet(out).count() == 5_000
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (zorder_key / write_zordered)
+# ---------------------------------------------------------------------------
+
+
+def _file_boxes(path, cols):
+    """Per-parquet-file (min, max) spans for ``cols`` from footer stats."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    boxes = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    st = col.statistics
+                    lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                    hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+        if all(lo[c] is not None for c in cols):
+            boxes.append({c: (lo[c], hi[c]) for c in cols})
+    return boxes
+
+
+def test_write_zordered_tightens_file_bounding_boxes(spark, tmp_path):
+    """The point of the layout: with the same file count, z-ordered files
+    cover small multi-dimensional boxes (so min/max row-group skipping
+    can prune on EITHER column), while the natural write's files each
+    span nearly the full range of both. Row set round-trips exactly."""
+    from kafka_workers_spark.sources.files import load_table, write_zordered
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    natural = str(tmp_path / "natural")
+    zordered = str(tmp_path / "zordered")
+    orders.repartition(8).write.parquet(natural)
+    write_zordered(orders, zordered, ["o_custkey", "o_totalprice"], n_files=8)
+
+    # identical content
+    back = spark.read.parquet(zordered)
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0
+
+    cols = ["o_custkey", "o_totalprice"]
+    spans = {}
+    for tag, path in (("natural", natural), ("zorder", zordered)):
+        boxes = _file_boxes(path, cols)
+        assert len(boxes) >= 4, f"{tag}: expected several files, got {len(boxes)}"
+        # normalized box area summed over files (fraction of the full
+        # 2-D range each file covers, averaged)
+        full = {c: (min(b[c][0] for b in boxes), max(b[c][1] for b in boxes)) for c in cols}
+        area = 0.0
+        for b in boxes:
+            frac = 1.0
+            for c in cols:
+                lo, hi = full[c]
+                frac *= (b[c][1] - b[c][0]) / (hi - lo) if hi > lo else 1.0
+            area += frac
+        spans[tag] = area / len(boxes)
+    # natural files each cover ~the whole plane (mean area ≈ 1); z-order
+    # boxes must be at least 3x tighter on average
+    assert spans["zorder"] < spans["natural"] / 3.0, spans
+
+
+def test_zorder_key_validation_and_job_free_build(spark):
+    import pytest
+
+    from kafka_workers_spark.sources.files import load_table, zorder_key
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    sc = spark.sparkContext
+    sc.setJobGroup("zorder-build-probe", "assert no eager action")
+    try:
+        keyed = zorder_key(orders, ["o_custkey", "o_totalprice"])
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("zorder-build-probe")) == []
+    assert "__z" in keyed.columns
+    with pytest.raises(ValueError, match="unsupported column type"):
+        zorder_key(orders, ["o_orderstatus"])  # string column
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(orders, ["o_custkey", "o_totalprice"], bits=32)
+    with pytest.raises(ValueError, match="at least one column"):
+        zorder_key(orders, [])
+
+
+def test_zorder_key_interleaves_known_answers(spark):
+    """Bit-interleave pinned on a hand-computed grid: codes scale 0..3
+    (bits=2) over [0,3]x[0,3]; Morton order of (x,y) with x in bit 0."""
+    from kafka_workers_spark.sources.files import zorder_key
+
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {(r.x, r.y): r["__z"] for r in zorder_key(df, ["x", "y"], bits=2).collect()}
+    def morton(x, y):
+        z = 0
+        for b in range(2):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+    assert got == {(x, y): morton(x, y) for x, y in rows}
