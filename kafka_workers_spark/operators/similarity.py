@@ -706,3 +706,149 @@ def near_dedup_embeddings_incremental(
     survivors = new_vecs.join(all_dropped, id_col, "left_anti")
     new_index_rows = new_bands.join(all_dropped, id_col, "left_anti")
     return survivors, new_index_rows
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): codes-at-rest ANN via asymmetric distance
+# ---------------------------------------------------------------------------
+
+
+def _pq_comp(exploded: DataFrame, dsub: int, id_col: str) -> DataFrame:
+    """(id, i, x) long format → (id, sub, j, x): subspace id and
+    within-subspace index for contiguous dim/m splits."""
+    return exploded.select(
+        id_col,
+        F.expr(f"i DIV {dsub}").alias("sub"),
+        F.expr(f"i % {dsub}").alias("j"),
+        "x",
+    )
+
+
+def _assign_pq(comp: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-codeword assignment per (vector, subspace) by exact integer
+    squared L2; ties break to the lowest code — same determinism rule as
+    :func:`_assign_nearest`, grouped by the extra ``sub`` key."""
+    diff = F.col("x") - F.col("c6")
+    d = (
+        comp.join(F.broadcast(cents), ["sub", "j"])
+        .groupBy(id_col, "sub", "code")
+        .agg(F.sum(diff * diff).alias("d"))
+    )
+    return (
+        d.groupBy(id_col, "sub")
+        .agg(F.min(F.struct("d", "code")).alias("m"))
+        .select(id_col, "sub", F.col("m.code").alias("code"))
+    )
+
+
+def pq_train(
+    exploded: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    train: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic product-quantizer training (Jégou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    split each vector into ``m`` contiguous subvectors of ``dim/m``
+    components and run the same exact-integer Lloyd's as
+    :func:`kmeans_fixed` independently per subspace — but all ``m``
+    subspaces travel through ONE grouped plan (``sub`` joins every group
+    key), so training m codebooks costs the same number of passes as
+    training one. Seeds per subspace are the ``k`` smallest training
+    ids' subvectors (``code`` = the seed id; remapping codes to
+    0..k-1 at rest is a bijection that changes no distances), ties in
+    assignment break to the lowest code, and codeword components are
+    floor-divided integer means — every step replays bit-identically on
+    any engine (the DuckDB oracle for the registered ``ann_pq_adc_topk``
+    query replays the full chain).
+
+    Returns ``(cents, codes)``: ``(sub, code, j, c6)`` integer codebooks
+    and ``(id_col, sub, code)`` — m small codes per vector, the at-rest
+    representation (``m·log2(k)`` bits instead of ``dim·32``: with
+    m=8, k=256 that is 8 bytes per vector, a 32× compression of a
+    64-dim float corpus, searchable without decompression via
+    :func:`pq_adc_topk`).
+
+    Scale shape (10⁹ vectors): pass ``train`` (a deterministic id-mod
+    sample) so Lloyd passes touch a fraction of the corpus; each pass is
+    one broadcast join (m·k·dim/m = k·dim codebook rows) + codegen hash
+    agg. Only the single final encode pass reads every vector — at 100 TB
+    run it once at ingest and store ``codes`` as columns, exactly like
+    :func:`assign_lists` for IVF (PQ composes with IVF: coarse list for
+    pruning, PQ codes for in-list ADC scoring).
+    """
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    comp = _pq_comp(exploded, dsub, id_col)
+    tcomp = comp if train is None else _pq_comp(train, dsub, id_col)
+    seeds = tcomp.select(id_col).distinct().orderBy(id_col).limit(k)
+    cents = tcomp.join(F.broadcast(seeds), id_col).select(
+        "sub", F.col(id_col).alias("code"), "j", F.col("x").alias("c6")
+    )
+    for _ in range(iters):
+        assign = _assign_pq(tcomp, cents, id_col)
+        # floor-divided integer mean — same pmod trick as kmeans_fixed so
+        # negative sums floor identically to DuckDB's //
+        cents = (
+            tcomp.join(assign, [id_col, "sub"])
+            .groupBy("sub", "code", "j")
+            .agg(F.expr("(sum(x) - pmod(sum(x), count(*))) DIV count(*)").alias("c6"))
+        )
+    return cents, _assign_pq(comp, cents, id_col)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    cents: DataFrame,
+    q_exploded: DataFrame,
+    dsub: int,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: queries stay full
+    precision, the corpus is its codes. Per query, one lookup table of
+    exact integer squared L2 between each query subvector and each
+    codeword (``q × m × k`` tiny rows, broadcast); each corpus vector's
+    approximate distance is then the SUM of m table lookups — an
+    equi-join on (sub, code) + hash agg, never touching the original
+    vectors. Returns ``(query_id, neighbor_id, rank, adc_d6)`` with
+    ascending integer distance, vec_id tiebreak (cross-engine exact: the
+    distance is integer arithmetic end to end).
+
+    Scale shape: the corpus side streams through map tasks (codes are
+    m longs per vector — at rest, m bytes); the only shuffle is the
+    (query_id, vec_id) partial-agg + the top-k window keyed by query_id.
+    Production recall discipline: treat ADC top-k as a shortlist and
+    re-rank it with exact distances over the float vectors (the
+    :func:`quantize_embeddings` int8 shortlist rule — see
+    scripts/recall_quantized.py for the measured thresholds)."""
+    qcomp = (
+        q_exploded.select(
+            F.col(id_col).alias("query_id"),
+            F.expr(f"i DIV {dsub}").alias("sub"),
+            F.expr(f"i % {dsub}").alias("j"),
+            F.col("x").alias("qx"),
+        )
+    )
+    qdiff = F.col("qx") - F.col("c6")
+    lut = (
+        qcomp.join(F.broadcast(cents), ["sub", "j"])
+        .groupBy("query_id", "sub", "code")
+        .agg(F.sum(qdiff * qdiff).alias("pd6"))
+    )
+    adist = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("pd6").alias("adc_d6"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_d6"), F.asc(id_col))
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc_d6")
+    )

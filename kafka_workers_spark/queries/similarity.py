@@ -463,3 +463,132 @@ def ann_near_dedup_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=RHP_BANDS,
         seed=RHP_SEED,
     ).select("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ADC search (off-window: rotation currency, oracle run
+# by tests/test_oracle_extra.py::test_rotated_out_queries_still_match_oracle)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (dim 64 → 16 components each)
+PQ_CODES = 8  # codewords per subspace
+PQ_ITERS = 2
+_PQ_DSUB = _DIM // PQ_M
+
+
+def _sql_pq_ctes(m: int, k: int, iters: int) -> tuple[str, str, str]:
+    """Unrolled grouped-Lloyd's CTE chain mirroring
+    operators.similarity.pq_train step for step in exact integer
+    arithmetic — the per-subspace twin of :func:`_sql_kmeans_ctes` (see
+    kmeans_fixed's docstring for why integer math replays bit-identically
+    on any engine). Training runs on the id-mod sample; only the final
+    encode pass touches every vector. Returns
+    (ctes, final_codebook_cte, final_codes_cte)."""
+    dsub = _DIM // m
+    ctes = [
+        f"scomp AS (SELECT vec_id, r.i // {dsub} AS sub, r.i % {dsub} AS j,"
+        f" v6[r.i + 1] AS x FROM vecs, range({_DIM}) r(i))",
+        f"stc AS (SELECT * FROM scomp WHERE vec_id % {TRAIN_MOD} = 0)",
+        f"pseeds AS (SELECT DISTINCT vec_id FROM stc ORDER BY vec_id LIMIT {k})",
+        "pc0 AS (SELECT sub, stc.vec_id AS code, j, x AS c6"
+        " FROM stc JOIN pseeds ON stc.vec_id = pseeds.vec_id)",
+    ]
+    cur = "pc0"
+    steps = [(f"pd{t}", f"pa{t}", f"pc{t}", "stc") for t in range(1, iters + 1)]
+    steps.append(("pdF", "paF", None, "scomp"))
+    for d_cte, a_cte, c_cte, src in steps:
+        ctes.append(
+            f"{d_cte} AS (SELECT {src}.vec_id, {src}.sub, c.code,"
+            f" SUM((x - c6) * (x - c6)) AS d"
+            f" FROM {src} JOIN {cur} c ON {src}.sub = c.sub AND {src}.j = c.j"
+            f" GROUP BY 1, 2, 3)"
+        )
+        ctes.append(
+            f"{a_cte} AS (SELECT vec_id, sub, code FROM ("
+            f"SELECT vec_id, sub, code, ROW_NUMBER() OVER"
+            f" (PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM {d_cte})"
+            f" WHERE rn = 1)"
+        )
+        if c_cte is None:
+            break
+        # floor-divided integer mean — same non-negative-remainder trick
+        # as _sql_kmeans_ctes so negative sums floor identically to Spark
+        ctes.append(
+            f"{c_cte} AS (SELECT sub, code, j, (S - ((S % c) + c) % c) // c AS c6 FROM ("
+            f"SELECT {src}.sub, a.code, {src}.j, SUM(x) AS S, COUNT(*) AS c"
+            f" FROM {src} JOIN {a_cte} a"
+            f" ON {src}.vec_id = a.vec_id AND {src}.sub = a.sub GROUP BY 1, 2, 3))"
+        )
+        cur = c_cte
+    return ",\n    ".join(ctes), cur, "paF"
+
+
+_PQ_CTES, _PQ_CENTS, _PQ_CODES_CTE = _sql_pq_ctes(PQ_M, PQ_CODES, PQ_ITERS)
+
+
+@register(
+    "ann_pq_adc_topk",
+    f"""
+    WITH vecs AS (SELECT vec_id, {_EMB6} AS v6 FROM embeddings),
+    {_PQ_CTES},
+    qc AS (
+      SELECT vec_id AS query_id, sub, j, x AS qx
+      FROM scomp WHERE vec_id < {N_QUERIES}
+    ),
+    lut AS (
+      SELECT query_id, c.sub, c.code, SUM((qx - c6) * (qx - c6)) AS pd6
+      FROM qc q JOIN {_PQ_CENTS} c ON q.sub = c.sub AND q.j = c.j
+      GROUP BY 1, 2, 3
+    ),
+    adist AS (
+      SELECT query_id, a.vec_id, CAST(SUM(pd6) AS BIGINT) AS adc_d6
+      FROM {_PQ_CODES_CTE} a
+      JOIN lut l ON a.sub = l.sub AND a.code = l.code AND a.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id AS neighbor_id, rank, adc_d6 FROM (
+      SELECT query_id, vec_id, adc_d6,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d6, vec_id) AS rank
+      FROM adist
+    ) WHERE rank <= {TOP_K}
+    """,
+    category="similarity",
+    windowed=False,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (Jégou et al.
+    TPAMI 2011, operators.similarity.pq_train / pq_adc_topk): train m
+    per-subspace codebooks with the SAME deterministic integer Lloyd's
+    the ann_ivf_topk oracle replays (grouped by subspace — one plan
+    trains all m), encode the corpus as m codes per vector, then score
+    every candidate as a sum of m broadcast-LUT lookups and take the
+    top-k by exact integer ADC distance. The oracle replays the entire
+    chain — training, encoding, LUT, scoring — bit-identically.
+
+    Scale shape (10⁹ vectors): the corpus side of the search never reads
+    the vectors, only m small codes per vector (m·log2(k) bits at rest);
+    the LUT is q×m×k rows broadcast; shuffles are the per-(query,
+    candidate) partial agg and the query-keyed top-k window. Composes
+    with IVF (coarse list prune, then in-list ADC) and with exact
+    shortlist re-ranking for recall (scripts/recall_quantized.py's
+    discipline)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from kafka_workers_spark.operators.similarity import pq_adc_topk, pq_train
+
+    exploded, _ = _vectors_exploded(spark, sf_dir)
+    comp = exploded.select("vec_id", "i", "x")
+    cents, codes = pq_train(
+        comp,
+        m=PQ_M,
+        dim=_DIM,
+        k=PQ_CODES,
+        iters=PQ_ITERS,
+        train=comp.filter(F.col("vec_id") % TRAIN_MOD == 0),
+    )
+    # same pin rationale as _ivf_fixed_topk: the trained codebook feeds
+    # both the corpus encode pass and the query LUT; persist keeps
+    # lineage (executor loss recomputes — ARCHITECTURE.md §4 rule 3)
+    cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
+    q = comp.filter(F.col("vec_id") < N_QUERIES)
+    return pq_adc_topk(codes, cents, q, dsub=_PQ_DSUB, k_top=TOP_K)

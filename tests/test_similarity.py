@@ -580,3 +580,72 @@ def test_ivf_topk_accepts_query_id_dataframe(spark, assigned):
     qdf = spark.createDataFrame([(i,) for i in QUERY_IDS], "qid long")
     by_df = ivf_topk(assigned, qdf, nprobe=2, top_k=TOP_K)
     assert sorted(map(tuple, by_df.collect())) == sorted(map(tuple, by_list.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (pq_train / pq_adc_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_adc_exact_when_every_vector_is_a_codeword(spark):
+    """With k >= n and train = the whole corpus, every vector seeds its
+    own codeword and Lloyd's fixes it there, so each vector's code IS
+    itself and the ADC distance degenerates to the EXACT integer squared
+    L2 — the property that pins the whole train/encode/LUT/score chain."""
+    from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
+    from kafka_workers_spark.operators.similarity import pq_adc_topk, pq_train
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 12)
+    vecs = emb.select("vec_id", embedding_fixed(F.col("embedding")).alias("v6"))
+    comp = explode_fixed(vecs, ["vec_id"])
+    cents, codes = pq_train(comp, m=4, dim=64, k=12, iters=1)
+    # m codes per vector, each vector its own codeword in every subspace
+    own = codes.filter(F.col("code") == F.col("vec_id")).count()
+    assert own == 12 * 4
+    q = comp.filter(F.col("vec_id") < 2)
+    got = {
+        (r.query_id, r.neighbor_id): r.adc_d6
+        for r in pq_adc_topk(codes, cents, q, dsub=16, k_top=3).collect()
+    }
+    # exact squared L2 reference from the same long format
+    a, b = comp.alias("a"), comp.alias("b")
+    exact = {
+        (r.qid, r.nid): r.d
+        for r in (
+            a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.vec_id") < 2)
+                   & (F.col("a.vec_id") != F.col("b.vec_id")))
+            .groupBy(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("nid"))
+            .agg(F.sum((F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))).alias("d"))
+            .collect()
+        )
+    }
+    assert got and all(exact[k] == v for k, v in got.items())
+    # and the top-3 really are the 3 smallest exact distances per query
+    for qid in (0, 1):
+        want = sorted(d for (q_, _), d in exact.items() if q_ == qid)[:3]
+        have = sorted(d for (q_, _), d in got.items() if q_ == qid)
+        assert have == want
+
+
+def test_pq_train_validates_and_codes_are_total(spark):
+    import pytest as _pytest
+
+    from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
+    from kafka_workers_spark.operators.similarity import pq_train
+
+    emb = load_table(spark, SF, "embeddings")
+    vecs = emb.select("vec_id", embedding_fixed(F.col("embedding")).alias("v6"))
+    comp = explode_fixed(vecs, ["vec_id"])
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(comp, m=5, dim=64)
+    cents, codes = pq_train(
+        comp, m=4, dim=64, k=8, iters=2,
+        train=comp.filter(F.col("vec_id") % 4 == 0),
+    )
+    n = emb.count()
+    # exactly m codes per vector, every code a trained codeword
+    assert codes.count() == n * 4
+    per = codes.groupBy("vec_id").count().filter(F.col("count") != 4).count()
+    assert per == 0
+    orphan = codes.join(cents.select("sub", "code").distinct(), ["sub", "code"], "left_anti")
+    assert orphan.count() == 0
