@@ -852,3 +852,104 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k_top)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc_d6")
     )
+
+
+def rerank_exact(
+    shortlist: DataFrame,
+    exploded: DataFrame,
+    q_exploded: DataFrame,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact re-rank of an approximate shortlist — the recall discipline
+    every quantized search here documents (int8 and PQ): take an
+    approximate top-N (``shortlist`` = (query_id, neighbor_id, ...) from
+    :func:`pq_adc_topk` / :func:`ivf_topk`), recompute EXACT integer
+    squared L2 for only those pairs from the full-precision long-format
+    vectors, and keep the exact top-``k_top``. Cost is |shortlist|·dim
+    join rows — shortlist-bounded, independent of corpus size, so the
+    approximate stage sets the touch budget and this stage buys back its
+    recall. Returns ``(query_id, neighbor_id, rank, d6)``."""
+    pairs = shortlist.select("query_id", "neighbor_id")
+    qside = q_exploded.select(
+        F.col(id_col).alias("query_id"), "i", F.col("x").alias("qx")
+    )
+    # pairs × dim via the query side (tiny — broadcast), then one equi-join
+    # against the corpus long format on (neighbor_id, i)
+    nside = exploded.select(F.col(id_col).alias("neighbor_id"), "i", "x")
+    diff = F.col("qx") - F.col("x")
+    d = (
+        nside.join(F.broadcast(pairs.join(qside, "query_id")), ["neighbor_id", "i"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(diff * diff).alias("d6"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d6"), F.asc("neighbor_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "neighbor_id", "rank", "d6")
+    )
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    cents: DataFrame,
+    assign: DataFrame,
+    ivf_cents: DataFrame,
+    q_exploded: DataFrame,
+    dsub: int,
+    nprobe: int = 2,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF+PQ composed search (the IVFADC scheme of Jégou et al.
+    TPAMI'11 §IV): rank coarse lists by query·centroid score and probe
+    the top ``nprobe`` (exactly :func:`kmeans_fixed`-style centroids via
+    ``ivf_cents``/``assign``), then ADC-score ONLY the probed lists'
+    members from their PQ codes. Probing every list reproduces
+    :func:`pq_adc_topk` bit for bit (pinned in tests). At 10⁹ vectors
+    this is the standard memory budget: coarse prune cuts candidates
+    ~nprobe/k_lists, and each surviving candidate costs m code lookups —
+    the corpus's float vectors are never read at query time."""
+    q = q_exploded.select(
+        F.col(id_col).alias("query_id"),
+        F.col("i").alias("qi"),
+        F.col("x").alias("qx"),
+    )
+    pscore = (
+        ivf_cents.join(F.broadcast(q), F.col("qi") == F.col("i"))
+        .groupBy("query_id", "list_id")
+        .agg(F.sum(F.col("qx") * F.col("c6")).alias("score"))
+    )
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("list_id"))
+    probe = (
+        pscore.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "list_id")
+    )
+    qcomp = q_exploded.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"i DIV {dsub}").alias("sub"),
+        F.expr(f"i % {dsub}").alias("j"),
+        F.col("x").alias("qx"),
+    )
+    qdiff = F.col("qx") - F.col("c6")
+    lut = (
+        qcomp.join(F.broadcast(cents), ["sub", "j"])
+        .groupBy("query_id", "sub", "code")
+        .agg(F.sum(qdiff * qdiff).alias("pd6"))
+    )
+    adist = (
+        codes.join(assign, id_col)
+        .join(F.broadcast(probe), "list_id")  # restricts (query, candidate)
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("pd6").alias("adc_d6"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_d6"), F.asc(id_col))
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc_d6")
+    )

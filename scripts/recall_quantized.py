@@ -31,6 +31,18 @@ shrinks, and sweeps eps for the first nonzero int8 delta at full probe
 
     python scripts/recall_quantized.py --jitter 0.001,0.003,0.01,0.03
 
+Round-6 (--pq): the same question for product quantization
+(operators.similarity.pq_train / pq_adc_topk), whose distortion is far
+coarser than int8's (m·log2(k) BITS per vector, not 8 bits per
+component) — so unlike int8 it should show recall loss even on the
+wide-margin replica corpus, and the measurement grades the documented
+production discipline instead: ADC top-k raw, ADC shortlist→exact
+re-rank (rerank_exact), and the IVFADC composition (ivf_pq_topk) at a
+narrow nprobe. Exact baseline = brute-force integer squared L2 (the
+metric ADC approximates).
+
+    python scripts/recall_quantized.py --pq
+
 Numbers go into PLANS.md (round-5 + round-6 addenda).
 """
 
@@ -58,6 +70,11 @@ def main() -> int:
         help="comma-separated relative-noise eps values; sweeps the pure "
         "int8 storage cost on margin-tightened replica corpora",
     )
+    ap.add_argument(
+        "--pq",
+        action="store_true",
+        help="measure PQ ADC / shortlist-rerank / IVFADC recall vs exact L2",
+    )
     args = ap.parse_args()
 
     from scripts.stress_dedup import DST, build_corpus
@@ -72,6 +89,7 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("recall_quantized")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
@@ -90,6 +108,97 @@ def main() -> int:
 
     emb = load_table(spark, DST, "embeddings").select("vec_id", "embedding")
     qids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(N_QUERIES).collect()]
+
+    if args.pq:
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
+        from kafka_workers_spark.operators.similarity import (
+            ivf_pq_topk,
+            kmeans_fixed,
+            pq_adc_topk,
+            pq_train,
+            rerank_exact,
+        )
+
+        vecs = emb.select("vec_id", embedding_fixed(F.col("embedding")).alias("v6"))
+        comp = explode_fixed(vecs, ["vec_id"]).persist()
+        comp.count()
+        q = comp.filter(F.col("vec_id").isin(qids))
+
+        # exact integer squared-L2 top-k — the metric ADC approximates
+        t0 = time.perf_counter()
+        qside = q.select(F.col("vec_id").alias("query_id"), "i", F.col("x").alias("qx"))
+        diff = F.col("qx") - F.col("x")
+        from pyspark.sql import Window as W
+
+        wex = W.partitionBy("query_id").orderBy(F.asc("d6"), F.asc("neighbor_id"))
+        exact = (
+            comp.join(F.broadcast(qside), "i")
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(F.sum(diff * diff).alias("d6"))
+            .withColumn("rank", F.row_number().over(wex))
+            .filter(F.col("rank") <= TOP_K)
+            .persist()
+        )
+        exact.count()
+        print(f"exact L2 brute-force ({time.perf_counter() - t0:.1f}s)")
+
+        for m, k in ((4, 16), (8, 64)):
+            t0 = time.perf_counter()
+            cents, codes = pq_train(
+                comp, m=m, dim=64, k=k, iters=2,
+                train=comp.filter(F.col("vec_id") % 4 == 0),
+            )
+            cents = cents.persist()
+            codes = codes.persist()
+            codes.count()
+            t_train = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            adc = pq_adc_topk(codes, cents, q, dsub=64 // m, k_top=TOP_K)
+            r_adc = recall_at_k(adc, exact, TOP_K)
+            t_adc = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            short = pq_adc_topk(codes, cents, q, dsub=64 // m, k_top=5 * TOP_K)
+            rr = rerank_exact(short, comp, q, k_top=TOP_K)
+            r_rr = recall_at_k(rr, exact, TOP_K)
+            t_rr = time.perf_counter() - t0
+
+            print(
+                f"PQ m={m} k={k:<3d} train={t_train:.1f}s  "
+                f"ADC recall@{TOP_K}={r_adc:.4f} ({t_adc:.1f}s)  "
+                f"ADC top-{5 * TOP_K}→exact-rerank recall@{TOP_K}={r_rr:.4f} ({t_rr:.1f}s)",
+                flush=True,
+            )
+
+            if (m, k) == (8, 64):
+                ivf_cents, assign = kmeans_fixed(
+                    comp, k=K_LISTS, iters=2,
+                    train=comp.filter(F.col("vec_id") % 4 == 0),
+                )
+                ivf_cents = ivf_cents.persist()
+                assign = assign.persist()
+                assign.count()
+                for nprobe in (4, K_LISTS):
+                    t0 = time.perf_counter()
+                    comp_topk = ivf_pq_topk(
+                        codes, cents, assign, ivf_cents, q,
+                        dsub=64 // m, nprobe=nprobe, k_top=TOP_K,
+                    )
+                    r_c = recall_at_k(comp_topk, exact, TOP_K)
+                    print(
+                        f"IVFADC m={m} k={k} nprobe={nprobe:<3d} "
+                        f"recall@{TOP_K}={r_c:.4f} ({time.perf_counter() - t0:.1f}s)",
+                        flush=True,
+                    )
+                ivf_cents.unpersist()
+                assign.unpersist()
+            cents.unpersist()
+            codes.unpersist()
+        return 0
 
     if args.jitter is not None:
         from scripts.stress_dedup import ID_STRIDE

@@ -649,3 +649,65 @@ def test_pq_train_validates_and_codes_are_total(spark):
     assert per == 0
     orphan = codes.join(cents.select("sub", "code").distinct(), ["sub", "code"], "left_anti")
     assert orphan.count() == 0
+
+
+def test_ivf_pq_full_probe_reproduces_pure_adc_and_rerank_is_exact(spark):
+    """IVFADC composition (ivf_pq_topk): probing EVERY coarse list must
+    reproduce pq_adc_topk bit for bit (the graceful-degradation property
+    the IVF family pins), and rerank_exact over a full-corpus shortlist
+    must reproduce the exact integer-L2 top-k."""
+    from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
+    from kafka_workers_spark.operators.similarity import (
+        ivf_pq_topk,
+        kmeans_fixed,
+        pq_adc_topk,
+        pq_train,
+        rerank_exact,
+    )
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 100)
+    vecs = emb.select("vec_id", embedding_fixed(F.col("embedding")).alias("v6"))
+    comp = explode_fixed(vecs, ["vec_id"]).cache()
+    comp.count()
+    ivf_cents, assign = kmeans_fixed(comp, k=4, iters=1)
+    cents, codes = pq_train(comp, m=4, dim=64, k=8, iters=1)
+    q = comp.filter(F.col("vec_id") < 3)
+
+    pure = pq_adc_topk(codes, cents, q, dsub=16, k_top=4)
+    full = ivf_pq_topk(
+        codes, cents, assign, ivf_cents, q, dsub=16, nprobe=4, k_top=4
+    )
+    got = sorted(map(tuple, full.collect()))
+    want = sorted(map(tuple, pure.collect()))
+    assert got == want
+
+    # narrow probe returns a (possibly worse) but well-formed top-k
+    narrow = ivf_pq_topk(codes, cents, assign, ivf_cents, q, dsub=16, nprobe=1, k_top=4)
+    per_q = narrow.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 4 for r in per_q)
+
+    # rerank over an everything-shortlist == exact integer-L2 top-k
+    everything = (
+        q.select(F.col("vec_id").alias("query_id")).distinct()
+        .crossJoin(comp.select(F.col("vec_id").alias("neighbor_id")).distinct())
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    rr = {
+        (r.query_id, r.rank): (r.neighbor_id, r.d6)
+        for r in rerank_exact(everything, comp, q, k_top=3).collect()
+    }
+    a, b = comp.alias("a"), comp.alias("b")
+    exact = (
+        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.vec_id") < 3)
+               & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .groupBy(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("nid"))
+        .agg(F.sum((F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))).alias("d"))
+        .collect()
+    )
+    by_q = {}
+    for r in exact:
+        by_q.setdefault(r.qid, []).append((r.d, r.nid))
+    for qid, pairs in by_q.items():
+        for rank, (d, nid) in enumerate(sorted(pairs)[:3], start=1):
+            assert rr[(qid, rank)] == (nid, d)
+    comp.unpersist()
