@@ -393,6 +393,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
+    windowed=False,  # rotated out late round 6 for ann_pq_adc_topk (window coverage stays via window_topk_per_group/agg families)
 )
 def window_frames_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit window frames (growing + full) with positional navigation

@@ -466,8 +466,7 @@ def ann_near_dedup_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Product-quantization ADC search (off-window: rotation currency, oracle run
-# by tests/test_oracle_extra.py::test_rotated_out_queries_still_match_oracle)
+# Product-quantization ADC search (driver-windowed since late round 6)
 # ---------------------------------------------------------------------------
 
 PQ_M = 4  # subspaces (dim 64 → 16 components each)
@@ -553,7 +552,8 @@ _PQ_CTES, _PQ_CENTS, _PQ_CODES_CTE = _sql_pq_ctes(PQ_M, PQ_CODES, PQ_ITERS)
     ) WHERE rank <= {TOP_K}
     """,
     category="similarity",
-    windowed=False,
+    # rotated INTO the driver window late round 6 (window_frames_first_last
+    # moved to EXTRA_REGISTRY under the identical oracle)
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (Jégou et al.
