@@ -826,26 +826,34 @@ def pq_adc_topk(
     re-rank it with exact distances over the float vectors (the
     :func:`quantize_embeddings` int8 shortlist rule — see
     scripts/recall_quantized.py for the measured thresholds)."""
-    qcomp = (
-        q_exploded.select(
-            F.col(id_col).alias("query_id"),
-            F.expr(f"i DIV {dsub}").alias("sub"),
-            F.expr(f"i % {dsub}").alias("j"),
-            F.col("x").alias("qx"),
-        )
-    )
-    qdiff = F.col("qx") - F.col("c6")
-    lut = (
-        qcomp.join(F.broadcast(cents), ["sub", "j"])
-        .groupBy("query_id", "sub", "code")
-        .agg(F.sum(qdiff * qdiff).alias("pd6"))
-    )
+    lut = _pq_lut(q_exploded, cents, dsub, id_col)
     adist = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .filter(F.col("query_id") != F.col(id_col))
         .groupBy("query_id", id_col)
         .agg(F.sum("pd6").alias("adc_d6"))
     )
+    return _adc_topk(adist, k_top, id_col)
+
+
+def _pq_lut(q_exploded: DataFrame, cents: DataFrame, dsub: int, id_col: str) -> DataFrame:
+    """Per-query ADC lookup table: exact integer squared L2 between every
+    query subvector and every codeword — (query_id, sub, code, pd6),
+    q × m × k tiny rows. Shared by :func:`pq_adc_topk` and
+    :func:`ivf_pq_topk` so the two operators cannot diverge."""
+    qcomp = _pq_comp(q_exploded, dsub, id_col).select(
+        F.col(id_col).alias("query_id"), "sub", "j", F.col("x").alias("qx")
+    )
+    qdiff = F.col("qx") - F.col("c6")
+    return (
+        qcomp.join(F.broadcast(cents), ["sub", "j"])
+        .groupBy("query_id", "sub", "code")
+        .agg(F.sum(qdiff * qdiff).alias("pd6"))
+    )
+
+
+def _adc_topk(adist: DataFrame, k_top: int, id_col: str) -> DataFrame:
+    """Ascending-distance top-k with the deterministic id tiebreak."""
     w = W.partitionBy("query_id").orderBy(F.asc("adc_d6"), F.asc(id_col))
     return (
         adist.withColumn("rank", F.row_number().over(w))
@@ -869,8 +877,11 @@ def rerank_exact(
     vectors, and keep the exact top-``k_top``. Cost is |shortlist|·dim
     join rows — shortlist-bounded, independent of corpus size, so the
     approximate stage sets the touch budget and this stage buys back its
-    recall. Returns ``(query_id, neighbor_id, rank, d6)``."""
-    pairs = shortlist.select("query_id", "neighbor_id")
+    recall. Returns ``(query_id, neighbor_id, rank, d6)``. Pairs are
+    deduplicated first — shortlists built by unioning several
+    approximate searches may repeat a pair, which would otherwise
+    double-count its summed distance."""
+    pairs = shortlist.select("query_id", "neighbor_id").distinct()
     qside = q_exploded.select(
         F.col(id_col).alias("query_id"), "i", F.col("x").alias("qx")
     )
@@ -903,10 +914,14 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF+PQ composed search (the IVFADC scheme of Jégou et al.
-    TPAMI'11 §IV): rank coarse lists by query·centroid score and probe
-    the top ``nprobe`` (exactly :func:`kmeans_fixed`-style centroids via
-    ``ivf_cents``/``assign``), then ADC-score ONLY the probed lists'
-    members from their PQ codes. Probing every list reproduces
+    TPAMI'11 §IV): rank coarse lists by ASCENDING exact query↔centroid
+    squared L2 — the same metric :func:`kmeans_fixed` assigns lists and
+    ADC approximates, so the query's own list is always probed first
+    (a descending-dot ranking, as :func:`_ivf_fixed_topk` uses for its
+    COSINE metric, can prune the query's own list here: unequal centroid
+    norms let a far high-norm centroid out-dot the nearest one) — probe
+    the top ``nprobe``, then ADC-score ONLY the probed lists' members
+    from their PQ codes. Probing every list reproduces
     :func:`pq_adc_topk` bit for bit (pinned in tests). At 10⁹ vectors
     this is the standard memory budget: coarse prune cuts candidates
     ~nprobe/k_lists, and each surviving candidate costs m code lookups —
@@ -916,29 +931,19 @@ def ivf_pq_topk(
         F.col("i").alias("qi"),
         F.col("x").alias("qx"),
     )
+    cdiff = F.col("qx") - F.col("c6")
     pscore = (
         ivf_cents.join(F.broadcast(q), F.col("qi") == F.col("i"))
         .groupBy("query_id", "list_id")
-        .agg(F.sum(F.col("qx") * F.col("c6")).alias("score"))
+        .agg(F.sum(cdiff * cdiff).alias("cd"))
     )
-    wprobe = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("list_id"))
+    wprobe = W.partitionBy("query_id").orderBy(F.asc("cd"), F.asc("list_id"))
     probe = (
         pscore.withColumn("pr", F.row_number().over(wprobe))
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "list_id")
     )
-    qcomp = q_exploded.select(
-        F.col(id_col).alias("query_id"),
-        F.expr(f"i DIV {dsub}").alias("sub"),
-        F.expr(f"i % {dsub}").alias("j"),
-        F.col("x").alias("qx"),
-    )
-    qdiff = F.col("qx") - F.col("c6")
-    lut = (
-        qcomp.join(F.broadcast(cents), ["sub", "j"])
-        .groupBy("query_id", "sub", "code")
-        .agg(F.sum(qdiff * qdiff).alias("pd6"))
-    )
+    lut = _pq_lut(q_exploded, cents, dsub, id_col)
     adist = (
         codes.join(assign, id_col)
         .join(F.broadcast(probe), "list_id")  # restricts (query, candidate)
@@ -947,9 +952,4 @@ def ivf_pq_topk(
         .groupBy("query_id", id_col)
         .agg(F.sum("pd6").alias("adc_d6"))
     )
-    w = W.partitionBy("query_id").orderBy(F.asc("adc_d6"), F.asc(id_col))
-    return (
-        adist.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_top)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc_d6")
-    )
+    return _adc_topk(adist, k_top, id_col)

@@ -267,13 +267,14 @@ def zorder_key(
     columns prunes row groups it could never prune under a single-column
     sort.
 
-    Numeric, date and timestamp columns only (they cast to double for
-    scaling); NULLs code to 0 (they sort with the minimum — filter them
-    out first if that pollutes the boxes). Linear scaling is
-    skew-sensitive: a heavily clustered column spends few distinct codes
-    where the data lives. ``bits × len(cols)`` must fit a signed long
-    (<= 63). The whole key is codegen'd column arithmetic — no Python,
-    no extra shuffle beyond the caller's sort.
+    Numeric, date and timestamp columns only (dates scale as epoch days,
+    timestamps as epoch seconds, numerics as doubles); NULLs code to 0
+    (they sort with the minimum — filter them out first if that pollutes
+    the boxes). Linear scaling is skew-sensitive: a heavily clustered
+    column spends few distinct codes where the data lives.
+    ``bits × len(cols)`` must fit a signed long (<= 63). The whole key
+    is codegen'd column arithmetic — no Python, no extra shuffle beyond
+    the caller's sort.
     """
     if not cols:
         raise ValueError("zorder_key: need at least one column")
@@ -281,23 +282,35 @@ def zorder_key(
         raise ValueError(
             f"zorder_key: bits*len(cols) must be in [1, 63], got {bits}*{len(cols)}"
         )
-    allowed = ("int", "bigint", "smallint", "tinyint", "float", "double",
-               "date", "timestamp", "timestamp_ntz")
-    for c in cols:
-        t = dict(df.dtypes)[c]
-        if not any(t.startswith(a) for a in allowed) and not t.startswith("decimal"):
-            raise ValueError(f"zorder_key: unsupported column type {c}: {t}")
+    numeric = ("int", "bigint", "smallint", "tinyint", "float", "double")
+    types = dict(df.dtypes)
+
+    def scalar(c: str):
+        t = types.get(c)
+        if t is None:
+            raise ValueError(f"zorder_key: no such column {c}")
+        if t in numeric or t.startswith("decimal"):
+            return F.col(c).cast("double")
+        if t == "date":
+            return F.unix_date(F.col(c)).cast("double")
+        if t in ("timestamp", "timestamp_ntz"):
+            # ntz interprets in the session zone — a fixed offset, so
+            # ordering (all the code needs) is unchanged
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        raise ValueError(f"zorder_key: unsupported column type {c}: {t}")
+
+    scalars = {c: scalar(c) for c in cols}
     top = (1 << bits) - 1
     stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(cols)],
+        *[F.min(scalars[c]).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(scalars[c]).alias(f"__mx_{i}") for i, c in enumerate(cols)],
     )
     out = df.crossJoin(F.broadcast(stats))
     codes = []
     for i, c in enumerate(cols):
         mn, mx = F.col(f"__mn_{i}"), F.col(f"__mx_{i}")
         span = mx - mn
-        scaled = F.floor((F.col(c).cast("double") - mn) / span * top)
+        scaled = F.floor((scalars[c] - mn) / span * top)
         code = (
             F.when(F.col(c).isNull() | mn.isNull() | (span <= 0.0), F.lit(0))
             .otherwise(F.least(F.greatest(scaled, F.lit(0)), F.lit(top)))

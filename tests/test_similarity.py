@@ -711,3 +711,67 @@ def test_ivf_pq_full_probe_reproduces_pure_adc_and_rerank_is_exact(spark):
         for rank, (d, nid) in enumerate(sorted(pairs)[:3], start=1):
             assert rr[(qid, rank)] == (nid, d)
     comp.unpersist()
+
+
+def test_ivf_pq_narrow_probe_searches_the_querys_own_list(spark):
+    """The coarse probe ranks lists by the SAME ascending squared-L2
+    metric that assigned them, so at nprobe=1 a corpus-member query
+    searches exactly its own list: results must equal pure ADC
+    restricted to that list's members (a descending-dot probe ranking
+    can prune the query's own list when centroid norms differ)."""
+    from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
+    from kafka_workers_spark.operators.similarity import (
+        ivf_pq_topk,
+        kmeans_fixed,
+        pq_adc_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 120)
+    vecs = emb.select("vec_id", embedding_fixed(F.col("embedding")).alias("v6"))
+    comp = explode_fixed(vecs, ["vec_id"]).cache()
+    comp.count()
+    ivf_cents, assign = kmeans_fixed(comp, k=6, iters=2)
+    cents, codes = pq_train(comp, m=4, dim=64, k=8, iters=1)
+    assign_map = {r.vec_id: r.list_id for r in assign.collect()}
+    q = comp.filter(F.col("vec_id") < 3)
+
+    narrow = ivf_pq_topk(codes, cents, assign, ivf_cents, q, dsub=16, nprobe=1, k_top=4)
+    got = {}
+    for r in narrow.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.adc_d6))
+
+    for qid in (0, 1, 2):
+        own = [v for v, l in assign_map.items() if l == assign_map[qid]]
+        in_list = codes.join(
+            assign.filter(F.col("list_id") == assign_map[qid]).select("vec_id"), "vec_id"
+        )
+        expected = [
+            (r.rank, r.neighbor_id, r.adc_d6)
+            for r in pq_adc_topk(
+                in_list, cents, comp.filter(F.col("vec_id") == qid), dsub=16, k_top=4
+            ).collect()
+        ]
+        assert sorted(got.get(qid, [])) == sorted(expected), qid
+        assert all(nid in own for _, nid, _ in got.get(qid, []))
+    comp.unpersist()
+
+
+def test_rerank_exact_dedupes_unioned_shortlists(spark):
+    """A shortlist built by unioning two approximate searches repeats
+    pairs; rerank_exact must not double-count their summed distance."""
+    from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
+    from kafka_workers_spark.operators.similarity import rerank_exact
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 20)
+    vecs = emb.select("vec_id", embedding_fixed(F.col("embedding")).alias("v6"))
+    comp = explode_fixed(vecs, ["vec_id"])
+    q = comp.filter(F.col("vec_id") < 2)
+    pairs = (
+        q.select(F.col("vec_id").alias("query_id")).distinct()
+        .crossJoin(comp.select(F.col("vec_id").alias("neighbor_id")).distinct())
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    once = rerank_exact(pairs, comp, q, k_top=5).collect()
+    twice = rerank_exact(pairs.union(pairs), comp, q, k_top=5).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))

@@ -156,7 +156,7 @@ def test_write_zordered_tightens_file_bounding_boxes(spark, tmp_path):
     span nearly the full range of both. Row set round-trips exactly."""
     from kafka_workers_spark.sources.files import load_table, write_zordered
 
-    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+    orders = load_table(spark, SF, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     natural = str(tmp_path / "natural")
@@ -195,7 +195,7 @@ def test_zorder_key_validation_and_job_free_build(spark):
 
     from kafka_workers_spark.sources.files import load_table, zorder_key
 
-    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    orders = load_table(spark, SF, "orders")
     sc = spark.sparkContext
     sc.setJobGroup("zorder-build-probe", "assert no eager action")
     try:
@@ -227,3 +227,25 @@ def test_zorder_key_interleaves_known_answers(spark):
             z |= ((y >> b) & 1) << (2 * b + 1)
         return z
     assert got == {(x, y): morton(x, y) for x, y in rows}
+
+
+def test_zorder_key_date_timestamp_and_missing_column(spark):
+    """Date and timestamp columns scale via epoch days/micros (a straight
+    cast crashes — pinned here), and a nonexistent column raises the
+    operator's own ValueError, not a bare KeyError."""
+    from kafka_workers_spark.sources.files import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", "2024-01-01 00:00:00"),
+         (2, "2024-06-01", "2024-06-01 12:00:00"),
+         (3, "2025-01-01", "2025-01-01 23:59:59")],
+        "id int, d string, ts string",
+    ).select("id", F.col("d").cast("date"), F.col("ts").cast("timestamp"))
+    keyed = zorder_key(df, ["d", "ts"], bits=4).select("id", "__z").collect()
+    zs = {r.id: r["__z"] for r in keyed}
+    # both columns increase together, so the Morton key is monotone here
+    assert zs[1] < zs[2] < zs[3]
+    with pytest.raises(ValueError, match="no such column"):
+        zorder_key(df, ["nope"])
+    with pytest.raises(ValueError, match="unsupported column type"):
+        zorder_key(df.select("id", F.expr("INTERVAL 1 DAY AS iv")), ["iv"])
