@@ -953,3 +953,48 @@ def ivf_pq_topk(
         .agg(F.sum("pd6").alias("adc_d6"))
     )
     return _adc_topk(adist, k_top, id_col)
+
+
+def pq_encode(
+    df: DataFrame,
+    cents: DataFrame,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Ingest-time PQ encoding against STORED codebooks — the
+    :func:`assign_lists` analog for product quantization: train once
+    (:func:`pq_train` → persist ``cents`` as a table), then encode every
+    new batch here and land ``out_col`` (``array<int>`` of m codes,
+    ordered by subspace) as a stored column for :func:`pq_adc_topk` /
+    :func:`ivf_pq_topk` search. Exact integer squared-L2 assignment with
+    lowest-code tie-break — identical arithmetic to training, so
+    re-encoding training vectors reproduces their training codes (pinned
+    in tests). One broadcast-join pass over the batch; nothing else is
+    read."""
+    from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
+
+    exploded = explode_fixed(
+        df.select(id_col, embedding_fixed(F.col(vec_col)).alias("v6")), [id_col]
+    )
+    codes = _assign_pq(_pq_comp(exploded, dsub, id_col), cents, id_col)
+    arr = (
+        codes.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("__sc"))
+        .select(
+            id_col,
+            F.transform(F.col("__sc"), lambda r: r["code"].cast("int")).alias(out_col),
+        )
+    )
+    return df.join(arr, id_col)
+
+
+def pq_codes_long(
+    df: DataFrame, id_col: str = "vec_id", codes_col: str = "pq_codes"
+) -> DataFrame:
+    """Stored ``array<int>`` PQ codes → the (id, sub, code) long format
+    the search operators take — `posexplode`, no shuffle."""
+    return df.select(
+        id_col, F.posexplode(F.col(codes_col)).alias("sub", "code")
+    ).withColumn("code", F.col("code").cast("bigint"))

@@ -972,13 +972,20 @@ def curate_embeddings(
     method: str = "rhp",
     semantic_k: int = 16,
     semantic_train_mod: int | None = 4,
+    pq_cents: DataFrame | None = None,
+    pq_dsub: int | None = None,
 ) -> DataFrame:
     """The embedding-side analog of :func:`curate_corpus`: label-free
     near-dedup → optional ingest-time IVF list assignment against stored
     centroids (:func:`~kafka_workers_spark.operators.similarity.assign_lists`,
     pass the persisted ``cents`` table) → optional int8 storage
-    quantization. One composition so an embedding table lands
-    dedup'd, searchable, and 4× smaller in a single pass.
+    quantization → optional PQ encoding against stored codebooks
+    (:func:`~kafka_workers_spark.operators.similarity.pq_encode` — pass
+    the persisted ``pq_cents`` table from
+    :func:`~kafka_workers_spark.operators.similarity.pq_train` plus its
+    ``pq_dsub``; lands an ``array<int>`` ``pq_codes`` column ready for
+    code-only ADC search). One composition so an embedding table lands
+    dedup'd, searchable, and 4×–40× smaller in a single pass.
 
     ``method`` picks the blocking strategy for the dedup stage, both
     ending in the same exact-cosine verify: ``"rhp"`` (default) is
@@ -994,9 +1001,13 @@ def curate_embeddings(
     from kafka_workers_spark.operators.similarity import (
         assign_lists,
         near_dedup_embeddings,
+        pq_encode,
         quantize_embeddings,
         semantic_dedup,
     )
+
+    if (pq_cents is None) != (pq_dsub is None):
+        raise ValueError("curate_embeddings: pq_cents and pq_dsub go together")
 
     if method == "semantic":
         out = semantic_dedup(
@@ -1012,6 +1023,8 @@ def curate_embeddings(
         raise ValueError(f"curate_embeddings: unknown method {method!r}")
     if cents is not None:
         out = assign_lists(out, cents, id_col=id_col, vec_col=vec_col)
+    if pq_cents is not None:
+        out = pq_encode(out, pq_cents, pq_dsub, id_col=id_col, vec_col=vec_col)
     if quantize:
         out = quantize_embeddings(out, vec_col=vec_col)
     return out
