@@ -758,12 +758,25 @@ def pq_train(
     subspaces travel through ONE grouped plan (``sub`` joins every group
     key), so training m codebooks costs the same number of passes as
     training one. Seeds per subspace are the ``k`` smallest training
-    ids' subvectors (``code`` = the seed id; remapping codes to
-    0..k-1 at rest is a bijection that changes no distances), ties in
-    assignment break to the lowest code, and codeword components are
-    floor-divided integer means — every step replays bit-identically on
-    any engine (the DuckDB oracle for the registered ``ann_pq_adc_topk``
-    query replays the full chain).
+    ids' subvectors; during training ``code`` carries the seed id, and
+    the returned frames remap codes to DENSE 0..k-1 per subspace
+    (dense_rank over seed id — an order-preserving bijection, so the
+    lowest-code tie-break is unchanged and no distance moves). The remap
+    is not cosmetic: downstream :func:`pq_encode` stores codes as
+    ``array<int>``, and raw seed ids from a hash-derived bigint id space
+    would silently wrap under the non-ANSI int cast, corrupting every
+    later (sub, code) ADC join. Ties in assignment break to the lowest
+    code, and codeword components are floor-divided integer means —
+    every step replays bit-identically on any engine (the DuckDB oracle
+    for the registered ``ann_pq_adc_topk`` query replays the full
+    chain; the remap is invisible to it because search output never
+    exposes code values, only distances).
+
+    An empty training frame raises in-plan (the :func:`semantic_dedup`
+    lazy raise_error pattern) instead of silently producing empty
+    codebooks — otherwise :func:`pq_encode`'s join would drop every
+    input row, the silent-no-op failure mode this package guards
+    against everywhere.
 
     Returns ``(cents, codes)``: ``(sub, code, j, c6)`` integer codebooks
     and ``(id_col, sub, code)`` — m small codes per vector, the at-rest
@@ -785,6 +798,31 @@ def pq_train(
     dsub = dim // m
     comp = _pq_comp(exploded, dsub, id_col)
     tcomp = comp if train is None else _pq_comp(train, dsub, id_col)
+    if train is not None:
+        # lazy in-plan empty-training guard (semantic_dedup's pattern):
+        # a 1-row aggregate the training frame REFERENCES, so Catalyst
+        # cannot prune the raise_error; no job runs at build time
+        _empty_msg = (
+            "pq_train: the training frame is empty — codebooks would be "
+            "empty and pq_encode would silently drop every input row; "
+            "pass a non-empty train sample or train=None"
+        )
+        guard = (
+            train.select(id_col)
+            .limit(1)
+            .groupBy()
+            .agg(F.count("*").alias("__any"))
+            .select(
+                F.when(F.col("__any") > 0, F.lit(1))
+                .otherwise(F.raise_error(F.lit(_empty_msg)).cast("int"))
+                .alias("__ok")
+            )
+        )
+        tcomp = (
+            tcomp.crossJoin(F.broadcast(guard))
+            .filter(F.col("__ok") == 1)
+            .drop("__ok")
+        )
     seeds = tcomp.select(id_col).distinct().orderBy(id_col).limit(k)
     cents = tcomp.join(F.broadcast(seeds), id_col).select(
         "sub", F.col(id_col).alias("code"), "j", F.col("x").alias("c6")
@@ -798,7 +836,25 @@ def pq_train(
             .groupBy("sub", "code", "j")
             .agg(F.expr("(sum(x) - pmod(sum(x), count(*))) DIV count(*)").alias("c6"))
         )
-    return cents, _assign_pq(comp, cents, id_col)
+    codes = _assign_pq(comp, cents, id_col)
+    # dense 0..k-1 remap (order-preserving per subspace): survives any id
+    # space, keeps m·log2(k)-bit at-rest codes honest, and makes
+    # pq_encode's int cast safe. m·k rows — broadcast to both sides.
+    remap = (
+        cents.select("sub", "code")
+        .distinct()
+        .withColumn(
+            "__dense",
+            F.dense_rank().over(W.partitionBy("sub").orderBy("code")) - F.lit(1),
+        )
+    )
+    cents = cents.join(F.broadcast(remap), ["sub", "code"]).select(
+        "sub", F.col("__dense").alias("code"), "j", "c6"
+    )
+    codes = codes.join(F.broadcast(remap), ["sub", "code"]).select(
+        id_col, "sub", F.col("__dense").alias("code")
+    )
+    return cents, codes
 
 
 def pq_adc_topk(
@@ -972,7 +1028,10 @@ def pq_encode(
     lowest-code tie-break — identical arithmetic to training, so
     re-encoding training vectors reproduces their training codes (pinned
     in tests). One broadcast-join pass over the batch; nothing else is
-    read."""
+    read. Rows that fail to produce codes (a NULL ``vec_col``, or empty
+    codebooks that slipped past :func:`pq_train`'s guard) RAISE in-plan
+    rather than silently vanishing from the output — an inner join here
+    would drop them, the silent-no-op failure mode."""
     from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
 
     exploded = explode_fixed(
@@ -987,7 +1046,21 @@ def pq_encode(
             F.transform(F.col("__sc"), lambda r: r["code"].cast("int")).alias(out_col),
         )
     )
-    return df.join(arr, id_col)
+    # guard as a FILTER (always true on healthy rows) rather than a
+    # projected column: column pruning would drop a projection-side
+    # raise_error under count()-style actions, but a predicate affects
+    # cardinality so every action evaluates it
+    return df.join(arr, id_col, "left").filter(
+        F.when(F.col(out_col).isNotNull(), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pq_encode: no codes produced for "),
+                    F.col(id_col).cast("string"),
+                    F.lit(" — NULL vector or empty codebooks"),
+                )
+            ).cast("boolean")
+        )
+    )
 
 
 def pq_codes_long(

@@ -534,6 +534,7 @@ _SUB_K = 8  # window length for the testdata corpus (~50-token docs);
     f"""
     WITH base AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE text IS NOT NULL
     ),
     occ AS (
       SELECT doc_id,
@@ -575,10 +576,18 @@ def text_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-safe min(struct) aggregate — identical output, different
     physical shape, which is exactly what the cross-engine check is
     for. k=8 here so the testdata's repeated sentences actually trip
-    the path (the operator default is the paper's k=50)."""
+    the path (the operator default is the paper's k=50). NULL-text rows
+    are filtered on BOTH sides (matching text_chunks/text_gopher_quality)
+    — the operator returns NULL text for them while the oracle's
+    COALESCE yields '', so leaving them in would flip the gate red for a
+    non-bug if testdata ever grows a NULL text row."""
     from kafka_workers_spark.operators.text import dedup_substrings
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
     return dedup_substrings(d, k=_SUB_K)
 
 

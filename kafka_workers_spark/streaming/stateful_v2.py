@@ -125,7 +125,10 @@ class WorkerTaskProcessor(_BASE):
                 out, env["u"] = self._task.process(key, pdf, env["u"])
                 if out is not None and len(out):
                     yield out
-        env["d"] = now
+            # only batches that actually carry rows reset the idle clock —
+            # an all-empty-chunk invocation must not postpone
+            # idle_timeout_ms key closure (it saw no data)
+            env["d"] = now
         out = self._punctuate_if_due(key, env, now)
         if out is not None and len(out):
             yield out

@@ -775,3 +775,66 @@ def test_rerank_exact_dedupes_unioned_shortlists(spark):
     once = rerank_exact(pairs, comp, q, k_top=5).collect()
     twice = rerank_exact(pairs.union(pairs), comp, q, k_top=5).collect()
     assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+
+def test_pq_train_codes_are_dense_and_empty_train_raises(spark):
+    """ADVICE r06: (a) returned codes/codebooks use DENSE 0..k-1 codes,
+    never raw seed ids — hash-derived bigint ids would wrap under
+    pq_encode's int cast; (b) an empty training frame raises in-plan
+    (the semantic_dedup guard) instead of silently yielding empty
+    codebooks that make pq_encode drop every row."""
+    from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
+    from kafka_workers_spark.operators.similarity import pq_train
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 40)
+    # shift ids into a far bigint range so seed-id codes would overflow int
+    vecs = emb.select(
+        (F.col("vec_id") + F.lit(2**40)).alias("vec_id"),
+        embedding_fixed(F.col("embedding")).alias("v6"),
+    )
+    comp = explode_fixed(vecs, ["vec_id"])
+    k = 8
+    cents, codes = pq_train(comp, m=4, dim=64, k=k, iters=1)
+    c_lo, c_hi = cents.agg(F.min("code"), F.max("code")).first()
+    assert c_lo == 0 and c_hi < k
+    a_lo, a_hi = codes.agg(F.min("code"), F.max("code")).first()
+    assert a_lo >= 0 and a_hi < k
+    # every assigned code resolves to a codebook entry (the join ADC does)
+    orphan = codes.join(
+        cents.select("sub", "code").distinct(), ["sub", "code"], "left_anti"
+    )
+    assert orphan.count() == 0
+    # (b) empty training frame: build succeeds (lazy), first action raises
+    cents2, _ = pq_train(
+        comp, m=4, dim=64, k=k, iters=1, train=comp.filter(F.lit(False))
+    )
+    with pytest.raises(Exception, match="training frame is empty"):
+        cents2.count()
+
+
+def test_pq_encode_raises_on_null_vector_instead_of_dropping(spark):
+    """ADVICE r06: pq_encode must not silently drop rows that produce no
+    codes (the old inner join did) — a NULL embedding raises in-plan."""
+    from kafka_workers_spark.operators.dedup import embedding_fixed, explode_fixed
+    from kafka_workers_spark.operators.similarity import pq_encode, pq_train
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 20)
+    vecs = emb.select("vec_id", embedding_fixed(F.col("embedding")).alias("v6"))
+    comp = explode_fixed(vecs, ["vec_id"])
+    cents, _ = pq_train(comp, m=4, dim=64, k=8, iters=1)
+    cents = cents.cache()
+    # happy path: every row encoded, codes dense ints in [0, 8)
+    enc = pq_encode(emb, cents, dsub=16)
+    assert enc.count() == 20
+    row = enc.filter(F.col("vec_id") == 3).select("pq_codes").first()
+    assert len(row.pq_codes) == 4 and all(0 <= c < 8 for c in row.pq_codes)
+    # poison one row's vector → that row must RAISE, not vanish
+    poisoned = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 7, F.lit(None).cast("array<float>")).otherwise(
+            F.col("embedding")
+        ),
+    )
+    with pytest.raises(Exception, match="pq_encode"):
+        pq_encode(poisoned, cents, dsub=16).count()
+    cents.unpersist()

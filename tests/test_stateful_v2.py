@@ -326,3 +326,25 @@ def test_v1_v2_differential_random_scenarios():
             assert (s1 is None) == (s2 is None), (seed, step, s1, s2)
             if s1 is not None:
                 assert json.loads(s1[0]) == json.loads(s2[0]), (seed, step)
+
+
+def test_empty_chunk_invocation_does_not_reset_idle_clock():
+    """ADVICE r06: an invocation whose row chunks are ALL empty carries
+    no data, so it must not refresh the idle clock — otherwise periodic
+    empty batches postpone idle_timeout_ms key closure forever."""
+    p, h = _proc(punctuate_interval_ms=1000, idle_timeout_ms=3000)
+    _rows(p, (1,), [pd.DataFrame({"v": [1]})], now=5000)
+    # an all-empty-chunk invocation at 7000: d stays 5000
+    _rows(p, (1,), [pd.DataFrame({"v": []})], now=7000)
+    env = json.loads(h.states["env"].get()[0])
+    assert env["d"] == 5000
+    # so the key is idle-closable at 8000 (5000 + 3000)
+    out = list(
+        p.handleExpiredTimer((1,), FakeTimerValues(8000), FakeExpiredTimerInfo(8000))
+    )
+    assert [o.iloc[0]["kind"] for o in out] == ["close"]
+    # a REAL row does reset it
+    p2, h2 = _proc(punctuate_interval_ms=1000, idle_timeout_ms=3000)
+    _rows(p2, (1,), [pd.DataFrame({"v": [1]})], now=5000)
+    _rows(p2, (1,), [pd.DataFrame({"v": [2]})], now=7000)
+    assert json.loads(h2.states["env"].get()[0])["d"] == 7000
