@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 from kafka_workers_spark.queries import register
 from kafka_workers_spark.sources.files import load_table
 
+# These constants interpolate into BOTH the Spark wrapper and the oracle
+# SQL f-strings below — the pairing is intentional, so changing one
+# changes both sides of the cross-engine check together. Never "fix"
+# just the SQL side.
 _CAP = 10
 _MERGE_SIDES = 3
 
@@ -172,3 +176,84 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return diff_corpora(old, new)
+
+
+# ---------------------------------------------------------------------------
+# Z-order key oracle (VERDICT r06 #1c): the min/max scale + Morton bit
+# interleave replayed as pure integer/double arithmetic in DuckDB.
+# ---------------------------------------------------------------------------
+
+_ZBITS = 8
+_ZCOLS = 3  # o_custkey, o_totalprice, o_orderdate
+_ZTOP = (1 << _ZBITS) - 1
+
+
+def _sql_z_interleave() -> str:
+    """The unrolled Morton interleave over codes k0..k2 — bit b of code j
+    lands at position b*ncols + j, exactly zorder_key's loop."""
+    return " | ".join(
+        f"(((k{j} >> {b}) & 1) << {b * _ZCOLS + j})"
+        for b in range(_ZBITS)
+        for j in range(_ZCOLS)
+    )
+
+
+def _sql_z_code(j: int, expr: str) -> str:
+    """One column's scaled code: linear min/max scale to _ZBITS bits with
+    zorder_key's exact NULL/degenerate-span handling and clamp order."""
+    mn, mx = f"mn{j}", f"mx{j}"
+    return (
+        f"CASE WHEN {expr} IS NULL OR {mn} IS NULL OR ({mx} - {mn}) <= 0 THEN 0 "
+        f"ELSE CAST(LEAST(GREATEST(FLOOR(({expr} - {mn}) / ({mx} - {mn}) * {_ZTOP}), 0), "
+        f"{_ZTOP}) AS BIGINT) END AS k{j}"
+    )
+
+
+_ZEXPRS = [
+    "CAST(o_custkey AS DOUBLE)",
+    "o_totalprice",
+    "CAST(epoch_us(o_orderdate) AS DOUBLE)",
+]
+
+
+@register(
+    "zorder_key_orders",
+    f"""
+    WITH s AS (
+      SELECT {', '.join(f'MIN({e}) AS mn{j}, MAX({e}) AS mx{j}' for j, e in enumerate(_ZEXPRS))}
+      FROM orders
+    ),
+    codes AS (
+      SELECT o_orderkey,
+             {', '.join(_sql_z_code(j, e) for j, e in enumerate(_ZEXPRS))}
+      FROM orders, s
+    )
+    SELECT o_orderkey, {_sql_z_interleave()} AS z FROM codes
+    """,
+    category="pipeline",
+    windowed=False,
+)
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over three differently-typed
+    columns (sources.files.zorder_key — the lakehouse OPTIMIZE ... ZORDER
+    BY layout key, which Spark OSS lacks): o_custkey (bigint→double),
+    o_totalprice (double), o_orderdate (timestamp→epoch micros). Each
+    scales linearly to {_ZBITS} bits between its global min/max (a
+    one-row broadcast carried in-plan — job-free build) and the codes'
+    bits interleave into one long. The oracle replays scale, clamp, NULL
+    handling, and the bit interleave exactly: the scale is IEEE double
+    arithmetic in the same operation order on both engines and the
+    interleave is pure integer bit-math, so keys match bit for bit.
+
+    Scale shape: all codegen column arithmetic, no shuffle — the
+    downstream write (sources.files.write_zordered) adds the single
+    range-partition + in-partition sort that produces the clustered
+    layout."""
+    from kafka_workers_spark.sources.files import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    return zorder_key(
+        orders, ["o_custkey", "o_totalprice", "o_orderdate"], bits=_ZBITS
+    ).select("o_orderkey", F.col("__z").alias("z"))

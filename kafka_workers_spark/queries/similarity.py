@@ -592,3 +592,174 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
     q = comp.filter(F.col("vec_id") < N_QUERIES)
     return pq_adc_topk(codes, cents, q, dsub=_PQ_DSUB, k_top=TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# PQ periphery oracles (VERDICT r06 #1): the IVFADC probe ranking at
+# nprobe < k_lists and the exact shortlist re-rank — previously pinned
+# only by degenerate-case property tests (full probe == pure ADC,
+# full-corpus shortlist == exact top-k); these replay the NON-degenerate
+# paths in DuckDB. Off-window: rotation currency, oracle run by
+# tests/test_oracle_extra.py::test_rotated_out_queries_still_match_oracle.
+# ---------------------------------------------------------------------------
+
+PQ_SHORTLIST = 12  # ADC shortlist breadth the exact re-rank consumes
+
+_SQL_PQ_LUT = f"""
+    qc AS (
+      SELECT vec_id AS query_id, sub, j, x AS qx
+      FROM scomp WHERE vec_id < {N_QUERIES}
+    ),
+    lut AS (
+      SELECT query_id, c.sub, c.code, SUM((qx - c6) * (qx - c6)) AS pd6
+      FROM qc q JOIN {_PQ_CENTS} c ON q.sub = c.sub AND q.j = c.j
+      GROUP BY 1, 2, 3
+    )"""
+
+
+@register(
+    "ann_ivf_pq_topk",
+    f"""
+    WITH vecs AS (SELECT vec_id, {_EMB6} AS v6 FROM embeddings),
+    {_KM_CTES},
+    {_PQ_CTES},
+    {_SQL_PQ_LUT},
+    qfull AS (
+      SELECT vec_id AS query_id, i, x AS qx FROM comp WHERE vec_id < {N_QUERIES}
+    ),
+    pscore AS (
+      SELECT query_id, c.list_id, SUM((qx - c6) * (qx - c6)) AS cd
+      FROM qfull q JOIN {_KM_CENTS} c ON q.i = c.i
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT query_id, list_id FROM (
+        SELECT query_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd, list_id) AS pr
+        FROM pscore
+      ) WHERE pr <= {NPROBE}
+    ),
+    adist AS (
+      SELECT l.query_id, a.vec_id, CAST(SUM(pd6) AS BIGINT) AS adc_d6
+      FROM {_PQ_CODES_CTE} a
+      JOIN {_KM_ASSIGN} v ON v.vec_id = a.vec_id
+      JOIN probe p ON p.list_id = v.list_id
+      JOIN lut l ON a.sub = l.sub AND a.code = l.code
+                AND l.query_id = p.query_id AND a.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id AS neighbor_id, rank, adc_d6 FROM (
+      SELECT query_id, vec_id, adc_d6,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d6, vec_id) AS rank
+      FROM adist
+    ) WHERE rank <= {TOP_K}
+    """,
+    category="similarity",
+    windowed=False,
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC at nprobe={NPROBE} < k_lists={K_LISTS} — the NON-degenerate
+    composition (operators.similarity.ivf_pq_topk, Jégou et al. TPAMI'11
+    §IV): coarse lists ranked by ASCENDING exact query↔centroid squared
+    L2 (the same metric that assigns lists, so the query's own list is
+    probed first), then ADC-score only the probed lists' members from
+    their PQ codes. Both quantizers train on the same 1-in-{TRAIN_MOD}
+    id sample; the oracle replays coarse training, PQ training, probe
+    ranking, and the code-level ADC join end to end. The pre-existing
+    property test covers only full probe == pure ADC — the probe-ranking
+    SQL exercised here is the part an oracle catches regressing.
+
+    Scale shape: candidates cut ~nprobe/k_lists by the coarse prune
+    BEFORE any distance math; surviving candidates cost m LUT lookups
+    each — corpus floats are never read at query time."""
+    from pyspark.storagelevel import StorageLevel
+
+    from kafka_workers_spark.operators.similarity import (
+        ivf_pq_topk,
+        kmeans_fixed,
+        pq_train,
+    )
+
+    exploded, _ = _vectors_exploded(spark, sf_dir)
+    comp = exploded.select("vec_id", "i", "x")
+    train = comp.filter(F.col("vec_id") % TRAIN_MOD == 0)
+    cents, codes = pq_train(
+        comp, m=PQ_M, dim=_DIM, k=PQ_CODES, iters=PQ_ITERS, train=train
+    )
+    ivf_cents, assign = kmeans_fixed(comp, k=K_LISTS, iters=IVF_ITERS, train=train)
+    cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
+    ivf_cents = ivf_cents.persist(StorageLevel.MEMORY_AND_DISK)
+    assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
+    q = comp.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_pq_topk(
+        codes, cents, assign, ivf_cents, q,
+        dsub=_PQ_DSUB, nprobe=NPROBE, k_top=TOP_K,
+    )
+
+
+@register(
+    "ann_rerank_exact",
+    f"""
+    WITH vecs AS (SELECT vec_id, {_EMB6} AS v6 FROM embeddings),
+    {_PQ_CTES},
+    {_SQL_PQ_LUT},
+    adist AS (
+      SELECT query_id, a.vec_id, CAST(SUM(pd6) AS BIGINT) AS adc_d6
+      FROM {_PQ_CODES_CTE} a
+      JOIN lut l ON a.sub = l.sub AND a.code = l.code AND a.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d6, vec_id) AS rn
+        FROM adist
+      ) WHERE rn <= {PQ_SHORTLIST}
+    ),
+    ex AS (
+      SELECT s.query_id, s.vec_id, CAST(SUM((qs.x - cs.x) * (qs.x - cs.x)) AS BIGINT) AS d6
+      FROM short s
+      JOIN scomp qs ON qs.vec_id = s.query_id
+      JOIN scomp cs ON cs.vec_id = s.vec_id AND cs.sub = qs.sub AND cs.j = qs.j
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id AS neighbor_id, rank, d6 FROM (
+      SELECT query_id, vec_id, d6,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d6, vec_id) AS rank
+      FROM ex
+    ) WHERE rank <= {TOP_K}
+    """,
+    category="similarity",
+    windowed=False,
+)
+def ann_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact re-rank over a REAL approximate shortlist
+    (operators.similarity.rerank_exact): ADC top-{PQ_SHORTLIST} per
+    query, then exact integer squared L2 recomputed for only those
+    pairs, keeping the exact top-{TOP_K} — the recall discipline every
+    quantized search here documents, now oracle-replayed end to end
+    (the pre-existing property test covered only the degenerate
+    full-corpus shortlist, where re-rank trivially equals exact search).
+
+    Scale shape: the exact stage touches |shortlist|·dim join rows —
+    bounded by the approximate stage, independent of corpus size."""
+    from pyspark.storagelevel import StorageLevel
+
+    from kafka_workers_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train,
+        rerank_exact,
+    )
+
+    exploded, _ = _vectors_exploded(spark, sf_dir)
+    comp = exploded.select("vec_id", "i", "x")
+    cents, codes = pq_train(
+        comp, m=PQ_M, dim=_DIM, k=PQ_CODES, iters=PQ_ITERS,
+        train=comp.filter(F.col("vec_id") % TRAIN_MOD == 0),
+    )
+    cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
+    q = comp.filter(F.col("vec_id") < N_QUERIES)
+    short = pq_adc_topk(codes, cents, q, dsub=_PQ_DSUB, k_top=PQ_SHORTLIST)
+    return rerank_exact(
+        short.select("query_id", "neighbor_id"), comp, q, k_top=TOP_K
+    )

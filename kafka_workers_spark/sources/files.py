@@ -268,7 +268,7 @@ def zorder_key(
     sort.
 
     Numeric, date and timestamp columns only (dates scale as epoch days,
-    timestamps as epoch seconds, numerics as doubles); NULLs code to 0
+    timestamps as epoch microseconds, numerics as doubles); NULLs code to 0
     (they sort with the minimum — filter them out first if that pollutes
     the boxes). Linear scaling is skew-sensitive: a heavily clustered
     column spends few distinct codes where the data lives.
