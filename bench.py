@@ -20,38 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kafka_workers_spark import WorkersConfig, build_session
 from kafka_workers_spark.queries import load_all
 
-# Headline set: one per operator family — aggregation, joins, windows,
-# sessionization, sort/topk, set ops, scalar-heavy projections, plus the
-# LLM-pipeline operators once registered.
-HEADLINE = [
-    "q1_pricing_summary",
-    "join_inner_broadcast",
-    "join_left_outer",
-    "join_asof",
-    "agg_distinct_collect",
-    "agg_grouping_rollup_cube",
-    "window_topk_per_group",
-    "window_frames_first_last",
-    "sort_limit_topk",
-    "events_session_window",
-    "events_time_windows",
-    "scalar_json_timestamp",
-]
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     registry = load_all()
-    names = [n for n in HEADLINE if n in registry]
-    # include any registered query tagged as a benchmark extension
-    names += [
-        n
-        for n, s in registry.items()
-        if s.category
-        in ("dedup", "similarity", "text", "multimodal", "streaming", "corpus", "pipeline")
-        and n not in names
-    ]
+    # The roster IS the driver's correctness window (all 50 registered
+    # queries, VERDICT r06 #2) — self-syncing across rotations, so a perf
+    # regression in any windowed query is always visible in BENCH_r{N}.
+    names = list(registry)
 
     spark = build_session(
         WorkersConfig(
