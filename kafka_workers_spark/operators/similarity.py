@@ -836,10 +836,15 @@ def pq_train(
             .groupBy("sub", "code", "j")
             .agg(F.expr("(sum(x) - pmod(sum(x), count(*))) DIV count(*)").alias("c6"))
         )
-    codes = _assign_pq(comp, cents, id_col)
     # dense 0..k-1 remap (order-preserving per subspace): survives any id
     # space, keeps m·log2(k)-bit at-rest codes honest, and makes
-    # pq_encode's int cast safe. m·k rows — broadcast to both sides.
+    # pq_encode's int cast safe. m·k rows — broadcast. The final encode
+    # pass assigns against the REMAPPED codebook (not the seed-id one):
+    # the remap is an order-preserving bijection, so the assignment —
+    # including its lowest-code tie-break — is identical, and a caller
+    # persisting the returned cents (the standard wrapper pattern) then
+    # serves the encode pass, the query LUT, and any re-encode from ONE
+    # cached table instead of re-running Lloyd's per consumer.
     remap = (
         cents.select("sub", "code")
         .distinct()
@@ -851,10 +856,7 @@ def pq_train(
     cents = cents.join(F.broadcast(remap), ["sub", "code"]).select(
         "sub", F.col("__dense").alias("code"), "j", "c6"
     )
-    codes = codes.join(F.broadcast(remap), ["sub", "code"]).select(
-        id_col, "sub", F.col("__dense").alias("code")
-    )
-    return cents, codes
+    return cents, _assign_pq(comp, cents, id_col)
 
 
 def pq_adc_topk(

@@ -799,6 +799,7 @@ def bigram_lm_score(
     text_col: str = "text",
     alpha: float = 1.0,
     vocab_size: int | None = None,
+    broadcast_model: bool = False,
 ):
     """CCNet-style statistical language-model quality scoring (Wenzek et
     al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from
@@ -831,10 +832,26 @@ def bigram_lm_score(
 
     Shape at scale: two partial-aggregatable shuffles build the model
     (bigram counts; context counts over that output), the scoring join
-    ships SLIM (id, prev, cur) rows against the counts tables (hot
-    transitions like "of the" are 1-to-N equi-join fans AQE splits),
-    and the per-document aggregate is keyed by ``id_col``. No document
-    payloads shuffle. Returns one row per input document:
+    ships SLIM (id, prev, cur) rows against the counts tables, and the
+    per-document aggregate is keyed by ``id_col``. No document payloads
+    shuffle. The scoring join keys on raw tokens, so natural-language
+    Zipf skew concentrates on a few hot keys ("the"-row fan-out):
+
+    - ``broadcast_model=False`` (default) leaves both joins unhinted and
+      RELIES ON AQE's skew-join split for the hot keys (the engine
+      default keeps AQE on; the hot key's probe rows are split across
+      tasks, same discipline dedup_substrings documents for hot window
+      hashes). Correct for unbounded reference corpora where the counts
+      tables can outgrow executor memory.
+    - ``broadcast_model=True`` broadcasts ``cb``/``cc``: a bigram model
+      over a bounded vocabulary is small (entries ≲ observed bigrams,
+      NOT corpus size — counts saturate), so shipping it to every
+      executor removes the scoring shuffle AND the skew with it; the
+      hot "the" rows never leave their scan tasks. Measured on the
+      Zipf-skewed stress rep (scripts/stress_dedup.py --lm, numbers in
+      PLANS.md). This is the 100 TB default whenever the model fits the
+      broadcast budget — at web scale a pruned vocab (CCNet trains on
+      Wikipedia, not the crawl) keeps it a few hundred MB. Returns one row per input document:
     ``id_col, n_bigrams, n_unseen, sum_bigram_count, sum_context_count,
     avg_logprob, ppl`` — the first five are exact integers (the
     DuckDB-oracle surface; ln() differs across engines in the last ulp,
@@ -882,9 +899,13 @@ def bigram_lm_score(
             F.broadcast(v_row)
         )
         v_col = F.col("__v")
+    if broadcast_model:
+        cb_j, cc_j = F.broadcast(cb), F.broadcast(cc)
+    else:
+        cb_j, cc_j = cb, cc
     joined = (
-        scored_base.join(cc, "__prev", "left")
-        .join(cb, ["__prev", "__cur"], "left")
+        scored_base.join(cc_j, "__prev", "left")
+        .join(cb_j, ["__prev", "__cur"], "left")
         .select(
             id_col,
             F.coalesce("__cb", F.lit(0)).cast("bigint").alias("__cb"),

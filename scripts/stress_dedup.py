@@ -393,6 +393,67 @@ def run_lm_stress(replicas: int) -> int:
             f"mean_ppl={stats.mean_ppl:.3f}",
             flush=True,
         )
+
+    # Zipf-skew rep (VERDICT r06 #3): natural-language token frequency is
+    # Zipfian, so the scoring join's __prev key is skewed by construction.
+    # Build a corpus with the skew cranked: token ids ~ floor(1/u) capped,
+    # u deterministic-uniform — P(t1) = 50%, so the (t1, t1) bigram is
+    # ~25% of ALL transitions, one brutal hot key. Compare the default
+    # shuffle join (AQE skew split) against broadcast_model=True, which
+    # removes the by-key shuffle (and therefore the skew) entirely.
+    import duckdb
+
+    zipf_dir = "/tmp/kws_zipf"
+    shutil.rmtree(zipf_dir, ignore_errors=True)
+    os.makedirs(f"{zipf_dir}/documents.parquet", exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT i AS doc_id,
+                 string_agg(
+                   't' || LEAST(CAST(FLOOR(1000000.0 / ((hash(i * 37 + j.j) % 999999) + 1))
+                                AS BIGINT), 2000),
+                   ' ' ORDER BY j.j) AS text,
+                 'en' AS lang, 'zipf' AS source, 0 AS n_chars
+          FROM range(100000) r(i), range(30) j(j)
+          GROUP BY i
+        ) TO '{zipf_dir}/documents.parquet/part-00.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    zdocs = load_table(spark, zipf_dir, "documents").select("doc_id", "text")
+    zdocs.count()
+    outcomes = {}
+    for bcast in (False, True):
+        tag = "zipf-broadcast" if bcast else "zipf-shuffle"
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, tag)
+        t0 = time.perf_counter()
+        stats = (
+            bigram_lm_score(zdocs, broadcast_model=bcast)
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum("n_bigrams").alias("transitions"),
+                F.sum("n_unseen").alias("unseen"),
+                F.sum("sum_bigram_count").alias("sbc"),
+                F.sum("sum_context_count").alias("scc"),
+            )
+            .first()
+        )
+        wall = time.perf_counter() - t0
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        worst = _max_task_ms(spark, tag)
+        outcomes[tag] = tuple(stats)
+        print(
+            f"bigram_lm_score {tag:14s} wall={wall:6.2f}s max_task="
+            f"{'n/a' if worst is None else f'{worst / 1000.0:.2f}s'} "
+            f"docs={stats.rows} transitions={stats.transitions} "
+            f"sbc={stats.sbc} scc={stats.scc}",
+            flush=True,
+        )
+    a, b = outcomes.values()
+    assert a == b, f"broadcast path diverged from shuffle path: {outcomes}"
     spark.stop()
     return 0
 

@@ -689,3 +689,26 @@ def test_dedup_substrings_rejects_degenerate_k(spark):
     for bad in (0, 1, -3):
         with pytest.raises(ValueError, match="k must be >= 2"):
             dedup_substrings(docs, k=bad)
+
+
+def test_bigram_lm_broadcast_model_identical_and_plan_shuffle_free(spark):
+    """broadcast_model=True must be output-identical to the default
+    shuffle path (it is ONLY a physical-plan choice), and its scoring
+    joins must actually broadcast — no SortMergeJoin over the token keys
+    in the plan."""
+    from kafka_workers_spark.operators.text import bigram_lm_score
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    base = bigram_lm_score(docs)
+    bcast = bigram_lm_score(docs, broadcast_model=True)
+    ints = ["doc_id", "n_bigrams", "n_unseen", "sum_bigram_count", "sum_context_count"]
+    assert sorted(map(tuple, base.select(ints).collect())) == sorted(
+        map(tuple, bcast.select(ints).collect())
+    )
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    # the scoring joins (on __prev / __prev+__cur) are broadcast-hash;
+    # the final docs-side left join on doc_id may still sort-merge
+    assert "BroadcastHashJoin" in plan
