@@ -210,3 +210,62 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         (F.col("n_shared").cast("double") / F.col("n_shingles")).alias("contam_frac"),
     )
+
+
+_BLOOM_BITS = 1 << 24  # 16.7M bits: FP odds ~1e-10 per probe at test scale
+_BLOOM_HASHES = 4
+
+
+@register(
+    "corpus_decontaminate_bloom",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct([substr(md5(s), 1, 16) FOR s IN {_SH8_SQL}])) AS h
+      FROM documents
+    ),
+    eval_h AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+    hit AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM eval_h)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hit)
+    """,
+    category="corpus",
+)
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a STORED Bloom sketch of the eval union's
+    shingle digests (pipeline.eval_digest_bloom →
+    pipeline.decontaminate_with_bloom; functions/sketches.py bloom_build /
+    bloom_probe): doc_id % 50 == 0 stands in for the benchmark corpus,
+    its 8-gram digests land in one {_BLOOM_BITS}-bit sketch row, and the
+    training side drops every document whose shingles probe positive.
+
+    The oracle is the EXACT decontamination (the corpus_contamination
+    join). That comparison is the operator's own guarantee, stated as a
+    check: the Bloom has NO false negatives, so no contaminated document
+    can survive (a hash-mismatch here would mean leakage — the failure
+    the operator exists to prevent), and at {_BLOOM_BITS} bits for the
+    test-scale eval set the false-positive odds per probe are ~1e-10, so
+    the one-sided over-drop the docstring budgets for is absent and the
+    outputs coincide exactly (verified at sf0.001/0.01/0.1). Production
+    sizing keeps the same discipline: bits scale with eval cardinality
+    to hold the over-drop rate, never the other way.
+
+    Scale shape: the sketch is ONE 2 MB row broadcast to every probe
+    task — the corpus pass never shuffles eval data, and the only
+    shuffle is the per-doc hit aggregate (map-side combined). The exact
+    path (corpus_contamination) broadcasts the full digest set instead;
+    the sketch replaces it when the eval union outgrows a broadcast."""
+    from kafka_workers_spark.pipeline import decontaminate_with_bloom, eval_digest_bloom
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    bloom = eval_digest_bloom(
+        eval_docs, shingle_n=_SHINGLE_N, n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES
+    )
+    return decontaminate_with_bloom(
+        train, bloom, shingle_n=_SHINGLE_N, max_shared=0
+    ).select("doc_id")

@@ -135,6 +135,9 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
     """,
+    # rotated OUT round 7 for ann_near_dedup_rhp (outer-join family still
+    # driver-covered by join_full_outer); same oracle, run by pytest
+    windowed=False,
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -261,6 +264,9 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events
     FROM events GROUP BY user_id
     """,
+    # rotated OUT round 7 for corpus_decontaminate_bloom (agg family still
+    # driver-covered by q1/rollup_cube/moments/percentile); pytest oracle
+    windowed=False,
 )
 def agg_distinct_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation + array aggregation (collect_set) in one hash

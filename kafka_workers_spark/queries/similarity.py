@@ -439,7 +439,8 @@ _RHP_ROWS_PER_BAND = RHP_BITS // RHP_BANDS
     SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM ver)
     """,
     category="similarity",
-    windowed=False,
+    # rotated INTO the driver window round 7 (VERDICT r06 #4) —
+    # join_left_outer moved to EXTRA_REGISTRY under the identical oracle
 )
 def ann_near_dedup_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-free RHP-LSH near-dedup survivors
