@@ -40,7 +40,9 @@ __all__ = ["WorkersConfig", "build_session", "__version__"]
 #                         components, ANN/IVF/RHP-LSH + SemDeDup-style
 #                         semantic_dedup + int8 quantization,
 #                         quality rules, winnowing, chunking, sparse
-#                         TF-IDF search (tfidf_topk), binary
+#                         TF-IDF search (tfidf_topk), DSIR importance
+#                         weighting + Gumbel-top-k resampling
+#                         (dsir_weights/dsir_resample), binary
 #                         columns, Arrow-batched model scoring)
 #   pipeline            — corpus curation / training-mix composition:
 #                         batch + streaming curation, stream→batch

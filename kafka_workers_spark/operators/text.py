@@ -994,3 +994,381 @@ def blocklist_filter(
     return m.filter(F.col("__blocklist_fraction") <= F.lit(float(max_fraction))).drop(
         "__blocklist_hits", "__blocklist_fraction"
     )
+
+
+def dsir_weights(
+    docs,
+    target,
+    background=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+):
+    """DSIR hashed n-gram importance weights (Xie, Santurkar, Ma, Liang,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023, arXiv:2302.03169): estimate bag-of-hashed-n-gram
+    models of a small TARGET domain sample and of the raw BACKGROUND
+    corpus, then weight every document by how much more likely its
+    features are under the target model — the published scalable recipe
+    for "select pretraining data that looks like the domain you care
+    about" (the feature space is hashed n-grams precisely so the model
+    is a fixed-size count table, not a neural scorer).
+
+    Features are unigrams + bigrams over :func:`normalized` whitespace
+    tokens (the engine-portable tokenization the TF-IDF/LM family uses),
+    hashed to ``n_buckets`` buckets via the md5-prefix integer trick
+    (functions/determinism.py sample_coin) — deterministic and replayable
+    in ANSI SQL, unlike murmur/xxhash. Per document:
+    ``log w = Σ_features [ln (t_b + α)/(T + α·m) − ln (q_b + α)/(Q + α·m)]``
+    with ``t``/``q`` the target/background bucket counts, ``T``/``Q``
+    their totals, ``m = n_buckets`` — add-α smoothing exactly as
+    :func:`bigram_lm_score`.
+
+    Returns one row per ``docs`` row: ``id_col, n_feats,
+    sum_target_count, sum_background_count, log_weight`` — the first
+    three are exact integers (the DuckDB-oracle surface; the float is
+    differential-tested against a Python reference, ln() being libm).
+    Documents with no features get zero counts and NULL ``log_weight``.
+
+    Scale shape (100 TB): both models are ≤ ``n_buckets`` rows BY
+    CONSTRUCTION — they broadcast regardless of corpus size, so scoring
+    is scan → explode features → two broadcast joins → one id-keyed
+    partial aggregate; no token-keyed shuffle exists, hence no Zipf
+    hot-key problem (contrast :func:`bigram_lm_score`'s shuffle path).
+    Model building is two partial-aggregatable count shuffles bounded by
+    n_buckets output rows; totals ride along as one-row broadcasts
+    (job-free build, package contract). Hash collisions fold rare
+    features together — the paper's accepted trade for a fixed-size
+    model; raise ``n_buckets`` to taste.
+    """
+    from kafka_workers_spark.operators.dedup import barrier
+
+    def feats(frame, keep_id: bool):
+        toks = F.filter(
+            tokens(normalized(F.col(text_col))), lambda t: F.length(t) > 0
+        )
+        staged = barrier(
+            frame.select(*( [id_col] if keep_id else [] ), toks.alias("__toks"))
+        )
+        uni = F.col("__toks")
+        bi = F.when(
+            F.size("__toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("__toks", i + 1), F.element_at("__toks", i + 2)
+                ),
+            ),
+        ).otherwise(F.array())
+        feat = F.explode(F.concat(uni, bi)).alias("__f")
+        cols = [id_col, feat] if keep_id else [feat]
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("__f")), 1, 15), 16, 10).cast("bigint")
+            % n_buckets
+        ).alias("__b")
+        return staged.select(*cols).select(
+            *( [id_col] if keep_id else [] ), bucket
+        )
+
+    bg = background if background is not None else docs
+    t_counts = feats(target, keep_id=False).groupBy("__b").agg(
+        F.count("*").alias("__t")
+    )
+    q_counts = feats(bg, keep_id=False).groupBy("__b").agg(
+        F.count("*").alias("__q")
+    )
+    # totals as one-row broadcasts (job-free build): T and Q fold into
+    # the per-feature log term, so the scoring pass needs no action
+    tot = (
+        t_counts.agg(F.sum("__t").alias("__tt"))
+        .crossJoin(q_counts.agg(F.sum("__q").alias("__qt")))
+    )
+    a = float(alpha)
+    m = float(n_buckets)
+    # coalesce BEFORE the log terms: an unseen bucket's joined count is
+    # NULL, and a NULL-propagating log term would silently drop that
+    # feature from the SUM — precisely the smoothed-floor features the
+    # weight exists to penalize
+    t_cnt = F.coalesce("__t", F.lit(0)).cast("bigint")
+    q_cnt = F.coalesce("__q", F.lit(0)).cast("bigint")
+    scored = (
+        feats(docs, keep_id=True)
+        .join(F.broadcast(t_counts), "__b", "left")
+        .join(F.broadcast(q_counts), "__b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            t_cnt.alias("__t"),
+            q_cnt.alias("__q"),
+            (
+                F.log(t_cnt.cast("double") + F.lit(a))
+                - F.log(F.col("__tt").cast("double") + F.lit(a * m))
+                - F.log(q_cnt.cast("double") + F.lit(a))
+                + F.log(F.col("__qt").cast("double") + F.lit(a * m))
+            ).alias("__lw"),
+        )
+    )
+    stats = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_feats"),
+        F.sum("__t").alias("sum_target_count"),
+        F.sum("__q").alias("sum_background_count"),
+        F.sum("__lw").alias("log_weight"),
+    )
+    return (
+        docs.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce("sum_target_count", F.lit(0)).cast("bigint").alias("sum_target_count"),
+            F.coalesce("sum_background_count", F.lit(0)).cast("bigint").alias("sum_background_count"),
+            F.col("log_weight"),
+        )
+    )
+
+
+def dsir_resample(
+    weighted,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+    seed: str = "dsir",
+):
+    """DSIR's Gumbel-top-k resample (Xie et al. 2023 §2: sampling without
+    replacement ∝ importance weight ≡ keeping the k largest
+    ``log w + Gumbel noise``): perturb each document's log-weight with
+    deterministic Gumbel noise ``g = −ln(−ln u)`` where ``u`` is the
+    md5-coin uniform in (0,1) keyed by (seed, id) — no RNG state, so
+    re-runs and backfills select identical documents (the package's
+    sampling reproducibility contract; a fresh draw is a new ``seed``).
+    NULL weights (featureless docs) never survive.
+
+    Returns the surviving ``weighted`` rows plus the ``__g`` noise
+    column. Physical shape: per-partition top-k then a k-row driver
+    merge (TakeOrderedAndProject) — correct for selection budgets that
+    fit one node's memory; for billion-row selections compute a global
+    threshold on ``log_weight + __g`` (approx_percentile) and filter
+    instead."""
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(float(1 << 60))
+    )
+    g = -F.log(-F.log(u))
+    return (
+        weighted.filter(F.col(weight_col).isNotNull())
+        .withColumn("__g", g)
+        .orderBy(F.desc(F.col(weight_col) + F.col("__g")), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training support (Sennrich, Haddow, Birch, "Neural Machine
+# Translation of Rare Words with Subword Units", ACL 2016 — the byte-pair-
+# encoding merge-learning algorithm every GPT/Llama-family tokenizer uses)
+# ---------------------------------------------------------------------------
+
+
+def bpe_word_counts(docs, text_col: str = "text"):
+    """(word, n) pre-token frequency table — the compression step that
+    makes distributed BPE training tractable: the corpus collapses to
+    its VOCABULARY (Zipf-bounded — millions of rows at 100 TB, not
+    trillions), and every subsequent merge iteration works on this tiny
+    frame instead of the corpus. Pre-tokenization is ``BPE_SPLIT_RE``
+    (letter runs / digit runs / single punctuation — the coarse split
+    every byte-pair tokenizer applies before merges). One
+    partial-aggregatable shuffle keyed by word."""
+    return (
+        docs.select(
+            F.explode(F.regexp_extract_all(text_col, F.lit(BPE_SPLIT_RE), 0)).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def bpe_pair_counts(syms):
+    """Adjacent-symbol pair frequencies over a ``(symbols array<string>,
+    n)`` frame, weighted by word count — the table whose argmax IS the
+    next BPE merge rule. Pure array expressions (sequence → transform →
+    explode) + one hash aggregate; rows are bounded by distinct adjacent
+    pairs, not corpus size. Returns ``(left, right, cnt)``."""
+    pairs = F.when(
+        F.size("symbols") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("symbols") - 2),
+            lambda i: F.struct(
+                F.element_at("symbols", i + 1).alias("left"),
+                F.element_at("symbols", i + 2).alias("right"),
+            ),
+        ),
+    )
+    return (
+        syms.select(F.explode(pairs).alias("__p"), "n")
+        .groupBy(F.col("__p.left").alias("left"), F.col("__p.right").alias("right"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def _bpe_apply_merge(symbols: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right replacement of adjacent (left, right) with
+    their concatenation — one BPE merge applied to one symbol array, as
+    a codegen'd fold (F.aggregate). Overlaps resolve left-first exactly
+    like the reference algorithm ("aaa" under (a,a) → [aa, a]): once the
+    pair merges, the new symbol's string differs from ``left``, so the
+    fold cannot re-consume it."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        symbols,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    docs,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from a corpus (Sennrich et al.
+    2016, Algorithm 1): words start as character arrays; each iteration
+    counts adjacent-symbol pairs corpus-weighted, merges the most
+    frequent pair everywhere, repeats. Ties break lexicographically on
+    (left, right) — deterministic across runs, partitionings, and
+    engines (the registered ``text_bpe_pairs`` query oracle-checks the
+    pair-count table; the merge loop itself is differential-tested
+    against a plain-Python reference, the bigram-LM float discipline
+    applied to control flow).
+
+    This is the package's one legitimately ITERATIVE driver loop (like
+    no other operator here): each merge's argmax depends on data, so
+    lazy unrolling à la the kmeans oracle CTEs is impossible — one
+    small action per merge is the honest cost, and it is the standard
+    cost: every published BPE trainer iterates. Scale shape: the corpus
+    is touched ONCE (the word-count aggregate); all ``n_merges``
+    iterations then run on the persisted vocab-sized symbol frame
+    (Zipf-bounded), each a codegen'd pair count + a 1-row argmax
+    collect + an in-plan fold rewrite. Stops early when no pair reaches
+    ``min_pair_count``. Returns the ordered merge list — persist it as
+    a table and feed :func:`bpe_encode`."""
+    from pyspark.storagelevel import StorageLevel
+
+    wc = bpe_word_counts(docs, text_col)
+    syms = wc.select(F.split("word", "").alias("symbols"), "n")
+    syms = syms.persist(StorageLevel.MEMORY_AND_DISK)
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            top = (
+                bpe_pair_counts(syms)
+                .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+                .first()
+            )
+            if top is None or top.cnt < min_pair_count:
+                break
+            merges.append((top.left, top.right))
+            nxt = syms.select(
+                _bpe_apply_merge(F.col("symbols"), top.left, top.right).alias(
+                    "symbols"
+                ),
+                "n",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()  # materialize before dropping the parent pin
+            syms.unpersist()
+            syms = nxt
+    finally:
+        syms.unpersist()
+    return merges
+
+
+def bpe_encode(
+    docs,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+):
+    """Tokenize with learned merges: pre-tokenize with ``BPE_SPLIT_RE``,
+    split each pre-token to characters, apply the merges IN LEARNED
+    ORDER (the BPE encode contract — rank order, not greedy-longest).
+    The merge table is closure-captured (tokenizers are small — 50k
+    rules ≈ 1 MB); application is a vectorized Arrow-batched pass
+    (mapInPandas): per batch, a dict-driven loop over pre-tokens with a
+    per-batch memo — each DISTINCT pre-token in a batch is encoded once,
+    so Zipf repetition makes the amortized cost per row tiny. A pure
+    column-expression encode would need ``n_merges`` nested folds
+    (codegen blow-up at real rule counts); this is the documented
+    UDF-is-justified case, same as operators/scoring.py.
+
+    Returns ``docs`` plus ``out_col: array<string>``."""
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    import re as _re
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+    splitter = _re.compile(BPE_SPLIT_RE)
+
+    def encode_word(word: str, memo: dict) -> list[str]:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        s = list(word)
+        while len(s) > 1:
+            best, best_rank = None, None
+            for i in range(len(s) - 1):
+                r = rank.get((s[i], s[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            # replace ALL occurrences of this pair left-to-right (one
+            # merge rule application, Sennrich Algorithm 1 semantics —
+            # matches _bpe_apply_merge's fold)
+            l, r = s[best], s[best + 1]
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        memo[word] = s
+        return s
+
+    schema = StructType(
+        docs.schema.fields + [StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            memo: dict = {}
+            pdf[out_col] = [
+                [t for w in splitter.findall(x or "") for t in encode_word(w, memo)]
+                for x in pdf[text_col]
+            ]
+            yield pdf
+
+    return docs.mapInPandas(run, schema=schema)

@@ -698,3 +698,115 @@ def text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blocked_fraction",
         (F.col("blocked_fraction") <= F.lit(_BLOCK_MAX_FRACTION)).alias("keep"),
     )
+
+
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET_MOD = 10  # doc_id % 10 == 0 stands in for the target domain
+
+
+@register(
+    "text_dsir_weights",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_LM_TOKS_SQL} AS toks FROM documents
+    ),
+    fb AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % {_DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id,
+               UNNEST(toks || CASE WHEN len(toks) >= 2
+                   THEN [toks[i] || ' ' || toks[i+1]
+                         FOR i IN generate_series(1, len(toks) - 1)]
+                   ELSE [] END) AS f
+        FROM base
+      )
+    ),
+    tc AS (SELECT b, COUNT(*) AS t FROM fb WHERE doc_id % {_DSIR_TARGET_MOD} = 0 GROUP BY b),
+    qc AS (SELECT b, COUNT(*) AS q FROM fb GROUP BY b),
+    agg AS (
+      SELECT fb.doc_id, COUNT(*) AS n_feats,
+             CAST(SUM(COALESCE(t, 0)) AS BIGINT) AS sum_target_count,
+             CAST(SUM(COALESCE(q, 0)) AS BIGINT) AS sum_background_count
+      FROM fb LEFT JOIN tc USING (b) LEFT JOIN qc USING (b)
+      GROUP BY fb.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(sum_target_count, 0) AS BIGINT) AS sum_target_count,
+           CAST(COALESCE(sum_background_count, 0) AS BIGINT) AS sum_background_count
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+    category="text",
+    windowed=False,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed n-gram importance statistics
+    (operators.text.dsir_weights, Xie et al. NeurIPS 2023
+    arXiv:2302.03169): target model from the doc_id % {_DSIR_TARGET_MOD}
+    == 0 domain sample, background from the whole corpus, features =
+    unigrams + bigrams hashed to {_DSIR_BUCKETS} buckets via the
+    md5-prefix integer (the sample_coin trick — SQL-replayable, unlike
+    murmur). The oracle replays feature extraction, bucketing, both
+    model count tables, and the per-document joins exactly; the columns
+    are the exact-integer surface (feature count and summed
+    target/background bucket counts — log_weight is libm ln(), so it is
+    differential-tested against a Python reference in
+    tests/test_text_quality.py instead, the text_lm_quality precedent).
+
+    Scale shape: both models are ≤ n_buckets rows BY CONSTRUCTION, so
+    they broadcast at any corpus size — scoring is scan → explode →
+    two broadcast joins → one id-keyed partial aggregate; no token-keyed
+    shuffle, hence no Zipf hot key (contrast bigram_lm_score's shuffle
+    path)."""
+    from kafka_workers_spark.operators.text import dsir_weights
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % _DSIR_TARGET_MOD == 0)
+    return dsir_weights(d, target, n_buckets=_DSIR_BUCKETS).select(
+        "doc_id", "n_feats", "sum_target_count", "sum_background_count"
+    )
+
+
+@register(
+    "text_bpe_pairs",
+    """
+    WITH words AS (
+      SELECT UNNEST(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS word
+      FROM documents
+    ),
+    wc AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+    pairs AS (
+      SELECT n,
+             UNNEST([{'lhs': word[i], 'rhs': word[i + 1]}
+                     FOR i IN generate_series(1, len(word) - 1)],
+                    recursive := true)
+      FROM wc WHERE len(word) >= 2
+    )
+    SELECT lhs, rhs, CAST(SUM(n) AS BIGINT) AS cnt FROM pairs GROUP BY 1, 2
+    """,
+    category="text",
+    windowed=False,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE pair statistics (operators.text.bpe_word_counts
+    → bpe_pair_counts, Sennrich et al. ACL 2016): corpus-weighted
+    adjacent-CHARACTER pair frequencies over the pre-token vocabulary —
+    the table whose argmax is the first learned merge rule, and the one
+    exact-integer surface of the BPE trainer an oracle can replay
+    (the merge LOOP is data-dependent control flow, so it is
+    differential-tested against a plain-Python reference in
+    tests/test_text_quality.py instead — the bigram-LM discipline
+    applied to iteration).
+
+    Scale shape: the corpus collapses to its Zipf-bounded vocabulary in
+    one partial-aggregatable shuffle; pair counting is array expressions
+    + one hash aggregate over vocab-sized input. Every later training
+    iteration reuses the same frame (see bpe_train)."""
+    from kafka_workers_spark.operators.text import bpe_pair_counts, bpe_word_counts
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    syms = bpe_word_counts(d).select(F.split("word", "").alias("symbols"), "n")
+    return bpe_pair_counts(syms).select(
+        F.col("left").alias("lhs"), F.col("right").alias("rhs"), "cnt"
+    )

@@ -40,13 +40,19 @@ def test_no_cartesian_products_anywhere(spark):
     guardrail for the whole inventory, INCLUDING the off-window overflow
     registry (rotation must never move a query out of the guard's
     reach)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from kafka_workers_spark.queries import load_extra
 
-    offenders = []
-    for name, spec in {**REG, **load_extra()}.items():
+    def check(item):
+        name, spec = item
         a = audit(spec.fn(spark, SF))
-        if a.cartesian_products:
-            offenders.append(name)
+        return name if a.cartesian_products else None
+
+    # plan analysis is JVM-side and thread-safe; 8 planner threads cut
+    # this 70-query audit from ~30 s to a few seconds of wall
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = [n for n in pool.map(check, {**REG, **load_extra()}.items()) if n]
     assert not offenders, f"cartesian products in: {offenders}"
 
 

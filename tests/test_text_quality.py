@@ -712,3 +712,198 @@ def test_bigram_lm_broadcast_model_identical_and_plan_shuffle_free(spark):
     # the scoring joins (on __prev / __prev+__cur) are broadcast-hash;
     # the final docs-side left join on doc_id may still sort-merge
     assert "BroadcastHashJoin" in plan
+
+
+def _py_dsir_reference(rows, target_mod=10, n_buckets=4096, alpha=1.0):
+    """Plain-Python DSIR reference model (Xie et al. 2023): hashed
+    unigram+bigram counts, add-alpha smoothed target/background bucket
+    models, per-doc summed log ratio."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    def toks(text):
+        if text is None:
+            return []
+        t = text.lower()
+        t = re.sub(r"[^a-z0-9 ]", "", t)
+        t = re.sub(r" +", " ", t).strip()
+        return [w for w in t.split(" ") if w]
+
+    def buckets(text):
+        ts = toks(text)
+        feats = ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        return [
+            int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % n_buckets
+            for f in feats
+        ]
+
+    tc, qc = Counter(), Counter()
+    for r in rows:
+        bs = buckets(r.text)
+        qc.update(bs)
+        if r.doc_id % target_mod == 0:
+            tc.update(bs)
+    T, Q = sum(tc.values()), sum(qc.values())
+    out = {}
+    for r in rows:
+        bs = buckets(r.text)
+        if not bs:
+            out[r.doc_id] = (0, 0, 0, None)
+            continue
+        lw = sum(
+            math.log(tc[b] + alpha) - math.log(T + alpha * n_buckets)
+            - math.log(qc[b] + alpha) + math.log(Q + alpha * n_buckets)
+            for b in bs
+        )
+        out[r.doc_id] = (len(bs), sum(tc[b] for b in bs), sum(qc[b] for b in bs), lw)
+    return out
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """Integer feature/count columns match the reference EXACTLY;
+    log_weight within 1e-9 (libm ln() — the bigram_lm float discipline)."""
+    from kafka_workers_spark.operators.text import dsir_weights
+    from kafka_workers_spark.sources.files import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    expected = _py_dsir_reference(d.collect())
+    got = {
+        r.doc_id: (r.n_feats, r.sum_target_count, r.sum_background_count, r.log_weight)
+        for r in dsir_weights(
+            d, d.filter(F.col("doc_id") % 10 == 0), n_buckets=4096
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for did, exp in expected.items():
+        g = got[did]
+        assert g[:3] == exp[:3], (did, g[:3], exp[:3])
+        if exp[3] is None:
+            assert g[3] is None
+        else:
+            assert abs(g[3] - exp[3]) < 1e-9, (did, g[3], exp[3])
+
+
+def test_dsir_resample_is_deterministic_gumbel_topk(spark):
+    """The Gumbel-top-k selection is a pure function of (seed, ids,
+    weights): re-runs select identical docs, the selection equals the
+    Python-computed top-k of log_weight + gumbel(md5 coin), and a
+    different seed draws a different sample."""
+    import hashlib
+    import math
+
+    from kafka_workers_spark.operators.text import dsir_resample, dsir_weights
+    from kafka_workers_spark.sources.files import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    w = dsir_weights(d, d.filter(F.col("doc_id") % 10 == 0), n_buckets=4096).cache()
+    k = 25
+    sel1 = sorted(r.doc_id for r in dsir_resample(w, k=k).collect())
+    sel2 = sorted(r.doc_id for r in dsir_resample(w, k=k).collect())
+    assert sel1 == sel2 and len(sel1) == k
+
+    def gumbel(seed, did):
+        h = hashlib.md5(f"{seed}|{did}".encode()).hexdigest()[:15]
+        u = (int(h, 16) + 0.5) / float(1 << 60)
+        return -math.log(-math.log(u))
+
+    ref = sorted(
+        (
+            (r.log_weight + gumbel("dsir", r.doc_id), r.doc_id)
+            for r in w.collect()
+            if r.log_weight is not None
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:k]
+    assert sel1 == sorted(did for _, did in ref)
+    other = sorted(r.doc_id for r in dsir_resample(w, k=k, seed="fresh").collect())
+    assert other != sel1
+    w.unpersist()
+
+
+def _py_bpe_reference(texts, n_merges):
+    """Plain-Python Sennrich et al. Algorithm 1: character-level word
+    vocab with counts, repeatedly merge the most frequent adjacent pair
+    (ties lexicographic on the pair)."""
+    import re
+    from collections import Counter
+
+    splitter = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+    wc = Counter(w for t in texts if t for w in splitter.findall(t))
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wc[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        if cnt < 2:
+            break
+        merges.append((l, r))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference_and_encode_roundtrips(spark):
+    """The distributed merge loop learns EXACTLY the reference's merge
+    sequence (deterministic tie-break pinned), and bpe_encode applied
+    with those merges (a) reproduces rank-ordered application on known
+    words, (b) concatenates back to the original pre-token stream
+    (token-boundary-only transformation — no text is lost)."""
+    from kafka_workers_spark.operators.text import bpe_encode, bpe_train
+    from kafka_workers_spark.sources.files import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    texts = [r.text for r in d.collect()]
+    n = 8  # enough to exercise ties + the rewrite loop; each merge is a job
+    expected = _py_bpe_reference(texts, n)
+    got = bpe_train(d, n_merges=n)
+    assert got == expected, (got, expected)
+
+    enc = bpe_encode(d, got)
+    import re
+
+    splitter = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+    rows = enc.select("doc_id", "text", "bpe_tokens").collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        # concatenation invariant: tokens re-join to the pre-token stream
+        assert "".join(r.bpe_tokens) == "".join(splitter.findall(r.text or ""))
+        # every token is either a learned merge product or a single char
+        learned = {l + rr for l, rr in got}
+        assert all(len(t) == 1 or t in learned for t in r.bpe_tokens), r.bpe_tokens
+
+
+def test_bpe_encode_applies_merges_in_learned_order(spark):
+    """Rank order, not positional greed: on 'abc' with merges
+    [(b,c), (a,b)], rank 0 is (b,c), so the encode must produce
+    ['a', 'bc'] — a left-to-right positional scan would apply (a,b)
+    first and yield ['ab', 'c'], the classic BPE-encode bug. Chained
+    ranks still cascade: [(a,b), (ab,c)] fully merges to ['abc']."""
+    from kafka_workers_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    ranked = bpe_encode(df, [("b", "c"), ("a", "b")]).first().bpe_tokens
+    assert ranked == ["a", "bc"]
+    chained = bpe_encode(df, [("a", "b"), ("ab", "c")]).first().bpe_tokens
+    assert chained == ["abc"]
