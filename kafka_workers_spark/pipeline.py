@@ -416,6 +416,7 @@ def prepare_training_mix(
     scorer=None,
     max_per_key: tuple[list[str], int] | None = None,
     eval_bloom: DataFrame | None = None,
+    dsir: tuple[DataFrame, int] | None = None,
 ) -> DataFrame:
     """The full batch data-mix build: curate ([PII redaction →] quality
     filter → [global paragraph dedup →] exact dedup → LSH near-dedup) →
@@ -450,6 +451,16 @@ def prepare_training_mix(
 
         scored = score_documents(clean, text_col=text_col, score_col="__q", scorer=scorer)
         clean = sample_by_quality(scored, "__q", quality_keep_fraction).drop("__q")
+    if dsir is not None:
+        from kafka_workers_spark.operators.text import dsir_resample, dsir_weights
+
+        target_docs, dsir_k = dsir
+        w = dsir_weights(
+            clean.select(id_col, text_col), target_docs,
+            id_col=id_col, text_col=text_col,
+        )
+        keep = dsir_resample(w, k=dsir_k, id_col=id_col).select(id_col)
+        clean = clean.join(keep, id_col, "left_semi")
     if eval_docs is not None:
         clean = decontaminate(clean, eval_docs, id_col=id_col, text_col=text_col)
     elif eval_bloom is not None:

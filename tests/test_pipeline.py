@@ -991,3 +991,25 @@ def test_bigram_lm_scores_stream_batches_against_static_model(spark, tmp_path):
     assert got[100].n_unseen == 0
     assert got[101].n_unseen == 4
     assert got[101].ppl > got[100].ppl
+
+
+def test_prepare_training_mix_with_dsir_selection(spark):
+    """The dsir=(target, k) stage keeps at most k cleaned documents and
+    runs BEFORE decontamination; the surviving pack assignments draw
+    only from the DSIR selection, and the stage is deterministic."""
+    from kafka_workers_spark.pipeline import prepare_training_mix
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    target = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    k = 30
+    packs = prepare_training_mix(
+        docs, dsir=(target, k), default_rate=100, min_tokens=1
+    )
+    kept = {r.doc_id for r in packs.select("doc_id").distinct().collect()}
+    assert 0 < len(kept) <= k
+    packs2 = prepare_training_mix(
+        docs, dsir=(target, k), default_rate=100, min_tokens=1
+    )
+    kept2 = {r.doc_id for r in packs2.select("doc_id").distinct().collect()}
+    assert kept == kept2
