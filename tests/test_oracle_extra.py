@@ -253,15 +253,29 @@ def _extra_specs():
     return [s for s in load_extra().values() if s.oracle is not None]
 
 
-@pytest.mark.parametrize("spec", _extra_specs(), ids=[s.name for s in _extra_specs()])
-def test_rotated_out_queries_still_match_oracle(spark, spec):
+def test_rotated_out_queries_still_match_oracle(spark):
     """Queries rotated OUT of the driver's 50-query window (round-5
     rotation, VERDICT r04 #4) keep the identical QuerySpec contract and
     stay held to the same DuckDB oracle here — rotation changes who runs
-    the check, never whether it runs."""
+    the check, never whether it runs. All EXTRA rows run concurrently
+    on 6 threads (Spark jobs and per-thread DuckDB connections are both
+    thread-safe; one thread per query would oversubscribe the local
+    executor pool) — the failure message still names every failing
+    query with its assertion."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from tests.oracle import compare_query
 
-    compare_query(spark, SF, spec)
+    def run(spec):
+        try:
+            compare_query(spark, SF, spec)
+            return None
+        except Exception as exc:  # noqa: BLE001 — reported per query below
+            return f"{spec.name}: {str(exc)[:300]}"
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        failures = [f for f in pool.map(run, _extra_specs()) if f]
+    assert not failures, "\n".join(failures)
 
 
 def test_dedup_substrings_document_scope_matches_duckdb_oracle(spark):
