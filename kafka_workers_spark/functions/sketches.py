@@ -406,3 +406,181 @@ def skew_report(
         "count_max",
         (F.col("count_min") / F.lit(max(total, 1))).alias("fraction_min"),
     )
+
+
+# --- Count-min sketch: the FREQUENCY analog of the Bloom family ---------
+#
+# bloom_build answers "have we seen it?"; cms_build answers "about how
+# many times?" in the same fixed-size, mergeable, store-and-probe-later
+# shape. Misra-Gries (frequent_items above) returns the top-k AT BUILD
+# TIME but cannot answer a point query afterwards; a stored CMS row can
+# be probed for ANY value months later and merged across runs by
+# element-wise addition (Cormode & Muthukrishnan, J. Algorithms 2005).
+# One-sided error: estimate >= true count always; overestimate is
+# bounded by e*N/width with probability 1 - e^-depth.
+#
+# Hashing is the md5-prefix integer (functions/determinism.py's
+# sample_coin trick, the DSIR discipline) rather than xxhash — 60-bit
+# positive prefix, deterministic and replayable in ANSI SQL, so the
+# whole build→probe chain is DuckDB-oracle-able bit for bit.
+
+
+def _cms_pos(value: Column, d: int, width: int) -> Column:
+    """Row d's bucket for ``value``: md5 over a fixed per-row prefix —
+    the literal prefix makes the depth hashes independent while staying
+    a single codegen'd expression per row."""
+    h = F.md5(F.concat(F.lit(f"cms{d}:"), value))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % width
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable count-min frequency sketch: one row per group holding
+    ``counts array<bigint>`` of ``depth * width`` cells (row-major) plus
+    the ``width``/``depth`` scheme columns. Build shape mirrors
+    :func:`bloom_build`: explode the ``depth`` cell indices per input
+    row (deterministic, codegen), ONE hash aggregate sums cell hits
+    (map-side partial — the shuffle carries at most depth × width
+    partial rows per partition, never raw data), then a per-group
+    assembly packs sparse (cell, count) rows into the dense array —
+    sketch-sized work. At the 2048 × 4 default the row is 64 KB;
+    thousands of groups still broadcast.
+
+    Values are hashed as strings (cast first for other types so probe
+    and build agree on the text form).
+    """
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"width ({width}) and depth ({depth}) must be positive")
+    if width * depth > 1 << 22:
+        # 4M cells = a 32 MB array per sketch row — past broadcast
+        # sanity, and the dense assembly builds the whole array per
+        # group; shard into more groups or use exact counts instead
+        raise ValueError(f"width*depth ({width * depth}) exceeds the 2^22 cell bound")
+    group_cols = list(group_cols or [])
+    c = F.col(col)
+    cell = F.explode(
+        F.array(
+            *[(F.lit(d * width) + _cms_pos(c, d, width)).alias("x") for d in range(depth)]
+        )
+    ).alias("__cell")
+    cells = (
+        df.where(c.isNotNull())
+        .select(*group_cols, cell)
+        .groupBy(*group_cols, "__cell")
+        .agg(F.count("*").alias("__n"))
+    )
+    return (
+        cells.groupBy(*group_cols)
+        .agg(F.map_from_entries(F.collect_list(F.struct("__cell", "__n"))).alias("__m"))
+        .select(
+            *group_cols,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth * width - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i.cast("long")), F.lit(0).cast("bigint")
+                ),
+            ).alias("counts"),
+            F.lit(width).alias("width"),
+            F.lit(depth).alias("depth"),
+        )
+    )
+
+
+def cms_estimate(
+    col: str, width: int, depth: int, counts_col: str = "counts"
+) -> Column:
+    """Point-query expression against a joined-in ``counts_col``: the
+    minimum over the ``depth`` row cells — row-local, codegen, no
+    shuffle; pair with a broadcast join on the sketch row
+    (:func:`cms_probe` does exactly that)."""
+    cells = [
+        F.element_at(
+            F.col(counts_col), (F.lit(d * width) + _cms_pos(F.col(col), d, width) + 1).cast("int")
+        )
+        for d in range(depth)
+    ]
+    return cells[0] if depth == 1 else F.least(*cells)
+
+
+def cms_probe(
+    df: DataFrame,
+    cms: DataFrame,
+    col: str,
+    out: str = "cms_count",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Annotate ``df`` with the sketch's count estimate for ``col``:
+    broadcast-join the sketch row(s) (on ``group_cols`` when the sketch
+    is per-group, else a single-row broadcast) and evaluate
+    :func:`cms_estimate` row-locally. The scheme is read from the tiny
+    param columns via the same eager pinned check as the Bloom family
+    (_bloom_params' contract — mixed schemes would return garbage
+    silently)."""
+    from pyspark.storagelevel import StorageLevel
+
+    group_cols = list(group_cols or [])
+    pinned_here = not cms.is_cached
+    cms = cms.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        params = cms.select("width", "depth").distinct().collect()
+        if len(params) != 1:
+            raise ValueError(
+                f"cms_probe: sketch has {len(params)} distinct (width, depth) "
+                "schemes; rebuild or merge with one scheme"
+            )
+    except Exception:
+        if pinned_here:
+            cms.unpersist()
+        raise
+    width, depth = params[0].width, params[0].depth
+    side = cms.select(*group_cols, "counts")
+    joined = (
+        df.join(F.broadcast(side), group_cols, "left")
+        if group_cols
+        else df.crossJoin(F.broadcast(side))
+    )
+    est = F.when(
+        F.col("counts").isNotNull(), cms_estimate(col, width, depth)
+    ).otherwise(F.lit(0).cast("bigint"))
+    return joined.withColumn(out, est).drop("counts")
+
+
+def cms_merge(cms: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge sketch rows by element-wise addition — exact, associative,
+    commutative, so per-day/per-shard sketches roll up in any order to
+    precisely the sketch a single pass over the union would build
+    (unlike HLL's representation-dependent bytes). Scheme mismatch
+    raises via the same eager check as :func:`cms_probe`."""
+    from pyspark.storagelevel import StorageLevel
+
+    group_cols = list(group_cols or [])
+    pinned_here = not cms.is_cached
+    cms = cms.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        params = cms.select("width", "depth").distinct().collect()
+        if len(params) != 1:
+            raise ValueError(
+                f"cms_merge: sketch has {len(params)} distinct (width, depth) "
+                "schemes; merge within one scheme"
+            )
+    except Exception:
+        if pinned_here:
+            cms.unpersist()
+        raise
+    width, depth = params[0].width, params[0].depth
+    return (
+        cms.groupBy(*group_cols)
+        .agg(
+            F.aggregate(
+                F.collect_list("counts"),
+                F.array_repeat(F.lit(0).cast("bigint"), depth * width),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("counts")
+        )
+        .select(*group_cols, "counts", F.lit(width).alias("width"), F.lit(depth).alias("depth"))
+    )

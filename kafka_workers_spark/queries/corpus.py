@@ -272,3 +272,73 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_with_bloom(
         train, bloom, shingle_n=_SHINGLE_N, max_shared=0
     ).select("doc_id")
+
+
+_CMS_W = 64  # deliberately tight: collisions occur at test scale, so the
+_CMS_D = 4   # min-over-depth logic is exercised, not just the happy path
+# (the oracle replays the identical hashes, so colliding estimates match
+#  bit for bit — the pairing of these constants with the SQL below is
+#  intentional; change both together)
+
+
+@register(
+    "corpus_cms_token_counts",
+    f"""
+    WITH toks AS (
+      SELECT UNNEST(list_filter({_TOKS_SQL}, t -> len(t) > 0)) AS tok
+      FROM documents
+    ),
+    cells AS (
+      SELECT ds.d * {_CMS_W}
+               + CAST('0x' || substr(md5('cms' || ds.d || ':' || tok), 1, 15) AS BIGINT)
+                 % {_CMS_W} AS cell,
+             COUNT(*) AS n
+      FROM toks CROSS JOIN (SELECT UNNEST(range({_CMS_D})) AS d) ds
+      GROUP BY 1
+    ),
+    exact AS (SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok)
+    SELECT e.tok, CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(c.n) AS BIGINT) AS cms_count
+    FROM exact e
+    CROSS JOIN (SELECT UNNEST(range({_CMS_D})) AS d) ds
+    JOIN cells c
+      ON c.cell = ds.d * {_CMS_W}
+               + CAST('0x' || substr(md5('cms' || ds.d || ':' || e.tok), 1, 15) AS BIGINT)
+                 % {_CMS_W}
+    GROUP BY e.tok, e.exact_cnt
+    """,
+    category="corpus",
+    windowed=False,
+)
+def corpus_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build → point-probe chain
+    (functions/sketches.py cms_build / cms_probe, Cormode &
+    Muthukrishnan 2005): the corpus token stream folds into ONE
+    {_CMS_W}×{_CMS_D} sketch row, then every distinct token is probed
+    back against the stored sketch next to its exact count. The oracle
+    replays the md5-prefix cell hashing, the cell-count aggregate, and
+    the min-over-depth probe bit for bit — including collided cells
+    (width {_CMS_W} is deliberately tight so collisions exist at test
+    scale), so a wrong cell index, a dropped depth row, or a packing
+    off-by-one all hash-mismatch. The estimate >= exact one-sided bound
+    is additionally property-tested in tests/test_sketches.py.
+
+    Scale shape (100 TB): the build is ONE map-side-combined hash
+    aggregate whose shuffle carries at most depth × width partial rows
+    per partition (never raw tokens); the probe is a single-row
+    broadcast + row-local min over depth codegen'd lookups. The sketch
+    is the frequency analog of the stored Bloom membership row
+    (corpus_decontaminate_bloom) — probe-later and mergeable across
+    runs by element-wise addition (cms_merge), where Misra-Gries
+    (frequent_items) can only answer at build time."""
+    from kafka_workers_spark.functions.sketches import cms_build, cms_probe
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    toks = d.select(
+        F.explode(F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)).alias("tok")
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("exact_cnt"))
+    cms = cms_build(toks, "tok", width=_CMS_W, depth=_CMS_D)
+    return cms_probe(exact, cms, "tok", out="cms_count").select(
+        "tok", "exact_cnt", F.col("cms_count").cast("bigint").alias("cms_count")
+    )

@@ -300,3 +300,77 @@ def test_bloom_probe_rejects_duplicate_group_sketch_rows(spark):
     )
     with pytest.raises(ValueError, match="bloom_merge"):
         bloom_probe(df, doubled, "v", group_cols=["lang"])
+
+
+def test_cms_never_underestimates_and_is_exact_when_wide(spark):
+    """The count-min contract: estimate >= true count for EVERY value
+    (one-sided error), and with a width far above the cardinality no
+    collision occurs so the estimate is exact."""
+    from kafka_workers_spark.functions.sketches import cms_build, cms_probe
+
+    vals = spark.range(0, 2000).select(
+        F.concat(F.lit("v"), (F.col("id") % 97)).alias("v")
+    )
+    exact = vals.groupBy("v").agg(F.count("*").alias("n"))
+    tight = cms_probe(exact, cms_build(vals, "v", width=16, depth=4), "v")
+    rows = tight.collect()
+    assert all(r.cms_count >= r.n for r in rows)
+    wide = cms_probe(exact, cms_build(vals, "v", width=4096, depth=4), "v")
+    assert all(r.cms_count == r.n for r in wide.collect())
+
+
+def test_cms_merge_equals_whole_pass_exactly(spark):
+    """Element-wise addition of shard sketches reproduces the single-pass
+    sketch bit for bit (exact merge — the property HLL's representation
+    transitions give up), regardless of how the data was split."""
+    from kafka_workers_spark.functions.sketches import cms_build, cms_merge
+
+    vals = spark.range(0, 3000).select(
+        F.concat(F.lit("k"), (F.col("id") % 211)).alias("v"), F.col("id")
+    )
+    whole = cms_build(vals, "v", width=32, depth=3).collect()[0].counts
+    shards = [
+        cms_build(vals.where(F.col("id") % 3 == i), "v", width=32, depth=3)
+        for i in range(3)
+    ]
+    u = shards[0].unionByName(shards[1]).unionByName(shards[2])
+    merged = cms_merge(u).collect()[0].counts
+    assert merged == whole
+
+
+def test_cms_grouped_probe_and_missing_group(spark):
+    """Per-group sketches probe through the group-keyed broadcast join;
+    a probe row whose group has NO sketch gets estimate 0 (left join),
+    never a NULL or a wrong group's counts."""
+    from kafka_workers_spark.functions.sketches import cms_build, cms_probe
+
+    vals = spark.createDataFrame(
+        [("a", "x")] * 5 + [("a", "y")] * 2 + [("b", "x")] * 7, ["g", "v"]
+    )
+    cms = cms_build(vals, "v", width=64, depth=3, group_cols=["g"])
+    probes = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("c", "x")], ["g", "v"]
+    )
+    got = {(r.g, r.v): r.cms_count for r in cms_probe(probes, cms, "v", group_cols=["g"]).collect()}
+    assert got[("a", "x")] == 5 and got[("a", "y")] == 2 and got[("b", "x")] == 7
+    assert got[("c", "x")] == 0
+
+
+def test_cms_scheme_mismatch_and_oversize_raise(spark):
+    """Mixed (width, depth) schemes must raise eagerly in probe AND merge
+    (a mismatched lookup returns garbage silently), and a sketch past the
+    cell bound is rejected at build."""
+    import pytest
+
+    from kafka_workers_spark.functions.sketches import cms_build, cms_merge, cms_probe
+
+    vals = spark.range(0, 50).select(F.col("id").cast("string").alias("v"))
+    a = cms_build(vals, "v", width=32, depth=2)
+    b = cms_build(vals, "v", width=64, depth=2)
+    mixed = a.unionByName(b)
+    with pytest.raises(Exception, match="distinct"):
+        cms_merge(mixed).collect()
+    with pytest.raises(Exception, match="distinct"):
+        cms_probe(vals, mixed, "v").collect()
+    with pytest.raises(ValueError, match="cell bound"):
+        cms_build(vals, "v", width=1 << 22, depth=2)
