@@ -1372,3 +1372,105 @@ def bpe_encode(
             yield pdf
 
     return docs.mapInPandas(run, schema=schema)
+
+
+def phrase_scores(
+    docs,
+    text_col: str = "text",
+    delta: int = 3,
+    threshold: tuple[int, int] = (1, 10_000),
+    min_count: int = 1,
+    broadcast_vocab: bool = False,
+):
+    """word2phrase collocation mining (Mikolov et al., "Distributed
+    Representations of Words and Phrases and their Compositionality",
+    NeurIPS 2013, arXiv:1310.4546 §4): score every adjacent token pair
+    by ``score(a,b) = (count(a,b) - δ) · N / (count(a) · count(b))`` —
+    pairs that co-occur far more than their unigram frequencies predict
+    are phrases ("new york", "gradient descent") worth fusing into
+    single vocabulary entries before tokenizer/embedding training. δ
+    discounts rare accidental pairs.
+
+    ``threshold`` is a RATIONAL (num, den) — the phrase decision is the
+    exact integer predicate ``(count(a,b) - δ) · N · den >
+    num · count(a) · count(b)`` evaluated in DECIMAL(38,0) (products of
+    three counts overflow bigint at web scale: N ~ 1e13 tokens puts the
+    left side near 1e30 — inside decimal-38, past int64). The float
+    ``score`` column is the human-readable form of the same quantity;
+    the decision never reads it. Tokens are whitespace tokens over
+    :func:`normalized` text (the LM/TF-IDF family tokenization).
+
+    Returns one row per distinct adjacent pair with ``pair_cnt >=
+    min_count``: ``lhs, rhs, pair_cnt, lhs_cnt, rhs_cnt, score,
+    is_phrase`` — every column except ``score`` exact-integer/boolean
+    (the DuckDB-oracle surface; score is two exact int64→double
+    conversions, one multiply and one divide, so it is also
+    bit-reproducible cross-engine and the oracle carries it).
+
+    Shape at scale: build is JOB-FREE — unigram and pair counts are two
+    partial-aggregatable token-keyed shuffles, N derives in-plan from
+    the unigram table as a one-row broadcast. The scoring joins key the
+    pair table against the unigram table on lhs/rhs: vocab-bounded, so
+    ``broadcast_vocab=True`` ships the unigram counts to every executor
+    and removes both shuffles AND their Zipf hot keys ("the"-row
+    fan-out) — the :func:`bigram_lm_score` broadcast_model discipline;
+    the default relies on AQE's skew split for unbounded vocabularies.
+
+    Reference parity: vocabulary construction lives in user task code in
+    the reference (WorkerTask.java:50); this is the phrase-vocab stage
+    that code would implement.
+    """
+    from kafka_workers_spark.operators.dedup import barrier
+
+    if delta < 0:
+        raise ValueError(f"delta ({delta}) must be >= 0")
+    num, den = threshold
+    if den <= 0 or num < 0:
+        raise ValueError(f"threshold ({threshold}) must be a nonnegative/positive rational")
+    toks = F.filter(tokens(normalized(F.col(text_col))), lambda t: F.length(t) > 0)
+    staged = barrier(docs.select(toks.alias("__toks")))
+    uni = (
+        staged.select(F.explode("__toks").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count("*").alias("__c"))
+    )
+    uni = barrier(uni, "__t")  # feeds N and both scoring joins once
+    n_row = uni.agg(F.sum("__c").alias("__n"))
+    pairs_col = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - 2),
+            lambda i: F.struct(
+                F.element_at("__toks", i + 1).alias("lhs"),
+                F.element_at("__toks", i + 2).alias("rhs"),
+            ),
+        ),
+    )
+    pair_cnt = (
+        staged.select(F.explode(pairs_col).alias("__p"))
+        .select("__p.lhs", "__p.rhs")
+        .groupBy("lhs", "rhs")
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_count)
+    )
+    uni_j = F.broadcast(uni) if broadcast_vocab else uni
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    joined = (
+        pair_cnt.join(uni_j.select(F.col("__t").alias("lhs"), F.col("__c").alias("lhs_cnt")), "lhs")
+        .join(uni_j.select(F.col("__t").alias("rhs"), F.col("__c").alias("rhs_cnt")), "rhs")
+        .crossJoin(F.broadcast(n_row))
+    )
+    lift_num = d38(F.col("pair_cnt") - F.lit(delta)) * d38(F.col("__n")) * d38(F.lit(den))
+    lift_den = d38(F.lit(num)) * d38(F.col("lhs_cnt")) * d38(F.col("rhs_cnt"))
+    score = (
+        (F.col("pair_cnt") - F.lit(delta)).cast("double") * F.col("__n").cast("double")
+    ) / (F.col("lhs_cnt").cast("double") * F.col("rhs_cnt").cast("double"))
+    return joined.select(
+        "lhs",
+        "rhs",
+        "pair_cnt",
+        "lhs_cnt",
+        "rhs_cnt",
+        score.alias("score"),
+        ((F.col("pair_cnt") > F.lit(delta)) & (lift_num > lift_den)).alias("is_phrase"),
+    )

@@ -158,6 +158,11 @@ def _sql_band_key_differs_note() -> None:  # pragma: no cover
     FROM documents
     """,
     category="dedup",
+    # rotated to EXTRA round 7 (text_phrase_mining took the driver row);
+    # dedup_simhash_pairs keeps the SimHash family windowed, and this
+    # signature query stays under the identical oracle via pytest's
+    # rotated-query test
+    windowed=False,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: tokenize stage + one codegen'd hash

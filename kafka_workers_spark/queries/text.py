@@ -810,3 +810,76 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(syms).select(
         F.col("left").alias("lhs"), F.col("right").alias("rhs"), "cnt"
     )
+
+
+_PHRASE_DELTA = 2
+_PHRASE_NUM, _PHRASE_DEN = 11, 10  # threshold 1.1 as an exact rational
+# (1.1 sits at the ~80th percentile of the testdata lift distribution, so
+#  BOTH predicate arms carry real rows — a threshold past the tail would
+#  pin is_phrase almost-all-false and stop guarding the comparison)
+_PHRASE_MIN = 2
+# the constants interpolate into BOTH the wrapper call and the oracle SQL
+# below — change them together (the queries/pipeline_ops.py pairing rule)
+
+
+@register(
+    "text_phrase_mining",
+    f"""
+    WITH base AS (
+      SELECT {_LM_TOKS_SQL} AS toks FROM documents
+    ),
+    uni AS (
+      SELECT t, COUNT(*) AS c
+      FROM (SELECT UNNEST(toks) AS t FROM base) GROUP BY t
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    pairs AS (
+      SELECT lhs, rhs, COUNT(*) AS pair_cnt FROM (
+        SELECT UNNEST([{{'lhs': toks[i], 'rhs': toks[i+1]}}
+                       FOR i IN generate_series(1, len(toks) - 1)],
+                      recursive := true)
+        FROM base WHERE len(toks) >= 2
+      ) GROUP BY lhs, rhs
+    )
+    SELECT p.lhs, p.rhs, CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+           CAST(ul.c AS BIGINT) AS lhs_cnt, CAST(ur.c AS BIGINT) AS rhs_cnt,
+           (CAST(p.pair_cnt - {_PHRASE_DELTA} AS DOUBLE) * CAST(n.n AS DOUBLE))
+             / (CAST(ul.c AS DOUBLE) * CAST(ur.c AS DOUBLE)) AS score,
+           (p.pair_cnt > {_PHRASE_DELTA}
+            AND CAST(p.pair_cnt - {_PHRASE_DELTA} AS HUGEINT) * CAST(n.n AS HUGEINT)
+                  * {_PHRASE_DEN}
+                > CAST({_PHRASE_NUM} AS HUGEINT) * CAST(ul.c AS HUGEINT)
+                  * CAST(ur.c AS HUGEINT)) AS is_phrase
+    FROM pairs p
+    JOIN uni ul ON ul.t = p.lhs
+    JOIN uni ur ON ur.t = p.rhs
+    CROSS JOIN n
+    WHERE p.pair_cnt >= {_PHRASE_MIN}
+    """,
+    category="text",
+)
+def text_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2phrase collocation mining (operators.text.phrase_scores,
+    Mikolov et al. NeurIPS 2013 arXiv:1310.4546 §4): every adjacent
+    token pair scored by ``(count(a,b) - δ) · N / (count(a) ·
+    count(b))`` with the phrase decision the exact integer predicate in
+    DECIMAL(38,0) (HUGEINT on the oracle side) against the rational
+    threshold {_PHRASE_NUM}/{_PHRASE_DEN}. The oracle replays
+    tokenization, both count tables, the in-plan N broadcast, the score
+    float (two exact int64→double conversions, one multiply, one divide
+    — bit-reproducible cross-engine, unlike ln()) and the integer
+    predicate.
+
+    Scale shape: job-free build — two token-keyed partial-aggregate
+    shuffles; N a one-row broadcast; scoring joins vocab-bounded (the
+    broadcast_vocab escape hatch removes them entirely at 100 TB,
+    bigram_lm_score's broadcast_model discipline)."""
+    from kafka_workers_spark.operators.text import phrase_scores
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    return phrase_scores(
+        d,
+        delta=_PHRASE_DELTA,
+        threshold=(_PHRASE_NUM, _PHRASE_DEN),
+        min_count=_PHRASE_MIN,
+    ).select("lhs", "rhs", "pair_cnt", "lhs_cnt", "rhs_cnt", "score", "is_phrase")

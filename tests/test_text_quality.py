@@ -907,3 +907,56 @@ def test_bpe_encode_applies_merges_in_learned_order(spark):
     assert ranked == ["a", "bc"]
     chained = bpe_encode(df, [("a", "b"), ("ab", "c")]).first().bpe_tokens
     assert chained == ["abc"]
+
+
+def test_phrase_scores_known_answer(spark):
+    """Hand-computed word2phrase lifts on a tiny corpus: 'new york'
+    co-occurs every time either token appears (lift >> 1 → phrase);
+    'the cat' co-occurs at chance (lift ~ 1 → not a phrase); a pair at
+    or below the delta discount can never be a phrase."""
+    from kafka_workers_spark.operators.text import phrase_scores
+
+    docs = spark.createDataFrame(
+        [("new york is big",), ("new york is old",), ("the cat sat",), ("the dog sat",)],
+        ["text"],
+    )
+    # N = 14 tokens; counts: new=2 york=2 is=2 the=2 sat=2 big/old/cat/dog=1
+    got = {
+        (r.lhs, r.rhs): r
+        for r in phrase_scores(docs, delta=1, threshold=(3, 2), min_count=1).collect()
+    }
+    ny = got[("new", "york")]
+    assert (ny.pair_cnt, ny.lhs_cnt, ny.rhs_cnt) == (2, 2, 2)
+    assert ny.score == (2 - 1) * 14 / (2 * 2) == 3.5 and ny.is_phrase
+    yi = got[("york", "is")]  # same counts → same lift
+    assert yi.is_phrase
+    cs = got[("cat", "sat")]  # (1-1)*14/(1*2) = 0: at the delta discount
+    assert cs.score == 0.0 and not cs.is_phrase
+
+
+def test_phrase_scores_broadcast_vocab_identical_and_plan(spark):
+    """broadcast_vocab=True is ONLY a physical-plan choice: identical
+    rows, and the unigram joins become broadcast-hash (the
+    bigram_lm_score broadcast_model contract)."""
+    from kafka_workers_spark.operators.text import phrase_scores
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("text")
+    base = phrase_scores(docs, min_count=2)
+    bcast = phrase_scores(docs, min_count=2, broadcast_vocab=True)
+    cols = ["lhs", "rhs", "pair_cnt", "lhs_cnt", "rhs_cnt", "is_phrase"]
+    assert sorted(map(tuple, base.select(cols).collect())) == sorted(
+        map(tuple, bcast.select(cols).collect())
+    )
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_phrase_scores_rejects_bad_params(spark):
+    from kafka_workers_spark.operators.text import phrase_scores
+
+    docs = spark.createDataFrame([("a b",)], ["text"])
+    with pytest.raises(ValueError, match="delta"):
+        phrase_scores(docs, delta=-1)
+    with pytest.raises(ValueError, match="threshold"):
+        phrase_scores(docs, threshold=(1, 0))
