@@ -883,3 +883,81 @@ def text_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=(_PHRASE_NUM, _PHRASE_DEN),
         min_count=_PHRASE_MIN,
     ).select("lhs", "rhs", "pair_cnt", "lhs_cnt", "rhs_cnt", "score", "is_phrase")
+
+
+_NB_BUCKETS = 2048
+_NB_TRAIN_MOD = 2  # doc_id % 2 == 0 trains; the odd half scores
+# (constants interpolate into BOTH the wrapper and the oracle SQL below)
+
+
+@register(
+    "text_nb_score",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_LM_TOKS_SQL} AS toks FROM documents
+    ),
+    fb AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % {_NB_BUCKETS} AS b
+      FROM (
+        SELECT doc_id,
+               UNNEST(toks || CASE WHEN len(toks) >= 2
+                   THEN [toks[i] || ' ' || toks[i+1]
+                         FOR i IN generate_series(1, len(toks) - 1)]
+                   ELSE [] END) AS f
+        FROM base
+      )
+    ),
+    fc AS (
+      SELECT b2.lang AS label, fb.b, COUNT(*) AS cnt
+      FROM fb JOIN base b2 USING (doc_id)
+      WHERE b2.doc_id % {_NB_TRAIN_MOD} = 0
+      GROUP BY 1, 2
+    ),
+    labels AS (
+      SELECT DISTINCT lang AS label FROM documents
+      WHERE doc_id % {_NB_TRAIN_MOD} = 0 AND lang IS NOT NULL
+    )
+    SELECT d.doc_id, l.label,
+           CAST(COUNT(fb.b) AS BIGINT) AS n_feats,
+           CAST(COALESCE(SUM(fc.cnt), 0) AS BIGINT) AS sum_feat_count
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {_NB_TRAIN_MOD} = 1) d
+    CROSS JOIN labels l
+    LEFT JOIN fb ON fb.doc_id = d.doc_id
+    LEFT JOIN fc ON fc.label = l.label AND fc.b = fb.b
+    GROUP BY d.doc_id, l.label
+    """,
+    category="text",
+    windowed=False,
+)
+def text_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes train → score chain
+    (operators/classify.py nb_train / nb_score; Joulin et al. EACL 2017
+    is the fastText-classifier precedent, NB its closed-form cousin):
+    the even-doc_id half trains per-lang hashed unigram+bigram bucket
+    models ({_NB_BUCKETS} buckets, the DSIR feature space), the odd half
+    scores against every trained label. The oracle replays feature
+    hashing, the per-(label, bucket) counts, the label cross (every doc
+    scores EVERY label — the smoothed-floor contract), and the
+    per-(doc, label) integer aggregate; log_posterior is libm ln(), so
+    it is differential-tested against a Python reference in
+    tests/test_scoring.py instead (the DSIR float discipline). The
+    testdata's lang classes are near-uniform over the shared vocabulary,
+    which is exactly why the INTEGER surface is the oracle: it pins the
+    mechanism (hashing, counts, fan-out, smoothing inputs) regardless of
+    class separability; learning itself is proven on a separable corpus
+    in the unit tests.
+
+    Scale shape: the model is <= labels × buckets rows BY CONSTRUCTION —
+    broadcast at any corpus size; scoring is explode → K-row label
+    broadcast cross → broadcast counts join → (doc, label)-keyed partial
+    aggregate. No token-keyed shuffle, no Zipf hot key."""
+    from kafka_workers_spark.operators.classify import nb_score, nb_train
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    train = d.filter(F.col("doc_id") % _NB_TRAIN_MOD == 0)
+    test = d.filter(F.col("doc_id") % _NB_TRAIN_MOD == 1)
+    model = nb_train(train, "lang", n_buckets=_NB_BUCKETS)
+    return nb_score(test, model).select(
+        "doc_id", "label", "n_feats", "sum_feat_count"
+    )

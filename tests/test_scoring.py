@@ -87,3 +87,111 @@ def test_score_documents_rejects_column_collision(spark):
     docs = spark.createDataFrame([(1, "x", 0.1)], "doc_id long, text string, score double")
     with pytest.raises(ValueError, match="already exists"):
         score_documents(docs)
+
+
+# --- multinomial Naive Bayes (operators/classify.py) -----------------------
+
+_FRUIT = ["apple banana cherry mango", "banana mango apple", "cherry apple banana mango banana"]
+_METAL = ["iron copper zinc steel", "copper steel iron", "zinc iron copper steel copper"]
+
+
+def _nb_corpus(spark):
+    rows = [(i, t, "fruit") for i, t in enumerate(_FRUIT * 8)] + [
+        (100 + i, t, "metal") for i, t in enumerate(_METAL * 8)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_nb_learns_separable_classes_and_breaks_ties_deterministically(spark):
+    """On a separable corpus the classifier must be perfect on held-out
+    docs from either vocabulary; a document carrying NO features scores
+    priors only, and an exact posterior tie resolves to the smallest
+    label string — never arbitrarily."""
+    from kafka_workers_spark.operators.classify import nb_classify, nb_train
+
+    model = nb_train(_nb_corpus(spark), "lang", n_buckets=512)
+    test = spark.createDataFrame(
+        [(900, "apple mango"), (901, "steel zinc"), (902, "mango banana cherry"),
+         (903, "iron iron copper"), (904, None)],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.predicted_label for r in nb_classify(test, model).collect()}
+    assert got[900] == "fruit" and got[902] == "fruit"
+    assert got[901] == "metal" and got[903] == "metal"
+    # 904: no features, equal priors (24 docs each) → exact tie → min label
+    assert got[904] == "fruit"
+
+
+def test_nb_score_matches_python_reference(spark):
+    """log_posterior differential test vs a plain-Python NB (the DSIR
+    float discipline): same md5 feature hashing, add-α smoothing,
+    smoothed floor for buckets a label never saw."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from kafka_workers_spark.operators.classify import nb_score, nb_train
+
+    n_buckets, alpha = 512, 1.0
+
+    def feats(text):
+        t = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", "", text.lower())).strip()
+        ts = [w for w in t.split(" ") if w]
+        fs = ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        return [int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % n_buckets for f in fs]
+
+    corpus = _nb_corpus(spark)
+    train_rows = corpus.collect()
+    counts: dict[str, Counter] = {}
+    docs_per: Counter = Counter()
+    toks_per: Counter = Counter()
+    for r in train_rows:
+        bs = feats(r.text)
+        counts.setdefault(r.lang, Counter()).update(bs)
+        docs_per[r.lang] += 1
+        toks_per[r.lang] += len(bs)
+    total_docs = sum(docs_per.values())
+
+    def ref_lp(text, label):
+        lp = math.log(docs_per[label]) - math.log(total_docs)
+        for b in feats(text):
+            lp += math.log(counts[label][b] + alpha) - math.log(
+                toks_per[label] + alpha * n_buckets
+            )
+        return lp
+
+    test = spark.createDataFrame(
+        [(900, "apple mango"), (901, "steel zinc apple")], ["doc_id", "text"]
+    )
+    model = nb_train(corpus, "lang", n_buckets=n_buckets, alpha=alpha)
+    for r in nb_score(test, model).collect():
+        txt = {900: "apple mango", 901: "steel zinc apple"}[r.doc_id]
+        assert abs(r.log_posterior - ref_lp(txt, r.label)) < 1e-9, (r.doc_id, r.label)
+
+
+def test_nb_train_excludes_null_labels_and_validates_params(spark):
+    from kafka_workers_spark.operators.classify import nb_train
+
+    df = spark.createDataFrame(
+        [(0, "apple", "a"), (1, "iron", None)], ["doc_id", "text", "lang"]
+    )
+    model = nb_train(df, "lang")
+    assert [r.label for r in model.class_stats.collect()] == ["a"]
+    with pytest.raises(ValueError, match="n_buckets"):
+        nb_train(df, "lang", n_buckets=0)
+    with pytest.raises(ValueError, match="alpha"):
+        nb_train(df, "lang", alpha=0.0)
+
+
+def test_nb_score_plan_is_broadcast_only(spark):
+    """The scoring plan must carry NO token/bucket-keyed shuffle: the
+    model sides join as broadcasts (the fixed-size-model contract);
+    the only exchange is the (doc, label) aggregate's."""
+    from kafka_workers_spark.operators.classify import nb_score, nb_train
+
+    model = nb_train(_nb_corpus(spark), "lang", n_buckets=512)
+    test = spark.createDataFrame([(1, "apple iron")], ["doc_id", "text"])
+    plan = nb_score(test, model)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
