@@ -862,6 +862,124 @@ def mixture_rates(
     return rates
 
 
+def unimax_allocation(
+    token_counts: DataFrame,
+    token_budget: int | None = None,
+    max_epochs: int = 1,
+    stratum_col: str = "lang",
+    count_col: str = "n_tokens",
+    budget_fraction: tuple[int, int] | None = None,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR 2023): waterfill a total token budget over
+    strata, capping every stratum at ``max_epochs`` passes over its
+    corpus — the principled successor to :func:`temperature_weights`
+    (temperature sampling over-repeats the smallest strata; UniMax
+    makes the repeat ceiling EXPLICIT and spreads the remainder
+    uniformly over the strata that can still absorb it).
+
+    Closed form, not iteration: sort strata by capacity ``cap =
+    max_epochs · n_tokens`` ascending; stratum k (of L) is capped iff
+    ``cap_k · (L − k + 1) + prefix_{k−1} <= budget`` — an EXACT integer
+    predicate in DECIMAL(38,0) (cap × stratum-count products overflow
+    int64 at web scale), monotone in k, equivalent to "its capacity sits
+    below the waterfilling level". Uncapped strata then split the
+    remaining budget equally: ``alloc = (budget − Σ capped caps) /
+    (L − m)`` — the two floats (``alloc``, ``epochs_used``) are single
+    IEEE divisions over exact integers, bit-reproducible cross-engine.
+    If the budget exceeds total capacity every stratum is capped and the
+    budget is deliberately UNDERFILLED (this engine never upsamples past
+    the epoch ceiling — the ceiling is the whole point).
+
+    The budget is EITHER an absolute ``token_budget`` OR a rational
+    ``budget_fraction=(num, den)`` of the corpus's total tokens ("spend
+    4/5 of one epoch"), resolved IN-PLAN as exact integer arithmetic
+    (``total · num DIV den``) from the same one-row totals broadcast —
+    job-free, so a fraction-driven allocation never runs an eager
+    count.
+
+    ``token_counts`` is a strata-keyed frame (one row per stratum, e.g.
+    ``docs.groupBy('lang').agg(sum(n_tokens))``) — the windows below run
+    over L rows, never the corpus; the corpus-sized work is the
+    caller's count aggregate. Returns ``stratum_col, n_tokens, cap,
+    is_capped, alloc, epochs_used`` ordered-agnostic (one row per
+    stratum). NULL strata and negative counts raise at the cause.
+    """
+    if (token_budget is None) == (budget_fraction is None):
+        raise ValueError("pass exactly one of token_budget / budget_fraction")
+    if token_budget is not None and token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if budget_fraction is not None and (
+        budget_fraction[0] <= 0 or budget_fraction[1] <= 0
+    ):
+        raise ValueError(f"budget_fraction must be positive, got {budget_fraction}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    from pyspark.sql import Window as W
+
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    guarded = token_counts.select(
+        F.when(
+            F.col(stratum_col).isNull(),
+            F.raise_error(F.lit("unimax_allocation: NULL stratum")),
+        )
+        .otherwise(F.col(stratum_col))
+        .alias(stratum_col),
+        F.when(
+            F.col(count_col) < 0,
+            F.raise_error(
+                F.lit(f"unimax_allocation: negative {count_col} (broken aggregate)")
+            ),
+        )
+        .otherwise(F.col(count_col))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = W.orderBy("cap", stratum_col)
+    ranked = (
+        guarded.withColumn("cap", F.col("n_tokens") * F.lit(int(max_epochs)))
+        .withColumn("__k", F.row_number().over(w))
+        .withColumn("__prefix", F.sum("cap").over(w) - F.col("cap"))
+    )
+    totals = ranked.agg(
+        F.count("*").alias("__L"), F.sum("n_tokens").alias("__T")
+    )
+    if token_budget is not None:
+        b = F.lit(int(token_budget))
+    else:
+        num, den = budget_fraction
+        b = F.expr(f"(__T * {int(num)}) DIV {int(den)}")
+    flagged = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "is_capped",
+        d38(F.col("cap")) * d38(F.col("__L") - F.col("__k") + 1) + d38(F.col("__prefix"))
+        <= d38(b),
+    )
+    capped_tot = flagged.agg(
+        F.sum(F.when(F.col("is_capped"), F.col("cap")).otherwise(0)).alias("__pm"),
+        F.sum(F.col("is_capped").cast("int")).alias("__m"),
+    )
+    share = (b.cast("double") - F.col("__pm").cast("double")) / (
+        F.col("__L") - F.col("__m")
+    ).cast("double")
+    return (
+        flagged.crossJoin(F.broadcast(capped_tot))
+        .select(
+            stratum_col,
+            "n_tokens",
+            "cap",
+            "is_capped",
+            F.when(F.col("is_capped"), F.col("cap").cast("double"))
+            .otherwise(share)
+            .alias("alloc"),
+            (
+                F.when(F.col("is_capped"), F.col("cap").cast("double")).otherwise(share)
+                / F.col("n_tokens").cast("double")
+            ).alias("epochs_used"),
+        )
+    )
+
+
 def build_dedup_index(
     docs: DataFrame,
     id_col: str = "doc_id",

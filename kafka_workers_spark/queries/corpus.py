@@ -342,3 +342,86 @@ def corpus_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_probe(exact, cms, "tok", out="cms_count").select(
         "tok", "exact_cnt", F.col("cms_count").cast("bigint").alias("cms_count")
     )
+
+
+_UNIMAX_NUM, _UNIMAX_DEN = 4, 5  # budget = 4/5 of total corpus tokens
+_UNIMAX_EPOCHS = 1
+# (constants pair with the oracle SQL below — change them together; at the
+#  testdata's lang shares this splits the strata into capped small langs
+#  and an uncapped 'en', exercising BOTH waterfilling arms)
+
+
+@register(
+    "corpus_unimax_budget",
+    f"""
+    WITH counts AS (
+      SELECT lang,
+             CAST(SUM(len(list_filter(string_split(text, ' '), t -> len(t) > 0)))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT COUNT(*) AS l, SUM(n_tokens) AS t FROM counts),
+    ranked AS (
+      SELECT lang, n_tokens, n_tokens * {_UNIMAX_EPOCHS} AS cap,
+             ROW_NUMBER() OVER (ORDER BY n_tokens * {_UNIMAX_EPOCHS}, lang) AS k,
+             SUM(n_tokens * {_UNIMAX_EPOCHS})
+               OVER (ORDER BY n_tokens * {_UNIMAX_EPOCHS}, lang)
+               - n_tokens * {_UNIMAX_EPOCHS} AS prefix
+      FROM counts
+    ),
+    flagged AS (
+      SELECT r.lang, r.n_tokens, r.cap, t.l,
+             (t.t * {_UNIMAX_NUM}) // {_UNIMAX_DEN} AS b,
+             CAST(r.cap AS HUGEINT) * (t.l - r.k + 1) + r.prefix
+               <= (t.t * {_UNIMAX_NUM}) // {_UNIMAX_DEN} AS is_capped
+      FROM ranked r CROSS JOIN tot t
+    ),
+    ct AS (
+      SELECT COALESCE(SUM(CASE WHEN is_capped THEN cap END), 0) AS pm,
+             COALESCE(SUM(CASE WHEN is_capped THEN 1 ELSE 0 END), 0) AS m
+      FROM flagged
+    )
+    SELECT lang, n_tokens, CAST(cap AS BIGINT) AS cap, is_capped,
+           CASE WHEN is_capped THEN CAST(cap AS DOUBLE)
+                ELSE (CAST(b AS DOUBLE) - CAST(pm AS DOUBLE))
+                     / CAST(l - m AS DOUBLE) END AS alloc,
+           CASE WHEN is_capped THEN CAST(cap AS DOUBLE)
+                ELSE (CAST(b AS DOUBLE) - CAST(pm AS DOUBLE))
+                     / CAST(l - m AS DOUBLE) END
+             / CAST(n_tokens AS DOUBLE) AS epochs_used
+    FROM flagged CROSS JOIN ct
+    """,
+    category="corpus",
+    windowed=False,
+)
+def corpus_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget waterfilling (pipeline.unimax_allocation, Chung et
+    al. ICLR 2023): per-lang token counts → epoch-capped budget split,
+    with the budget the exact in-plan rational {_UNIMAX_NUM}/{_UNIMAX_DEN}
+    of total corpus tokens. The oracle replays the count aggregate, the
+    ascending-capacity ranking, the DECIMAL/HUGEINT capping predicate,
+    and the two division floats (single IEEE ops over exact integers —
+    bit-reproducible, the text_phrase_mining float discipline).
+
+    Scale shape: the corpus-sized work is ONE map-side-combined count
+    aggregate; every window/join below it runs over strata-count rows
+    (a handful) and the totals ride one-row broadcasts — job-free."""
+    from kafka_workers_spark.operators.text import tokens
+    from kafka_workers_spark.pipeline import unimax_allocation
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    counts = (
+        d.select(
+            "lang",
+            F.size(
+                F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+            ).alias("__nt"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("__nt").cast("bigint").alias("n_tokens"))
+    )
+    return unimax_allocation(
+        counts,
+        budget_fraction=(_UNIMAX_NUM, _UNIMAX_DEN),
+        max_epochs=_UNIMAX_EPOCHS,
+    ).select("lang", "n_tokens", "cap", "is_capped", "alloc", "epochs_used")

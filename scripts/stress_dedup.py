@@ -542,6 +542,88 @@ def run_cap_stress(replicas: int) -> int:
     return 0
 
 
+def run_phrase_stress() -> int:
+    """Zipf-skew rep for phrase_scores: the same deterministic Zipf
+    corpus as the --lm rep (P(t1) = 50%, the (t1, t1) pair ~25% of all
+    adjacent pairs), so the unigram scoring joins carry one brutal hot
+    lhs/rhs key. Compares the default shuffle path (AQE skew split)
+    against broadcast_vocab=True (no token-keyed join at all) and
+    asserts bit-identical outputs — the bigram_lm_score stress shape
+    applied to the collocation miner."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stress_phrases")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "true")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from kafka_workers_spark.operators.text import phrase_scores
+    from kafka_workers_spark.sources.files import load_table
+
+    import duckdb
+
+    zipf_dir = "/tmp/kws_zipf_phr"
+    shutil.rmtree(zipf_dir, ignore_errors=True)
+    os.makedirs(f"{zipf_dir}/documents.parquet", exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT i AS doc_id,
+                 string_agg(
+                   't' || LEAST(CAST(FLOOR(1000000.0 / ((hash(i * 37 + j.j) % 999999) + 1))
+                                AS BIGINT), 2000),
+                   ' ' ORDER BY j.j) AS text,
+                 'en' AS lang, 'zipf' AS source, 0 AS n_chars
+          FROM range(100000) r(i), range(30) j(j)
+          GROUP BY i
+        ) TO '{zipf_dir}/documents.parquet/part-00.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    zdocs = load_table(spark, zipf_dir, "documents").select("doc_id", "text")
+    zdocs.count()
+    outcomes = {}
+    for bcast in (False, True):
+        tag = "phr-broadcast" if bcast else "phr-shuffle"
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, tag)
+        t0 = time.perf_counter()
+        stats = (
+            phrase_scores(zdocs, delta=2, threshold=(11, 10), broadcast_vocab=bcast)
+            .agg(
+                F.count("*").alias("pairs"),
+                F.sum("pair_cnt").alias("occurrences"),
+                F.sum(F.col("is_phrase").cast("bigint")).alias("phrases"),
+                F.sum("lhs_cnt").alias("slc"),
+                F.sum("rhs_cnt").alias("src_"),
+            )
+            .first()
+        )
+        wall = time.perf_counter() - t0
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        worst = _max_task_ms(spark, tag)
+        outcomes[tag] = tuple(stats)
+        print(
+            f"phrase_scores {tag:14s} wall={wall:6.2f}s max_task="
+            f"{'n/a' if worst is None else f'{worst / 1000.0:.2f}s'} "
+            f"pairs={stats.pairs} occurrences={stats.occurrences} "
+            f"phrases={stats.phrases}",
+            flush=True,
+        )
+    a, b = outcomes.values()
+    assert a == b, f"broadcast path diverged from shuffle path: {outcomes}"
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -565,6 +647,11 @@ def main() -> int:
         action="store_true",
         help="run the bigram_lm_score scale rep instead",
     )
+    ap.add_argument(
+        "--phrases",
+        action="store_true",
+        help="run the phrase_scores Zipf-skew rep instead",
+    )
     args = ap.parse_args()
     if args.paragraphs:
         return run_paragraph_stress(args.replicas)
@@ -574,6 +661,8 @@ def main() -> int:
         return run_substr_stress(args.replicas)
     if args.lm:
         return run_lm_stress(args.replicas)
+    if args.phrases:
+        return run_phrase_stress()
     build_corpus(args.replicas)
 
     from pyspark.sql import SparkSession

@@ -1013,3 +1013,59 @@ def test_prepare_training_mix_with_dsir_selection(spark):
     )
     kept2 = {r.doc_id for r in packs2.select("doc_id").distinct().collect()}
     assert kept == kept2
+
+
+def test_unimax_allocation_waterfills_and_respects_caps(spark):
+    """Hand-checked waterfilling (Chung et al. 2023): small strata cap
+    at max_epochs passes, the remainder splits equally over the strata
+    below their ceiling, and the allocation exactly exhausts the
+    budget."""
+    from kafka_workers_spark.pipeline import unimax_allocation
+
+    tc = spark.createDataFrame(
+        [("en", 1000), ("de", 100), ("zh", 50), ("fr", 10)], ["lang", "n_tokens"]
+    )
+    got = {r.lang: r for r in unimax_allocation(tc, 400, max_epochs=2).collect()}
+    assert got["fr"].is_capped and got["fr"].alloc == 20.0 and got["fr"].epochs_used == 2.0
+    assert got["zh"].is_capped and got["zh"].alloc == 100.0
+    assert not got["de"].is_capped and got["de"].alloc == 140.0
+    assert not got["en"].is_capped and got["en"].alloc == 140.0
+    assert sum(r.alloc for r in got.values()) == 400.0
+    # epoch ceiling everywhere: a budget past total capacity underfills
+    all_capped = unimax_allocation(tc, 10**6, max_epochs=2).collect()
+    assert all(r.is_capped for r in all_capped)
+    assert sum(r.alloc for r in all_capped) == 2 * (1000 + 100 + 50 + 10)
+
+
+def test_unimax_allocation_fractional_budget_and_validation(spark):
+    """budget_fraction resolves in-plan as exact integer division of the
+    total; passing both/neither budget forms, nonpositive params, or a
+    negative count raises at the cause."""
+    import pytest
+
+    from kafka_workers_spark.pipeline import unimax_allocation
+
+    tc = spark.createDataFrame(
+        [("en", 1000), ("de", 100), ("zh", 50), ("fr", 10)], ["lang", "n_tokens"]
+    )
+    # T=1160, B = 4*1160 DIV 5 = 928; fr/zh/de cap at 1 epoch, en takes 768
+    got = {r.lang: r for r in
+           unimax_allocation(tc, budget_fraction=(4, 5)).collect()}
+    assert got["en"].alloc == 768.0 and not got["en"].is_capped
+    assert got["de"].is_capped and got["de"].epochs_used == 1.0
+    with pytest.raises(ValueError, match="exactly one"):
+        unimax_allocation(tc, 10, budget_fraction=(1, 2))
+    with pytest.raises(ValueError, match="exactly one"):
+        unimax_allocation(tc)
+    with pytest.raises(ValueError, match="token_budget"):
+        unimax_allocation(tc, 0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_allocation(tc, 10, max_epochs=0)
+    bad = spark.createDataFrame([("en", -5)], ["lang", "n_tokens"])
+    with pytest.raises(Exception, match="negative n_tokens"):
+        unimax_allocation(bad, 10).collect()
+    null_stratum = spark.createDataFrame(
+        [(None, 5)], "lang string, n_tokens bigint"
+    )
+    with pytest.raises(Exception, match="NULL stratum"):
+        unimax_allocation(null_stratum, 10).collect()
