@@ -464,3 +464,160 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     w = df.withColumn("__h", h)
     keep = w.groupBy("__h").agg(F.min(id_col).alias(id_col))
     return w.join(keep, ["__h", id_col], "left_semi").drop("__h")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup via PassJoin segment blocking
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``k``, by PassJoin segment
+    blocking (Li, Deng, Feng, "PASS-JOIN: A Partition-based Method for
+    Similarity Joins", VLDB 2012): partition every string into ``k+1``
+    contiguous segments — ``k`` edits can destroy at most ``k`` of them,
+    so any string within distance ``k`` contains at least one segment as
+    an EXACT substring, and the matching occurrence starts within ``±k``
+    of the segment's home position. Candidates therefore come from an
+    equi-join on ``(source_length, segment_id, substring)`` — never an
+    all-pairs comparison — and only candidates pay the Levenshtein DP,
+    with Spark's thresholded ``levenshtein(a, b, k)`` cutting each
+    verification off at ``k``.
+
+    The candidate window used here is the simplified sound ``[p_i − k,
+    p_i + k]`` (clamped); the paper's multi-match-aware window is a
+    strict subset — an optimization, not a correctness need. Segment
+    lengths follow the even partition ``l_i = n÷(k+1) + (i < n mod
+    (k+1))``, identical on both join sides by construction. Strings
+    shorter than ``k+1`` characters cannot host non-empty segments; they
+    pair through a direct length-band equi-join instead (at most
+    ``2k+1`` candidate lengths each — and a corpus's sub-``k``-char
+    strings are a bounded, usually filtered, set). NULL texts pair with
+    nothing. Lengths are counted in characters on both engines; the
+    oracle replay assumes the corpus is free of surrogate-pair
+    characters (testdata is ASCII).
+
+    Returns unordered pairs ``id_a < id_b`` with their exact
+    ``edit_distance <= k`` (0 = exact duplicates — they are near-dups
+    too; filter upstream with :func:`exact_dedup` if they should not
+    reappear here).
+
+    Shape at scale: probe fan-out is bounded at ``(2k+1) · (k+1) ·
+    (2k+1)`` short substrings per document (k=4 → ≤ 405 slim rows —
+    digests-only shuffles, payloads never fan out); candidate pairs
+    deduplicate BEFORE the texts join back, so each surviving pair runs
+    the DP once. Keep ``k`` small — cost grows cubically in it; k > 16
+    raises rather than silently shipping a quadratic-ish plan.
+    """
+    if not 1 <= k <= 16:
+        raise ValueError(f"k ({k}) must be in [1, 16] — candidate fan-out is O(k^3)")
+    kk = k + 1
+    base = barrier(
+        docs.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__t"),
+            F.length(text_col).alias("__n"),
+        )
+    )
+    long_side = base.where(F.col("__n") >= kk)
+
+    seg_len = lambda ns, i: (ns / kk).cast("int") + (i < ns % kk).cast("int")  # noqa: E731
+    seg_pos = lambda ns, i: i * (ns / kk).cast("int") + F.least(i, ns % kk)  # noqa: E731
+
+    # index side: the k+1 home segments of each string, keyed by its length
+    idx = long_side.select(
+        F.col("__id").alias("__ia"),
+        F.col("__n").alias("__ns"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k)),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.substr(
+                        "__t", seg_pos(F.col("__n"), i) + 1, seg_len(F.col("__n"), i)
+                    ).alias("sub"),
+                ),
+            )
+        ).alias("__s"),
+    ).select("__ia", F.col("__ns").alias("ns"), "__s.i", "__s.sub")
+
+    # probe side: for every plausible source length ns, every segment's
+    # substring windows shifted by at most k
+    def windows(ns):
+        def per_seg(i):
+            l_i = seg_len(ns, i)
+            p_i = seg_pos(ns, i)
+            wlo = F.greatest(F.lit(0), p_i - F.lit(k))
+            whi = F.least(F.col("__n") - l_i, p_i + F.lit(k))
+            return F.when(
+                whi >= wlo,
+                F.transform(
+                    F.sequence(wlo, whi),
+                    lambda w: F.struct(
+                        ns.alias("ns"),
+                        i.alias("i"),
+                        F.substr("__t", w + 1, l_i).alias("sub"),
+                    ),
+                ),
+            ).otherwise(F.array())
+
+        return F.flatten(F.transform(F.sequence(F.lit(0), F.lit(k)), per_seg))
+
+    probe = long_side.select(
+        F.col("__id").alias("__ib"),
+        F.explode(
+            F.flatten(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.col("__n") - k, F.col("__n") + k),
+                        lambda ns: F.when(ns >= kk, windows(ns)).otherwise(F.array()),
+                    ),
+                    lambda a: F.size(a) > 0,
+                )
+            )
+        ).alias("__w"),
+    ).select("__ib", "__w.ns", "__w.i", "__w.sub")
+
+    cand_long = (
+        idx.join(probe, ["ns", "i", "sub"])
+        .where(F.col("__ia") < F.col("__ib"))
+        .select("__ia", "__ib")
+    )
+
+    # short strings (< k+1 chars): length-band equi-join, both directions
+    shorts = base.where(F.col("__n") < kk)
+    lens = shorts.select(
+        F.col("__id").alias("__ia"),
+        F.explode(F.sequence(F.col("__n") - k, F.col("__n") + k)).alias("__ln"),
+    ).where(F.col("__ln") >= 0)
+    # the short doc may hold either the smaller or the larger id, so
+    # normalize with least/greatest instead of filtering one direction
+    # (an __ia < __ib filter here would drop long-short pairs whose long
+    # member has the smaller id — the long side never probes shorts)
+    cand_short = (
+        lens.join(base.select(F.col("__id").alias("__ib"), F.col("__n").alias("__ln")), "__ln")
+        .where(F.col("__ia") != F.col("__ib"))
+        .select(
+            F.least("__ia", "__ib").alias("__ia"),
+            F.greatest("__ia", "__ib").alias("__ib"),
+        )
+    )
+
+    cands = cand_long.unionByName(cand_short).distinct()
+    ta = base.select(F.col("__id").alias("__ia"), F.col("__t").alias("__ta"))
+    tb = base.select(F.col("__id").alias("__ib"), F.col("__t").alias("__tb"))
+    return (
+        cands.join(ta, "__ia")
+        .join(tb, "__ib")
+        .select(
+            F.col("__ia").alias("id_a"),
+            F.col("__ib").alias("id_b"),
+            F.levenshtein("__ta", "__tb", k).alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") >= 0)
+    )

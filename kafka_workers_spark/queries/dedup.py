@@ -335,3 +335,79 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = cosine_from_fixed(F.col("dot6"), F.col("na"), F.col("nb"))
     return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(F.col("cosine") >= 0.3)
+
+
+_ED_K = 4  # pairs within Levenshtein distance 4; pairs with _ED_KK below
+_ED_KK = _ED_K + 1
+# (the constants interpolate into BOTH the wrapper call and the oracle SQL
+#  — change them together)
+
+
+@register(
+    "dedup_edit_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents WHERE text IS NOT NULL
+    ),
+    idx AS (
+      SELECT doc_id AS ia, n AS ns, g.i,
+             substr(text, CAST(g.i * (n // {_ED_KK}) + LEAST(g.i, n % {_ED_KK}) AS INT) + 1,
+                    CAST(n // {_ED_KK} + CASE WHEN g.i < n % {_ED_KK} THEN 1 ELSE 0 END AS INT)) AS sub
+      FROM d CROSS JOIN (SELECT UNNEST(range({_ED_KK})) AS i) g
+      WHERE n >= {_ED_KK}
+    ),
+    probe AS (
+      SELECT doc_id AS ib, ns.ns, g.i,
+             substr(text, w.w + 1,
+                    CAST(ns.ns // {_ED_KK} + CASE WHEN g.i < ns.ns % {_ED_KK} THEN 1 ELSE 0 END AS INT)) AS sub
+      FROM d
+      CROSS JOIN LATERAL (SELECT UNNEST(range(n - {_ED_K}, n + {_ED_K} + 1)) AS ns) ns
+      CROSS JOIN (SELECT UNNEST(range({_ED_KK})) AS i) g
+      CROSS JOIN LATERAL (
+        SELECT UNNEST(range(
+          GREATEST(0, g.i * (ns.ns // {_ED_KK}) + LEAST(g.i, ns.ns % {_ED_KK}) - {_ED_K}),
+          LEAST(n - (ns.ns // {_ED_KK} + CASE WHEN g.i < ns.ns % {_ED_KK} THEN 1 ELSE 0 END),
+                g.i * (ns.ns // {_ED_KK}) + LEAST(g.i, ns.ns % {_ED_KK}) + {_ED_K}) + 1
+        )) AS w
+      ) w
+      WHERE ns.ns >= {_ED_KK} AND n >= {_ED_KK}
+    ),
+    cand AS (
+      SELECT DISTINCT ia, ib FROM (
+        SELECT idx.ia, probe.ib
+        FROM idx JOIN probe ON idx.ns = probe.ns AND idx.i = probe.i AND idx.sub = probe.sub
+        WHERE idx.ia < probe.ib
+        UNION ALL
+        SELECT LEAST(s.doc_id, o.doc_id) AS ia, GREATEST(s.doc_id, o.doc_id) AS ib
+        FROM d s JOIN d o ON abs(o.n - s.n) <= {_ED_K} AND s.doc_id != o.doc_id
+        WHERE s.n < {_ED_KK}
+      )
+    )
+    SELECT c.ia AS id_a, c.ib AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
+    FROM cand c JOIN d a ON a.doc_id = c.ia JOIN d b ON b.doc_id = c.ib
+    WHERE levenshtein(a.text, b.text) <= {_ED_K}
+    """,
+    category="dedup",
+    windowed=False,
+)
+def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-pairs by PassJoin segment blocking
+    (operators.dedup.edit_distance_pairs; Li, Deng, Feng VLDB 2012):
+    every pair of documents within Levenshtein distance {_ED_K},
+    candidates from the (source-length, segment, substring) equi-join —
+    never all-pairs — and only candidates pay the (thresholded) DP. The
+    oracle replays the same segment partition, the shifted probe
+    windows, the short-string band join, and the verify filter; the
+    blocking's completeness (no pair missed) is separately pinned
+    against a brute-force Python reference by a randomized test in
+    tests/test_components.py.
+
+    Scale shape: probe fan-out is a bounded (2k+1)(k+1)(2k+1) slim rows
+    per document — digests-only shuffles, payloads join back only for
+    the deduplicated candidates; the verification is cut off at k by
+    levenshtein's threshold form."""
+    from kafka_workers_spark.operators.dedup import edit_distance_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return edit_distance_pairs(d, k=_ED_K)

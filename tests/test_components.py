@@ -98,3 +98,66 @@ def test_components_nonconvergence_raises(spark):
     # and the same graph converges fine with enough rounds
     got = {r.node: r.comp for r in connected_components(df, max_rounds=15).collect()}
     assert set(got.values()) == {0}
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_complete_vs_bruteforce(spark):
+    """PassJoin blocking completeness: on a randomized corpus of near-dup
+    mutations (substitutions/inserts/deletes around shared stems, plus
+    empty and sub-k-length strings), the blocked join must return
+    EXACTLY the brute-force O(n²) pair set with exact distances — a
+    missed candidate here means the segment windows are wrong."""
+    from kafka_workers_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(0xED17)
+    alphabet = "abcdef"
+    stems = ["".join(rng.choice(alphabet) for _ in range(rng.randint(6, 30))) for _ in range(12)]
+    rows = []
+    rid = 0
+    for stem in stems:
+        for _ in range(rng.randint(1, 4)):
+            s = list(stem)
+            for _ in range(rng.randint(0, 5)):
+                op = rng.choice("sid")
+                pos = rng.randrange(max(1, len(s)))
+                if op == "s" and s:
+                    s[pos] = rng.choice(alphabet)
+                elif op == "i":
+                    s.insert(pos, rng.choice(alphabet))
+                elif op == "d" and s:
+                    del s[pos]
+            rows.append((rid, "".join(s)))
+            rid += 1
+    rows += [(rid, ""), (rid + 1, "ab"), (rid + 2, "a"), (rid + 3, None)]
+    k = 3
+    expect = set()
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1:]:
+            if ta is None or tb is None:
+                continue
+            ed = _py_levenshtein(ta, tb)
+            if ed <= k:
+                expect.add((min(ia, ib), max(ia, ib), ed))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b, r.edit_distance)
+        for r in edit_distance_pairs(df, k=k).collect()
+    }
+    assert got == expect, (sorted(expect - got)[:5], sorted(got - expect)[:5])
+
+
+def test_edit_distance_pairs_rejects_oversized_k(spark):
+    from kafka_workers_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="fan-out"):
+        edit_distance_pairs(df, k=17)

@@ -5,7 +5,7 @@ but the free optimizations must be verified, not assumed)."""
 from __future__ import annotations
 
 from kafka_workers_spark.plans import audit
-from kafka_workers_spark.queries import load_all
+from kafka_workers_spark.queries import load_all, load_extra
 
 REG = load_all()
 SF = "/root/testdata/sf0.001"
@@ -58,8 +58,11 @@ def test_no_cartesian_products_anywhere(spark):
 
 def test_dedup_hot_paths_stay_jvm_side(spark):
     """Signature computation must not fall back to Python evaluation."""
+    # the family spans both registries after rotations (dedup_simhash
+    # moved to EXTRA round 7) — the audit follows the query, not the window
+    pool = {**REG, **load_extra()}
     for name in ["dedup_minhash_lsh", "dedup_simhash", "text_fingerprint", "dedup_embedding_cosine"]:
-        a = audit(REG[name].fn(spark, SF))
+        a = audit(pool[name].fn(spark, SF))
         assert a.python_evals == 0, f"{name} plans Python eval"
 
 
