@@ -34,16 +34,19 @@ __all__ = ["WorkersConfig", "build_session", "__version__"]
 #   streaming.dedup     — watermark-bounded streaming dedup
 #   streaming.weigher   — record-weight model + admission sizing (A8)
 #   operators.{relational,dedup,components,similarity,text,multimodal,
-#              scoring} — DataFrame operators (directional as-of/range/
-#                         salted joins, dedup families incl. global
-#                         paragraph dedup + PII redaction, connected
+#              scoring,classify} — DataFrame operators (directional
+#                         as-of/range/salted joins, dedup families incl.
+#                         global paragraph dedup + PII redaction +
+#                         PassJoin edit-distance pairs, connected
 #                         components, ANN/IVF/RHP-LSH + SemDeDup-style
 #                         semantic_dedup + int8 quantization,
 #                         quality rules, winnowing, chunking, sparse
 #                         TF-IDF search (tfidf_topk), DSIR importance
 #                         weighting + Gumbel-top-k resampling
-#                         (dsir_weights/dsir_resample), binary
-#                         columns, Arrow-batched model scoring)
+#                         (dsir_weights/dsir_resample), word2phrase
+#                         collocation mining (phrase_scores), hashed
+#                         multinomial Naive Bayes (nb_train/nb_classify),
+#                         binary columns, Arrow-batched model scoring)
 #   pipeline            — corpus curation / training-mix composition:
 #                         batch + streaming curation, stream→batch
 #                         compaction, incremental dedup index, leakage-
@@ -51,11 +54,14 @@ __all__ = ["WorkersConfig", "build_session", "__version__"]
 #                         packing, deterministic shuffling, snapshot diff,
 #                         per-key caps (cap_per_key), Bloom-backed
 #                         decontamination (eval_digest_bloom +
-#                         decontaminate_with_bloom)
+#                         decontaminate_with_bloom), UniMax epoch-capped
+#                         budget waterfilling (unimax_allocation)
 #   functions           — deterministic aggregation helpers + mergeable
 #                         sketches (HLL rollups, quantiles, heavy hitters,
 #                         Misra-Gries frequent items, skew reports, Bloom
-#                         membership filters: bloom_build/probe/merge)
+#                         membership filters: bloom_build/probe/merge,
+#                         count-min frequency sketches: cms_build/probe/
+#                         merge)
 #   plans               — physical-plan audits (pushdown/broadcast/codegen)
 #                         + assert_scale_safe pre-flight guard
 #   queries             — the oracle-checked query registry (driver gate)
