@@ -144,6 +144,34 @@ def nb_score(
         F.col(id_col),
         F.explode_outer(_feature_buckets(text_col, model.n_buckets)).alias("__b"),
     )
+    # a model trained on zero labeled rows has NO labels, and the label
+    # cross below would silently score nothing — the silent-no-op
+    # failure mode this package guards against (the semantic_dedup /
+    # pq_train lazy raise_error pattern). The guard rides the PROBE side
+    # (fb), not the label side: class_stats sits behind its own shuffle
+    # stage, so AQE's empty-relation propagation would see the empty
+    # aggregate and prune a label-side guard without ever evaluating it;
+    # fb is scan+explode (no stage boundary), so the guard broadcast
+    # always builds — and raises — before the cross.
+    guard = (
+        model.class_stats.select("label")
+        .limit(1)
+        .groupBy()
+        .agg(F.count("*").alias("__any"))
+        .select(
+            F.when(F.col("__any") > 0, F.lit(1))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "nb_score: the model has no labels — training saw "
+                        "zero non-NULL-label rows"
+                    )
+                ).cast("int")
+            )
+            .alias("__ok")
+        )
+    )
+    fb = fb.crossJoin(F.broadcast(guard)).filter(F.col("__ok") == 1).drop("__ok")
     labels = model.class_stats.select("label", "__docs", "__toks")
     scored = (
         fb.crossJoin(F.broadcast(labels))

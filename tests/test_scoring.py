@@ -195,3 +195,18 @@ def test_nb_score_plan_is_broadcast_only(spark):
     plan = nb_score(test, model)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_nb_score_raises_on_labelless_model(spark):
+    """A model trained on zero labeled rows must raise at first action —
+    never silently score nothing (the semantic_dedup/pq_train lazy
+    raise_error contract)."""
+    from kafka_workers_spark.operators.classify import nb_score, nb_train
+
+    unlabeled = spark.createDataFrame(
+        [(0, "apple", None)], "doc_id bigint, text string, lang string"
+    )
+    model = nb_train(unlabeled, "lang")
+    test = spark.createDataFrame([(1, "apple")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="no labels"):
+        nb_score(test, model).collect()
