@@ -538,16 +538,20 @@ def cms_probe(
             cms.unpersist()
         raise
     width, depth = params[0].width, params[0].depth
-    side = cms.select(*group_cols, "counts")
+    # the sketch's array joins in under a RESERVED name so a probe frame
+    # that already carries a `counts` column survives untouched (the
+    # bloom_probe `__bloom_words` lesson, ADVICE r04)
+    side = cms.select(*group_cols, F.col("counts").alias("__cms_counts"))
     joined = (
         df.join(F.broadcast(side), group_cols, "left")
         if group_cols
         else df.crossJoin(F.broadcast(side))
     )
     est = F.when(
-        F.col("counts").isNotNull(), cms_estimate(col, width, depth)
+        F.col("__cms_counts").isNotNull(),
+        cms_estimate(col, width, depth, counts_col="__cms_counts"),
     ).otherwise(F.lit(0).cast("bigint"))
-    return joined.withColumn(out, est).drop("counts")
+    return joined.withColumn(out, est).drop("__cms_counts")
 
 
 def cms_merge(cms: DataFrame, group_cols: list[str] | None = None) -> DataFrame:

@@ -144,37 +144,39 @@ def nb_score(
         F.col(id_col),
         F.explode_outer(_feature_buckets(text_col, model.n_buckets)).alias("__b"),
     )
-    # a model trained on zero labeled rows has NO labels, and the label
-    # cross below would silently score nothing — the silent-no-op
-    # failure mode this package guards against (the semantic_dedup /
-    # pq_train lazy raise_error pattern). The guard rides the PROBE side
-    # (fb), not the label side: class_stats sits behind its own shuffle
-    # stage, so AQE's empty-relation propagation would see the empty
-    # aggregate and prune a label-side guard without ever evaluating it;
-    # fb is scan+explode (no stage boundary), so the guard broadcast
-    # always builds — and raises — before the cross.
-    guard = (
-        model.class_stats.select("label")
-        .limit(1)
-        .groupBy()
-        .agg(F.count("*").alias("__any"))
-        .select(
-            F.when(F.col("__any") > 0, F.lit(1))
-            .otherwise(
-                F.raise_error(
-                    F.lit(
-                        "nb_score: the model has no labels — training saw "
-                        "zero non-NULL-label rows"
-                    )
-                ).cast("int")
-            )
-            .alias("__ok")
-        )
-    )
-    fb = fb.crossJoin(F.broadcast(guard)).filter(F.col("__ok") == 1).drop("__ok")
     labels = model.class_stats.select("label", "__docs", "__toks")
+    # a model trained on zero labeled rows has NO labels, and an inner
+    # label cross would silently score nothing — the silent-no-op
+    # failure mode this package guards against (the semantic_dedup /
+    # pq_train lazy raise_error pattern). A guard frame joined anywhere
+    # BELOW the cross is raceable: AQE's empty-relation propagation can
+    # materialize the empty class_stats stage first and prune the whole
+    # subtree — guard included — before its broadcast ever evaluates
+    # (observed: the raise fired on a doomed broadcast job while the
+    # action returned empty). So the cross itself is a LEFT join on a
+    # TRUE condition: an empty label list null-extends the real fb rows
+    # instead of emptying the plan, and the raise rides the projection
+    # of those rows, where no empty-relation rule can reach it. A
+    # trained model matches every fb row to all K labels, so the
+    # guarded column never evaluates its otherwise() arm in normal use.
+    label_t = model.class_stats.schema["label"].dataType.simpleString()
+    guarded_label = F.when(F.col("label").isNotNull(), F.col("label")).otherwise(
+        F.raise_error(
+            F.lit(
+                "nb_score: the model has no labels — training saw "
+                "zero non-NULL-label rows"
+            )
+        ).cast(label_t)
+    )
     scored = (
-        fb.crossJoin(F.broadcast(labels))
+        fb.join(F.broadcast(labels), F.lit(True), "left")
+        .select(
+            F.col(id_col),
+            guarded_label.alias("label"),
+            "__docs",
+            "__toks",
+            "__b",
+        )
         .join(F.broadcast(model.feature_counts), ["label", "__b"], "left")
         .select(
             id_col,

@@ -389,7 +389,6 @@ _ED_KK = _ED_K + 1
     WHERE levenshtein(a.text, b.text) <= {_ED_K}
     """,
     category="dedup",
-    windowed=False,
 )
 def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-pairs by PassJoin segment blocking

@@ -874,6 +874,11 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     category="text",
+    # rotated to EXTRA round 7 (dedup_edit_pairs took the driver row);
+    # text_phrase_mining/corpus_vocab_df keep explode-into-aggregate
+    # shapes windowed, and this query stays under the identical oracle
+    # via pytest's rotated-query test
+    windowed=False,
 )
 def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator/lateral-view surface (explode): corpus-wide top-20 token

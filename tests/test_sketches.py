@@ -374,3 +374,19 @@ def test_cms_scheme_mismatch_and_oversize_raise(spark):
         cms_probe(vals, mixed, "v").collect()
     with pytest.raises(ValueError, match="cell bound"):
         cms_build(vals, "v", width=1 << 22, depth=2)
+
+
+def test_cms_probe_tolerates_probe_side_counts_column(spark):
+    """A probe frame that ALREADY has a `counts` column must not collide
+    with the sketch array (it joins in as the reserved `__cms_counts`
+    and is dropped again) — the caller's column survives untouched (the
+    bloom_probe `__bloom_words` contract)."""
+    from kafka_workers_spark.functions.sketches import cms_build, cms_probe
+
+    vals = spark.range(0, 50).select(F.col("id").cast("string").alias("v"))
+    cms = cms_build(vals, "v", width=256, depth=3)
+    probes = spark.range(0, 10).select(
+        F.col("id").cast("string").alias("v"), F.array(F.col("id")).alias("counts")
+    )
+    got = {r.v: (r.cms_count, r.counts) for r in cms_probe(probes, cms, "v").collect()}
+    assert got["7"] == (1, [7])
