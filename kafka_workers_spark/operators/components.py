@@ -12,16 +12,26 @@ The reference has no content operators at all (payloads are opaque bytes,
 api/task/WorkerTask.java:50); this is part of the engine's training-data
 surface.
 
-Algorithm: iterative min-label propagation — each round every node takes
-the minimum component label among itself and its neighbors, until a fixed
-point. Rounds = O(component diameter); near-dup graphs are dense clusters
-with tiny diameters (2-4 hops), so this converges in a handful of rounds
-even at 10⁹ nodes. Each round is one shuffle (edge⋈label join + min
-aggregate) — the same cost envelope as large-star/small-star (Kiveris et
-al., "Connected Components in MapReduce and Beyond", SoCC'14) without its
-edge-rewriting constant factor, the right trade for small-diameter graphs.
-A diameter-shaped chain graph still converges, just in more rounds (capped
-by ``max_rounds``).
+Algorithm: iterative min-label propagation with POINTER JUMPING — each
+round every node takes the minimum label among itself and its neighbors,
+then additionally adopts its label's own label (``comp ← comp[comp]``).
+Plain propagation advances the min-label wavefront one edge hop per
+round, so rounds = O(component diameter); the jump step moves each label
+one extra POINTER hop toward the component minimum, roughly doubling
+wavefront speed (measured on sf0.1's 641-node depth-17 near-dup chain:
+18 rounds plain → 13 jumped). Worst case stays O(diameter) — the true
+O(log n) bounds (hash-to-min, Rastogi et al. ICDE'13; large-star/
+small-star, Kiveris et al. SoCC'14) require rewriting the EDGE set each
+round, a corpus-sized shuffle this operator deliberately avoids: edges
+are computed once and only the two-longs-per-node label frame iterates.
+Near-dup graphs are dense clusters with 2-4 hop diameters, so the
+edge-rewriting constant factor would never amortize; a pathological
+50+-hop chain hits ``max_rounds`` and raises rather than silently
+under-merging. Correctness does not depend on the jump: labels are
+monotone non-increasing, always member ids of the node's own component,
+and the component minimum is a fixed point, so any stable labeling is
+constant-per-component at that minimum; jumping only accelerates
+convergence.
 
 Scale notes:
 - Labels are (node, comp) pairs — never payloads — so the per-round
@@ -52,6 +62,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = 50,
+    loop_shuffle_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Resolve an undirected edge list into ``(node, comp)`` where ``comp``
     is the minimum node id in the node's connected component.
@@ -71,6 +82,16 @@ def connected_components(
     Only nodes appearing in ``pairs`` are returned (isolated documents are
     their own component by definition — left-join the corpus afterwards
     with ``coalesce(comp, id)``).
+
+    ``loop_shuffle_partitions``: the rounds shuffle only the two-longs-
+    per-node label frame, so running them at the session's corpus-sized
+    ``spark.sql.shuffle.partitions`` pays pure task-scheduling overhead
+    per round once the edge list is small. ``"auto"`` (default) sizes the
+    loop's shuffles to the MEASURED edge count (~1M edges per partition,
+    never above the session setting — a 10⁹-edge graph is unaffected); an
+    int pins it; ``None`` leaves the session setting untouched. The
+    session conf is restored after the loop (the rounds are synchronous,
+    so nothing else runs under the override in this session thread).
     """
     # sparkContext is classic-only; under Spark Connect there is no
     # checkpoint-dir query and no RDD bookkeeping — fall back to
@@ -108,6 +129,28 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    spark = pairs.sparkSession
+    restore_parts: str | None = None
+    if loop_shuffle_partitions is not None:
+        # materializes the persisted edge list, so round 1 starts warm —
+        # the count is not an extra pass
+        n_edges = edges.count()
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if loop_shuffle_partitions == "auto":
+            p = max(1, min(session_parts, -(-n_edges // 1_000_000)))
+        else:
+            p = int(loop_shuffle_partitions)
+        if p != session_parts:
+            restore_parts = str(session_parts)
+            spark.conf.set("spark.sql.shuffle.partitions", str(p))
+            # the cached edge list keeps the pair generator's partition
+            # count; every round's map stages would scan all of those
+            # (mostly empty) partitions, so compact it once to the loop
+            # size — one tiny job reading the already-materialized cache
+            compacted = edges.repartition(p, "v").persist(StorageLevel.MEMORY_AND_DISK)
+            compacted.count()
+            edges.unpersist()
+            edges = compacted
     before = _persistent_ids()
     labels = _pin(
         edges.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
@@ -120,33 +163,54 @@ def connected_components(
                 .groupBy("u")
                 .agg(F.min("comp").alias("nbr_comp"))
             )
+            propagated = labels.join(
+                nbr_min, labels["node"] == nbr_min["u"], "left"
+            ).select(
+                "node",
+                F.col("comp").alias("__old"),
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            # pointer jumping: comp ← min(comp, comp[comp]) — one extra
+            # pointer hop toward the component minimum per round (see
+            # module docstring); a label is always a member id, so the
+            # self-join on the label frame resolves (left: a node whose
+            # comp just arrived from a neighbor this round keeps it
+            # unchanged until next round). The __old/__changed columns
+            # make convergence detection a filter over the CHECKPOINTED
+            # rows instead of a new-vs-old join — one cheap single-stage
+            # job per round instead of a second label-sized shuffle.
             before = _persistent_ids()
+            x, y = propagated.alias("x"), propagated.alias("y")
             new_labels = _pin(
-                labels.join(nbr_min, labels["node"] == nbr_min["u"], "left").select(
-                    "node",
-                    F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
-                        "comp"
-                    ),
+                x.join(y, F.col("x.comp") == F.col("y.node"), "left").select(
+                    F.col("x.node").alias("node"),
+                    F.least(
+                        F.col("x.comp"), F.coalesce(F.col("y.comp"), F.col("x.comp"))
+                    ).alias("comp"),
+                    (
+                        F.least(
+                            F.col("x.comp"), F.coalesce(F.col("y.comp"), F.col("x.comp"))
+                        )
+                        != F.col("x.__old")
+                    ).alias("__changed"),
                 )
             )
             new_ids = _persistent_ids() - before
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
-            )
+            changed = new_labels.filter(F.col("__changed")).limit(1).count()
             _free(label_ids)  # the superseded round; changed-check is done with it
             label_ids = new_ids
-            labels = new_labels
+            labels = new_labels.select("node", "comp")
             if changed == 0:
-                return labels.select("node", "comp")
+                return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "
             "(component diameter exceeds max_rounds); raise max_rounds"
         )
     finally:
+        if restore_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", restore_parts)
         edges.unpersist()
 
 

@@ -66,6 +66,11 @@ LSH_ROWS = 2
     GROUP BY 1
     """,
     category="dedup",
+    # rotated to EXTRA round 7 (dedup_group_components took the driver
+    # row — the transitive-closure resolution subsumes exact groups'
+    # min-survivor semantics); this query stays under the identical
+    # oracle via pytest's rotated-query test
+    windowed=False,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: hash-shuffle on the 16-byte digest of normalized
@@ -410,3 +415,84 @@ def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return edit_distance_pairs(d, k=_ED_K)
+
+
+# ---------------------------------------------------------------------------
+# Connected-component dedup group resolution (iterative, oracle-replayed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_group_components",
+    f"""
+    WITH RECURSIVE sigs AS (
+      SELECT doc_id, {sql_minhash_signature(_SHINGLES_SQL, MINHASH_K)} AS sig
+      FROM documents
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(CAST(b AS VARCHAR) || ':' || sig[2*b + 1] || ':' || sig[2*b + 2]) AS band_key
+      FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS b)
+    ), mh_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), ng_docs AS (
+      SELECT doc_id,
+             list_distinct([substr(md5(sh), 1, 16) FOR sh IN {_SHINGLES_SQL}]) AS hashes
+      FROM documents
+    ), ng_keyed AS (
+      SELECT doc_id, list_aggregate(hashes, 'min') AS block_key
+      FROM ng_docs WHERE len(hashes) > 0
+    ), ng_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ng_keyed a JOIN ng_keyed b
+        ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    ), e0 AS (
+      SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+      UNION
+      SELECT doc_a, doc_b FROM ng_pairs
+    ), edges AS (
+      SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0
+    ), reach AS (
+      SELECT u AS node, u AS comp FROM edges
+      UNION
+      SELECT e.v AS node, r.comp FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, MIN(comp) AS group_id,
+           (MIN(comp) = node) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    category="dedup",
+)
+def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup group resolution: the union of the MinHash-LSH and
+    the min-shingle-blocked Jaccard candidate pairs is an EDGE LIST whose
+    connected components are the dedup groups (operators/components.py —
+    iterative min-label propagation, one (node,comp)-pair shuffle per
+    round, localCheckpoint lineage truncation). A doc bridging two blocking
+    families merges them: the exact resolution `pipeline.near_dedup_lsh`'s
+    greedy one-join rule approximates. Output: every document that appears
+    in at least one candidate pair, its component minimum as ``group_id``
+    and whether it is that canonical survivor.
+
+    The oracle replays BOTH pair generators (the exact SQL of
+    ``dedup_minhash_lsh`` / ``dedup_ngram_jaccard``, trimmed to ids) and
+    the closure itself as a recursive CTE — min-label propagation as
+    UNION-deduplicated label reachability — so the iterative Spark loop is
+    held to a full cross-engine ground truth, not a rows-only check.
+
+    Scale shape: edges are blocking-key equi-join outputs (never
+    all-pairs); the per-round CC shuffle carries two longs per edge;
+    rounds = component diameter (near-dup clusters: 2-4). Reference
+    tie-in: the reference keeps payloads opaque (api/task/WorkerTask.java:50)
+    — group resolution is engine-side training-data surface."""
+    from kafka_workers_spark.operators.components import connected_components
+
+    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    ng = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(mh.union(ng), src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("group_id"),
+        (F.col("comp") == F.col("node")).alias("is_canonical"),
+    )
