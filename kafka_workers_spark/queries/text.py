@@ -961,3 +961,75 @@ def text_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_score(test, model).select(
         "doc_id", "label", "n_feats", "sum_feat_count"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (RE2-replayable rule subset)
+# ---------------------------------------------------------------------------
+
+# RE2-safe rules for the cross-engine replay: DuckDB's regexp engine is
+# RE2, which has no lookbehind/lookahead, so the oracle exercises the
+# email rule (shared verbatim with operators.text.PII_RULES) plus a
+# boundary-free phone shape. The full default rule set (lookaround
+# IPv4/card/phone boundaries) is pinned by tests/test_text_quality.py.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\d{3}-\d{4}"
+_PII_ORACLE_RULES = ((_PII_EMAIL_RE, "<EMAIL>"), (_PII_PHONE_RE, "<PHONE>"))
+# the synthetic corpus carries no PII, so every third document gets a
+# deterministic email + phone suffix derived from its id — BOTH engines
+# construct the same text, so hits are nonzero and replayable
+_PII_SEED_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' Reach user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS text
+      FROM documents WHERE text IS NOT NULL
+"""
+
+
+@register(
+    "text_redact_pii",
+    f"""
+    WITH staged AS ({_PII_SEED_SQL})
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE_RE}', '<PHONE>', 'g') AS text,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL_RE}'))
+                + len(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS BIGINT) AS pii_hits
+    FROM staged
+    """,
+    category="text",
+    windowed=False,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as chained in-plan regexp_replace
+    (operators.text.redact_pii — single scan, whole-stage codegen, no
+    Python workers) with pre-redaction hit counts. Every third document
+    gets a deterministic synthetic email+phone suffix (the corpus itself
+    is PII-free), the rest pass through untouched with zero hits, so the
+    oracle checks both the rewrite and the no-op path. Rule order is part
+    of the replay: the email rule runs before the phone rule in both
+    engines. Reference tie-in: payload scrubbing is user-task territory
+    in the reference (api/task/WorkerTask.java:50); here it is an engine
+    primitive of the curation stack."""
+    from kafka_workers_spark.operators.text import redact_pii
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = d.filter(F.col("text").isNotNull()).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return redact_pii(staged, rules=_PII_ORACLE_RULES, count_col="pii_hits").select(
+        "doc_id", "text", "pii_hits"
+    )
