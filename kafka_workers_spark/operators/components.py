@@ -17,13 +17,18 @@ round every node takes the minimum label among itself and its neighbors,
 then additionally adopts its label's own label (``comp ← comp[comp]``).
 Plain propagation advances the min-label wavefront one edge hop per
 round, so rounds = O(component diameter); the jump step moves each label
-one extra POINTER hop toward the component minimum, roughly doubling
-wavefront speed (measured on sf0.1's 641-node depth-17 near-dup chain:
-18 rounds plain → 13 jumped). Worst case stays O(diameter) — the true
-O(log n) bounds (hash-to-min, Rastogi et al. ICDE'13; large-star/
-small-star, Kiveris et al. SoCC'14) require rewriting the EDGE set each
-round, a corpus-sized shuffle this operator deliberately avoids: edges
-are computed once and only the two-longs-per-node label frame iterates.
+one extra POINTER hop toward the component minimum per round. On chain
+topologies the pointers align with the path and compress log-style
+(measured, scripts/stress_dedup.py --cc: depth-40 chains converge in 6
+rounds jumped vs 41 plain, 7.0s vs 13.0s wall); on irregular near-dup
+graphs the pointer targets are not always ahead of the wavefront, so the
+gain is a constant factor (sf0.1's 641-node depth-17 component: 18
+rounds plain → 13 jumped). Worst case stays O(diameter) — the
+GUARANTEED O(log n) bounds (hash-to-min, Rastogi et al. ICDE'13;
+large-star/small-star, Kiveris et al. SoCC'14) require rewriting the
+EDGE set each round, a corpus-sized shuffle this operator deliberately
+avoids: edges are computed once and only the two-longs-per-node label
+frame iterates.
 Near-dup graphs are dense clusters with 2-4 hop diameters, so the
 edge-rewriting constant factor would never amortize; a pathological
 50+-hop chain hits ``max_rounds`` and raises rather than silently
@@ -63,6 +68,8 @@ def connected_components(
     dst: str = "doc_b",
     max_rounds: int = 50,
     loop_shuffle_partitions: int | str | None = "auto",
+    pointer_jump: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve an undirected edge list into ``(node, comp)`` where ``comp``
     is the minimum node id in the node's connected component.
@@ -92,6 +99,11 @@ def connected_components(
     int pins it; ``None`` leaves the session setting untouched. The
     session conf is restored after the loop (the rounds are synchronous,
     so nothing else runs under the override in this session thread).
+
+    ``pointer_jump=False`` disables the jump step (plain one-hop
+    propagation — the measurement baseline for scripts/stress_dedup.py's
+    ``--cc`` rep; outputs are identical either way). ``stats``, when a
+    dict, receives ``{"rounds": n}`` after convergence.
     """
     # sparkContext is classic-only; under Spark Connect there is no
     # checkpoint-dir query and no RDD bookkeeping — fall back to
@@ -157,7 +169,7 @@ def connected_components(
     )
     label_ids = _persistent_ids() - before
     try:
-        for _ in range(max_rounds):
+        for rounds in range(1, max_rounds + 1):
             nbr_min = (
                 edges.join(labels, edges["v"] == labels["node"])
                 .groupBy("u")
@@ -181,20 +193,21 @@ def connected_components(
             # make convergence detection a filter over the CHECKPOINTED
             # rows instead of a new-vs-old join — one cheap single-stage
             # job per round instead of a second label-sized shuffle.
-            before = _persistent_ids()
-            x, y = propagated.alias("x"), propagated.alias("y")
-            new_labels = _pin(
-                x.join(y, F.col("x.comp") == F.col("y.node"), "left").select(
+            if pointer_jump:
+                x, y = propagated.alias("x"), propagated.alias("y")
+                jumped = x.join(y, F.col("x.comp") == F.col("y.node"), "left").select(
                     F.col("x.node").alias("node"),
+                    F.col("x.__old").alias("__old"),
                     F.least(
                         F.col("x.comp"), F.coalesce(F.col("y.comp"), F.col("x.comp"))
                     ).alias("comp"),
-                    (
-                        F.least(
-                            F.col("x.comp"), F.coalesce(F.col("y.comp"), F.col("x.comp"))
-                        )
-                        != F.col("x.__old")
-                    ).alias("__changed"),
+                )
+            else:
+                jumped = propagated
+            before = _persistent_ids()
+            new_labels = _pin(
+                jumped.select(
+                    "node", "comp", (F.col("comp") != F.col("__old")).alias("__changed")
                 )
             )
             new_ids = _persistent_ids() - before
@@ -203,6 +216,8 @@ def connected_components(
             label_ids = new_ids
             labels = new_labels.select("node", "comp")
             if changed == 0:
+                if stats is not None:
+                    stats["rounds"] = rounds
                 return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "

@@ -624,6 +624,87 @@ def run_phrase_stress() -> int:
     return 0
 
 
+
+def run_cc_stress() -> int:
+    """Topology rep for connected_components: chains (the wavefront-depth
+    worst case pointer jumping targets) plus dense cliques (the near-dup
+    common case). Runs the SAME edge list through pointer_jump=True and
+    =False, asserts identical labelings and the exact expected component
+    count, and prints rounds + wall for each — the measured basis for the
+    operator's docstring claims."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.components import connected_components
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stress_cc")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    hops, n_chains = 40, 200          # 200 paths, each 41 nodes / depth 40
+    clique_n, clique_m = 100, 20      # 100 cliques of 20 (near-dup shape)
+    chain_base = 0
+    clique_base = 10_000_000
+    chain_edges = (
+        spark.range(0, n_chains * hops)
+        .select(
+            (chain_base + (F.col("id") / hops).cast("long") * (hops + 1)
+             + F.col("id") % hops).alias("doc_a")
+        )
+        .withColumn("doc_b", F.col("doc_a") + 1)
+    )
+    m = spark.range(0, clique_m).select(F.col("id").alias("i"))
+    clique_edges = (
+        spark.range(0, clique_n)
+        .select((clique_base + F.col("id") * clique_m).alias("base"))
+        .crossJoin(m.alias("a"))
+        .crossJoin(m.withColumnRenamed("i", "j").alias("b"))
+        .where(F.col("i") < F.col("j"))
+        .select(
+            (F.col("base") + F.col("i")).alias("doc_a"),
+            (F.col("base") + F.col("j")).alias("doc_b"),
+        )
+    )
+    edges = chain_edges.union(clique_edges)
+    n_edges = edges.count()
+    expected_comps = n_chains + clique_n
+    print(f"edges={n_edges} (chains {n_chains}x depth {hops}, cliques {clique_n}x{clique_m})")
+
+    results = {}
+    for jump in (True, False):
+        stats: dict = {}
+        t0 = time.perf_counter()
+        comp = connected_components(
+            edges, max_rounds=64, pointer_jump=jump, stats=stats
+        ).persist()
+        n_nodes = comp.count()
+        wall = time.perf_counter() - t0
+        n_comps = comp.select("comp").distinct().count()
+        results[jump] = comp
+        print(
+            f"pointer_jump={jump}: rounds={stats['rounds']} wall={wall:.2f}s "
+            f"nodes={n_nodes} components={n_comps}"
+        )
+        assert n_comps == expected_comps, (n_comps, expected_comps)
+    diff = (
+        results[True].exceptAll(results[False]).count()
+        + results[False].exceptAll(results[True]).count()
+    )
+    assert diff == 0, f"labelings diverge: {diff} rows"
+    print("labelings identical across modes")
+    for df in results.values():
+        df.unpersist()
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -648,6 +729,11 @@ def main() -> int:
         help="run the bigram_lm_score scale rep instead",
     )
     ap.add_argument(
+        "--cc",
+        action="store_true",
+        help="run the connected-components chain/clique topology rep instead",
+    )
+    ap.add_argument(
         "--phrases",
         action="store_true",
         help="run the phrase_scores Zipf-skew rep instead",
@@ -663,6 +749,8 @@ def main() -> int:
         return run_lm_stress(args.replicas)
     if args.phrases:
         return run_phrase_stress()
+    if args.cc:
+        return run_cc_stress()
     build_corpus(args.replicas)
 
     from pyspark.sql import SparkSession

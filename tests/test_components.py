@@ -161,3 +161,21 @@ def test_edit_distance_pairs_rejects_oversized_k(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="fan-out"):
         edit_distance_pairs(df, k=17)
+
+
+def test_components_pointer_jump_modes_agree_and_report_rounds(spark):
+    """pointer_jump only accelerates convergence: both modes must produce
+    the identical labeling, the jump must converge in no MORE rounds than
+    plain propagation on a chain (the wavefront-depth shape it targets),
+    and the stats hook reports the round count."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    out, rounds = {}, {}
+    for jump in (True, False):
+        stats = {}
+        comp = connected_components(edges, pointer_jump=jump, stats=stats)
+        out[jump] = {(r.node, r.comp) for r in comp.collect()}
+        rounds[jump] = stats["rounds"]
+    assert out[True] == out[False] == {(i, 1) for i in range(1, 13)}
+    assert rounds[True] <= rounds[False]
