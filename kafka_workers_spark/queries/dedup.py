@@ -481,6 +481,18 @@ def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION-deduplicated label reachability — so the iterative Spark loop is
     held to a full cross-engine ground truth, not a rows-only check.
 
+    Pair generation shares ONE corpus scan: candidate edges need neither
+    family's verify value (est_jaccard / exact jaccard), and both blocking
+    keys are duplicate-insensitive MIN aggregates over the same shingle
+    explode — the 8 MinHash element mins plus the min-shingle block key
+    compute as 9 mins in a single codegen'd hash aggregate (the standalone
+    queries each pay their own scan because they DO emit verify values).
+    At 100 TB that halves the dominant cost, the corpus pass; the pair
+    sets are provably identical to the standalone queries' (MIN over
+    ``array_distinct`` equals MIN over the raw shingles), which is exactly
+    what the oracle — still written as the two standalone generators —
+    checks.
+
     Scale shape: edges are blocking-key equi-join outputs (never
     all-pairs); the per-round CC shuffle carries two longs per edge;
     rounds = component diameter (near-dup clusters: 2-4). Reference
@@ -488,8 +500,45 @@ def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     — group resolution is engine-side training-data surface."""
     from kafka_workers_spark.operators.components import connected_components
 
-    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    ng = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents")
+    staged = shingle_stage(tokenize_stage(d.select("doc_id", "text")), 3)
+    exploded = staged.select("doc_id", F.explode_outer("shingles").alias("__sh"))
+    sig_mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__sh")))).alias(f"__mh{i}")
+        for i in range(MINHASH_K)
+    ]
+    per_doc = exploded.groupBy("doc_id").agg(
+        *sig_mins,
+        F.min(F.substring(F.md5("__sh"), 1, 16)).alias("block_key"),
+    )
+    per_doc = barrier(
+        per_doc.select(
+            "doc_id",
+            F.array(*[F.col(f"__mh{i}") for i in range(MINHASH_K)]).alias("sig"),
+            "block_key",
+        )
+    )
+    bands = per_doc.select(
+        "doc_id", F.explode(lsh_bands(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    mh = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    keyed = per_doc.filter(F.col("block_key").isNotNull())
+    ka, kb = keyed.alias("ka"), keyed.alias("kb")
+    ng = ka.join(
+        kb,
+        (F.col("ka.block_key") == F.col("kb.block_key"))
+        & (F.col("ka.doc_id") < F.col("kb.doc_id")),
+    ).select(F.col("ka.doc_id").alias("doc_a"), F.col("kb.doc_id").alias("doc_b"))
     comp = connected_components(mh.union(ng), src="doc_a", dst="doc_b")
     return comp.select(
         F.col("node").alias("doc_id"),
