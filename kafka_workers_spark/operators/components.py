@@ -97,8 +97,12 @@ def connected_components(
     loop's shuffles to the MEASURED edge count (~1M edges per partition,
     never above the session setting — a 10⁹-edge graph is unaffected); an
     int pins it; ``None`` leaves the session setting untouched. The
-    session conf is restored after the loop (the rounds are synchronous,
-    so nothing else runs under the override in this session thread).
+    session conf is restored after the loop. The override is
+    session-GLOBAL: a query launched concurrently on the same session
+    (e.g. the pooled oracle tests) transiently runs under the reduced
+    setting — harmless to results (shuffle partition count never changes
+    them), visible only as reduced parallelism for those seconds; pass
+    ``None`` where that matters.
 
     ``pointer_jump=False`` disables the jump step (plain one-hop
     propagation — the measurement baseline for scripts/stress_dedup.py's
