@@ -1045,6 +1045,82 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HDR_B = 5  # 2^-5 ≈ 3% relative error; paired with the oracle SQL below
+_HDR_QS = [0.5, 0.9, 0.99]
+
+
+@register(
+    "agg_hdr_quantiles",
+    f"""
+    WITH cents AS (
+      SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ), bux AS (
+      SELECT l_returnflag, CASE WHEN v < 64 THEN CAST(v AS BIGINT) ELSE CAST(greatest(length(to_base(v, 2)) - 1 - 5, 0) AS BIGINT) * 32 + (v >> greatest(length(to_base(v, 2)) - 1 - 5, 0)) END AS b FROM cents
+    ), cnt AS (
+      SELECT l_returnflag, b, COUNT(*) AS c FROM bux GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_returnflag, SUM(c) AS n FROM cnt GROUP BY 1
+    ), cum AS (
+      SELECT l_returnflag, b,
+             SUM(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum
+      FROM cnt
+    ), ranks AS (
+      SELECT t.l_returnflag, CAST(q.q AS DOUBLE) AS q, t.n,
+             GREATEST(CAST(ceil(CAST(q.q AS DOUBLE) * t.n) AS BIGINT), 1) AS r
+      FROM tot t CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) q
+    ), hit AS (
+      SELECT r.l_returnflag, r.q, r.n, MIN(c.b) AS b
+      FROM ranks r
+      JOIN cum c ON c.l_returnflag = r.l_returnflag AND c.cum >= r.r
+      GROUP BY 1, 2, 3
+    )
+    SELECT l_returnflag, q, CAST(n AS BIGINT) AS n_values,
+           CASE WHEN b < 64 THEN CAST(b AS BIGINT) ELSE CAST(((b) - ((b) // 32 - 1) * 32) << ((b) // 32 - 1) AS BIGINT) END AS value
+    FROM hit
+    """,
+    category="relational",
+    windowed=False,
+)
+def agg_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantiles from the mergeable HDR sketch
+    (functions/sketches.py hdr_build / hdr_quantiles — HdrHistogram
+    bucketing, Tene): per-returnflag price-cents sketches, p50/p90/p99
+    extracted by rank walk, every value an exact bucket lower bound so
+    the DuckDB oracle replays the whole chain bit for bit (the MSB comes
+    from binary string length in BOTH engines — never libm log2). The
+    sketch's integer surface is what the oracle pins; the ≤ 2^-5
+    relative-error guarantee against exact quantiles is property-tested
+    in tests/test_sketches.py.
+
+    Scale shape: one codegen'd bucket expression, one (group, bucket)
+    hash aggregate with map-side partials — the shuffle carries bounded
+    partial rows, never values — then sketch-local rank walks. The
+    fixed-size rows merge exactly (hdr_merge), so per-shard sketches
+    roll up without rescanning history — the quantile analog of the
+    stored Bloom/CMS rows."""
+    from kafka_workers_spark.functions.sketches import hdr_build, hdr_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    cents = li.select(
+        "l_returnflag", F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("v")
+    )
+    sk = hdr_build(cents, "v", sig_bits=_HDR_B, max_bits=40, group_cols=["l_returnflag"])
+    q = hdr_quantiles(sk, _HDR_QS, sig_bits=_HDR_B)
+    zipped = F.arrays_zip(
+        F.array(*[F.lit(float(x)) for x in _HDR_QS]).alias("q"),
+        F.col("quantiles").alias("value"),
+    )
+    return q.select(
+        "l_returnflag", "n_values", F.explode(zipped).alias("z")
+    ).select(
+        "l_returnflag",
+        F.col("z.q").alias("q"),
+        "n_values",
+        F.col("z.value").alias("value"),
+    )
+
+
 @register(
     "value_decode_json",
     """

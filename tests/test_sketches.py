@@ -3,6 +3,7 @@ the partial-union == whole-pass identity, and heavy-hitter exactness."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_workers_spark.functions.sketches import (
@@ -390,3 +391,105 @@ def test_cms_probe_tolerates_probe_side_counts_column(spark):
     )
     got = {r.v: (r.cms_count, r.counts) for r in cms_probe(probes, cms, "v").collect()}
     assert got["7"] == (1, [7])
+
+
+# ---------------------------------------------------------------------------
+# HDR quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hdr_bucket_known_answers_and_bucket_low_roundtrip(spark):
+    """Exact region: idx == value; log region: known grid; bucket_low is
+    the bucket's smallest member (low <= v and bucket(low) == bucket(v))."""
+    from kafka_workers_spark.functions.sketches import hdr_bucket, hdr_bucket_low
+
+    b = 5
+    vals = [0, 1, 31, 63, 64, 65, 127, 128, 1 << 20, (1 << 20) + 12345, (1 << 39) + 7]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = df.select(
+        "v",
+        hdr_bucket(F.col("v"), b).alias("idx"),
+        hdr_bucket_low(hdr_bucket(F.col("v"), b), b).alias("low"),
+    ).collect()
+    got = {r.v: (r.idx, r.low) for r in rows}
+    # exact region (v < 64): identity
+    for v in (0, 1, 31, 63):
+        assert got[v] == (v, v)
+    # v=64: e=6, shift=1, idx = 32 + 32 = 64; low = (64-32)<<1 = 64
+    assert got[64] == (64, 64)
+    assert got[65] == (64, 64)  # 65>>1 = 32 -> same bucket as 64
+    assert got[127] == (95, 126)  # shift=1, idx=32+63=95, low=63<<1
+    assert got[128] == (96, 128)  # shift=2, idx=64+32=96, low=32<<2
+    for v in vals:
+        idx, low = got[v]
+        assert low <= v
+        # relative error bound: v - low < 2^-b * v (log region)
+        if v >= (1 << (b + 1)):
+            assert (v - low) / v <= 2 ** -b
+
+
+def test_hdr_quantiles_error_bound_and_merge(spark):
+    """Sketch quantiles are within 2^-sig_bits relative error of the
+    exact inverted-CDF quantile; shard-merge equals the whole-pass
+    sketch bit for bit; empty input yields NULL quantiles."""
+    import random
+
+    from kafka_workers_spark.functions.sketches import (
+        hdr_build,
+        hdr_merge,
+        hdr_quantiles,
+    )
+
+    rng = random.Random(11)
+    vals = [rng.randrange(0, 1 << 30) for _ in range(4000)] + list(range(64))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = [0.0, 0.5, 0.9, 0.99, 1.0]
+    sk = hdr_build(df, "v", sig_bits=5, max_bits=40)
+    row = hdr_quantiles(sk, qs, sig_bits=5).collect()[0]
+    assert row.n_values == len(vals)
+    svals = sorted(vals)
+    for q, got in zip(qs, row.quantiles):
+        exact = svals[max(1, -(-int(q * len(svals)) // 1)) - 1] if q > 0 else svals[0]
+        # recompute exact rank the operator's way: ceil(q*N) clamped >= 1
+        import math
+
+        exact = svals[max(1, math.ceil(q * len(svals))) - 1]
+        if exact > 0:
+            assert abs(got - exact) / exact <= 2 ** -5, (q, got, exact)
+        else:
+            assert got == 0
+    halves = hdr_build(df.filter("v % 2 = 0"), "v", 5, 40).unionByName(
+        hdr_build(df.filter("v % 2 = 1"), "v", 5, 40)
+    )
+    assert hdr_merge(halves).collect()[0].counts == sk.collect()[0].counts
+    # global-aggregate build over empty input: Spark's global aggregate
+    # yields ONE row — an all-zeros sketch whose quantiles are NULL
+    empty = hdr_quantiles(
+        hdr_build(df.filter("v < 0"), "v", 5, 40), [0.5], sig_bits=5
+    ).collect()
+    assert len(empty) == 1 and empty[0].n_values == 0
+    assert empty[0].quantiles == [None]
+
+
+def test_hdr_guards(spark):
+    """Out-of-range values raise in-plan at first action; mixed merge
+    schemes raise; bad params raise eagerly."""
+    from kafka_workers_spark.functions.sketches import (
+        hdr_build,
+        hdr_merge,
+    )
+
+    neg = spark.createDataFrame([(-1,)], "v long")
+    with pytest.raises(Exception, match="out of"):
+        hdr_build(neg, "v", 5, 40).collect()
+    big = spark.createDataFrame([(1 << 41,)], "v long")
+    with pytest.raises(Exception, match="out of"):
+        hdr_build(big, "v", 5, 40).collect()
+    ok = spark.createDataFrame([(5,)], "v long")
+    with pytest.raises(ValueError, match="sig_bits"):
+        hdr_build(ok, "v", 0, 40)
+    with pytest.raises(ValueError, match="max_bits"):
+        hdr_build(ok, "v", 5, 63)
+    mixed = hdr_build(ok, "v", 5, 40).unionByName(hdr_build(ok, "v", 5, 41), allowMissingColumns=False)
+    with pytest.raises(Exception, match="mixed"):
+        hdr_merge(mixed).collect()
