@@ -729,12 +729,22 @@ def hdr_merge(hdr: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
         F.first("sig_bits").alias("sig_bits"),
         F.first("max_bits").alias("max_bits"),
     )
-    guard = F.when(
-        F.col("__schemes") == 1, F.col("counts")
-    ).otherwise(
-        F.raise_error(
-            F.lit("hdr_merge: mixed (sig_bits, max_bits) schemes — rebuild with one")
-        ).cast("array<bigint>")
+    guard = (
+        F.when(F.col("__schemes") == 1, F.col("counts"))
+        .when(
+            # a group-less merge of ZERO sketch rows still yields one
+            # global-aggregate row; name the real problem instead of the
+            # misleading "mixed schemes"
+            F.col("__schemes") == 0,
+            F.raise_error(
+                F.lit("hdr_merge: zero input sketch rows — nothing to merge")
+            ).cast("array<bigint>"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("hdr_merge: mixed (sig_bits, max_bits) schemes — rebuild with one")
+            ).cast("array<bigint>")
+        )
     )
     return merged.select(*group_cols, guard.alias("counts"), "sig_bits", "max_bits")
 
@@ -750,9 +760,23 @@ def hdr_quantiles(
     to ≥ 1) walks the counts array row-locally — sketch-sized work, no
     shuffle, no Python. Empty sketches yield NULL values. The returned
     values are exact integers, so a SQL oracle replays them bit for bit
-    (corpus_hdr_quantiles does)."""
+    (agg_hdr_quantiles does).
+
+    ``sig_bits`` must match the sketch's own scheme column — a mismatch
+    would decode bucket indices with the wrong split and return
+    plausible-looking but wrong integers, so it raises IN-PLAN at first
+    action (the cms_probe/bloom_probe scheme contract)."""
     if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
         raise ValueError(f"qs ({qs}) must be fractions in [0, 1]")
+    scheme_ok = F.when(F.col("sig_bits") == F.lit(sig_bits), F.col("counts")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"hdr_quantiles: sig_bits ({sig_bits}) does not match the "
+                "sketch's scheme column"
+            )
+        ).cast("array<bigint>")
+    )
+    hdr = hdr.withColumn("counts", scheme_ok)
     n = F.aggregate(
         F.col("counts"), F.lit(0).cast("bigint"), lambda a, x: a + x
     ).alias("n_values")

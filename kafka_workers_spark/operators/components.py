@@ -139,6 +139,13 @@ def connected_components(
         except Exception:  # noqa: BLE001
             pass
 
+    if loop_shuffle_partitions not in (None, "auto") and int(loop_shuffle_partitions) < 1:
+        # eager, before any side effect (the hdr_build/nb_train norm) — a
+        # 0/negative value would mutate the session conf to an invalid
+        # setting and crash mid-loop
+        raise ValueError(
+            f"loop_shuffle_partitions ({loop_shuffle_partitions}) must be >= 1"
+        )
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -147,32 +154,43 @@ def connected_components(
     )
     spark = pairs.sparkSession
     restore_parts: str | None = None
-    if loop_shuffle_partitions is not None:
-        # materializes the persisted edge list, so round 1 starts warm —
-        # the count is not an extra pass
-        n_edges = edges.count()
-        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        if loop_shuffle_partitions == "auto":
-            p = max(1, min(session_parts, -(-n_edges // 1_000_000)))
-        else:
-            p = int(loop_shuffle_partitions)
-        if p != session_parts:
-            restore_parts = str(session_parts)
-            spark.conf.set("spark.sql.shuffle.partitions", str(p))
-            # the cached edge list keeps the pair generator's partition
-            # count; every round's map stages would scan all of those
-            # (mostly empty) partitions, so compact it once to the loop
-            # size — one tiny job reading the already-materialized cache
-            compacted = edges.repartition(p, "v").persist(StorageLevel.MEMORY_AND_DISK)
-            compacted.count()
-            edges.unpersist()
-            edges = compacted
-    before = _persistent_ids()
-    labels = _pin(
-        edges.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
-    )
-    label_ids = _persistent_ids() - before
+    label_ids: set[int] = set()
+    # EVERYTHING after the edge persist runs under the try: a failure in
+    # the sizing count, the compaction, or the initial-label checkpoint
+    # must still restore the session's shuffle partitions and release the
+    # edge cache — on a shared session (the pooled oracle tests) a leaked
+    # override would downsize every later query
     try:
+        if loop_shuffle_partitions is not None:
+            # materializes the persisted edge list, so round 1 starts
+            # warm — the count is not an extra pass
+            n_edges = edges.count()
+            session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            if loop_shuffle_partitions == "auto":
+                p = max(1, min(session_parts, -(-n_edges // 1_000_000)))
+            else:
+                p = int(loop_shuffle_partitions)
+            if p != session_parts:
+                restore_parts = str(session_parts)
+                spark.conf.set("spark.sql.shuffle.partitions", str(p))
+                # the cached edge list keeps the pair generator's
+                # partition count; every round's map stages would scan all
+                # of those (mostly empty) partitions, so compact it once
+                # to the loop size — one tiny job reading the
+                # already-materialized cache
+                compacted = edges.repartition(p, "v").persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                compacted.count()
+                edges.unpersist()
+                edges = compacted
+        before = _persistent_ids()
+        labels = _pin(
+            edges.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
+        )
+        label_ids = _persistent_ids() - before
         for rounds in range(1, max_rounds + 1):
             nbr_min = (
                 edges.join(labels, edges["v"] == labels["node"])

@@ -154,13 +154,22 @@ def sql_minhash_signature(shingles_expr: str, k: int = 8) -> str:
 
 def lsh_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
     """Array of (band, key) structs: key = md5 of the band's concatenated
-    signature rows. Explode + equi-join on these to get candidate pairs."""
+    signature rows. Explode + equi-join on these to get candidate pairs.
+
+    NULL-propagating by design: a document with no shingles has an
+    all-NULL signature, and its band keys must be NULL (joins drop them —
+    no pairs), matching the SQL oracle's ``||`` concatenation. The
+    earlier ``concat_ws`` form SKIPPED the NULL elements instead, which
+    silently keyed every shingle-less document into one shared
+    ``md5('<band>')`` bucket: an O(n²) hot bucket at scale and an
+    every-empty-doc-is-a-duplicate semantic the oracle (correctly)
+    contradicts."""
     def band_key(b: Column) -> Column:
-        parts = [
-            F.element_at(sig, (b * rows_per_band + r + 1).cast("int"))
-            for r in range(rows_per_band)
-        ]
-        return F.md5(F.concat_ws(":", b.cast("string"), *parts))
+        parts: list[Column] = []
+        for r in range(rows_per_band):
+            parts.append(F.lit(":"))
+            parts.append(F.element_at(sig, (b * rows_per_band + r + 1).cast("int")))
+        return F.md5(F.concat(b.cast("string"), *parts))
 
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),

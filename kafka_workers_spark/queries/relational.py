@@ -23,6 +23,10 @@ from kafka_workers_spark.sources.files import load_table, register_views
 
 
 from kafka_workers_spark.functions.determinism import dsum, sql_dsum  # noqa: E402
+from kafka_workers_spark.functions.sketches import (  # noqa: E402
+    sql_hdr_bucket,
+    sql_hdr_bucket_low,
+)
 
 
 # --------------------------------------------------------------------------
@@ -1045,8 +1049,14 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HDR_B = 5  # 2^-5 ≈ 3% relative error; paired with the oracle SQL below
+_HDR_B = 5  # 2^-5 ≈ 3% relative error
 _HDR_QS = [0.5, 0.9, 0.99]
+# the oracle renders its bucket arithmetic FROM the same helpers the
+# operator documents (the sql_minhash_signature pattern), so changing
+# _HDR_B can never desync the two sides
+_HDR_BUCKET_SQL = sql_hdr_bucket("v", _HDR_B)
+_HDR_LOW_SQL = sql_hdr_bucket_low("b", _HDR_B)
+_HDR_QS_SQL = "[" + ", ".join(str(q) for q in _HDR_QS) + "]"
 
 
 @register(
@@ -1056,7 +1066,7 @@ _HDR_QS = [0.5, 0.9, 0.99]
       SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
       FROM lineitem
     ), bux AS (
-      SELECT l_returnflag, CASE WHEN v < 64 THEN CAST(v AS BIGINT) ELSE CAST(greatest(length(to_base(v, 2)) - 1 - 5, 0) AS BIGINT) * 32 + (v >> greatest(length(to_base(v, 2)) - 1 - 5, 0)) END AS b FROM cents
+      SELECT l_returnflag, {_HDR_BUCKET_SQL} AS b FROM cents
     ), cnt AS (
       SELECT l_returnflag, b, COUNT(*) AS c FROM bux GROUP BY 1, 2
     ), tot AS (
@@ -1068,7 +1078,7 @@ _HDR_QS = [0.5, 0.9, 0.99]
     ), ranks AS (
       SELECT t.l_returnflag, CAST(q.q AS DOUBLE) AS q, t.n,
              GREATEST(CAST(ceil(CAST(q.q AS DOUBLE) * t.n) AS BIGINT), 1) AS r
-      FROM tot t CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) q
+      FROM tot t CROSS JOIN (SELECT UNNEST({_HDR_QS_SQL}) AS q) q
     ), hit AS (
       SELECT r.l_returnflag, r.q, r.n, MIN(c.b) AS b
       FROM ranks r
@@ -1076,7 +1086,7 @@ _HDR_QS = [0.5, 0.9, 0.99]
       GROUP BY 1, 2, 3
     )
     SELECT l_returnflag, q, CAST(n AS BIGINT) AS n_values,
-           CASE WHEN b < 64 THEN CAST(b AS BIGINT) ELSE CAST(((b) - ((b) // 32 - 1) * 32) << ((b) // 32 - 1) AS BIGINT) END AS value
+           {_HDR_LOW_SQL} AS value
     FROM hit
     """,
     category="relational",

@@ -137,6 +137,44 @@ def test_minhash_lsh_scales_to_production_parameters(spark):
     assert not any(4 in p for p in hits)  # unrelated doc: no collisions
 
 
+def test_lsh_band_keys_null_for_shingleless_docs(spark):
+    """A document too short to shingle has an all-NULL signature, and its
+    band keys must be NULL so the candidate join DROPS it — the SQL
+    oracle's ``||`` semantics. The earlier concat_ws form skipped NULLs
+    and keyed every such doc into one shared md5('<band>') bucket: an
+    O(n²) hot bucket and a wrong every-empty-doc-pairs-with-every-other
+    answer the oracle contradicts (found in review of the
+    dedup_group_components driver row; pre-existing in
+    dedup_minhash_lsh)."""
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.dedup import lsh_bands, minhash_agg
+    from kafka_workers_spark.operators.text import shingle_stage, tokenize_stage
+
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "one"), (3, ""), (4, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    staged = shingle_stage(tokenize_stage(docs), 3, distinct=True)
+    banded = minhash_agg(staged, ["doc_id"], k=8).select(
+        "doc_id", F.explode(lsh_bands(F.col("sig"), 4, 2)).alias("bk")
+    )
+    keys = {
+        (r.doc_id, r.bk.band): r.bk.band_key for r in banded.collect()
+    }
+    # docs 1-3 cannot form a 3-shingle: every band key NULL
+    assert all(keys[(d, b)] is None for d in (1, 2, 3) for b in range(4))
+    assert all(keys[(4, b)] is not None for b in range(4))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bk.band") == F.col("b.bk.band"))
+        & (F.col("a.bk.band_key") == F.col("b.bk.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    assert pairs.count() == 0
+
+
 def test_chunk_documents_overlapping_windows(spark):
     """operators.text.chunk_documents: full coverage, correct overlap,
     bounded chunk sizes, passthrough columns."""

@@ -447,12 +447,11 @@ def test_hdr_quantiles_error_bound_and_merge(spark):
     sk = hdr_build(df, "v", sig_bits=5, max_bits=40)
     row = hdr_quantiles(sk, qs, sig_bits=5).collect()[0]
     assert row.n_values == len(vals)
+    import math
+
     svals = sorted(vals)
     for q, got in zip(qs, row.quantiles):
-        exact = svals[max(1, -(-int(q * len(svals)) // 1)) - 1] if q > 0 else svals[0]
-        # recompute exact rank the operator's way: ceil(q*N) clamped >= 1
-        import math
-
+        # exact rank the operator's way: ceil(q*N) clamped >= 1
         exact = svals[max(1, math.ceil(q * len(svals))) - 1]
         if exact > 0:
             assert abs(got - exact) / exact <= 2 ** -5, (q, got, exact)
@@ -493,3 +492,9 @@ def test_hdr_guards(spark):
     mixed = hdr_build(ok, "v", 5, 40).unionByName(hdr_build(ok, "v", 5, 41), allowMissingColumns=False)
     with pytest.raises(Exception, match="mixed"):
         hdr_merge(mixed).collect()
+    from kafka_workers_spark.functions.sketches import hdr_quantiles
+
+    with pytest.raises(Exception, match="does not match"):
+        hdr_quantiles(hdr_build(ok, "v", 6, 40), [0.5], sig_bits=5).collect()
+    with pytest.raises(Exception, match="zero input"):
+        hdr_merge(hdr_build(ok, "v", 5, 40).filter("sig_bits < 0")).collect()
