@@ -257,13 +257,24 @@ def dedup_groups(
     id_col: str = "doc_id",
     src: str = "doc_a",
     dst: str = "doc_b",
+    max_rounds: int = 50,
+    loop_shuffle_partitions: int | str | None = "auto",
+    pointer_jump: bool = True,
 ) -> DataFrame:
     """Attach ``group_id`` (component minimum — the canonical survivor's
     id) and ``is_canonical`` to every document. Documents in no pair are
     their own singleton group. The exact-resolution alternative to
     ``pipeline.near_dedup_lsh``'s greedy rule: a doc bridging two clusters
-    merges them instead of deleting both tails."""
-    comp = connected_components(pairs, src=src, dst=dst)
+    merges them instead of deleting both tails. The loop options pass
+    through to :func:`connected_components` unchanged."""
+    comp = connected_components(
+        pairs,
+        src=src,
+        dst=dst,
+        max_rounds=max_rounds,
+        loop_shuffle_partitions=loop_shuffle_partitions,
+        pointer_jump=pointer_jump,
+    )
     return (
         docs.join(comp, docs[id_col] == comp["node"], "left")
         .select(

@@ -498,3 +498,53 @@ def test_hdr_guards(spark):
         hdr_quantiles(hdr_build(ok, "v", 6, 40), [0.5], sig_bits=5).collect()
     with pytest.raises(Exception, match="zero input"):
         hdr_merge(hdr_build(ok, "v", 5, 40).filter("sig_bits < 0")).collect()
+
+
+def test_hdr_bucket_cross_engine_parity_random(spark):
+    """The HDR bucket index and bucket lower bound agree BIT FOR BIT
+    between Spark and DuckDB on random values across the full [0, 2^40)
+    domain plus the exact/log boundary — the cross-engine surface the
+    agg_hdr_quantiles oracle rides."""
+    import random
+
+    import duckdb
+
+    from kafka_workers_spark.functions.sketches import (
+        hdr_bucket,
+        hdr_bucket_low,
+        sql_hdr_bucket,
+        sql_hdr_bucket_low,
+    )
+
+    rng = random.Random(29)
+    vals = sorted(
+        {rng.randrange(0, 1 << 40) for _ in range(2000)}
+        | set(range(0, 130))
+        | {(1 << 40) - 1, 1 << 20, (1 << 20) - 1}
+    )
+    b = 5
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.v: (r.idx, r.low)
+        for r in df.select(
+            "v",
+            hdr_bucket(F.col("v"), b).alias("idx"),
+            hdr_bucket_low(hdr_bucket(F.col("v"), b), b).alias("low"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    idx_sql = sql_hdr_bucket("v", b)
+    duck = {
+        v: (i, lo)
+        for v, i, lo in con.execute(
+            f"SELECT v, {idx_sql}, {sql_hdr_bucket_low(f'({idx_sql})', b)} FROM t"
+        ).fetchall()
+    }
+    con.close()
+    assert got == duck
+    # the lower bound never exceeds its value (it IS the bucket's
+    # smallest member — the roundtrip test pins bucket(low) == bucket(v))
+    for v, (_idx, low) in got.items():
+        assert low <= v
