@@ -792,6 +792,139 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    docs,
+    query_ids,
+    top_k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_fraction: float = 0.5,
+):
+    """Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009; k1 = 1.2,
+    b = 0.75) over the same inverted-index shape as :func:`tfidf_topk` —
+    query docs meet posting lists via one term equi-join, cost bounded
+    by ``max_df_fraction``. Returns (query_id, neighbor_id, rank,
+    score6) with ``score6`` an EXACT bigint so a SQL oracle replays the
+    ranking bit for bit.
+
+    Exact-integer discipline: with k1 = 6/5 and b = 3/4 the tf term
+    ``tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl))`` is the rational
+    ``22·tf·adl / (10·tf·adl + 3·adl + 9·dl)`` once ``avgdl`` is
+    quantized to the nearest integer token count ``adl =
+    (2S+N) DIV 2N`` (S = Σ doc lengths, N = tokenized docs — a
+    deliberate ≤0.5-token quantization that keeps every product inside
+    int64: 1e6·22·tf·adl stays under 2^63 for any realistic tf·adl).
+    Per-term weight ``w6 = (idf6 · t6) DIV 1e6`` with ``t6 =
+    (1e6·22·tf·adl) DIV (10·tf·adl + 3·adl + 9·dl)`` and ``idf6 =
+    floor(1e6·ln((2N+2)/(2df+1)))`` (the BM25+ non-negative idf,
+    ``ln(1 + (N−df+½)/(df+½))`` — same int-ratio-then-ln form the
+    TF-IDF oracle already holds cross-engine). The final score is
+    ``Σ_t qtf·w6`` — exact bigint addition, so the aggregate is
+    order-free and the double-summation-order hazard never arises.
+    Query-side term frequency multiplies in (the k3 → ∞ limit of the
+    full Robertson formula; queries here are documents, not keyword
+    lists).
+
+    Scale shape mirrors tfidf_topk: N, S derive IN-PLAN from the dl
+    aggregate (one-row broadcast, no eager job; the empty-corpus keep
+    check raises lazily via raise_error), the df window prunes
+    near-universal terms before the posting join, and only query-side
+    rows carry broadcast hints."""
+    from pyspark.sql import Window as W
+
+    from kafka_workers_spark.operators.dedup import barrier
+    from kafka_workers_spark.operators.similarity import _query_id_filter
+
+    base = docs.select(id_col, normalized(F.col(text_col)).alias("__t"))
+    toked = base.select(
+        id_col, F.explode(tokens(F.col("__t"))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = barrier(
+        toked.groupBy(id_col, "term").agg(F.count("*").alias("__tf")), id_col
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("__tf").cast("bigint").alias("__dl"))
+    g = dl.groupBy().agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum("__dl").cast("bigint").alias("__s"),
+    )
+    # lazy empty-keep guard (the tfidf_weights pattern): a corpus whose
+    # df window keeps no terms must raise, never silently return empty
+    g = g.select(
+        F.when(
+            F.floor(F.lit(float(max_df_fraction)) * F.col("__n")) >= F.lit(min_df),
+            F.col("__n"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"bm25_topk: max_df_fraction×N ({max_df_fraction}×"),
+                    F.col("__n").cast("string"),
+                    F.lit(
+                        f") < min_df ({min_df}) keeps NO terms — every query "
+                        "would silently return empty; widen the df window"
+                    ),
+                )
+            ).cast("bigint")
+        )
+        .alias("__n"),
+        F.col("__s"),
+    ).select(
+        "__n",
+        # nearest-integer average document length (ties round up) —
+        # integral DIV, never double division (exact past 2^53)
+        F.expr("(2 * __s + __n) DIV (2 * __n)").alias("__adl"),
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("__df")).crossJoin(F.broadcast(g))
+    kept = df_t.filter(
+        (F.col("__df") >= min_df)
+        & (F.col("__df") <= F.floor(F.lit(float(max_df_fraction)) * F.col("__n")))
+    )
+    idf6 = F.floor(
+        F.lit(1_000_000.0)
+        * F.log(
+            (F.lit(2) * F.col("__n") + 2).cast("double")
+            / (F.lit(2) * F.col("__df") + 1).cast("double")
+        )
+    ).cast("bigint")
+    kept = kept.select("term", idf6.alias("__idf6"), "__adl")
+    w = (
+        tf.join(kept, "term")
+        .join(dl, id_col)
+        .select(
+            id_col,
+            "term",
+            # every step integral DIV on bigints (exact; Spark's / on
+            # bigint columns is DOUBLE division, wrong past 2^53) —
+            # DuckDB's // replays it exactly, all operands positive
+            F.expr(
+                "(__idf6 * ((22000000 * __tf * __adl)"
+                " DIV (10 * __tf * __adl + 3 * __adl + 9 * __dl)))"
+                " DIV 1000000"
+            )
+            .cast("bigint")
+            .alias("__w6"),
+            F.col("__tf"),
+        )
+    )
+    w = barrier(w, id_col)
+    q = _query_id_filter(w, id_col, query_ids).select(
+        F.col(id_col).alias("query_id"), "term", F.col("__tf").alias("__qtf")
+    )
+    scored = (
+        w.join(F.broadcast(q), "term")
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("__qtf") * F.col("__w6")).cast("bigint").alias("score6"))
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("score6"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "score6")
+    )
+
+
 def bigram_lm_score(
     docs,
     ref_docs=None,

@@ -1033,3 +1033,81 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(staged, rules=_PII_ORACLE_RULES, count_col="pii_hits").select(
         "doc_id", "text", "pii_hits"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (exact-integer score surface)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [0, 1, 2, 3]
+_BM25_TOP_K = 5
+_BM25_MAX_DF = 0.8  # the tfidf query's reading: templated vocab needs a wide window
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, UNNEST(string_split({sql_normalized('text')}, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toked
+      WHERE length(term) > 0 GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    g AS (
+      SELECT COUNT(*) AS n,
+             (2 * SUM(dl) + COUNT(*)) // (2 * COUNT(*)) AS adl
+      FROM dl
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    kept AS (
+      SELECT term,
+             CAST(floor(1000000.0 * ln(CAST(2 * n + 2 AS DOUBLE)
+                                       / CAST(2 * df + 1 AS DOUBLE))) AS BIGINT) AS idf6,
+             adl
+      FROM dft, g
+      WHERE df >= 1 AND df <= CAST(floor({_BM25_MAX_DF} * n) AS BIGINT)
+    ),
+    w AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             CAST((idf6 * ((22000000 * tf * adl)
+                           // (10 * tf * adl + 3 * adl + 9 * dl.dl)))
+                  // 1000000 AS BIGINT) AS w6
+      FROM tf JOIN kept ON tf.term = kept.term JOIN dl ON dl.doc_id = tf.doc_id
+    ),
+    q AS (SELECT doc_id AS query_id, term, tf AS qtf FROM w
+          WHERE doc_id IN ({', '.join(map(str, _BM25_QUERIES))})),
+    scored AS (
+      SELECT query_id, w.doc_id, CAST(SUM(qtf * w6) AS BIGINT) AS score6
+      FROM w JOIN q ON w.term = q.term AND w.doc_id <> q.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, rank, doc_id AS neighbor_id, score6 FROM (
+      SELECT query_id, doc_id, score6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score6 DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_TOP_K}
+    """,
+    category="text",
+    windowed=False,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval (operators.text.bm25_topk; Robertson &
+    Zaragoza 2009, k1=1.2, b=0.75) — the ranking-function upgrade of
+    text_tfidf_topk over the same inverted-index join. The score surface
+    is EXACT bigints: with avgdl quantized to the nearest integer token
+    the k1/b rational reduces to integral DIVs that DuckDB's // replays
+    bit for bit, and the per-term idf6 is the same
+    int-ratio-then-ln-then-floor form the TF-IDF oracle already holds
+    cross-engine — so the whole ranking, not just row counts, is
+    oracle-checked. N/S/avgdl derive IN-PLAN (one-row broadcast,
+    job-free build, lazy empty-keep raise)."""
+    from kafka_workers_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(
+        docs, _BM25_QUERIES, top_k=_BM25_TOP_K, max_df_fraction=_BM25_MAX_DF
+    )

@@ -960,3 +960,39 @@ def test_phrase_scores_rejects_bad_params(spark):
         phrase_scores(docs, delta=-1)
     with pytest.raises(ValueError, match="threshold"):
         phrase_scores(docs, threshold=(1, 0))
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_prefers_rare_terms_and_penalizes_length(spark):
+    """The two properties that make BM25 BM25: (a) matching a RARE query
+    term outranks matching a corpus-common one (idf), and (b) between two
+    docs with the same matching tf, the SHORTER one ranks higher (length
+    normalization) — neither of which raw term counting gives."""
+    from kafka_workers_spark.operators.text import bm25_topk
+
+    pad = "aaa bbb ccc ddd eee fff ggg hhh"  # padding terms, off-query
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra common quark"),                 # the query
+            (1, "zebra common " + pad),                # rare term tf=1, LONG
+            (2, "zebra common"),                       # rare term tf=1, short
+            (3, "common common " + pad),               # common tf=2, LONG
+            (4, "common common"),                      # common tf=2, short
+            (5, "unrelated words entirely different"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, [0], top_k=5, max_df_fraction=0.9).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    scores = {r.neighbor_id: r.score6 for r in out}
+    # rare-term docs beat common-only docs (idf)
+    assert set(ranked[:2]) == {1, 2}
+    # identical tf pairs: the shorter doc wins the length normalization
+    assert scores[2] > scores[1]
+    assert scores[4] > scores[3]
+    # doc 5 shares no kept term with the query: absent or zero
+    assert 5 not in scores or scores[5] == 0
