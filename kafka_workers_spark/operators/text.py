@@ -792,6 +792,66 @@ def tfidf_topk(
     )
 
 
+def hashed_doc_vectors(
+    docs,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_fraction: float = 0.5,
+    n_docs: int | None = None,
+):
+    """Feature-hashed dense document vectors (the hashing trick,
+    Weinberger et al. ICML 2009) over :func:`tfidf_weights`: component
+    ``j`` sums ``sign(t)·w6(t)`` over the terms whose md5 bucket is
+    ``j`` — a signed projection of the sparse TF-IDF space into a FIXED
+    ``dim``, so downstream clustering is corpus-size-independent in
+    width. All-integer (w6 is fixed-point, sign is ±1 from an md5 bit),
+    so the vectors feed :func:`~kafka_workers_spark.operators.
+    similarity.kmeans_fixed`'s exact-integer Lloyd loop directly and an
+    ANSI-SQL oracle replays them bit for bit.
+
+    Returns LONG format ``(id_col, i, x)`` with zeros MATERIALIZED
+    (dense) — integer L2 distances need every component. Shape: the tf
+    aggregate → one bucket aggregate (≤ docs·dim rows) → a docs×dim
+    grid left-join; nothing corpus-wide shuffles except (doc, bucket)
+    partials."""
+    if dim <= 0:
+        raise ValueError(f"dim ({dim}) must be positive")
+    w = tfidf_weights(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        min_df=min_df,
+        max_df_fraction=max_df_fraction,
+        n_docs=n_docs,
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("b|"), F.col("term"))), 1, 15), 16, 10)
+        .cast("bigint")
+        % dim
+    )
+    sgn = F.lit(1) - F.lit(2) * (
+        F.conv(F.substring(F.md5(F.concat(F.lit("s|"), F.col("term"))), 1, 1), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    sums = (
+        w.select(id_col, bucket.alias("i"), (sgn * F.col("w6")).alias("__x"))
+        .groupBy(id_col, "i")
+        .agg(F.sum("__x").cast("bigint").alias("__x"))
+    )
+    grid = (
+        w.select(id_col)
+        .distinct()
+        .select(id_col, F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("i"))
+    )
+    return grid.join(sums, [id_col, "i"], "left").select(
+        id_col, F.col("i").cast("int").alias("i"),
+        F.coalesce("__x", F.lit(0)).cast("bigint").alias("x"),
+    )
+
+
 def bm25_topk(
     docs,
     query_ids,

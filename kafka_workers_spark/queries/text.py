@@ -1111,3 +1111,122 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         docs, _BM25_QUERIES, top_k=_BM25_TOP_K, max_df_fraction=_BM25_MAX_DF
     )
+
+
+# ---------------------------------------------------------------------------
+# Topic clustering over hashed TF-IDF vectors (exact-integer kmeans)
+# ---------------------------------------------------------------------------
+
+_TC_DIM = 16
+_TC_K = 4
+_TC_ITERS = 2
+_TC_MAX_DF = 0.8
+
+
+def _sql_text_kmeans_ctes(k: int, iters: int) -> str:
+    """Lloyd chain over the hashed-doc-vector `comp` CTE — the text twin
+    of queries/similarity._sql_kmeans_ctes (training on the full corpus;
+    the embedding variant trains on an id-mod sample)."""
+    ctes = [
+        f"seeds AS (SELECT DISTINCT vec_id FROM comp ORDER BY vec_id LIMIT {k})",
+        "c0 AS (SELECT comp.vec_id AS list_id, i, x AS c6"
+        " FROM comp JOIN seeds ON comp.vec_id = seeds.vec_id)",
+    ]
+    cur = "c0"
+    steps = [(f"d{t}", f"a{t}", f"c{t}") for t in range(1, iters + 1)]
+    steps.append(("dF", "aF", None))
+    for d_cte, a_cte, c_cte in steps:
+        ctes.append(
+            f"{d_cte} AS (SELECT comp.vec_id, c.list_id, SUM((x - c6) * (x - c6)) AS d"
+            f" FROM comp JOIN {cur} c ON comp.i = c.i GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"{a_cte} AS (SELECT vec_id, list_id FROM ("
+            f"SELECT vec_id, list_id, ROW_NUMBER() OVER"
+            f" (PARTITION BY vec_id ORDER BY d, list_id) AS rn FROM {d_cte}) WHERE rn = 1)"
+        )
+        if c_cte is None:
+            break
+        ctes.append(
+            f"{c_cte} AS (SELECT list_id, i, (S - ((S % c) + c) % c) // c AS c6 FROM ("
+            f"SELECT a.list_id, comp.i, SUM(x) AS S, COUNT(*) AS c"
+            f" FROM comp JOIN {a_cte} a ON comp.vec_id = a.vec_id GROUP BY 1, 2))"
+        )
+        cur = c_cte
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "text_cluster_topics",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, UNNEST(string_split({sql_normalized('text')}, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toked
+      WHERE length(term) > 0 GROUP BY 1, 2
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    kept AS (
+      SELECT term, df FROM dft, nd
+      WHERE df >= 1 AND df <= CAST(floor({_TC_MAX_DF} * n) AS BIGINT)
+    ),
+    w AS (
+      SELECT doc_id, tf.term,
+             tf * CAST(floor(1000000.0 * ln(CAST(n + 1 AS DOUBLE) / (df + 1))
+                            + 1000000.0) AS BIGINT) AS w6
+      FROM tf JOIN kept ON tf.term = kept.term, nd
+    ),
+    sums AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('b|' || term), 1, 15) AS BIGINT) % {_TC_DIM} AS i,
+             SUM((1 - 2 * (CAST('0x' || substr(md5('s|' || term), 1, 1) AS BIGINT) % 2))
+                 * w6) AS x
+      FROM w GROUP BY 1, 2
+    ),
+    comp AS (
+      SELECT d.doc_id AS vec_id, r.i AS i, COALESCE(s.x, 0) AS x
+      FROM (SELECT DISTINCT doc_id FROM w) d
+      CROSS JOIN range({_TC_DIM}) r(i)
+      LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.i = r.i
+    ),
+    {_sql_text_kmeans_ctes(_TC_K, _TC_ITERS)},
+    sizes AS (SELECT list_id, CAST(COUNT(*) AS BIGINT) AS topic_size FROM aF GROUP BY 1)
+    SELECT aF.vec_id AS doc_id, aF.list_id AS topic_id, sizes.topic_size
+    FROM aF JOIN sizes ON sizes.list_id = aF.list_id
+    """,
+    category="text",
+    windowed=False,
+)
+def text_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic clustering with NO embedding model: feature-hashed
+    TF-IDF vectors (operators.text.hashed_doc_vectors — the hashing
+    trick, Weinberger et al. ICML 2009, {_TC_DIM} signed md5 buckets)
+    through the exact-integer Lloyd loop
+    (operators.similarity.kmeans_fixed, k={_TC_K}, {_TC_ITERS} steps).
+    Every step is integer arithmetic — fixed-point TF-IDF weights, ±1
+    md5-bit signs, integer squared-L2, floor-divided centroid means —
+    so the oracle replays hashing AND the full unrolled training chain
+    bit for bit; (doc → topic, topic size) is the checked surface.
+
+    Scale shape: vector width is FIXED at {_TC_DIM} regardless of
+    vocabulary (docs×dim rows, never docs×vocab), each Lloyd pass is a
+    k·dim-row broadcast join + one codegen hash aggregate, and at real
+    scale training runs on a sample (kmeans_fixed's ``train=`` arm, as
+    ann_ivf_topk does) with one final assignment pass."""
+    from kafka_workers_spark.operators.similarity import kmeans_fixed
+    from kafka_workers_spark.operators.text import hashed_doc_vectors
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vecs = hashed_doc_vectors(docs, dim=_TC_DIM, max_df_fraction=_TC_MAX_DF).select(
+        F.col("doc_id").alias("vec_id"), "i", "x"
+    )
+    cents, assign = kmeans_fixed(vecs, k=_TC_K, iters=_TC_ITERS)
+    sizes = assign.groupBy("list_id").agg(F.count("*").cast("bigint").alias("topic_size"))
+    return assign.join(sizes, "list_id").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("list_id").alias("topic_id"),
+        "topic_size",
+    )

@@ -996,3 +996,33 @@ def test_bm25_prefers_rare_terms_and_penalizes_length(spark):
     assert scores[4] > scores[3]
     # doc 5 shares no kept term with the query: absent or zero
     assert 5 not in scores or scores[5] == 0
+
+
+def test_hashed_doc_vectors_dense_integer_and_deterministic(spark):
+    """Vectors are DENSE (every (doc, 0..dim-1) component present, zeros
+    materialized), all-integer, deterministic across runs, and docs with
+    no kept terms are absent (they have no TF-IDF row to hash)."""
+    from kafka_workers_spark.operators.text import hashed_doc_vectors
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta"), (3, "")],
+        "doc_id long, text string",
+    )
+    dim = 8
+    out = hashed_doc_vectors(docs, dim=dim, max_df_fraction=1.0)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.i] = r.x
+    assert set(by_doc) == {1, 2}  # doc 3 tokenizes to nothing
+    for comps in by_doc.values():
+        assert set(comps) == set(range(dim))
+        assert all(isinstance(v, int) for v in comps.values())
+    assert any(v != 0 for v in by_doc[1].values())
+    again = {(r.doc_id, r.i): r.x for r in hashed_doc_vectors(
+        docs, dim=dim, max_df_fraction=1.0).collect()}
+    assert again == {(d, i): x for d, comps in by_doc.items() for i, x in comps.items()}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="dim"):
+        hashed_doc_vectors(docs, dim=0)
