@@ -628,6 +628,20 @@ def redact_pii(
     return docs.withColumn(text_col, redacted)
 
 
+def term_frequencies(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-(document, term) counts over the engine's canonical text
+    tokenization — normalize, whitespace-split, drop empty tokens. This
+    is THE cross-engine parity surface every text oracle rides
+    (``string_split(sql_normalized(text), ' ')`` with a length filter on
+    the SQL side), defined once so the TF-IDF and BM25 families can
+    never tokenize differently. Returns ``(id_col, term, __tf)``."""
+    base = docs.select(id_col, normalized(F.col(text_col)).alias("__t"))
+    toked = base.select(
+        id_col, F.explode(tokens(F.col("__t"))).alias("term")
+    ).filter(F.length("term") > 0)
+    return toked.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
+
+
 def tfidf_weights(
     docs,
     id_col: str = "doc_id",
@@ -668,11 +682,7 @@ def tfidf_weights(
     see), so pass ``n_docs`` explicitly if the denominator must include
     empty documents.
     """
-    base = docs.select(id_col, normalized(F.col(text_col)).alias("__t"))
-    toked = base.select(
-        id_col, F.explode(tokens(F.col("__t"))).alias("term")
-    ).filter(F.length("term") > 0)
-    tf = toked.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
     df_t = tf.groupBy("term").agg(F.count("*").alias("__df"))
     if n_docs is not None:
         if int(max_df_fraction * n_docs) < min_df:
@@ -836,6 +846,11 @@ def hashed_doc_vectors(
         .cast("bigint")
         % 2
     )
+    from kafka_workers_spark.operators.dedup import barrier
+
+    # two consumers (sums + the grid's distinct ids) — pin the exchange
+    # so the tf/df/idf chain runs once (rule 3, same as tfidf_topk)
+    w = barrier(w, id_col)
     sums = (
         w.select(id_col, bucket.alias("i"), (sgn * F.col("w6")).alias("__x"))
         .groupBy(id_col, "i")
@@ -896,13 +911,7 @@ def bm25_topk(
     from kafka_workers_spark.operators.dedup import barrier
     from kafka_workers_spark.operators.similarity import _query_id_filter
 
-    base = docs.select(id_col, normalized(F.col(text_col)).alias("__t"))
-    toked = base.select(
-        id_col, F.explode(tokens(F.col("__t"))).alias("term")
-    ).filter(F.length("term") > 0)
-    tf = barrier(
-        toked.groupBy(id_col, "term").agg(F.count("*").alias("__tf")), id_col
-    )
+    tf = barrier(term_frequencies(docs, id_col=id_col, text_col=text_col), id_col)
     dl = tf.groupBy(id_col).agg(F.sum("__tf").cast("bigint").alias("__dl"))
     g = dl.groupBy().agg(
         F.count("*").cast("bigint").alias("__n"),

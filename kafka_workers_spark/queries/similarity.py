@@ -144,23 +144,24 @@ IVF_ITERS = 2
 TRAIN_MOD = 4  # train the quantizer on the deterministic 1-in-4 id sample
 
 
-def _sql_kmeans_ctes(k: int, iters: int) -> tuple[str, str, str]:
-    """Unrolled Lloyd's-KMeans CTE chain mirroring
-    operators.similarity.kmeans_fixed step for step in exact integer
-    arithmetic (see its docstring for why integer math: bit-identical
-    replay on any engine). Training runs on ``tcomp`` (the id-mod
-    sample); only the final assignment pass touches every vector.
-    Returns (ctes, final_centroid_cte, final_assignment_cte)."""
+def sql_lloyd_ctes(k: int, iters: int, train_cte: str, full_cte: str) -> list[str]:
+    """Unrolled Lloyd's-KMeans CTE chain (seeds → c0 → d/a/c per step →
+    final dF/aF assignment) mirroring operators.similarity.kmeans_fixed
+    step for step in exact integer arithmetic (see its docstring for why
+    integer math: bit-identical replay on any engine). Training runs on
+    ``train_cte``; only the final assignment pass reads ``full_cte``.
+    Both CTEs must expose (vec_id, i, x). Shared by the embedding
+    (ann_ivf_topk — id-mod train sample) and text
+    (text_cluster_topics — full-corpus train) oracles, so the two can
+    never drift from each other."""
     ctes = [
-        f"comp AS (SELECT vec_id, r.i AS i, v6[r.i + 1] AS x FROM vecs, range({_DIM}) r(i))",
-        f"tcomp AS (SELECT * FROM comp WHERE vec_id % {TRAIN_MOD} = 0)",
-        f"seeds AS (SELECT DISTINCT vec_id FROM tcomp ORDER BY vec_id LIMIT {k})",
-        "c0 AS (SELECT tcomp.vec_id AS list_id, i, x AS c6"
-        " FROM tcomp JOIN seeds ON tcomp.vec_id = seeds.vec_id)",
+        f"seeds AS (SELECT DISTINCT vec_id FROM {train_cte} ORDER BY vec_id LIMIT {k})",
+        f"c0 AS (SELECT {train_cte}.vec_id AS list_id, i, x AS c6"
+        f" FROM {train_cte} JOIN seeds ON {train_cte}.vec_id = seeds.vec_id)",
     ]
     cur = "c0"
-    steps = [(f"d{t}", f"a{t}", f"c{t}", "tcomp") for t in range(1, iters + 1)]
-    steps.append(("dF", "aF", None, "comp"))
+    steps = [(f"d{t}", f"a{t}", f"c{t}", train_cte) for t in range(1, iters + 1)]
+    steps.append(("dF", "aF", None, full_cte))
     for d_cte, a_cte, c_cte, src in steps:
         ctes.append(
             f"{d_cte} AS (SELECT {src}.vec_id, c.list_id, SUM((x - c6) * (x - c6)) AS d"
@@ -182,7 +183,18 @@ def _sql_kmeans_ctes(k: int, iters: int) -> tuple[str, str, str]:
             f" FROM {src} JOIN {a_cte} a ON {src}.vec_id = a.vec_id GROUP BY 1, 2))"
         )
         cur = c_cte
-    return ",\n    ".join(ctes), cur, "aF"
+    return ctes
+
+
+def _sql_kmeans_ctes(k: int, iters: int) -> tuple[str, str, str]:
+    """The embedding-table instance of :func:`sql_lloyd_ctes`: materialize
+    comp (all vectors) and tcomp (the id-mod training sample) then train.
+    Returns (ctes, final_centroid_cte, final_assignment_cte)."""
+    ctes = [
+        f"comp AS (SELECT vec_id, r.i AS i, v6[r.i + 1] AS x FROM vecs, range({_DIM}) r(i))",
+        f"tcomp AS (SELECT * FROM comp WHERE vec_id % {TRAIN_MOD} = 0)",
+    ] + sql_lloyd_ctes(k, iters, train_cte="tcomp", full_cte="comp")
+    return ",\n    ".join(ctes), f"c{iters}", "aF"
 
 
 _KM_CTES, _KM_CENTS, _KM_ASSIGN = _sql_kmeans_ctes(K_LISTS, IVF_ITERS)

@@ -1124,36 +1124,13 @@ _TC_MAX_DF = 0.8
 
 
 def _sql_text_kmeans_ctes(k: int, iters: int) -> str:
-    """Lloyd chain over the hashed-doc-vector `comp` CTE — the text twin
-    of queries/similarity._sql_kmeans_ctes (training on the full corpus;
-    the embedding variant trains on an id-mod sample)."""
-    ctes = [
-        f"seeds AS (SELECT DISTINCT vec_id FROM comp ORDER BY vec_id LIMIT {k})",
-        "c0 AS (SELECT comp.vec_id AS list_id, i, x AS c6"
-        " FROM comp JOIN seeds ON comp.vec_id = seeds.vec_id)",
-    ]
-    cur = "c0"
-    steps = [(f"d{t}", f"a{t}", f"c{t}") for t in range(1, iters + 1)]
-    steps.append(("dF", "aF", None))
-    for d_cte, a_cte, c_cte in steps:
-        ctes.append(
-            f"{d_cte} AS (SELECT comp.vec_id, c.list_id, SUM((x - c6) * (x - c6)) AS d"
-            f" FROM comp JOIN {cur} c ON comp.i = c.i GROUP BY 1, 2)"
-        )
-        ctes.append(
-            f"{a_cte} AS (SELECT vec_id, list_id FROM ("
-            f"SELECT vec_id, list_id, ROW_NUMBER() OVER"
-            f" (PARTITION BY vec_id ORDER BY d, list_id) AS rn FROM {d_cte}) WHERE rn = 1)"
-        )
-        if c_cte is None:
-            break
-        ctes.append(
-            f"{c_cte} AS (SELECT list_id, i, (S - ((S % c) + c) % c) // c AS c6 FROM ("
-            f"SELECT a.list_id, comp.i, SUM(x) AS S, COUNT(*) AS c"
-            f" FROM comp JOIN {a_cte} a ON comp.vec_id = a.vec_id GROUP BY 1, 2))"
-        )
-        cur = c_cte
-    return ",\n    ".join(ctes)
+    """The text instance of queries/similarity.sql_lloyd_ctes: training
+    on the FULL hashed-vector corpus (the embedding variant trains on an
+    id-mod sample) — one shared builder, so the two oracles can never
+    drift from kmeans_fixed independently."""
+    from kafka_workers_spark.queries.similarity import sql_lloyd_ctes
+
+    return ",\n    ".join(sql_lloyd_ctes(k, iters, train_cte="comp", full_cte="comp"))
 
 
 @register(
@@ -1203,19 +1180,21 @@ def _sql_text_kmeans_ctes(k: int, iters: int) -> str:
 def text_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus topic clustering with NO embedding model: feature-hashed
     TF-IDF vectors (operators.text.hashed_doc_vectors — the hashing
-    trick, Weinberger et al. ICML 2009, {_TC_DIM} signed md5 buckets)
-    through the exact-integer Lloyd loop
-    (operators.similarity.kmeans_fixed, k={_TC_K}, {_TC_ITERS} steps).
-    Every step is integer arithmetic — fixed-point TF-IDF weights, ±1
-    md5-bit signs, integer squared-L2, floor-divided centroid means —
-    so the oracle replays hashing AND the full unrolled training chain
-    bit for bit; (doc → topic, topic size) is the checked surface.
+    trick, Weinberger et al. ICML 2009, 16 signed md5 buckets) through
+    the exact-integer Lloyd loop (operators.similarity.kmeans_fixed,
+    k=4, 2 steps). Every step is integer arithmetic — fixed-point
+    TF-IDF weights, ±1 md5-bit signs, integer squared-L2, floor-divided
+    centroid means — so the oracle replays hashing AND the full
+    unrolled training chain bit for bit; (doc → topic, topic size) is
+    the checked surface.
 
-    Scale shape: vector width is FIXED at {_TC_DIM} regardless of
-    vocabulary (docs×dim rows, never docs×vocab), each Lloyd pass is a
-    k·dim-row broadcast join + one codegen hash aggregate, and at real
-    scale training runs on a sample (kmeans_fixed's ``train=`` arm, as
+    Scale shape: vector width is FIXED at 16 regardless of vocabulary
+    (docs×dim rows, never docs×vocab), each Lloyd pass is a k·dim-row
+    broadcast join + one codegen hash aggregate, and at real scale
+    training runs on a sample (kmeans_fixed's ``train=`` arm, as
     ann_ivf_topk does) with one final assignment pass."""
+    from pyspark.storagelevel import StorageLevel
+
     from kafka_workers_spark.operators.similarity import kmeans_fixed
     from kafka_workers_spark.operators.text import hashed_doc_vectors
 
@@ -1224,6 +1203,11 @@ def text_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"), "i", "x"
     )
     cents, assign = kmeans_fixed(vecs, k=_TC_K, iters=_TC_ITERS)
+    # two consumers below (sizes aggregate + the final join) and ~7 plan
+    # references to the un-pinned hash chain through the nested Lloyd
+    # iterations — pin the assignment like ann_ivf_topk pins its training
+    # products (persist keeps lineage; never localCheckpoint — §4 rule 3)
+    assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = assign.groupBy("list_id").agg(F.count("*").cast("bigint").alias("topic_size"))
     return assign.join(sizes, "list_id").select(
         F.col("vec_id").alias("doc_id"),
