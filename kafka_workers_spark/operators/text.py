@@ -15,6 +15,8 @@ double expressions — all bit-identical across engines.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -867,6 +869,184 @@ def hashed_doc_vectors(
     )
 
 
+class Bm25Index(NamedTuple):
+    """A stored BM25 index: the four frames a search needs, all
+    persistable as tables between ingest and query time (the
+    index-once / search-many production shape; the near-dup family's
+    stored RHP index is the embedding twin). ``tf``/``dl`` are
+    posting-list-sized, ``df`` is vocabulary-sized, ``stats`` is ONE
+    row (document count + total token count)."""
+
+    tf: DataFrame  # id_col, term, __tf
+    dl: DataFrame  # id_col, __dl
+    df: DataFrame  # term, __df
+    stats: DataFrame  # one row: __n, __s
+    id_col: str
+
+
+def bm25_index(docs, id_col: str = "doc_id", text_col: str = "text") -> Bm25Index:
+    """Build the stored index from a corpus — one tokenization pass
+    (term_frequencies), three aggregates. Lazy: persist/write the frames
+    to make it a real stored index."""
+    from kafka_workers_spark.operators.dedup import barrier
+
+    tf = barrier(term_frequencies(docs, id_col=id_col, text_col=text_col), id_col)
+    dl = tf.groupBy(id_col).agg(F.sum("__tf").cast("bigint").alias("__dl"))
+    df_t = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("__df"))
+    stats = dl.groupBy().agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum("__dl").cast("bigint").alias("__s"),
+    )
+    return Bm25Index(tf=tf, dl=dl, df=df_t, stats=stats, id_col=id_col)
+
+
+def bm25_merge_index(a: Bm25Index, b: Bm25Index) -> Bm25Index:
+    """Merge two indexes over DISJOINT document sets — the ingest-batch
+    rollup: postings and lengths union, document frequencies and corpus
+    stats ADD. Exact: merged == an index built over the union corpus in
+    one pass (unit-pinned). Overlapping ids would double-count df/stats,
+    so the merged stats row carries an in-plan raise_error guard (one
+    id-intersection aggregate, evaluated at first search — the package's
+    lazy-guard discipline)."""
+    if a.id_col != b.id_col:
+        raise ValueError(f"id_col mismatch: {a.id_col!r} vs {b.id_col!r}")
+    overlap = (
+        a.dl.select(a.id_col)
+        .join(b.dl.select(b.id_col), a.id_col)
+        .groupBy()
+        .agg(F.count("*").alias("__dup"))
+    )
+    stats = (
+        a.stats.unionByName(b.stats)
+        .groupBy()
+        .agg(
+            F.sum("__n").cast("bigint").alias("__n"),
+            F.sum("__s").cast("bigint").alias("__s"),
+        )
+        .crossJoin(F.broadcast(overlap))
+        .select(
+            F.when(F.col("__dup") == 0, F.col("__n"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "bm25_merge_index: the two indexes share document ids — "
+                        "df/stats would double-count; dedup the batches first"
+                    )
+                ).cast("bigint")
+            )
+            .alias("__n"),
+            "__s",
+        )
+    )
+    df_t = (
+        a.df.unionByName(b.df)
+        .groupBy("term")
+        .agg(F.sum("__df").cast("bigint").alias("__df"))
+    )
+    return Bm25Index(
+        tf=a.tf.unionByName(b.tf),
+        dl=a.dl.unionByName(b.dl),
+        df=df_t,
+        stats=stats,
+        id_col=a.id_col,
+    )
+
+
+def bm25_topk_indexed(
+    index: Bm25Index,
+    query_ids,
+    top_k: int,
+    min_df: int = 1,
+    max_df_fraction: float = 0.5,
+):
+    """BM25 search against a STORED index — the single scoring
+    implementation both entry points share (see :func:`bm25_topk` for
+    the scoring math and its exact-integer discipline). The df window
+    and the empty-keep raise apply at SEARCH time, so one stored index
+    serves any (min_df, max_df_fraction) policy."""
+    from pyspark.sql import Window as W
+
+    from kafka_workers_spark.operators.dedup import barrier
+    from kafka_workers_spark.operators.similarity import _query_id_filter
+
+    id_col = index.id_col
+    # lazy empty-keep guard (the tfidf_weights pattern): a corpus whose
+    # df window keeps no terms must raise, never silently return empty
+    g = index.stats.select(
+        F.when(
+            F.floor(F.lit(float(max_df_fraction)) * F.col("__n")) >= F.lit(min_df),
+            F.col("__n"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"bm25 search: max_df_fraction×N ({max_df_fraction}×"),
+                    F.col("__n").cast("string"),
+                    F.lit(
+                        f") < min_df ({min_df}) keeps NO terms — every query "
+                        "would silently return empty; widen the df window"
+                    ),
+                )
+            ).cast("bigint")
+        )
+        .alias("__n"),
+        F.col("__s"),
+    ).select(
+        "__n",
+        # nearest-integer average document length (ties round up) —
+        # integral DIV, never double division (exact past 2^53)
+        F.expr("(2 * __s + __n) DIV (2 * __n)").alias("__adl"),
+    )
+    df_t = index.df.crossJoin(F.broadcast(g))
+    kept = df_t.filter(
+        (F.col("__df") >= min_df)
+        & (F.col("__df") <= F.floor(F.lit(float(max_df_fraction)) * F.col("__n")))
+    )
+    idf6 = F.floor(
+        F.lit(1_000_000.0)
+        * F.log(
+            (F.lit(2) * F.col("__n") + 2).cast("double")
+            / (F.lit(2) * F.col("__df") + 1).cast("double")
+        )
+    ).cast("bigint")
+    kept = kept.select("term", idf6.alias("__idf6"), "__adl")
+    w = (
+        index.tf.join(kept, "term")
+        .join(index.dl, id_col)
+        .select(
+            id_col,
+            "term",
+            # every step integral DIV on bigints (exact; Spark's / on
+            # bigint columns is DOUBLE division, wrong past 2^53) —
+            # DuckDB's // replays it exactly, all operands positive
+            F.expr(
+                "(__idf6 * ((22000000 * __tf * __adl)"
+                " DIV (10 * __tf * __adl + 3 * __adl + 9 * __dl)))"
+                " DIV 1000000"
+            )
+            .cast("bigint")
+            .alias("__w6"),
+            F.col("__tf"),
+        )
+    )
+    w = barrier(w, id_col)
+    q = _query_id_filter(w, id_col, query_ids).select(
+        F.col(id_col).alias("query_id"), "term", F.col("__tf").alias("__qtf")
+    )
+    scored = (
+        w.join(F.broadcast(q), "term")
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("__qtf") * F.col("__w6")).cast("bigint").alias("score6"))
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("score6"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "score6")
+    )
+
+
 def bm25_topk(
     docs,
     query_ids,
@@ -906,91 +1086,12 @@ def bm25_topk(
     check raises lazily via raise_error), the df window prunes
     near-universal terms before the posting join, and only query-side
     rows carry broadcast hints."""
-    from pyspark.sql import Window as W
-
-    from kafka_workers_spark.operators.dedup import barrier
-    from kafka_workers_spark.operators.similarity import _query_id_filter
-
-    tf = barrier(term_frequencies(docs, id_col=id_col, text_col=text_col), id_col)
-    dl = tf.groupBy(id_col).agg(F.sum("__tf").cast("bigint").alias("__dl"))
-    g = dl.groupBy().agg(
-        F.count("*").cast("bigint").alias("__n"),
-        F.sum("__dl").cast("bigint").alias("__s"),
-    )
-    # lazy empty-keep guard (the tfidf_weights pattern): a corpus whose
-    # df window keeps no terms must raise, never silently return empty
-    g = g.select(
-        F.when(
-            F.floor(F.lit(float(max_df_fraction)) * F.col("__n")) >= F.lit(min_df),
-            F.col("__n"),
-        )
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"bm25_topk: max_df_fraction×N ({max_df_fraction}×"),
-                    F.col("__n").cast("string"),
-                    F.lit(
-                        f") < min_df ({min_df}) keeps NO terms — every query "
-                        "would silently return empty; widen the df window"
-                    ),
-                )
-            ).cast("bigint")
-        )
-        .alias("__n"),
-        F.col("__s"),
-    ).select(
-        "__n",
-        # nearest-integer average document length (ties round up) —
-        # integral DIV, never double division (exact past 2^53)
-        F.expr("(2 * __s + __n) DIV (2 * __n)").alias("__adl"),
-    )
-    df_t = tf.groupBy("term").agg(F.count("*").alias("__df")).crossJoin(F.broadcast(g))
-    kept = df_t.filter(
-        (F.col("__df") >= min_df)
-        & (F.col("__df") <= F.floor(F.lit(float(max_df_fraction)) * F.col("__n")))
-    )
-    idf6 = F.floor(
-        F.lit(1_000_000.0)
-        * F.log(
-            (F.lit(2) * F.col("__n") + 2).cast("double")
-            / (F.lit(2) * F.col("__df") + 1).cast("double")
-        )
-    ).cast("bigint")
-    kept = kept.select("term", idf6.alias("__idf6"), "__adl")
-    w = (
-        tf.join(kept, "term")
-        .join(dl, id_col)
-        .select(
-            id_col,
-            "term",
-            # every step integral DIV on bigints (exact; Spark's / on
-            # bigint columns is DOUBLE division, wrong past 2^53) —
-            # DuckDB's // replays it exactly, all operands positive
-            F.expr(
-                "(__idf6 * ((22000000 * __tf * __adl)"
-                " DIV (10 * __tf * __adl + 3 * __adl + 9 * __dl)))"
-                " DIV 1000000"
-            )
-            .cast("bigint")
-            .alias("__w6"),
-            F.col("__tf"),
-        )
-    )
-    w = barrier(w, id_col)
-    q = _query_id_filter(w, id_col, query_ids).select(
-        F.col(id_col).alias("query_id"), "term", F.col("__tf").alias("__qtf")
-    )
-    scored = (
-        w.join(F.broadcast(q), "term")
-        .filter(F.col("query_id") != F.col(id_col))
-        .groupBy("query_id", id_col)
-        .agg(F.sum(F.col("__qtf") * F.col("__w6")).cast("bigint").alias("score6"))
-    )
-    wr = W.partitionBy("query_id").orderBy(F.desc("score6"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= top_k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "score6")
+    return bm25_topk_indexed(
+        bm25_index(docs, id_col=id_col, text_col=text_col),
+        query_ids,
+        top_k=top_k,
+        min_df=min_df,
+        max_df_fraction=max_df_fraction,
     )
 
 

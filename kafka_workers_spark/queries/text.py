@@ -1113,6 +1113,48 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bm25_indexed",
+    None,  # placeholder; replaced right after registration (same oracle)
+    category="text",
+    windowed=False,
+)
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-index path of BM25 under the SAME oracle as
+    text_bm25_topk: the corpus indexes as two disjoint id-parity halves
+    (operators.text.bm25_index) merged by bm25_merge_index — postings
+    union, df/stats ADD, overlap-guarded — then searched with
+    bm25_topk_indexed. Merge-exactness means the whole-pass oracle must
+    hold bit for bit, so the ingest-batch rollup (the index-once /
+    search-many production shape) is itself oracle-checked, not just
+    unit-pinned."""
+    from kafka_workers_spark.operators.text import (
+        bm25_index,
+        bm25_merge_index,
+        bm25_topk_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = bm25_merge_index(
+        bm25_index(docs.filter(F.col("doc_id") % 2 == 0)),
+        bm25_index(docs.filter(F.col("doc_id") % 2 == 1)),
+    )
+    return bm25_topk_indexed(
+        idx, _BM25_QUERIES, top_k=_BM25_TOP_K, max_df_fraction=_BM25_MAX_DF
+    )
+
+
+# the indexed path is held to the IDENTICAL whole-pass oracle — merge
+# exactness is the claim being checked
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+from kafka_workers_spark.queries import EXTRA_REGISTRY as _X  # noqa: E402
+
+_X["text_bm25_indexed"] = _dc_replace(
+    _X["text_bm25_indexed"], oracle=_X["text_bm25_topk"].oracle
+)
+
+
 # ---------------------------------------------------------------------------
 # Topic clustering over hashed TF-IDF vectors (exact-integer kmeans)
 # ---------------------------------------------------------------------------

@@ -1026,3 +1026,43 @@ def test_hashed_doc_vectors_dense_integer_and_deterministic(spark):
 
     with _pt.raises(ValueError, match="dim"):
         hashed_doc_vectors(docs, dim=0)
+
+
+def test_bm25_merged_index_equals_whole_pass_and_guards_overlap(spark):
+    """bm25_merge_index over disjoint halves searches identically to an
+    index built over the whole corpus in one pass; overlapping document
+    ids raise in-plan at first search instead of silently double-counting
+    df/stats."""
+    import pytest as _pt
+
+    from kafka_workers_spark.operators.text import (
+        bm25_index,
+        bm25_merge_index,
+        bm25_topk,
+        bm25_topk_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra common quark"),
+            (1, "zebra common alpha beta"),
+            (2, "zebra common"),
+            (3, "common gamma delta"),
+            (4, "common common epsilon"),
+            (5, "unrelated words entirely different"),
+        ],
+        "doc_id long, text string",
+    )
+    whole = bm25_topk(docs, [0], top_k=5, max_df_fraction=0.9).collect()
+    merged_idx = bm25_merge_index(
+        bm25_index(docs.filter("doc_id % 2 = 0")),
+        bm25_index(docs.filter("doc_id % 2 = 1")),
+    )
+    merged = bm25_topk_indexed(merged_idx, [0], top_k=5, max_df_fraction=0.9).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, merged), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, whole), key=lambda t: (t[0], t[2])
+    )
+    overlapping = bm25_merge_index(bm25_index(docs), bm25_index(docs.filter("doc_id < 2")))
+    with _pt.raises(Exception, match="share document ids"):
+        bm25_topk_indexed(overlapping, [0], top_k=3, max_df_fraction=0.9).collect()
