@@ -434,6 +434,11 @@ def window_frames_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_totalprice FROM orders
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
     """,
+    # rotated to EXTRA round 7 (text_bm25_topk took the driver row);
+    # the TakeOrderedAndProject shape stays plan-asserted in test_plans
+    # and this query stays under the identical oracle via pytest's
+    # rotated-query test
+    windowed=False,
 )
 def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Spark plans TakeOrderedAndProject — per-partition heap +

@@ -1092,7 +1092,9 @@ _BM25_MAX_DF = 0.8  # the tfidf query's reading: templated vocab needs a wide wi
     ) WHERE rank <= {_BM25_TOP_K}
     """,
     category="text",
-    windowed=False,
+    # rotated INTO the driver window round 7 (sort_limit_topk -> EXTRA):
+    # the exact-integer BM25 ranking is a stronger driver row than a
+    # TakeOrdered that test_plans already plan-asserts
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k retrieval (operators.text.bm25_topk; Robertson &
@@ -1145,13 +1147,16 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the indexed path is held to the IDENTICAL whole-pass oracle — merge
-# exactness is the claim being checked
+# exactness is the claim being checked (looked up across BOTH registries
+# so rotation of text_bm25_topk never breaks the pairing)
 from dataclasses import replace as _dc_replace  # noqa: E402
 
 from kafka_workers_spark.queries import EXTRA_REGISTRY as _X  # noqa: E402
+from kafka_workers_spark.queries import REGISTRY as _R  # noqa: E402
 
 _X["text_bm25_indexed"] = _dc_replace(
-    _X["text_bm25_indexed"], oracle=_X["text_bm25_topk"].oracle
+    _X["text_bm25_indexed"],
+    oracle=(_R.get("text_bm25_topk") or _X["text_bm25_topk"]).oracle,
 )
 
 
