@@ -1044,9 +1044,7 @@ _BM25_TOP_K = 5
 _BM25_MAX_DF = 0.8  # the tfidf query's reading: templated vocab needs a wide window
 
 
-@register(
-    "text_bm25_topk",
-    f"""
+_BM25_ORACLE = f"""
     WITH toked AS (
       SELECT doc_id, UNNEST(string_split({sql_normalized('text')}, ' ')) AS term
       FROM documents
@@ -1090,7 +1088,12 @@ _BM25_MAX_DF = 0.8  # the tfidf query's reading: templated vocab needs a wide wi
                                 ORDER BY score6 DESC, doc_id) AS rank
       FROM scored
     ) WHERE rank <= {_BM25_TOP_K}
-    """,
+    """
+
+
+@register(
+    "text_bm25_topk",
+    _BM25_ORACLE,
     category="text",
     # rotated INTO the driver window round 7 (sort_limit_topk -> EXTRA):
     # the exact-integer BM25 ranking is a stronger driver row than a
@@ -1117,7 +1120,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bm25_indexed",
-    None,  # placeholder; replaced right after registration (same oracle)
+    _BM25_ORACLE,  # the IDENTICAL whole-pass oracle — merge exactness is the claim
     category="text",
     windowed=False,
 )
@@ -1144,20 +1147,6 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed(
         idx, _BM25_QUERIES, top_k=_BM25_TOP_K, max_df_fraction=_BM25_MAX_DF
     )
-
-
-# the indexed path is held to the IDENTICAL whole-pass oracle — merge
-# exactness is the claim being checked (looked up across BOTH registries
-# so rotation of text_bm25_topk never breaks the pairing)
-from dataclasses import replace as _dc_replace  # noqa: E402
-
-from kafka_workers_spark.queries import EXTRA_REGISTRY as _X  # noqa: E402
-from kafka_workers_spark.queries import REGISTRY as _R  # noqa: E402
-
-_X["text_bm25_indexed"] = _dc_replace(
-    _X["text_bm25_indexed"],
-    oracle=(_R.get("text_bm25_topk") or _X["text_bm25_topk"]).oracle,
-)
 
 
 # ---------------------------------------------------------------------------
@@ -1225,6 +1214,8 @@ def _sql_text_kmeans_ctes(k: int, iters: int) -> str:
     windowed=False,
 )
 def text_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # docstring literals 16/4/2 mirror _TC_DIM/_TC_K/_TC_ITERS above —
+    # update both together (an f-string cannot be a docstring)
     """Corpus topic clustering with NO embedding model: feature-hashed
     TF-IDF vectors (operators.text.hashed_doc_vectors — the hashing
     trick, Weinberger et al. ICML 2009, 16 signed md5 buckets) through

@@ -33,8 +33,6 @@ def test_star_join_broadcasts_dimensions(spark):
 def test_topk_avoids_global_sort_shuffle(spark):
     # sort_limit_topk rotated to EXTRA round 7 (text_bm25_topk took the
     # driver row) — the plan shape stays asserted here regardless
-    from kafka_workers_spark.queries import load_extra
-
     a = audit(load_extra()["sort_limit_topk"].fn(spark, SF))
     assert "TakeOrderedAndProject" in a.text
 

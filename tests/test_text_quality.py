@@ -1059,7 +1059,6 @@ def test_bm25_merged_index_equals_whole_pass_and_guards_overlap(spark):
         bm25_index(docs.filter("doc_id % 2 = 1")),
     )
     merged = bm25_topk_indexed(merged_idx, [0], top_k=5, max_df_fraction=0.9).collect()
-    key = lambda r: (r.query_id, r.rank)  # noqa: E731
     assert sorted(map(tuple, merged), key=lambda t: (t[0], t[2])) == sorted(
         map(tuple, whole), key=lambda t: (t[0], t[2])
     )
