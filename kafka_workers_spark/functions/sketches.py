@@ -174,6 +174,48 @@ def frequent_items(
     return merged.orderBy(F.desc("count_min"), F.asc("item")).limit(k)
 
 
+def _dense_from_sparse(entries: Column, n: int, key: str, val: str) -> Column:
+    """Pack SORTED sparse ``struct<key, val>`` entries into a dense
+    length-``n`` ``array<bigint>`` (missing indices → 0) in LINEAR
+    sketch-sized work: each entry emits its gap-fill of zeros plus its
+    own value, one ``flatten`` stitches them, one tail pad completes the
+    array — O(n) after the aggregate's O(s log s) ``array_sort``.
+
+    This replaced an ``element_at(map, i)`` transform over
+    ``sequence(0, n-1)``: Spark's map ``element_at`` is a linear scan of
+    ``ArrayBasedMapData``, so that assembly was O(n × distinct_keys) —
+    quadratic in sketch size — and measured 169 s cold at sf0.1 for the
+    2^23-bit Bloom build (VERDICT r07 #1). ``F.get`` here is the
+    0-based ARRAY accessor (O(1), NULL out of bounds), not the map one.
+
+    Preconditions (the build aggregates guarantee both): ``entries`` is
+    sorted ascending by ``key``, keys are distinct and in ``[0, n)``.
+    """
+    zero = F.lit(0).cast("bigint")
+    body = F.flatten(
+        F.transform(
+            entries,
+            lambda x, i: F.concat(
+                F.array_repeat(
+                    zero,
+                    (
+                        x[key] - F.coalesce(F.get(entries, i - 1)[key], F.lit(-1)) - 1
+                    ).cast("int"),
+                ),
+                F.array(x[val].cast("bigint")),
+            ),
+        )
+    )
+    tail = F.array_repeat(
+        zero,
+        (
+            F.lit(n - 1)
+            - F.coalesce(F.get(entries, F.size(entries) - 1)[key], F.lit(-1))
+        ).cast("int"),
+    )
+    return F.concat(body, tail)
+
+
 def bloom_build(
     df: DataFrame,
     col: str,
@@ -194,18 +236,19 @@ def bloom_build(
 
     Build shape: positions are ``pmod(xxhash64(value, j), n_bits)`` for
     the ``n_hashes`` seeds — deterministic, codegen — then one hash
-    aggregate ORs each word's bits and one per-group assembly step packs
-    the sparse (word, bits) rows into the dense array (sketch-sized
-    work, not data-sized). At 1M bits the sketch is 128 KB — hundreds of
-    groups still broadcast comfortably.
+    aggregate ORs each word's bits and one per-group gap-fill assembly
+    (:func:`_dense_from_sparse`) packs the sorted sparse (word, bits)
+    rows into the dense array in O(s log s + n_words) — genuinely
+    sketch-sized, never data-sized or sketch-squared. At 1M bits the
+    sketch is 128 KB — hundreds of groups still broadcast comfortably.
     """
     if n_bits % 64 != 0:
         raise ValueError(f"n_bits ({n_bits}) must be a multiple of 64")
     if n_bits > 1 << 28:
         # 256M bits = a 32 MB array per sketch row: past any sane
-        # broadcast size, and the dense assembly transform would build
-        # a 4M-element array per group — use more groups, more hashes,
-        # or an exact digest join instead of pushing m this far
+        # broadcast size, and the (linear) dense assembly still builds
+        # a 4M-element array in one task per group — use more groups,
+        # more hashes, or an exact digest join instead of pushing m this far
         raise ValueError(f"n_bits ({n_bits}) exceeds the 2^28 sketch-row bound")
     group_cols = list(group_cols or [])
     n_words = n_bits // 64
@@ -224,20 +267,15 @@ def bloom_build(
         )
     )
     # pack sparse (word, bits) rows into the dense word array once per
-    # group — map lookup over a sketch-sized map, never data-sized work
+    # group — linear gap-fill assembly (see _dense_from_sparse)
     packed = (
         words.groupBy(*group_cols)
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("__word", "__bits"))).alias("__m")
-        )
+        .agg(F.array_sort(F.collect_list(F.struct("__word", "__bits"))).alias("__s"))
         .select(
             *group_cols,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_words - 1)),
-                lambda w: F.coalesce(
-                    F.element_at(F.col("__m"), w.cast("long")), F.lit(0).cast("bigint")
-                ),
-            ).alias("words"),
+            _dense_from_sparse(F.col("__s"), n_words, "__word", "__bits").alias(
+                "words"
+            ),
             F.lit(n_bits).alias("n_bits"),
             F.lit(n_hashes).alias("n_hashes"),
         )
@@ -476,15 +514,12 @@ def cms_build(
     )
     return (
         cells.groupBy(*group_cols)
-        .agg(F.map_from_entries(F.collect_list(F.struct("__cell", "__n"))).alias("__m"))
+        .agg(F.array_sort(F.collect_list(F.struct("__cell", "__n"))).alias("__s"))
         .select(
             *group_cols,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(depth * width - 1)),
-                lambda i: F.coalesce(
-                    F.element_at(F.col("__m"), i.cast("long")), F.lit(0).cast("bigint")
-                ),
-            ).alias("counts"),
+            _dense_from_sparse(F.col("__s"), depth * width, "__cell", "__n").alias(
+                "counts"
+            ),
             F.lit(width).alias("width"),
             F.lit(depth).alias("depth"),
         )
@@ -696,15 +731,10 @@ def hdr_build(
     )
     return (
         cells.groupBy(*group_cols)
-        .agg(F.map_from_entries(F.collect_list(F.struct("__cell", "__n"))).alias("__m"))
+        .agg(F.array_sort(F.collect_list(F.struct("__cell", "__n"))).alias("__s"))
         .select(
             *group_cols,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_cells - 1)),
-                lambda i: F.coalesce(
-                    F.element_at(F.col("__m"), i.cast("long")), F.lit(0).cast("bigint")
-                ),
-            ).alias("counts"),
+            _dense_from_sparse(F.col("__s"), n_cells, "__cell", "__n").alias("counts"),
             F.lit(sig_bits).alias("sig_bits"),
             F.lit(max_bits).alias("max_bits"),
         )
