@@ -758,11 +758,12 @@ def pq_train(
     subspaces travel through ONE grouped plan (``sub`` joins every group
     key), so training m codebooks costs the same number of passes as
     training one. Seeds per subspace are the ``k`` smallest training
-    ids' subvectors; during training ``code`` carries the seed id, and
-    the returned frames remap codes to DENSE 0..k-1 per subspace
-    (dense_rank over seed id — an order-preserving bijection, so the
-    lowest-code tie-break is unchanged and no distance moves). The remap
-    is not cosmetic: downstream :func:`pq_encode` stores codes as
+    ids' subvectors, and ``code`` is DENSE 0..k-1 from the start: the
+    seed list is one global k-row frame, so each seed's code is its
+    rank in that list (row_number over k rows — an order-preserving
+    bijection of the seed ids, so the lowest-code tie-break equals the
+    lowest-seed-id tie-break and no distance moves). Dense codes are
+    not cosmetic: downstream :func:`pq_encode` stores codes as
     ``array<int>``, and raw seed ids from a hash-derived bigint id space
     would silently wrap under the non-ANSI int cast, corrupting every
     later (sub, code) ADC join. Ties in assignment break to the lowest
@@ -823,9 +824,25 @@ def pq_train(
             .filter(F.col("__ok") == 1)
             .drop("__ok")
         )
-    seeds = tcomp.select(id_col).distinct().orderBy(id_col).limit(k)
+    # Seeds are ONE global k-row list (the k smallest training ids), so
+    # the dense 0..k-1 code IS the seed's rank — assigned here, before
+    # training, instead of a distinct + dense_rank + join remap after it
+    # (the r7 shape). Rank order == seed-id order, so the lowest-code
+    # assignment tie-break is unchanged and every distance replays
+    # bit-identically; codes are dense from the first Lloyd pass, which
+    # keeps pq_encode's int cast safe against any hash-derived id space.
+    seeds = (
+        tcomp.select(id_col)
+        .distinct()
+        .orderBy(id_col)
+        .limit(k)
+        .select(
+            id_col,
+            (F.row_number().over(W.orderBy(id_col)) - 1).alias("__code"),
+        )
+    )
     cents = tcomp.join(F.broadcast(seeds), id_col).select(
-        "sub", F.col(id_col).alias("code"), "j", F.col("x").alias("c6")
+        "sub", F.col("__code").alias("code"), "j", F.col("x").alias("c6")
     )
     for _ in range(iters):
         assign = _assign_pq(tcomp, cents, id_col)
@@ -836,26 +853,6 @@ def pq_train(
             .groupBy("sub", "code", "j")
             .agg(F.expr("(sum(x) - pmod(sum(x), count(*))) DIV count(*)").alias("c6"))
         )
-    # dense 0..k-1 remap (order-preserving per subspace): survives any id
-    # space, keeps m·log2(k)-bit at-rest codes honest, and makes
-    # pq_encode's int cast safe. m·k rows — broadcast. The final encode
-    # pass assigns against the REMAPPED codebook (not the seed-id one):
-    # the remap is an order-preserving bijection, so the assignment —
-    # including its lowest-code tie-break — is identical, and a caller
-    # persisting the returned cents (the standard wrapper pattern) then
-    # serves the encode pass, the query LUT, and any re-encode from ONE
-    # cached table instead of re-running Lloyd's per consumer.
-    remap = (
-        cents.select("sub", "code")
-        .distinct()
-        .withColumn(
-            "__dense",
-            F.dense_rank().over(W.partitionBy("sub").orderBy("code")) - F.lit(1),
-        )
-    )
-    cents = cents.join(F.broadcast(remap), ["sub", "code"]).select(
-        "sub", F.col("__dense").alias("code"), "j", "c6"
-    )
     return cents, _assign_pq(comp, cents, id_col)
 
 
