@@ -952,6 +952,59 @@ def bm25_merge_index(a: Bm25Index, b: Bm25Index) -> Bm25Index:
     )
 
 
+#: bm25_write_index layout version — bump on any table-schema change so
+#: bm25_read_index can refuse a layout it does not understand instead of
+#: mis-joining silently
+_BM25_INDEX_VERSION = 1
+
+
+def bm25_write_index(index: Bm25Index, path: str, mode: str = "error") -> None:
+    """Persist the index as five parquet tables under ``path`` — tf, dl,
+    df, stats, plus a one-row ``meta`` table carrying ``id_col`` and a
+    layout version. This is the at-rest half of the index-once /
+    search-many shape the :class:`Bm25Index` docstring promises: build
+    at ingest, write once, and every later search (or
+    :func:`bm25_merge_index` rollup with a newer batch) starts from
+    :func:`bm25_read_index` instead of re-tokenizing the corpus. The
+    reference's analog is its stored offsets contract
+    (impl/offsets/DefaultOffsetsState.java — state that survives process
+    restart). ``mode`` passes through to the parquet writer
+    (``overwrite`` for re-ingest)."""
+    spark = index.stats.sparkSession
+    index.tf.write.mode(mode).parquet(f"{path}/tf")
+    index.dl.write.mode(mode).parquet(f"{path}/dl")
+    index.df.write.mode(mode).parquet(f"{path}/df")
+    index.stats.write.mode(mode).parquet(f"{path}/stats")
+    meta = spark.createDataFrame(
+        [(index.id_col, _BM25_INDEX_VERSION)], "id_col string, version int"
+    )
+    meta.write.mode(mode).parquet(f"{path}/meta")
+
+
+def bm25_read_index(spark, path: str) -> Bm25Index:
+    """Load a stored index written by :func:`bm25_write_index`. The only
+    driver-side read is the one-row meta table (the pinned-param-check
+    collect pattern of functions/sketches._bloom_params); the four data
+    frames stay lazy parquet scans, so a search that prunes terms via
+    ``max_df_fraction`` still pushes its filters into the postings
+    scan."""
+    row = spark.read.parquet(f"{path}/meta").collect()
+    if len(row) != 1:
+        raise ValueError(f"bm25_read_index: expected one meta row, got {len(row)}")
+    if row[0].version != _BM25_INDEX_VERSION:
+        raise ValueError(
+            f"bm25_read_index: layout version {row[0].version} != "
+            f"{_BM25_INDEX_VERSION} — rebuild the index with this package"
+        )
+    return Bm25Index(
+        tf=spark.read.parquet(f"{path}/tf"),
+        dl=spark.read.parquet(f"{path}/dl"),
+        df=spark.read.parquet(f"{path}/df"),
+        stats=spark.read.parquet(f"{path}/stats"),
+        id_col=row[0].id_col,
+    )
+
+
 def bm25_topk_indexed(
     index: Bm25Index,
     query_ids,

@@ -1065,3 +1065,65 @@ def test_bm25_merged_index_equals_whole_pass_and_guards_overlap(spark):
     overlapping = bm25_merge_index(bm25_index(docs), bm25_index(docs.filter("doc_id < 2")))
     with _pt.raises(Exception, match="share document ids"):
         bm25_topk_indexed(overlapping, [0], top_k=3, max_df_fraction=0.9).collect()
+
+
+def test_bm25_index_parquet_roundtrip_then_merge_and_search(spark, tmp_path):
+    """bm25_write_index/bm25_read_index round-trip: index half the
+    corpus, persist it, reload it in a fresh read path, merge with a
+    NEWER batch's index, and search — identical to the whole-pass
+    search, i.e. the stored index really is the index-once / search-many
+    shape (the ingest-restart analog of the reference's stored offsets
+    contract, impl/offsets/DefaultOffsetsState.java)."""
+    from kafka_workers_spark.operators.text import (
+        bm25_index,
+        bm25_merge_index,
+        bm25_read_index,
+        bm25_topk,
+        bm25_topk_indexed,
+        bm25_write_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra common quark"),
+            (1, "zebra common alpha beta"),
+            (2, "zebra common"),
+            (3, "common gamma delta"),
+            (4, "common common epsilon"),
+            (5, "unrelated words entirely different"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bm25_index")
+    bm25_write_index(bm25_index(docs.filter("doc_id % 2 = 0")), path)
+    stored = bm25_read_index(spark, path)
+    assert stored.id_col == "doc_id"
+    merged = bm25_merge_index(stored, bm25_index(docs.filter("doc_id % 2 = 1")))
+    got = bm25_topk_indexed(merged, [0], top_k=5, max_df_fraction=0.9).collect()
+    whole = bm25_topk(docs, [0], top_k=5, max_df_fraction=0.9).collect()
+    assert sorted(map(tuple, got), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, whole), key=lambda t: (t[0], t[2])
+    )
+    # overwrite mode re-ingests in place (from source data — a stored
+    # index cannot overwrite its own path, its frames still read from
+    # it); default mode refuses an existing path
+    bm25_write_index(bm25_index(docs), path, mode="overwrite")
+    with pytest.raises(Exception):
+        bm25_write_index(bm25_index(docs), path)
+
+
+def test_bm25_read_index_rejects_unknown_layout_version(spark, tmp_path):
+    from kafka_workers_spark.operators.text import (
+        bm25_index,
+        bm25_read_index,
+        bm25_write_index,
+    )
+
+    docs = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    bm25_write_index(bm25_index(docs), path)
+    spark.createDataFrame([("doc_id", 999)], "id_col string, version int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="layout version"):
+        bm25_read_index(spark, path)
