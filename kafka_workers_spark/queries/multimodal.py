@@ -83,6 +83,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     category="multimodal",
+    windowed=False,  # rotated out round 8 for text_nb_score (VERDICT r07 #5)
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas decode stage itself, oracle-checked: the fake codec

@@ -163,6 +163,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
     """,
+    windowed=False,  # rotated out round 8 for text_cluster_topics (VERDICT r07 #5)
 )
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi and left-anti against the same filtered build side, tagged

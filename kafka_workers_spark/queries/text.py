@@ -928,7 +928,8 @@ _NB_TRAIN_MOD = 2  # doc_id % 2 == 0 trains; the odd half scores
     GROUP BY d.doc_id, l.label
     """,
     category="text",
-    windowed=False,
+    # rotated INTO the driver window round 8 (VERDICT r07 #5) for
+    # multimodal_decode
 )
 def text_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes train → score chain
@@ -1211,7 +1212,8 @@ def _sql_text_kmeans_ctes(k: int, iters: int) -> str:
     FROM aF JOIN sizes ON sizes.list_id = aF.list_id
     """,
     category="text",
-    windowed=False,
+    # rotated INTO the driver window round 8 (VERDICT r07 #5) for
+    # join_semi_anti
 )
 def text_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docstring literals 16/4/2 mirror _TC_DIM/_TC_K/_TC_ITERS above —
