@@ -25,6 +25,14 @@ def spark():
                 "spark.driver.memory": "8g",
                 "spark.sql.streaming.checkpointLocation.deleteOnStop": "true",
                 "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="kw_warehouse_"),
+                # Janino whole-stage compilation is pure overhead on this
+                # suite's tiny frames (~5% of module wall measured on
+                # test_similarity); values are codegen-independent, so the
+                # DuckDB fidelity gate is unaffected, and no plan test
+                # asserts codegen spans (plans/audit.py counts them but
+                # nothing asserts the count). The driver's own sessions
+                # (CORRECTNESS + bench) keep the production default.
+                "spark.sql.codegen.wholeStage": "false",
             },
         )
     )
