@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -629,4 +630,83 @@ def edit_distance_pairs(
             F.levenshtein("__ta", "__tb", k).alias("edit_distance"),
         )
         .where(F.col("edit_distance") >= 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood candidate pairs (merge/purge blocking)
+# ---------------------------------------------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_key: Column,
+    block: Column,
+    id_col: str = "doc_id",
+    window: int = 3,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernández & Stolfo, "The
+    Merge/Purge Problem for Large Databases", SIGMOD 1995): rank records
+    by a domain ``sort_key`` and emit every pair within ``window`` rank
+    positions — the classic entity-resolution blocking that catches
+    near-dups whose *lexicographic neighborhood* agrees even when no
+    shingle/band key collides (complements the MinHash-LSH / SimHash /
+    PassJoin families; the reference has no content operators at all,
+    api/task/WorkerTask.java:50 — this is engine extension surface).
+
+    Ranking is ``row_number`` partitioned by ``block`` — NEVER a global
+    order. A windowed rank with no partition key collapses Spark's sort
+    into one task, the canonical window-function scale-killer; ``block``
+    (typically the sort key's own prefix) bounds each sorted run to one
+    block. The price is the standard one: pairs straddling a block
+    boundary are missed, exactly like LSH band boundaries — production
+    runs multiple passes with different sort keys (the paper's
+    multi-pass rule) rather than growing any single sorted run.
+
+    Pair generation is an equi-join: side A explodes ``1..window`` rank
+    offsets and joins ``(block, rank + off) == (block, rank)`` — slim
+    (block, rank, id) rows only, payloads never fan out; each unordered
+    pair appears exactly once (at its one rank distance). Returns
+    ``(id_a, id_b, rank_distance)`` plus ``payload_cols`` from both
+    sides (``<col>_a`` / ``<col>_b``) for the caller's verify stage —
+    blocking only GENERATES candidates; verification (exact Jaccard,
+    edit distance, cosine) is a separate exact predicate, as everywhere
+    in this family.
+    """
+    if window < 1:
+        raise ValueError(f"window ({window}) must be >= 1")
+    payload_cols = list(payload_cols or [])
+    ranked = barrier(
+        df.select(
+            F.col(id_col).alias("__id"),
+            block.alias("__blk"),
+            F.row_number()
+            .over(W.partitionBy(block).orderBy(sort_key, id_col))
+            .alias("__rnk"),
+            *payload_cols,
+        )
+    )
+    a = ranked.select(
+        F.col("__id").alias("id_a"),
+        "__blk",
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("__off"),
+        (F.col("__rnk") + F.col("__off")).alias("__target"),
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+    )
+    b = ranked.select(
+        F.col("__id").alias("id_b"),
+        F.col("__blk").alias("__blk_b"),
+        F.col("__rnk").alias("__target_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+    )
+    return a.join(
+        b,
+        (F.col("__blk") == F.col("__blk_b")) & (F.col("__target") == F.col("__target_b")),
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("__off").cast("bigint").alias("rank_distance"),
+        *[f"{c}_a" for c in payload_cols],
+        *[f"{c}_b" for c in payload_cols],
     )

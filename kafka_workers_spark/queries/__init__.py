@@ -80,6 +80,7 @@ def load_all() -> dict[str, QuerySpec]:
         corpus,
         pipeline_ops,
         relational,
+        graph,
     )
 
     return REGISTRY

@@ -545,3 +545,86 @@ def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("group_id"),
         (F.col("comp") == F.col("node")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (merge/purge) + Jaccard verify
+# ---------------------------------------------------------------------------
+
+_SN_WINDOW = 4
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, lang, {sql_normalized('text')} AS norm,
+             list_distinct([substr(md5(sh), 1, 16) FOR sh IN {_SHINGLES_SQL}]) AS hashes
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, hashes, norm,
+             lang || '|' || substr(norm, 1, 1) AS blk
+      FROM docs WHERE len(hashes) > 0
+    ), ranked AS (
+      SELECT doc_id, blk, hashes,
+             ROW_NUMBER() OVER (PARTITION BY blk ORDER BY norm, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.rnk - a.rnk AS BIGINT) AS rank_distance,
+           CAST(len(list_intersect(a.hashes, b.hashes)) AS DOUBLE)
+             / len(list_distinct(a.hashes || b.hashes)) AS jaccard
+    FROM ranked a JOIN ranked b
+      ON a.blk = b.blk AND b.rnk - a.rnk BETWEEN 1 AND {_SN_WINDOW}
+    """,
+    category="dedup",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95,
+    operators.dedup.sorted_neighborhood_pairs) + the family's standard
+    exact verify: rank documents by normalized text within
+    (lang, first-char) blocks, pair every record with its next
+    _SN_WINDOW neighbors in rank order, and attach exact 3-gram digest
+    Jaccard — the lexicographic complement to hash-collision blocking
+    (a typo'd prefix still sorts adjacent when no shingle collides).
+    The block key bounds each sorted run (the window rank is PARTITIONED
+    — never a one-task global sort); boundary pairs are the documented
+    multi-pass trade, like LSH band boundaries."""
+    from kafka_workers_spark.operators.dedup import sorted_neighborhood_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    staged = shingle_stage(tokenize_stage(d), 3, distinct=True)
+    per_doc = (
+        staged.select(
+            "doc_id",
+            "lang",
+            normalized(F.col("text")).alias("__norm"),
+            F.explode_outer("shingles").alias("__sh"),
+        )
+        .select(
+            "doc_id", "lang", "__norm", F.substring(F.md5("__sh"), 1, 16).alias("__h")
+        )
+        .groupBy("doc_id", "lang", "__norm")
+        .agg(F.collect_set("__h").alias("hashes"))
+        .filter(F.size("hashes") > 0)
+    )
+    pairs = sorted_neighborhood_pairs(
+        per_doc,
+        sort_key=F.col("__norm"),
+        # strict concat, NOT concat_ws: `||` in the oracle is NULL-strict,
+        # concat_ws silently skips NULLs (the lsh_bands round-7 bug class)
+        block=F.concat(F.col("lang"), F.lit("|"), F.substring("__norm", 1, 1)),
+        id_col="doc_id",
+        window=_SN_WINDOW,
+        payload_cols=["hashes"],
+    )
+    jac = F.size(F.array_intersect("hashes_a", "hashes_b")).cast("double") / F.size(
+        F.array_union("hashes_a", "hashes_b")
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "rank_distance",
+        jac.alias("jaccard"),
+    )

@@ -1,0 +1,83 @@
+"""Graph-analytics queries: fixed-iteration PageRank in exact
+scaled-integer arithmetic (operators/components.py:pagerank), oracled by
+unrolling the identical iterations as DuckDB CTEs.
+
+The graph here is the customer→supplier purchase network (orders ⋈
+lineitem — a real multi-thousand-node bipartite digraph in the testdata);
+the training-pipeline use of the same operator is centrality over the
+near-dup pair graph (rank canonical candidates by connectedness). The
+reference has no graph surface at all (opaque payloads,
+api/task/WorkerTask.java:50) — engine extension, like the dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.operators.components import PAGERANK_SCALE, pagerank
+from kafka_workers_spark.queries import register
+from kafka_workers_spark.sources.files import load_table
+
+_PR_ITERS = 3
+_PR_D_NUM, _PR_D_DEN = 17, 20  # damping 0.85 as an exact rational
+_S = PAGERANK_SCALE
+_D9 = (_S * _PR_D_NUM) // _PR_D_DEN
+
+
+def _sql_pagerank_ctes(iters: int) -> str:
+    """Unroll the exact integer PageRank recurrence as DuckDB CTEs —
+    bit-for-bit the operator's plan: same scale, same floor divisions
+    (`//` on BIGINT == Spark `DIV`, all operands non-negative), same
+    leaked dangling mass. Node ids are parity-tagged (cust*2, supp*2+1)
+    so the two TPC-H key spaces cannot collide."""
+    ctes = [
+        "edges AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({_S} // n AS BIGINT) AS r9 FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" SUM(({_D9} * r.r9 // {_S}) // deg.d) AS s"
+            f" FROM edges e JOIN {prev} r ON r.node = e.src"
+            f" JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" CAST(({_S} - {_D9}) // nn.n + COALESCE(c{i}.s, 0) AS BIGINT) AS r9"
+            f" FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.node = nodes.node)"
+        )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_pagerank",
+    f"""
+    WITH {_sql_pagerank_ctes(_PR_ITERS)}
+    SELECT node, r9, CAST(r9 AS DOUBLE) / {_S} AS rank
+    FROM r{_PR_ITERS}
+    """,
+    category="graph",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration exact-integer PageRank (Page et al. 1999;
+    operators.components.pagerank) over the customer→supplier purchase
+    digraph: distinct (cust, supp) edges from orders ⋈ lineitem, node
+    ids parity-tagged to disambiguate the key spaces, {_PR_ITERS}
+    damped rounds at d = 17/20. The oracle unrolls the identical
+    recurrence — every floor division replays, so r9 matches
+    bit-for-bit, and the derived double `rank` is one division of
+    identical bigints (IEEE-identical)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return pagerank(edges, iters=_PR_ITERS, damping_num=_PR_D_NUM, damping_den=_PR_D_DEN)

@@ -179,3 +179,95 @@ def test_components_pointer_jump_modes_agree_and_report_rounds(spark):
         rounds[jump] = stats["rounds"]
     assert out[True] == out[False] == {(i, 1) for i in range(1, 13)}
     assert rounds[True] <= rounds[False]
+
+
+def test_pagerank_matches_python_integer_reference(spark):
+    """The scaled-integer recurrence vs a literal Python replay on a
+    small digraph with a dangling node (3 has no out-edges — its mass
+    leaks, the documented divergence) and an asymmetric hub."""
+    from kafka_workers_spark.operators.components import PAGERANK_SCALE, pagerank
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (4, 3), (4, 2), (2, 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r.node: r.r9 for r in pagerank(edges, iters=4).collect()
+    }
+
+    s, d9 = PAGERANK_SCALE, (PAGERANK_SCALE * 17) // 20
+    nodes = sorted({n for e in edge_list for n in e})
+    n = len(nodes)
+    deg = {}
+    for a, _ in edge_list:
+        deg[a] = deg.get(a, 0) + 1
+    r = {v: s // n for v in nodes}
+    for _ in range(4):
+        nxt = {v: (s - d9) // n for v in nodes}
+        for a, b in edge_list:
+            nxt[b] += (d9 * r[a] // s) // deg[a]
+        r = nxt
+    assert got == r
+    # ranks are positive, mass leaks below the scale (dangling node 3)
+    assert all(v > 0 for v in got.values()) and sum(got.values()) < s
+    # the hub (3: three in-edges) outranks the dangling-fed periphery
+    assert got[3] == max(got.values())
+
+
+def test_pagerank_rejects_bad_params(spark):
+    from kafka_workers_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(edges, iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping_num=20, damping_den=20)
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    """The edge frame dedups internally: repeating an edge five times
+    changes neither degrees nor contributions."""
+    from kafka_workers_spark.operators.components import pagerank
+
+    once = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    dup = spark.createDataFrame([(1, 2)] * 5 + [(2, 1)], "src long, dst long")
+    a = sorted((r.node, r.r9) for r in pagerank(once, iters=3).collect())
+    b = sorted((r.node, r.r9) for r in pagerank(dup, iters=3).collect())
+    assert a == b
+
+
+def test_sorted_neighborhood_known_answer(spark):
+    """Window pairs on a hand-ranked corpus: within-block rank adjacency
+    only, each unordered pair exactly once at its rank distance, no
+    cross-block pairs."""
+    from kafka_workers_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "x", "apple pie"),
+        (2, "x", "apple pies"),   # rank-adjacent to 1
+        (3, "x", "zzz end"),      # rank 3 in block x
+        (4, "y", "apple pie"),    # other block — never pairs with x
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blk string, key string")
+    got = sorted(
+        (r.id_a, r.id_b, r.rank_distance)
+        for r in sorted_neighborhood_pairs(
+            df, sort_key=F.col("key"), block=F.col("blk"), window=2
+        ).collect()
+    )
+    # block x ranks: 1 (apple pie) < 2 (apple pies) < 3 (zzz end)
+    assert got == [(1, 2, 1), (1, 3, 2), (2, 3, 1)]
+
+
+def test_sorted_neighborhood_window_and_payloads(spark):
+    from kafka_workers_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, "b", f"k{i:02d}", i * 10) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, blk string, key string, w long")
+    out = sorted_neighborhood_pairs(
+        df, sort_key=F.col("key"), block=F.col("blk"), window=1, payload_cols=["w"]
+    ).collect()
+    # window=1: only consecutive ranks, payloads ride along both sides
+    assert sorted((r.id_a, r.id_b, r.w_a, r.w_b) for r in out) == [
+        (0, 1, 0, 10), (1, 2, 10, 20), (2, 3, 20, 30), (3, 4, 30, 40)
+    ]
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, sort_key=F.col("key"), block=F.col("blk"), window=0)
