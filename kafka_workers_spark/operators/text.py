@@ -1148,6 +1148,31 @@ def bm25_topk(
     )
 
 
+def transition_pairs(frame, id_col: str = "doc_id", text_col: str = "text"):
+    """``(id_col, __prev, __cur)`` adjacent-token transition rows over
+    normalized non-empty whitespace tokens — the shared extraction of
+    the LM family (:func:`bigram_lm_score`, :func:`kneser_ney_score`).
+    Token staging goes behind a barrier so the split is materialized
+    once, not re-evaluated per element access."""
+    from kafka_workers_spark.operators.dedup import barrier
+
+    toks = F.filter(tokens(normalized(F.col(text_col))), lambda t: F.length(t) > 0)
+    staged = barrier(frame.select(id_col, toks.alias("__toks")))
+    pairs = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - 2),
+            lambda i: F.struct(
+                F.element_at("__toks", i + 1).alias("__prev"),
+                F.element_at("__toks", i + 2).alias("__cur"),
+            ),
+        ),
+    )
+    return staged.select(id_col, F.explode(pairs).alias("__bg")).select(
+        id_col, "__bg.__prev", "__bg.__cur"
+    )
+
+
 def bigram_lm_score(
     docs,
     ref_docs=None,
@@ -1221,23 +1246,7 @@ def bigram_lm_score(
     from kafka_workers_spark.operators.dedup import barrier
 
     def transitions(frame):
-        toks = F.filter(
-            tokens(normalized(F.col(text_col))), lambda t: F.length(t) > 0
-        )
-        staged = barrier(frame.select(id_col, toks.alias("__toks")))
-        pairs = F.when(
-            F.size("__toks") >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size("__toks") - 2),
-                lambda i: F.struct(
-                    F.element_at("__toks", i + 1).alias("__prev"),
-                    F.element_at("__toks", i + 2).alias("__cur"),
-                ),
-            ),
-        )
-        return staged.select(
-            id_col, F.explode(pairs).alias("__bg")
-        ).select(id_col, "__bg.__prev", "__bg.__cur")
+        return transition_pairs(frame, id_col=id_col, text_col=text_col)
 
     ref = transitions(ref_docs if ref_docs is not None else docs)
     cb = ref.groupBy("__prev", "__cur").agg(F.count("*").alias("__cb"))
@@ -1290,6 +1299,160 @@ def bigram_lm_score(
             F.coalesce("n_unseen", F.lit(0)).cast("bigint").alias("n_unseen"),
             F.coalesce("sum_bigram_count", F.lit(0)).cast("bigint").alias("sum_bigram_count"),
             F.coalesce("sum_context_count", F.lit(0)).cast("bigint").alias("sum_context_count"),
+            F.col("avg_logprob"),
+            F.exp(-F.col("avg_logprob")).alias("ppl"),
+        )
+    )
+
+
+#: Kneser-Ney probability fixed-point scale: p9 = floor(P × 10^9)
+KN_SCALE = 1_000_000_000
+
+
+def kneser_ney_score(
+    docs,
+    ref_docs=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: tuple[int, int] = (3, 4),
+    broadcast_model: bool = False,
+):
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney, "Improved
+    backing-off for m-gram language modeling", ICASSP 1995; formulation
+    per Chen & Goodman 1998 §2.7) — the smoothing KenLM uses, one step
+    above :func:`bigram_lm_score`'s add-α: absolute discounting plus a
+    CONTINUATION unigram ("how many distinct contexts precede w?"), so
+    frequent-but-context-bound tokens ("francisco") stop inflating
+    unseen-transition probability the way raw unigram backoff does.
+
+    With discount ``D = discount[0]/discount[1]`` (default 3/4) and
+    bigram-type counts from the reference corpus:
+
+        P(cur|prev) = max(c(prev,cur) − D, 0)/c(prev)
+                      + (D·N1+(prev,·)/c(prev)) · N1+(·,cur)/T
+
+    where N1+(prev,·) / N1+(·,cur) are distinct right/left neighbor
+    counts and T is the total number of distinct bigram types. Unseen
+    contexts (c(prev)=0) back off to the continuation unigram
+    N1+(·,cur)/T alone; tokens unseen anywhere score 0.
+
+    Exactness discipline: every probability is computed as the scaled
+    integer ``p9 = floor(P × 10^9)`` with the whole numerator/denominator
+    built in DECIMAL(38,0) and divided with ``DIV`` (== DuckDB HUGEINT
+    ``//`` — quotients fit int64 by construction since p9 ≤ 10^9; the
+    three-count products overflow int64 at web scale, hence decimal-38,
+    the :func:`phrase_scores` rule). The per-document ``sum_p9`` and the
+    count columns are therefore bit-exact cross-engine (the oracle
+    surface); ``avg_logprob``/``ppl`` floor p9 at 1 (the scale's
+    resolution — a zero-probability transition contributes ln 10⁻⁹) and
+    are float, differential-tested like the add-α LM's.
+
+    An empty reference model raises in-plan (T=0 would otherwise
+    silently NULL every division): the raise rides the one-row T
+    broadcast's projection, which every scored row references.
+
+    Shape at scale: identical to :func:`bigram_lm_score` — the model is
+    three vocab-bounded count tables plus a one-row T broadcast, built
+    job-free from one bigram aggregate; ``broadcast_model=True`` ships
+    all three and removes the token-keyed scoring shuffle and its Zipf
+    skew (the measured LM discipline), the default relies on AQE skew
+    splits. Returns one row per input document: ``id_col, n_bigrams,
+    n_unseen_context, n_unseen_bigram, sum_p9, avg_logprob, ppl``.
+    """
+    from kafka_workers_spark.operators.dedup import barrier
+
+    dn, dd = discount
+    if not 0 <= dn < dd:
+        raise ValueError(f"discount ({discount}) must be a rational in [0, 1)")
+    s = KN_SCALE
+    ref = transition_pairs(ref_docs if ref_docs is not None else docs, id_col, text_col)
+    cb = ref.groupBy("__prev", "__cur").agg(F.count("*").alias("__cb"))
+    cb = barrier(cb, "__prev")  # feeds ctx, cont, T, and the scoring join once
+    ctx = cb.groupBy("__prev").agg(
+        F.sum("__cb").alias("__c1"), F.count("*").alias("__fwd")
+    )
+    cont = cb.groupBy("__cur").agg(F.count("*").alias("__bwd"))
+    t_row = cb.agg(F.count("*").alias("__t_raw")).select(
+        F.when(F.col("__t_raw") > 0, F.col("__t_raw"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "kneser_ney_score: the reference corpus has no bigrams — "
+                    "every probability would be undefined (T = 0)"
+                )
+            ).cast("bigint")
+        )
+        .alias("__t")
+    )
+    scored = (
+        transition_pairs(docs, id_col, text_col) if ref_docs is not None else ref
+    )
+    if broadcast_model:
+        cb_j, ctx_j, cont_j = F.broadcast(cb), F.broadcast(ctx), F.broadcast(cont)
+    else:
+        cb_j, ctx_j, cont_j = cb, ctx, cont
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    joined = (
+        scored.join(ctx_j, "__prev", "left")
+        .join(cb_j, ["__prev", "__cur"], "left")
+        .join(cont_j, "__cur", "left")
+        .crossJoin(F.broadcast(t_row))
+        .select(
+            id_col,
+            F.coalesce("__cb", F.lit(0)).cast("bigint").alias("__cb"),
+            F.coalesce("__c1", F.lit(0)).cast("bigint").alias("__c1"),
+            F.coalesce("__fwd", F.lit(0)).cast("bigint").alias("__fwd"),
+            F.coalesce("__bwd", F.lit(0)).cast("bigint").alias("__bwd"),
+            "__t",
+        )
+        .select(
+            id_col,
+            "__cb",
+            "__c1",
+            (
+                (
+                    F.greatest(
+                        d38(F.lit(dd)) * d38(F.col("__cb")) - d38(F.lit(dn)),
+                        d38(F.lit(0)),
+                    )
+                    * d38(F.col("__t"))
+                    + d38(F.lit(dn)) * d38(F.col("__fwd")) * d38(F.col("__bwd"))
+                )
+                * d38(F.lit(s))
+            ).alias("__num"),
+            (d38(F.lit(dd)) * d38(F.col("__c1")) * d38(F.col("__t"))).alias("__den"),
+            (d38(F.col("__bwd")) * d38(F.lit(s))).alias("__cont_num"),
+            d38(F.col("__t")).alias("__t38"),
+        )
+        .select(
+            id_col,
+            "__cb",
+            "__c1",
+            F.when(F.col("__c1") > 0, F.expr("__num DIV __den"))
+            .otherwise(F.expr("__cont_num DIV __t38"))
+            .cast("bigint")
+            .alias("__p9"),
+        )
+    )
+    logp = F.log(F.greatest(F.col("__p9"), F.lit(1)).cast("double")) - F.log(
+        F.lit(float(s))
+    )
+    stats = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum((F.col("__c1") == 0).cast("bigint")).alias("n_unseen_context"),
+        F.sum((F.col("__cb") == 0).cast("bigint")).alias("n_unseen_bigram"),
+        F.sum("__p9").alias("sum_p9"),
+        F.avg(logp).alias("avg_logprob"),
+    )
+    return (
+        docs.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("n_unseen_context", F.lit(0)).cast("bigint").alias("n_unseen_context"),
+            F.coalesce("n_unseen_bigram", F.lit(0)).cast("bigint").alias("n_unseen_bigram"),
+            F.coalesce("sum_p9", F.lit(0)).cast("bigint").alias("sum_p9"),
             F.col("avg_logprob"),
             F.exp(-F.col("avg_logprob")).alias("ppl"),
         )

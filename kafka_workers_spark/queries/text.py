@@ -651,6 +651,77 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KN_DN, _KN_DD = 3, 4  # absolute discount D = 3/4, the operator default
+_KN_S = 1_000_000_000  # == operators.text.KN_SCALE (asserted in tests)
+
+
+@register(
+    "text_lm_kneser_ney",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_LM_TOKS_SQL} AS toks FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             UNNEST([{{'prev': toks[i], 'cur': toks[i+1]}}
+                     FOR i IN generate_series(1, len(toks) - 1)],
+                    recursive := true)
+      FROM base WHERE len(toks) >= 2
+    ),
+    cb AS (
+      SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM big WHERE doc_id % 2 = 0 GROUP BY prev, cur
+    ),
+    ctx AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS fwd FROM cb GROUP BY prev),
+    ct AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS bwd FROM cb GROUP BY cur),
+    tt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM cb)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(s.n_unseen_context, 0) AS BIGINT) AS n_unseen_context,
+           CAST(COALESCE(s.n_unseen_bigram, 0) AS BIGINT) AS n_unseen_bigram,
+           CAST(COALESCE(s.sum_p9, 0) AS BIGINT) AS sum_p9
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN (
+      SELECT g.doc_id,
+             COUNT(*) AS n_bigrams,
+             SUM(CASE WHEN COALESCE(ctx.c1, 0) = 0 THEN 1 ELSE 0 END) AS n_unseen_context,
+             SUM(CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END) AS n_unseen_bigram,
+             SUM(CASE WHEN COALESCE(ctx.c1, 0) > 0 THEN
+                   ((GREATEST({_KN_DD} * COALESCE(cb.cb, 0) - {_KN_DN}, 0)::HUGEINT * tt.t
+                     + {_KN_DN}::HUGEINT * ctx.fwd * COALESCE(ct.bwd, 0)) * {_KN_S}::HUGEINT)
+                   // ({_KN_DD}::HUGEINT * ctx.c1 * tt.t)
+                 ELSE COALESCE(ct.bwd, 0)::HUGEINT * {_KN_S} // tt.t END) AS sum_p9
+      FROM big g
+      LEFT JOIN ctx ON g.prev = ctx.prev
+      LEFT JOIN cb ON g.prev = cb.prev AND g.cur = cb.cur
+      LEFT JOIN ct ON g.cur = ct.cur
+      CROSS JOIN tt
+      GROUP BY g.doc_id
+    ) s USING (doc_id)
+    """,
+    category="text",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring
+    (operators.text.kneser_ney_score, Kneser & Ney 1995 / Chen & Goodman
+    1998) under the text_lm_quality protocol: train on the even-doc_id
+    half, score everything, register the exact-integer surface — here
+    including ``sum_p9``, the per-document sum of floor(P × 10^9)
+    scaled-integer probabilities, so the ENTIRE smoothing chain
+    (absolute discount, continuation unigram, context backoff) is
+    oracle-checked, not just the raw counts. Floats
+    (avg_logprob/ppl) are differential-tested like the add-α LM's."""
+    from kafka_workers_spark.operators.text import kneser_ney_score
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    return kneser_ney_score(d, ref_docs=ref, discount=(_KN_DN, _KN_DD)).select(
+        "doc_id", "n_bigrams", "n_unseen_context", "n_unseen_bigram", "sum_p9"
+    )
+
+
 #: placeholder blocklist for the testdata corpus — real deployments pass
 #: their policy list (normalized form) to the operator
 _BLOCK_LEX = ("window", "merge", "join")

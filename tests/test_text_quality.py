@@ -1127,3 +1127,94 @@ def test_bm25_read_index_rejects_unknown_layout_version(spark, tmp_path):
     ).parquet(f"{path}/meta")
     with pytest.raises(ValueError, match="layout version"):
         bm25_read_index(spark, path)
+
+
+def _kn_python_reference(corpus: dict, ref_ids, dn=3, dd=4, s=10**9):
+    """Literal interpolated-KN replay (Chen & Goodman 1998 §2.7) in
+    integer arithmetic — the kneser_ney_score contract."""
+    import re
+    from collections import Counter
+
+    def toks(t):
+        t = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", "", t.lower())).strip()
+        return [x for x in t.split(" ") if x]
+
+    cb = Counter()
+    for did in ref_ids:
+        ts = toks(corpus[did])
+        for a, b in zip(ts, ts[1:]):
+            cb[(a, b)] += 1
+    c1, fwd, bwd = Counter(), Counter(), Counter()
+    for (a, b), c in cb.items():
+        c1[a] += c
+        fwd[a] += 1
+        bwd[b] += 1
+    t = len(cb)
+    out = {}
+    for did, text in corpus.items():
+        ts = toks(text)
+        n = uc = ub = sp = 0
+        for a, b in zip(ts, ts[1:]):
+            n += 1
+            if c1[a] > 0:
+                num = (max(dd * cb[(a, b)] - dn, 0) * t + dn * fwd[a] * bwd[b]) * s
+                sp += num // (dd * c1[a] * t)
+            else:
+                uc += 1
+                sp += bwd[b] * s // t if t else 0
+            ub += cb[(a, b)] == 0
+        out[did] = (n, uc, ub, sp)
+    return out
+
+
+def test_kneser_ney_matches_python_reference_with_unseen_paths(spark):
+    """Held-out scoring exercises every arm: seen bigrams, unseen bigram
+    in a seen context (the interpolation term), unseen context (pure
+    continuation backoff), and a fully-unknown token (p9 = 0)."""
+    from kafka_workers_spark.operators.text import kneser_ney_score
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on a rug",
+        3: "a cat ran",
+        4: "the cat ran home quickly",   # 'ran home' unseen bigram; 'home quickly' unseen context
+        5: "xyzzy the cat",              # unknown token context
+        6: "",
+    }
+    ref_ids = [1, 2, 3]
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    ref = docs.filter(F.col("doc_id") <= 3)
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_unseen_context, r.n_unseen_bigram, r.sum_p9)
+        for r in kneser_ney_score(docs, ref_docs=ref).collect()
+    }
+    assert got == _kn_python_reference(corpus, ref_ids)
+    # the unseen paths actually fired
+    assert got[4][2] > 0 and got[5][1] > 0
+
+
+def test_kneser_ney_broadcast_model_identical(spark):
+    from kafka_workers_spark.operators.text import kneser_ney_score
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma t{i} alpha beta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, kneser_ney_score(docs).select(
+        "doc_id", "sum_p9").collect()))
+    b = sorted(map(tuple, kneser_ney_score(docs, broadcast_model=True).select(
+        "doc_id", "sum_p9").collect()))
+    assert a == b
+
+
+def test_kneser_ney_guards(spark):
+    from kafka_workers_spark.operators.text import KN_SCALE, kneser_ney_score
+    from kafka_workers_spark.queries.text import _KN_S
+
+    assert _KN_S == KN_SCALE  # query oracle constant pinned to the operator
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="discount"):
+        kneser_ney_score(docs, discount=(4, 4))
+    empty_ref = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    with pytest.raises(Exception, match="no bigrams"):
+        kneser_ney_score(docs, ref_docs=empty_ref).collect()
