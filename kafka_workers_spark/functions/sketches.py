@@ -836,3 +836,136 @@ def hdr_quantiles(
     return hdr.withColumn("n_values", n).withColumn(
         out, F.array(*[q_value(q) for q in qs])
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch
+# ---------------------------------------------------------------------------
+
+#: md5-prefix width for KMV hashes: 13 hex chars = 52 bits, chosen so the
+#: hash-as-integer converts to double EXACTLY (<= 2^53) — the distinct
+#: estimate is then bit-reproducible cross-engine
+KMV_HEX_CHARS = 13
+
+
+def kmv_build(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    n_shards: int = 32,
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. RANDOM 2002;
+    Beyer et al., "On Synopses for Distinct-Value Estimation Under
+    Multiset Operations", SIGMOD 2007): per group, the ``k`` smallest
+    md5-prefix hashes of the column's distinct values, as a SORTED
+    ``array<string>`` of 13-hex-char prefixes. Unlike HLL registers the
+    kept values are exact order statistics, so the sketch is
+
+    - deterministic and engine-replayable (fixed-width lowercase hex
+      sorts identically as string and as integer — the DuckDB oracle is
+      a plain ORDER BY + LIMIT k),
+    - EXACTLY mergeable: union the arrays, re-take the bottom k
+      (:func:`kmv_merge` == whole-pass build, bit for bit — the
+      cms/bloom shard-rollup contract), and
+    - intersectable: bottom-k of a union is a uniform sample of the
+      union, so Jaccard estimates fall out (:func:`kmv_jaccard`) —
+      the multiset-operation power HLL lacks.
+
+    Estimate quality: relative error ~ 1/sqrt(k-2) (k=256 → ~6%).
+    Hash truncation to 52 bits makes colliding values indistinguishable
+    (standard bounded-precision KMV; irrelevant until distinct counts
+    approach 2^26, then widen — but past 2^26 distincts a 52-bit
+    fraction still estimates fine, collisions only cap the EXACT arm).
+
+    Shape at scale: the distinct pass is the one data-sized shuffle
+    (required by the semantics); bottom-k then reduces in TWO hash
+    aggregates — per (group, shard) partial bottom-k (``n_shards``
+    bounds any single task's sort to distinct/n_shards values even for
+    a single global group), then a flatten + re-sort of ``k·n_shards``
+    survivors — never a whole-group collect, no window over one
+    partition. Returns ``(*group_cols, hashes, n_distinct_capped, k)``
+    where ``n_distinct_capped`` = size(hashes) (== exact distinct count
+    while it is < k).
+    """
+    if k < 3:
+        raise ValueError(f"k ({k}) must be >= 3 — the estimator divides by k-1")
+    if n_shards < 1:
+        raise ValueError(f"n_shards ({n_shards}) must be >= 1")
+    group_cols = list(group_cols or [])
+    h = F.substring(F.md5(F.col(col).cast("string")), 1, KMV_HEX_CHARS)
+    distinct = (
+        df.where(F.col(col).isNotNull())
+        .select(*group_cols, h.alias("__h"))
+        .groupBy(*group_cols, "__h")
+        .agg(F.lit(1).alias("__one"))
+    )
+    part = distinct.groupBy(
+        *group_cols, F.pmod(F.xxhash64("__h"), F.lit(n_shards)).alias("__kmv_shard")
+    ).agg(F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("__part"))
+    return part.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__part"))), 1, k).alias("hashes"),
+        F.lit(k).alias("k"),
+    ).select(
+        *group_cols,
+        "hashes",
+        F.size("hashes").cast("bigint").alias("n_distinct_capped"),
+        "k",
+    )
+
+
+def kmv_merge(kmv: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge sketch rows: union the hash arrays, keep the bottom k —
+    EXACT (bottom-k of a union == bottom-k of the union of bottom-ks,
+    because any union-bottom-k element is in its source's bottom k).
+    Mixed ``k`` raises in-plan, the cms_merge/hdr_merge contract."""
+    group_cols = list(group_cols or [])
+    merged = kmv.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("hashes")))),
+            1,
+            # max(k) of the merged rows — but mixed schemes raise below
+            # before any row escapes, so this is THE k
+            F.max("k"),
+        ).alias("hashes"),
+        F.min("k").alias("__k_min"),
+        F.max("k").alias("k"),
+    )
+    guard = F.when(F.col("__k_min") == F.col("k"), F.col("k")).otherwise(
+        F.raise_error(
+            F.lit("kmv_merge: mixed k values — sketches are not comparable")
+        ).cast("int")
+    )
+    return merged.select(
+        *group_cols,
+        "hashes",
+        F.size("hashes").cast("bigint").alias("n_distinct_capped"),
+        guard.alias("k"),
+    )
+
+
+def kmv_distinct_estimate(hashes_col: str, k: int) -> Column:
+    """Distinct-count estimate from a sketch row: exact size while the
+    sketch is unsaturated, else ``(k-1)/U_(k)`` with ``U_(k)`` the k-th
+    minimum as a fraction of the hash space (Beyer et al. 2007's
+    unbiased form). Bit-reproducible: the 52-bit hash converts to
+    double exactly, and both engines then do the same two IEEE ops."""
+    kth = F.element_at(F.col(hashes_col), k)
+    frac = F.conv(kth, 16, 10).cast("double") / F.lit(float(16**KMV_HEX_CHARS))
+    return (
+        F.when(F.size(hashes_col) < k, F.size(hashes_col).cast("double"))
+        .otherwise(F.lit(float(k - 1)) / frac)
+    )
+
+
+def kmv_jaccard(hashes_a: str, hashes_b: str, k: int) -> Column:
+    """Jaccard estimate between two sketch rows (Beyer et al. 2007 §5):
+    the bottom-k of A∪B is a k-sample of the union; the estimate is the
+    fraction of that sample present in BOTH sketches. Row-local array
+    expressions — join the two sketch rows first."""
+    union_k = F.slice(
+        F.array_sort(F.array_union(F.col(hashes_a), F.col(hashes_b))), 1, k
+    )
+    both = F.array_intersect(F.col(hashes_a), F.col(hashes_b))
+    inter = F.size(F.array_intersect(union_k, both))
+    return inter.cast("double") / F.least(F.size(union_k), F.lit(k)).cast("double")

@@ -425,3 +425,84 @@ def corpus_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_fraction=(_UNIMAX_NUM, _UNIMAX_DEN),
         max_epochs=_UNIMAX_EPOCHS,
     ).select("lang", "n_tokens", "cap", "is_capped", "alloc", "epochs_used")
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-vocabulary sketch (bottom-k order statistics)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 16  # testdata vocab is ~31 tokens/lang — k=16 saturates, exercising the (k-1)/U_(k) estimator arm under the oracle
+_KMV_HEX = 13  # == functions.sketches.KMV_HEX_CHARS (asserted in tests)
+_KMV_SPACE = float(16**_KMV_HEX)
+_KMV_TOKS_SQL = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
+
+
+@register(
+    "corpus_kmv_vocab",
+    f"""
+    WITH toks AS (
+      SELECT lang, UNNEST({_KMV_TOKS_SQL}) AS t FROM documents
+    ),
+    dh AS (SELECT DISTINCT lang, substr(md5(t), 1, {_KMV_HEX}) AS h FROM toks),
+    ranked AS (
+      SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rnk
+      FROM dh
+    ),
+    sk AS (
+      SELECT lang, list(h ORDER BY h) AS hashes
+      FROM ranked WHERE rnk <= {_KMV_K} GROUP BY lang
+    )
+    SELECT lang,
+           CAST(len(hashes) AS BIGINT) AS n_distinct_capped,
+           CASE WHEN len(hashes) >= {_KMV_K} THEN hashes[{_KMV_K}] END AS kth_hash,
+           CASE WHEN len(hashes) < {_KMV_K} THEN CAST(len(hashes) AS DOUBLE)
+                ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                     / (CAST(('0x' || hashes[{_KMV_K}]) AS BIGINT)::DOUBLE / {_KMV_SPACE!r})
+           END AS est_distinct
+    FROM sk
+    """,
+    category="corpus",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def corpus_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-vocabulary KMV sketch
+    (functions.sketches.kmv_build/kmv_merge, Beyer et al. SIGMOD 2007):
+    the engine builds per-(lang, doc-parity) shard sketches and MERGES
+    them — merge-exactness (bottom-k of a union == bottom-k of the
+    bottom-ks) means the whole-pass DuckDB oracle must hold bit for
+    bit, so the shard-rollup chain is oracle-checked like the
+    BM25/CMS families. The k-th minimum hash is exact hex (string
+    surface); the distinct estimate is (k-1)/U_(k) with the 52-bit hash
+    converting to double exactly — one IEEE division each engine, so
+    the float column rides the oracle too (the phrase_scores float
+    rule). Tokenization is lower + whitespace-split (NOT the LM
+    normalization: keeping punctuation makes the vocabulary sketch
+    sensitive to markup, which is the signal a corpus-profile wants)."""
+    from kafka_workers_spark.functions.sketches import (
+        KMV_HEX_CHARS,
+        kmv_build,
+        kmv_distinct_estimate,
+        kmv_merge,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = d.select(
+        "lang",
+        (F.col("doc_id") % 2).alias("__parity"),
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+        ).alias("__t"),
+    )
+    shards = kmv_build(toks, "__t", k=_KMV_K, group_cols=["lang", "__parity"]).drop(
+        "__parity"
+    )
+    sk = kmv_merge(shards, group_cols=["lang"])
+    assert KMV_HEX_CHARS == _KMV_HEX
+    return sk.select(
+        "lang",
+        "n_distinct_capped",
+        F.when(
+            F.size("hashes") >= _KMV_K, F.element_at("hashes", _KMV_K)
+        ).alias("kth_hash"),
+        kmv_distinct_estimate("hashes", _KMV_K).alias("est_distinct"),
+    )

@@ -548,3 +548,64 @@ def test_hdr_bucket_cross_engine_parity_random(spark):
     # smallest member — the roundtrip test pins bucket(low) == bucket(v))
     for v, (_idx, low) in got.items():
         assert low <= v
+
+
+def test_kmv_build_merge_equals_whole_pass_and_estimates(spark):
+    """Shard-merge == whole-pass bit for bit (the cms/bloom contract);
+    the estimate is exact below k and within the ~1/sqrt(k-2) band
+    above it; mixed-k merges raise."""
+    import pytest as _pt
+
+    from kafka_workers_spark.functions.sketches import (
+        kmv_build,
+        kmv_distinct_estimate,
+        kmv_jaccard,
+        kmv_merge,
+    )
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(i % 2, f"v{i % 1250}") for i in range(n)], "g int, v string"
+    )
+    k = 64
+    whole = kmv_build(df, "v", k=k)  # global group: 1250 distincts
+    shards = kmv_build(df, "v", k=k, group_cols=["g"]).drop("g")
+    merged = kmv_merge(shards)
+    w, m = whole.collect()[0], merged.collect()[0]
+    assert w.hashes == m.hashes and w.k == m.k == k
+    est = whole.select(kmv_distinct_estimate("hashes", k).alias("e")).collect()[0].e
+    assert abs(est - 1250) / 1250 < 4 / (k - 2) ** 0.5
+    # unsaturated: exact
+    small = kmv_build(df.filter("v IN ('v1','v2','v3')"), "v", k=k)
+    got = small.select(kmv_distinct_estimate("hashes", k).alias("e")).collect()[0].e
+    assert got == 3.0
+    # jaccard: identical sets -> 1.0; disjoint -> 0.0
+    a = kmv_build(df, "v", k=k).select(F.col("hashes").alias("ha"))
+    b = kmv_build(df, "v", k=k).select(F.col("hashes").alias("hb"))
+    j = a.crossJoin(b).select(kmv_jaccard("ha", "hb", k).alias("j")).collect()[0].j
+    assert j == 1.0
+    c = kmv_build(
+        spark.createDataFrame([(f"w{i}",) for i in range(500)], "v string"), "v", k=k
+    ).select(F.col("hashes").alias("hb"))
+    j0 = a.crossJoin(c).select(kmv_jaccard("ha", "hb", k).alias("j")).collect()[0].j
+    assert j0 == 0.0
+    mixed = kmv_build(df, "v", k=k).unionByName(kmv_build(df, "v", k=32))
+    with _pt.raises(Exception, match="mixed k"):
+        kmv_merge(mixed).collect()
+
+
+def test_kmv_jaccard_tracks_true_overlap(spark):
+    from kafka_workers_spark.functions.sketches import kmv_build, kmv_jaccard
+
+    # |A|=1000, |B|=1000, |A∩B|=500 -> true J = 500/1500
+    k = 128
+    a_vals = [(f"x{i}",) for i in range(1000)]
+    b_vals = [(f"x{i}",) for i in range(500, 1500)]
+    a = kmv_build(spark.createDataFrame(a_vals, "v string"), "v", k=k).select(
+        F.col("hashes").alias("ha")
+    )
+    b = kmv_build(spark.createDataFrame(b_vals, "v string"), "v", k=k).select(
+        F.col("hashes").alias("hb")
+    )
+    j = a.crossJoin(b).select(kmv_jaccard("ha", "hb", k).alias("j")).collect()[0].j
+    assert abs(j - 1 / 3) < 4 / (k ** 0.5)
