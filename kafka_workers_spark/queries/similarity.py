@@ -56,7 +56,17 @@ def _vectors_exploded(spark: SparkSession, sf_dir: str):
     return exploded, norms
 
 
-def _ann_scored(exploded: DataFrame, norms: DataFrame, same_label: bool) -> DataFrame:
+def _ann_scored(
+    exploded: DataFrame, norms: DataFrame, label_mode: str = "any"
+) -> DataFrame:
+    """Exact per-(query, candidate) cosine with an optional label
+    predicate pushed INTO the scoring join: "same" restricts to the
+    query's own class, "different" to other classes (hard-negative
+    mining — candidates of a foreign class the model would confuse),
+    "any" scores everything. Pushing the predicate into the join means
+    excluded pairs never reach the dot-product aggregate."""
+    if label_mode not in ("any", "same", "different"):
+        raise ValueError(f"label_mode ({label_mode!r}) must be any/same/different")
     q = (
         exploded.filter(F.col("vec_id") < N_QUERIES)
         .select(
@@ -67,8 +77,10 @@ def _ann_scored(exploded: DataFrame, norms: DataFrame, same_label: bool) -> Data
         )
     )
     cond = (F.col("qi") == F.col("i")) & (F.col("query_id") != F.col("vec_id"))
-    if same_label:
+    if label_mode == "same":
         cond = cond & (F.col("qlabel") == F.col("label"))
+    elif label_mode == "different":
+        cond = cond & (F.col("qlabel") != F.col("label"))
     dots = (
         exploded.join(F.broadcast(q), cond)
         .groupBy("query_id", "vec_id")
@@ -135,7 +147,53 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate stream, codegen'd SUM per (query, candidate), then one
     window shuffle keyed by query_id for the top-k heap."""
     exploded, norms = _vectors_exploded(spark, sf_dir)
-    return _topk(_ann_scored(exploded, norms, same_label=False), TOP_K)
+    return _topk(_ann_scored(exploded, norms), TOP_K)
+
+
+@register(
+    "ann_hard_negatives",
+    f"""
+    WITH vecs AS ({_SQL_VECS}),
+    queries AS (SELECT * FROM vecs WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label AS neg_label,
+             {sql_cosine_from_fixed(sql_dot_fixed('q.v6', 'c.v6', _DIM), 'q.norm6', 'c.norm6')} AS cosine
+      FROM queries q JOIN vecs c ON c.vec_id <> q.vec_id AND c.label <> q.label
+    )
+    SELECT query_id, vec_id AS neighbor_id, neg_label, rank, cosine FROM (
+      SELECT query_id, vec_id, neg_label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    category="similarity",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the top-k most-similar vectors of a DIFFERENT label — the
+    near-misses a bi-encoder must learn to push apart (the in-batch-
+    negatives upgrade every dense-retrieval recipe uses, e.g. Karpukhin
+    et al. DPR, EMNLP 2020 §3.2). Same exact fixed-point cosine and
+    plan as ann_cosine_topk with the label predicate pushed INTO the
+    scoring join (excluded pairs never reach the dot-product
+    aggregate); at 10⁹ vectors the same IVF/PQ shortlist + exact
+    re-rank composition applies, with the label filter riding the
+    candidate scan."""
+    exploded, norms = _vectors_exploded(spark, sf_dir)
+    scored = _ann_scored(exploded, norms, label_mode="different")
+    labels = exploded.select("vec_id", "label").distinct()
+    return (
+        _topk(scored, TOP_K)
+        .join(labels, F.col("neighbor_id") == F.col("vec_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("label").alias("neg_label"),
+            "rank",
+            "cosine",
+        )
+    )
 
 
 NPROBE = 2

@@ -838,3 +838,35 @@ def test_pq_encode_raises_on_null_vector_instead_of_dropping(spark):
     with pytest.raises(Exception, match="pq_encode"):
         pq_encode(poisoned, cents, dsub=16).count()
     cents.unpersist()
+
+
+def test_hard_negatives_excludes_own_label_and_ranks_by_cosine(spark):
+    """Every mined negative has a label different from its query's, and
+    the shortlist is exactly the all-label ranking with same-label rows
+    removed (the predicate prunes, never reorders)."""
+    from kafka_workers_spark.queries.similarity import (
+        _ann_scored,
+        _topk,
+        _vectors_exploded,
+        TOP_K,
+    )
+
+    exploded, norms = _vectors_exploded(spark, "/root/testdata/sf0.001")
+    labels = {r.vec_id: r.label for r in exploded.select("vec_id", "label").distinct().collect()}
+    neg = _topk(_ann_scored(exploded, norms, label_mode="different"), TOP_K).collect()
+    assert neg and all(labels[r.neighbor_id] != labels[r.query_id] for r in neg)
+    # filter-then-rank == rank-over-filtered
+    allsc = _ann_scored(exploded, norms).collect()
+    by_q = {}
+    for r in allsc:
+        if labels[r.vec_id] != labels[r.query_id]:
+            by_q.setdefault(r.query_id, []).append((-r.cosine, r.vec_id))
+    expect = set()
+    for qid, rows in by_q.items():
+        for rank, (_, vid) in enumerate(sorted(rows)[:TOP_K], 1):
+            expect.add((qid, vid, rank))
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in neg} == expect
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="label_mode"):
+        _ann_scored(exploded, norms, label_mode="nope")
