@@ -42,26 +42,44 @@ class NBModel(NamedTuple):
     alpha: float
 
 
-def _feature_buckets(text_col: str, n_buckets: int) -> Column:
-    """Hashed unigram+bigram feature buckets of a document — the DSIR
+def _feature_rows(
+    df: DataFrame,
+    keep_cols: list[str],
+    text_col: str,
+    n_buckets: int,
+    outer: bool,
+) -> DataFrame:
+    """Exploded hashed unigram+bigram feature-bucket rows — the DSIR
     feature space (operators/text.py dsir_weights), md5-prefix hashed so
-    an oracle can replay it in ANSI SQL."""
+    an oracle can replay it in ANSI SQL. The token array is MATERIALIZED
+    behind a barrier before the bigram lambdas touch it: higher-order
+    functions are interpreted, and an inlined token expression would
+    re-run the normalize+split+filter chain on every ``element_at`` call
+    — O(tokens²) string work per document (measured: the inlined form
+    put text_nb_score at ~19 s at sf0.1; staged, ~2 s — the
+    tokenize_stage rule, enforced here after being learned the hard
+    way). ``outer`` keeps featureless documents as one NULL-bucket row
+    (the scoring contract: the prior still applies)."""
+    from kafka_workers_spark.operators.dedup import barrier
+
     toks = F.filter(tokens(normalized(F.col(text_col))), lambda t: F.length(t) > 0)
+    staged = barrier(df.select(*keep_cols, toks.alias("__toks")))
     bi = F.when(
-        F.size(toks) >= 2,
+        F.size("__toks") >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
+            F.sequence(F.lit(0), F.size("__toks") - 2),
             lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                " ", F.element_at("__toks", i + 1), F.element_at("__toks", i + 2)
             ),
         ),
     ).otherwise(F.array())
-    feats = F.concat(toks, bi)
-    return F.transform(
-        feats,
+    buckets = F.transform(
+        F.concat(F.col("__toks"), bi),
         lambda f: F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("bigint")
         % n_buckets,
     )
+    ex = F.explode_outer(buckets) if outer else F.explode(buckets)
+    return staged.select(*keep_cols, ex.alias("__b"))
 
 
 def nb_train(
@@ -90,18 +108,17 @@ def nb_train(
         raise ValueError(f"n_buckets ({n_buckets}) must be positive")
     if alpha <= 0:
         raise ValueError(f"alpha ({alpha}) must be positive (add-α smoothing)")
-    labeled = docs.where(F.col(label_col).isNotNull())
-    fb = labeled.select(
-        F.col(label_col).alias("label"),
-        F.explode(_feature_buckets(text_col, n_buckets)).alias("__b"),
+    labeled = docs.where(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("label"), F.col(text_col).alias(text_col)
     )
+    fb = _feature_rows(labeled, ["label"], text_col, n_buckets, outer=False)
     feature_counts = fb.groupBy("label", "__b").agg(F.count("*").alias("__cnt"))
     n_toks = F.size(
         F.filter(tokens(normalized(F.col(text_col))), lambda t: F.length(t) > 0)
     )
     class_stats = (
         labeled.select(
-            F.col(label_col).alias("label"),
+            "label",
             (n_toks + F.greatest(n_toks - 1, F.lit(0))).alias("__nf"),
         )
         .groupBy("label")
@@ -140,10 +157,7 @@ def nb_score(
     K-way)."""
     m = float(model.n_buckets)
     a = model.alpha
-    fb = docs.select(
-        F.col(id_col),
-        F.explode_outer(_feature_buckets(text_col, model.n_buckets)).alias("__b"),
-    )
+    fb = _feature_rows(docs, [id_col], text_col, model.n_buckets, outer=True)
     labels = model.class_stats.select("label", "__docs", "__toks")
     # a model trained on zero labeled rows has NO labels, and an inner
     # label cross would silently score nothing — the silent-no-op
