@@ -1070,3 +1070,75 @@ def pq_codes_long(
     return df.select(
         id_col, F.posexplode(F.col(codes_col)).alias("sub", "code")
     ).withColumn("code", F.col("code").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Stored IVF-PQ index (parquet persistence round-trip)
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple  # noqa: E402 — grouped with its consumers
+
+
+class IvfPqIndex(NamedTuple):
+    """A stored IVFADC index: the four frames :func:`ivf_pq_topk` needs,
+    persistable between ingest and query time (the :class:`~kafka_workers_spark.
+    operators.text.Bm25Index` shape for the embedding side; the
+    reference's analog is again its stored offsets contract —
+    impl/offsets/DefaultOffsetsState.java, state that survives restart).
+    ``ivf_cents``/``pq_cents`` are model-sized, ``codes``/``assign`` are
+    corpus-sized but at m·log2(k) bits + one list id per vector —
+    the at-rest compressed representation, 30-60× smaller than the
+    float vectors they index."""
+
+    ivf_cents: DataFrame  # list_id, i, c6
+    pq_cents: DataFrame  # sub, code, j, c6
+    codes: DataFrame  # id_col, sub, code
+    assign: DataFrame  # id_col, list_id
+    dsub: int
+    id_col: str
+
+
+#: ann_write_index layout version — bump on any table-schema change
+_ANN_INDEX_VERSION = 1
+
+
+def ann_write_index(index: IvfPqIndex, path: str, mode: str = "error") -> None:
+    """Persist the index as five parquet tables under ``path`` (four
+    frames + a one-row meta table carrying ``dsub``, ``id_col`` and a
+    layout version). Build at ingest (kmeans_fixed → assign_lists →
+    pq_train), write once; every later search starts from
+    :func:`ann_read_index` without re-training or re-encoding."""
+    spark = index.ivf_cents.sparkSession
+    index.ivf_cents.write.mode(mode).parquet(f"{path}/ivf_cents")
+    index.pq_cents.write.mode(mode).parquet(f"{path}/pq_cents")
+    index.codes.write.mode(mode).parquet(f"{path}/codes")
+    index.assign.write.mode(mode).parquet(f"{path}/assign")
+    meta = spark.createDataFrame(
+        [(index.id_col, index.dsub, _ANN_INDEX_VERSION)],
+        "id_col string, dsub int, version int",
+    )
+    meta.write.mode(mode).parquet(f"{path}/meta")
+
+
+def ann_read_index(spark, path: str) -> IvfPqIndex:
+    """Load a stored index written by :func:`ann_write_index`. One
+    driver-side read of the one-row meta table (the pinned-param
+    pattern); the four data frames stay lazy parquet scans — a probed
+    search's broadcast list filter reaches the codes scan as a
+    partition-prunable join."""
+    row = spark.read.parquet(f"{path}/meta").collect()
+    if len(row) != 1:
+        raise ValueError(f"ann_read_index: expected one meta row, got {len(row)}")
+    if row[0].version != _ANN_INDEX_VERSION:
+        raise ValueError(
+            f"ann_read_index: layout version {row[0].version} != "
+            f"{_ANN_INDEX_VERSION} — rebuild the index with this package"
+        )
+    return IvfPqIndex(
+        ivf_cents=spark.read.parquet(f"{path}/ivf_cents"),
+        pq_cents=spark.read.parquet(f"{path}/pq_cents"),
+        codes=spark.read.parquet(f"{path}/codes"),
+        assign=spark.read.parquet(f"{path}/assign"),
+        dsub=row[0].dsub,
+        id_col=row[0].id_col,
+    )

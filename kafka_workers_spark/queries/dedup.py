@@ -628,3 +628,71 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_distance",
         jac.alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (asymmetric: quotes / subsets / wrapped copies)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct([substr(md5(sh), 1, 16) FOR sh IN {_SHINGLES_SQL}]) AS hashes
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, hashes, list_aggregate(hashes, 'min') AS block_key
+      FROM docs WHERE len(hashes) > 0
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hashes AS h_a, b.hashes AS h_b
+      FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(h_a, h_b)) AS BIGINT) AS n_shared,
+           CAST(len(list_intersect(h_a, h_b)) AS DOUBLE) / len(h_a) AS containment_a,
+           CAST(len(list_intersect(h_a, h_b)) AS DOUBLE) / len(h_b) AS containment_b
+    FROM pairs
+    """,
+    category="dedup",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT for blocked pairs (Broder, "On the
+    resemblance and containment of documents", SEQUENCES 1997 — the
+    asymmetric companion to resemblance/Jaccard): C(A,B) = |A∩B|/|A|.
+    A short document quoted inside a long one has high containment but
+    low Jaccard — the wrapped-copy / boilerplate-inclusion case a
+    symmetric threshold misses; dedup policy drops the CONTAINED side
+    (the quote), not the container. Same 1-hash min-shingle blocking
+    and digest-set arithmetic as dedup_ngram_jaccard — the two scores
+    come from one intersection, so running both costs one plan."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = shingle_stage(tokenize_stage(d.select("doc_id", "text")), 3, distinct=True)
+    docs = (
+        staged.select("doc_id", F.explode_outer("shingles").alias("__sh"))
+        .select("doc_id", F.substring(F.md5("__sh"), 1, 16).alias("__h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("__h").alias("hashes"), F.min("__h").alias("block_key"))
+        .filter(F.col("block_key").isNotNull())
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.hashes").alias("h_a"),
+        F.col("b.hashes").alias("h_b"),
+    )
+    shared = F.size(F.array_intersect("h_a", "h_b"))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        shared.cast("bigint").alias("n_shared"),
+        (shared.cast("double") / F.size("h_a")).alias("containment_a"),
+        (shared.cast("double") / F.size("h_b")).alias("containment_b"),
+    )

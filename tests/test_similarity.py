@@ -870,3 +870,64 @@ def test_hard_negatives_excludes_own_label_and_ranks_by_cosine(spark):
 
     with _pt.raises(ValueError, match="label_mode"):
         _ann_scored(exploded, norms, label_mode="nope")
+
+
+def test_ivf_pq_index_parquet_roundtrip_search_identical(spark, tmp_path):
+    """Train the IVFADC pieces once, persist them with ann_write_index,
+    reload in a fresh read path, and search — bit-identical to searching
+    the in-memory frames (the stored index-once/search-many shape; the
+    BM25 round-trip's embedding twin). Unknown layout versions refuse."""
+    from kafka_workers_spark.operators.similarity import (
+        IvfPqIndex,
+        ann_read_index,
+        ann_write_index,
+        ivf_pq_topk,
+        kmeans_fixed,
+        pq_train,
+    )
+    from kafka_workers_spark.queries.similarity import (
+        _vectors_exploded,
+        _DIM,
+        _PQ_DSUB,
+        IVF_ITERS,
+        K_LISTS,
+        N_QUERIES,
+        NPROBE,
+        PQ_CODES,
+        PQ_ITERS,
+        PQ_M,
+        TOP_K,
+        TRAIN_MOD,
+    )
+
+    exploded, _ = _vectors_exploded(spark, "/root/testdata/sf0.001")
+    comp = exploded.select("vec_id", "i", "x")
+    train = comp.filter(F.col("vec_id") % TRAIN_MOD == 0)
+    cents, codes = pq_train(comp, m=PQ_M, dim=_DIM, k=PQ_CODES, iters=PQ_ITERS, train=train)
+    ivf_cents, assign = kmeans_fixed(comp, k=K_LISTS, iters=IVF_ITERS, train=train)
+    q = comp.filter(F.col("vec_id") < N_QUERIES)
+
+    fresh = sorted(map(tuple, ivf_pq_topk(
+        codes, cents, assign, ivf_cents, q, dsub=_PQ_DSUB, nprobe=NPROBE, k_top=TOP_K
+    ).collect()))
+
+    path = str(tmp_path / "ivfpq")
+    ann_write_index(
+        IvfPqIndex(ivf_cents, cents, codes, assign, dsub=_PQ_DSUB, id_col="vec_id"),
+        path,
+    )
+    idx = ann_read_index(spark, path)
+    assert idx.dsub == _PQ_DSUB and idx.id_col == "vec_id"
+    stored = sorted(map(tuple, ivf_pq_topk(
+        idx.codes, idx.pq_cents, idx.assign, idx.ivf_cents, q,
+        dsub=idx.dsub, nprobe=NPROBE, k_top=TOP_K,
+    ).collect()))
+    assert stored == fresh and len(fresh) > 0
+
+    spark.createDataFrame(
+        [("vec_id", _PQ_DSUB, 999)], "id_col string, dsub int, version int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="layout version"):
+        ann_read_index(spark, path)
