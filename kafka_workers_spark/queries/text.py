@@ -1310,8 +1310,20 @@ def text_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_workers_spark.operators.text import hashed_doc_vectors
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    vecs = hashed_doc_vectors(docs, dim=_TC_DIM, max_df_fraction=_TC_MAX_DF).select(
-        F.col("doc_id").alias("vec_id"), "i", "x"
+    # pin the hashed vectors BEFORE the Lloyd loop: kmeans_fixed
+    # references its training frame twice per iteration plus the final
+    # assignment pass (~5 plan references at 2 iters), and unpinned each
+    # one re-derives the tfidf→hash chain (three shuffles). The frame is
+    # docs×dim rows — tiny. Honest local reading: sf0.1 wall barely
+    # moves (~4-5 s either way — the chain re-runs were already served
+    # by ReusedExchange, and local wall is per-stage scheduling across
+    # the ~9 Lloyd shuffles); the pin matters at 100 TB where the chain
+    # is NOT exchange-reusable across iterations (AQE re-plans break
+    # reuse) and each re-derivation would re-scan the corpus.
+    vecs = (
+        hashed_doc_vectors(docs, dim=_TC_DIM, max_df_fraction=_TC_MAX_DF)
+        .select(F.col("doc_id").alias("vec_id"), "i", "x")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cents, assign = kmeans_fixed(vecs, k=_TC_K, iters=_TC_ITERS)
     # two consumers below (sizes aggregate + the final join) and ~7 plan
