@@ -63,7 +63,7 @@ def _sql_pagerank_ctes(iters: int) -> str:
     FROM r{_PR_ITERS}
     """,
     category="graph",
-    windowed=False,  # new round 8 — EXTRA until rotated in
+    # rotated INTO the driver window round 8 for join_full_outer
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration exact-integer PageRank (Page et al. 1999;

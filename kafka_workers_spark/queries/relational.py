@@ -780,6 +780,7 @@ def subquery_scalar_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(c.user_id, e.user_id) AS user_id, c.n_clicks, e.n_errors
     FROM clickers c FULL OUTER JOIN erroring e ON c.user_id = e.user_id
     """,
+    windowed=False,  # rotated out round 8 for graph_pagerank (VERDICT r07 #5 continuation)
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1146,6 +1147,7 @@ def agg_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            string_split(CAST(user_id AS VARCHAR) || ',' || event_type, ',')[2] AS et_decoded
     FROM events
     """,
+    windowed=False,  # rotated out round 8 for text_lm_kneser_ney (VERDICT r07 #5 continuation)
 )
 def value_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read value decode (sources/decode.py): the reference's

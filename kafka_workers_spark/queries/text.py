@@ -701,7 +701,7 @@ _KN_S = 1_000_000_000  # == operators.text.KN_SCALE (asserted in tests)
     ) s USING (doc_id)
     """,
     category="text",
-    windowed=False,  # new round 8 — EXTRA until rotated in
+    # rotated INTO the driver window round 8 for value_decode_json
 )
 def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM scoring
