@@ -1243,3 +1243,63 @@ def shuffle_corpus(
     shuffled order for free.
     """
     return docs.orderBy(F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))))
+
+
+def nucleus_select(
+    df: DataFrame,
+    mass_col: str,
+    p: tuple[int, int],
+    group_cols: list[str],
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-p (nucleus) mass selection per group: keep the best-ranked
+    rows until the kept set's cumulative ``mass_col`` first reaches
+    fraction ``p`` of the group total — the budget form of "take the
+    top of the quality distribution" (nucleus sampling's cutoff rule,
+    Holtzman et al. ICLR 2020, applied to corpus curation: spend p of a
+    language's token mass on its best documents). Ranking is
+    ``order_col`` DESCENDING (default: the mass itself) with ``id_col``
+    as the deterministic tiebreak.
+
+    The keep rule is the EXACT integer predicate ``mass_before · den <
+    total · num`` in DECIMAL(38,0) (the :func:`unimax_allocation`
+    discipline — mass × mass products pass int64 at web scale): a row
+    survives iff the mass ACCUMULATED BEFORE it is still short of the
+    target, so the kept set is the minimal rank-prefix whose mass
+    reaches ≥ p·total, every group keeps at least its top row, and no
+    float ever decides membership. Returns kept rows with audit columns
+    ``mass_before`` and ``group_total``.
+
+    Scale shape: one counts shuffle for the totals (map-side partial),
+    one window per group for the running sum. The window sorts each
+    group in one task — acceptable for strata-sized groups (languages,
+    sources); for per-DOMAIN nucleus selection with web-scale hot
+    domains, route through :func:`cap_per_key`'s two-path trick first
+    so only plausibly-cut groups pay the sort.
+    """
+    from pyspark.sql import Window as W
+
+    num, den = p
+    if not 0 < num <= den:
+        raise ValueError(f"p ({p}) must be a rational in (0, 1]")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (a global nucleus is one group)")
+    order = F.col(order_col if order_col is not None else mass_col)
+    w = (
+        W.partitionBy(*group_cols)
+        .orderBy(order.desc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    totals = df.groupBy(*group_cols).agg(
+        F.sum(mass_col).cast("bigint").alias("group_total")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        df.withColumn(
+            "mass_before",
+            F.coalesce(F.sum(mass_col).over(w), F.lit(0)).cast("bigint"),
+        )
+        .join(totals, group_cols)
+        .filter(d38(F.col("mass_before")) * d38(F.lit(den)) < d38(F.col("group_total")) * d38(F.lit(num)))
+    )

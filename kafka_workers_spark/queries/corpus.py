@@ -506,3 +506,63 @@ def corpus_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kth_hash"),
         kmv_distinct_estimate("hashes", _KMV_K).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p mass) selection per language
+# ---------------------------------------------------------------------------
+
+_NUC_NUM, _NUC_DEN = 3, 5  # keep the top docs covering 3/5 of each lang's tokens
+_NUC_TOKS_SQL = (
+    "list_filter(string_split("
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g')), ' '), t -> len(t) > 0)"
+)
+
+
+@register(
+    "corpus_nucleus_tokens",
+    f"""
+    WITH toked AS (
+      SELECT lang, doc_id, CAST(len({_NUC_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS group_total
+            FROM toked GROUP BY lang),
+    ranked AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS mass_before
+      FROM toked
+    )
+    SELECT r.lang, r.doc_id, r.n_tokens, r.mass_before, tot.group_total
+    FROM ranked r JOIN tot ON tot.lang = r.lang
+    WHERE r.mass_before::HUGEINT * {_NUC_DEN} < tot.group_total::HUGEINT * {_NUC_NUM}
+    """,
+    category="corpus",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def corpus_nucleus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language nucleus selection (pipeline.nucleus_select, the
+    Holtzman et al. top-p cutoff applied to token budgeting): rank each
+    language's documents by token count (id tiebreak) and keep the
+    minimal prefix covering {_NUC_NUM}/{_NUC_DEN} of its token mass —
+    the exact DECIMAL(38,0) predicate decides membership, so the kept
+    set replays bit-for-bit in the window-function oracle. Tokens are
+    the LM family's normalized non-empty whitespace tokens."""
+    from kafka_workers_spark.operators.text import normalized
+    from kafka_workers_spark.pipeline import nucleus_select
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toked = d.select(
+        "lang",
+        "doc_id",
+        F.size(
+            F.filter(tokens(normalized(F.col("text"))), lambda t: F.length(t) > 0)
+        ).cast("bigint").alias("n_tokens"),
+    )
+    return nucleus_select(
+        toked, "n_tokens", p=(_NUC_NUM, _NUC_DEN), group_cols=["lang"]
+    ).select("lang", "doc_id", "n_tokens", "mass_before", "group_total")

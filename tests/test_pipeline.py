@@ -1069,3 +1069,36 @@ def test_unimax_allocation_fractional_budget_and_validation(spark):
     )
     with pytest.raises(Exception, match="NULL stratum"):
         unimax_allocation(null_stratum, 10).collect()
+
+
+def test_nucleus_select_minimal_prefix_and_guards(spark):
+    """The kept set is the MINIMAL rank-prefix reaching >= p of the group
+    mass: known answer per group, at least the top row always survives,
+    exact boundary (mass_before*den == total*num) excludes."""
+    from kafka_workers_spark.pipeline import nucleus_select
+
+    rows = [
+        # g1 total 100: ranks 50, 30, 20 -> keep 50 (0<60), 30 (50<60), stop (80>60... 80*? )
+        ("g1", 1, 50), ("g1", 2, 30), ("g1", 3, 20),
+        # g2 single row always kept
+        ("g2", 4, 7),
+        # g3 exact boundary: 60+40, p=3/5 -> keep 60 (0<60*...), second has
+        # mass_before*5 = 300 == total*3 -> excluded (predicate is strict)
+        ("g3", 5, 60), ("g3", 6, 40),
+    ]
+    df = spark.createDataFrame(rows, "g string, doc_id long, m long")
+    kept = sorted(
+        (r.g, r.doc_id, r.mass_before, r.group_total)
+        for r in nucleus_select(df, "m", p=(3, 5), group_cols=["g"]).collect()
+    )
+    assert kept == [
+        ("g1", 1, 0, 100), ("g1", 2, 50, 100),
+        ("g2", 4, 0, 7),
+        ("g3", 5, 0, 100),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="p "):
+        nucleus_select(df, "m", p=(6, 5), group_cols=["g"])
+    with _pt.raises(ValueError, match="group_cols"):
+        nucleus_select(df, "m", p=(1, 2), group_cols=[])
