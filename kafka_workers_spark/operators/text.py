@@ -1993,3 +1993,56 @@ def phrase_scores(
         score.alias("score"),
         ((F.col("pair_cnt") > F.lit(delta)) & (lift_num > lift_den)).alias("is_phrase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional index + exact phrase search
+# ---------------------------------------------------------------------------
+
+
+def positional_index(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Positional postings ``(id_col, pos, term)`` over the LM family's
+    normalized non-empty whitespace tokens — the boolean/phrase-query
+    companion to the BM25 ranked index (an IR engine keeps both: tf for
+    ranking, positions for phrase and proximity operators). Token
+    staging goes behind a barrier (the tokenize_stage rule); positions
+    are 0-based. Persistable as a table exactly like
+    :class:`Bm25Index`'s postings — build at ingest, filter by term at
+    query time (the term predicate prunes the scan)."""
+    from kafka_workers_spark.operators.dedup import barrier
+
+    toks = F.filter(tokens(normalized(F.col(text_col))), lambda t: F.length(t) > 0)
+    staged = barrier(docs.select(id_col, toks.alias("__toks")))
+    return staged.select(
+        id_col, F.posexplode("__toks").alias("pos", "term")
+    ).select(id_col, F.col("pos").cast("bigint").alias("pos"), "term")
+
+
+def phrase_search(
+    index, phrase: list[str], id_col: str = "doc_id"
+) -> "DataFrame":
+    """Exact phrase occurrences via the positional index: term ``i`` of
+    the phrase must appear at ``start + i``, so the match is a k-way
+    equi-join of term-filtered posting lists on ``(id, shifted pos)`` —
+    the classic positional-intersection plan (Manning/Raghavan/Schütze,
+    IIR §2.4). Each join side is one term's postings (the term filter
+    prunes the index scan); no payloads, no window, no Python. Returns
+    ``(id_col, n_matches)`` for documents with at least one occurrence
+    (n_matches = distinct start positions).
+
+    Scale shape: intersection cost is bounded by the RAREST term's
+    posting list once the optimizer reorders the equi-joins (feed the
+    rarest first for a guaranteed bound); at web scale this is the
+    standard two-term-then-verify plan. Repeated phrase terms are fine
+    — each instance joins at its own offset."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    base = index.filter(F.col("term") == phrase[0]).select(
+        id_col, F.col("pos").alias("__p")
+    )
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = index.filter(F.col("term") == t).select(
+            id_col, (F.col("pos") - i).alias("__p")
+        )
+        base = base.join(nxt, [id_col, "__p"])
+    return base.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_matches"))

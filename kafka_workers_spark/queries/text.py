@@ -1337,3 +1337,43 @@ def text_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("list_id").alias("topic_id"),
         "topic_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("table", "value")  # common testdata bigram — non-empty result set
+
+
+@register(
+    "text_phrase_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_LM_TOKS_SQL} AS ts FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             UNNEST([{{'p': i - 1, 'term': ts[i]}}
+                     FOR i IN generate_series(1, len(ts))], recursive := true)
+      FROM toks WHERE len(ts) > 0
+    ),
+    m0 AS (SELECT doc_id, p FROM pos WHERE term = '{_PHRASE[0]}'),
+    m1 AS (SELECT doc_id, p - 1 AS p FROM pos WHERE term = '{_PHRASE[1]}')
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM m0 JOIN m1 USING (doc_id, p)
+    GROUP BY doc_id
+    """,
+    category="text",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query over the positional index
+    (operators.text.positional_index / phrase_search, IIR §2.4): count
+    occurrences of the two-word phrase per document via term-filtered
+    posting-list intersection on (doc, shifted position). The oracle
+    replays tokenization, positions, and the positional join."""
+    from kafka_workers_spark.operators.text import phrase_search, positional_index
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_search(positional_index(d), list(_PHRASE))

@@ -1218,3 +1218,28 @@ def test_kneser_ney_guards(spark):
     empty_ref = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
     with pytest.raises(Exception, match="no bigrams"):
         kneser_ney_score(docs, ref_docs=empty_ref).collect()
+
+
+def test_phrase_search_counts_and_overlaps(spark):
+    """Known-answer phrase counts including overlapping matches, repeated
+    phrase terms, and the three-term join path; empty phrase raises."""
+    from kafka_workers_spark.operators.text import phrase_search, positional_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big cat big cat big"),   # "big cat" x2; "big cat big" x2 (overlap)
+            (2, "cat big"),                # reversed -> no match
+            (3, "big big big"),            # repeated term: "big big" x2
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    idx = positional_index(docs)
+    two = {r.doc_id: r.n_matches for r in phrase_search(idx, ["big", "cat"]).collect()}
+    assert two == {1: 2}
+    three = {r.doc_id: r.n_matches for r in phrase_search(idx, ["big", "cat", "big"]).collect()}
+    assert three == {1: 2}
+    rep = {r.doc_id: r.n_matches for r in phrase_search(idx, ["big", "big"]).collect()}
+    assert rep == {3: 2}
+    with pytest.raises(ValueError, match="phrase"):
+        phrase_search(idx, [])
