@@ -2046,3 +2046,54 @@ def phrase_search(
         )
         base = base.join(nxt, [id_col, "__p"])
     return base.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_matches"))
+
+
+def proximity_search(
+    index,
+    term_a: str,
+    term_b: str,
+    window: int = 8,
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Within-``window`` co-occurrence over the positional index (the
+    proximity operator of IIR §2.4.2 — "near(a, b, w)" ranking/filter
+    primitive): per document, the pairs of positions ``(pa, pb)`` with
+    ``|pa − pb| <= window`` — ``n_pairs`` plus the tightest distance
+    ``min_dist``. For ``term_a == term_b`` pairs are unordered
+    (``pa < pb``), so self-proximity counts each pair once.
+
+    Scale shape: positions band into width-``window`` buckets and the
+    two posting lists equi-join on ``(id, bucket)`` with one side
+    exploded to its 3 adjacent buckets — a pair within ``window`` is
+    never more than one bucket away, each true pair lands in EXACTLY
+    one (its pb's bucket), and the join never crosses documents or
+    distant buckets, so hot terms cost bucket-local work instead of a
+    per-doc tf(a)×tf(b) cross. The exact ``|pa − pb| <= window`` filter
+    runs on bucket-collided candidates only."""
+    if window < 1:
+        raise ValueError(f"window ({window}) must be >= 1")
+    a = index.filter(F.col("term") == term_a).select(
+        id_col,
+        F.col("pos").alias("__pa"),
+        F.explode(
+            F.array(
+                F.expr(f"pos DIV {window} - 1"),
+                F.expr(f"pos DIV {window}"),
+                F.expr(f"pos DIV {window} + 1"),
+            )
+        ).alias("__bkt"),
+    )
+    b = index.filter(F.col("term") == term_b).select(
+        id_col, F.col("pos").alias("__pb"), F.expr(f"pos DIV {window}").alias("__bkt")
+    )
+    pairs = a.join(b, [id_col, "__bkt"]).filter(
+        F.abs(F.col("__pa") - F.col("__pb")) <= window
+    )
+    if term_a == term_b:
+        pairs = pairs.filter(F.col("__pa") < F.col("__pb"))
+    else:
+        pairs = pairs.filter(F.col("__pa") != F.col("__pb"))
+    return pairs.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.min(F.abs(F.col("__pa") - F.col("__pb"))).cast("bigint").alias("min_dist"),
+    )

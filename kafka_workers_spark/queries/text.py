@@ -1377,3 +1377,43 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return phrase_search(positional_index(d), list(_PHRASE))
+
+
+_PROX_W = 5
+
+
+@register(
+    "text_proximity_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_LM_TOKS_SQL} AS ts FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             UNNEST([{{'p': i - 1, 'term': ts[i]}}
+                     FOR i IN generate_series(1, len(ts))], recursive := true)
+      FROM toks WHERE len(ts) > 0
+    ),
+    a AS (SELECT doc_id, p AS pa FROM pos WHERE term = '{_PHRASE[0]}'),
+    b AS (SELECT doc_id, p AS pb FROM pos WHERE term = '{_PHRASE[1]}')
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(ABS(pa - pb)) AS BIGINT) AS min_dist
+    FROM a JOIN b USING (doc_id)
+    WHERE ABS(pa - pb) <= {_PROX_W} AND pa <> pb
+    GROUP BY doc_id
+    """,
+    category="text",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-window co-occurrence (operators.text.proximity_search,
+    IIR §2.4.2): documents where the two terms appear within _PROX_W
+    positions, with pair count and tightest distance. The engine runs
+    the bucket-banded plan (positions band into width-w buckets, one
+    side explodes to 3 adjacent buckets, exact filter on candidates);
+    the oracle verifies its SEMANTICS with the naive per-doc join —
+    banded == naive is exactly the claim under test."""
+    from kafka_workers_spark.operators.text import positional_index, proximity_search
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return proximity_search(positional_index(d), _PHRASE[0], _PHRASE[1], window=_PROX_W)

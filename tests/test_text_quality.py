@@ -1243,3 +1243,40 @@ def test_phrase_search_counts_and_overlaps(spark):
     assert rep == {3: 2}
     with pytest.raises(ValueError, match="phrase"):
         phrase_search(idx, [])
+
+
+def test_proximity_search_banded_equals_naive_and_edges(spark):
+    """The bucket-banded plan equals a brute-force Python replay on a
+    randomized corpus (pairs never double-count across the 3-bucket
+    explode), same-term pairs are unordered, window guard raises."""
+    import random
+
+    from kafka_workers_spark.operators.text import positional_index, proximity_search
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc"]
+    corpus = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for i in range(30)
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    idx = positional_index(docs)
+    for ta, tb, w in [("aa", "bb", 3), ("aa", "aa", 5), ("bb", "cc", 1)]:
+        got = {
+            r.doc_id: (r.n_pairs, r.min_dist)
+            for r in proximity_search(idx, ta, tb, window=w).collect()
+        }
+        expect = {}
+        for did, text in corpus.items():
+            toks = text.split() if text else []
+            pa = [i for i, t in enumerate(toks) if t == ta]
+            pb = [i for i, t in enumerate(toks) if t == tb]
+            if ta == tb:
+                pairs = [(x, y) for x in pa for y in pb if x < y and y - x <= w]
+            else:
+                pairs = [(x, y) for x in pa for y in pb if x != y and abs(x - y) <= w]
+            if pairs:
+                expect[did] = (len(pairs), min(abs(x - y) for x, y in pairs))
+        assert got == expect, (ta, tb, w)
+    with pytest.raises(ValueError, match="window"):
+        proximity_search(idx, "aa", "bb", window=0)
