@@ -186,3 +186,57 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return left_s.join(right_s, [*on, "__salt"], how).drop("__salt")
+
+
+def funnel_steps(
+    events: DataFrame,
+    step_values: list,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel resolution (the event-analytics staple — e.g.
+    ClickHouse's windowFunnel / sequenceMatch family, re-expressed as
+    relational aggregates): per user, the EARLIEST-GREEDY completion of
+    the step sequence — ``t_1`` = first step-1 event, ``t_i`` = first
+    step-i event STRICTLY after ``t_{i-1}``. Returns one row per user
+    who reached step 1: ``(user_col, t_1..t_k, depth)``, NULL
+    timestamps past the reached depth (prefix property: depth = count
+    of non-NULL stages). Time-windowed funnels compose by filtering
+    ``events`` to the window first.
+
+    Semantics notes: earliest-greedy is the standard unambiguous choice
+    (any completion implies the greedy one, stage by stage — the greedy
+    chain is dominated by every other chain); equal timestamps do NOT
+    advance a stage (strict ``>``), so a view and a click in the same
+    microsecond don't form a sequence.
+
+    Shape at scale: k chained (filter → user-keyed min-aggregate)
+    passes — each is one partial-aggregatable shuffle of (user, ts)
+    pairs with the step predicate pushed to the scan, joined to the
+    previous stage's user-keyed frame (broadcast when small). No
+    windows, no per-user sort, no session state."""
+    if not step_values:
+        raise ValueError("step_values must be non-empty")
+    cur = (
+        events.filter(F.col(type_col) == step_values[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, v in enumerate(step_values[1:], start=2):
+        prev_t = f"t_{i - 1}"
+        nxt = (
+            events.filter(F.col(type_col) == v)
+            .join(cur.select(user_col, prev_t), user_col)
+            .filter(F.col(ts_col) > F.col(prev_t))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    depth = None
+    for i in range(1, len(step_values) + 1):
+        term = F.col(f"t_{i}").isNotNull().cast("bigint")
+        depth = term if depth is None else depth + term
+    return cur.select(
+        user_col, *[f"t_{i}" for i in range(1, len(step_values) + 1)], depth.alias("depth")
+    )

@@ -1174,3 +1174,41 @@ def value_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.uid").alias("uid_decoded"),
         F.col("c.et").alias("et_decoded"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel over the events stream table
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "events_funnel",
+    f"""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t_1 FROM events
+                WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t_2 FROM events e
+           JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t_1
+           WHERE e.event_type = '{_FUNNEL_STEPS[1]}' GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t_3 FROM events e
+           JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t_2
+           WHERE e.event_type = '{_FUNNEL_STEPS[2]}' GROUP BY 1)
+    SELECT s1.user_id, t_1, t_2, t_3,
+           CAST(1 + CAST(t_2 IS NOT NULL AS INT) + CAST(t_3 IS NOT NULL AS INT)
+                AS BIGINT) AS depth
+    FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-greedy ordered funnel view→click→purchase
+    (operators.relational.funnel_steps): per user, the first chain of
+    the three steps in strict time order, with reached depth. The
+    oracle replays the chained min-aggregates; strict `>` means equal
+    timestamps never advance a stage on either engine."""
+    from kafka_workers_spark.operators.relational import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, list(_FUNNEL_STEPS))

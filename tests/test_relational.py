@@ -322,3 +322,34 @@ def test_asof_nearest_shares_one_exchange(spark):
     back = audit(asof_join(left, right, "k", "lts", "rts", direction="backward"))
     near = audit(asof_join(left, right, "k", "lts", "rts", direction="nearest"))
     assert near.exchanges == back.exchanges, (near.exchanges, back.exchanges)
+
+
+def test_funnel_steps_partial_depths_and_strict_order(spark):
+    """Depth arms the dense testdata can't reach: user stuck at stage 1,
+    stage 2, out-of-order events never count, equal timestamps don't
+    advance (strict >), greedy picks the earliest chain."""
+    from datetime import datetime
+
+    from kafka_workers_spark.operators.relational import funnel_steps
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: full funnel, greedy earliest (two views; first one counts)
+        (1, t(0), "view"), (1, t(5), "view"), (1, t(10), "click"), (1, t(20), "purchase"),
+        # u2: click BEFORE view -> stuck at depth 1
+        (2, t(10), "click"), (2, t(20), "view"),
+        # u3: view+click same second -> click does NOT advance; later click does
+        (3, t(0), "view"), (3, t(0), "click"), (3, t(9), "click"),
+        # u4: never views -> absent from output
+        (4, t(0), "click"), (4, t(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.user_id: r for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].depth, out[1].t_1, out[1].t_2, out[1].t_3) == (3, t(0), t(10), t(20))
+    assert (out[2].depth, out[2].t_2) == (1, None)
+    assert (out[3].depth, out[3].t_2, out[3].t_3) == (2, t(9), None)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="step_values"):
+        funnel_steps(ev, [])
