@@ -240,3 +240,42 @@ def funnel_steps(
     return cur.select(
         user_col, *[f"t_{i}" for i in range(1, len(step_values) + 1)], depth.alias("depth")
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch sessionization by inactivity gap — the batch twin of
+    Spark's streaming ``session_window`` (and of the reference-era
+    per-key state pattern a WorkerTask would hand-roll): a new session
+    starts where the gap from the previous event of the same user
+    exceeds ``gap_seconds``. Implemented as the classic two-window
+    chain — ``lag`` marks session starts, a running sum of start flags
+    numbers them — both windows partitioned by ``user_col`` over ONE
+    user-keyed shuffle (identical partitioning ⇒ single Exchange;
+    per-user event counts bound the sort). Returns the input plus
+    ``session_id`` (0-based per user, ordered by time).
+
+    Equal timestamps: gap 0 never starts a session; ``lag`` over the
+    (ts, tiebreak-free) order is deterministic only if (user, ts) is
+    unique per event — pass pre-deduplicated events or include a
+    tiebreak in ``ts_col`` granularity (the testdata's event_id-unique
+    micros satisfy this).
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds ({gap_seconds}) must be positive")
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    is_start = (
+        prev.isNull()
+        | ((F.col(ts_col).cast("long") - prev.cast("long")) > gap_seconds)
+    ).cast("bigint")
+    return events.withColumn(
+        "session_id",
+        (F.sum(is_start).over(w.rowsBetween(W.unboundedPreceding, 0)) - 1).cast(
+            "bigint"
+        ),
+    )

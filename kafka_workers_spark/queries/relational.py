@@ -1212,3 +1212,99 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return funnel_steps(ev, list(_FUNNEL_STEPS))
+
+
+_SESSION_GAP_S = 1800  # 30-minute inactivity gap
+
+
+@register(
+    "events_sessionize",
+    f"""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(LAG(ts) OVER w) > {_SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - 1 AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (operators.relational.sessionize,
+    30-minute inactivity): lag marks session starts, a running sum
+    numbers them — one user-keyed shuffle for both windows — then
+    per-session stats. The oracle replays the same two-window chain.
+    The streaming counterpart is the driver-windowed
+    events_session_window (session_window aggregate); this is the
+    batch/backfill path over the same table."""
+    from kafka_workers_spark.operators.relational import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    s = sessionize(ev, gap_seconds=_SESSION_GAP_S)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the third leg of the event-analytics
+    triad (funnel, sessions, retention): users cohorted by their
+    first-activity ISO week, counted distinct per (cohort, week offset).
+    Week arithmetic is exact integer day-diff DIV 7 (offsets are whole
+    weeks by construction — both weeks are Monday-truncated), so the
+    matrix replays bit-for-bit. Shape: two user-keyed aggregates (the
+    firsts frame broadcasts) + one distinct — no windows."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            # DIV, never float-divide-then-cast (the cross-engine rule):
+            # offsets are exact multiples of 7 days, keep them integer
+            F.expr("CAST(datediff(active_week, cohort_week) DIV 7 AS BIGINT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )

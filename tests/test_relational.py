@@ -353,3 +353,26 @@ def test_funnel_steps_partial_depths_and_strict_order(spark):
 
     with _pt.raises(ValueError, match="step_values"):
         funnel_steps(ev, [])
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Gap exactly == threshold stays in-session (strict >); gap+1
+    starts a new one; sessions number 0-based per user independently."""
+    from datetime import datetime, timedelta
+
+    from kafka_workers_spark.operators.relational import sessionize
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, base),
+        (1, 2, base + timedelta(seconds=30)),        # gap 30 == thresh -> same
+        (1, 3, base + timedelta(seconds=61)),        # gap 31 > thresh -> new
+        (2, 4, base + timedelta(seconds=1000)),      # other user starts at 0
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = {r.event_id: r.session_id for r in sessionize(ev, gap_seconds=30).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 0}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="gap_seconds"):
+        sessionize(ev, gap_seconds=0)
