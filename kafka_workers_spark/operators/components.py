@@ -386,3 +386,76 @@ def pagerank(
     return ranks.select(
         "node", "r9", (F.col("r9").cast("double") / float(s)).alias("rank")
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "id",
+) -> DataFrame:
+    """Exact per-node triangle counts by ordered edge orientation
+    (Schank & Wagner SEA 2005; Suri & Vassilvitskii, "Counting
+    triangles and the curse of the last reducer", WWW 2011): normalize
+    to undirected distinct edges, orient every edge from the
+    lower-ordered endpoint to the higher, build wedges as the self-join
+    ``out(a→b) ⋈ out(b→c)`` and close them against ``out(a→c)`` — each
+    triangle materializes EXACTLY once, at its lowest-ordered vertex.
+    Returns ``(node, n_triangles)`` for every node in at least one
+    triangle (the local clustering numerator; near-dup use: triangles
+    separate tight duplicate cliques from chance pair collisions).
+
+    ``orient="id"`` orders by node id — the oracle-replayable default.
+    ``orient="degree"`` orders by (degree, id): the WW'11 fix for the
+    last-reducer curse — every wedge pivot then has out-degree
+    O(sqrt(m)), so a star hub generates NO wedges instead of deg²
+    (identical counts, pinned by test; the shape to use at 100 TB).
+
+    Shape: two equi-joins over slim oriented-edge rows + one explode of
+    the 3-node triangle rows into a count aggregate; never an
+    all-pairs, no windows. Degree mode adds one counts aggregate whose
+    output joins back edge-keyed."""
+    if orient not in ("id", "degree"):
+        raise ValueError(f"orient ({orient!r}) must be 'id' or 'degree'")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if orient == "degree":
+        deg = (
+            und.select(F.col("u").alias("n"))
+            .unionByName(und.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        ranked = (
+            und.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+            .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        )
+        ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+        kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+        oriented = ranked.select(
+            F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    else:
+        oriented = und.select(F.col("u").alias("lo"), F.col("v").alias("hi"))
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
+    wedges = (
+        oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        .join(
+            oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c")), "b"
+        )
+    )
+    tris = wedges.join(
+        oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c")), ["a", "c"]
+    )
+    return (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )

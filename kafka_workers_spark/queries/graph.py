@@ -81,3 +81,72 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     return pagerank(edges, iters=_PR_ITERS, damping_num=_PR_D_NUM, damping_den=_PR_D_DEN)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counts over the near-dup candidate graph
+# ---------------------------------------------------------------------------
+
+_TRI_SHINGLES_SQL = None  # built below from the dedup family's builders
+
+
+def _sql_tri() -> str:
+    from kafka_workers_spark.operators.text import sql_word_shingles
+
+    shingles = sql_word_shingles("string_split(text, ' ')", 3)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct([substr(md5(sh), 1, 16) FOR sh IN {shingles}]) AS hashes
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, list_aggregate(hashes, 'min') AS block_key
+      FROM docs WHERE len(hashes) > 0
+    ), e AS (
+      SELECT a.doc_id AS lo, b.doc_id AS hi
+      FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    ), w AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM e e1 JOIN e e2 ON e2.lo = e1.hi
+    ), t AS (
+      SELECT w.a, w.b, w.c FROM w JOIN e ON e.lo = w.a AND e.hi = w.c
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT UNNEST([a, b, c]) AS node FROM t)
+    GROUP BY node
+    """
+
+
+@register(
+    "graph_triangles",
+    _sql_tri(),
+    category="graph",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the min-shingle-blocked
+    near-dup candidate graph (operators.components.triangle_counts,
+    Schank-Wagner ordered orientation): triangles separate tight
+    duplicate CLIQUES from chance pairwise collisions — the local
+    clustering numerator of the dedup graph. id orientation here (the
+    oracle-replayable arm); the degree-ordered arm — the WW'11
+    last-reducer fix, identical counts — is pinned by unit test."""
+    from kafka_workers_spark.operators.components import triangle_counts
+    from kafka_workers_spark.operators.text import shingle_stage, tokenize_stage
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = shingle_stage(tokenize_stage(d.select("doc_id", "text")), 3, distinct=True)
+    keyed = (
+        staged.select("doc_id", F.explode_outer("shingles").alias("__sh"))
+        .select("doc_id", F.substring(F.md5("__sh"), 1, 16).alias("__h"))
+        .groupBy("doc_id")
+        .agg(F.min("__h").alias("block_key"))
+        .filter(F.col("block_key").isNotNull())
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    return triangle_counts(edges)

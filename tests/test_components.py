@@ -271,3 +271,32 @@ def test_sorted_neighborhood_window_and_payloads(spark):
     ]
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(df, sort_key=F.col("key"), block=F.col("blk"), window=0)
+
+
+def test_triangle_counts_known_answers_and_degree_orientation(spark):
+    """K4 (every node in 3 triangles), a path and a star (none), a
+    bridge of two triangles; degree orientation == id orientation on
+    random graphs (the WW'11 claim)."""
+    from kafka_workers_spark.operators.components import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {r.node: r.n_triangles for r in triangle_counts(
+        spark.createDataFrame(k4, "src long, dst long")).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    path_star = [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (10, 13)]
+    assert triangle_counts(
+        spark.createDataFrame(path_star, "src long, dst long")).count() == 0
+    # two triangles sharing node 2 (duplicate + reversed edges collapse)
+    bridge = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (1, 0), (0, 1)]
+    got = {r.node: r.n_triangles for r in triangle_counts(
+        spark.createDataFrame(bridge, "src long, dst long")).collect()}
+    assert got == {0: 1, 1: 1, 2: 2, 3: 1, 4: 1}
+
+    rng = random.Random(13)
+    edges = list({(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(120)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    by_id = sorted((r.node, r.n_triangles) for r in triangle_counts(df, orient="id").collect())
+    by_deg = sorted((r.node, r.n_triangles) for r in triangle_counts(df, orient="degree").collect())
+    assert by_id == by_deg and by_id
+    with pytest.raises(ValueError, match="orient"):
+        triangle_counts(df, orient="nope")
