@@ -1417,3 +1417,52 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return proximity_search(positional_index(d), _PHRASE[0], _PHRASE[1], window=_PROX_W)
+
+
+@register(
+    "text_quality_calibrate",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len({_LM_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_tokens) AS pct_rank
+    FROM scored
+    """,
+    category="text",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def text_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration: heterogeneous sources have
+    incomparable raw score scales, so a single global threshold
+    over-prunes one source and under-prunes another — the standard fix
+    maps each score to its within-source percentile before any global
+    cut (the CCNet per-bucket discipline applied across sources).
+    percent_rank = (rank-1)/(n-1) — a single IEEE division of exact
+    integers with tie ranks defined identically on both engines, so
+    the float rides the oracle. Window is PARTITIONED by source
+    (strata-sized sorts, the nucleus_select scale note). The score here
+    is the LM token count — swap in any integer quality signal
+    (gopher_rules booleans, lm ppl buckets) without changing the
+    shape."""
+    from kafka_workers_spark.operators.text import normalized, tokens
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(tokens(normalized(F.col("text"))), lambda t: F.length(t) > 0)
+        ).cast("bigint").alias("n_tokens"),
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.percent_rank()
+        .over(W.partitionBy("source").orderBy("n_tokens"))
+        .alias("pct_rank"),
+    )
