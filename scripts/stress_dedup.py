@@ -705,6 +705,60 @@ def run_cc_stress() -> int:
     return 0
 
 
+def run_pagerank_stress() -> int:
+    """Skewed-graph rep for pagerank: ~1M deterministic edges over 200k
+    nodes with 100 hash-built hubs drawing ~20% of all in-edges — the
+    in-degree skew a web/citation graph shows. Measures wall for 5
+    damped rounds, checks the structural claims: hubs dominate the
+    ranking, total mass stays under the scale (dangling leak), and
+    every round shuffles only (node, r9) longs. The measured basis for
+    the operator's scale docstring."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.components import PAGERANK_SCALE, pagerank
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stress_pagerank")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_nodes, n_edges, n_hubs = 200_000, 1_000_000, 100
+    base = spark.range(n_edges)
+    edges = base.select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("src"),
+        F.when(
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) == 0,  # ~20% to hubs
+            F.pmod(F.xxhash64("id", F.lit(4)), F.lit(n_hubs)),
+        )
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_nodes)))
+        .alias("dst"),
+    )
+    t0 = time.perf_counter()
+    ranks = pagerank(edges, iters=5).persist()
+    n = ranks.count()
+    wall = time.perf_counter() - t0
+    top = [r.node for r in ranks.orderBy(F.desc("r9"), "node").limit(n_hubs).collect()]
+    hub_share = sum(1 for t in top if t < n_hubs) / n_hubs
+    total_mass = ranks.agg(F.sum("r9")).collect()[0][0]
+    print(
+        f"pagerank 5 rounds over ~{n_edges} edges / {n} nodes: wall={wall:.2f}s "
+        f"top-{n_hubs} hub share={hub_share:.2%} "
+        f"mass={total_mass}/{PAGERANK_SCALE} ({total_mass / PAGERANK_SCALE:.4f})"
+    )
+    assert hub_share >= 0.95, hub_share  # the skew targets dominate the ranking
+    assert 0 < total_mass <= PAGERANK_SCALE, total_mass
+    ranks.unpersist()
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -734,6 +788,11 @@ def main() -> int:
         help="run the connected-components chain/clique topology rep instead",
     )
     ap.add_argument(
+        "--pagerank",
+        action="store_true",
+        help="run the pagerank skewed-graph rep instead",
+    )
+    ap.add_argument(
         "--phrases",
         action="store_true",
         help="run the phrase_scores Zipf-skew rep instead",
@@ -749,6 +808,8 @@ def main() -> int:
         return run_lm_stress(args.replicas)
     if args.phrases:
         return run_phrase_stress()
+    if args.pagerank:
+        return run_pagerank_stress()
     if args.cc:
         return run_cc_stress()
     build_corpus(args.replicas)
