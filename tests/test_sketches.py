@@ -609,3 +609,43 @@ def test_kmv_jaccard_tracks_true_overlap(spark):
     )
     j = a.crossJoin(b).select(kmv_jaccard("ha", "hb", k).alias("j")).collect()[0].j
     assert abs(j - 1 / 3) < 4 / (k ** 0.5)
+
+
+def test_streaming_kmv_rollup_equals_whole_pass(spark, tmp_path):
+    """The index-once/update-incrementally shape for KMV under
+    Structured Streaming: each micro-batch builds its own sketch in
+    foreachBatch and appends it to a stored sketch table; merging the
+    stored rows afterwards equals the whole-pass sketch over all data
+    BIT FOR BIT (kmv_merge exactness is what makes per-batch rollup
+    sound — the streaming analog of the shard-merge pin)."""
+    from kafka_workers_spark.functions.sketches import kmv_build, kmv_merge
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "sketches")
+    k = 32
+    spark.createDataFrame(
+        [(f"v{i}",) for i in range(300)], "v string"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(f"v{i}",) for i in range(150, 450)], "v string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def land(batch_df, batch_id):
+        kmv_build(batch_df, "v", k=k).write.mode("append").parquet(store)
+
+    stream = (
+        spark.readStream.schema("v string").option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(store)
+    assert stored.count() >= 2  # one sketch row per non-empty micro-batch
+    merged = kmv_merge(stored).collect()[0]
+    whole = kmv_build(spark.read.parquet(src), "v", k=k).collect()[0]
+    assert merged.hashes == whole.hashes and merged.k == whole.k == k
