@@ -300,6 +300,7 @@ def pagerank(
     damping_den: int = 20,
     src: str = "src",
     dst: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank (Page, Brin, Motwani, Winograd, "The
     PageRank Citation Ranking", Stanford 1999) in EXACT scaled-integer
@@ -324,6 +325,11 @@ def pagerank(
     NOT redistributed — it leaks, as in the common sparse formulation,
     so ranks sum to < 10^9. ``iters`` is FIXED (no convergence test):
     the caller picks the horizon, the oracle unrolls the same count.
+    With ``weight_col``, a node's damped mass splits pro rata by edge
+    weight (``…·w DIV Σw`` in DECIMAL(38,0) — weight products pass
+    int64); duplicate edges sum their weights, non-positive weights
+    raise in-plan, and ``weight_col=None`` keeps the bit-exact
+    unweighted arithmetic the oracle replays.
 
     Overflow: ``d9·r9 ≤ 0.85·10^9 · 10^9 < 2^63`` — total rank mass is
     ≤ 10^9 by induction (base sums to ≤ 10^9−d9, damped contributions
@@ -344,7 +350,35 @@ def pagerank(
         raise ValueError(f"damping {damping_num}/{damping_den} must be in (0, 1)")
     s = PAGERANK_SCALE
     d9 = (s * damping_num) // damping_den
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).distinct()
+    if weight_col is None:
+        e = edges.select(
+            F.col(src).alias("__src"), F.col(dst).alias("__dst")
+        ).distinct()
+    else:
+        # weighted variant: duplicate edges SUM their weights; a node's
+        # contribution splits pro rata by weight share instead of 1/deg.
+        # Non-positive weights raise in the projection (a zero/negative
+        # share has no sound semantics and would floor-corrupt silently).
+        w = (
+            edges.select(
+                F.col(src).alias("__src"),
+                F.col(dst).alias("__dst"),
+                F.col(weight_col).cast("bigint").alias("__w"),
+            )
+            .groupBy("__src", "__dst")
+            .agg(F.sum("__w").alias("__w"))
+        )
+        e = w.select(
+            "__src",
+            "__dst",
+            F.when(F.col("__w") > 0, F.col("__w"))
+            .otherwise(
+                F.raise_error(
+                    F.lit("pagerank: edge weights must be positive")
+                ).cast("bigint")
+            )
+            .alias("__w"),
+        )
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("__src").alias("node"))
@@ -363,7 +397,19 @@ def pagerank(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
+    if weight_col is None:
+        deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
+        contrib_expr = f"(CAST({d9} AS BIGINT) * r9 DIV {s}) DIV __deg"
+    else:
+        deg = e.groupBy("__src").agg(F.sum("__w").alias("__wsum"))
+        # per-edge share of the damped mass, pro rata by weight — the
+        # weight product can exceed int64, so it runs in DECIMAL(38,0);
+        # the quotient is <= 10^9 and lands back in a bigint
+        contrib_expr = (
+            f"CAST(CAST((CAST({d9} AS BIGINT) * r9 DIV {s}) AS DECIMAL(38,0))"
+            f" * CAST(__w AS DECIMAL(38,0))"
+            f" DIV CAST(__wsum AS DECIMAL(38,0)) AS BIGINT)"
+        )
     edged = e.join(deg, "__src").persist(StorageLevel.MEMORY_AND_DISK)
     ranks = nodes.select("node", F.col("__r0").alias("r9"))
     for _ in range(iters):
@@ -371,7 +417,7 @@ def pagerank(
             edged.join(ranks, edged["__src"] == ranks["node"])
             .select(
                 F.col("__dst").alias("node"),
-                F.expr(f"(CAST({d9} AS BIGINT) * r9 DIV {s}) DIV __deg").alias("__c"),
+                F.expr(contrib_expr).alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__sum"))

@@ -300,3 +300,46 @@ def test_triangle_counts_known_answers_and_degree_orientation(spark):
     assert by_id == by_deg and by_id
     with pytest.raises(ValueError, match="orient"):
         triangle_counts(df, orient="nope")
+
+
+def test_pagerank_weighted_matches_python_and_degenerates_to_uniform(spark):
+    """Weighted split vs a literal Python replay; all-equal weights give
+    EXACTLY the unweighted ranks; duplicate edges sum weights;
+    non-positive weights raise."""
+    from kafka_workers_spark.operators.components import PAGERANK_SCALE, pagerank
+
+    edge_list = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (4, 3, 5), (4, 2, 5), (2, 1, 2)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long, w long")
+    got = {r.node: r.r9 for r in pagerank(edges, iters=3, weight_col="w").collect()}
+
+    s, d9 = PAGERANK_SCALE, (PAGERANK_SCALE * 17) // 20
+    nodes = sorted({n for a, b, _ in edge_list for n in (a, b)})
+    n = len(nodes)
+    wsum = {}
+    for a, _, w in edge_list:
+        wsum[a] = wsum.get(a, 0) + w
+    r = {v: s // n for v in nodes}
+    for _ in range(3):
+        nxt = {v: (s - d9) // n for v in nodes}
+        for a, b, w in edge_list:
+            nxt[b] += (d9 * r[a] // s) * w // wsum[a]
+        r = nxt
+    assert got == r
+
+    # equal weights == unweighted, bit for bit
+    eq = spark.createDataFrame([(a, b, 7) for a, b, _ in edge_list], "src long, dst long, w long")
+    unw = spark.createDataFrame([(a, b) for a, b, _ in edge_list], "src long, dst long")
+    assert sorted((x.node, x.r9) for x in pagerank(eq, iters=3, weight_col="w").collect()) == \
+        sorted((x.node, x.r9) for x in pagerank(unw, iters=3).collect())
+
+    # duplicate edges sum: (1,2,3) == (1,2,1)+(1,2,2)
+    dup = spark.createDataFrame(
+        [(1, 2, 1), (1, 2, 2)] + [t for t in edge_list if t[:2] != (1, 2)],
+        "src long, dst long, w long",
+    )
+    assert sorted((x.node, x.r9) for x in pagerank(dup, iters=3, weight_col="w").collect()) == \
+        sorted(got.items())
+
+    bad = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
+    with pytest.raises(Exception, match="positive"):
+        pagerank(bad, iters=1, weight_col="w").collect()
