@@ -710,3 +710,120 @@ def sorted_neighborhood_pairs(
         *[f"{c}_a" for c in payload_cols],
         *[f"{c}_b" for c in payload_cols],
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (prefix filtering / AllPairs)
+# ---------------------------------------------------------------------------
+
+
+def set_similarity_pairs(
+    df: DataFrame,
+    toks_col: str,
+    threshold: tuple[int, int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join by prefix filtering (Bayardo,
+    Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007;
+    Chaudhuri et al. ICDE 2006): every pair with ``J >= num/den`` is
+    returned with its exact intersection/union — no hashing error, the
+    exact counterpart to MinHash-LSH. Guarantee: order each document's
+    token SET canonically (ascending document frequency, token
+    tiebreak — rare tokens first), take the length-``n − ⌈t·n⌉ + 1``
+    PREFIX; if ``J(A,B) >= t`` then ``|A∩B| >= ⌈t·max(|A|,|B|)⌉``, and
+    an overlap that large cannot hide entirely in either suffix (each
+    suffix holds only ``⌈t·n⌉ − 1`` tokens), so A and B share a token
+    lying in BOTH prefixes — the candidate equi-join key. The length
+    prune ``den·min(n) >= num·max(n)`` (necessary for ``J >= t``)
+    rides the join condition.
+
+    Why this scales where naive token-joins explode: prefixes order by
+    RARITY, so corpus-hot tokens ("the") sit at the END of every list
+    and fall OUTSIDE prefixes — the hot-key fan-out that kills a plain
+    token self-join never enters candidate generation (rarest-first is
+    the entire algorithm). ``⌈t·n⌉`` is exact integer arithmetic
+    (``(num·n + den − 1) DIV den``), the verify is exact integer set
+    arithmetic (``den·|∩| >= num·|∪|``) — every step engine-replayable.
+
+    ``df`` must carry a materialized DISTINCT token array in
+    ``toks_col`` (dedupe with ``array_distinct`` upstream — Jaccard is
+    over SETS). Returns ``(id_a, id_b, n_common, n_union, jaccard)``
+    for pairs meeting the threshold; the float is one division of
+    exact integers.
+    """
+    num, den = threshold
+    if not 0 < num <= den:
+        raise ValueError(f"threshold ({threshold}) must be a rational in (0, 1]")
+    toks = df.select(id_col, F.explode(toks_col).alias("__tok"))
+    dfc = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
+    wp = W.partitionBy(id_col).orderBy("__df", "__tok")
+    ordered = (
+        toks.join(dfc, "__tok")
+        .select(
+            id_col,
+            "__tok",
+            F.row_number().over(wp).alias("__pos"),
+            F.count("*").over(W.partitionBy(id_col)).alias("__n"),
+        )
+    )
+    prefix = ordered.filter(
+        F.col("__pos")
+        <= F.col("__n") - F.expr(f"({num} * __n + {den} - 1) DIV {den}") + 1
+    ).select(id_col, "__tok", "__n")
+    a = prefix.select(
+        F.col(id_col).alias("__ida"), F.col("__tok").alias("__t"), F.col("__n").alias("__na")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("__idb"), F.col("__tok").alias("__t"), F.col("__n").alias("__nb")
+    )
+    cand = (
+        a.join(b, "__t")
+        .filter(
+            (F.col("__ida") < F.col("__idb"))
+            & (
+                F.lit(den) * F.least("__na", "__nb")
+                >= F.lit(num) * F.greatest("__na", "__nb")
+            )
+        )
+        .select("__ida", "__idb")
+        .dropDuplicates(["__ida", "__idb"])
+    )
+    sets = df.select(id_col, F.col(toks_col).alias("__set"), F.size(toks_col).alias("__n"))
+    verified = (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("__ida"),
+                F.col("__set").alias("__sa"),
+                F.col("__n").alias("__na"),
+            ),
+            "__ida",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("__idb"),
+                F.col("__set").alias("__sb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "__idb",
+        )
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.size(F.array_intersect("__sa", "__sb")).cast("bigint").alias("n_common"),
+            (F.col("__na") + F.col("__nb")).alias("__nsum"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            (F.col("__nsum") - F.col("n_common")).cast("bigint").alias("n_union"),
+        )
+        .filter(F.lit(den) * F.col("n_common") >= F.lit(num) * F.col("n_union"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_union",
+        (F.col("n_common").cast("double") / F.col("n_union")).alias("jaccard"),
+    )

@@ -696,3 +696,79 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (shared.cast("double") / F.size("h_a")).alias("containment_a"),
         (shared.cast("double") / F.size("h_b")).alias("containment_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (prefix filtering / AllPairs)
+# ---------------------------------------------------------------------------
+
+# Exact Jaccard >= 9/10: the synthetic corpus shares a ~31-token
+# vocabulary, so lower thresholds qualify most of the O(n^2) pairs
+# (1/2 -> 92k of 125k at sf0.01) — a corpus artifact, not an operator
+# property. 9/10 keeps the result set meaningful AND the prefixes short
+# (prefix length = n - ceil(t*n) + 1 ~ n/10), which is the algorithm's
+# sweet spot: tighter thresholds mean CHEAPER candidate generation.
+_SSJ_NUM, _SSJ_DEN = 9, 10
+
+
+@register(
+    "dedup_set_similarity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split({_NORM_SQL}, ' '))) AS tok
+      FROM documents
+      WHERE len({_NORM_SQL}) > 0
+    ),
+    dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfct FROM toks GROUP BY tok),
+    ordered AS (
+      SELECT t.doc_id, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY dfc.dfct, t.tok) AS pos,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+      FROM toks t JOIN dfc ON dfc.tok = t.tok
+    ),
+    prefix AS (
+      SELECT doc_id, tok, n FROM ordered
+      WHERE pos <= n - ({_SSJ_NUM} * n + {_SSJ_DEN} - 1) // {_SSJ_DEN} + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND {_SSJ_DEN} * LEAST(a.n, b.n) >= {_SSJ_NUM} * GREATEST(a.n, b.n)
+    ),
+    sets AS (
+      SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS s
+      FROM documents WHERE len({_NORM_SQL}) > 0
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_common,
+           CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_union,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.id_a
+    JOIN sets sb ON sb.doc_id = c.id_b
+    WHERE {_SSJ_DEN} * len(list_intersect(sa.s, sb.s))
+          >= {_SSJ_NUM} * (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+    """,
+    category="dedup",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def dedup_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 9/10 self-join by prefix filtering
+    (operators.dedup.set_similarity_pairs; Bayardo et al. WWW 2007) —
+    ALL qualifying pairs with exact set arithmetic, the zero-error
+    counterpart to the MinHash-LSH row. Rarest-first canonical prefixes
+    keep corpus-hot tokens out of candidate generation entirely;
+    completeness vs brute force is pinned in unit tests, and the oracle
+    replays ordering, prefixes, the length prune, and the exact
+    verify."""
+    from kafka_workers_spark.operators.dedup import set_similarity_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    toked = barrier(
+        d.select(
+            "doc_id", F.array_distinct(F.split(normalized(F.col("text")), " ")).alias("toks")
+        ).filter(F.length(normalized(F.col("text"))) > 0)
+    )
+    return set_similarity_pairs(toked, "toks", threshold=(_SSJ_NUM, _SSJ_DEN))

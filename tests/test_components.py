@@ -343,3 +343,39 @@ def test_pagerank_weighted_matches_python_and_degenerates_to_uniform(spark):
     bad = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
     with pytest.raises(Exception, match="positive"):
         pagerank(bad, iters=1, weight_col="w").collect()
+
+
+def test_set_similarity_pairs_complete_vs_brute_force(spark):
+    """Prefix filtering finds EVERY pair with J >= t (the WW'07
+    completeness guarantee) and nothing below it, across thresholds,
+    on a randomized small-vocabulary corpus where near-misses abound."""
+    from kafka_workers_spark.operators.dedup import set_similarity_pairs
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    corpus = {
+        i: sorted(set(rng.sample(vocab, rng.randint(1, 10)))) for i in range(40)
+    }
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in corpus.items()], "doc_id long, toks array<string>"
+    )
+    for num, den in [(1, 2), (3, 4), (9, 10), (1, 1)]:
+        got = {
+            (r.id_a, r.id_b): (r.n_common, r.n_union)
+            for r in set_similarity_pairs(df, "toks", threshold=(num, den)).collect()
+        }
+        expect = {}
+        ids = sorted(corpus)
+        for x in ids:
+            for y in ids:
+                if x >= y:
+                    continue
+                inter = len(set(corpus[x]) & set(corpus[y]))
+                uni = len(set(corpus[x]) | set(corpus[y]))
+                if den * inter >= num * uni:
+                    expect[(x, y)] = (inter, uni)
+        assert got == expect, (num, den)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="threshold"):
+        set_similarity_pairs(df, "toks", threshold=(3, 2))
