@@ -1303,3 +1303,69 @@ def nucleus_select(
         .join(totals, group_cols)
         .filter(d38(F.col("mass_before")) * d38(F.lit(den)) < d38(F.col("group_total")) * d38(F.lit(num)))
     )
+
+
+def pack_documents_whole(
+    df: DataFrame,
+    mass_col: str,
+    budget: int,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """No-straddle sequence packing: each bin holds WHOLE documents
+    totalling <= ``budget`` tokens — the padding-based discipline for
+    training recipes where documents must not cross sequence boundaries
+    (contrast :func:`~kafka_workers_spark.queries.corpus.corpus_sample_pack`'s
+    concat-then-chunk, which splits documents). Bin assignment is the
+    size-class (harmonic-style) rule, chosen because it is CLOSED FORM:
+
+    - a document of mass ``n`` gets class ``fit = budget DIV n`` (how
+      many documents of its class fit per bin);
+    - within (group, fit), bin index = ``(row_number − 1) DIV fit``
+      over (mass desc, id) order.
+
+    Same-class documents have mass in ``(budget/(fit+1), budget/fit]``,
+    so ``fit`` of them sum to <= budget — bins NEVER overflow — and
+    every full bin is > budget/2 full, giving the textbook
+    2-approximation on bin count versus optimal (first-fit-decreasing
+    packs tighter but is inherently sequential — a driver-side loop at
+    corpus scale; this rule is one window per (group, class), fully
+    parallel, deterministic, and engine-replayable). Documents with
+    ``mass > budget`` raise in-plan — chunk them first
+    (operators.text.chunk_documents). NULL/zero masses raise too.
+
+    Returns the input keys plus ``fit_class, bin_id, bin_slot`` —
+    ``(group_cols, fit_class, bin_id)`` identifies a training sequence.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget ({budget}) must be positive")
+    m = F.col(mass_col)
+    guarded = (
+        F.when((m >= 1) & (m <= budget), m)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"pack_documents_whole: {mass_col} must be in [1, "
+                        f"{budget}] (chunk oversize documents first), got "
+                    ),
+                    m.cast("string"),
+                )
+            ).cast("bigint")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    base = df.select(*group_cols, id_col, guarded.alias("__m")).withColumn(
+        "fit_class", F.expr(f"{budget} DIV __m")
+    )
+    w = W.partitionBy(*group_cols, "fit_class").orderBy(F.desc("__m"), F.asc(id_col))
+    ranked = base.withColumn("__rn", F.row_number().over(w) - 1)
+    return ranked.select(
+        *group_cols,
+        id_col,
+        F.col("__m").cast("bigint").alias(mass_col),
+        F.col("fit_class").cast("bigint").alias("fit_class"),
+        F.expr("__rn DIV fit_class").cast("bigint").alias("bin_id"),
+        (F.col("__rn") % F.col("fit_class")).cast("bigint").alias("bin_slot"),
+    )

@@ -566,3 +566,61 @@ def corpus_nucleus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nucleus_select(
         toked, "n_tokens", p=(_NUC_NUM, _NUC_DEN), group_cols=["lang"]
     ).select("lang", "doc_id", "n_tokens", "mass_before", "group_total")
+
+
+# ---------------------------------------------------------------------------
+# Whole-document (no-straddle) packing — size-class 2-approximation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_pack_whole",
+    f"""
+    WITH sized AS (
+      SELECT lang, doc_id,
+             CAST(len({_NUC_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE len({_NUC_TOKS_SQL}) BETWEEN 1 AND {PACK_BUDGET}
+    ),
+    classed AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST({PACK_BUDGET} // n_tokens AS BIGINT) AS fit_class
+      FROM sized
+    ),
+    ranked AS (
+      SELECT lang, doc_id, n_tokens, fit_class,
+             ROW_NUMBER() OVER (PARTITION BY lang, fit_class
+                                ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+      FROM classed
+    )
+    SELECT lang, doc_id, n_tokens, fit_class,
+           CAST(rn // fit_class AS BIGINT) AS bin_id,
+           CAST(rn % fit_class AS BIGINT) AS bin_slot
+    FROM ranked
+    """,
+    category="corpus",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def corpus_pack_whole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-straddle packing per language (pipeline.pack_documents_whole):
+    whole documents into <= PACK_BUDGET-token bins via the closed-form
+    size-class rule — bins never overflow, full bins are > half full
+    (the 2-approximation), one window per (lang, class), fully
+    parallel. The complement of corpus_sample_pack's concat-then-chunk;
+    documents longer than the budget are filtered here (production
+    chunks them first). The oracle replays classes, ranks, and bin
+    arithmetic."""
+    from kafka_workers_spark.operators.text import normalized
+    from kafka_workers_spark.pipeline import pack_documents_whole
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sized = d.select(
+        "lang",
+        "doc_id",
+        F.size(
+            F.filter(tokens(normalized(F.col("text"))), lambda t: F.length(t) > 0)
+        ).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens").between(1, PACK_BUDGET))
+    return pack_documents_whole(
+        sized, "n_tokens", budget=PACK_BUDGET, group_cols=["lang"]
+    )

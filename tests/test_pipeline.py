@@ -1102,3 +1102,34 @@ def test_nucleus_select_minimal_prefix_and_guards(spark):
         nucleus_select(df, "m", p=(6, 5), group_cols=["g"])
     with _pt.raises(ValueError, match="group_cols"):
         nucleus_select(df, "m", p=(1, 2), group_cols=[])
+
+
+def test_pack_documents_whole_invariants_randomized(spark):
+    """Randomized packing invariants: bins never exceed the budget,
+    every full bin (one with fit_class docs) is > budget/2 full, slots
+    are 0..fit-1 dense per bin, every doc appears exactly once, and
+    oversize/zero masses raise."""
+    import random
+
+    from kafka_workers_spark.pipeline import pack_documents_whole
+
+    rng = random.Random(31)
+    budget = 100
+    rows = [(i, "g" + str(i % 2), rng.randint(1, budget)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, m long")
+    out = pack_documents_whole(df, "m", budget=budget, group_cols=["g"]).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r[0] for r in rows)
+    bins: dict = {}
+    for r in out:
+        bins.setdefault((r.g, r.fit_class, r.bin_id), []).append(r)
+    for (g, fit, _), members in bins.items():
+        total = sum(r.m for r in members)
+        assert total <= budget, (g, fit, total)
+        assert sorted(r.bin_slot for r in members) == list(range(len(members)))
+        if len(members) == fit:  # full bin -> the 2-approx fill bound
+            assert total > budget // 2, (g, fit, total)
+    bad = spark.createDataFrame([(1, "g", budget + 1)], "doc_id long, g string, m long")
+    with pytest.raises(Exception, match="chunk oversize"):
+        pack_documents_whole(bad, "m", budget=budget, group_cols=["g"]).collect()
+    with pytest.raises(ValueError, match="budget"):
+        pack_documents_whole(df, "m", budget=0, group_cols=["g"])
