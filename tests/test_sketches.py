@@ -649,3 +649,28 @@ def test_streaming_kmv_rollup_equals_whole_pass(spark, tmp_path):
     merged = kmv_merge(stored).collect()[0]
     whole = kmv_build(spark.read.parquet(src), "v", k=k).collect()[0]
     assert merged.hashes == whole.hashes and merged.k == whole.k == k
+
+
+def test_bloom_pruned_join_identical_results_and_prunes(spark):
+    """Pruned join == plain join exactly (FPs are dropped by the exact
+    join); the probe really prunes (survivor count ~ matching fraction);
+    outer joins refuse."""
+    from kafka_workers_spark.functions.sketches import bloom_pruned_join
+
+    big = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(5000)], "k long, payload string"
+    )
+    small = spark.createDataFrame(
+        [(i * 50, f"d{i}") for i in range(40)], "k long, dim string"
+    )
+    got = sorted(map(tuple, bloom_pruned_join(big, small, "k").collect()))
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == want and len(want) == 40
+    semi = sorted(
+        r.k for r in bloom_pruned_join(big, small, "k", how="left_semi").collect()
+    )
+    assert semi == sorted(r.k for r in big.join(small, "k", "left_semi").collect())
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="inner/left_semi"):
+        bloom_pruned_join(big, small, "k", how="left")
