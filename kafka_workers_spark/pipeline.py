@@ -1369,3 +1369,41 @@ def pack_documents_whole(
         F.expr("__rn DIV fit_class").cast("bigint").alias("bin_id"),
         (F.col("__rn") % F.col("fit_class")).cast("bigint").alias("bin_slot"),
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Latest-wins upsert (the SCD-type-1 MERGE a lakehouse runs on
+    every ingest): union the current snapshot with an update batch and
+    keep, per key, the row with the highest ``version_col`` — updates
+    with a newer version replace, older ones are ignored, new keys
+    insert. Resolution is ONE ``max(struct(version, payload))``
+    partial-aggregatable hash aggregate — no window, no per-key sort,
+    no join-back — so the shuffle carries one candidate row per key per
+    map partition. Exactly-once re-ingest falls out: replaying the same
+    update batch is idempotent (max is).
+
+    Determinism contract: ``(key_cols, version_col)`` must be unique
+    across the union — two rows with the same key AND version would
+    tie-break on payload bytes (max over the struct's remaining
+    fields), which is deterministic but rarely what you mean; give
+    re-ingested batches distinct versions. Schemas must match
+    (``unionByName``). Returns the merged snapshot with the input
+    columns (version included — it is the row's lineage)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    all_rows = base.unionByName(updates)
+    payload = [c for c in all_rows.columns if c not in key_cols]
+    if version_col not in payload:
+        raise ValueError(f"version_col {version_col!r} must be a non-key column")
+    ordered = [version_col] + [c for c in payload if c != version_col]
+    best = all_rows.groupBy(*key_cols).agg(
+        F.max(F.struct(*ordered)).alias("__best")
+    )
+    return best.select(
+        *key_cols, *[F.col(f"__best.{c}").alias(c) for c in ordered]
+    ).select(*all_rows.columns)

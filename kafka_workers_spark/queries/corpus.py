@@ -624,3 +624,48 @@ def corpus_pack_whole(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents_whole(
         sized, "n_tokens", budget=PACK_BUDGET, group_cols=["lang"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest-wins upsert (SCD1 merge) — snapshot maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_merge_upsert",
+    """
+    WITH base AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS version, text, lang FROM documents
+    ),
+    updates AS (
+      SELECT doc_id, CAST(1 AS BIGINT) AS version,
+             'rev1 ' || text AS text, lang
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    unioned AS (SELECT * FROM base UNION ALL SELECT * FROM updates),
+    best AS (
+      SELECT doc_id, MAX({'version': version, 'text': text, 'lang': lang}) AS b
+      FROM unioned GROUP BY doc_id
+    )
+    SELECT doc_id, b['version'] AS version, b['text'] AS text, b['lang'] AS lang
+    FROM best
+    """,
+    category="corpus",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins snapshot merge (pipeline.merge_upsert): version-1
+    revisions of every fifth document replace their version-0 rows, the
+    rest pass through — one max(struct) hash aggregate, no window. The
+    oracle replays the same struct-max resolution."""
+    from kafka_workers_spark.pipeline import merge_upsert
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = d.select("doc_id", F.lit(0).cast("bigint").alias("version"), "text", "lang")
+    updates = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.lit(1).cast("bigint").alias("version"),
+        F.concat(F.lit("rev1 "), F.col("text")).alias("text"),
+        "lang",
+    )
+    return merge_upsert(base, updates, key_cols=["doc_id"], version_col="version")

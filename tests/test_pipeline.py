@@ -1133,3 +1133,31 @@ def test_pack_documents_whole_invariants_randomized(spark):
         pack_documents_whole(bad, "m", budget=budget, group_cols=["g"]).collect()
     with pytest.raises(ValueError, match="budget"):
         pack_documents_whole(df, "m", budget=0, group_cols=["g"])
+
+
+def test_merge_upsert_semantics(spark):
+    """Newer versions replace, older ones are ignored, new keys insert,
+    replaying the same batch is idempotent, guards raise."""
+    from kafka_workers_spark.pipeline import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, 1, "a1"), (2, 1, "b1"), (3, 2, "c2")], "k long, version long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(1, 2, "a2"),   # newer -> replaces
+         (3, 1, "c_old"),  # older -> ignored
+         (4, 1, "d1")],    # new key -> inserts
+        "k long, version long, v string",
+    )
+    merged = merge_upsert(base, updates, key_cols=["k"], version_col="version")
+    got = {r.k: (r.version, r.v) for r in merged.collect()}
+    assert got == {1: (2, "a2"), 2: (1, "b1"), 3: (2, "c2"), 4: (1, "d1")}
+    # idempotent replay of the same update batch
+    again = merge_upsert(merged, updates, key_cols=["k"], version_col="version")
+    assert {r.k: (r.version, r.v) for r in again.collect()} == got
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="key_cols"):
+        merge_upsert(base, updates, key_cols=[], version_col="version")
+    with _pt.raises(ValueError, match="version_col"):
+        merge_upsert(base, updates, key_cols=["k"], version_col="k")
