@@ -931,16 +931,21 @@ def kmv_merge(kmv: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
         F.min("k").alias("__k_min"),
         F.max("k").alias("k"),
     )
-    guard = F.when(F.col("__k_min") == F.col("k"), F.col("k")).otherwise(
-        F.raise_error(
-            F.lit("kmv_merge: mixed k values — sketches are not comparable")
-        ).cast("int")
+    # guard as a FILTER, not a projection: a projected raise is elided by
+    # column pruning when a consumer selects only `hashes` (the pq_encode
+    # lesson, PLANS.md) — a filter predicate always evaluates per row
+    merged = merged.filter(
+        F.when(F.col("__k_min") == F.col("k"), F.lit(True)).otherwise(
+            F.raise_error(
+                F.lit("kmv_merge: mixed k values — sketches are not comparable")
+            ).cast("boolean")
+        )
     )
     return merged.select(
         *group_cols,
         "hashes",
         F.size("hashes").cast("bigint").alias("n_distinct_capped"),
-        guard.alias("k"),
+        "k",
     )
 
 

@@ -674,3 +674,17 @@ def test_bloom_pruned_join_identical_results_and_prunes(spark):
 
     with _pt.raises(ValueError, match="inner/left_semi"):
         bloom_pruned_join(big, small, "k", how="left")
+
+
+def test_kmv_merge_mixed_k_raises_even_under_column_pruning(spark):
+    """The mixed-k guard must survive a consumer that selects ONLY the
+    hashes column — a projected raise would be elided by column pruning
+    (the pq_encode lazy-guard lesson); the filter-guard is not."""
+    import pytest as _pt
+
+    from kafka_workers_spark.functions.sketches import kmv_build, kmv_merge
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(200)], "v string")
+    mixed = kmv_build(df, "v", k=64).unionByName(kmv_build(df, "v", k=32))
+    with _pt.raises(Exception, match="mixed k"):
+        kmv_merge(mixed).select("hashes").collect()
