@@ -284,3 +284,49 @@ def test_dynamic_partition_pruning_fires_on_dim_filtered_join(spark, tmp_path):
     a = audit(joined)
     assert "dynamicpruning" in a.text.lower(), a.text[:2000]
     assert joined.count() == 2_000
+
+
+def test_sorted_neighborhood_window_is_partitioned(spark):
+    """The SN ranking must never collapse to a one-task global sort:
+    the physical Window's partition spec carries the block key."""
+    import re
+
+    a = audit(load_extra()["dedup_sorted_neighborhood"].fn(spark, SF))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", a.text)
+    assert specs, a.text[:500]
+    # an UNPARTITIONED window renders its ORDER expression first — the
+    # first argument then carries a sort direction; a partitioned one
+    # leads with the partition column reference
+    for first_arg in specs:
+        assert "ASC" not in first_arg and "DESC" not in first_arg, (
+            "one-task global window detected: " + first_arg
+        )
+    assert a.cartesian_products == 0
+
+
+def test_set_similarity_prefix_join_is_equi(spark):
+    """Candidate generation must be an equi-join on the prefix token —
+    never a nested-loop / cartesian over documents."""
+    a = audit(load_extra()["dedup_set_similarity"].fn(spark, SF))
+    assert a.cartesian_products == 0 and a.nested_loop_joins == 0, a.text[:800]
+    assert a.sortmerge_joins + a.broadcast_joins + a.shuffled_hash_joins >= 2
+
+
+def test_funnel_step_predicates_push_to_scan(spark):
+    """Each funnel stage's event_type equality reaches the parquet
+    reader as a pushed filter."""
+    a = audit(load_extra()["events_funnel"].fn(spark, SF))
+    assert a.has_pushed_filter("event_type"), a.text[:800]
+    assert a.cartesian_products == 0
+
+
+def test_bloom_pruned_join_filters_before_exchange(spark):
+    """The probe conjunction must appear in the plan (map-side filter on
+    the big side) and the final join stays an equi-join."""
+    from kafka_workers_spark.functions.sketches import bloom_pruned_join
+
+    big = spark.range(0, 20000).selectExpr("id AS k", "id * 2 AS payload")
+    small = spark.range(0, 20).selectExpr("id * 1000 AS k", "id AS dim")
+    a = audit(bloom_pruned_join(big, small, "k"))
+    assert "xxhash64" in a.text and "shiftleft" in a.text, a.text[:800]
+    assert a.cartesian_products == 0
