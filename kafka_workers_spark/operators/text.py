@@ -2097,3 +2097,42 @@ def proximity_search(
         F.count("*").cast("bigint").alias("n_pairs"),
         F.min(F.abs(F.col("__pa") - F.col("__pb"))).cast("bigint").alias("min_dist"),
     )
+
+
+def boolean_search(
+    index,
+    all_terms: list[str] | None = None,
+    any_terms: list[str] | None = None,
+    none_terms: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Boolean retrieval over the positional index (IIR §1: AND / OR /
+    NOT): documents containing ALL of ``all_terms``, at least one of
+    ``any_terms``, and none of ``none_terms``. Pure posting-list
+    algebra — AND is one term-filtered aggregate requiring
+    ``count(distinct term) == len(all_terms)``, OR a semi-join, NOT an
+    anti-join — no text rescans, no arrays, no windows. Returns
+    ``(id_col,)`` matching documents.
+
+    Scale: each clause prunes the index scan by its term predicate; the
+    AND aggregate is partial-aggregatable on (id, term) pairs. Rarest
+    term first is automatic — the aggregate touches only postings of
+    the queried terms."""
+    if not (all_terms or any_terms):
+        raise ValueError("boolean_search needs all_terms and/or any_terms")
+    docs = None
+    if all_terms:
+        docs = (
+            index.filter(F.col("term").isin(list(all_terms)))
+            .groupBy(id_col)
+            .agg(F.count_distinct("term").alias("__hit"))
+            .filter(F.col("__hit") == len(set(all_terms)))
+            .select(id_col)
+        )
+    if any_terms:
+        anyd = index.filter(F.col("term").isin(list(any_terms))).select(id_col).distinct()
+        docs = anyd if docs is None else docs.join(anyd, id_col, "left_semi")
+    if none_terms:
+        notd = index.filter(F.col("term").isin(list(none_terms))).select(id_col).distinct()
+        docs = docs.join(notd, id_col, "left_anti")
+    return docs

@@ -1466,3 +1466,42 @@ def text_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("source").orderBy("n_tokens"))
         .alias("pct_rank"),
     )
+
+
+_BOOL_ALL = ("table", "value")
+_BOOL_NOT = ("window",)
+
+
+@register(
+    "text_boolean_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_LM_TOKS_SQL} AS ts FROM documents
+    ),
+    pos AS (
+      SELECT DISTINCT doc_id, UNNEST(ts) AS term FROM toks
+    ),
+    hits AS (
+      SELECT doc_id FROM pos WHERE term IN ('{_BOOL_ALL[0]}', '{_BOOL_ALL[1]}')
+      GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2
+    )
+    SELECT h.doc_id FROM hits h
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pos WHERE pos.doc_id = h.doc_id AND pos.term = '{_BOOL_NOT[0]}'
+    )
+    """,
+    category="text",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval (operators.text.boolean_search, IIR §1):
+    documents containing BOTH query terms and NOT the excluded term —
+    posting-list aggregate + anti-join, the set-algebra complement to
+    the ranked (BM25), phrase, and proximity entries. The oracle
+    replays the same algebra over distinct (doc, term) postings."""
+    from kafka_workers_spark.operators.text import boolean_search, positional_index
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return boolean_search(
+        positional_index(d), all_terms=list(_BOOL_ALL), none_terms=list(_BOOL_NOT)
+    )

@@ -1280,3 +1280,32 @@ def test_proximity_search_banded_equals_naive_and_edges(spark):
         assert got == expect, (ta, tb, w)
     with pytest.raises(ValueError, match="window"):
         proximity_search(idx, "aa", "bb", window=0)
+
+
+def test_boolean_search_clause_algebra(spark):
+    """AND/OR/NOT clause combinations against hand-enumerable docs;
+    clauseless call raises."""
+    from kafka_workers_spark.operators.text import boolean_search, positional_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog fish"),
+            (2, "cat dog"),
+            (3, "cat bird"),
+            (4, "dog bird"),
+            (5, "fish only here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = positional_index(docs)
+    ids = lambda df: sorted(r.doc_id for r in df.collect())  # noqa: E731
+    assert ids(boolean_search(idx, all_terms=["cat", "dog"])) == [1, 2]
+    assert ids(boolean_search(idx, all_terms=["cat", "dog"], none_terms=["fish"])) == [2]
+    assert ids(boolean_search(idx, any_terms=["bird", "fish"])) == [1, 3, 4, 5]
+    assert ids(
+        boolean_search(idx, all_terms=["cat"], any_terms=["bird", "fish"])
+    ) == [1, 3]
+    # duplicate terms in the clause don't inflate the required count
+    assert ids(boolean_search(idx, all_terms=["cat", "cat", "dog"])) == [1, 2]
+    with pytest.raises(ValueError, match="needs"):
+        boolean_search(idx)
