@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 # Tiny public stopword lexicons (top function words per language) — the
@@ -2136,3 +2137,102 @@ def boolean_search(
         notd = index.filter(F.col("term").isin(list(none_terms))).select(id_col).distinct()
         docs = docs.join(notd, id_col, "left_anti")
     return docs
+
+
+#: Cavnar-Trenkle profile size: top-R trigrams per class and per doc
+CT_PROFILE_SIZE = 50
+
+
+def ngram_langid_score(
+    docs,
+    ref_docs,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    profile_size: int = CT_PROFILE_SIZE,
+):
+    """Char-n-gram rank-profile language ID (Cavnar & Trenkle, "N-Gram-
+    Based Text Categorization", SDAIR 1994) — the training-based
+    companion to the lexicon-overlap ``text_language_id`` row: each
+    class keeps its top-``profile_size`` char TRIGRAMS ranked by
+    frequency (count desc, trigram asc — deterministic), each document
+    builds the same profile over itself, and the class distance is the
+    out-of-place measure Σ |doc_rank − class_rank| with a flat
+    ``profile_size`` penalty for trigrams missing from the class
+    profile. Every quantity is an exact integer (ranks, counts,
+    absolute differences), so the WHOLE method — profiles, distances,
+    argmin — replays in ANSI SQL. Trigrams run over :func:`normalized`
+    text including spaces (word-boundary trigrams carry the signal CT
+    exploits). Prediction ties break to the smallest label.
+
+    Returns one row per scored document: ``(id_col, predicted, dist)``.
+
+    Shape at scale: class profiles are labels × profile_size rows —
+    broadcast at any corpus size (the NB/DSIR model discipline);
+    per-doc profiles are one trigram aggregate + a partitioned
+    rank window (documents are small); scoring crosses each doc's
+    ≤ profile_size trigram rows with the label list and left-joins the
+    broadcast profiles — no token-keyed shuffle.
+    """
+    from kafka_workers_spark.operators.dedup import barrier
+
+    if profile_size < 1:
+        raise ValueError(f"profile_size ({profile_size}) must be >= 1")
+
+    def trigrams(frame, keys):
+        staged = barrier(
+            frame.select(*keys, normalized(F.col(text_col)).alias("__nt")).filter(
+                F.length("__nt") >= 3
+            )
+        )
+        # substring over a materialized plain column — cheap per element
+        tri = F.transform(
+            F.sequence(F.lit(1), F.length("__nt") - 2),
+            lambda i: F.col("__nt").substr(i, F.lit(3)),
+        )
+        return staged.select(*keys, F.explode(tri).alias("__tri"))
+
+    def ranked(frame, keys):
+        cnt = trigrams(frame, keys).groupBy(*keys, "__tri").agg(
+            F.count("*").alias("__c")
+        )
+        w = W.partitionBy(*keys).orderBy(F.desc("__c"), F.asc("__tri"))
+        return (
+            cnt.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= profile_size)
+            .select(*keys, "__tri", "__rank")
+        )
+
+    class_prof = ranked(
+        ref_docs.where(F.col(label_col).isNotNull()).select(
+            F.col(label_col).alias("__label"), F.col(text_col)
+        ),
+        ["__label"],
+    )
+    doc_prof = ranked(docs.select(id_col, text_col), [id_col])
+    labels = class_prof.select("__label").distinct()
+    scored = (
+        doc_prof.crossJoin(F.broadcast(labels))
+        .join(
+            F.broadcast(class_prof.withColumnRenamed("__rank", "__crank")),
+            ["__label", "__tri"],
+            "left",
+        )
+        .select(
+            id_col,
+            "__label",
+            F.coalesce(
+                F.abs(F.col("__rank") - F.col("__crank")), F.lit(profile_size)
+            ).alias("__d"),
+        )
+        .groupBy(id_col, "__label")
+        .agg(F.sum("__d").cast("bigint").alias("__dist"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("__dist"), F.col("__label"))).alias("__b")
+    )
+    return best.select(
+        id_col,
+        F.col("__b.__label").alias("predicted"),
+        F.col("__b.__dist").alias("dist"),
+    )

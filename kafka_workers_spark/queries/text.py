@@ -1505,3 +1505,69 @@ def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_search(
         positional_index(d), all_terms=list(_BOOL_ALL), none_terms=list(_BOOL_NOT)
     )
+
+
+_CT_R = 50  # == operators.text.CT_PROFILE_SIZE (asserted in tests)
+
+
+@register(
+    "text_langid_ngram",
+    f"""
+    WITH nt AS (
+      SELECT doc_id, lang, {sql_normalized('text')} AS n FROM documents
+    ),
+    ref_tri AS (
+      SELECT lang AS label, UNNEST([substr(n, i, 3) FOR i IN generate_series(1, len(n) - 2)]) AS tri
+      FROM nt WHERE len(n) >= 3 AND doc_id % 2 = 0 AND lang IS NOT NULL
+    ),
+    class_prof AS (
+      SELECT label, tri, rnk AS crank FROM (
+        SELECT label, tri, ROW_NUMBER() OVER (PARTITION BY label
+                 ORDER BY COUNT(*) DESC, tri) AS rnk
+        FROM ref_tri GROUP BY label, tri
+      ) WHERE rnk <= {_CT_R}
+    ),
+    doc_tri AS (
+      SELECT doc_id, UNNEST([substr(n, i, 3) FOR i IN generate_series(1, len(n) - 2)]) AS tri
+      FROM nt WHERE len(n) >= 3 AND doc_id % 2 = 1
+    ),
+    doc_prof AS (
+      SELECT doc_id, tri, rnk FROM (
+        SELECT doc_id, tri, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY COUNT(*) DESC, tri) AS rnk
+        FROM doc_tri GROUP BY doc_id, tri
+      ) WHERE rnk <= {_CT_R}
+    ),
+    labels AS (SELECT DISTINCT label FROM class_prof),
+    scored AS (
+      SELECT d.doc_id, l.label,
+             CAST(SUM(COALESCE(ABS(d.rnk - c.crank), {_CT_R})) AS BIGINT) AS dist
+      FROM doc_prof d CROSS JOIN labels l
+      LEFT JOIN class_prof c ON c.label = l.label AND c.tri = d.tri
+      GROUP BY d.doc_id, l.label
+    ),
+    best AS (
+      SELECT doc_id, MIN({{'dist': dist, 'label': label}}) AS b
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, b['label'] AS predicted, CAST(b['dist'] AS BIGINT) AS dist
+    FROM best
+    """,
+    category="text",
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle char-trigram rank-profile language ID
+    (operators.text.ngram_langid_score, SDAIR 1994) under the LM-family
+    protocol: class profiles train on the even-doc_id half, the odd
+    half is scored — every rank, out-of-place distance, and the argmin
+    are exact integers, so the ENTIRE method replays in the oracle.
+    The testdata's langs are deliberately token-uniform (documented at
+    text_nb_score), so the oracle pins the MECHANISM; discrimination is
+    proven on a separable corpus in unit tests."""
+    from kafka_workers_spark.operators.text import ngram_langid_score
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    return ngram_langid_score(test, ref, profile_size=_CT_R)

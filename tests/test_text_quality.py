@@ -1309,3 +1309,36 @@ def test_boolean_search_clause_algebra(spark):
     assert ids(boolean_search(idx, all_terms=["cat", "cat", "dog"])) == [1, 2]
     with pytest.raises(ValueError, match="needs"):
         boolean_search(idx)
+
+
+def test_ngram_langid_discriminates_separable_scripts(spark):
+    """Learning check on a genuinely separable corpus (the testdata
+    langs are token-uniform, documented): two synthetic 'languages'
+    with disjoint character inventories classify correctly; profile
+    constant pinned to the query; guard raises."""
+    from kafka_workers_spark.operators.text import (
+        CT_PROFILE_SIZE,
+        ngram_langid_score,
+    )
+    from kafka_workers_spark.queries.text import _CT_R
+
+    assert _CT_R == CT_PROFILE_SIZE
+    lang_a = "aba bab abba babba abab"      # a/b inventory
+    lang_b = "xyz zyx xyzzy zxy yzx"        # x/y/z inventory
+    ref = spark.createDataFrame(
+        [(i, "A", lang_a) for i in range(5)] + [(i + 5, "B", lang_b) for i in range(5)],
+        "doc_id long, lang string, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "abba bab"), (101, "zyx xyz"), (102, "babab aba")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.predicted
+        for r in ngram_langid_score(test, ref, profile_size=20).collect()
+    }
+    assert got == {100: "A", 101: "B", 102: "A"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="profile_size"):
+        ngram_langid_score(test, ref, profile_size=0)
