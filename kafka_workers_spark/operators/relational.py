@@ -194,6 +194,7 @@ def funnel_steps(
     type_col: str = "event_type",
     user_col: str = "user_id",
     ts_col: str = "ts",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel resolution (the event-analytics staple — e.g.
     ClickHouse's windowFunnel / sequenceMatch family, re-expressed as
@@ -209,7 +210,13 @@ def funnel_steps(
     (any completion implies the greedy one, stage by stage — the greedy
     chain is dominated by every other chain); equal timestamps do NOT
     advance a stage (strict ``>``), so a view and a click in the same
-    microsecond don't form a sequence.
+    microsecond don't form a sequence. ``within_seconds`` bounds the
+    whole chain to ``t_1 + within`` (ClickHouse windowFunnel's window):
+    stages outside the window don't count. Windowed-greedy is itself
+    greedy per stage — like windowFunnel, it reports the chain anchored
+    at the FIRST step-1 event, not the best-anchored chain; a user
+    whose completing chain starts at a later step-1 occurrence reports
+    the shallower depth (the standard, documented trade).
 
     Shape at scale: k chained (filter → user-keyed min-aggregate)
     passes — each is one partial-aggregatable shuffle of (user, ts)
@@ -218,6 +225,8 @@ def funnel_steps(
     windows, no per-user sort, no session state."""
     if not step_values:
         raise ValueError("step_values must be non-empty")
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError(f"within_seconds ({within_seconds}) must be positive")
     cur = (
         events.filter(F.col(type_col) == step_values[0])
         .groupBy(user_col)
@@ -225,13 +234,15 @@ def funnel_steps(
     )
     for i, v in enumerate(step_values[1:], start=2):
         prev_t = f"t_{i - 1}"
-        nxt = (
-            events.filter(F.col(type_col) == v)
-            .join(cur.select(user_col, prev_t), user_col)
-            .filter(F.col(ts_col) > F.col(prev_t))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias(f"t_{i}"))
-        )
+        nxt = events.filter(F.col(type_col) == v).join(
+            cur.select(user_col, "t_1", prev_t), user_col
+        ).filter(F.col(ts_col) > F.col(prev_t))
+        if within_seconds is not None:
+            nxt = nxt.filter(
+                F.col(ts_col).cast("long") - F.col("t_1").cast("long")
+                <= within_seconds
+            )
+        nxt = nxt.groupBy(user_col).agg(F.min(ts_col).alias(f"t_{i}"))
         cur = cur.join(nxt, user_col, "left")
     depth = None
     for i in range(1, len(step_values) + 1):

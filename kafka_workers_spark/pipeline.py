@@ -1407,3 +1407,71 @@ def merge_upsert(
     return best.select(
         *key_cols, *[F.col(f"__best.{c}").alias(c) for c in ordered]
     ).select(*all_rows.columns)
+
+
+def clip_percentiles(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    tiebreak_cols: list[str],
+    lo: tuple[int, int] = (1, 100),
+    hi: tuple[int, int] = (99, 100),
+    out: str | None = None,
+) -> DataFrame:
+    """Winsorize a column per group at exact discrete percentiles: values
+    below the group's p_lo clamp up to it, values above p_hi clamp down
+    — the standard heavy-tail tamer before averaging quality scores or
+    budgeting by token mass. Percentile bounds use the
+    ``agg_percentile_disc`` rank-selection discipline (value at rank
+    ``ceil(p·n)``, pure integer rank arithmetic, ``tiebreak_cols``
+    making the order total) so both bounds — and therefore every
+    clipped value, which is always some ROW's actual value — are
+    deterministic and engine-replayable; no interpolation ever
+    manufactures a number.
+
+    Returns the input plus ``out`` (default ``{col}_clipped``) and
+    boolean ``{out}_was_low`` / ``{out}_was_high`` audit flags. Scale:
+    one window per group for the ranks (the exact-oracle form — swap
+    approx_percentile in when groups are corpus-sized and exactness is
+    not contractual) + one tiny bounds broadcast back.
+    """
+    num_lo, den_lo = lo
+    num_hi, den_hi = hi
+    for num, den in (lo, hi):
+        if not 0 < num <= den:
+            raise ValueError(f"percentile ({num}/{den}) must be in (0, 1]")
+    if num_lo * den_hi > num_hi * den_lo:
+        raise ValueError(f"lo ({lo}) must not exceed hi ({hi})")
+    out = out or f"{col}_clipped"
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy(col, *tiebreak_cols)
+    wall = W.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        F.col(col).alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(wall).alias("__n"),
+    )
+    bounds = ranked.groupBy(*group_cols).agg(
+        F.min(
+            F.when(
+                F.col("__rn") == F.expr(f"({num_lo} * __n + {den_lo - 1}) DIV {den_lo}"),
+                F.col("__v"),
+            )
+        ).alias("__lo"),
+        F.min(
+            F.when(
+                F.col("__rn") == F.expr(f"({num_hi} * __n + {den_hi - 1}) DIV {den_hi}"),
+                F.col("__v"),
+            )
+        ).alias("__hi"),
+    )
+    clipped = F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi"))
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn(out, clipped)
+        .withColumn(f"{out}_was_low", F.col(col) < F.col("__lo"))
+        .withColumn(f"{out}_was_high", F.col(col) > F.col("__hi"))
+        .drop("__lo", "__hi")
+    )

@@ -1308,3 +1308,52 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
     )
+
+
+@register(
+    "agg_winsorize",
+    f"""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT l_returnflag,
+             MIN(CASE WHEN rn = (1 * n + 99) // 100 THEN l_extendedprice END) AS lo,
+             MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN l_extendedprice END) AS hi
+      FROM ranked GROUP BY l_returnflag
+    )
+    SELECT li.l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           {sql_dsum('LEAST(GREATEST(l_extendedprice, lo), hi)', 'sum_clipped')}
+    FROM lineitem li JOIN bounds ON bounds.l_returnflag = li.l_returnflag
+    GROUP BY li.l_returnflag
+    """,
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at exact p01/p99
+    (pipeline.clip_percentiles — rank-selected discrete percentiles, no
+    interpolation): clip counts and the DECIMAL-exact clipped sum per
+    return flag. Clipped values are actual row values, so the whole
+    chain replays; the sum rides the dsum discipline."""
+    from kafka_workers_spark.pipeline import clip_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = clip_percentiles(
+        li,
+        "l_extendedprice",
+        group_cols=["l_returnflag"],
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice_clipped_was_low").cast("bigint")).alias("n_clipped_low"),
+        F.sum(F.col("l_extendedprice_clipped_was_high").cast("bigint")).alias("n_clipped_high"),
+        dsum("l_extendedprice_clipped", "sum_clipped"),
+    )

@@ -1161,3 +1161,29 @@ def test_merge_upsert_semantics(spark):
         merge_upsert(base, updates, key_cols=[], version_col="version")
     with _pt.raises(ValueError, match="version_col"):
         merge_upsert(base, updates, key_cols=["k"], version_col="k")
+
+
+def test_clip_percentiles_known_answer_and_guards(spark):
+    """Hand-computed bounds on a 10-row group: p10/p90 rank selection,
+    clamping, audit flags, and the parameter guards."""
+    from kafka_workers_spark.pipeline import clip_percentiles
+
+    rows = [("g", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = {
+        r.id: (r.v_clipped, r.v_clipped_was_low, r.v_clipped_was_high)
+        for r in clip_percentiles(
+            df, "v", ["g"], ["id"], lo=(1, 10), hi=(9, 10), out="v_clipped"
+        ).collect()
+    }
+    # n=10: lo rank = ceil(1) = 1 -> value 1; hi rank = ceil(9) = 9 -> value 9
+    assert out[0] == (1.0, False, False)
+    assert out[9] == (9.0, False, True)   # 100 clamps down to 9
+    assert out[4] == (5.0, False, False)
+    assert sum(1 for v in out.values() if v[2]) == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="percentile"):
+        clip_percentiles(df, "v", ["g"], ["id"], lo=(0, 10))
+    with _pt.raises(ValueError, match="must not exceed"):
+        clip_percentiles(df, "v", ["g"], ["id"], lo=(9, 10), hi=(1, 10))

@@ -376,3 +376,31 @@ def test_sessionize_gap_boundaries(spark):
 
     with _pt.raises(ValueError, match="gap_seconds"):
         sessionize(ev, gap_seconds=0)
+
+
+def test_funnel_within_window_bounds_chain(spark):
+    """Stages past t_1 + within don't count; exactly-at-boundary counts
+    (<=); the unwindowed call is unchanged."""
+    from datetime import datetime, timedelta
+
+    from kafka_workers_spark.operators.relational import funnel_steps
+
+    t = lambda s: datetime(2024, 1, 1) + timedelta(seconds=s)  # noqa: E731
+    rows = [
+        (1, t(0), "view"), (1, t(50), "click"), (1, t(200), "purchase"),
+        (2, t(0), "view"), (2, t(100), "click"),   # boundary: exactly within
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r.user_id: r.depth
+        for r in funnel_steps(
+            ev, ["view", "click", "purchase"], within_seconds=100
+        ).collect()
+    }
+    assert out == {1: 2, 2: 2}  # u1's purchase at +200 falls outside
+    full = {r.user_id: r.depth for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+    assert full == {1: 3, 2: 2}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="within_seconds"):
+        funnel_steps(ev, ["view"], within_seconds=0)
