@@ -1357,3 +1357,65 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice_clipped_was_high").cast("bigint")).alias("n_clipped_high"),
         dsum("l_extendedprice_clipped", "sum_clipped"),
     )
+
+
+_ATTR_LOOKBACK_S = 3600  # last-touch lookback: 1 hour
+
+
+@register(
+    "events_attribution",
+    f"""
+    WITH purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.event_id, p.ts,
+           (SELECT MAX(c.click_ts) FROM clicks c
+            WHERE c.user_id = p.user_id AND c.click_ts <= p.ts) AS touch_ts,
+           CASE WHEN (SELECT MAX(c.click_ts) FROM clicks c
+                      WHERE c.user_id = p.user_id AND c.click_ts <= p.ts)
+                     >= p.ts - INTERVAL {_ATTR_LOOKBACK_S} SECONDS
+                THEN 'click' ELSE 'organic' END AS attribution
+    FROM purchases p
+    """,
+    windowed=False,  # new round 8 — EXTRA until rotated in
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operators.relational.asof_join applied to
+    the event stream): each purchase attaches the latest preceding
+    click per user; purchases whose touch is older than the 1-hour
+    lookback (or touchless) are 'organic'. The engine runs the single-
+    shuffle union-interleave as-of plan; the oracle verifies its
+    SEMANTICS with a correlated MAX subquery — as-of == correlated-max
+    is exactly the claim under test (ties: a click at the purchase
+    instant counts, merge_asof allow_exact_matches semantics)."""
+    from kafka_workers_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_alias="touch_ts",
+        how="left",
+    )
+    recent = F.col("touch_ts").isNotNull() & (
+        F.col("touch_ts").cast("long") >= F.col("ts").cast("long") - _ATTR_LOOKBACK_S
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "touch_ts",
+        F.when(recent, F.lit("click")).otherwise(F.lit("organic")).alias("attribution"),
+    )
