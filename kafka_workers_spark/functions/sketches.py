@@ -1010,3 +1010,24 @@ def bloom_pruned_join(
     probed = bloom_probe(big, sketch, on, out="__might")
     pruned = probed.filter(F.col("__might")).drop("__might")
     return pruned.join(small, on, how)
+
+
+def kmv_containment(hashes_a: str, hashes_b: str, k: int) -> Column:
+    """Containment estimate ``|A∩B| / |A|`` from two sketch rows (the
+    Broder-containment analog of :func:`kmv_jaccard`, via the same
+    union-sample argument — Beyer et al. 2007 §5 generalizes to any
+    multiset ratio): restrict both sketches to the union's bottom-k
+    (a uniform union sample), then divide the sample's intersection
+    count by its A-side count. Detects SUBSET relations two corpora's
+    Jaccard hides (a small corpus fully inside a huge one has tiny
+    Jaccard but containment ≈ 1). Row-local array expressions; join
+    the sketch rows first. Returns NULL when A's sample is empty
+    (A empty — containment undefined)."""
+    union_k = F.slice(
+        F.array_sort(F.array_union(F.col(hashes_a), F.col(hashes_b))), 1, k
+    )
+    a_in = F.size(F.array_intersect(union_k, F.col(hashes_a)))
+    both = F.size(
+        F.array_intersect(union_k, F.array_intersect(F.col(hashes_a), F.col(hashes_b)))
+    )
+    return F.when(a_in > 0, both.cast("double") / a_in.cast("double"))

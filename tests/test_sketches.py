@@ -688,3 +688,36 @@ def test_kmv_merge_mixed_k_raises_even_under_column_pruning(spark):
     mixed = kmv_build(df, "v", k=64).unionByName(kmv_build(df, "v", k=32))
     with _pt.raises(Exception, match="mixed k"):
         kmv_merge(mixed).select("hashes").collect()
+
+
+def test_kmv_containment_detects_subset_where_jaccard_hides_it(spark):
+    """A 200-element set fully inside a 4000-element set: Jaccard ~ 0.05
+    but containment ~ 1.0; reversed containment ~ |A|/|B|; disjoint -> 0."""
+    from kafka_workers_spark.functions.sketches import (
+        kmv_build,
+        kmv_containment,
+        kmv_jaccard,
+    )
+
+    k = 128
+    small = kmv_build(
+        spark.createDataFrame([(f"x{i}",) for i in range(200)], "v string"), "v", k=k
+    ).select(F.col("hashes").alias("ha"))
+    bigd = kmv_build(
+        spark.createDataFrame([(f"x{i}",) for i in range(4000)], "v string"), "v", k=k
+    ).select(F.col("hashes").alias("hb"))
+    row = small.crossJoin(bigd).select(
+        kmv_containment("ha", "hb", k).alias("c_small_in_big"),
+        kmv_containment("hb", "ha", k).alias("c_big_in_small"),
+        kmv_jaccard("ha", "hb", k).alias("j"),
+    ).collect()[0]
+    assert row.c_small_in_big > 0.9
+    assert abs(row.c_big_in_small - 200 / 4000) < 0.15
+    assert row.j < 0.2
+    other = kmv_build(
+        spark.createDataFrame([(f"z{i}",) for i in range(300)], "v string"), "v", k=k
+    ).select(F.col("hashes").alias("hb"))
+    j0 = small.crossJoin(other).select(
+        kmv_containment("ha", "hb", k).alias("c")
+    ).collect()[0].c
+    assert j0 == 0.0
