@@ -21,15 +21,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kafka_workers_spark import WorkersConfig, build_session
-from kafka_workers_spark.queries import load_all
+from kafka_workers_spark.queries import load_all, load_extra
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    registry = load_all()
-    # The roster IS the driver's correctness window (all 50 registered
+    # Default roster IS the driver's correctness window (all 50 registered
     # queries, VERDICT r06 #2) — self-syncing across rotations, so a perf
     # regression in any windowed query is always visible in BENCH_r{N}.
+    #
+    # `--extra` (VERDICT r08 #1) benches the OFF-window registry instead,
+    # under the identical cache-honest protocol, so every registered query
+    # has a recorded wall time (BENCH_EXTRA_r{N}.json companion) and a
+    # cold-path regression in a rotated-out family is visible before it
+    # rotates back into the driver window. The driver's own invocation
+    # (no args) is unchanged.
+    extra = "--extra" in sys.argv[1:]
+    registry = load_extra() if extra else load_all()
+    metric = "extra_queries_total" if extra else "headline_queries_total"
     names = list(registry)
 
     spark = build_session(
@@ -91,7 +100,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": metric,
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,

@@ -2139,6 +2139,84 @@ def boolean_search(
     return docs
 
 
+#: posindex_write layout version — bump on any table-schema change so
+#: posindex_read can refuse a layout it does not understand instead of
+#: mis-joining silently (the _BM25_INDEX_VERSION discipline)
+_POSINDEX_VERSION = 1
+
+
+def posindex_write(index, path: str, id_col: str = "doc_id", mode: str = "error") -> None:
+    """Persist a :func:`positional_index` postings frame as parquet under
+    ``path`` — the ``postings`` table plus a one-row ``meta`` table
+    carrying ``id_col`` and a layout version. This is the at-rest half
+    the :func:`positional_index` docstring promises (build at ingest,
+    write once, phrase/proximity/boolean queries start from
+    :func:`posindex_read`), completing the stored-index trio with
+    :func:`bm25_write_index` and similarity.ann_write_index. Reference
+    analog: the stored offsets contract
+    (impl/offsets/DefaultOffsetsState.java — state that survives process
+    restart). ``mode`` passes through to the parquet writer."""
+    spark = index.sparkSession
+    index.select(id_col, "pos", "term").write.mode(mode).parquet(f"{path}/postings")
+    meta = spark.createDataFrame(
+        [(id_col, _POSINDEX_VERSION)], "id_col string, version int"
+    )
+    meta.write.mode(mode).parquet(f"{path}/meta")
+
+
+def posindex_read(spark, path: str):
+    """Load a stored positional index written by :func:`posindex_write`.
+    Returns ``(postings, id_col)``. The only driver-side read is the
+    one-row meta table (the bm25_read_index pattern); the postings frame
+    stays a lazy parquet scan, so a phrase query's ``term = 'x'``
+    predicate still pushes into the postings scan and prunes it to the
+    queried terms' posting lists."""
+    row = spark.read.parquet(f"{path}/meta").collect()
+    if len(row) != 1:
+        raise ValueError(f"posindex_read: expected one meta row, got {len(row)}")
+    if row[0].version != _POSINDEX_VERSION:
+        raise ValueError(
+            f"posindex_read: layout version {row[0].version} != "
+            f"{_POSINDEX_VERSION} — rebuild the index with this package"
+        )
+    return spark.read.parquet(f"{path}/postings"), row[0].id_col
+
+
+def posindex_merge(a, b, id_col: str = "doc_id"):
+    """Merge two positional indexes over DISJOINT document sets — the
+    ingest-batch rollup (the bm25_merge_index twin). Positions are
+    per-document, so the merge is a postings union; overlapping ids
+    would duplicate postings (phrase counts double, proximity pairs
+    cross batches), so the union carries an in-plan raise_error guard:
+    one id-intersection aggregate (distinct ids only, never postings),
+    broadcast onto the merged frame as a one-row cross join and
+    evaluated at the first search — the package's lazy-guard
+    discipline. Exact: merged == an index built over the union corpus
+    in one pass (unit-pinned)."""
+    overlap = (
+        a.select(id_col)
+        .distinct()
+        .join(b.select(id_col).distinct(), id_col)
+        .groupBy()
+        .agg(F.count("*").alias("__dup"))
+    )
+    merged = a.unionByName(b).crossJoin(F.broadcast(overlap))
+    return merged.select(
+        F.when(F.col("__dup") == 0, F.col(id_col))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "posindex_merge: the two indexes share document ids — "
+                    "postings would duplicate; dedup the batches first"
+                )
+            ).cast(merged.schema[id_col].dataType)
+        )
+        .alias(id_col),
+        "pos",
+        "term",
+    )
+
+
 #: Cavnar-Trenkle profile size: top-R trigrams per class and per doc
 CT_PROFILE_SIZE = 50
 

@@ -115,6 +115,7 @@ def corpus_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_freq DESC, term LIMIT 100
     """,
     category="corpus",
+    windowed=False,  # rotated out round 9 — oracle-checked by tests/test_oracle_extra.py
 )
 def corpus_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: document frequency, total term frequency and the

@@ -752,7 +752,6 @@ _SSJ_NUM, _SSJ_DEN = 9, 10
           >= {_SSJ_NUM} * (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
     """,
     category="dedup",
-    windowed=False,  # new round 8 — EXTRA until rotated in
 )
 def dedup_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard >= 9/10 self-join by prefix filtering

@@ -60,6 +60,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM media
     """,
     category="multimodal",
+    windowed=False,  # rotated out round 9 — oracle-checked by tests/test_oracle_extra.py
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-2nd-frame sampling fan-out for the 'video' payloads: sequence +

@@ -1241,7 +1241,6 @@ _SESSION_GAP_S = 1800  # 30-minute inactivity gap
     FROM numbered
     GROUP BY user_id, session_id
     """,
-    windowed=False,  # new round 8 — EXTRA until rotated in
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based batch sessionization (operators.relational.sessionize,

@@ -180,6 +180,7 @@ _SHINGLES_SQL = sql_word_shingles(_TOKS_SQL, 3)
     FROM documents
     """,
     category="text",
+    windowed=False,  # rotated out round 9 — oracle-checked by tests/test_oracle_extra.py
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: md5 of the normalized text (exact identity)
@@ -1365,7 +1366,6 @@ _PHRASE = ("table", "value")  # common testdata bigram — non-empty result set
     GROUP BY doc_id
     """,
     category="text",
-    windowed=False,  # new round 8 — EXTRA until rotated in
 )
 def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase query over the positional index
