@@ -251,3 +251,79 @@ def task_transform_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transform_batches(
         ev, task, "event_id long, partition int, value_cents long", guarantee="at_least_once"
     )
+
+
+_FUNNEL = ("view", "click", "purchase")
+_FUNNEL_W_S = 259200  # 3-day chain bound — all three depths populated at sf0.01
+
+
+@register(
+    "stream_funnel_state",
+    f"""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t_1 FROM events
+                WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t_2 FROM events e
+           JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t_1
+           WHERE e.event_type = '{_FUNNEL[1]}' GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t_3 FROM events e
+           JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t_2
+           WHERE e.event_type = '{_FUNNEL[2]}' GROUP BY 1)
+    SELECT s1.user_id, t_1, t_2, t_3,
+           CAST(1 + CAST(t_2 IS NOT NULL AS INT) + CAST(t_3 IS NOT NULL AS INT)
+                AS BIGINT) AS depth
+    FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+    category="streaming",
+    windowed=False,
+)
+def stream_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-user funnel WorkerTask state machine (streaming.funnel —
+    the reference's per-key stateful task model, WorkerTask.java:11-70)
+    replayed over the full history via the task API's batch entry
+    (applyInPandas). The oracle is the CHAINED-MIN relational funnel —
+    a genuine cross-plan semantic check: the imperative greedy state
+    machine must equal the aggregate formulation row for row (the same
+    pairing events_attribution pins for as-of vs correlated-MAX). The
+    live streaming path of the same task (completion emit + idle-expiry
+    close) is pinned equal to batch in tests/test_funnel_stream.py."""
+    from kafka_workers_spark.streaming.funnel import funnel_tasks_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_tasks_batch(ev, list(_FUNNEL))
+
+
+@register(
+    "stream_funnel_within",
+    f"""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t_1 FROM events
+                WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(s1.t_1) AS t_1, MIN(e.ts) AS t_2 FROM events e
+           JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t_1
+            AND epoch_us(e.ts) // 1000000 - epoch_us(s1.t_1) // 1000000 <= {_FUNNEL_W_S}
+           WHERE e.event_type = '{_FUNNEL[1]}' GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t_3 FROM events e
+           JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t_2
+            AND epoch_us(e.ts) // 1000000 - epoch_us(s2.t_1) // 1000000 <= {_FUNNEL_W_S}
+           WHERE e.event_type = '{_FUNNEL[2]}' GROUP BY 1)
+    SELECT s1.user_id, s1.t_1 AS t_1, t_2, t_3,
+           CAST(1 + CAST(t_2 IS NOT NULL AS INT) + CAST(t_3 IS NOT NULL AS INT)
+                AS BIGINT) AS depth
+    FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+    category="streaming",
+    windowed=False,
+)
+def stream_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowFunnel arm of the funnel state machine: the whole chain
+    must fit in _FUNNEL_W_S (3 days) from t_1 (ClickHouse windowFunnel's
+    window semantics; seconds compare FLOORED — epoch_us // 1e6 in the
+    oracle == Spark's cast-to-long in the batch operator — because
+    events carry microsecond components). Same cross-plan pairing as
+    stream_funnel_state: imperative state machine vs chained
+    window-bounded min aggregates."""
+    from kafka_workers_spark.streaming.funnel import funnel_tasks_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_tasks_batch(ev, list(_FUNNEL), within_seconds=_FUNNEL_W_S)
