@@ -106,3 +106,42 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("int"),
         F.col("n_channels").cast("int"),
     )
+
+
+from kafka_workers_spark.operators.multimodal import sql_perceptual_hash  # noqa: E402
+
+_PH_SQL = sql_perceptual_hash("encode(text)")
+
+
+@register(
+    "multimodal_near_dup",
+    f"""
+    WITH sigs AS (
+      SELECT doc_id, {_PH_SQL} AS ph FROM documents
+    ), bands AS (
+      SELECT doc_id, ph, b, (ph >> (b * 8)) & 255 AS band_val
+      FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.ph AS ph_a, b.ph AS ph_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(ph_a, ph_b)) <= 3
+    """,
+    category="multimodal",
+    windowed=False,
+)
+def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs over the binary payload column
+    (operators.multimodal.perceptual_hash — aHash-style cell-average
+    threshold in exact integer arithmetic, VERDICT r08 #5): fingerprint,
+    block on the SimHash 4×8-bit bands (pigeonhole-complete at Hamming
+    ≤ 3), verify exact Hamming on band-collided candidates. The oracle
+    replays fingerprint + banding + verify bit for bit."""
+    from kafka_workers_spark.operators.multimodal import media_near_dup
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.to_binary(F.col("text"), F.lit("utf-8")).alias("payload"))
+    return media_near_dup(media, max_hamming=3)

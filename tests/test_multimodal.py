@@ -120,3 +120,92 @@ def test_decode_media_renamed_columns_and_null_payload(spark):
     assert out.columns[:2] == ["img_id", "kind"]
     assert rows[0].n_bytes == 3 and rows[0].width is not None
     assert rows[1].n_bytes is None and rows[1].width is None
+
+
+# ---------------------------------------------------------------------------
+# Perceptual fingerprint + near-dup banding (VERDICT r08 #5)
+# ---------------------------------------------------------------------------
+
+
+def _ref_phash(p: bytes) -> int:
+    """Literal Python replay of perceptual_hash's integer arithmetic."""
+    n = len(p)
+    if n == 0:
+        return 0
+    tot = sum(p)
+    fp = 0
+    for c in range(32):
+        lo, hi = (n * c) // 32, (n * (c + 1)) // 32
+        if sum(p[lo:hi]) * n > tot * (hi - lo):
+            fp |= 1 << c
+    return fp
+
+
+def _spark_phash(spark, payloads):
+    from kafka_workers_spark.operators.multimodal import perceptual_hash
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "doc_id long, payload binary"
+    )
+    rows = df.select("doc_id", perceptual_hash(F.col("payload")).alias("ph")).collect()
+    return {r.doc_id: r.ph for r in rows}
+
+
+def test_perceptual_hash_matches_python_reference(spark):
+    """Spark expression == literal integer replay on crafted payloads:
+    ramps, constants, short (< 32 bytes → empty cells), empty, NULL."""
+    payloads = [
+        bytes(range(256)) * 3,
+        bytes([7] * 100),            # constant: no cell beats the mean → 0
+        bytes([255, 0] * 64),
+        bytes(range(10)),            # n < 32: some cells empty
+        b"",
+        bytes([1]),
+    ]
+    got = _spark_phash(spark, payloads)
+    for i, p in enumerate(payloads):
+        assert got[i] == _ref_phash(p), f"payload {i}"
+    # constant payload: mean never strictly exceeded anywhere
+    assert got[1] == 0
+    # NULL payload → NULL hash
+    from kafka_workers_spark.operators.multimodal import perceptual_hash
+
+    df = spark.createDataFrame([(0, None)], "doc_id long, payload binary")
+    assert df.select(perceptual_hash(F.col("payload")).alias("ph")).first().ph is None
+
+
+def test_media_near_dup_equal_and_perturbed_payloads(spark):
+    """Equal payloads collide at Hamming 0; a one-cell perturbation
+    lands within the banding radius (its exact distance pinned via the
+    Python reference); an unrelated payload produces no pair."""
+    from kafka_workers_spark.operators.multimodal import media_near_dup
+
+    base = bytes(range(256)) * 2
+    # bump one 16-byte cell hard: flips that cell's bit, moves the
+    # global mean a little — reference replay confirms the radius
+    perturbed = bytearray(base)
+    for i in range(16):
+        perturbed[i] = 255
+    perturbed = bytes(perturbed)
+    dist = bin(_ref_phash(base) ^ _ref_phash(perturbed)).count("1")
+    assert 1 <= dist <= 3, f"crafted perturbation drifted: distance {dist}"
+    other = bytes([(i * 37 + 11) % 256 for i in range(300)])
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, perturbed), (3, other)],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in media_near_dup(df, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] == dist and pairs[(1, 2)] == dist
+    assert not any(3 in k for k in pairs)
+
+
+def test_media_near_dup_rejects_threshold_past_pigeonhole(spark):
+    from kafka_workers_spark.operators.multimodal import media_near_dup
+
+    df = spark.createDataFrame([(0, b"x")], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        media_near_dup(df, max_hamming=4)
