@@ -594,12 +594,20 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_workers_spark.operators.dedup import sorted_neighborhood_pairs
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    staged = shingle_stage(tokenize_stage(d), 3, distinct=True)
+    # __norm is computed AT the tokenize stage, not in the explode's
+    # select: an expression alongside a generator lands in the project
+    # ABOVE it and re-runs per exploded shingle row (O(shingles × len)
+    # regex work — measured 20 s vs 3 s at sf0.1 for this frame)
+    staged = shingle_stage(
+        tokenize_stage(d, extra={"__norm": normalized(F.col("text"))}),
+        3,
+        distinct=True,
+    )
     per_doc = (
         staged.select(
             "doc_id",
             "lang",
-            normalized(F.col("text")).alias("__norm"),
+            "__norm",
             F.explode_outer("shingles").alias("__sh"),
         )
         .select(
