@@ -290,3 +290,97 @@ def sessionize(
             "bigint"
         ),
     )
+
+
+def gap_fill(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    bucket_seconds: int,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Time-series resample with gap filling (the warehouse
+    date-spine/resample idiom — e.g. ClickHouse WITH FILL, InfluxQL
+    GROUP BY time() fill(0)): bucket events into fixed windows of
+    ``bucket_seconds`` and emit EVERY bucket between each key's first
+    and last event — zero ``n_rows`` (and NULL custom aggregates) for
+    silent buckets, so downstream rate/trend math never mistakes
+    absence for a missing row. Returns
+    ``(key_cols..., bucket_start, n_rows, aggs...)``.
+
+    Bucketing is integer floor-division of epoch micros (cross-engine
+    exact; never date_trunc, whose tz semantics differ per engine).
+    Shape at scale: one hash aggregate over the events (map-side
+    partial), a tiny per-key span aggregate OVER the bucketed frame
+    (never the raw events), a sequence-explode of bucket INDICES (longs
+    — bounded by span/bucket, not by event count), one equi-join back.
+    The grid explode fans out per key-bucket, so pick ``bucket_seconds``
+    to bound span/bucket; payloads never enter the grid."""
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds ({bucket_seconds}) must be positive")
+    step_us = bucket_seconds * 1_000_000
+    bucket = F.expr(f"unix_micros({ts_col}) DIV {step_us}")
+    per = events.groupBy(
+        *key_cols, bucket.alias("__b")
+    ).agg(F.count("*").cast("bigint").alias("n_rows"), *(aggs or []))
+    span = per.groupBy(*key_cols).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = span.select(
+        *key_cols, F.explode(F.sequence("__lo", "__hi")).alias("__b")
+    )
+    out_aggs = [c for c in per.columns if c not in (*key_cols, "__b")]
+    return (
+        grid.join(per, [*key_cols, "__b"], "left")
+        .select(
+            *key_cols,
+            F.timestamp_seconds(F.col("__b") * bucket_seconds).alias("bucket_start"),
+            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+            *[c for c in out_aggs if c != "n_rows"],
+        )
+    )
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column profiling (the data-quality summary every warehouse
+    ingest runs — row count, null count, EXACT distinct count, min/max
+    per column): one aggregate pass over the table, then the single
+    stats row unpivots into one output row per column —
+    ``(column, n_rows, n_nonnull, n_distinct, min_value, max_value)``
+    with min/max rendered as strings so heterogeneous column types
+    share one schema (cast AFTER the typed min/max, so numeric order is
+    numeric — never lexicographic).
+
+    Shape at scale: one pass; count + min/max combine map-side, and the
+    k exact count-distincts share Catalyst's expand-based multi-distinct
+    rewrite (k× row expansion in the partial aggregate — the price of
+    EXACT distincts; swap in approx_count_distinct when ±2% is
+    acceptable). The unpivot is a one-row explode on the driver-sized
+    result, not a data-path operation. Double columns should be passed
+    pre-cast to DECIMAL (string rendering of raw doubles is
+    engine-specific)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = [F.count("*").cast("bigint").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).cast("bigint").alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nn_{c}").alias("n_nonnull"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(entries).alias("__e")).select("__e.*")

@@ -1475,3 +1475,91 @@ def clip_percentiles(
         .withColumn(f"{out}_was_high", F.col(col) > F.col("__hi"))
         .drop("__lo", "__hi")
     )
+
+
+def scd2_history(
+    obs: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    """Build a slowly-changing-dimension TYPE-2 history from an
+    observation stream (Kimball SCD2 — the warehouse twin of
+    :func:`merge_upsert`'s type-1 latest-wins): per key, consecutive
+    observations with an UNCHANGED payload collapse into one version;
+    each surviving change opens a validity interval
+    ``[valid_from, valid_to)`` closed by the next change (open version:
+    ``valid_to`` NULL). Returns
+    ``(key_cols..., payload_cols..., valid_from, valid_to)``.
+
+    Ordering within a key is ``(ts_col, tiebreak_col)`` —
+    ``tiebreak_col`` must make that pair unique (the sessionize rule) or
+    the collapse is engine-dependent at ties. Payload comparison is
+    NULL-safe (a NULL→value transition IS a change).
+
+    Shape at scale: both windows (lag for change detection, lead for
+    interval close) share ONE key-partitioned shuffle — the second runs
+    on the CHANGE rows only, with identical partitioning, so no second
+    exchange; per-key sort is bounded by that key's observation count.
+    """
+    import functools
+    import operator
+
+    if not payload_cols:
+        raise ValueError("payload_cols must be non-empty")
+    w = W.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    first = F.lag(tiebreak_col).over(w).isNull()
+    changed = functools.reduce(
+        operator.or_,
+        [~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w)) for c in payload_cols],
+    )
+    changes = obs.withColumn("__chg", first | changed).filter(F.col("__chg"))
+    w2 = W.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    return changes.select(
+        *key_cols,
+        *payload_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )
+
+
+def merge_scd2(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Incremental SCD2 merge: fold a new observation batch into an
+    existing history table (``base`` has the :func:`scd2_history`
+    schema; ``updates`` has ``key_cols + payload_cols + ts_col +
+    tiebreak_col``). CLOSED versions pass through untouched — no
+    shuffle, no rewrite (at 100 TB the history dwarfs the update batch;
+    only current rows and the batch enter the window). Each key's OPEN
+    version re-enters change detection as its own earliest observation,
+    so an update batch whose first payload matches the open version
+    extends it instead of duplicating. Exact: incremental == one-shot
+    ``scd2_history`` over the full observation stream (unit-pinned).
+
+    Contract: update timestamps must be ≥ the open version's
+    ``valid_from`` per key (late observations would need a history
+    rewrite — reject upstream); base open rows sort first at equal ts
+    via a ``-1`` tiebreak, so ``tiebreak_col`` values must be ≥ 0."""
+    closed = base.filter(F.col("valid_to").isNotNull()).select(
+        *key_cols, *payload_cols, "valid_from", "valid_to"
+    )
+    cur_obs = base.filter(F.col("valid_to").isNull()).select(
+        *key_cols,
+        *payload_cols,
+        F.col("valid_from").alias(ts_col),
+        F.lit(-1).alias(tiebreak_col),
+    )
+    new_obs = updates.select(*key_cols, *payload_cols, ts_col, tiebreak_col)
+    hist = scd2_history(
+        cur_obs.unionByName(new_obs), key_cols, ts_col, payload_cols, tiebreak_col
+    )
+    return closed.unionByName(hist)

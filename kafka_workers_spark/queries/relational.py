@@ -1418,3 +1418,136 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "touch_ts",
         F.when(recent, F.lit("click")).otherwise(F.lit("organic")).alias("attribution"),
     )
+
+
+_GAP_BUCKET_S = 3600  # hourly resample buckets
+
+
+@register(
+    "events_gap_fill",
+    f"""
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) // {_GAP_BUCKET_S * 1_000_000} AS bkt, value
+      FROM events
+    ), per AS (
+      SELECT user_id, bkt, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM b GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(bkt) AS lo, MAX(bkt) AS hi FROM per GROUP BY 1
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(lo, hi)) AS bkt FROM span
+    )
+    SELECT g.user_id,
+           make_timestamp(g.bkt * {_GAP_BUCKET_S * 1_000_000}) AS bucket_start,
+           COALESCE(p.n_rows, 0) AS n_rows,
+           p.sum_value AS sum_value
+    FROM grid g LEFT JOIN per p ON p.user_id = g.user_id AND p.bkt = g.bkt
+    """,
+    windowed=False,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user resample with gap filling
+    (operators.relational.gap_fill): every hour between a user's first
+    and last event, zero-count rows for silent hours, value sums
+    through the DECIMAL discipline (NULL on silent hours — absence of
+    data, vs 0 events). Bucketing is integer epoch-micros floor
+    division on both engines (never date_trunc — tz semantics)."""
+    from kafka_workers_spark.functions.determinism import dsum
+    from kafka_workers_spark.operators.relational import gap_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    return gap_fill(
+        ev, ["user_id"], "ts", _GAP_BUCKET_S, aggs=[dsum("value", "sum_value")]
+    )
+
+
+@register(
+    "events_scd2_history",
+    """
+    WITH obs AS (
+      SELECT user_id, ts, event_type, event_id,
+             LAG(event_type) OVER w AS prev, LAG(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, ts, event_type, event_id FROM obs
+      WHERE prev_id IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM changes
+    """,
+    windowed=False,
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build from an observation stream
+    (pipeline.scd2_history, Kimball SCD2): per user, consecutive equal
+    event_type observations collapse; each change opens a validity
+    interval closed by the next (open version: NULL valid_to). The
+    incremental fold (pipeline.merge_scd2: closed versions pass
+    through, open version + batch re-enter detection) is pinned ==
+    this one-shot build in tests/test_pipeline.py."""
+    from kafka_workers_spark.pipeline import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        ["user_id"],
+        "ts",
+        ["event_type"],
+        "event_id",
+    )
+
+
+@register(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_nonnull,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))),
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)),
+           CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR),
+           CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+    windowed=False,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling over orders (operators.relational.profile_table):
+    row/null/EXACT-distinct counts and typed min/max rendered as
+    strings, one aggregate pass then a one-row unpivot. The double
+    price column is pre-cast to DECIMAL(18,2) (raw double→string
+    rendering is engine-specific); the timestamp date column to DATE
+    (both engines print ISO dates)."""
+    from kafka_workers_spark.operators.relational import profile_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return profile_table(
+        o, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    )

@@ -327,3 +327,40 @@ def stream_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return funnel_tasks_batch(ev, list(_FUNNEL), within_seconds=_FUNNEL_W_S)
+
+
+_ATTR_LOOKBACK_S = 3600  # matches events_attribution's 1h lookback
+
+
+@register(
+    "stream_attribution_state",
+    f"""
+    WITH purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.event_id, p.ts,
+           (SELECT MAX(c.click_ts) FROM clicks c
+            WHERE c.user_id = p.user_id AND c.click_ts <= p.ts) AS touch_ts,
+           CASE WHEN (SELECT MAX(c.click_ts) FROM clicks c
+                      WHERE c.user_id = p.user_id AND c.click_ts <= p.ts)
+                     >= p.ts - INTERVAL {_ATTR_LOOKBACK_S} SECONDS
+                THEN 'click' ELSE 'organic' END AS attribution
+    FROM purchases p
+    """,
+    category="streaming",
+    windowed=False,
+)
+def stream_attribution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution as the per-user WorkerTask state machine
+    (streaming.attribution — one carried timestamp per user, purchases
+    emit on the data path), replayed over full history via the task
+    API's batch entry. THREE independent plans now pin the same
+    semantics: this state machine, events_attribution's as-of
+    union-interleave, and the oracle's correlated MAX."""
+    from kafka_workers_spark.streaming.attribution import attribution_tasks_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_tasks_batch(ev, lookback_seconds=_ATTR_LOOKBACK_S)

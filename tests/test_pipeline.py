@@ -1187,3 +1187,66 @@ def test_clip_percentiles_known_answer_and_guards(spark):
         clip_percentiles(df, "v", ["g"], ["id"], lo=(0, 10))
     with _pt.raises(ValueError, match="must not exceed"):
         clip_percentiles(df, "v", ["g"], ["id"], lo=(9, 10), hi=(1, 10))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build + incremental merge
+# ---------------------------------------------------------------------------
+
+
+def _scd2_obs(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        # u1: a->a->b->b->a : collapses to a, b, a
+        (1, 10, "a", 0), (1, 20, "a", 1), (1, 30, "b", 2), (1, 40, "b", 3), (1, 50, "a", 4),
+        # u2: single observation -> one open version
+        (2, 10, "x", 5),
+        # u3: change at every step
+        (3, 10, "p", 6), (3, 20, "q", 7), (3, 30, "r", 8),
+    ]
+    return spark.createDataFrame(rows, "k long, t long, v string, i long")
+
+
+def test_scd2_history_collapses_and_intervals(spark):
+    from kafka_workers_spark.pipeline import scd2_history
+
+    hist = scd2_history(_scd2_obs(spark), ["k"], "t", ["v"], "i")
+    got = sorted((r.k, r.v, r.valid_from, r.valid_to) for r in hist.collect())
+    assert got == [
+        (1, "a", 10, 30), (1, "a", 50, None), (1, "b", 30, 50),
+        (2, "x", 10, None),
+        (3, "p", 10, 20), (3, "q", 20, 30), (3, "r", 30, None),
+    ]
+
+
+def test_merge_scd2_incremental_equals_whole_pass(spark):
+    """The persistence pin of the family (bm25/posindex precedent):
+    history(prefix) merged with the suffix batch == history(all) — the
+    open version extends when the batch repeats its payload, closes
+    when it changes; closed versions pass through untouched."""
+    from kafka_workers_spark.pipeline import merge_scd2, scd2_history
+
+    obs = _scd2_obs(spark)
+    for split in (15, 25, 45):
+        base = scd2_history(obs.filter(f"t <= {split}"), ["k"], "t", ["v"], "i")
+        out = merge_scd2(
+            base, obs.filter(f"t > {split}"), ["k"], "t", ["v"], "i"
+        )
+        want = sorted(map(tuple, scd2_history(obs, ["k"], "t", ["v"], "i").collect()))
+        assert sorted(map(tuple, out.collect())) == want, f"split={split}"
+
+
+def test_scd2_null_payload_transitions_are_changes(spark):
+    from kafka_workers_spark.pipeline import scd2_history
+
+    obs = spark.createDataFrame(
+        [(1, 10, None, 0), (1, 20, "a", 1), (1, 30, None, 2), (1, 40, None, 3)],
+        "k long, t long, v string, i long",
+    )
+    hist = scd2_history(obs, ["k"], "t", ["v"], "i")
+    got = sorted(
+        ((r.k, r.v, r.valid_from, r.valid_to) for r in hist.collect()),
+        key=lambda x: x[2],
+    )
+    assert got == [(1, None, 10, 20), (1, "a", 20, 30), (1, None, 30, None)]

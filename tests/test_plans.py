@@ -307,7 +307,9 @@ def test_sorted_neighborhood_window_is_partitioned(spark):
 def test_set_similarity_prefix_join_is_equi(spark):
     """Candidate generation must be an equi-join on the prefix token —
     never a nested-loop / cartesian over documents."""
-    a = audit(load_extra()["dedup_set_similarity"].fn(spark, SF))
+    # the audit follows the query across window rotations (windowed
+    # since round 9)
+    a = audit({**REG, **load_extra()}["dedup_set_similarity"].fn(spark, SF))
     assert a.cartesian_products == 0 and a.nested_loop_joins == 0, a.text[:800]
     assert a.sortmerge_joins + a.broadcast_joins + a.shuffled_hash_joins >= 2
 

@@ -404,3 +404,56 @@ def test_funnel_within_window_bounds_chain(spark):
 
     with _pt.raises(ValueError, match="within_seconds"):
         funnel_steps(ev, ["view"], within_seconds=0)
+
+
+def test_gap_fill_zero_fills_and_bounds(spark):
+    """Every bucket between a key's first and last event appears; silent
+    buckets carry n_rows 0 and NULL custom aggregates; keys never leak
+    outside their own span."""
+    from datetime import datetime, timedelta
+
+    from kafka_workers_spark.functions.determinism import dsum
+    from kafka_workers_spark.operators.relational import gap_fill
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1.0), (1, t0 + timedelta(hours=3), 2.0),  # gap: hours 1, 2
+        (2, t0 + timedelta(hours=10), 5.0),               # single bucket
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, value double")
+    out = gap_fill(df, ["k"], "ts", 3600, aggs=[dsum("value", "sum_value")])
+    got = {(r.k, r.bucket_start): (r.n_rows, r.sum_value) for r in out.collect()}
+    assert len(got) == 5
+    assert got[(1, t0)] == (1, 1.0)
+    assert got[(1, t0 + timedelta(hours=1))] == (0, None)
+    assert got[(1, t0 + timedelta(hours=2))] == (0, None)
+    assert got[(1, t0 + timedelta(hours=3))] == (1, 2.0)
+    assert got[(2, t0 + timedelta(hours=10))] == (1, 5.0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bucket_seconds"):
+        gap_fill(df, ["k"], "ts", 0)
+
+
+def test_profile_table_counts_nulls_and_typed_minmax(spark):
+    from kafka_workers_spark.operators.relational import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "b", 10.5), (2, None, 2.25), (2, "a", None)],
+        "id long, s string, d double",
+    )
+    out = {
+        r.column: r
+        for r in profile_table(
+            df.withColumn("d", df["d"].cast("decimal(10,2)")), ["id", "s", "d"]
+        ).collect()
+    }
+    assert out["id"].n_rows == 3 and out["id"].n_nonnull == 3 and out["id"].n_distinct == 2
+    assert out["s"].n_nonnull == 2 and out["s"].n_distinct == 2
+    assert (out["s"].min_value, out["s"].max_value) == ("a", "b")
+    # typed min/max: numeric order (2.25 < 10.50), not lexicographic
+    assert (out["d"].min_value, out["d"].max_value) == ("2.25", "10.50")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="cols"):
+        profile_table(df, [])
