@@ -384,3 +384,65 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
         ]
     )
     return row.select(F.explode(entries).alias("__e")).select("__e.*")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_seconds: int,
+    extra_cond: Column | None = None,
+) -> DataFrame:
+    """Banded interval-overlap join (the temporal-join staple — Bouros &
+    Mamoulis' forward-scan family, SIGMOD 2017, re-expressed as a
+    blocking equi-join the way every pair operator in this engine is):
+    all row pairs whose CLOSED intervals ``[start, end]`` overlap
+    (``a_start <= b_end AND b_start <= a_end``), never a
+    CartesianProduct. Column names must be caller-disjoint (rename for
+    self-joins); ``extra_cond`` carries equi-keys and ordering
+    predicates (e.g. ``key_a == key_b``, ``id_a < id_b``) and is pushed
+    into the join.
+
+    Blocking: each interval explodes to the width-``bucket_seconds``
+    time buckets it spans, the two sides equi-join on the bucket, and a
+    pair is kept only in its CANONICAL bucket — the bucket of the later
+    start, which every true overlap contains on both sides — so each
+    pair emerges exactly once with no dropDuplicates shuffle. Pick
+    ``bucket_seconds`` near the typical interval length: the explode
+    factor is span/bucket + 1 per row, and candidate cost is
+    Σ per-bucket |a|×|b| (concurrency-bounded), never |a|×|b| global.
+    Invalid intervals (end < start) are dropped on both sides —
+    filter/repair upstream if they should be errors."""
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds ({bucket_seconds}) must be positive")
+    step_us = bucket_seconds * 1_000_000
+
+    def bkt(col: str) -> str:
+        return f"unix_micros({col}) DIV {step_us}"
+
+    ax = a.filter(F.col(a_end) >= F.col(a_start)).withColumn(
+        "__bkt_a", F.explode(F.expr(f"sequence({bkt(a_start)}, {bkt(a_end)})"))
+    )
+    bx = b.filter(F.col(b_end) >= F.col(b_start)).withColumn(
+        "__bkt_b", F.explode(F.expr(f"sequence({bkt(b_start)}, {bkt(b_end)})"))
+    )
+    cond = (
+        (F.col("__bkt_a") == F.col("__bkt_b"))
+        # exact overlap on band-collided candidates
+        & (F.col(a_start) <= F.col(b_end))
+        & (F.col(b_start) <= F.col(a_end))
+        # canonical bucket: the later start's bucket — contained in both
+        # intervals whenever they overlap, so each pair survives exactly once
+        & (
+            F.col("__bkt_a")
+            == F.expr(
+                f"unix_micros(greatest({a_start}, {b_start})) DIV {step_us}"
+            )
+        )
+    )
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return ax.join(bx, cond).drop("__bkt_a", "__bkt_b")

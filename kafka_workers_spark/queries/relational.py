@@ -1551,3 +1551,60 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         o, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
     )
+
+
+#: 64-day bands ≈ the max transit window (quantity ≤ 50 days): explode
+#: factor ≤ 2 buckets per interval
+_IVL_BUCKET_S = 86400 * 64
+
+
+@register(
+    "join_interval_overlap",
+    """
+    WITH iv AS (
+      SELECT l_orderkey * 10 + l_linenumber AS iid, l_partkey AS k,
+             l_shipdate AS s,
+             l_shipdate + to_days(CAST(floor(l_quantity) AS INT)) AS e
+      FROM lineitem
+    )
+    SELECT a.iid AS id_a, b.iid AS id_b, a.k AS k,
+           CAST((epoch_us(LEAST(a.e, b.e)) - epoch_us(GREATEST(a.s, b.s)))
+                // 86400000000 AS BIGINT) AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.k = b.k AND a.iid < b.iid AND a.s <= b.e AND b.s <= a.e
+    """,
+    windowed=False,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (operators.relational.
+    interval_overlap_join): per part, pairs of lineitems whose transit
+    windows [shipdate, shipdate + quantity days] overlap, with the
+    overlap length in whole days. The engine runs the banded
+    canonical-bucket plan (each pair exactly once, no pair dedup); the
+    oracle replays the overlap predicate as a direct range join — the
+    banding-is-exact claim IS what's under test."""
+    from kafka_workers_spark.operators.relational import interval_overlap_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iid"),
+        F.col("l_partkey").alias("k"),
+        F.col("l_shipdate").alias("s"),
+        F.expr("l_shipdate + make_interval(0, 0, 0, CAST(floor(l_quantity) AS INT), 0, 0, 0)").alias("e"),
+    )
+    a = iv.select(
+        F.col("iid").alias("id_a"), F.col("k").alias("k"),
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+    )
+    b = iv.select(
+        F.col("iid").alias("id_b"), F.col("k").alias("k_b"),
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "s_a", "e_a", "s_b", "e_b", _IVL_BUCKET_S,
+        extra_cond=(F.col("k") == F.col("k_b")) & (F.col("id_a") < F.col("id_b")),
+    )
+    overlap = F.expr(
+        "(unix_micros(least(e_a, e_b)) - unix_micros(greatest(s_a, s_b))) DIV 86400000000"
+    )
+    return pairs.select("id_a", "id_b", "k", overlap.cast("bigint").alias("overlap_days"))

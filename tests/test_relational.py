@@ -457,3 +457,46 @@ def test_profile_table_counts_nulls_and_typed_minmax(spark):
 
     with _pt.raises(ValueError, match="cols"):
         profile_table(df, [])
+
+
+def test_interval_overlap_join_banded_equals_naive(spark):
+    """Banded canonical-bucket plan == the direct overlap predicate on a
+    randomized interval set (pairs exactly once, including intervals
+    spanning many buckets, touching endpoints, and zero-length
+    intervals); invalid intervals drop; bad bucket raises."""
+    import random
+    from datetime import datetime, timedelta
+
+    from kafka_workers_spark.operators.relational import interval_overlap_join
+    from pyspark.sql import functions as F
+
+    rng = random.Random(9)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(120):
+        s = rng.randrange(0, 5000)
+        ln = rng.choice([0, 1, 5, 50, 400, 2500])  # zero-length to many-bucket
+        rows.append((i, t0 + timedelta(minutes=s), t0 + timedelta(minutes=s + ln)))
+    rows.append((900, t0, t0 - timedelta(minutes=1)))  # invalid: dropped
+    df = spark.createDataFrame(rows, "iid long, s timestamp, e timestamp")
+    a = df.select(F.col("iid").alias("id_a"), F.col("s").alias("s_a"), F.col("e").alias("e_a"))
+    b = df.select(F.col("iid").alias("id_b"), F.col("s").alias("s_b"), F.col("e").alias("e_b"))
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in interval_overlap_join(
+            a, b, "s_a", "e_a", "s_b", "e_b", 600,  # 10-min buckets
+            extra_cond=F.col("id_a") < F.col("id_b"),
+        ).collect()
+    )
+    naive = sorted(
+        (x[0], y[0])
+        for x in rows for y in rows
+        if x[0] < y[0] and x[2] >= x[1] and y[2] >= y[1]
+        and x[1] <= y[2] and y[1] <= x[2]
+    )
+    assert got == naive and len(got) > 100
+    assert not any(900 in p for p in got)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bucket_seconds"):
+        interval_overlap_join(a, b, "s_a", "e_a", "s_b", "e_b", 0)
