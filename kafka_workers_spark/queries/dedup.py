@@ -779,3 +779,53 @@ def dedup_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).filter(F.length(normalized(F.col("text"))) > 0)
     )
     return set_similarity_pairs(toked, "toks", threshold=(_SSJ_NUM, _SSJ_DEN))
+
+
+@register(
+    "linkage_patterns",
+    """
+    WITH c AS (
+      SELECT c_custkey AS id, c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+             CAST(substr(c_name, length(c_name) - 1, 2) AS BIGINT) AS last2,
+             CAST(floor(c_acctbal * 100) AS BIGINT) % 100 AS cents
+      FROM customer
+    ), p AS (
+      SELECT CAST(a.band = b.band AS INT)
+           + 2 * CAST(a.last2 = b.last2 AS INT)
+           + 4 * CAST(a.cents = b.cents AS INT) AS gamma_code
+      FROM c a JOIN c b ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
+    )
+    SELECT CAST(gamma_code AS BIGINT) AS gamma_code,
+           COUNT(*) AS n_pairs
+    FROM p GROUP BY 1
+    """,
+    category="dedup",
+    windowed=False,
+)
+def linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter agreement-pattern table (operators.linkage —
+    Fellegi & Sunter 1969, Splink's pipeline shape): customers blocked
+    on (nation, segment), per-pair agreement bits over three derived
+    compare fields (account-balance band, name digits, balance cents),
+    packed gamma codes aggregated to the ≤ 2^3-row pattern table the EM
+    step fits m/u on. The EXACT surface — blocking join + gamma coding
+    + counts — is what the oracle replays; EM recovery and match-weight
+    ranking are pinned on a planted-duplicate corpus in
+    tests/test_linkage.py (log weights stay out of the oracle:
+    cross-libm last-ulp differences)."""
+    from kafka_workers_spark.operators.linkage import (
+        linkage_pairs,
+        linkage_pattern_counts,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+        F.substring("c_name", -2, 2).cast("bigint").alias("last2"),
+        (F.floor(F.col("c_acctbal") * 100).cast("bigint") % 100).alias("cents"),
+    )
+    pairs = linkage_pairs(c, "id", ["nk", "seg"], ["band", "last2", "cents"])
+    return linkage_pattern_counts(pairs)
