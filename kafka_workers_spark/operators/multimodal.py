@@ -443,3 +443,184 @@ def media_near_dup(
     return pairs.select(
         "id_a", "id_b", hamming32(F.col("ph_a"), F.col("ph_b")).alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (Gear rolling hash) — byte-level dedup primitive
+# ---------------------------------------------------------------------------
+
+#: Gear table: 256 md5-derived 31-bit constants, generated in Python and
+#: INLINED as literals on both engines, so Spark and the DuckDB oracle
+#: share them by construction
+def _gear_table() -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"g:{v}".encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
+        for v in range(256)
+    ]
+
+
+_GEAR = _gear_table()
+_GEAR_MASK = 0x7FFFFFFF  # mod 2^31: the gear state ring
+_GEAR_WINDOW = 31  # a 31-bit state forgets bytes older than 31 shifts
+
+
+def _gear_hashes(byte_vals: Column, n: Column) -> Column:
+    """Per-position Gear rolling-hash values over a staged byte array:
+    ``h_i = (h_{i-1} << 1 + G[b_i]) mod 2^31``, computed in CLOSED FORM
+    — ``h_i = Σ_{d<31} (G[b_{i-d}] << d) mod 2^31`` (the shift pushes
+    bytes older than the window out of the ring, and mod-of-sum equals
+    sum-of-mods for a power-of-two modulus) — so each position is an
+    O(31) windowed sum over an ATTRIBUTE array, never a sequential
+    fold. ``byte_vals`` must be staged (the perceptual-hash lesson:
+    inlined decode trees re-evaluate per element)."""
+    g = F.array(*[F.lit(v).cast("long") for v in _GEAR])
+
+    def h_at(i: Column) -> Column:
+        d_hi = F.least(F.lit(_GEAR_WINDOW - 1), i - 1)
+        terms = F.transform(
+            F.sequence(F.lit(0), d_hi),
+            lambda d: F.element_at(
+                g, (F.element_at(byte_vals, (i - d).cast("int")) + 1).cast("int")
+            ).bitwiseAND(F.lit(_GEAR_MASK))
+            * F.pow(F.lit(2.0), d).cast("long"),
+        )
+        summed = F.aggregate(
+            F.transform(terms, lambda t: t.bitwiseAND(F.lit(_GEAR_MASK))),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+        return summed.bitwiseAND(F.lit(_GEAR_MASK))
+
+    return F.transform(F.sequence(F.lit(1), n.cast("int")), lambda i: h_at(i))
+
+
+def cdc_chunks(
+    media: DataFrame,
+    boundary_bits: int = 6,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking over a binary payload column (the Gear /
+    FastCDC family — Xia et al., USENIX ATC 2016: chunk boundaries
+    where a rolling hash of the content hits ``h mod 2^bits == 0``, so
+    an insertion early in a payload shifts only the chunk it lands in —
+    every later boundary re-synchronizes, unlike fixed-size blocks).
+    The byte-level complement of the token-level ExactSubstr /
+    winnowing dedup stack, and the standard storage-dedup primitive.
+    Returns ``(id_col, chunk_no, chunk_digest, chunk_len)`` — expected
+    chunk length ≈ 2^boundary_bits bytes.
+
+    All exact integer arithmetic (31-bit Gear ring, md5 chunk digests
+    over hex slices), so the whole chain — gear values, boundaries,
+    chunk digests — replays in DuckDB (``dedup_cdc_chunks``). Staging
+    discipline: hex once behind a barrier; per-position window sums
+    read attributes; the boundary/slice assembly reads the staged hash
+    array. Shuffles carry digests, never payload bytes."""
+    from kafka_workers_spark.operators.dedup import barrier
+
+    if not 1 <= boundary_bits <= 20:
+        raise ValueError(f"boundary_bits ({boundary_bits}) outside [1, 20]")
+    bmask = (1 << boundary_bits) - 1
+    spread = barrier(
+        media.filter(
+            F.col(payload_col).isNotNull() & (F.octet_length(payload_col) > 0)
+        ).select(
+            id_col,
+            F.hex(F.col(payload_col)).alias("__hex"),
+            F.octet_length(F.col(payload_col)).cast("long").alias("__n"),
+        ),
+        id_col,
+    )
+    byte_vals = F.transform(
+        F.sequence(F.lit(1), F.col("__n").cast("int")),
+        lambda i: F.conv(F.substr(F.col("__hex"), i * 2 - 1, F.lit(2)), 16, 10).cast(
+            "long"
+        ),
+    )
+    decoded = barrier(
+        spread.select(id_col, "__hex", "__n", byte_vals.alias("__bytes")), id_col
+    )
+    hashes = _gear_hashes(F.col("__bytes"), F.col("__n"))
+    # the group-by-id first() aggregate pins the computed arrays against
+    # downstream join-constraint re-substitution (the media_near_dup fix)
+    hashed = (
+        decoded.select(id_col, "__hex", "__n", hashes.alias("__h"))
+        .groupBy(id_col)
+        .agg(
+            F.first("__hex").alias("__hex"),
+            F.first("__n").alias("__n"),
+            F.first("__h").alias("__h"),
+        )
+    )
+    ends = F.filter(
+        F.sequence(F.lit(1), F.col("__n").cast("int")),
+        lambda i: (
+            F.element_at(F.col("__h"), i.cast("int")).bitwiseAND(F.lit(bmask)) == 0
+        )
+        | (i == F.col("__n")),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(ends)),
+        lambda k: F.struct(
+            (k - 1).cast("bigint").alias("chunk_no"),
+            F.when(k == 1, F.lit(0))
+            .otherwise(F.element_at(ends, (k - 1).cast("int")))
+            .cast("long")
+            .alias("__prev"),
+            F.element_at(ends, k.cast("int")).cast("long").alias("__end"),
+        ),
+    )
+    exploded = hashed.select(
+        id_col, "__hex", F.explode(chunks).alias("__c")
+    ).select(
+        id_col,
+        F.col("__c.chunk_no").alias("chunk_no"),
+        F.md5(
+            F.substr(
+                F.col("__hex"),
+                F.col("__c.__prev") * 2 + 1,
+                (F.col("__c.__end") - F.col("__c.__prev")) * 2,
+            )
+        ).alias("chunk_digest"),
+        (F.col("__c.__end") - F.col("__c.__prev")).cast("bigint").alias("chunk_len"),
+    )
+    return exploded
+
+
+def sql_cdc_chunks(payload_expr: str, boundary_bits: int = 6) -> str:
+    """DuckDB rendering of :func:`cdc_chunks`' full chain (gear table
+    inlined from the same Python constants; returns a FROM-able
+    fragment producing (doc_id, chunk_no, chunk_digest, chunk_len) when
+    wrapped with the caller's id column)."""
+    bmask = (1 << boundary_bits) - 1
+    g = "[" + ", ".join(str(v) for v in _GEAR) + "]"
+    n = f"octet_length({payload_expr})"
+    bytes_ = (
+        f"[CAST(('0x' || substr(hex({payload_expr}), i * 2 - 1, 2)) AS BIGINT) "
+        f"FOR i IN generate_series(1, {n})]"
+    )
+    h = (
+        f"[list_sum([(g[b[i - d] + 1] & {_GEAR_MASK}) * (1::BIGINT << d) & {_GEAR_MASK} "
+        f"FOR d IN generate_series(0, least({_GEAR_WINDOW - 1}, i - 1))]) & {_GEAR_MASK} "
+        f"FOR i IN generate_series(1, nn)]"
+    )
+    return f"""
+    (WITH staged AS (
+       SELECT doc_id, hex({payload_expr}) AS hx, CAST({n} AS BIGINT) AS nn,
+              {bytes_} AS b, {g} AS g
+       FROM documents WHERE {payload_expr} IS NOT NULL AND {n} > 0
+     ), hashed AS (
+       SELECT doc_id, hx, nn, {h} AS h FROM staged
+     ), bounded AS (
+       SELECT doc_id, hx, [i FOR i IN generate_series(1, nn)
+                           IF (h[i] & {bmask}) = 0 OR i = nn] AS ends
+       FROM hashed
+     )
+     SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_no,
+            md5(substr(hx, COALESCE(ends[k - 1], 0) * 2 + 1,
+                       (ends[k] - COALESCE(ends[k - 1], 0)) * 2)) AS chunk_digest,
+            CAST(ends[k] - COALESCE(ends[k - 1], 0) AS BIGINT) AS chunk_len
+     FROM bounded, UNNEST(generate_series(1, len(ends))) AS t(k))
+    """

@@ -829,3 +829,44 @@ def linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = linkage_pairs(c, "id", ["nk", "seg"], ["band", "last2", "cents"])
     return linkage_pattern_counts(pairs)
+
+
+from kafka_workers_spark.operators.multimodal import sql_cdc_chunks  # noqa: E402
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"""
+    WITH chunks AS (
+      SELECT * FROM {sql_cdc_chunks('encode(text)', 6)}
+    )
+    SELECT chunk_digest,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(chunk_len) AS chunk_len
+    FROM chunks
+    GROUP BY 1
+    """,
+    category="dedup",
+    windowed=False,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup surface (operators.multimodal.
+    cdc_chunks — Gear/FastCDC boundaries, Xia et al. ATC'16): every
+    payload chunk digest with its document reach and occurrence count —
+    the byte-level storage-dedup complement to the token-level
+    ExactSubstr stack (a shared chunk is a shared byte run that
+    survives upstream edits, because boundaries re-synchronize after
+    any insertion). The oracle replays the ENTIRE chain — gear window
+    sums, boundary mask, hex-slice digests — from the same inlined
+    constant table."""
+    from kafka_workers_spark.operators.multimodal import cdc_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.to_binary(F.col("text"), F.lit("utf-8")).alias("payload"))
+    ch = cdc_chunks(media, boundary_bits=6)
+    return ch.groupBy("chunk_digest").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+        F.min("chunk_len").alias("chunk_len"),
+    )

@@ -209,3 +209,66 @@ def test_media_near_dup_rejects_threshold_past_pigeonhole(spark):
     df = spark.createDataFrame([(0, b"x")], "doc_id long, payload binary")
     with pytest.raises(ValueError, match="pigeonhole"):
         media_near_dup(df, max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (Gear CDC)
+# ---------------------------------------------------------------------------
+
+
+def _ref_cdc(p: bytes, bits: int):
+    """Literal sequential Gear chunker (the definition the closed-form
+    windowed sum must equal): h = (h<<1 + G[b]) mod 2^31; boundary when
+    h & (2^bits - 1) == 0 or at payload end."""
+    import hashlib as _h
+
+    from kafka_workers_spark.operators.multimodal import _GEAR
+
+    mask, bmask = 0x7FFFFFFF, (1 << bits) - 1
+    h, start, out = 0, 0, []
+    for i, b in enumerate(p, start=1):
+        h = ((h << 1) + _GEAR[b]) & mask
+        if (h & bmask) == 0 or i == len(p):
+            out.append((len(out), _h.md5(p[start:i].hex().upper().encode()).hexdigest(), i - start))
+            start = i
+    return out
+
+
+def test_cdc_chunks_match_sequential_reference_and_reassemble(spark):
+    from kafka_workers_spark.operators.multimodal import cdc_chunks
+
+    payloads = [bytes([(i * 31 + 7) % 256 for i in range(n)]) for n in (1, 40, 300, 997)]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "doc_id long, payload binary"
+    )
+    got = {}
+    for r in cdc_chunks(df, boundary_bits=4).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_no, r.chunk_digest, r.chunk_len))
+    for i, p in enumerate(payloads):
+        want = _ref_cdc(p, 4)
+        assert sorted(got[i]) == want, f"payload {i}"
+        # chunks tile the payload exactly
+        assert sum(c[2] for c in got[i]) == len(p)
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """THE content-defined property (vs fixed-size blocks): inserting
+    one byte near the front changes only the chunk it lands in — every
+    boundary after the next sync point is identical, so most chunk
+    digests survive the edit."""
+    from kafka_workers_spark.operators.multimodal import cdc_chunks
+
+    base = bytes([(i * 131 + 17) % 256 for i in range(1200)])
+    edited = base[:5] + b"\x42" + base[5:]
+    df = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id long, payload binary"
+    )
+    rows = cdc_chunks(df, boundary_bits=5).collect()
+    a = {r.chunk_digest for r in rows if r.doc_id == 0}
+    b = {r.chunk_digest for r in rows if r.doc_id == 1}
+    shared = len(a & b)
+    assert shared >= int(0.7 * len(a)), f"only {shared}/{len(a)} chunks survived the edit"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="boundary_bits"):
+        cdc_chunks(df, boundary_bits=0)
