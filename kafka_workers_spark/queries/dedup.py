@@ -723,9 +723,13 @@ _SSJ_NUM, _SSJ_DEN = 9, 10
     "dedup_set_similarity",
     f"""
     WITH toks AS (
-      SELECT doc_id, UNNEST(list_distinct(string_split({_NORM_SQL}, ' '))) AS tok
-      FROM documents
-      WHERE len({_NORM_SQL}) > 0
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS tok
+      FROM (
+        SELECT doc_id, UNNEST(list_distinct(string_split({_NORM_SQL}, ' '))) AS tok
+        FROM documents
+        WHERE len({_NORM_SQL}) > 0
+      )
     ),
     dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfct FROM toks GROUP BY tok),
     ordered AS (
@@ -745,7 +749,9 @@ _SSJ_NUM, _SSJ_DEN = 9, 10
        AND {_SSJ_DEN} * LEAST(a.n, b.n) >= {_SSJ_NUM} * GREATEST(a.n, b.n)
     ),
     sets AS (
-      SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS s
+      SELECT doc_id,
+             [CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+              FOR t IN list_distinct(string_split({_NORM_SQL}, ' '))] AS s
       FROM documents WHERE len({_NORM_SQL}) > 0
     )
     SELECT c.id_a, c.id_b,
