@@ -453,8 +453,6 @@ def media_near_dup(
 #: INLINED as literals on both engines, so Spark and the DuckDB oracle
 #: share them by construction
 def _gear_table() -> list[int]:
-    import hashlib
-
     return [
         int(hashlib.md5(f"g:{v}".encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
         for v in range(256)

@@ -319,7 +319,14 @@ def gap_fill(
     if bucket_seconds <= 0:
         raise ValueError(f"bucket_seconds ({bucket_seconds}) must be positive")
     step_us = bucket_seconds * 1_000_000
-    bucket = F.expr(f"unix_micros({ts_col}) DIV {step_us}")
+    # FLOOR division, not DIV (truncate-toward-zero): pre-epoch
+    # timestamps have negative micros, and truncation would merge the
+    # hour before the epoch into bucket 0 with a bucket_start AFTER the
+    # event (round-9 self-review; pmod formula per the repo's
+    # cross-engine floor-div rule)
+    bucket = F.expr(
+        f"(unix_micros({ts_col}) - pmod(unix_micros({ts_col}), {step_us})) DIV {step_us}"
+    )
     per = events.groupBy(
         *key_cols, bucket.alias("__b")
     ).agg(F.count("*").cast("bigint").alias("n_rows"), *(aggs or []))

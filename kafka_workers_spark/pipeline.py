@@ -1484,8 +1484,6 @@ def scd2_history(
     payload_cols: list[str],
     tiebreak_col: str,
 ) -> DataFrame:
-    from pyspark.sql import Window as W
-
     """Build a slowly-changing-dimension TYPE-2 history from an
     observation stream (Kimball SCD2 — the warehouse twin of
     :func:`merge_upsert`'s type-1 latest-wins): per key, consecutive
@@ -1508,10 +1506,15 @@ def scd2_history(
     import functools
     import operator
 
+    from pyspark.sql import Window as W
+
     if not payload_cols:
         raise ValueError("payload_cols must be non-empty")
     w = W.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
-    first = F.lag(tiebreak_col).over(w).isNull()
+    # first observation via row_number, NOT lag(tiebreak).isNull(): a
+    # NULL tiebreak value mid-stream would otherwise mark its SUCCESSOR
+    # as a change even with an unchanged payload (round-9 self-review)
+    first = F.row_number().over(w) == 1
     changed = functools.reduce(
         operator.or_,
         [~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w)) for c in payload_cols],

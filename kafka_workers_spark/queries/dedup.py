@@ -797,10 +797,15 @@ def dedup_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(c_acctbal * 100) AS BIGINT) % 100 AS cents
       FROM customer
     ), p AS (
-      SELECT CAST(a.band = b.band AS INT)
-           + 2 * CAST(a.last2 = b.last2 AS INT)
-           + 4 * CAST(a.cents = b.cents AS INT) AS gamma_code
-      FROM c a JOIN c b ON a.nk = b.nk AND a.seg = b.seg AND a.id < b.id
+      -- IS NOT DISTINCT FROM mirrors the engine's eqNullSafe on both
+      -- the agreement bits and the block keys: NULL==NULL agrees,
+      -- NULL-vs-value disagrees, NULL blocks still join (latent-NULL
+      -- divergence caught by round-9 self-review)
+      SELECT CAST(a.band IS NOT DISTINCT FROM b.band AS INT)
+           + 2 * CAST(a.last2 IS NOT DISTINCT FROM b.last2 AS INT)
+           + 4 * CAST(a.cents IS NOT DISTINCT FROM b.cents AS INT) AS gamma_code
+      FROM c a JOIN c b ON a.nk IS NOT DISTINCT FROM b.nk
+                       AND a.seg IS NOT DISTINCT FROM b.seg AND a.id < b.id
     )
     SELECT CAST(gamma_code AS BIGINT) AS gamma_code,
            COUNT(*) AS n_pairs

@@ -1427,7 +1427,13 @@ _GAP_BUCKET_S = 3600  # hourly resample buckets
     "events_gap_fill",
     f"""
     WITH b AS (
-      SELECT user_id, epoch_us(ts) // {_GAP_BUCKET_S * 1_000_000} AS bkt, value
+      -- floor division (DuckDB // truncates toward zero like Spark DIV;
+      -- the pmod form floors, exact for pre-epoch timestamps too)
+      SELECT user_id,
+             (epoch_us(ts) - ((epoch_us(ts) % {_GAP_BUCKET_S * 1_000_000})
+                              + {_GAP_BUCKET_S * 1_000_000}) % {_GAP_BUCKET_S * 1_000_000})
+               // {_GAP_BUCKET_S * 1_000_000} AS bkt,
+             value
       FROM events
     ), per AS (
       SELECT user_id, bkt, COUNT(*) AS n_rows,

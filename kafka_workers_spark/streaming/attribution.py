@@ -29,7 +29,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from kafka_workers_spark.streaming.stateful import WorkerTask, apply_worker_task
 
@@ -105,12 +104,14 @@ def streaming_attribution(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming last-touch attribution over an event stream via
-    ``apply_worker_task``. No timers: conversions emit on the data
-    path; state never needs expiry to produce output (an
-    ``idle_timeout_ms`` can still bound the key set if the user churn
-    is unbounded)."""
+    ``apply_worker_task``. Conversions emit on the data path — no
+    timer is needed to produce output — but pass ``idle_timeout_ms``
+    on long-lived queries with unbounded user churn so silent users'
+    one-timestamp state rows expire instead of accumulating forever
+    (an expired user's next touch simply restarts their state)."""
     task = attribution_worker_task(
         touch_type, convert_type, lookback_seconds, user_col, ts_col, type_col, id_col
     )
@@ -120,6 +121,7 @@ def streaming_attribution(
         task,
         _out_schema(events, user_col, id_col, ts_col),
         order_by=[ts_col],
+        idle_timeout_ms=idle_timeout_ms,
     )
 
 

@@ -28,10 +28,13 @@ the same chained min-per-stage computation the batch operator runs —
 ``ts > t_d`` (and within the window), repeated until a stage finds no
 candidate. At most ``k`` numpy mask/min passes per key per batch.
 
-At 100 TB: state is one short int list per ACTIVE user (k timestamps),
-partitioned across executors by the state store; completed or
-idle-expired keys drop their state (``close`` fires, state removed), so
-state tracks in-flight funnels, not every user ever seen.
+At 100 TB: state is one short int list per ACTIVE user (k timestamps
+while the chain is in flight; a one-flag tombstone after completion —
+the one-row-per-user contract requires remembering converted users for
+as long as they keep producing events, or a replayed batch would emit
+a second chain). Idle keys — in-flight OR converted — expire via
+``idle_timeout_ms`` (``close`` emits partials, drops state), so state
+tracks ACTIVE users, never every user ever seen.
 """
 
 from __future__ import annotations
@@ -39,7 +42,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from kafka_workers_spark.streaming.stateful import WorkerTask, apply_worker_task
 
@@ -103,7 +105,11 @@ def funnel_worker_task(
             return None, st
         t = _advance(list(st.get("t", [])), pdf, step_values, type_col, ts_col, within_seconds)
         if len(t) == k:
-            return _row(key, t, k, user_col), {"t": t, "e": 1}
+            # completed: keep only the emitted tombstone, not the chain —
+            # the one-row-per-user contract REQUIRES remembering converted
+            # users while they stay active (see module docstring), but the
+            # retained state shrinks to a single flag
+            return _row(key, t, k, user_col), {"e": 1}
         return None, {"t": t, "e": 0}
 
     def close(key, st):

@@ -429,6 +429,15 @@ def test_gap_fill_zero_fills_and_bounds(spark):
     assert got[(1, t0 + timedelta(hours=2))] == (0, None)
     assert got[(1, t0 + timedelta(hours=3))] == (1, 2.0)
     assert got[(2, t0 + timedelta(hours=10))] == (1, 5.0)
+    # pre-epoch timestamps bucket by FLOOR division: 23:30 on 1969-12-31
+    # belongs to the 23:00 pre-epoch bucket, never to bucket 0 (a
+    # truncating DIV would put bucket_start AFTER the event)
+    pre = datetime(1969, 12, 31, 23, 30)
+    out2 = gap_fill(
+        spark.createDataFrame([(9, pre, 1.0)], "k long, ts timestamp, value double"),
+        ["k"], "ts", 3600,
+    ).collect()
+    assert len(out2) == 1 and out2[0].bucket_start == datetime(1969, 12, 31, 23, 0)
     import pytest as _pt
 
     with _pt.raises(ValueError, match="bucket_seconds"):
