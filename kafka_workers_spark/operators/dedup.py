@@ -830,7 +830,16 @@ def set_similarity_pairs(
         F.transform(toks_col, dig).alias("__set"),
         F.size(toks_col).alias("__n"),
     )
-    verified = (
+    # The intersection is computed EXACTLY ONCE per candidate pair, map
+    # side, then pinned behind a pair-keyed first() aggregate before the
+    # threshold filter and the derived columns touch it: left as a plain
+    # select+filter chain, CollapseProject + filter-into-join inline the
+    # array_intersect tree SIX times per pair (twice in the pushed join
+    # condition, four in the collapsed projection — read off the executed
+    # plan; the catalyst-perf-trap class PLANS.md §Round 9 documents),
+    # which measured 17.5 s vs 11.8 s at sf0.1 on 3.7M candidates. The
+    # aggregate's shuffle is 4 longs per pair.
+    raw = (
         cand.join(
             sets.select(
                 F.col(id_col).alias("__ida"),
@@ -851,16 +860,18 @@ def set_similarity_pairs(
             F.col("__ida").alias("id_a"),
             F.col("__idb").alias("id_b"),
             F.size(F.array_intersect("__sa", "__sb")).cast("bigint").alias("n_common"),
-            (F.col("__na") + F.col("__nb")).alias("__nsum"),
+            (F.col("__na") + F.col("__nb")).cast("bigint").alias("__nsum"),
         )
-        .select(
-            "id_a",
-            "id_b",
-            "n_common",
-            (F.col("__nsum") - F.col("n_common")).cast("bigint").alias("n_union"),
-        )
-        .filter(F.lit(den) * F.col("n_common") >= F.lit(num) * F.col("n_union"))
     )
+    pinned = raw.groupBy("id_a", "id_b").agg(
+        F.first("n_common").alias("n_common"), F.first("__nsum").alias("__nsum")
+    )
+    verified = pinned.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        (F.col("__nsum") - F.col("n_common")).alias("n_union"),
+    ).filter(F.lit(den) * F.col("n_common") >= F.lit(num) * F.col("n_union"))
     return verified.select(
         "id_a",
         "id_b",
