@@ -1614,3 +1614,49 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(unix_micros(least(e_a, e_b)) - unix_micros(greatest(s_a, s_b))) DIV 86400000000"
     )
     return pairs.select("id_a", "id_b", "k", overlap.cast("bigint").alias("overlap_days"))
+
+
+_SCD2_SPLIT = "2024-01-15 00:00:00"  # mid-corpus batch boundary
+
+
+@register(
+    "events_scd2_merge",
+    """
+    WITH obs AS (
+      SELECT user_id, ts, event_type, event_id,
+             LAG(event_type) OVER w AS prev,
+             ROW_NUMBER() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, ts, event_type, event_id FROM obs
+      WHERE rn = 1 OR prev <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM changes
+    """,
+    windowed=False,
+)
+def events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL SCD2 path, driver-visible (pipeline.merge_scd2):
+    build the history over the first half of the stream, then fold the
+    second half in as an update batch — closed versions pass through
+    untouched, the open version re-enters change detection. The oracle
+    is the ONE-SHOT history over the whole stream: incremental ==
+    one-shot is exactly the claim under test (the same
+    persistence-equivalence the BM25/posindex/KMV merge rows pin for
+    their stores)."""
+    from kafka_workers_spark.pipeline import merge_scd2, scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    base = scd2_history(
+        ev.filter(F.col("ts") <= _SCD2_SPLIT), ["user_id"], "ts",
+        ["event_type"], "event_id",
+    )
+    return merge_scd2(
+        base, ev.filter(F.col("ts") > _SCD2_SPLIT), ["user_id"], "ts",
+        ["event_type"], "event_id",
+    )
