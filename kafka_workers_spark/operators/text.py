@@ -2314,3 +2314,81 @@ def ngram_langid_score(
         F.col("__b.__label").alias("predicted"),
         F.col("__b.__dist").alias("dist"),
     )
+
+
+def chi2_terms(
+    docs,
+    label_col: str,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Chi-square feature selection (Manning/Raghavan/Schütze, IIR
+    §13.5.2 — the classic term-label association ranking that feeds a
+    NB/logistic feature set): for every (term, label), the 2×2
+    contingency table of document-level presence (N11 term∧label, N10
+    term∧¬label, N01 ¬term∧label, N00 neither) and
+    ``χ² = N·(N11·N00 − N10·N01)² / ((N11+N01)(N11+N10)(N10+N00)(N01+N00))``,
+    keeping the ``top_k`` terms per label (ties broken by term).
+
+    Exactness: every margin is an exact integer count; χ² is ONE
+    fixed-order IEEE expression over those ints (difference squared in
+    double, one division — no float aggregate, no transcendentals), so
+    it replays bit-identically cross-engine. Terms present in all or no
+    documents are excluded (their table degenerates; χ² undefined).
+
+    Shape at scale: one tokenize+explode into a (term, label) hash
+    aggregate, a vocabulary-sized term-df aggregate joined back on the
+    term, and two broadcast one-row/label-count frames; the final
+    ranking windows over labels — label count × top_k output. Document
+    counts must fit the double-exact range for the squared difference
+    (|N11·N00 − N10·N01| ≤ N² < 2^26.5 per engine-exact squaring; at
+    larger corpora compute per-shard and merge counts first)."""
+    from kafka_workers_spark.operators.dedup import barrier
+
+    if top_k < 1:
+        raise ValueError(f"top_k ({top_k}) must be >= 1")
+    toks = F.array_distinct(
+        F.filter(tokens(normalized(F.col(text_col))), lambda t: F.length(t) > 0)
+    )
+    staged = barrier(docs.select(id_col, F.col(label_col).alias("__lbl"), toks.alias("__toks")))
+    tl = staged.select("__lbl", F.explode("__toks").alias("__term"))
+    n11 = tl.groupBy("__term", "__lbl").agg(F.count("*").cast("bigint").alias("n11"))
+    tdf = tl.groupBy("__term").agg(F.count("*").cast("bigint").alias("__tdf"))
+    lbl = staged.groupBy("__lbl").agg(F.count("*").cast("bigint").alias("__ln"))
+    tot = staged.groupBy().agg(F.count("*").cast("bigint").alias("__N"))
+    base = (
+        n11.join(tdf, "__term")
+        .join(F.broadcast(lbl), "__lbl")
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("__tdf") > 0) & (F.col("__tdf") < F.col("__N")))
+    )
+    n10 = F.col("__tdf") - F.col("n11")
+    n01 = F.col("__ln") - F.col("n11")
+    n00 = F.col("__N") - F.col("__tdf") - n01
+    diff = (F.col("n11") * n00 - n10 * n01).cast("double")
+    chi2 = (
+        F.col("__N").cast("double")
+        * diff
+        * diff
+        / (
+            (F.col("n11") + n01).cast("double")
+            * (F.col("n11") + n10).cast("double")
+            * (n10 + n00).cast("double")
+            * (n01 + n00).cast("double")
+        )
+    )
+    scored = base.select(
+        F.col("__lbl").alias("label"),
+        F.col("__term").alias("term"),
+        F.col("n11"),
+        n10.alias("n10"),
+        n01.alias("n01"),
+        n00.alias("n00"),
+        chi2.alias("chi2"),
+    )
+    w = W.partitionBy("label").orderBy(F.col("chi2").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+    )

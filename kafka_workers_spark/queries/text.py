@@ -1571,3 +1571,65 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = d.filter(F.col("doc_id") % 2 == 0)
     test = d.filter(F.col("doc_id") % 2 == 1)
     return ngram_langid_score(test, ref, profile_size=_CT_R)
+
+
+_CHI2_K = 15
+
+
+@register(
+    "text_chi2_terms",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang AS label,
+             list_distinct({_LM_TOKS_SQL}) AS toks
+      FROM documents
+    ), tl AS (
+      SELECT label, UNNEST(toks) AS term FROM d
+    ), n11 AS (
+      SELECT term, label, CAST(COUNT(*) AS BIGINT) AS n11 FROM tl GROUP BY 1, 2
+    ), tdf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS tdf FROM tl GROUP BY 1
+    ), lbl AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS ln FROM d GROUP BY 1
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM d),
+    scored AS (
+      SELECT n11.label, n11.term, n11.n11,
+             tdf.tdf - n11.n11 AS n10,
+             lbl.ln - n11.n11 AS n01,
+             tot.N - tdf.tdf - (lbl.ln - n11.n11) AS n00,
+             CAST(tot.N AS DOUBLE)
+               * CAST(n11.n11 * (tot.N - tdf.tdf - (lbl.ln - n11.n11))
+                      - (tdf.tdf - n11.n11) * (lbl.ln - n11.n11) AS DOUBLE)
+               * CAST(n11.n11 * (tot.N - tdf.tdf - (lbl.ln - n11.n11))
+                      - (tdf.tdf - n11.n11) * (lbl.ln - n11.n11) AS DOUBLE)
+               / (CAST(lbl.ln AS DOUBLE)
+                  * CAST(tdf.tdf AS DOUBLE)
+                  * CAST(tot.N - lbl.ln AS DOUBLE)
+                  * CAST(tot.N - tdf.tdf AS DOUBLE)) AS chi2
+      FROM n11 JOIN tdf USING (term) JOIN lbl USING (label) CROSS JOIN tot
+      WHERE tdf.tdf > 0 AND tdf.tdf < tot.N
+    )
+    SELECT label, term, n11, n10, n01, n00, chi2, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY chi2 DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= {_CHI2_K}
+    """,
+    category="text",
+    windowed=False,
+)
+def text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square term-label feature selection (operators.text.chi2_terms,
+    IIR §13.5.2): top-15 terms per language by the 2×2 presence-table
+    χ² — every margin an exact integer count, χ² one fixed-order IEEE
+    expression (difference squared, one division; no float aggregate,
+    no transcendentals), so the statistic itself rides the value-hash
+    oracle. Feeds the NB/DSIR classifier stack's feature sets."""
+    from kafka_workers_spark.operators.text import chi2_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return chi2_terms(
+        d.select("doc_id", F.col("lang"), "text"), "lang", top_k=_CHI2_K
+    ).select(
+        "label", "term", "n11", "n10", "n01", "n00", "chi2", "rank"
+    )

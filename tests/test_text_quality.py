@@ -1411,3 +1411,29 @@ def test_ngram_langid_discriminates_separable_scripts(spark):
 
     with _pt.raises(ValueError, match="profile_size"):
         ngram_langid_score(test, ref, profile_size=0)
+
+
+def test_chi2_terms_ranks_label_exclusive_terms_first(spark):
+    """A term exclusive to one label carries that label's maximal χ²
+    (perfect association); a term uniform across labels scores ~0 and
+    never outranks it; degenerate all-docs terms are excluded."""
+    from kafka_workers_spark.operators.text import chi2_terms
+
+    rows = []
+    for i in range(40):
+        label = "a" if i % 2 == 0 else "b"
+        text = "common filler words"  # in every doc -> excluded (tdf == N)
+        text += " alpha" if label == "a" else " beta"
+        if i % 4 == 0:
+            text += " sometimes"  # uniform-ish across labels
+        rows.append((i, label, text))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = chi2_terms(df, "lang", top_k=3, text_col="text")
+    top = {r.label: r.term for r in out.filter("rank = 1").collect()}
+    assert top == {"a": "alpha", "b": "beta"}
+    terms = {r.term for r in out.collect()}
+    assert "common" not in terms and "filler" not in terms  # tdf == N excluded
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="top_k"):
+        chi2_terms(df, "lang", top_k=0)
