@@ -453,3 +453,71 @@ def interval_overlap_join(
     if extra_cond is not None:
         cond = cond & extra_cond
     return ax.join(bx, cond).drop("__bkt_a", "__bkt_b")
+
+
+def group_ols(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS slope + intercept — the
+    trend-per-entity aggregate of any analytics store): y = a·x + b fit
+    from the sufficient statistics ``(n, Σx, Σy, Σxy, Σx²)``, ALL
+    exact — inputs go to ``1/scale`` fixed point (floor, bigint),
+    per-row products and sums ride DECIMAL(38,0) (== DuckDB HUGEINT,
+    the Kneser-Ney discipline), and the slope is materialized as the
+    EXACT scaled integer ``slope9 = (1e9 · (nΣxy − ΣxΣy)) DIV
+    (nΣx² − (Σx)²)`` — integral DIV truncates toward zero exactly like
+    DuckDB's HUGEINT ``//`` — with no wide-decimal→double cast
+    whose last-ulp rounding could differ across engines. The reported
+    ``slope`` (= slope9/1e9) and ``intercept`` (ȳ − slope·x̄, computed
+    fixed-order in doubles from int64-exact parts) therefore ride the
+    cross-engine value-hash oracle bit for bit. The fixed-point scale
+    cancels in the slope (both axes scale together).
+
+    Degenerate groups (zero x variance) report NULL slope/intercept.
+    Range discipline (with the default scale=100): |x| ≲ 1e7, |y| ≲
+    1e9 at a billion rows per group keeps ``1e9·num`` inside
+    DECIMAL(38,0); widen/narrow ``scale`` per the data.
+
+    Shape at scale: ONE partial-aggregatable hash aggregate — five
+    sums shuffle per group per map partition; nothing else moves."""
+    xi = F.floor(F.col(x_col) * scale).cast("long")
+    yi = F.floor(F.col(y_col) * scale).cast("long")
+    d38 = "decimal(38,0)"
+    stats = df.select(
+        *key_cols,
+        xi.alias("__x"),
+        yi.alias("__y"),
+    ).groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("__x").cast(d38)).alias("__sx"),
+        F.sum(F.col("__y").cast(d38)).alias("__sy"),
+        F.sum((F.col("__x").cast(d38) * F.col("__y").cast(d38))).alias("__sxy"),
+        F.sum((F.col("__x").cast(d38) * F.col("__x").cast(d38))).alias("__sxx"),
+    )
+    n38 = F.col("n").cast(d38)
+    num = n38 * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = n38 * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope9 = F.when(
+        den != 0,
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * __sxy - __sx * __sy) * 1000000000 AS DECIMAL(38,0)) "
+            "DIV (CAST(n AS DECIMAL(38,0)) * __sxx - __sx * __sx)"
+        ).cast("long"),
+    )
+    with_slope = stats.select(*key_cols, "n", "__sx", "__sy", slope9.alias("slope9"))
+    slope = F.col("slope9").cast("double") / F.lit(1e9)
+    intercept = (
+        F.col("__sy").cast("double")
+        - slope * F.col("__sx").cast("double")
+    ) / (F.col("n").cast("double") * F.lit(float(scale)))
+    return with_slope.select(
+        *key_cols,
+        "n",
+        "slope9",
+        slope.alias("slope"),
+        F.when(F.col("slope9").isNotNull(), intercept).alias("intercept"),
+    )

@@ -1660,3 +1660,52 @@ def events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, ev.filter(F.col("ts") > _SCD2_SPLIT), ["user_id"], "ts",
         ["event_type"], "event_id",
     )
+
+
+@register(
+    "agg_group_ols",
+    """
+    WITH fx AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_quantity * 100) AS HUGEINT) AS x,
+             CAST(floor(l_extendedprice * 100) AS HUGEINT) AS y
+      FROM lineitem
+    ), stats AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM fx GROUP BY 1, 2
+    ), sloped AS (
+      SELECT l_returnflag, l_linestatus, n, sx, sy,
+             CASE WHEN n * sxx - sx * sx <> 0
+                  THEN CAST(((n * sxy - sx * sy) * 1000000000)
+                            // (n * sxx - sx * sx) AS BIGINT)
+             END AS slope9
+      FROM stats
+    )
+    SELECT l_returnflag, l_linestatus, n, slope9,
+           CAST(slope9 AS DOUBLE) / 1e9 AS slope,
+           CASE WHEN slope9 IS NOT NULL THEN
+             (CAST(sy AS DOUBLE)
+              - (CAST(slope9 AS DOUBLE) / 1e9) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * 100.0)
+           END AS intercept
+    FROM sloped
+    """,
+    windowed=False,
+)
+def agg_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (operators.relational.group_ols):
+    extended price on quantity per (returnflag, linestatus), from
+    exact DECIMAL(38,0)/HUGEINT sufficient statistics with the slope
+    materialized as a truncated scaled integer (DIV == //), so slope
+    AND intercept doubles ride the value-hash oracle — the entire
+    regression chain is cross-engine exact, the Kneser-Ney discipline
+    applied to linear algebra."""
+    from kafka_workers_spark.operators.relational import group_ols
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return group_ols(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity", "l_extendedprice"
+    )

@@ -509,3 +509,32 @@ def test_interval_overlap_join_banded_equals_naive(spark):
 
     with _pt.raises(ValueError, match="bucket_seconds"):
         interval_overlap_join(a, b, "s_a", "e_a", "s_b", "e_b", 0)
+
+
+def test_group_ols_recovers_known_line_and_degenerates_safely(spark):
+    """y = 3x + 2 exactly -> slope9 = 3e9, intercept 2.0; zero x
+    variance -> NULL slope/intercept; a noisy group matches the numpy
+    closed form to fixed-point resolution."""
+    import numpy as np
+
+    from kafka_workers_spark.operators.relational import group_ols
+
+    rows = [("line", float(x), 3.0 * x + 2.0) for x in range(1, 21)]
+    rows += [("flat", 5.0, float(y)) for y in range(10)]  # zero x variance
+    rng = np.random.RandomState(3)
+    xs = rng.uniform(0, 50, 200)
+    ys = 1.7 * xs - 4.0 + rng.normal(0, 2.0, 200)
+    rows += [("noisy", float(x), float(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in group_ols(df, ["g"], "x", "y").collect()}
+    assert out["line"].slope9 == 3_000_000_000 and abs(out["line"].intercept - 2.0) < 1e-6
+    assert out["flat"].slope9 is None and out["flat"].intercept is None
+    # numpy closed form on the SAME fixed-point values
+    fx = np.floor(xs * 100).astype(np.int64)
+    fy = np.floor(ys * 100).astype(np.int64)
+    n = len(fx)
+    num = n * int((fx * fy).sum()) - int(fx.sum()) * int(fy.sum())
+    den = n * int((fx * fx).sum()) - int(fx.sum()) ** 2
+    want_slope9 = int(num * 1_000_000_000) // den if num >= 0 else -((-num * 1_000_000_000) // den)
+    assert out["noisy"].slope9 == want_slope9
+    assert abs(out["noisy"].slope - 1.7) < 0.1
