@@ -521,3 +521,66 @@ def group_ols(
         slope.alias("slope"),
         F.when(F.col("slope9").isNotNull(), intercept).alias("intercept"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    tiebreak_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier summary via MAD (median absolute
+    deviation — Hampel's robust scale; the data-quality screen that,
+    unlike mean±σ, is not dragged by the very outliers it hunts):
+    per group, the exact discrete median (rank selection at ceil(n/2),
+    the agg_percentile_disc discipline), the exact median of
+    ``|x − median|``, and the count of rows with ``|x − median| >
+    k·MAD``. Returns ``(key_cols..., n, median, mad, n_outliers)``.
+
+    Everything is deterministic and cross-engine exact: medians are
+    rank-SELECTED data values (never interpolated), deviations are one
+    IEEE subtraction, and the flag threshold is one multiply-compare —
+    no float aggregates anywhere. A zero MAD (over half the group
+    identical) flags every row differing from the median, the standard
+    degenerate-MAD behavior.
+
+    Shape at scale: two group-keyed window ranks (median, then
+    deviation median — the second sorts the SAME partitioning, one
+    extra sort no extra exchange class) and two broadcast joins of
+    one-row-per-group frames; per-group sort cost bounds the group
+    size like every exact-percentile path (swap in approx_percentile
+    when strata outgrow a task)."""
+    if k <= 0:
+        raise ValueError(f"k ({k}) must be positive")
+    w1 = W.partitionBy(*key_cols).orderBy(value_col, tiebreak_col)
+    wall = W.partitionBy(*key_cols)
+    ranked = df.select(*key_cols, value_col, tiebreak_col).select(
+        "*",
+        F.row_number().over(w1).alias("__rn"),
+        F.count("*").over(wall).alias("__n"),
+    )
+    med = (
+        ranked.filter(F.col("__rn") == F.expr("(__n + 1) DIV 2"))
+        .select(*key_cols, F.col(value_col).alias("__med"), F.col("__n").alias("n"))
+    )
+    dev = df.select(*key_cols, value_col, tiebreak_col).join(
+        F.broadcast(med), key_cols
+    ).withColumn("__dev", F.abs(F.col(value_col) - F.col("__med")))
+    w2 = W.partitionBy(*key_cols).orderBy("__dev", tiebreak_col)
+    dev_ranked = dev.select(
+        "*", F.row_number().over(w2).alias("__drn")
+    )
+    mad = (
+        dev_ranked.filter(F.col("__drn") == F.expr("(n + 1) DIV 2"))
+        .select(*key_cols, F.col("__dev").alias("__mad"))
+    )
+    flagged = dev.join(F.broadcast(mad), key_cols)
+    return flagged.groupBy(*key_cols).agg(
+        F.max("n").alias("n"),
+        F.max("__med").alias("median"),
+        F.max("__mad").alias("mad"),
+        F.sum(
+            (F.col("__dev") > F.lit(float(k)) * F.col("__mad")).cast("bigint")
+        ).alias("n_outliers"),
+    )

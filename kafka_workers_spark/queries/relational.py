@@ -1709,3 +1709,50 @@ def agg_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_ols(
         li, ["l_returnflag", "l_linestatus"], "l_quantity", "l_extendedprice"
     )
+
+
+@register(
+    "agg_mad_outliers",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ), med AS (
+      SELECT o_orderpriority, o_totalprice AS med, n
+      FROM ranked WHERE rn = (n + 1) // 2
+    ), dev AS (
+      SELECT o.o_orderpriority, o.o_orderkey, m.n, m.med,
+             ABS(o.o_totalprice - m.med) AS d
+      FROM orders o JOIN med m ON m.o_orderpriority = o.o_orderpriority
+    ), dev_ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY d, o_orderkey) AS drn
+      FROM dev
+    ), mad AS (
+      SELECT o_orderpriority, d AS mad FROM dev_ranked WHERE drn = (n + 1) // 2
+    )
+    SELECT dev.o_orderpriority,
+           CAST(MAX(dev.n) AS BIGINT) AS n,
+           MAX(dev.med) AS median,
+           MAX(mad.mad) AS mad,
+           CAST(SUM(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev JOIN mad ON mad.o_orderpriority = dev.o_orderpriority
+    GROUP BY 1
+    """,
+    windowed=False,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier screen (operators.relational.
+    mad_outliers, Hampel filter): per order priority, the exact
+    rank-selected median of the total price, the exact median absolute
+    deviation, and how many orders sit beyond 3 MADs — every number a
+    selected data value, an IEEE subtraction, or an integer count, so
+    the whole summary rides the value-hash oracle."""
+    from kafka_workers_spark.operators.relational import mad_outliers
+
+    o = load_table(spark, sf_dir, "orders")
+    return mad_outliers(o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=3.0)

@@ -538,3 +538,25 @@ def test_group_ols_recovers_known_line_and_degenerates_safely(spark):
     want_slope9 = int(num * 1_000_000_000) // den if num >= 0 else -((-num * 1_000_000_000) // den)
     assert out["noisy"].slope9 == want_slope9
     assert abs(out["noisy"].slope - 1.7) < 0.1
+
+
+def test_mad_outliers_flags_planted_spikes(spark):
+    """Known distribution: 20 values clustered at 100±2 plus two planted
+    spikes — median/MAD land on cluster values and exactly the spikes
+    flag; zero-MAD degenerate group flags every differing row."""
+    from kafka_workers_spark.operators.relational import mad_outliers
+
+    rows = [("g", i, 100.0 + (i % 5) - 2.0) for i in range(20)]
+    rows += [("g", 100, 500.0), ("g", 101, -300.0)]
+    rows += [("z", i, 7.0) for i in range(9)] + [("z", 99, 8.0)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    out = {r.k: r for r in mad_outliers(df, ["k"], "v", "id", k=3.0).collect()}
+    g = out["g"]
+    assert g.n == 22 and abs(g.median - 100.0) <= 2.0 and g.mad <= 2.0
+    assert g.n_outliers == 2  # exactly the planted spikes
+    z = out["z"]
+    assert z.mad == 0.0 and z.n_outliers == 1  # the single 8.0 differs
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k "):
+        mad_outliers(df, ["k"], "v", "id", k=0)
