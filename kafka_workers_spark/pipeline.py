@@ -1566,3 +1566,66 @@ def merge_scd2(
         cur_obs.unionByName(new_obs), key_cols, ts_col, payload_cols, tiebreak_col
     )
     return closed.unionByName(hist)
+
+
+def sample_pps(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic systematic PPS sampling (probability proportional
+    to size — Madow's systematic selection, the survey-sampling staple
+    a corpus curator uses to sample documents proportional to their
+    LENGTH instead of uniformly, so the token mass of the sample tracks
+    the token mass of the corpus): per stratum, order rows by an
+    md5-derived deterministic permutation, take the running weight sum,
+    and select every row whose cumulative interval crosses one of the
+    ``k`` equal slots — ``(cum·k) DIV total > ((cum − w)·k) DIV total``,
+    pure integer arithmetic (exact, engine-replayable, no RNG state; a
+    re-run or backfill selects the identical rows, the
+    :func:`sample_stratified` reproducibility contract).
+
+    Selects EXACTLY ``k`` rows per stratum unless a single row's weight
+    spans multiple slots (w > total/k): such a heavy row is selected
+    once and absorbs its extra slots — the standard systematic-PPS
+    trade, and the signal to cap pathological documents first. Rows
+    with non-positive weight are excluded (zero-length docs cannot be
+    drawn proportional to size).
+
+    Shape at scale: one stratum-keyed window (running sum — per-stratum
+    sort, bounded like every exact-percentile path) and a broadcast-free
+    same-window total; the selection predicate is map-side after the
+    window. Weights must keep ``total·k`` inside int64 (chars·k at any
+    plausible stratum size)."""
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k ({k}) must be >= 1")
+    strata_cols = list(strata_cols or [])
+    coin = F.md5(F.concat(F.lit("pps:"), F.col(id_col).cast("string")))
+    w_run = (
+        W.partitionBy(*strata_cols)
+        .orderBy(coin, id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy(*strata_cols)
+    base = docs.filter(F.col(weight_col) > 0).select(
+        *strata_cols,
+        id_col,
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    cum = F.sum("__w").over(w_run)
+    tot = F.sum("__w").over(w_all)
+    staged = base.select(
+        *strata_cols,
+        id_col,
+        F.col("__w").alias(weight_col),
+        cum.alias("__cum"),
+        tot.alias("__tot"),
+    )
+    picked = staged.filter(
+        F.expr(f"(__cum * {k}) DIV __tot") > F.expr(f"((__cum - {weight_col}) * {k}) DIV __tot")
+    )
+    return picked.select(*strata_cols, id_col, weight_col)

@@ -670,3 +670,41 @@ def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
     )
     return merge_upsert(base, updates, key_cols=["doc_id"], version_col="version")
+
+
+_PPS_K = 20
+
+
+@register(
+    "corpus_sample_pps",
+    f"""
+    WITH base AS (
+      SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             md5('pps:' || CAST(doc_id AS VARCHAR)) AS coin
+      FROM documents WHERE n_chars > 0
+    ), cums AS (
+      SELECT lang, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY lang ORDER BY coin, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(n_chars) OVER (PARTITION BY lang) AS tot
+      FROM base
+    )
+    SELECT lang, doc_id, n_chars FROM cums
+    WHERE (cum * {_PPS_K}) // tot > ((cum - n_chars) * {_PPS_K}) // tot
+    """,
+    category="corpus",
+    windowed=False,
+)
+def corpus_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample (pipeline.sample_pps, Madow systematic
+    selection): 20 documents per language drawn proportional to
+    character count — longer documents proportionally likelier, token
+    mass of the sample tracking the corpus — selected by exact integer
+    slot-crossing over a deterministic md5 permutation, so the oracle
+    replays the entire draw."""
+    from kafka_workers_spark.pipeline import sample_pps
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_pps(
+        d.select("lang", "doc_id", "n_chars"), _PPS_K, "n_chars", ["lang"]
+    )

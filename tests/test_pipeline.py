@@ -1250,3 +1250,27 @@ def test_scd2_null_payload_transitions_are_changes(spark):
         key=lambda x: x[2],
     )
     assert got == [(1, None, 10, 20), (1, "a", 20, 30), (1, None, 30, None)]
+
+
+def test_sample_pps_draws_k_and_weights_proportionally(spark):
+    """Exactly k per stratum when no weight spans a slot; re-run draws
+    the identical set (deterministic permutation); a dominant-weight row
+    is always selected; zero-weight rows never are."""
+    from kafka_workers_spark.pipeline import sample_pps
+
+    rows = [("a", i, 10) for i in range(100)]
+    rows += [("b", 200, 10_000)] + [("b", 201 + i, 10) for i in range(50)]
+    rows += [("a", 999, 0)]  # zero weight: excluded
+    df = spark.createDataFrame(rows, "lang string, doc_id long, w long")
+    s1 = sorted((r.lang, r.doc_id) for r in sample_pps(df, 5, "w", ["lang"]).collect())
+    s2 = sorted((r.lang, r.doc_id) for r in sample_pps(df, 5, "w", ["lang"]).collect())
+    assert s1 == s2  # deterministic
+    a = [d for l, d in s1 if l == "a"]
+    assert len(a) == 5 and 999 not in a  # uniform weights: exactly k
+    b = [d for l, d in s1 if l == "b"]
+    assert 200 in b  # the dominant row (95% of mass) is always drawn
+    assert len(b) <= 5  # heavy row absorbs extra slots, never duplicates
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k "):
+        sample_pps(df, 0, "w", ["lang"])
