@@ -1756,3 +1756,38 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return mad_outliers(o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=3.0)
+
+
+from kafka_workers_spark.operators.relational import BENFORD_PPM  # noqa: E402
+
+_BENFORD_SQL = ", ".join(f"({d}, {v}::BIGINT)" for d, v in BENFORD_PPM.items())
+
+
+@register(
+    "quality_benford",
+    f"""
+    WITH exp AS (SELECT * FROM (VALUES {_BENFORD_SQL}) AS t(digit, expected_ppm)),
+    base AS (
+      SELECT CAST(substr(regexp_replace(CAST(ABS(o_totalprice) AS VARCHAR),
+                                        '[^1-9]', '', 'g'), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
+    ), counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM base GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM counts)
+    SELECT c.digit, c.observed, e.expected_ppm,
+           ABS(c.observed * 1000000 - e.expected_ppm * tot.n) AS deviation_ppm_n
+    FROM counts c JOIN exp e ON e.digit = c.digit CROSS JOIN tot
+    """,
+    windowed=False,
+)
+def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals
+    (operators.relational.benford_profile): observed leading-digit
+    counts against the Benford expectation, deviation in exact
+    integer ppm·n — the expected frequencies are Python-computed
+    literals inlined on BOTH engines, so the whole forensic profile
+    rides the value-hash oracle with no runtime log10 anywhere."""
+    from kafka_workers_spark.operators.relational import benford_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return benford_profile(o, "o_totalprice")

@@ -560,3 +560,30 @@ def test_mad_outliers_flags_planted_spikes(spark):
 
     with _pt.raises(ValueError, match="k "):
         mad_outliers(df, ["k"], "v", "id", k=0)
+
+
+def test_benford_profile_flags_uniform_data(spark):
+    """A genuinely Benford-ish set (powers sweep) profiles near the
+    expectation while uniform fabricated data deviates heavily on
+    digit 1; zeros/NULLs excluded; sub-1 values use the first
+    SIGNIFICANT digit."""
+    from kafka_workers_spark.operators.relational import (
+        BENFORD_PPM,
+        benford_profile,
+    )
+
+    organic = [(float(1.37 ** i),) for i in range(1, 120)]  # log-uniform-ish
+    out = {r.digit: r for r in benford_profile(
+        spark.createDataFrame(organic, "v double"), "v").collect()}
+    n = sum(r.observed for r in out.values())
+    dev1 = out[1].deviation_ppm_n / (1_000_000 * n)
+    assert dev1 < 0.08, f"organic digit-1 deviation {dev1}"
+    uniform = [(float(100 + i),) for i in range(900)]  # digits 1-9 uniform
+    outu = {r.digit: r for r in benford_profile(
+        spark.createDataFrame(uniform, "v double"), "v").collect()}
+    devu = outu[1].deviation_ppm_n / (1_000_000 * 900)
+    assert devu > 0.15, f"uniform digit-1 deviation {devu}"
+    assert outu[1].expected_ppm == BENFORD_PPM[1]
+    edge = spark.createDataFrame([(0.025,), (0.0,), (None,), (-20.0,)], "v double")
+    oute = {r.digit: r.observed for r in benford_profile(edge, "v").collect()}
+    assert oute == {2: 2}  # 0.025 -> 2, -20 -> 2; zero and NULL dropped
