@@ -722,6 +722,7 @@ def set_similarity_pairs(
     toks_col: str,
     threshold: tuple[int, int],
     id_col: str = "doc_id",
+    exact_verify: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard similarity self-join by prefix filtering (Bayardo,
     Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007;
@@ -752,6 +753,14 @@ def set_similarity_pairs(
     over SETS). Returns ``(id_a, id_b, n_common, n_union, jaccard)``
     for pairs meeting the threshold; the float is one division of
     exact integers.
+
+    ``exact_verify=True`` restores the strict no-collision guarantee
+    (ADVICE r09): the surviving pairs — and ONLY those, a table orders
+    of magnitude smaller than the candidate set — are re-verified with
+    ``array_intersect`` over the RAW token arrays, so a 60-bit digest
+    collision can no longer inflate an intersection. The candidate and
+    first-verify stages still run entirely on longs; the raw arrays
+    ship only for pairs already past the digest verify.
     """
     num, den = threshold
     if not 0 < num <= den:
@@ -872,6 +881,27 @@ def set_similarity_pairs(
         "n_common",
         (F.col("__nsum") - F.col("n_common")).alias("n_union"),
     ).filter(F.lit(den) * F.col("n_common") >= F.lit(num) * F.col("n_union"))
+    if exact_verify:
+        ra = df.select(F.col(id_col).alias("id_a"), F.col(toks_col).alias("__ra"))
+        rb = df.select(F.col(id_col).alias("id_b"), F.col(toks_col).alias("__rb"))
+        verified = (
+            verified.select("id_a", "id_b")
+            .join(ra, "id_a")
+            .join(rb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__ra", "__rb")).cast("bigint").alias("n_common"),
+                (F.size("__ra") + F.size("__rb")).cast("bigint").alias("__nsum"),
+            )
+            .groupBy("id_a", "id_b")  # same CollapseProject pin as the digest stage
+            .agg(F.first("n_common").alias("n_common"), F.first("__nsum").alias("__nsum"))
+            .select(
+                "id_a", "id_b", "n_common",
+                (F.col("__nsum") - F.col("n_common")).alias("n_union"),
+            )
+            .filter(F.lit(den) * F.col("n_common") >= F.lit(num) * F.col("n_union"))
+        )
     return verified.select(
         "id_a",
         "id_b",

@@ -607,27 +607,43 @@ def benford_profile(
     throughout (the expected frequencies are Python-computed literals
     shared verbatim with the oracle), so the profile rides the
     value-hash oracle. Zero/NULL values are excluded (no leading
-    digit). One hash aggregate; nothing else moves."""
+    digit), and so are non-finite doubles (NaN/Infinity render with no
+    1-9 digit — they must not surface as a NULL-digit row). The output
+    is always the full 1..9 grid — a digit with zero observations
+    reports observed=0 with its full expected deviation, never a
+    missing row a chi-square consumer could mistake for conformance
+    (ADVICE r09). One hash aggregate; nothing else moves."""
     # leading SIGNIFICANT digit via string strip — values must render in
     # plain decimal notation (scientific-notation rendering differs
     # across engines; keep |v| roughly within [1e-3, 1e15])
-    digit = F.substring(
-        F.regexp_replace(F.abs(F.col(value_col)).cast("string"), r"[^1-9]", ""), 1, 1
+    # nullif guards the ANSI cast: NaN/Inf render with no 1-9 digit,
+    # stripping to '' (same NULLIF in the oracle SQL)
+    digit = F.nullif(
+        F.substring(
+            F.regexp_replace(F.abs(F.col(value_col)).cast("string"), r"[^1-9]", ""), 1, 1
+        ),
+        F.lit(""),
     ).cast("int")
-    base = df.filter(F.col(value_col).isNotNull() & (F.col(value_col) != 0)).select(
-        digit.alias("digit")
+    base = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
+        .select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull())  # NaN/Inf/digitless renderings
     )
     counts = base.groupBy("digit").agg(F.count("*").cast("bigint").alias("observed"))
-    total = counts.groupBy().agg(F.sum("observed").cast("bigint").alias("__n"))
+    total = counts.groupBy().agg(
+        F.coalesce(F.sum("observed"), F.lit(0)).cast("bigint").alias("__n")
+    )
+    grid = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
     expected = F.array(*[F.lit(BENFORD_PPM[d]).cast("bigint") for d in range(1, 10)])
     return (
-        counts.crossJoin(F.broadcast(total))
+        grid.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
         .select(
             "digit",
-            "observed",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("bigint").alias("observed"),
             F.element_at(expected, F.col("digit")).alias("expected_ppm"),
             F.abs(
-                F.col("observed") * F.lit(1_000_000).cast("bigint")
+                F.coalesce(F.col("observed"), F.lit(0)) * F.lit(1_000_000).cast("bigint")
                 - F.element_at(expected, F.col("digit")) * F.col("__n")
             ).alias("deviation_ppm_n"),
         )

@@ -1603,6 +1603,22 @@ def sample_pps(
 
     if k < 1:
         raise ValueError(f"k ({k}) must be >= 1")
+    # The weight must be integral: a fractional weight silently cast to
+    # long would truncate (0.7 -> 0 -> row excluded entirely), violating
+    # the proportional-to-size contract (ADVICE r09). Integer char/token
+    # counts are the documented domain.
+    wtype = docs.schema[weight_col].dataType
+    from pyspark.sql.types import ByteType, DecimalType, IntegerType, LongType, ShortType
+
+    ok = isinstance(wtype, (ByteType, ShortType, IntegerType, LongType)) or (
+        isinstance(wtype, DecimalType) and wtype.scale == 0
+    )
+    if not ok:
+        raise ValueError(
+            f"sample_pps weight column {weight_col!r} must be an integral type "
+            f"(got {wtype.simpleString()}); cast explicitly after rounding if a "
+            "fractional weight is intended"
+        )
     strata_cols = list(strata_cols or [])
     coin = F.md5(F.concat(F.lit("pps:"), F.col(id_col).cast("string")))
     w_run = (

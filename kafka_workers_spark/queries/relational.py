@@ -1472,13 +1472,16 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_scd2_history",
     """
     WITH obs AS (
+      -- NULL-safe change predicate + row_number first-row detection to
+      -- mirror the engine's eqNullSafe/row_number exactly (ADVICE r09)
       SELECT user_id, ts, event_type, event_id,
-             LAG(event_type) OVER w AS prev, LAG(event_id) OVER w AS prev_id
+             LAG(event_type) OVER w AS prev,
+             ROW_NUMBER() OVER w AS rn
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), changes AS (
       SELECT user_id, ts, event_type, event_id FROM obs
-      WHERE prev_id IS NULL OR prev <> event_type
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type, ts AS valid_from,
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
@@ -1630,7 +1633,7 @@ _SCD2_SPLIT = "2024-01-15 00:00:00"  # mid-corpus batch boundary
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), changes AS (
       SELECT user_id, ts, event_type, event_id FROM obs
-      WHERE rn = 1 OR prev <> event_type
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type, ts AS valid_from,
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
@@ -1768,15 +1771,16 @@ _BENFORD_SQL = ", ".join(f"({d}, {v}::BIGINT)" for d, v in BENFORD_PPM.items())
     f"""
     WITH exp AS (SELECT * FROM (VALUES {_BENFORD_SQL}) AS t(digit, expected_ppm)),
     base AS (
-      SELECT CAST(substr(regexp_replace(CAST(ABS(o_totalprice) AS VARCHAR),
-                                        '[^1-9]', '', 'g'), 1, 1) AS INTEGER) AS digit
+      SELECT CAST(NULLIF(substr(regexp_replace(CAST(ABS(o_totalprice) AS VARCHAR),
+                                        '[^1-9]', '', 'g'), 1, 1), '') AS INTEGER) AS digit
       FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
     ), counts AS (
-      SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM base GROUP BY 1
-    ), tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM counts)
-    SELECT c.digit, c.observed, e.expected_ppm,
-           ABS(c.observed * 1000000 - e.expected_ppm * tot.n) AS deviation_ppm_n
-    FROM counts c JOIN exp e ON e.digit = c.digit CROSS JOIN tot
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM base
+      WHERE digit IS NOT NULL GROUP BY 1
+    ), tot AS (SELECT CAST(COALESCE(SUM(observed), 0) AS BIGINT) AS n FROM counts)
+    SELECT e.digit, CAST(COALESCE(c.observed, 0) AS BIGINT) AS observed, e.expected_ppm,
+           ABS(COALESCE(c.observed, 0) * 1000000 - e.expected_ppm * tot.n) AS deviation_ppm_n
+    FROM exp e LEFT JOIN counts c ON e.digit = c.digit CROSS JOIN tot
     """,
     windowed=False,
 )

@@ -57,13 +57,17 @@ def attribution_worker_task(
             # last batch click at-or-before each purchase; purchases
             # before the batch's first click fall back to carried state
             prev = st.get("lt")
-            fallback = np.int64(prev) if prev is not None else np.int64(-1)
+            # No-touch sentinel: int64 min (outside any representable
+            # timestamp), so pre-epoch (negative-micros) clicks are real
+            # touches and can't collide with "no touch" (ADVICE r09).
+            no_touch = np.iinfo(np.int64).min
+            fallback = np.int64(prev) if prev is not None else np.int64(no_touch)
             if len(click_ts):
                 idx = np.searchsorted(click_ts, p_ts, side="right") - 1
                 touch = np.where(idx >= 0, click_ts[idx.clip(min=0)], fallback)
             else:
                 touch = np.full(len(p_ts), fallback)
-            has = touch >= 0
+            has = touch != no_touch
             out = pd.DataFrame(
                 {
                     user_col: np.repeat(key[0], int(pmask.sum())),

@@ -88,3 +88,18 @@ def test_streaming_attribution_equals_batch(spark, tmp_path):
 def test_attribution_rejects_bad_lookback(spark):
     with pytest.raises(ValueError, match="lookback"):
         attribution_tasks_batch(_df(spark), lookback_seconds=0)
+
+
+def test_attribution_pre_epoch_click_is_a_real_touch(spark):
+    """A negative-epoch-micros click is a genuine touch: the old -1
+    no-touch sentinel classified every pre-1970 click as organic
+    (ADVICE r09; the int64-min sentinel cannot collide with any
+    representable timestamp)."""
+    pre = datetime(1969, 12, 31, 23, 59, 0)  # -60s epoch
+    purchase = datetime(1969, 12, 31, 23, 59, 30)
+    df = spark.createDataFrame(
+        [(1, pre, "click", 10), (1, purchase, "purchase", 11)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    rows = {r.event_id: r for r in attribution_tasks_batch(df, lookback_seconds=3600).collect()}
+    assert rows[11].attribution == "click" and rows[11].touch_ts == pre

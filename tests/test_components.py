@@ -379,3 +379,39 @@ def test_set_similarity_pairs_complete_vs_brute_force(spark):
 
     with _pt.raises(ValueError, match="threshold"):
         set_similarity_pairs(df, "toks", threshold=(3, 2))
+
+
+def test_set_similarity_exact_verify_matches_and_restores_guarantee(spark):
+    """exact_verify=True re-verifies surviving pairs on the RAW token
+    arrays (ADVICE r09): on a collision-free corpus it returns the
+    identical pair set with identical exact counts, and the brute-force
+    ground truth holds by construction rather than modulo 60-bit digest
+    collisions."""
+    from kafka_workers_spark.operators.dedup import set_similarity_pairs
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(15)]
+    corpus = {i: sorted(set(rng.sample(vocab, rng.randint(2, 12)))) for i in range(30)}
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in corpus.items()], "doc_id long, toks array<string>"
+    )
+    digest = {
+        (r.id_a, r.id_b): (r.n_common, r.n_union, r.jaccard)
+        for r in set_similarity_pairs(df, "toks", threshold=(1, 2)).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): (r.n_common, r.n_union, r.jaccard)
+        for r in set_similarity_pairs(
+            df, "toks", threshold=(1, 2), exact_verify=True
+        ).collect()
+    }
+    assert exact == digest and len(exact) > 0
+    brute = {}
+    for x in sorted(corpus):
+        for y in sorted(corpus):
+            if x < y:
+                inter = len(set(corpus[x]) & set(corpus[y]))
+                uni = len(set(corpus[x]) | set(corpus[y]))
+                if 2 * inter >= uni:
+                    brute[(x, y)] = (inter, uni)
+    assert {k: v[:2] for k, v in exact.items()} == brute

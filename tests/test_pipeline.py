@@ -1274,3 +1274,8 @@ def test_sample_pps_draws_k_and_weights_proportionally(spark):
 
     with _pt.raises(ValueError, match="k "):
         sample_pps(df, 0, "w", ["lang"])
+    # fractional weights would silently truncate to 0 under the old
+    # cast('long'); the contract is integral weights only (ADVICE r09)
+    frac = spark.createDataFrame([("a", 1, 0.7)], "lang string, doc_id long, w double")
+    with _pt.raises(ValueError, match="integral"):
+        sample_pps(frac, 1, "w", ["lang"])

@@ -584,6 +584,14 @@ def test_benford_profile_flags_uniform_data(spark):
     devu = outu[1].deviation_ppm_n / (1_000_000 * 900)
     assert devu > 0.15, f"uniform digit-1 deviation {devu}"
     assert outu[1].expected_ppm == BENFORD_PPM[1]
-    edge = spark.createDataFrame([(0.025,), (0.0,), (None,), (-20.0,)], "v double")
+    edge = spark.createDataFrame(
+        [(0.025,), (0.0,), (None,), (-20.0,),
+         (float("nan"),), (float("inf"),), (float("-inf"),)],
+        "v double",
+    )
     oute = {r.digit: r.observed for r in benford_profile(edge, "v").collect()}
-    assert oute == {2: 2}  # 0.025 -> 2, -20 -> 2; zero and NULL dropped
+    # full 1..9 grid always present (zero-count digits report observed=0,
+    # ADVICE r09); 0.025 -> 2, -20 -> 2; zero/NULL/NaN/Inf all dropped
+    assert oute == {d: (2 if d == 2 else 0) for d in range(1, 10)}
+    zero_dev = {r.digit: r.deviation_ppm_n for r in benford_profile(edge, "v").collect()}
+    assert zero_dev[1] == BENFORD_PPM[1] * 2  # missing digit carries full deviation
