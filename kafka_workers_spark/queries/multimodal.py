@@ -29,6 +29,7 @@ from kafka_workers_spark.sources.files import load_table
     FROM documents
     """,
     category="multimodal",
+    windowed=False,  # rotated out round 10 (VERDICT r09 #1)
 )
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata columns. The plan computes metadata from
@@ -131,7 +132,6 @@ _PH_SQL = sql_perceptual_hash("encode(text)")
     WHERE bit_count(xor(ph_a, ph_b)) <= 3
     """,
     category="multimodal",
-    windowed=False,
 )
 def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate pairs over the binary payload column

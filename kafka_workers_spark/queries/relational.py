@@ -1639,7 +1639,6 @@ _SCD2_SPLIT = "2024-01-15 00:00:00"  # mid-corpus batch boundary
            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
     FROM changes
     """,
-    windowed=False,
 )
 def events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INCREMENTAL SCD2 path, driver-visible (pipeline.merge_scd2):
@@ -1696,7 +1695,6 @@ def events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS intercept
     FROM sloped
     """,
-    windowed=False,
 )
 def agg_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression (operators.relational.group_ols):

@@ -59,6 +59,7 @@ _TOKS_SQL = "string_split(text, ' ')"
     )
     """,
     category="text",
+    windowed=False,  # rotated out round 10 (VERDICT r09 #1)
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document profile in one codegen'd scan: whitespace + BPE-style
@@ -138,6 +139,7 @@ def _sql_langid_scores() -> str:
     )
     """,
     category="text",
+    windowed=False,  # rotated out round 10 (VERDICT r09 #1)
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-overlap language ID (CJK by codepoint class, Latin languages
