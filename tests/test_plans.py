@@ -332,3 +332,63 @@ def test_bloom_pruned_join_filters_before_exchange(spark):
     a = audit(bloom_pruned_join(big, small, "k"))
     assert "xxhash64" in a.text and "shiftleft" in a.text, a.text[:800]
     assert a.cartesian_products == 0
+
+
+def _sections(text):
+    """(node_name, detail_body) pairs from EXPLAIN FORMATTED's detail part."""
+    import re
+
+    parts = re.split(r"^\(\d+\) (\S+)", text, flags=re.MULTILINE)
+    return [(parts[i], parts[i + 1]) for i in range(1, len(parts) - 1, 2)]
+
+
+def test_near_dup_signature_computed_once_per_side(spark):
+    """The perceptual-hash cell tree (marked by its conv() digest calls)
+    must live ONLY in the two Project nodes above the band self-join's
+    sides — never re-substituted into a Filter or Scan below the
+    groupBy(id).agg(first(...)) pin. That pin exists because Catalyst's
+    join-constraint inference once inlined the whole computed-signature
+    tree into a scan-side isnotnull filter THROUGH the repartition
+    barrier (165 s at sf0.1, PLANS.md §Round 9); removing the pin makes
+    this assertion fail, which is the point — a Spark upgrade must not
+    regress it silently."""
+    a = audit({**REG, **load_extra()}["multimodal_near_dup"].fn(spark, SF))
+    carriers = [(n, b) for n, b in _sections(a.text) if "conv(" in b]
+    assert carriers, "signature tree missing entirely?"
+    bad = [n for n, _ in carriers if n not in ("Project",)]
+    assert not bad, f"signature tree re-substituted into: {bad}"
+    assert len(carriers) <= 2, f"signature tree inlined {len(carriers)} times"
+
+
+def test_scd2_history_windows_share_one_exchange(spark):
+    """scd2_history's lag (change detection) and lead (interval close)
+    windows both partition by the business key and order by the same
+    (ts, tiebreak): Catalyst must plan exactly ONE Exchange feeding both
+    Window nodes — a second exchange would double the shuffle of every
+    nightly history rebuild."""
+    a = audit({**REG, **load_extra()}["events_scd2_history"].fn(spark, SF))
+    names = [n for n, _ in _sections(a.text)]
+    assert names.count("Window") == 2, names
+    assert a.exchanges == 1, f"{a.exchanges} exchanges for 2 windows:\n{a.text[:600]}"
+
+
+def test_gap_fill_grid_explode_carries_no_payload(spark):
+    """The zero-fill grid explode must fan out bucket INDICES only
+    (key + lo/hi bounds -> sequence) — if the aggregated payload columns
+    ride through the Generate, every silent-hour row duplicates them and
+    the explode's output width scales with the agg list."""
+    a = audit({**REG, **load_extra()}["events_gap_fill"].fn(spark, SF))
+    gens = [b for n, b in _sections(a.text) if n == "Generate"]
+    assert gens, "no Generate node planned"
+    for body in gens:
+        assert "sum_value" not in body and "n_rows" not in body, body[:400]
+
+
+def test_interval_overlap_join_is_banded_equi(spark):
+    """Pair generation must be an equi-join on the time bucket — never a
+    BroadcastNestedLoopJoin on the raw overlap predicate (the thing the
+    bucketing exists to prevent; the overlap test is a post-join
+    filter)."""
+    a = audit({**REG, **load_extra()}["join_interval_overlap"].fn(spark, SF))
+    assert a.nested_loop_joins == 0 and a.cartesian_products == 0, a.text[:800]
+    assert a.sortmerge_joins + a.broadcast_joins + a.shuffled_hash_joins >= 1
