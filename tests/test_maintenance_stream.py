@@ -1,0 +1,147 @@
+"""Live SCD2/SCD1 warehouse maintenance (streaming/maintenance.py):
+foreachBatch folds each micro-batch into a stored table through
+merge_scd2 / merge_upsert, with a checkpoint restart in the middle —
+the final store must equal the one-shot build over the full stream,
+and a replayed batch must never double-apply (VERDICT r09 #3; the
+stored-offsets contract, reference impl/offsets/DefaultOffsetsState.java)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.streaming.maintenance import (
+    scd2_fold,
+    streaming_scd2_maintenance,
+    streaming_upsert_maintenance,
+    upsert_fold,
+)
+
+OBS_SCHEMA = "user_id long, ts timestamp, event_type string, event_id long"
+
+
+def _ts(s: float) -> datetime:
+    return datetime(2024, 1, 1) + timedelta(seconds=s)
+
+
+def _obs_batches():
+    """Three time-ordered observation batches with collapses, extensions
+    across batch boundaries, and new keys appearing late."""
+    b1 = [(1, _ts(0), "a", 1), (1, _ts(10), "a", 2),  # collapse within batch
+          (2, _ts(5), "x", 3)]
+    b2 = [(1, _ts(20), "b", 4),                        # change across batches
+          (2, _ts(25), "x", 5),                        # extends open version
+          (3, _ts(22), "p", 6)]                        # new key mid-stream
+    b3 = [(1, _ts(30), "b", 7),                        # extends again
+          (2, _ts(35), "y", 8), (3, _ts(40), "q", 9)]
+    return b1, b2, b3
+
+
+def _canon(df):
+    return sorted(
+        (r.user_id, r.event_type, r.valid_from, r.valid_to) for r in df.collect()
+    )
+
+
+def test_streaming_scd2_maintenance_with_restart_equals_one_shot(spark, tmp_path):
+    """Batches 1-2 land in run 1; the query stops; batch 3 lands in run 2
+    restarted from the SAME checkpoint (processing only the new file).
+    The stored history then equals the one-shot scd2_history over all
+    observations exactly."""
+    from kafka_workers_spark.pipeline import scd2_history
+
+    src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ckpt"))
+    b1, b2, b3 = _obs_batches()
+    spark.createDataFrame(b1, OBS_SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, OBS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(OBS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_scd2_maintenance(
+            stream, store, ckpt, ["user_id"], "ts", ["event_type"], "event_id"
+        )
+        q.awaitTermination(120)
+
+    run()  # run 1: folds batches 0 and 1, then availableNow stops it
+    mid = spark.read.parquet(store)
+    assert mid.filter(F.col("valid_to").isNull()).count() == 3  # u1,u2,u3 open
+
+    spark.createDataFrame(b3, OBS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    run()  # run 2: checkpoint restart — only the new file is processed
+
+    full = spark.createDataFrame(b1 + b2 + b3, OBS_SCHEMA)
+    want = scd2_history(full, ["user_id"], "ts", ["event_type"], "event_id")
+    assert _canon(spark.read.parquet(store)) == _canon(want)
+
+
+def test_scd2_fold_replayed_batch_is_a_noop(spark, tmp_path):
+    """merge_scd2 is NOT replay-idempotent (old observations would
+    re-detect historical changes) — the batch-id marker makes the fold
+    exactly-once: replaying an applied batch id leaves the store
+    byte-identical, while a genuinely NEW batch id with the same data
+    (the misuse the marker cannot see) would duplicate."""
+    store = str(tmp_path / "store")
+    b1, b2, _ = _obs_batches()
+    fold = scd2_fold(spark, store, ["user_id"], "ts", ["event_type"], "event_id")
+    fold(spark.createDataFrame(b1, OBS_SCHEMA), 0)
+    fold(spark.createDataFrame(b2, OBS_SCHEMA), 1)
+    after = _canon(spark.read.parquet(store))
+    fold(spark.createDataFrame(b2, OBS_SCHEMA), 1)  # replay: skipped
+    fold(spark.createDataFrame(b1, OBS_SCHEMA), 0)  # older replay: skipped
+    assert _canon(spark.read.parquet(store)) == after
+
+
+def test_streaming_upsert_maintenance_latest_wins_with_restart(spark, tmp_path):
+    """SCD1 twin: the stored snapshot equals merge_upsert folded over
+    everything — latest version per key across batches and a restart."""
+    from kafka_workers_spark.pipeline import merge_upsert
+
+    schema = "k long, version long, payload string"
+    src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ckpt"))
+    b1 = [(1, 1, "one-v1"), (2, 1, "two-v1")]
+    b2 = [(1, 3, "one-v3"), (3, 1, "three-v1")]
+    b3 = [(1, 2, "one-v2-late"), (2, 2, "two-v2")]  # stale update for k=1
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = streaming_upsert_maintenance(stream, store, ckpt, ["k"], "version")
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src)
+    run()  # checkpoint restart
+
+    got = sorted(map(tuple, spark.read.parquet(store).collect()))
+    base = spark.createDataFrame(b1, schema)
+    want = merge_upsert(
+        merge_upsert(base, spark.createDataFrame(b2, schema), ["k"], "version"),
+        spark.createDataFrame(b3, schema),
+        ["k"],
+        "version",
+    )
+    assert got == sorted(map(tuple, want.collect()))
+    assert got == [(1, 3, "one-v3"), (2, 2, "two-v2"), (3, 1, "three-v1")]
+
+
+def test_upsert_fold_replay_is_idempotent_even_without_marker_skip(spark, tmp_path):
+    """merge_upsert replay is idempotent by construction (max-wins);
+    the marker just skips the redundant rewrite. Driving the fold with
+    a replayed id leaves the snapshot unchanged."""
+    schema = "k long, version long, payload string"
+    store = str(tmp_path / "store")
+    fold = upsert_fold(spark, store, ["k"], "version")
+    fold(spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], schema), 0)
+    fold(spark.createDataFrame([(1, 2, "a2")], schema), 1)
+    after = sorted(map(tuple, spark.read.parquet(store).collect()))
+    fold(spark.createDataFrame([(1, 2, "a2")], schema), 1)
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == after
+    assert after == [(1, 2, "a2"), (2, 1, "b")]
