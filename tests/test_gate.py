@@ -456,3 +456,53 @@ def test_gate_random_arrivals_match_reference_model():
                     assert seen_batches[b] > seen_batches[a], (a, b, released)
 
     run()
+
+
+def test_gate_tasks_batch_equals_live_gate(spark, tmp_path):
+    """The batch replay entry (gate_tasks_batch — the stream_gate_release
+    registry row's engine) emits exactly the rows the LIVE gate releases
+    for the same byte-budget policy: the released prefix, in order, with
+    the over-budget head pausing everything behind it."""
+    from kafka_workers_spark.streaming.gate import accept_gate, gate_tasks_batch
+
+    budget = 10
+    rows = [
+        (0, 0, 4), (0, 1, 4), (0, 2, 5), (0, 3, 1),   # release 4+4, 5 blocks, 1 waits
+        (1, 0, 11), (1, 1, 1),                          # head over budget: nothing out
+        (2, 0, 10),                                     # exactly at budget: released
+    ]
+    schema = "k int, offset long, w long"
+
+    def acc(row, st):
+        return st.get("b", 0) + row["w"] <= budget
+
+    def rel(row, st):
+        return {"b": st.get("b", 0) + row["w"]}
+
+    df = spark.createDataFrame(rows, schema)
+    got_batch = sorted(
+        (r.k, r.offset, r.w)
+        for r in gate_tasks_batch(df, ["k"], acc, schema, "offset", rel).collect()
+    )
+
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = accept_gate(
+        stream, keys=["k"], accept=acc, output_schema=schema,
+        order_by="offset", on_release=rel,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gate_batch_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_live = sorted(
+        (r.k, r.offset, r.w)
+        for r in spark.sql("SELECT * FROM gate_batch_twin").collect()
+    )
+    assert got_batch == got_live == [(0, 0, 4), (0, 1, 4), (2, 0, 10)]
