@@ -328,9 +328,18 @@ def sql_perceptual_hash(expr: str) -> str:
     """DuckDB rendering of :func:`perceptual_hash` (same grid, same
     cross-multiplied threshold; list slices are 1-based inclusive in
     both engines' formulations here)."""
-    n = f"octet_length({expr})"
+    return sql_perceptual_hash_hex(f"hex({expr})", f"octet_length({expr})")
+
+
+def sql_perceptual_hash_hex(hex_expr: str, n_expr: str) -> str:
+    """The hex-string form of :func:`sql_perceptual_hash`: fingerprint a
+    byte range already rendered as hex (``n_expr`` = byte count). This
+    is the frame-level entry — DuckDB has no BLOB substring, so frame
+    slicing happens on the hex rendering on BOTH engines (2 chars per
+    byte, same arithmetic)."""
+    n = f"({n_expr})"
     bytes_ = (
-        f"[CAST(('0x' || substr(hex({expr}), i * 2 - 1, 2)) AS BIGINT) "
+        f"[CAST(('0x' || substr({hex_expr}, i * 2 - 1, 2)) AS BIGINT) "
         f"FOR i IN generate_series(1, {n})]"
     )
     total = "COALESCE(list_sum(b), 0)"
