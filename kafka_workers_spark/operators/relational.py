@@ -612,7 +612,12 @@ def benford_profile(
     is always the full 1..9 grid — a digit with zero observations
     reports observed=0 with its full expected deviation, never a
     missing row a chi-square consumer could mistake for conformance
-    (ADVICE r09). One hash aggregate; nothing else moves."""
+    (ADVICE r09). The total count ``n`` is surfaced as an output column
+    because the deviation is n-scaled: on an empty/fully-filtered input
+    every deviation_ppm_n is 0, which means NO EVIDENCE, not perfect
+    conformance — a chi-square consumer must divide by n and treat n=0
+    as "no data" (ADVICE r10). One hash aggregate; nothing else
+    moves."""
     # leading SIGNIFICANT digit via string strip — values must render in
     # plain decimal notation (scientific-notation rendering differs
     # across engines; keep |v| roughly within [1e-3, 1e15])
@@ -642,6 +647,7 @@ def benford_profile(
             "digit",
             F.coalesce(F.col("observed"), F.lit(0)).cast("bigint").alias("observed"),
             F.element_at(expected, F.col("digit")).alias("expected_ppm"),
+            F.col("__n").alias("n"),
             F.abs(
                 F.coalesce(F.col("observed"), F.lit(0)) * F.lit(1_000_000).cast("bigint")
                 - F.element_at(expected, F.col("digit")) * F.col("__n")

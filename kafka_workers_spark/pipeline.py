@@ -1610,14 +1610,20 @@ def sample_pps(
     wtype = docs.schema[weight_col].dataType
     from pyspark.sql.types import ByteType, DecimalType, IntegerType, LongType, ShortType
 
+    # DecimalType is admitted only up to precision 18: decimal(38,0) holds
+    # values beyond int64, and the cast-to-long below would silently WRAP
+    # under non-ANSI casts — the same silent-weight-corruption class this
+    # check exists to prevent (ADVICE r10). precision<=18 fits int64 by
+    # construction (10^18 - 1 < 2^63 - 1).
     ok = isinstance(wtype, (ByteType, ShortType, IntegerType, LongType)) or (
-        isinstance(wtype, DecimalType) and wtype.scale == 0
+        isinstance(wtype, DecimalType) and wtype.scale == 0 and wtype.precision <= 18
     )
     if not ok:
         raise ValueError(
             f"sample_pps weight column {weight_col!r} must be an integral type "
-            f"(got {wtype.simpleString()}); cast explicitly after rounding if a "
-            "fractional weight is intended"
+            f"fitting int64 (got {wtype.simpleString()}); cast explicitly after "
+            "rounding (and range-checking) if a wider or fractional weight is "
+            "intended"
         )
     strata_cols = list(strata_cols or [])
     coin = F.md5(F.concat(F.lit("pps:"), F.col(id_col).cast("string")))

@@ -1777,6 +1777,7 @@ _BENFORD_SQL = ", ".join(f"({d}, {v}::BIGINT)" for d, v in BENFORD_PPM.items())
       WHERE digit IS NOT NULL GROUP BY 1
     ), tot AS (SELECT CAST(COALESCE(SUM(observed), 0) AS BIGINT) AS n FROM counts)
     SELECT e.digit, CAST(COALESCE(c.observed, 0) AS BIGINT) AS observed, e.expected_ppm,
+           tot.n AS n,
            ABS(COALESCE(c.observed, 0) * 1000000 - e.expected_ppm * tot.n) AS deviation_ppm_n
     FROM exp e LEFT JOIN counts c ON e.digit = c.digit CROSS JOIN tot
     """,

@@ -375,8 +375,8 @@ _GATE_BUDGET = 2048  # bytes of released records per partition
     WITH q AS (
       SELECT CAST(user_id % 4 AS INTEGER) AS partition,
              event_id AS off,
-             octet_length(encode(event_type)) + 16 AS w,
-             SUM(octet_length(encode(event_type)) + 16)
+             COALESCE(octet_length(encode(event_type)), 0) + 16 AS w,
+             SUM(COALESCE(octet_length(encode(event_type)), 0) + 16)
                OVER (PARTITION BY user_id % 4 ORDER BY event_id) AS cum
       FROM events
     )
@@ -407,14 +407,22 @@ def stream_gate_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget, a genuine cross-plan check (imperative state machine vs
     window aggregate, the stream_funnel_state pairing). Weights are
     exact integers (octet_length + fixed overhead, the weigher family's
-    currency) on both engines."""
+    currency) on both engines, and NULL-safe on BOTH —
+    ``coalesce(octet_length(event_type), 0) + 16`` — because a NULL
+    weight would otherwise diverge crash-vs-wrong-answer: the live
+    fold's ``st['bytes'] + row['w']`` raises TypeError while the
+    oracle's window SUM silently skips the NULL and counts the row as
+    released (ADVICE r10; the all-NULL record is the weigher family's
+    fixed-overhead-only empty record, BaseRecordWeigherTest)."""
     from kafka_workers_spark.streaming.gate import gate_tasks_batch
 
     ev = load_table(spark, sf_dir, "events")
     q = ev.select(
         (F.col("user_id") % 4).cast("int").alias("partition"),
         F.col("event_id").alias("off"),
-        (F.octet_length("event_type") + F.lit(16)).cast("long").alias("w"),
+        (F.coalesce(F.octet_length("event_type"), F.lit(0)) + F.lit(16))
+        .cast("long")
+        .alias("w"),
     )
 
     def acc(row, st):

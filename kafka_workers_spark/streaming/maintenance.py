@@ -46,22 +46,46 @@ from kafka_workers_spark.pipeline import merge_scd2, merge_upsert, swap_output
 _MARKER = "_kw_batch"
 
 
-def _last_applied(store_dir: str) -> int:
+def _last_applied(store_dir: str, lineage: str | None) -> int:
+    """Read the store's batch marker, enforcing CHECKPOINT LINEAGE:
+    ``foreachBatch`` batch ids are monotonic only within one checkpoint
+    lineage — pointing a fresh checkpoint (or a second query) at an
+    existing store restarts ids at 0, and the ``batch_id <=
+    last_applied`` replay guard would then silently SKIP the first N+1
+    real batches (ADVICE r10). The marker therefore stamps the lineage
+    (checkpoint path for streaming entry points, None for direct fold
+    driving), and a batch arriving from a DIFFERENT lineage fails
+    loudly instead of losing data. Reference analog: stored offsets are
+    bound to one consumer group (impl/offsets/DefaultOffsetsState.java
+    — a different group gets different offsets, never a silent skip)."""
     path = os.path.join(store_dir, _MARKER)
     if not os.path.exists(path):
         return -1
     with open(path) as fh:
-        return int(json.load(fh)["batch_id"])
+        marker = json.load(fh)
+    stamped = marker.get("lineage")
+    if stamped != lineage:
+        raise RuntimeError(
+            f"maintenance store {store_dir!r} was last written by lineage "
+            f"{stamped!r} but this fold runs under lineage {lineage!r}; "
+            "batch ids are only monotonic within one checkpoint lineage, so "
+            "proceeding would silently skip real batches. Reuse the original "
+            "checkpoint, or delete the store (and its marker) to rebuild "
+            "from scratch."
+        )
+    return int(marker["batch_id"])
 
 
-def _publish(merged: DataFrame, store_dir: str, batch_id: int) -> None:
+def _publish(
+    merged: DataFrame, store_dir: str, batch_id: int, lineage: str | None
+) -> None:
     """Write the rewritten table next to the live one, stamp the batch
-    marker inside it, then atomically swap it in — data + marker commit
-    together or not at all."""
+    marker (batch id + checkpoint lineage) inside it, then atomically
+    swap it in — data + marker commit together or not at all."""
     tmp = f"{store_dir}.tmp-{batch_id}"
     merged.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, _MARKER), "w") as fh:
-        json.dump({"batch_id": batch_id}, fh)
+        json.dump({"batch_id": batch_id, "lineage": lineage}, fh)
     swap_output(tmp, store_dir)
 
 
@@ -72,15 +96,21 @@ def scd2_fold(
     ts_col: str,
     payload_cols: list[str],
     tiebreak_col: str,
+    lineage: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The per-batch fold, exposed so tests (and backfills) can drive it
     directly: read the stored history (empty on first batch), fold the
     observation batch in with ``merge_scd2``, publish via the atomic
-    swap. Replayed batch ids are no-ops."""
+    swap. Replayed batch ids are no-ops — WITHIN one ``lineage``
+    (checkpoint identity); a fold under a different lineage than the
+    store's marker raises instead of silently skipping (see
+    :func:`_last_applied`). Direct driving (``lineage=None``) is its own
+    lineage: a store built by direct folds rejects a later streaming
+    query and vice versa."""
     from kafka_workers_spark.pipeline import scd2_history
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _last_applied(store_dir):
+        if batch_id <= _last_applied(store_dir, lineage):
             return  # at-least-once replay of an already-published batch
         if batch_df.isEmpty():
             return
@@ -94,7 +124,7 @@ def scd2_fold(
         merged = merge_scd2(
             base, batch_df, key_cols, ts_col, payload_cols, tiebreak_col
         )
-        _publish(merged, store_dir, batch_id)
+        _publish(merged, store_dir, batch_id, lineage)
 
     return fold
 
@@ -104,13 +134,19 @@ def upsert_fold(
     store_dir: str,
     key_cols: list[str],
     version_col: str,
+    lineage: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """SCD1 latest-wins fold (``merge_upsert``). The merge itself is
     idempotent under replay (max-wins), so the batch-id guard here only
-    skips redundant work; for SCD2 it is load-bearing."""
+    skips redundant work; for SCD2 it is load-bearing. The lineage
+    stamp (see :func:`_last_applied`) still applies: a fresh checkpoint
+    over an existing store fails loudly rather than skipping batches —
+    harmless for upsert's idempotent merge but the marker would record
+    a lie, and the symmetric rule keeps the two folds' contracts
+    identical."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _last_applied(store_dir):
+        if batch_id <= _last_applied(store_dir, lineage):
             return
         if batch_df.isEmpty():
             return
@@ -119,7 +155,7 @@ def upsert_fold(
         else:
             base = batch_df.limit(0)
         merged = merge_upsert(base, batch_df, key_cols, version_col)
-        _publish(merged, store_dir, batch_id)
+        _publish(merged, store_dir, batch_id, lineage)
 
     return fold
 
@@ -136,9 +172,18 @@ def streaming_scd2_maintenance(
     """Run the SCD2 history store live: every micro-batch of the
     observation stream folds into ``store_dir``; restarting from the
     same checkpoint resumes exactly where it stopped, and a replayed
-    batch never double-applies."""
+    batch never double-applies. The checkpoint path is stamped into the
+    store's marker as the batch-id lineage: re-pointing a DIFFERENT
+    checkpoint at the same store fails loudly at the first batch
+    instead of silently skipping (ADVICE r10)."""
     fold = scd2_fold(
-        obs.sparkSession, store_dir, key_cols, ts_col, payload_cols, tiebreak_col
+        obs.sparkSession,
+        store_dir,
+        key_cols,
+        ts_col,
+        payload_cols,
+        tiebreak_col,
+        lineage=os.path.abspath(checkpoint),
     )
     return (
         obs.writeStream.foreachBatch(fold)
@@ -155,8 +200,15 @@ def streaming_upsert_maintenance(
     key_cols: list[str],
     version_col: str,
 ) -> StreamingQuery:
-    """Run the SCD1 snapshot store live (latest version per key)."""
-    fold = upsert_fold(updates.sparkSession, store_dir, key_cols, version_col)
+    """Run the SCD1 snapshot store live (latest version per key); the
+    checkpoint path is the marker lineage, as for SCD2."""
+    fold = upsert_fold(
+        updates.sparkSession,
+        store_dir,
+        key_cols,
+        version_col,
+        lineage=os.path.abspath(checkpoint),
+    )
     return (
         updates.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)

@@ -506,3 +506,46 @@ def test_gate_tasks_batch_equals_live_gate(spark, tmp_path):
         for r in spark.sql("SELECT * FROM gate_batch_twin").collect()
     )
     assert got_batch == got_live == [(0, 0, 4), (0, 1, 4), (2, 0, 10)]
+
+
+def test_gate_release_query_null_event_type_weight_is_null_safe(spark):
+    """ADVICE r10: a NULL event_type must weigh coalesce(octet_length,0)
+    + 16 = 16 bytes on BOTH engines — before the fix the live fold's
+    ``st['bytes'] + row['w']`` raised TypeError on the NULL weight while
+    the oracle's window SUM silently skipped it (crash-vs-wrong-answer
+    divergence). Replays the registry row's exact weighing + gating
+    chain over a frame WITH a NULL event_type and checks it against the
+    windowed running-sum semantics computed in Python."""
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.streaming.gate import gate_tasks_batch
+
+    budget = 40
+    rows = [
+        (0, 1, "click"),   # 5 + 16 = 21
+        (0, 2, None),      # NULL -> 0 + 16 = 16 (cum 37: released)
+        (0, 3, "view"),    # 4 + 16 = 20 (cum 57: pauses the partition)
+        (0, 4, None),      # waits behind the paused head even at 16
+        (5, 5, None),      # partition 1: 16 (cum 16: released)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
+    q = ev.select(
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("off"),
+        (F.coalesce(F.octet_length("event_type"), F.lit(0)) + F.lit(16))
+        .cast("long")
+        .alias("w"),
+    )
+
+    def acc(row, st):
+        return st.get("bytes", 0) + row["w"] <= budget
+
+    def rel(row, st):
+        return {"bytes": st.get("bytes", 0) + row["w"]}
+
+    released = gate_tasks_batch(
+        q, ["partition"], acc, "partition int, off long, w long",
+        order_by="off", on_release=rel,
+    )
+    got = sorted((r.partition, r.off, r.w) for r in released.collect())
+    assert got == [(0, 1, 21), (0, 2, 16), (1, 5, 16)]

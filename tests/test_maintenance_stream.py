@@ -96,6 +96,43 @@ def test_scd2_fold_replayed_batch_is_a_noop(spark, tmp_path):
     assert _canon(spark.read.parquet(store)) == after
 
 
+def test_fold_from_different_lineage_fails_loudly(spark, tmp_path):
+    """ADVICE r10: batch ids are monotonic only within one checkpoint
+    lineage. A fresh checkpoint (or a direct fold) pointed at a store
+    built under another lineage would restart ids at 0 and the replay
+    guard would silently skip real batches — the fold must instead
+    raise at the FIRST batch, naming both lineages."""
+    import pytest
+
+    store = str(tmp_path / "store")
+    b1, b2, _ = _obs_batches()
+    args = (["user_id"], "ts", ["event_type"], "event_id")
+    fold_a = scd2_fold(spark, store, *args, lineage="ckpt-A")
+    fold_a(spark.createDataFrame(b1, OBS_SCHEMA), 0)
+    before = _canon(spark.read.parquet(store))
+
+    # a second query / fresh checkpoint restarts batch ids at 0 — loud
+    fold_b = scd2_fold(spark, store, *args, lineage="ckpt-B")
+    with pytest.raises(RuntimeError, match="ckpt-A.*ckpt-B"):
+        fold_b(spark.createDataFrame(b2, OBS_SCHEMA), 0)
+    # direct driving (lineage=None) is its own lineage — also loud
+    fold_none = scd2_fold(spark, store, *args)
+    with pytest.raises(RuntimeError, match="lineage"):
+        fold_none(spark.createDataFrame(b2, OBS_SCHEMA), 1)
+    # the store is untouched by the refused folds
+    assert _canon(spark.read.parquet(store)) == before
+    # the original lineage continues unharmed
+    fold_a(spark.createDataFrame(b2, OBS_SCHEMA), 1)
+    assert len(_canon(spark.read.parquet(store))) > len(before)
+    # upsert fold carries the same contract
+    ustore = str(tmp_path / "ustore")
+    ufold = upsert_fold(spark, ustore, ["k"], "version", lineage="ckpt-A")
+    ufold(spark.createDataFrame([(1, 1, "v1")], "k long, version long, v string"), 0)
+    ufold2 = upsert_fold(spark, ustore, ["k"], "version", lineage="ckpt-B")
+    with pytest.raises(RuntimeError, match="lineage"):
+        ufold2(spark.createDataFrame([(1, 2, "v2")], "k long, version long, v string"), 0)
+
+
 def test_streaming_upsert_maintenance_latest_wins_with_restart(spark, tmp_path):
     """SCD1 twin: the stored snapshot equals merge_upsert folded over
     everything — latest version per key across batches and a restart."""

@@ -589,9 +589,17 @@ def test_benford_profile_flags_uniform_data(spark):
          (float("nan"),), (float("inf"),), (float("-inf"),)],
         "v double",
     )
-    oute = {r.digit: r.observed for r in benford_profile(edge, "v").collect()}
+    edge_rows = benford_profile(edge, "v").collect()
+    oute = {r.digit: r.observed for r in edge_rows}
     # full 1..9 grid always present (zero-count digits report observed=0,
     # ADVICE r09); 0.025 -> 2, -20 -> 2; zero/NULL/NaN/Inf all dropped
     assert oute == {d: (2 if d == 2 else 0) for d in range(1, 10)}
-    zero_dev = {r.digit: r.deviation_ppm_n for r in benford_profile(edge, "v").collect()}
+    zero_dev = {r.digit: r.deviation_ppm_n for r in edge_rows}
     assert zero_dev[1] == BENFORD_PPM[1] * 2  # missing digit carries full deviation
+    assert all(r.n == 2 for r in edge_rows)  # n surfaced (ADVICE r10)
+    # empty input: 9 rows, every deviation 0 BUT n=0 says "no evidence,
+    # not conformance" — the distinguishing signal ADVICE r10 asked for
+    empty_rows = benford_profile(edge.filter("v > 1e18"), "v").collect()
+    assert len(empty_rows) == 9
+    assert all(r.n == 0 and r.deviation_ppm_n == 0 and r.observed == 0
+               for r in empty_rows)
