@@ -485,7 +485,11 @@ def frame_dedup_pairs(
     frames at that offset against the shorter media's sampled-frame
     count. A clip re-encoded with frames shifted by one therefore still
     matches at offset +-1 with fraction (n-1)/n -- the property pinned in
-    tests/test_multimodal.py. Reference analog: payload-opaque bytes
+    tests/test_multimodal.py (shifted/perturbed/partial-frame/NULL corpus,
+    cross-plan vs :func:`sql_frame_dedup_pairs` at every_nth 1 and 2);
+    the registered ``multimodal_frame_dedup`` row holds the same
+    cross-plan check over the documents corpus at sf0.001+sf0.01.
+    Reference analog: payload-opaque bytes
     (api/record/WorkerRecord.java) -- the engine adds the content
     semantics the reference leaves to the user.
 
@@ -531,7 +535,10 @@ def frame_dedup_pairs(
         .select(
             id_col,
             F.hex(F.col(payload_col)).alias("__hex"),
-            (F.octet_length(F.col(payload_col)).cast("long") / frame_len)
+            # DIV, not `/`: structural match with the DuckDB twin's `//`
+            # (the cross-engine exactness discipline — float division
+            # happens to be exact here but should not be load-bearing)
+            F.expr(f"octet_length(`{payload_col}`) DIV {frame_len}")
             .cast("long")
             .alias("__nf"),
         )
@@ -624,8 +631,8 @@ def frame_dedup_pairs(
         )
     )
     n_common = F.least(
-        ((F.col("nfa") - 1) / every_nth).cast("long") + 1,
-        ((F.col("nfb") - 1) / every_nth).cast("long") + 1,
+        F.expr(f"(nfa - 1) DIV {every_nth}") + 1,
+        F.expr(f"(nfb - 1) DIV {every_nth}") + 1,
     ).cast("long")
     return (
         votes.withColumn("__rn", rn)

@@ -145,3 +145,42 @@ def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = d.select("doc_id", F.to_binary(F.col("text"), F.lit("utf-8")).alias("payload"))
     return media_near_dup(media, max_hamming=3)
+
+
+from kafka_workers_spark.operators.multimodal import sql_frame_dedup_pairs  # noqa: E402
+
+_FRAME_LEN = 64  # ~300-byte docs → ~4 complete frames each; <64-byte docs drop
+
+
+@register(
+    "multimodal_frame_dedup",
+    sql_frame_dedup_pairs(
+        "encode(text)",
+        "doc_id",
+        "FROM documents",
+        frame_len=_FRAME_LEN,
+        every_nth=1,
+        max_hamming=3,
+        min_match_frac=0.5,
+    ),
+    category="multimodal",
+    windowed=False,  # new round 12 — EXTRA seasoning before window rotation
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal frame-alignment near-dup over video-like payloads
+    (operators.multimodal.frame_dedup_pairs, VERDICT r10 #1 / r11 #1):
+    split each payload into 64-byte frames, perceptual-hash every frame,
+    band-block frame signatures, then vote on the temporal offset —
+    pairs score by matched frames at the modal offset against the
+    shorter clip. The DuckDB oracle replays the same fingerprint and
+    vote through a DIFFERENT pair plan (brute-force Hamming join instead
+    of band blocking — pigeonhole completeness at Hamming ≤ 3 is what
+    makes the two plans provably equal, so banding exactness itself is
+    under the value hash)."""
+    from kafka_workers_spark.operators.multimodal import frame_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.to_binary(F.col("text"), F.lit("utf-8")).alias("payload"))
+    return frame_dedup_pairs(
+        media, frame_len=_FRAME_LEN, every_nth=1, max_hamming=3, min_match_frac=0.5
+    )

@@ -272,3 +272,130 @@ def test_cdc_chunks_resynchronize_after_insertion(spark):
 
     with _pt.raises(ValueError, match="boundary_bits"):
         cdc_chunks(df, boundary_bits=0)
+
+
+# ---------------------------------------------------------------------------
+# Temporal frame dedup (frame_dedup_pairs)
+# ---------------------------------------------------------------------------
+
+_FL = 64  # frame length for the frame-dedup pins
+
+
+def _clip(seed: str, frames) -> bytes:
+    """Deterministic pseudo-random clip: one md5-derived 64-byte block per
+    frame index — equal (seed, frame) always yields equal frame bytes."""
+    import hashlib as _h
+
+    out = bytearray()
+    for f in frames:
+        block = b""
+        while len(block) < _FL:
+            block += _h.md5(f"{seed}:{f}:{len(block)}".encode()).digest()
+        out += block[:_FL]
+    return bytes(out)
+
+
+def _frame_media_rows():
+    base = _clip("base", range(10))  # frames A0..A9
+    shifted = _clip("base", range(1, 10)) + _clip("tail", [0])  # A1..A9 + new tail
+    pert = bytearray(base)
+    pert[4 * _FL] ^= 0xFF  # one byte in frame 4
+    d3, d4 = _clip("rand3", range(8)), _clip("rand4", range(12))
+    trail = base + b"\x07" * 10  # partial trailing frame (dropped)
+    return [
+        (0, base),
+        (1, shifted),
+        (2, bytes(pert)),
+        (3, d3),
+        (4, d4),
+        (5, trail),
+        (6, None),  # NULL payload contributes nothing
+    ]
+
+
+def test_frame_dedup_shifted_clip_matches_at_offset_minus_one(spark):
+    """THE temporal-alignment property (the frame_dedup_pairs docstring's
+    pin): a clip whose frames are shifted by one still matches — at the
+    modal offset −1 with fraction (n−1)/n — while per-frame hashing with
+    no alignment would see 0/10 position-wise agreement. Also pins: a
+    one-byte perturbation stays within the Hamming radius (full 10/10
+    match), a partial trailing frame is dropped (base == base+10 stray
+    bytes), random distractors and a NULL payload produce no pairs."""
+    from kafka_workers_spark.operators.multimodal import frame_dedup_pairs
+
+    df = spark.createDataFrame(_frame_media_rows(), "doc_id long, payload binary")
+    got = {
+        (r.id_a, r.id_b): (r.best_offset, r.n_matched, r.n_common)
+        for r in frame_dedup_pairs(
+            df, _FL, every_nth=1, max_hamming=3, min_match_frac=0.5
+        ).collect()
+    }
+    assert got[(0, 1)] == (-1, 9, 10), "shifted clip must match at offset -1, (n-1)/n"
+    assert got[(0, 2)] == (0, 10, 10), "one-byte perturbation stays in the radius"
+    assert got[(0, 5)] == (0, 10, 10), "partial trailing frame must be dropped"
+    # transitivity of the crafted corpus: shifted also pairs with pert/trail
+    assert got[(1, 2)] == (1, 9, 10) and got[(1, 5)] == (1, 9, 10)
+    assert not any(3 in k or 4 in k for k in got), "distractors must not pair"
+    assert not any(6 in k for k in got), "NULL payload must not pair"
+
+
+def test_frame_dedup_matches_duckdb_replay_including_every_nth(spark):
+    """Cross-plan equality: Spark's band-blocked + offset-vote plan ==
+    the DuckDB brute-force-Hamming replay (sql_frame_dedup_pairs), exact
+    on every row, at every_nth=1 AND every_nth=2. The nth=2 lane also
+    pins the sampling-parity semantics: a one-frame shift falls between
+    stride-2 samples, so the shifted pair (0,1) disappears while the
+    offset-0 pairs survive at 5/5 sampled frames."""
+    import duckdb
+    import pandas as pd
+
+    from kafka_workers_spark.operators.multimodal import (
+        frame_dedup_pairs,
+        sql_frame_dedup_pairs,
+    )
+
+    rows = _frame_media_rows()
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    for nth in (1, 2):
+        got = sorted(
+            tuple(r)
+            for r in frame_dedup_pairs(
+                df, _FL, every_nth=nth, max_hamming=3, min_match_frac=0.5
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register("media_t", pd.DataFrame(rows, columns=["doc_id", "payload"]))
+        want = sorted(
+            tuple(int(x) for x in w)
+            for w in con.execute(
+                sql_frame_dedup_pairs(
+                    "payload",
+                    "doc_id",
+                    "FROM media_t",
+                    _FL,
+                    every_nth=nth,
+                    max_hamming=3,
+                    min_match_frac=0.5,
+                )
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"every_nth={nth}: {got[:5]} vs {want[:5]}"
+        if nth == 2:
+            keys = {(g[0], g[1]) for g in got}
+            assert (0, 1) not in keys, "stride-2 sampling must miss the odd shift"
+            assert {(0, 2), (0, 5), (2, 5)} <= keys
+
+
+def test_frame_dedup_parameter_validation(spark):
+    from kafka_workers_spark.operators.multimodal import frame_dedup_pairs
+
+    df = spark.createDataFrame([(0, b"x" * 128)], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="frame_len"):
+        frame_dedup_pairs(df, 0)
+    with pytest.raises(ValueError, match="every_nth"):
+        frame_dedup_pairs(df, 64, every_nth=0)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        frame_dedup_pairs(df, 64, max_hamming=4)
+    with pytest.raises(ValueError, match="min_match_frac"):
+        frame_dedup_pairs(df, 64, min_match_frac=0.0)
