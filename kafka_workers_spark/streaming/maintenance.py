@@ -57,13 +57,34 @@ def _last_applied(store_dir: str, lineage: str | None) -> int:
     driving), and a batch arriving from a DIFFERENT lineage fails
     loudly instead of losing data. Reference analog: stored offsets are
     bound to one consumer group (impl/offsets/DefaultOffsetsState.java
-    — a different group gets different offsets, never a silent skip)."""
+    — a different group gets different offsets, never a silent skip).
+
+    Markers written before the lineage stamp existed have NO ``lineage``
+    key at all (distinct from an explicit ``null``, which a direct fold
+    stamps). Such a LEGACY store is adopted in place: the batch id is
+    honored and the next publish stamps the current lineage (ADVICE
+    r11 — the old behavior raised precisely when the user followed the
+    error's own advice of reusing the original checkpoint, while a
+    direct fold silently adopted; adoption-with-a-warning is the only
+    reading under which the pre-upgrade store remains usable at all)."""
     path = os.path.join(store_dir, _MARKER)
     if not os.path.exists(path):
         return -1
     with open(path) as fh:
         marker = json.load(fh)
-    stamped = marker.get("lineage")
+    if "lineage" not in marker:
+        import warnings
+
+        warnings.warn(
+            f"maintenance store {store_dir!r} has a pre-lineage marker; "
+            f"adopting it under lineage {lineage!r} (the next publish stamps "
+            "it). Batch-id continuity with the original writer is assumed — "
+            "if this fold is NOT resuming that writer's checkpoint, delete "
+            "the store to rebuild.",
+            stacklevel=2,
+        )
+        return int(marker["batch_id"])
+    stamped = marker["lineage"]
     if stamped != lineage:
         raise RuntimeError(
             f"maintenance store {store_dir!r} was last written by lineage "

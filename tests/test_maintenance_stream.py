@@ -133,6 +133,49 @@ def test_fold_from_different_lineage_fails_loudly(spark, tmp_path):
         ufold2(spark.createDataFrame([(1, 2, "v2")], "k long, version long, v string"), 0)
 
 
+def test_legacy_marker_without_lineage_is_adopted_and_stamped(spark, tmp_path):
+    """ADVICE r11: markers written before the lineage stamp have NO
+    'lineage' key. Such a store must be ADOPTED (with a warning), not
+    refused — the old behavior raised exactly when the user followed the
+    error's own advice (resume the original checkpoint) while a direct
+    fold silently adopted. Adoption honors the stored batch id (replays
+    still skip), and the next publish stamps the adopter's lineage, after
+    which a different lineage fails loudly as usual."""
+    import json
+    import os
+    import warnings
+
+    import pytest
+
+    store = str(tmp_path / "store")
+    b1, b2, b3 = _obs_batches()
+    args = (["user_id"], "ts", ["event_type"], "event_id")
+    fold_a = scd2_fold(spark, store, *args, lineage="ckpt-A")
+    fold_a(spark.createDataFrame(b1, OBS_SCHEMA), 0)
+    # simulate a pre-upgrade store: strip the lineage key from the marker
+    marker_path = os.path.join(store, "_kw_batch")
+    with open(marker_path) as fh:
+        marker = json.load(fh)
+    del marker["lineage"]
+    with open(marker_path, "w") as fh:
+        json.dump(marker, fh)
+
+    # resuming the ORIGINAL checkpoint now adopts instead of raising...
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        fold_a(spark.createDataFrame(b1, OBS_SCHEMA), 0)  # replay: still skipped
+        assert any("pre-lineage" in str(w.message) for w in caught)
+    before = _canon(spark.read.parquet(store))
+    assert before == _canon(spark.read.parquet(store))  # replay was a no-op
+    fold_a(spark.createDataFrame(b2, OBS_SCHEMA), 1)  # new batch: applied + stamped
+    with open(marker_path) as fh:
+        assert json.load(fh)["lineage"] == "ckpt-A"
+    # ...and once stamped, a foreign lineage is loud again
+    fold_b = scd2_fold(spark, store, *args, lineage="ckpt-B")
+    with pytest.raises(RuntimeError, match="ckpt-A.*ckpt-B"):
+        fold_b(spark.createDataFrame(b3, OBS_SCHEMA), 0)
+
+
 def test_streaming_upsert_maintenance_latest_wins_with_restart(spark, tmp_path):
     """SCD1 twin: the stored snapshot equals merge_upsert folded over
     everything — latest version per key across batches and a restart."""
