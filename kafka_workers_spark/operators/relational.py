@@ -422,7 +422,19 @@ def interval_overlap_join(
     factor is span/bucket + 1 per row, and candidate cost is
     Σ per-bucket |a|×|b| (concurrency-bounded), never |a|×|b| global.
     Invalid intervals (end < start) are dropped on both sides —
-    filter/repair upstream if they should be errors."""
+    filter/repair upstream if they should be errors.
+
+    Measured (scripts/stress_dedup.py --intervals, PLANS.md §Round 12):
+    on 500k ~60 s intervals + a 20k-interval ~600 s concurrent cluster
+    inside one hour, bucket = the CLUSTER's interval length (600 s) is
+    the optimum; bucket 6× larger packs the whole cluster into 1-2
+    buckets and ONE task runs ~90% of the wall (3.6× slower end-to-end —
+    the straggler a 1000-executor cluster cannot hide), while bucket 10×
+    smaller pays the explode factor (~1.5× slower). Rule of thumb: size
+    the bucket to the LONGEST population you expect to spike
+    concurrently, not to the global median; the skew diagnostic is
+    max_task/wall from the stress rep. Bucket choice never changes the
+    answer (pair counts pinned identical across choices)."""
     if bucket_seconds <= 0:
         raise ValueError(f"bucket_seconds ({bucket_seconds}) must be positive")
     step_us = bucket_seconds * 1_000_000

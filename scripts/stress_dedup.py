@@ -759,6 +759,121 @@ def run_pagerank_stress() -> int:
     return 0
 
 
+def run_interval_stress(n_background: int, n_hot: int) -> int:
+    """VERDICT r09 #4 / r10 #2 / r11 #2: the interval_overlap_join
+    hot-bucket skew rep. A self-join workload with two populations:
+
+    - ``n_background`` short intervals (~10-110 s) uniform over 30 days —
+      the steady-state sessions/telemetry shape;
+    - ``n_hot`` long intervals (~300-900 s) ALL inside one hour — the
+      pathological concurrent cluster (flash crowd / incident window)
+      that lands in the same time buckets.
+
+    Runs the SAME join at three ``bucket_seconds`` choices and records
+    wall + max single-task duration + exploded-row count. The pair count
+    must be IDENTICAL across bucket choices (banding is exactness-
+    neutral — the registered oracle's claim); what the bucket changes is
+    Σ per-bucket |a|×|b| and how many of those candidates share one
+    task. Findings + the bucket-picking rule go into PLANS.md."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.relational import interval_overlap_join
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stress_intervals")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "true")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    day_us = 86_400 * 1_000_000
+    hot_start_us = 15 * day_us  # the incident hour opens at day 15
+    bg = spark.range(n_background).select(
+        F.col("id").alias("iid"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(30 * 86_400)).alias("__s"),
+        (F.lit(10) + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100))).alias("__l"),
+    )
+    hot = spark.range(n_hot).select(
+        (F.col("id") + n_background).alias("iid"),
+        (
+            F.lit(15 * 86_400)
+            + F.pmod(F.xxhash64("id", F.lit(3)), F.lit(3_600))
+        ).alias("__s"),
+        (F.lit(300) + F.pmod(F.xxhash64("id", F.lit(4)), F.lit(600))).alias("__l"),
+    )
+    iv = (
+        bg.unionAll(hot)
+        .select(
+            "iid",
+            F.timestamp_micros(F.col("__s") * 1_000_000).alias("s"),
+            F.timestamp_micros((F.col("__s") + F.col("__l")) * 1_000_000).alias("e"),
+        )
+        .persist()
+    )
+    n_rows = iv.count()
+    hot_in_hour = iv.filter(
+        (F.unix_micros("s") >= hot_start_us)
+        & (F.unix_micros("s") < hot_start_us + 3_600 * 1_000_000)
+    ).count()
+    print(
+        f"== intervals: {n_rows} total ({n_background} background ~60s over 30d, "
+        f"{n_hot} hot ~600s in one hour; {hot_in_hour} start inside the hot hour)"
+    )
+
+    left = iv.select(
+        F.col("iid").alias("id_a"), F.col("s").alias("s_a"), F.col("e").alias("e_a")
+    )
+    right = iv.select(
+        F.col("iid").alias("id_b"), F.col("s").alias("s_b"), F.col("e").alias("e_b")
+    )
+    counts = {}
+    for bucket in (60, 600, 3600):
+        sc = spark.sparkContext
+        group = f"iv-{bucket}"
+        sc.setJobGroup(group, f"bucket_seconds={bucket}")
+        t0 = time.perf_counter()
+        pairs = interval_overlap_join(
+            left,
+            right,
+            "s_a",
+            "e_a",
+            "s_b",
+            "e_b",
+            bucket_seconds=bucket,
+            extra_cond=F.col("id_a") < F.col("id_b"),
+        )
+        n_pairs = pairs.count()
+        wall = time.perf_counter() - t0
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        worst = _max_task_ms(spark, group)
+        # explode factor: rows entering the equi-join per side
+        step = bucket * 1_000_000
+        exploded_rows = iv.select(
+            (
+                F.expr(f"unix_micros(e) DIV {step}")
+                - F.expr(f"unix_micros(s) DIV {step}")
+                + 1
+            ).alias("nb")
+        ).agg(F.sum("nb")).first()[0]
+        counts[bucket] = n_pairs
+        print(
+            f"bucket={bucket:5d}s wall={wall:6.2f}s max_task="
+            f"{'n/a' if worst is None else f'{worst / 1000.0:.2f}s'} "
+            f"pairs={n_pairs} exploded_rows_per_side={exploded_rows}",
+            flush=True,
+        )
+    assert len(set(counts.values())) == 1, f"bucket choice changed the answer: {counts}"
+    print("pair counts identical across bucket choices (banding exactness holds)")
+    iv.unpersist()
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -797,6 +912,13 @@ def main() -> int:
         action="store_true",
         help="run the phrase_scores Zipf-skew rep instead",
     )
+    ap.add_argument(
+        "--intervals",
+        action="store_true",
+        help="run the interval_overlap_join hot-bucket skew rep instead",
+    )
+    ap.add_argument("--n-background", type=int, default=500_000)
+    ap.add_argument("--n-hot", type=int, default=5_000)
     args = ap.parse_args()
     if args.paragraphs:
         return run_paragraph_stress(args.replicas)
@@ -808,6 +930,8 @@ def main() -> int:
         return run_lm_stress(args.replicas)
     if args.phrases:
         return run_phrase_stress()
+    if args.intervals:
+        return run_interval_stress(args.n_background, args.n_hot)
     if args.pagerank:
         return run_pagerank_stress()
     if args.cc:
