@@ -109,6 +109,7 @@ def cap_per_key_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE fr.n >= {_MERGE_SIDES} AND u.ts <= fr.lw
     """,
     category="pipeline",
+    windowed=False,  # rotated out round 12 (merge family stays via stream_ordered_merge)
 )
 def merge_ordered_many_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-way time-aware ordered merge (streaming.merge.merge_ordered_many):

@@ -83,6 +83,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0
     """,
+    windowed=False,  # rotated out round 12 (cheap veteran; pytest holds the oracle)
 )
 def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + predicate in one scan: both push to the parquet reader
@@ -1582,7 +1583,8 @@ _IVL_BUCKET_S = 86400 * 64
     FROM iv a JOIN iv b
       ON a.k = b.k AND a.iid < b.iid AND a.s <= b.e AND b.s <= a.e
     """,
-    windowed=False,
+    # rotated IN round 12, fresh off its hot-bucket skew measurement
+    # (PLANS.md §Round 12)
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap self-join (operators.relational.

@@ -389,7 +389,8 @@ _GATE_BUDGET = 2048  # bytes of released records per partition
     FROM q GROUP BY partition
     """,
     category="streaming",
-    windowed=False,
+    # rotated IN round 12 (VERDICT r10 #6 / r11 #4): first driver window
+    # for the A3 pause-semantics row
 )
 def stream_gate_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3's pause semantics under the hash check (VERDICT r09 #6): the
