@@ -181,6 +181,211 @@ def upsert_fold(
     return fold
 
 
+# ---------------------------------------------------------------------------
+# Bucketed incremental publish (VERDICT r10 #5 / r11 #6)
+# ---------------------------------------------------------------------------
+#
+# The whole-store publish above rewrites the ENTIRE table every
+# micro-batch — O(table) I/O per batch, quadratic total I/O for a
+# long-running continuous stream. The bucketed store hash-partitions the
+# table by key into a fixed number of buckets (directories
+# ``store/b=NNNNN``), and each fold rewrites ONLY the buckets the batch
+# touches: per-batch I/O is O(touched buckets), which for a trickle
+# stream is O(batch), not O(table). Every bucket carries its OWN
+# ``_kw_batch`` marker (batch id + lineage, the exact `_last_applied`
+# discipline) and is published by its own atomic ``swap_output``, so a
+# crash between bucket swaps leaves a store where SOME buckets already
+# carry the batch — the replay recomputes the pending set per bucket and
+# re-merges only those, which is what makes the non-idempotent SCD2
+# merge exactly-once per BUCKET rather than per store. The bucket count
+# is fixed at store creation (``_kw_store`` meta, validated on every
+# fold): re-bucketing scatters keys and needs a rebuild.
+
+_STORE_META = "_kw_store"
+
+
+def _bucket_dir(store_dir: str, b: int) -> str:
+    return os.path.join(store_dir, f"b={b:05d}")
+
+
+def _ensure_store_meta(store_dir: str, n_buckets: int, key_cols: list[str]) -> int:
+    """Create-or-validate the bucketed store's meta: the bucket count and
+    key columns are fixed at creation (hash placement depends on both)."""
+    os.makedirs(store_dir, exist_ok=True)
+    path = os.path.join(store_dir, _STORE_META)
+    if os.path.exists(path):
+        with open(path) as fh:
+            meta = json.load(fh)
+        if meta["n_buckets"] != n_buckets or meta["key_cols"] != key_cols:
+            raise RuntimeError(
+                f"bucketed store {store_dir!r} was created with "
+                f"n_buckets={meta['n_buckets']}, key_cols={meta['key_cols']} "
+                f"but this fold uses n_buckets={n_buckets}, "
+                f"key_cols={key_cols}; hash placement depends on both — "
+                "rebuild the store to re-bucket."
+            )
+        return int(meta["n_buckets"])
+    with open(path, "w") as fh:
+        json.dump({"n_buckets": n_buckets, "key_cols": key_cols}, fh)
+    return n_buckets
+
+
+def read_bucketed_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Read the live contents of a bucketed maintenance store (union of
+    all published buckets). Raises if the directory is not a bucketed
+    store; an existing store with no published buckets yet has no
+    readable schema, so that also raises (fold at least one batch
+    first). Readers racing a bucket swap inherit the swap_output
+    transient-ENOENT caveat, per bucket."""
+    if not os.path.exists(os.path.join(store_dir, _STORE_META)):
+        raise RuntimeError(f"{store_dir!r} is not a bucketed maintenance store")
+    dirs = sorted(
+        os.path.join(store_dir, d)
+        for d in os.listdir(store_dir)
+        if d.startswith("b=")
+        and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
+    )
+    if not dirs:
+        raise RuntimeError(f"bucketed store {store_dir!r} has no published buckets")
+    return spark.read.parquet(*dirs)
+
+
+def _bucketed_fold(
+    spark: SparkSession,
+    store_dir: str,
+    key_cols: list[str],
+    n_buckets: int,
+    lineage: str | None,
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    empty_base_fn: Callable[[DataFrame], DataFrame],
+) -> Callable[[DataFrame, int], None]:
+    """Shared machinery for the bucketed SCD2/SCD1 folds: compute the
+    batch's touched buckets, drop the already-applied ones (per-bucket
+    marker replay guard), merge base∪batch for the pending buckets in
+    ONE Spark job, write partitioned by bucket, then swap each bucket in
+    atomically with its marker."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets ({n_buckets}) must be >= 1")
+
+    def bucket_of(df: DataFrame):
+        return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _ensure_store_meta(store_dir, n_buckets, key_cols)
+        touched = sorted(
+            r[0]
+            for r in batch_df.select(bucket_of(batch_df).alias("__b"))
+            .distinct()
+            .collect()
+        )
+        pending = [
+            b
+            for b in touched
+            if batch_id > _last_applied(_bucket_dir(store_dir, b), lineage)
+        ]
+        if not pending:
+            return  # at-least-once replay: every touched bucket already has it
+        batch_pending = batch_df.filter(bucket_of(batch_df).isin(pending))
+        existing = [
+            b
+            for b in pending
+            if os.path.exists(os.path.join(_bucket_dir(store_dir, b), "_SUCCESS"))
+        ]
+        if existing:
+            base = spark.read.parquet(*[_bucket_dir(store_dir, b) for b in existing])
+        else:
+            base = empty_base_fn(batch_pending)
+        merged = merge_fn(base, batch_pending)
+        tmp = f"{store_dir}.tmp-{batch_id}"
+        (
+            merged.withColumn("__kw_b", bucket_of(merged))
+            .write.partitionBy("__kw_b")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            raise RuntimeError(f"bucketed publish job left no _SUCCESS in {tmp!r}")
+        for b in pending:
+            src = os.path.join(tmp, f"__kw_b={b}")
+            # a pending bucket always has output rows (the batch put some
+            # there and merges never drop all of them) — guard anyway so a
+            # future merge semantics change fails loudly, not silently
+            if not os.path.exists(src):
+                raise RuntimeError(
+                    f"merge produced no rows for touched bucket {b} — refusing "
+                    "to publish an empty bucket over existing data"
+                )
+            # the job-level _SUCCESS above vouches for every partition dir;
+            # stamp it into the bucket so swap_output's half-written-job
+            # refusal keeps working per bucket
+            with open(os.path.join(src, "_SUCCESS"), "w"):
+                pass
+            with open(os.path.join(src, _MARKER), "w") as fh:
+                json.dump({"batch_id": batch_id, "lineage": lineage}, fh)
+            swap_output(src, _bucket_dir(store_dir, b))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return fold
+
+
+def scd2_fold_bucketed(
+    spark: SparkSession,
+    store_dir: str,
+    key_cols: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    tiebreak_col: str,
+    n_buckets: int = 32,
+    lineage: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Bucketed variant of :func:`scd2_fold`: same merge semantics, same
+    lineage discipline, but each batch rewrites only the key-hash
+    buckets it touches (per-batch I/O O(touched buckets), not O(table)).
+    End state is pinned row-identical to the whole-store fold and to the
+    one-shot ``scd2_history`` (tests/test_maintenance_stream.py). Read
+    the store back with :func:`read_bucketed_store`."""
+    from kafka_workers_spark.pipeline import scd2_history
+
+    def merge(base: DataFrame, batch: DataFrame) -> DataFrame:
+        return merge_scd2(base, batch, key_cols, ts_col, payload_cols, tiebreak_col)
+
+    def empty_base(batch: DataFrame) -> DataFrame:
+        return scd2_history(
+            batch.limit(0), key_cols, ts_col, payload_cols, tiebreak_col
+        )
+
+    return _bucketed_fold(
+        spark, store_dir, key_cols, n_buckets, lineage, merge, empty_base
+    )
+
+
+def upsert_fold_bucketed(
+    spark: SparkSession,
+    store_dir: str,
+    key_cols: list[str],
+    version_col: str,
+    n_buckets: int = 32,
+    lineage: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Bucketed variant of :func:`upsert_fold` (SCD1 latest-wins)."""
+
+    def merge(base: DataFrame, batch: DataFrame) -> DataFrame:
+        return merge_upsert(base, batch, key_cols, version_col)
+
+    def empty_base(batch: DataFrame) -> DataFrame:
+        return batch.limit(0)
+
+    return _bucketed_fold(
+        spark, store_dir, key_cols, n_buckets, lineage, merge, empty_base
+    )
+
+
 def streaming_scd2_maintenance(
     obs: DataFrame,
     store_dir: str,
@@ -189,6 +394,7 @@ def streaming_scd2_maintenance(
     ts_col: str,
     payload_cols: list[str],
     tiebreak_col: str,
+    n_buckets: int | None = None,
 ) -> StreamingQuery:
     """Run the SCD2 history store live: every micro-batch of the
     observation stream folds into ``store_dir``; restarting from the
@@ -196,16 +402,35 @@ def streaming_scd2_maintenance(
     batch never double-applies. The checkpoint path is stamped into the
     store's marker as the batch-id lineage: re-pointing a DIFFERENT
     checkpoint at the same store fails loudly at the first batch
-    instead of silently skipping (ADVICE r10)."""
-    fold = scd2_fold(
-        obs.sparkSession,
-        store_dir,
-        key_cols,
-        ts_col,
-        payload_cols,
-        tiebreak_col,
-        lineage=os.path.abspath(checkpoint),
-    )
+    instead of silently skipping (ADVICE r10).
+
+    ``n_buckets`` selects the BUCKETED store (``scd2_fold_bucketed``):
+    each batch rewrites only the key-hash buckets it touches instead of
+    the whole table — the continuous-stream shape; read it back with
+    :func:`read_bucketed_store`. Default (None) keeps the whole-store
+    publish, whose single directory is the simpler contract for the
+    nightly ``availableNow`` shape."""
+    if n_buckets is not None:
+        fold = scd2_fold_bucketed(
+            obs.sparkSession,
+            store_dir,
+            key_cols,
+            ts_col,
+            payload_cols,
+            tiebreak_col,
+            n_buckets=n_buckets,
+            lineage=os.path.abspath(checkpoint),
+        )
+    else:
+        fold = scd2_fold(
+            obs.sparkSession,
+            store_dir,
+            key_cols,
+            ts_col,
+            payload_cols,
+            tiebreak_col,
+            lineage=os.path.abspath(checkpoint),
+        )
     return (
         obs.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
@@ -220,16 +445,28 @@ def streaming_upsert_maintenance(
     checkpoint: str,
     key_cols: list[str],
     version_col: str,
+    n_buckets: int | None = None,
 ) -> StreamingQuery:
     """Run the SCD1 snapshot store live (latest version per key); the
-    checkpoint path is the marker lineage, as for SCD2."""
-    fold = upsert_fold(
-        updates.sparkSession,
-        store_dir,
-        key_cols,
-        version_col,
-        lineage=os.path.abspath(checkpoint),
-    )
+    checkpoint path is the marker lineage, as for SCD2. ``n_buckets``
+    selects the bucketed store, as for SCD2."""
+    if n_buckets is not None:
+        fold = upsert_fold_bucketed(
+            updates.sparkSession,
+            store_dir,
+            key_cols,
+            version_col,
+            n_buckets=n_buckets,
+            lineage=os.path.abspath(checkpoint),
+        )
+    else:
+        fold = upsert_fold(
+            updates.sparkSession,
+            store_dir,
+            key_cols,
+            version_col,
+            lineage=os.path.abspath(checkpoint),
+        )
     return (
         updates.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint)
