@@ -1142,3 +1142,65 @@ def ann_read_index(spark, path: str) -> IvfPqIndex:
         dsub=row[0].dsub,
         id_col=row[0].id_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for RRF contributions: 10^12 DIV (k0 + rank) keeps
+#: ~7 exact significant digits at k0=60 while Σ over any plausible number
+#: of lists stays far inside int64 — the house closed-form-integer rule,
+#: so the fused ranking replays bit for bit in any engine with integer
+#: division
+RRF_SCALE = 10**12
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    top_k: int,
+    k0: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (Cormack, Clarke &
+    Büttcher, SIGIR 2009 — the standard hybrid-retrieval combiner:
+    lexical BM25 + dense cosine, or any mix of rankers): each list
+    contributes ``1/(k0 + rank)`` for every (query, neighbor) it ranks,
+    and neighbors order by the summed score. Scores are EXACT bigints
+    (``RRF_SCALE DIV (k0 + rank)`` per list, integer sum), so the fused
+    ranking is engine-replayable — ties break on ``id_col``. Returns
+    ``(query_col, id_col, rrf_fp, n_lists, rank)`` with ``rank <=
+    top_k``; ``n_lists`` counts how many input lists ranked the pair
+    (the agreement signal hybrid evaluation wants).
+
+    Scale shape: the inputs are already top-k-per-query tables (tiny
+    relative to their corpora — the expensive work happened in the
+    rankers), so the union + one (query, neighbor) aggregate + one
+    per-query window shuffle a few k rows per query regardless of corpus
+    size. Reference analog: the reference merges per-partition streams
+    by timestamp (MergerTest); this merges per-ranker streams by rank —
+    both are N-way ordered combiners over payload-free keys."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k0 < 1:
+        raise ValueError(f"rrf_fuse: k0 ({k0}) must be >= 1")
+    if top_k < 1:
+        raise ValueError(f"rrf_fuse: top_k ({top_k}) must be >= 1")
+    from functools import reduce
+
+    parts = [r.select(query_col, id_col, rank_col) for r in rankings]
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = unioned.groupBy(query_col, id_col).agg(
+        F.sum(F.expr(f"{RRF_SCALE} DIV ({k0} + {rank_col})"))
+        .cast("long")
+        .alias("rrf_fp"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+    w = W.partitionBy(query_col).orderBy(F.desc("rrf_fp"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(query_col, id_col, "rrf_fp", "n_lists", "rank")
+    )

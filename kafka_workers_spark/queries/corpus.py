@@ -708,3 +708,103 @@ def corpus_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_pps(
         d.select("lang", "doc_id", "n_chars"), _PPS_K, "n_chars", ["lang"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-level corpus similarity matrix (KMV Jaccard + containment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_source_similarity",
+    f"""
+    WITH toks AS (
+      SELECT source, UNNEST({_KMV_TOKS_SQL}) AS t FROM documents
+    ),
+    dh AS (SELECT DISTINCT source, substr(md5(t), 1, {_KMV_HEX}) AS h FROM toks),
+    ranked AS (
+      SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk
+      FROM dh
+    ),
+    sk AS (
+      SELECT source, list(h ORDER BY h) AS hashes
+      FROM ranked WHERE rnk <= {_KMV_K} GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.hashes AS ha, b.hashes AS hb,
+             list_sort(list_distinct(a.hashes || b.hashes))[1:{_KMV_K}] AS uk
+      FROM sk a JOIN sk b ON a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(LEAST(len(uk), {_KMV_K}) AS BIGINT) AS n_sample,
+           CAST(len(list_intersect(uk, list_intersect(ha, hb))) AS BIGINT)
+             AS n_sample_both,
+           CAST(len(list_intersect(uk, list_intersect(ha, hb))) AS DOUBLE)
+             / CAST(LEAST(len(uk), {_KMV_K}) AS DOUBLE) AS est_jaccard,
+           CASE WHEN len(list_intersect(uk, ha)) > 0 THEN
+             CAST(len(list_intersect(uk, list_intersect(ha, hb))) AS DOUBLE)
+               / CAST(len(list_intersect(uk, ha)) AS DOUBLE) END
+             AS est_containment_ab,
+           CASE WHEN len(list_intersect(uk, hb)) > 0 THEN
+             CAST(len(list_intersect(uk, list_intersect(ha, hb))) AS DOUBLE)
+               / CAST(len(list_intersect(uk, hb)) AS DOUBLE) END
+             AS est_containment_ba
+    FROM pairs
+    """,
+    category="corpus",
+    windowed=False,  # new round 12 — EXTRA until rotated in
+)
+def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix from per-source KMV vocabulary
+    sketches (functions.sketches.kmv_jaccard / kmv_containment, Beyer et
+    al. SIGMOD 2007 §5): which ingest sources share vocabulary, and
+    whether one is (near-)contained in another — the corpus-mixture
+    screen a curator runs before weighting sources (containment catches
+    the mirror-site case Jaccard hides). Sketches build per
+    (source, doc-parity) shard and MERGE (the bottom-k-of-bottom-ks
+    exactness the KMV family pins), so the whole-pass oracle checks the
+    rollup chain too; every estimate is an int/int single IEEE division
+    off the union's bottom-k sample, so the float columns ride the
+    value hash (the phrase_scores float rule).
+
+    Scale shape: sketches are fixed k-hash rows — ONE per source — so
+    the pairwise join is |sources|², independent of corpus bytes; the
+    heavy work (distinct-digest aggregation) is one hash aggregate whose
+    shuffle carries 13-hex-char digests, never tokens or text."""
+    from kafka_workers_spark.functions.sketches import (
+        kmv_build,
+        kmv_containment,
+        kmv_jaccard,
+        kmv_merge,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = d.select(
+        "source",
+        (F.col("doc_id") % 2).alias("__parity"),
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+        ).alias("__t"),
+    )
+    shards = kmv_build(toks, "__t", k=_KMV_K, group_cols=["source", "__parity"]).drop(
+        "__parity"
+    )
+    sk = kmv_merge(shards, group_cols=["source"])
+    a = sk.select(F.col("source").alias("source_a"), F.col("hashes").alias("ha"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("hashes").alias("hb"))
+    pairs = a.join(b, F.col("source_a") < F.col("source_b")).withColumn(
+        "__uk",
+        F.slice(F.array_sort(F.array_union(F.col("ha"), F.col("hb"))), 1, _KMV_K),
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.least(F.size("__uk"), F.lit(_KMV_K)).cast("long").alias("n_sample"),
+        F.size(F.array_intersect(F.col("__uk"), F.array_intersect("ha", "hb")))
+        .cast("long")
+        .alias("n_sample_both"),
+        kmv_jaccard("ha", "hb", _KMV_K).alias("est_jaccard"),
+        kmv_containment("ha", "hb", _KMV_K).alias("est_containment_ab"),
+        kmv_containment("hb", "ha", _KMV_K).alias("est_containment_ba"),
+    )

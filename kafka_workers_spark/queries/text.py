@@ -1635,3 +1635,65 @@ def text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label", "term", "n11", "n10", "n01", "n00", "chi2", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ⊕ dense cosine via reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+# the cosine leg's oracle comes verbatim from the registered
+# ann_cosine_topk spec (import registers the similarity module if the
+# caller hasn't already) — the fusion oracle COMPOSES the two legs'
+# oracles unchanged, so hybrid correctness inherits theirs
+from kafka_workers_spark.queries import similarity as _sim  # noqa: E402
+from kafka_workers_spark.queries import EXTRA_REGISTRY as _XREG  # noqa: E402
+from kafka_workers_spark.queries import REGISTRY as _REG  # noqa: E402
+
+_COS_ORACLE = {**_REG, **_XREG}["ann_cosine_topk"].oracle
+_RRF_K0 = 60
+_RRF_SCALE = 10**12
+_RRF_TOP_K = 5
+
+
+@register(
+    "text_hybrid_rrf",
+    f"""
+    WITH u AS (
+      SELECT query_id, neighbor_id, rank FROM ({_BM25_ORACLE})
+      UNION ALL
+      SELECT query_id, neighbor_id, rank FROM ({_COS_ORACLE})
+      WHERE query_id IN ({', '.join(map(str, _BM25_QUERIES))})
+    ),
+    f AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM({_RRF_SCALE} // ({_RRF_K0} + rank)) AS BIGINT) AS rrf_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rrf_fp, n_lists, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_fp DESC, neighbor_id) AS rank
+      FROM f
+    ) WHERE rank <= {_RRF_TOP_K}
+    """,
+    category="text",
+    windowed=False,  # new round 12 — EXTRA until rotated in
+)
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators.similarity.rrf_fuse — Cormack, Clarke
+    & Büttcher SIGIR 2009): fuse the BM25 lexical ranking
+    (text_bm25_topk's exact-integer scoring) with the dense cosine
+    ranking (ann_cosine_topk's fixed-point dot products) by reciprocal
+    rank, ``Σ RRF_SCALE DIV (k0 + rank)`` — exact bigint, so the FUSED
+    ranking rides the value hash, and the oracle literally composes the
+    two legs' registered oracles (hybrid correctness inherits theirs).
+    Documents and embeddings share the id space 0..N-1 in this corpus;
+    queries are the BM25 query ids. ``n_lists`` = how many modalities
+    ranked the pair (the agreement signal)."""
+    from kafka_workers_spark.operators.similarity import rrf_fuse
+
+    bm = text_bm25_topk(spark, sf_dir)
+    cos = _sim.ann_cosine_topk(spark, sf_dir).filter(
+        F.col("query_id").isin(_BM25_QUERIES)
+    )
+    return rrf_fuse([bm, cos], top_k=_RRF_TOP_K, k0=_RRF_K0)

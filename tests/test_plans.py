@@ -8,17 +8,21 @@ from kafka_workers_spark.plans import audit
 from kafka_workers_spark.queries import load_all, load_extra
 
 REG = load_all()
+#: rotation moves queries between REG and the EXTRA registry without
+#: changing their contract — plan pins address the merged pool so a
+#: rotation never breaks them
+POOL = {**REG, **load_extra()}
 SF = "/root/testdata/sf0.001"
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    a = audit(REG["scan_project_filter"].fn(spark, SF))
+    a = audit(POOL["scan_project_filter"].fn(spark, SF))
     assert a.has_pushed_filter("o_orderstatus"), a.text[:500]
     assert a.has_pushed_filter("o_totalprice"), a.text[:500]
 
 
 def test_projection_prunes_columns(spark):
-    a = audit(REG["scan_project_filter"].fn(spark, SF))
+    a = audit(POOL["scan_project_filter"].fn(spark, SF))
     assert a.scans_only_columns(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     ), a.read_schemas

@@ -931,3 +931,37 @@ def test_ivf_pq_index_parquet_roundtrip_search_identical(spark, tmp_path):
 
     with _pt.raises(ValueError, match="layout version"):
         ann_read_index(spark, path)
+
+
+def test_rrf_fuse_semantics_and_validation(spark):
+    """RRF pin on crafted lists: a neighbor ranked by BOTH lists beats a
+    higher-ranked single-list neighbor when the sums say so, scores are
+    the exact integer 10^12 DIV (k0+rank) sums, n_lists counts
+    agreement, ties break on neighbor_id, and bad params raise."""
+    import pytest
+
+    from kafka_workers_spark.operators.similarity import RRF_SCALE, rrf_fuse
+
+    S = "query_id long, neighbor_id long, rank int"
+    # list A ranks n10 first, n20 second; list B ranks n20 first, n30 second
+    a = spark.createDataFrame([(1, 10, 1), (1, 20, 2)], S)
+    b = spark.createDataFrame([(1, 20, 1), (1, 30, 2)], S)
+    got = {r.neighbor_id: r for r in rrf_fuse([a, b], top_k=3).collect()}
+    c = lambda r: RRF_SCALE // (60 + r)
+    assert got[20].rrf_fp == c(2) + c(1) and got[20].n_lists == 2
+    assert got[10].rrf_fp == c(1) and got[10].n_lists == 1
+    assert got[30].rrf_fp == c(2) and got[30].n_lists == 1
+    # both-lists neighbor outranks either single-list neighbor
+    assert got[20].rank == 1
+    # equal single contributions c(1) vs c(2): 10 beats 30 on score; craft a
+    # true tie — same rank in one list each — and check the id tiebreak
+    t1 = spark.createDataFrame([(2, 7, 1)], S)
+    t2 = spark.createDataFrame([(2, 5, 1)], S)
+    tied = {r.neighbor_id: r.rank for r in rrf_fuse([t1, t2], top_k=2).collect()}
+    assert tied == {5: 1, 7: 2}
+    with pytest.raises(ValueError, match="k0"):
+        rrf_fuse([a], top_k=1, k0=0)
+    with pytest.raises(ValueError, match="top_k"):
+        rrf_fuse([a], top_k=0)
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], top_k=1)
