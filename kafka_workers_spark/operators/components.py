@@ -505,3 +505,65 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan, Albert &
+    Kumara 2007, "Near linear time algorithm to detect community
+    structures in large-scale networks", Phys. Rev. E 76) with the
+    determinism the oracle discipline requires: every node starts as its
+    own label; each round a node adopts the label with the MOST votes
+    among its neighbors' previous labels PLUS its own previous label
+    (the self-vote damps the bipartite oscillation the synchronous
+    variant is known for), ties broken by the SMALLEST label. All
+    arithmetic is long counts + a deterministic argmax, so the chain
+    replays bit-identically as unrolled SQL rounds — the
+    pagerank/kmeans_fixed discipline applied to community detection.
+    Communities complement :func:`connected_components`: components give
+    reachability, LPA splits dense sub-communities inside one component.
+
+    Edges are treated as UNDIRECTED (symmetrized, self-loops dropped);
+    ``iters`` is FIXED — the caller picks the horizon and the oracle
+    unrolls the same count. Returns ``(node, label)``.
+
+    Scale shape (10^9 edges): the symmetrized adjacency computes once
+    and persists; each round is one labels⋈adjacency equi-join + two
+    hash aggregates, shuffling only (node, label, count) longs — the
+    Pregel-on-SQL shape again; the plan grows linearly in ``iters``
+    (switch to the per-round localCheckpoint of
+    :func:`connected_components` past ~15 rounds)."""
+    if iters < 1:
+        raise ValueError(f"iters ({iters}) must be >= 1")
+    adj = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .unionAll(edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d")))
+        .filter(F.col("__s") != F.col("__d"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = adj.select(F.col("__s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        nbr_votes = labels.join(adj, F.col("node") == F.col("__s")).select(
+            F.col("__d").alias("node"), "label"
+        )
+        votes = nbr_votes.unionAll(labels)  # self-vote
+        counts = votes.groupBy("node", "label").agg(F.count("*").alias("__c"))
+        # argmax(count) with min-label tiebreak as ONE partial-aggregatable
+        # max(struct): negate the label so struct-max prefers the smaller
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))
+                ).alias("__m")
+            )
+            .select("node", (-F.col("__m.__nl")).alias("label"))
+        )
+    return labels

@@ -1651,3 +1651,92 @@ def sample_pps(
         F.expr(f"(__cum * {k}) DIV __tot") > F.expr(f"((__cum - {weight_col}) * {k}) DIV __tot")
     )
     return picked.select(*strata_cols, id_col, weight_col)
+
+
+#: 2^52 — the md5-prefix hash space shared with the KMV sketches
+#: (13 hex chars): (h+1)/2^52 is an exact dyadic rational in (0, 1]
+_ES_SPACE = 1 << 52
+
+
+def sample_weighted(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "es",
+) -> DataFrame:
+    """Deterministic weighted random sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, algorithm A-ES — the one-pass weighted
+    reservoir the curation literature reaches for when PPS's systematic
+    correlation is unwanted): per stratum, keep the ``k`` rows with the
+    largest ``u_i^(1/w_i)``, with ``u_i`` a deterministic md5 coin —
+    re-runs and backfills select the identical rows (the
+    :func:`sample_stratified` reproducibility contract), yet inclusion
+    is a genuine weighted random draw with respect to the salt.
+
+    Cross-engine exactness (the house discipline, in log domain):
+    ``u = (h+1)/2^52`` with ``h`` the 13-hex-char md5 prefix — an exact
+    dyadic rational in (0, 1] — then the selection key is
+    ``floor(10^6·ln u) / w``: the ln is quantized to an exact bigint
+    (the idf6 int-ratio-then-ln-then-floor pattern the BM25/TF-IDF
+    oracles already hold cross-engine) and the key is ONE IEEE division
+    of exact integers, so ordering replays bit-for-bit; ties break on
+    ``id_col``. Maximizing ``u^(1/w)`` == maximizing ``ln(u)/w`` (ln is
+    monotone, w > 0), so the quantized key preserves A-ES semantics up
+    to the 10⁻⁶ quantization.
+
+    Rows with non-positive weight are excluded (cannot be drawn with
+    positive probability). Weight-type guard as in :func:`sample_pps`.
+
+    Shape at scale: one scan computes the key map-side (md5 + ln are
+    codegen scalar functions); the only shuffle is the per-stratum
+    top-k window — same cost class as every exact top-k in the engine.
+    Returns ``(strata..., id_col, weight_col, es_key, rank)``."""
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k ({k}) must be >= 1")
+    wtype = docs.schema[weight_col].dataType
+    from pyspark.sql.types import ByteType, DecimalType, IntegerType, LongType, ShortType
+
+    ok = isinstance(wtype, (ByteType, ShortType, IntegerType, LongType)) or (
+        isinstance(wtype, DecimalType) and wtype.scale == 0 and wtype.precision <= 18
+    )
+    if not ok:
+        raise ValueError(
+            f"sample_weighted weight column {weight_col!r} must be an integral "
+            f"type fitting int64 (got {wtype.simpleString()}); cast explicitly "
+            "after rounding (and range-checking) if a wider or fractional "
+            "weight is intended"
+        )
+    strata_cols = list(strata_cols or [])
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1).cast("double") / F.lit(float(_ES_SPACE))
+    lnq = F.floor(F.lit(1_000_000.0) * F.log(u)).cast("long")
+    base = docs.filter(F.col(weight_col) > 0).select(
+        *strata_cols,
+        id_col,
+        F.col(weight_col).cast("long").alias("__w"),
+        lnq.alias("__lnq"),
+    )
+    key = F.col("__lnq").cast("double") / F.col("__w").cast("double")
+    w_rank = W.partitionBy(*strata_cols).orderBy(F.desc("__key"), F.asc(id_col))
+    return (
+        base.withColumn("__key", key)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            *strata_cols,
+            id_col,
+            F.col("__w").alias(weight_col),
+            F.col("__key").alias("es_key"),
+            "rank",
+        )
+    )

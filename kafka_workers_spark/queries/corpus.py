@@ -808,3 +808,54 @@ def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_containment("ha", "hb", _KMV_K).alias("est_containment_ab"),
         kmv_containment("hb", "ha", _KMV_K).alias("est_containment_ba"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted random sample without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+_ES_K = 10
+_ES_SPACE_F = float(1 << 52)
+
+
+@register(
+    "corpus_weighted_sample",
+    f"""
+    WITH w AS (
+      SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents WHERE n_chars > 0
+    ),
+    keyed AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(floor(1000000.0 * ln(
+               (CAST(('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                     AS BIGINT) + 1)::DOUBLE / {_ES_SPACE_F!r}
+             )) AS BIGINT) AS lnq
+      FROM w
+    )
+    SELECT lang, doc_id, n_chars, es_key, rank FROM (
+      SELECT lang, doc_id, n_chars,
+             CAST(lnq AS DOUBLE) / CAST(n_chars AS DOUBLE) AS es_key,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY CAST(lnq AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC,
+                                         doc_id) AS rank
+      FROM keyed
+    ) WHERE rank <= {_ES_K}
+    """,
+    category="corpus",
+    windowed=False,  # new round 12 — EXTRA until rotated in
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted random sample without replacement
+    (pipeline.sample_weighted — Efraimidis & Spirakis 2006 A-ES, the
+    salt-reproducible counterpart to corpus_sample_pps's systematic
+    selection): top-10 docs per language by ``floor(10^6·ln u)/n_chars``
+    with u the 52-bit md5 coin. The quantized-ln key is the idf6
+    cross-engine pattern, the final key one IEEE division of exact
+    bigints — the whole sample, keys included, rides the value hash."""
+    from kafka_workers_spark.pipeline import sample_weighted
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_weighted(
+        d.select("lang", "doc_id", "n_chars"), _ES_K, "n_chars", ["lang"]
+    )

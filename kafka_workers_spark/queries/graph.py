@@ -150,3 +150,70 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     return triangle_counts(edges)
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the purchase graph
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _sql_lpa_ctes(iters: int) -> str:
+    """Unroll the deterministic LPA recurrence as DuckDB CTEs — same
+    symmetrized adjacency, same self-vote, same (count DESC, label ASC)
+    argmax each round."""
+    ctes = [
+        "e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "adj AS (SELECT DISTINCT s, d FROM ("
+        "SELECT src AS s, dst AS d FROM e0 UNION ALL SELECT dst, src FROM e0"
+        ") WHERE s <> d)",
+        "l0 AS (SELECT DISTINCT s AS node, s AS label FROM adj)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"l{i - 1}"
+        ctes.append(
+            f"v{i} AS (SELECT a.d AS node, l.label FROM {prev} l"
+            f" JOIN adj a ON l.node = a.s"
+            f" UNION ALL SELECT node, label FROM {prev})"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT node, label, COUNT(*) AS c FROM v{i} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT node, label FROM ("
+            f"SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node"
+            f" ORDER BY c DESC, label ASC) AS rn FROM c{i}) WHERE rn = 1)"
+        )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_label_propagation",
+    f"""
+    WITH {_sql_lpa_ctes(_LPA_ITERS)}
+    SELECT node, label FROM l{_LPA_ITERS}
+    """,
+    category="graph",
+    windowed=False,  # new round 12 — EXTRA until rotated in
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities
+    (operators.components.label_propagation, Raghavan et al. 2007) over
+    the same customer→supplier purchase graph as graph_pagerank: 3
+    rounds of most-common-neighbor-label with a self-vote and
+    (count DESC, label ASC) tie-break — pure long counts + one
+    deterministic argmax per round, so the oracle unrolls the identical
+    recurrence and the whole labeling rides the value hash. Complements
+    dedup_group_components: components = reachability, LPA = dense
+    sub-communities within a component."""
+    from kafka_workers_spark.operators.components import label_propagation
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return label_propagation(edges, iters=_LPA_ITERS)

@@ -415,3 +415,29 @@ def test_set_similarity_exact_verify_matches_and_restores_guarantee(spark):
                 if 2 * inter >= uni:
                     brute[(x, y)] = (inter, uni)
     assert {k: v[:2] for k, v in exact.items()} == brute
+
+
+def test_label_propagation_two_cliques_and_validation(spark):
+    """LPA pin on a crafted graph: two 4-cliques {0..3} and {10..13}
+    joined by the single bridge 3–10. After 3 rounds every clique
+    member must carry ITS clique's minimum label (the self-vote +
+    min-label tiebreak drive each clique to its smallest id), the two
+    communities must be distinct, and iters < 1 raises."""
+    import pytest
+
+    from kafka_workers_spark.operators.components import label_propagation
+
+    def clique(nodes):
+        return [(a, b) for a in nodes for b in nodes if a < b]
+
+    edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, iters=3).collect()}
+    assert set(got) == {0, 1, 2, 3, 10, 11, 12, 13}
+    assert {got[n] for n in (0, 1, 2)} == {0}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+    # the bridge endpoints stay with their own cliques (each has 3
+    # same-clique neighbors vs 1 cross-clique neighbor)
+    assert got[3] == 0 and got[10] == 10
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(df, iters=0)

@@ -1279,3 +1279,41 @@ def test_sample_pps_draws_k_and_weights_proportionally(spark):
     frac = spark.createDataFrame([("a", 1, 0.7)], "lang string, doc_id long, w double")
     with _pt.raises(ValueError, match="integral"):
         sample_pps(frac, 1, "w", ["lang"])
+
+
+def test_sample_weighted_es_properties(spark):
+    """A-ES pins: heavy weights dominate the sample (10 rows at w=10000
+    vs 190 at w=1 -> all 10 heavy rows in the top-10), the draw is
+    salt-reproducible (same salt == same rows) but salt-sensitive
+    (different salt re-draws), non-positive weights are excluded, and
+    the type/param guards raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.pipeline import sample_weighted
+
+    rows = [(i, 10_000 if i < 10 else 1) for i in range(200)] + [(900, 0), (901, -5)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sample_weighted(df, 10, "w")
+    picked = sorted(r.doc_id for r in got.collect())
+    assert picked == list(range(10)), picked  # heavy rows sweep the sample
+    assert not any(p in (900, 901) for p in picked)
+    # reproducible per salt, re-drawn under another salt
+    again = sorted(r.doc_id for r in sample_weighted(df, 10, "w").collect())
+    assert again == picked
+    uniform = spark.createDataFrame([(i, 1) for i in range(200)], "doc_id long, w long")
+    s1 = sorted(r.doc_id for r in sample_weighted(uniform, 10, "w").collect())
+    s2 = sorted(r.doc_id for r in sample_weighted(uniform, 10, "w", salt="es2").collect())
+    assert s1 != s2  # 200-choose-10 collision would be astronomically unlikely
+    # stratified: k per stratum, ranks restart
+    strat = spark.createDataFrame(
+        [(i % 2, i, 1 + i % 7) for i in range(100)], "g int, doc_id long, w long"
+    )
+    per = sample_weighted(strat, 3, "w", ["g"])
+    by_g = {r.g: r["rank"] for r in per.collect() if r["rank"] == 3}
+    assert per.count() == 6 and set(by_g) == {0, 1}
+    with pytest.raises(ValueError, match="k"):
+        sample_weighted(df, 0, "w")
+    floats = df.select("doc_id", F.col("w").cast("double").alias("w"))
+    with pytest.raises(ValueError, match="integral"):
+        sample_weighted(floats, 5, "w")
