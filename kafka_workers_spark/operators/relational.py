@@ -666,3 +666,56 @@ def benford_profile(
             ).alias("deviation_ppm_n"),
         )
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key ordered event
+    sequences — the "what happens after X" complement to the funnel
+    (fixed step chain) and attribution (last touch) analytics: per
+    consecutive pair within a key, count (prev_state → next_state) and
+    estimate ``P(next | prev) = n / n_from``. The probability is ONE
+    IEEE division of two exact long counts, so the whole matrix rides a
+    cross-engine value hash (the phrase_scores float rule).
+    ``order_cols`` must make the per-key order total (the sessionize
+    rule — pass a unique tiebreaker).
+
+    Shape at scale: one key-partitioned window for the lag (per-key
+    sort, the events already cluster by key in any sessionized layout),
+    one hash aggregate keyed by the (prev, next) pair, and one window
+    over the TINY state×state matrix for the row totals. No payload
+    columns survive past the lag. Returns
+    ``(prev_state, next_state, n, n_from, prob)``."""
+    from pyspark.sql import Window as W
+
+    if not key_cols or not order_cols:
+        raise ValueError("key_cols and order_cols must be non-empty")
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    trans = (
+        events.select(
+            *key_cols,
+            *order_cols,
+            F.col(state_col).alias("__next"),
+        )
+        .select(
+            F.lag("__next").over(w).alias("__prev"),
+            "__next",
+        )
+        .filter(F.col("__prev").isNotNull())
+    )
+    counts = trans.groupBy(
+        F.col("__prev").alias("prev_state"), F.col("__next").alias("next_state")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w_from = W.partitionBy("prev_state")
+    n_from = F.sum("n").over(w_from).cast("long")
+    return counts.select(
+        "prev_state",
+        "next_state",
+        "n",
+        n_from.alias("n_from"),
+        (F.col("n").cast("double") / n_from.cast("double")).alias("prob"),
+    )

@@ -1796,3 +1796,45 @@ def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return benford_profile(o, "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event transition matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH t AS (
+      SELECT event_type AS next_state,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    c AS (
+      SELECT prev_state, next_state, CAST(COUNT(*) AS BIGINT) AS n
+      FROM t WHERE prev_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_state, next_state, n,
+           CAST(SUM(n) OVER (PARTITION BY prev_state) AS BIGINT) AS n_from,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_state) AS DOUBLE) AS prob
+    FROM c
+    """,
+    category="relational",
+    windowed=False,  # new round 12 — EXTRA until rotated in
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event matrix per user journey
+    (operators.relational.markov_transitions): what follows each
+    event_type, with P(next|prev) as one IEEE division of exact long
+    counts — the "what happens after X" complement to the funnel and
+    attribution rows. Order within a user is (ts, event_id) — the
+    sessionize total-order rule."""
+    from kafka_workers_spark.operators.relational import markov_transitions
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return markov_transitions(ev, ["user_id"], ["ts", "event_id"], "event_type")

@@ -603,3 +603,37 @@ def test_benford_profile_flags_uniform_data(spark):
     assert len(empty_rows) == 9
     assert all(r.n == 0 and r.deviation_ppm_n == 0 and r.observed == 0
                for r in empty_rows)
+
+
+def test_markov_transitions_crafted_sequences(spark):
+    """Transition pin on crafted journeys: two users a->b->a->c and
+    a->b->b — counts, row totals and probabilities exact; the first
+    event of each user contributes no transition; empty key/order lists
+    raise."""
+    import pytest
+    from datetime import datetime, timedelta
+
+    from kafka_workers_spark.operators.relational import markov_transitions
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(seconds=s), i, e)
+        for i, (s, e) in enumerate([(0, "a"), (1, "b"), (2, "a"), (3, "c")])
+    ] + [
+        (2, t0 + timedelta(seconds=s), 10 + i, e)
+        for i, (s, e) in enumerate([(0, "a"), (1, "b"), (2, "b")])
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = {
+        (r.prev_state, r.next_state): (r.n, r.n_from, r.prob)
+        for r in markov_transitions(ev, ["user_id"], ["ts", "event_id"], "event_type").collect()
+    }
+    # user 1 contributes (a,b),(b,a),(a,c); user 2 contributes (a,b),(b,b)
+    assert got == {
+        ("a", "b"): (2, 3, 2.0 / 3.0),
+        ("a", "c"): (1, 3, 1.0 / 3.0),
+        ("b", "a"): (1, 2, 0.5),
+        ("b", "b"): (1, 2, 0.5),
+    }
+    with pytest.raises(ValueError, match="non-empty"):
+        markov_transitions(ev, [], ["ts"], "event_type")
