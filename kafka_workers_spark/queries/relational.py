@@ -1803,9 +1803,7 @@ def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "events_markov_transitions",
-    """
+_MARKOV_ORACLE = """
     WITH t AS (
       SELECT event_type AS next_state,
              LAG(event_type) OVER (PARTITION BY user_id
@@ -1821,7 +1819,12 @@ def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n AS DOUBLE)
              / CAST(SUM(n) OVER (PARTITION BY prev_state) AS DOUBLE) AS prob
     FROM c
-    """,
+    """
+
+
+@register(
+    "events_markov_transitions",
+    _MARKOV_ORACLE,
     category="relational",
     windowed=False,  # new round 12 — EXTRA until rotated in
 )
@@ -1838,3 +1841,39 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
     return markov_transitions(ev, ["user_id"], ["ts", "event_id"], "event_type")
+
+
+@register(
+    "stream_markov_state",
+    _MARKOV_ORACLE,  # the IDENTICAL oracle — state machine vs window, cross-plan
+    category="streaming",
+    windowed=False,  # new round 12 — EXTRA until rotated in
+)
+def stream_markov_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_markov_transitions computed through the WorkerTask state
+    machine instead of the window (streaming/markov.py
+    markov_tasks_batch — the per-user carried last-event-type state,
+    replayed over full history via applyInPandas), then aggregated into
+    the same matrix. Imperative task API vs relational lag+aggregate,
+    one oracle — the funnel/attribution cross-plan pattern; the LIVE
+    streaming form of the same task is pinned equal in
+    tests/test_markov_stream.py."""
+    from pyspark.sql import Window as W
+
+    from kafka_workers_spark.streaming.markov import markov_tasks_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    trans = markov_tasks_batch(ev)
+    counts = trans.groupBy("prev_state", "next_state").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    n_from = F.sum("n").over(W.partitionBy("prev_state")).cast("long")
+    return counts.select(
+        "prev_state",
+        "next_state",
+        "n",
+        n_from.alias("n_from"),
+        (F.col("n").cast("double") / n_from.cast("double")).alias("prob"),
+    )
