@@ -874,6 +874,134 @@ def run_interval_stress(n_background: int, n_hot: int) -> int:
     return 0
 
 
+def run_maintenance_stress(n_keys: int, n_trickle: int, batch_keys: int) -> int:
+    """Round-12 bucketed-publish evidence (VERDICT r10 #5 / r11 #6): the
+    whole-store fold rewrites O(table) per batch; the bucketed fold
+    should rewrite only the touched buckets. Shape: one backfill batch
+    over ``n_keys`` users, then ``n_trickle`` trickle batches of
+    ``batch_keys`` users each (the continuous-stream shape the bucketed
+    store exists for). Measures, per variant: wall, cumulative bytes
+    PUBLISHED (the I/O a 100-TB store multiplies), and pins the final
+    stores row-identical."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kafka_workers_spark.streaming.maintenance import (
+        read_bucketed_store,
+        scd2_fold,
+        scd2_fold_bucketed,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stress_maintenance")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import hashlib
+    from datetime import datetime, timedelta
+
+    t0g = datetime(2024, 1, 1)
+    S = "user_id long, ts timestamp, event_type string, event_id long"
+
+    def batch_df(b: int):
+        if b == 0:
+            # backfill built Spark-side: one observation per key
+            return spark.range(n_keys).select(
+                F.col("id").alias("user_id"),
+                (
+                    F.lit(t0g) + F.make_interval(secs=F.pmod(F.col("id"), F.lit(7)))
+                ).alias("ts"),
+                F.concat(F.lit("e"), F.pmod(F.col("id"), F.lit(5))).alias("event_type"),
+                F.col("id").alias("event_id"),
+            )
+        users = [
+            int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:8], 16) % n_keys
+            for i in range(batch_keys)
+        ]
+        rows = [
+            (u, t0g + timedelta(seconds=b * 1000 + (u % 7)), f"e{(u + b) % 5}",
+             b * 1_000_000 + u)
+            for u in users
+        ]
+        return spark.createDataFrame(rows, S)
+
+    def dir_bytes(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    tmp = tempfile.mkdtemp(prefix="kw_maint_stress_")
+    args = (["user_id"], "ts", ["event_type"], "event_id")
+    results = {}
+    for tag, mk in (
+        ("whole", lambda store: scd2_fold(spark, store, *args, lineage="L")),
+        (
+            "bucketed(256)",
+            lambda store: scd2_fold_bucketed(
+                spark, store, *args, n_buckets=256, lineage="L"
+            ),
+        ),
+    ):
+        store = os.path.join(tmp, tag.replace("(", "_").replace(")", ""))
+        fold = mk(store)
+        published = 0
+        t0 = time.perf_counter()
+        backfill_wall = 0.0
+        for b in range(n_trickle + 1):
+            df = batch_df(b)
+            tb = time.perf_counter()
+            if tag == "whole":
+                fold(df, b)
+                published += dir_bytes(store)  # every publish rewrites all
+            else:
+                before = {
+                    d: os.path.getmtime(os.path.join(store, d))
+                    for d in os.listdir(store)
+                    if d.startswith("b=")
+                } if os.path.exists(store) else {}
+                fold(df, b)
+                for d in os.listdir(store):
+                    if not d.startswith("b="):
+                        continue
+                    p = os.path.join(store, d)
+                    if d not in before or os.path.getmtime(p) > before[d]:
+                        published += dir_bytes(p)
+            if b == 0:
+                backfill_wall = time.perf_counter() - tb
+        wall = time.perf_counter() - t0
+        results[tag] = (wall, published, store)
+        print(
+            f"{tag:14s} wall={wall:7.2f}s (backfill {backfill_wall:6.2f}s, "
+            f"trickle {(wall - backfill_wall) / max(n_trickle, 1):5.2f}s/batch) "
+            f"published={published / 1e6:9.1f} MB "
+            f"(backfill {n_keys} keys + {n_trickle} trickle batches x {batch_keys} keys)",
+            flush=True,
+        )
+    whole_rows = sorted(
+        map(tuple, spark.read.parquet(results["whole"][2]).collect())
+    )
+    buck_rows = sorted(
+        map(tuple, read_bucketed_store(spark, results["bucketed(256)"][2]).collect())
+    )
+    assert whole_rows == buck_rows, "bucketed fold diverged from whole-store fold"
+    ratio = results["whole"][1] / max(results["bucketed(256)"][1], 1)
+    print(f"final stores identical ({len(whole_rows)} rows); publish-I/O ratio whole/bucketed = {ratio:.1f}x")
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -919,6 +1047,14 @@ def main() -> int:
     )
     ap.add_argument("--n-background", type=int, default=500_000)
     ap.add_argument("--n-hot", type=int, default=5_000)
+    ap.add_argument(
+        "--maintenance",
+        action="store_true",
+        help="run the whole-store vs bucketed maintenance publish I/O rep instead",
+    )
+    ap.add_argument("--n-keys", type=int, default=20_000)
+    ap.add_argument("--n-trickle", type=int, default=30)
+    ap.add_argument("--batch-keys", type=int, default=20)
     args = ap.parse_args()
     if args.paragraphs:
         return run_paragraph_stress(args.replicas)
@@ -932,6 +1068,8 @@ def main() -> int:
         return run_phrase_stress()
     if args.intervals:
         return run_interval_stress(args.n_background, args.n_hot)
+    if args.maintenance:
+        return run_maintenance_stress(args.n_keys, args.n_trickle, args.batch_keys)
     if args.pagerank:
         return run_pagerank_stress()
     if args.cc:
