@@ -349,7 +349,16 @@ def scd2_fold_bucketed(
     buckets it touches (per-batch I/O O(touched buckets), not O(table)).
     End state is pinned row-identical to the whole-store fold and to the
     one-shot ``scd2_history`` (tests/test_maintenance_stream.py). Read
-    the store back with :func:`read_bucketed_store`."""
+    the store back with :func:`read_bucketed_store`.
+
+    Sizing ``n_buckets`` (measured, PLANS.md §Round 12): each bucket is
+    at least one parquet file with ~KBs of fixed footer cost, so make
+    bucket DATA at least row-group sized (tens of MB at production
+    scale) — at a 1M-row store, 256 buckets published 5.1× fewer bytes
+    per trickle run than the whole-store fold; at a 20k-row toy store
+    the same 256 buckets won only 1.5× because footers dominated. Too
+    many buckets also multiplies the one-time backfill's atomic swaps;
+    trickle-batch wall is at parity or better from the start."""
     from kafka_workers_spark.pipeline import scd2_history
 
     def merge(base: DataFrame, batch: DataFrame) -> DataFrame:
