@@ -63,3 +63,23 @@ def test_result_is_identical_across_parallelism(spark, name):
         f"{name}: output depends on partitioning — first diff: "
         f"{next((a, b) for a, b in zip(narrow, wide) if a != b) if len(narrow) == len(wide) else (len(narrow), len(wide))}"
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["events_time_windows", "events_markov_transitions", "join_asof", "events_scd2_merge"],
+)
+def test_result_is_identical_under_foreign_session_timezone(spark, name):
+    """The verify recipe's timezone probe, pinned: a session whose
+    timeZone was switched to America/New_York must produce the same
+    timestamp-bearing results, because load_table re-pins UTC on every
+    call (sources/files.py — timestamps are instants; a non-UTC session
+    would shift every rendered value away from the UTC-naive oracle)."""
+    spec = _POOL[name]
+    base = canonicalize(spec.fn(spark, SF).toPandas())
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        shifted = canonicalize(spec.fn(spark, SF).toPandas())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert shifted == base, f"{name}: session timezone leaked into results"
