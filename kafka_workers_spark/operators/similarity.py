@@ -1204,3 +1204,54 @@ def rrf_fuse(
         .filter(F.col("rank") <= top_k)
         .select(query_col, id_col, "rrf_fp", "n_lists", "rank")
     )
+
+
+def ann_append_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into a stored IVFADC index (the streaming-
+    ingest shape :func:`ann_write_index`'s build-once story needs for a
+    LIVE corpus): encode a NEW vector batch against the STORED centroids
+    and codebooks — no retraining, no re-encode of landed rows — and
+    append its ``codes``/``assign`` rows. Because :func:`assign_lists`
+    and :func:`pq_encode` are deterministic integer arithmetic against
+    stored models, append == rebuild-at-the-same-models, pinned in
+    tests/test_similarity.py (searches over the appended index equal
+    searches over an index whose codes were computed in one pass).
+
+    Exactly-once without a marker: ids already in ``assign`` REFUSE
+    (the batch landed — appending again would double-count ADC terms);
+    ids in ``codes`` but not ``assign`` are a crashed prior append's
+    orphans — their code rows are SKIPPED (the deterministic encoder
+    would reproduce them byte-for-byte) and the batch completes by
+    writing ``assign`` last, healing the index. Write order is the
+    safety argument: codes first (orphan codes are unreachable — search
+    probes ``assign`` for list membership, so a crash leaves the index
+    consistent, never wrong), ``assign`` last as the commit point.
+
+    Scale shape: one broadcast pass per model table over the BATCH
+    only; the landed corpus is touched via two id semi-joins (the
+    incremental-dedup rule: never rescan the corpus)."""
+    idx = ann_read_index(spark, path)
+    id_col = idx.id_col
+    batch = new_df.select(id_col, vec_col)
+    landed = batch.join(idx.assign.select(id_col), id_col, "left_semi").limit(1)
+    if landed.count():
+        raise ValueError(
+            "ann_append_index: batch contains ids already in the index's "
+            "assign table — re-appending would duplicate ADC terms; land "
+            "new ids only (or rebuild to replace vectors)"
+        )
+    assigned = assign_lists(batch, idx.ivf_cents, id_col=id_col, vec_col=vec_col)
+    encoded = pq_encode(batch, idx.pq_cents, idx.dsub, id_col=id_col, vec_col=vec_col)
+    codes_long = pq_codes_long(encoded, id_col=id_col)
+    # skip a crashed prior append's orphan codes (deterministic encoder ⇒
+    # they are already exactly right); everything else appends
+    fresh_codes = codes_long.join(
+        idx.codes.select(id_col).distinct(), id_col, "left_anti"
+    )
+    fresh_codes.write.mode("append").parquet(f"{path}/codes")
+    assigned.select(id_col, "list_id").write.mode("append").parquet(f"{path}/assign")

@@ -965,3 +965,105 @@ def test_rrf_fuse_semantics_and_validation(spark):
         rrf_fuse([a], top_k=0)
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([], top_k=1)
+
+
+def test_ann_append_index_equals_one_pass_and_heals_crashes(spark, tmp_path):
+    """Incremental index ingest: build the stored IVFADC index over half
+    the corpus, append the other half in two batches — searches over the
+    appended index equal searches over codes/assign computed in ONE pass
+    with the same stored models (deterministic encoders make append ==
+    rebuild). Crash safety: a prior append that died after writing codes
+    but before assign leaves orphans; re-running the append skips their
+    code rows (no ADC double-count) and completes — and a fully-landed
+    batch refuses to append twice."""
+    import pytest
+
+    from kafka_workers_spark.operators.similarity import (
+        IvfPqIndex,
+        ann_append_index,
+        ann_read_index,
+        ann_write_index,
+        assign_lists,
+        ivf_pq_topk,
+        kmeans_fixed,
+        pq_codes_long,
+        pq_encode,
+        pq_train,
+    )
+    from kafka_workers_spark.queries.similarity import (
+        _vectors_exploded,
+        _DIM,
+        _PQ_DSUB,
+        IVF_ITERS,
+        K_LISTS,
+        N_QUERIES,
+        NPROBE,
+        PQ_CODES,
+        PQ_ITERS,
+        PQ_M,
+        TOP_K,
+        TRAIN_MOD,
+    )
+    from kafka_workers_spark.sources.files import load_table
+
+    SF = "/root/testdata/sf0.001"
+    vecs = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    half = vecs.filter(F.col("vec_id") % 2 == 0)
+    b1 = vecs.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 4 == 1))
+    b2 = vecs.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 4 == 3))
+
+    # models train on the FIRST HALF only (the stored-model contract)
+    exploded, _ = _vectors_exploded(spark, SF)
+    comp_half = exploded.select("vec_id", "i", "x").filter(F.col("vec_id") % 2 == 0)
+    train = comp_half.filter(F.col("vec_id") % TRAIN_MOD == 0)
+    pq_cents, _ = pq_train(comp_half, m=PQ_M, dim=_DIM, k=PQ_CODES, iters=PQ_ITERS, train=train)
+    ivf_cents, _ = kmeans_fixed(comp_half, k=K_LISTS, iters=IVF_ITERS, train=train)
+
+    codes_half = pq_codes_long(
+        pq_encode(half, pq_cents, _PQ_DSUB, id_col="vec_id"), id_col="vec_id"
+    )
+    assign_half = assign_lists(half, ivf_cents, id_col="vec_id").select(
+        "vec_id", "list_id"
+    )
+    path = str(tmp_path / "ivfpq_inc")
+    ann_write_index(
+        IvfPqIndex(ivf_cents, pq_cents, codes_half, assign_half,
+                   dsub=_PQ_DSUB, id_col="vec_id"),
+        path,
+    )
+
+    # batch 1 appends cleanly; batch 2 first CRASHES mid-append (codes
+    # landed, assign not), then the retry heals it
+    ann_append_index(spark, path, b1)
+    orphan_codes = pq_codes_long(
+        pq_encode(b2, pq_cents, _PQ_DSUB, id_col="vec_id"), id_col="vec_id"
+    )
+    orphan_codes.write.mode("append").parquet(f"{path}/codes")  # simulated crash
+    ann_append_index(spark, path, b2)  # retry: skips orphans, commits assign
+
+    idx = ann_read_index(spark, path)
+    n_vecs = vecs.count()
+    assert idx.assign.count() == n_vecs
+    assert idx.codes.count() == n_vecs * PQ_M, "orphan codes were duplicated"
+
+    # append == one-pass encode at the same models, search-identical
+    codes_all = pq_codes_long(
+        pq_encode(vecs, pq_cents, _PQ_DSUB, id_col="vec_id"), id_col="vec_id"
+    )
+    assign_all = assign_lists(vecs, ivf_cents, id_col="vec_id").select(
+        "vec_id", "list_id"
+    )
+    q = exploded.select("vec_id", "i", "x").filter(F.col("vec_id") < N_QUERIES)
+    got = sorted(map(tuple, ivf_pq_topk(
+        idx.codes, idx.pq_cents, idx.assign, idx.ivf_cents, q,
+        dsub=idx.dsub, nprobe=NPROBE, k_top=TOP_K,
+    ).collect()))
+    want = sorted(map(tuple, ivf_pq_topk(
+        codes_all, pq_cents, assign_all, ivf_cents, q,
+        dsub=_PQ_DSUB, nprobe=NPROBE, k_top=TOP_K,
+    ).collect()))
+    assert got == want and len(got) > 0
+
+    # a fully-landed batch refuses to double-append
+    with pytest.raises(ValueError, match="already in the index"):
+        ann_append_index(spark, path, b1)
