@@ -539,6 +539,19 @@ def label_propagation(
     :func:`connected_components` past ~15 rounds)."""
     if iters < 1:
         raise ValueError(f"iters ({iters}) must be >= 1")
+    # the min-label tiebreak rides a max(struct(count, -label)) aggregate,
+    # which needs NUMERIC node ids (unary negation); string-keyed graphs
+    # must map ids to longs first (xxhash64/zipWithIndex) — validate up
+    # front instead of failing analysis mid-round (review r12)
+    from pyspark.sql.types import NumericType
+
+    for c in (src, dst):
+        if not isinstance(edges.schema[c].dataType, NumericType):
+            raise ValueError(
+                f"label_propagation requires numeric node ids; column {c!r} "
+                f"is {edges.schema[c].dataType.simpleString()} — map ids to "
+                "longs (e.g. xxhash64) before calling"
+            )
     adj = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .unionAll(edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d")))

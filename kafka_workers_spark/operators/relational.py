@@ -707,9 +707,25 @@ def markov_transitions(
         )
         .filter(F.col("__prev").isNotNull())
     )
-    counts = trans.groupBy(
-        F.col("__prev").alias("prev_state"), F.col("__next").alias("next_state")
-    ).agg(F.count("*").cast("long").alias("n"))
+    return transition_matrix(
+        trans.select(
+            F.col("__prev").alias("prev_state"), F.col("__next").alias("next_state")
+        )
+    )
+
+
+def transition_matrix(transitions: DataFrame) -> DataFrame:
+    """Aggregate a ``(prev_state, next_state)`` transition stream into
+    the Markov matrix ``(prev_state, next_state, n, n_from, prob)`` —
+    shared by :func:`markov_transitions` and the WorkerTask batch entry
+    (queries ``stream_markov_state``), so both plans feeding the same
+    registered oracle can never drift apart (review r12). ``prob`` is
+    ONE IEEE division of exact long counts."""
+    from pyspark.sql import Window as W
+
+    counts = transitions.groupBy("prev_state", "next_state").agg(
+        F.count("*").cast("long").alias("n")
+    )
     w_from = W.partitionBy("prev_state")
     n_from = F.sum("n").over(w_from).cast("long")
     return counts.select(

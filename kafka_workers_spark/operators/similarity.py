@@ -1225,12 +1225,16 @@ def ann_append_index(
     Exactly-once without a marker: ids already in ``assign`` REFUSE
     (the batch landed — appending again would double-count ADC terms);
     ids in ``codes`` but not ``assign`` are a crashed prior append's
-    orphans — their code rows are SKIPPED (the deterministic encoder
-    would reproduce them byte-for-byte) and the batch completes by
-    writing ``assign`` last, healing the index. Write order is the
-    safety argument: codes first (orphan codes are unreachable — search
-    probes ``assign`` for list membership, so a crash leaves the index
-    consistent, never wrong), ``assign`` last as the commit point.
+    orphans — their code rows are SKIPPED after VERIFYING they equal
+    this batch's recomputation (the deterministic encoder reproduces
+    them byte-for-byte; a retried id arriving with a DIFFERENT vector
+    refuses instead of silently keeping stale codes under a fresh
+    assignment), and the batch completes by writing ``assign`` last,
+    healing the index. Intra-batch duplicate ids also refuse. Write
+    order is the safety argument: codes first (orphan codes are
+    unreachable — search probes ``assign`` for list membership, so a
+    crash leaves the index consistent, never wrong), ``assign`` last as
+    the commit point.
 
     Scale shape: one broadcast pass per model table over the BATCH
     only; the landed corpus is touched via two id semi-joins (the
@@ -1238,6 +1242,17 @@ def ann_append_index(
     idx = ann_read_index(spark, path)
     id_col = idx.id_col
     batch = new_df.select(id_col, vec_col)
+    # intra-batch duplicate ids would write duplicate codes/assign rows —
+    # exactly the ADC double-count the landed guard below exists to
+    # prevent (review r12)
+    dup = (
+        batch.groupBy(id_col).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "ann_append_index: batch contains duplicate ids — deduplicate "
+            "upstream (duplicate rows would double-count ADC terms)"
+        )
     landed = batch.join(idx.assign.select(id_col), id_col, "left_semi").limit(1)
     if landed.count():
         raise ValueError(
@@ -1248,8 +1263,32 @@ def ann_append_index(
     assigned = assign_lists(batch, idx.ivf_cents, id_col=id_col, vec_col=vec_col)
     encoded = pq_encode(batch, idx.pq_cents, idx.dsub, id_col=id_col, vec_col=vec_col)
     codes_long = pq_codes_long(encoded, id_col=id_col)
-    # skip a crashed prior append's orphan codes (deterministic encoder ⇒
-    # they are already exactly right); everything else appends
+    # a crashed prior append's orphan codes are skipped ONLY after
+    # verifying they match this batch's recomputation — a retried id that
+    # arrives with a DIFFERENT vector would otherwise keep stale codes
+    # under a fresh assignment, silently corrupting search (review r12)
+    orphan_rows = idx.codes.join(batch.select(id_col), id_col, "left_semi")
+    drift = (
+        orphan_rows.alias("o")
+        .join(
+            codes_long.alias("n"),
+            (F.col(f"o.{id_col}") == F.col(f"n.{id_col}"))
+            & (F.col("o.sub") == F.col("n.sub")),
+            "left",
+        )
+        .filter(
+            F.col(f"n.{id_col}").isNull() | (F.col("o.code") != F.col("n.code"))
+        )
+        .limit(1)
+        .count()
+    )
+    if drift:
+        raise ValueError(
+            "ann_append_index: orphan codes from a crashed prior append do "
+            "not match this batch's vectors — the retried ids carry "
+            "DIFFERENT embeddings; remove the orphan code rows (or rebuild) "
+            "before re-landing"
+        )
     fresh_codes = codes_long.join(
         idx.codes.select(id_col).distinct(), id_col, "left_anti"
     )

@@ -1858,22 +1858,12 @@ def stream_markov_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     one oracle — the funnel/attribution cross-plan pattern; the LIVE
     streaming form of the same task is pinned equal in
     tests/test_markov_stream.py."""
-    from pyspark.sql import Window as W
-
+    from kafka_workers_spark.operators.relational import transition_matrix
     from kafka_workers_spark.streaming.markov import markov_tasks_batch
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    trans = markov_tasks_batch(ev)
-    counts = trans.groupBy("prev_state", "next_state").agg(
-        F.count("*").cast("long").alias("n")
-    )
-    n_from = F.sum("n").over(W.partitionBy("prev_state")).cast("long")
-    return counts.select(
-        "prev_state",
-        "next_state",
-        "n",
-        n_from.alias("n_from"),
-        (F.col("n").cast("double") / n_from.cast("double")).alias("prob"),
+    return transition_matrix(
+        markov_tasks_batch(ev).select("prev_state", "next_state")
     )

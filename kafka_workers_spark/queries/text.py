@@ -1649,9 +1649,10 @@ from kafka_workers_spark.queries import similarity as _sim  # noqa: E402
 from kafka_workers_spark.queries import EXTRA_REGISTRY as _XREG  # noqa: E402
 from kafka_workers_spark.queries import REGISTRY as _REG  # noqa: E402
 
+from kafka_workers_spark.operators.similarity import RRF_SCALE as _RRF_SCALE  # noqa: E402
+
 _COS_ORACLE = {**_REG, **_XREG}["ann_cosine_topk"].oracle
 _RRF_K0 = 60
-_RRF_SCALE = 10**12
 _RRF_TOP_K = 5
 
 

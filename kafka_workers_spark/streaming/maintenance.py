@@ -46,6 +46,29 @@ from kafka_workers_spark.pipeline import merge_scd2, merge_upsert, swap_output
 _MARKER = "_kw_batch"
 
 
+def _heal_torn_swap(final_dir: str) -> None:
+    """Repair a swap_output crash window BEFORE any fold reads the
+    store as its merge base (round-12 review finding): a kill between
+    the park (final→backup) and publish (tmp→final) renames leaves
+    backup-present/final-missing — a fold that then reads the store
+    would merge against an EMPTY base and silently erase all prior
+    history on its next publish. swap_output itself heals this when
+    RE-INVOKED, but the fold decides its base first, so the heal must
+    run first. The sibling window (crash between publish and backup
+    reap: backup AND final both present) is also reaped here so stale
+    backups can't linger next to — or, for bucketed stores, INSIDE —
+    the store."""
+    import shutil
+
+    backup = final_dir.rstrip("/") + ".pre-swap"
+    if not os.path.exists(backup):
+        return
+    if os.path.exists(final_dir):
+        shutil.rmtree(backup)  # completed swap that never reaped
+    else:
+        os.rename(backup, final_dir)  # torn swap: restore the parked store
+
+
 def _last_applied(store_dir: str, lineage: str | None) -> int:
     """Read the store's batch marker, enforcing CHECKPOINT LINEAGE:
     ``foreachBatch`` batch ids are monotonic only within one checkpoint
@@ -131,6 +154,7 @@ def scd2_fold(
     from kafka_workers_spark.pipeline import scd2_history
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _heal_torn_swap(store_dir)
         if batch_id <= _last_applied(store_dir, lineage):
             return  # at-least-once replay of an already-published batch
         if batch_df.isEmpty():
@@ -167,6 +191,7 @@ def upsert_fold(
     identical."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _heal_torn_swap(store_dir)
         if batch_id <= _last_applied(store_dir, lineage):
             return
         if batch_df.isEmpty():
@@ -225,8 +250,12 @@ def _ensure_store_meta(store_dir: str, n_buckets: int, key_cols: list[str]) -> i
                 "rebuild the store to re-bucket."
             )
         return int(meta["n_buckets"])
-    with open(path, "w") as fh:
+    # write-then-rename: a crash mid-dump must not leave a truncated meta
+    # that bricks every later fold with a JSONDecodeError (review r12)
+    tmp_path = path + ".tmp"
+    with open(tmp_path, "w") as fh:
         json.dump({"n_buckets": n_buckets, "key_cols": key_cols}, fh)
+    os.rename(tmp_path, path)
     return n_buckets
 
 
@@ -236,13 +265,22 @@ def read_bucketed_store(spark: SparkSession, store_dir: str) -> DataFrame:
     store; an existing store with no published buckets yet has no
     readable schema, so that also raises (fold at least one batch
     first). Readers racing a bucket swap inherit the swap_output
-    transient-ENOENT caveat, per bucket."""
+    transient-ENOENT caveat, per bucket. Bucket names are matched
+    EXACTLY (``b=`` + digits): a stale ``b=NNNNN.pre-swap`` backup left
+    by a crash between swap_output's publish and reap steps must never
+    be read as a second copy of the bucket (review r12) — it is healed
+    here instead."""
+    import re
+
     if not os.path.exists(os.path.join(store_dir, _STORE_META)):
         raise RuntimeError(f"{store_dir!r} is not a bucketed maintenance store")
+    for d in os.listdir(store_dir):
+        if d.endswith(".pre-swap"):
+            _heal_torn_swap(os.path.join(store_dir, d[: -len(".pre-swap")]))
     dirs = sorted(
         os.path.join(store_dir, d)
         for d in os.listdir(store_dir)
-        if d.startswith("b=")
+        if re.fullmatch(r"b=\d+", d)
         and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
     )
     if not dirs:
@@ -284,6 +322,11 @@ def _bucketed_fold(
             .distinct()
             .collect()
         )
+        for b in touched:
+            # a torn per-bucket swap must be healed BEFORE the marker read
+            # and base scan — otherwise the replay would merge against an
+            # empty base and erase the bucket's history (review r12)
+            _heal_torn_swap(_bucket_dir(store_dir, b))
         pending = [
             b
             for b in touched

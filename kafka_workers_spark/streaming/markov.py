@@ -57,10 +57,15 @@ def markov_worker_task(
 
 
 def _out_schema(events: DataFrame, user_col: str, id_col: str, ts_col: str) -> str:
+    # every passthrough column derives its type from the input — nothing
+    # here needs ts to BE a timestamp (an epoch-long ts orders just as
+    # well), so hardcoding `timestamp` would break that caller at the
+    # Arrow conversion (review r12)
     user_t = events.schema[user_col].dataType.simpleString()
     id_t = events.schema[id_col].dataType.simpleString()
+    ts_t = events.schema[ts_col].dataType.simpleString()
     return (
-        f"{user_col} {user_t}, {id_col} {id_t}, {ts_col} timestamp, "
+        f"{user_col} {user_t}, {id_col} {id_t}, {ts_col} {ts_t}, "
         "prev_state string, next_state string"
     )
 

@@ -425,3 +425,56 @@ def test_bucketed_upsert_fold_equals_whole_fold(spark, tmp_path):
     assert dict((k, (ver, v)) for k, ver, v in got) == {
         1: (3, "a2"), 2: (2, "b2"), 3: (1, "c"), 4: (1, "d")
     }
+
+
+def test_torn_swap_heals_instead_of_erasing_history(spark, tmp_path):
+    """Review r12: a crash between swap_output's park and publish leaves
+    backup-present/final-missing. The fold must RESTORE the parked store
+    before deciding its merge base — the pre-fix behavior read an empty
+    base and erased the bucket's (or store's) whole history on the next
+    publish. Covers the whole-store fold, the bucketed fold, and the
+    bucketed reader's stale-backup case (backup AND final present: the
+    backup must be reaped, never read as a second copy)."""
+    import os
+    import shutil
+
+    from kafka_workers_spark.streaming.maintenance import (
+        read_bucketed_store,
+        scd2_fold_bucketed,
+    )
+
+    b1, b2, b3 = _obs_batches()
+    args = (["user_id"], "ts", ["event_type"], "event_id")
+
+    # whole-store fold: park happened, publish didn't
+    store = str(tmp_path / "whole")
+    fold = scd2_fold(spark, store, *args, lineage="L")
+    fold(spark.createDataFrame(b1, OBS_SCHEMA), 0)
+    before = _canon(spark.read.parquet(store))
+    os.rename(store, store + ".pre-swap")  # simulated torn swap
+    fold(spark.createDataFrame(b1, OBS_SCHEMA), 0)  # replay of batch 0
+    assert _canon(spark.read.parquet(store)) == before  # healed, skipped
+    fold(spark.createDataFrame(b2, OBS_SCHEMA), 1)
+    assert len(_canon(spark.read.parquet(store))) > len(before)
+
+    # bucketed fold: tear ONE bucket the same way mid-batch
+    bstore = str(tmp_path / "bucketed")
+    bfold = scd2_fold_bucketed(spark, bstore, *args, n_buckets=4, lineage="L")
+    bfold(spark.createDataFrame(b1, OBS_SCHEMA), 0)
+    full = _canon(read_bucketed_store(spark, bstore))
+    victim = next(d for d in sorted(os.listdir(bstore)) if d.startswith("b="))
+    os.rename(
+        os.path.join(bstore, victim), os.path.join(bstore, victim + ".pre-swap")
+    )
+    bfold(spark.createDataFrame(b1, OBS_SCHEMA), 0)  # replay heals the tear
+    assert _canon(read_bucketed_store(spark, bstore)) == full
+    bfold(spark.createDataFrame(b2, OBS_SCHEMA), 1)
+    healed = _canon(read_bucketed_store(spark, bstore))
+    assert len(healed) > len(full), "history was erased by the torn swap"
+
+    # stale backup NEXT TO a live bucket: reader must not double-count
+    shutil.copytree(
+        os.path.join(bstore, victim), os.path.join(bstore, victim + ".pre-swap")
+    )
+    assert _canon(read_bucketed_store(spark, bstore)) == healed
+    assert not os.path.exists(os.path.join(bstore, victim + ".pre-swap"))

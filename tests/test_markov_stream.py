@@ -106,3 +106,15 @@ def test_streaming_markov_equals_batch_across_restart_boundary(spark, tmp_path):
         )
     )
     assert live_matrix == want_matrix
+
+
+def test_markov_batch_entry_accepts_epoch_long_ts(spark):
+    """Review r12: the output schema derives ts's type from the input —
+    an epoch-millis `ts long` feed (the common Kafka shape) must work,
+    since nothing in the task needs timestamp semantics, only order."""
+    rows = [(1, 10_000, "a", 1), (1, 20_000, "b", 2), (1, 30_000, "a", 3)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, event_id long"
+    )
+    got = _canon(markov_tasks_batch(ev).collect())
+    assert got == [(1, 2, "a", "b"), (1, 3, "b", "a")]

@@ -1067,3 +1067,69 @@ def test_ann_append_index_equals_one_pass_and_heals_crashes(spark, tmp_path):
     # a fully-landed batch refuses to double-append
     with pytest.raises(ValueError, match="already in the index"):
         ann_append_index(spark, path, b1)
+
+
+def test_ann_append_index_refuses_dup_ids_and_drifted_orphans(spark, tmp_path):
+    """Review r12 guards: (a) duplicate ids WITHIN a batch refuse (they
+    would double-count ADC terms before the landed check could see
+    them); (b) orphan codes from a crashed append whose retried id now
+    carries a DIFFERENT vector refuse instead of silently serving stale
+    codes under a fresh assignment."""
+    import pytest
+
+    from kafka_workers_spark.operators.similarity import (
+        IvfPqIndex,
+        ann_append_index,
+        ann_write_index,
+        assign_lists,
+        kmeans_fixed,
+        pq_codes_long,
+        pq_encode,
+        pq_train,
+    )
+    from kafka_workers_spark.queries.similarity import (
+        _vectors_exploded,
+        _DIM,
+        _PQ_DSUB,
+        IVF_ITERS,
+        K_LISTS,
+        PQ_CODES,
+        PQ_ITERS,
+        PQ_M,
+        TRAIN_MOD,
+    )
+    from kafka_workers_spark.sources.files import load_table
+
+    SF = "/root/testdata/sf0.001"
+    vecs = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    half = vecs.filter(F.col("vec_id") % 2 == 0)
+    exploded, _ = _vectors_exploded(spark, SF)
+    comp = exploded.select("vec_id", "i", "x").filter(F.col("vec_id") % 2 == 0)
+    train = comp.filter(F.col("vec_id") % TRAIN_MOD == 0)
+    pq_cents, _ = pq_train(comp, m=PQ_M, dim=_DIM, k=PQ_CODES, iters=PQ_ITERS, train=train)
+    ivf_cents, _ = kmeans_fixed(comp, k=K_LISTS, iters=IVF_ITERS, train=train)
+    path = str(tmp_path / "idx")
+    ann_write_index(
+        IvfPqIndex(
+            ivf_cents,
+            pq_cents,
+            pq_codes_long(pq_encode(half, pq_cents, _PQ_DSUB, id_col="vec_id"), id_col="vec_id"),
+            assign_lists(half, ivf_cents, id_col="vec_id").select("vec_id", "list_id"),
+            dsub=_PQ_DSUB,
+            id_col="vec_id",
+        ),
+        path,
+    )
+    one = vecs.filter(F.col("vec_id") == 1)
+    with pytest.raises(ValueError, match="duplicate ids"):
+        ann_append_index(spark, path, one.unionAll(one))
+    # orphan drift: land codes for id=1 computed from a DIFFERENT vector
+    # (id=3's embedding relabeled as 1), then try to append the real id=1
+    fake = vecs.filter(F.col("vec_id") == 3).select(
+        F.lit(1).cast("long").alias("vec_id"), "embedding"
+    )
+    pq_codes_long(
+        pq_encode(fake, pq_cents, _PQ_DSUB, id_col="vec_id"), id_col="vec_id"
+    ).write.mode("append").parquet(f"{path}/codes")
+    with pytest.raises(ValueError, match="DIFFERENT embeddings"):
+        ann_append_index(spark, path, one)
