@@ -637,3 +637,56 @@ def test_markov_transitions_crafted_sequences(spark):
     }
     with pytest.raises(ValueError, match="non-empty"):
         markov_transitions(ev, [], ["ts"], "event_type")
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_iv_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=120),  # start second
+        st.integers(min_value=0, max_value=90),   # length (0 => point interval)
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ivs=_iv_strategy, bucket=st.sampled_from([7, 30, 60]))
+def test_interval_overlap_join_equals_naive_on_random_intervals(spark, ivs, bucket):
+    """Hypothesis boundary sweep for the banded interval join: random
+    closed intervals (including zero-length points and spans landing
+    EXACTLY on bucket edges — the canonical-later-start-bucket rule's
+    danger zone) at several bucket widths must reproduce the naive
+    range-predicate join pair-for-pair, each pair exactly once. The
+    registered oracle checks this cross-engine on real data; this sweeps
+    the adversarial micro-cases."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.relational import interval_overlap_join
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=s), t0 + timedelta(seconds=s + ln))
+        for i, (s, ln) in enumerate(ivs)
+    ]
+    df = spark.createDataFrame(rows, "iid long, s timestamp, e timestamp")
+    a = df.select(F.col("iid").alias("id_a"), F.col("s").alias("s_a"), F.col("e").alias("e_a"))
+    b = df.select(F.col("iid").alias("id_b"), F.col("s").alias("s_b"), F.col("e").alias("e_b"))
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in interval_overlap_join(
+            a, b, "s_a", "e_a", "s_b", "e_b", bucket_seconds=bucket,
+            extra_cond=F.col("id_a") < F.col("id_b"),
+        ).collect()
+    )
+    want = sorted(
+        (x, y)
+        for x, (sx, lx) in enumerate(ivs)
+        for y, (sy, ly) in enumerate(ivs)
+        if x < y and sx <= sy + ly and sy <= sx + lx
+    )
+    assert got == want, f"bucket={bucket}: {got} != {want}"
