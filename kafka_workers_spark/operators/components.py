@@ -580,3 +580,65 @@ def label_propagation(
             .select("node", (-F.col("__m.__nl")).alias("label"))
         )
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration k-core peeling (Seidman 1983, "Network structure
+    and minimum degree", Social Networks 5; the Batagelj-Zaveršnik
+    sequential algorithm's synchronous distributed form): each round
+    drops every node whose degree in the SURVIVING subgraph is below
+    ``k``, then restricts the edge set to surviving endpoints. After
+    enough rounds the fixed point is exactly the k-core — the maximal
+    subgraph where every node keeps degree ≥ k; earlier rounds are the
+    standard synchronous approximation from above.
+
+    ``iters`` is FIXED — the caller picks the horizon and the oracle
+    unrolls the same count (the pagerank/label_propagation discipline;
+    peeling removes at least one node per non-converged round, so
+    ``iters`` ≥ the longest peel chain guarantees the fixed point —
+    dense cores converge in 2-3 rounds, pathological paths need O(n)
+    and want the real iterate-to-convergence loop of
+    :func:`connected_components` instead). Returns ``(node, degree)``
+    over the surviving subgraph — degree counts distinct neighbors
+    (edges symmetrize and self-loops drop, as in
+    :func:`label_propagation`).
+
+    Scale shape (10^9 edges): the symmetrized adjacency persists once;
+    each round is exactly TWO exchanges — a count window partitioned by
+    each endpoint, then a map-side filter — with NO joins (the
+    degree-aggregate + two-semi-joins formulation costs three exchanges
+    plus two join builds per round; the window form is the same shape
+    the SQL oracle unrolls, so the plans mirror structurally). Frames
+    carry (long, long) tuples only, no payloads; the plan grows linearly
+    in ``iters`` (localCheckpoint per round past ~15, the
+    connected_components rule).
+    """
+    if k < 1:
+        raise ValueError(f"k ({k}) must be >= 1")
+    if iters < 1:
+        raise ValueError(f"iters ({iters}) must be >= 1")
+    from pyspark.sql import Window as W
+
+    adj = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .unionAll(edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d")))
+        .filter(F.col("__s") != F.col("__d"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(iters):
+        adj = (
+            adj.withColumn("__ds", F.count("*").over(W.partitionBy("__s")))
+            .withColumn("__dd", F.count("*").over(W.partitionBy("__d")))
+            .filter((F.col("__ds") >= k) & (F.col("__dd") >= k))
+            .drop("__ds", "__dd")
+        )
+    return adj.groupBy(F.col("__s").alias("node")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    )

@@ -1,0 +1,320 @@
+"""Distribution-drift and anomaly screens for a continuously-ingesting
+corpus: rolling z-score spike detection, PSI (population stability
+index) between a reference and a current population, and per-source KL
+divergence against the corpus unigram mixture (the DoReMi/CCNet-style
+source-weighting diagnostic).
+
+The reference engine has no statistics surface at all (payloads are
+opaque bytes, api/record/WorkerRecord.java) — this module is engine
+extension, same class as the dedup family: the screens a 100 TB training
+-data pipeline runs per ingest batch to catch a broken upstream source
+BEFORE it contaminates a mixture.
+
+Cross-engine exactness discipline (the repo rule every oracle-checked
+operator follows):
+
+- Rolling z-score: NO sqrt, NO division — the flag is the integer
+  predicate ``dev² · z_den² > z_num² · (n·Σx² − (Σx)²)`` with
+  ``dev = n·x − Σx``, all BIGINT (z² = dev²/(n·Σx²−(Σx)²) exactly).
+- PSI / KL: the only transcendental, ``ln``, is libm and NOT
+  bit-reproducible across engines — it is quantized FIRST
+  (``floor(1e6·ln(ratio))`` → BIGINT, the text_tfidf_topk discipline);
+  everything after is exactly-rounded IEEE arithmetic on exact inputs,
+  floored to BIGINT terms whose SUM is associative and
+  partition-order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.operators.relational import gap_fill
+
+#: ln() quantization scale shared by psi_drift / kl_mixture and their
+#: SQL twins — render oracles FROM this constant so the two sides can
+#: never desync (the sql_minhash_signature pattern).
+LOG_SCALE = 1_000_000
+
+
+def anomaly_zscore(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    bucket_seconds: int = 3600,
+    window: int = 24,
+    min_n: int = 8,
+    z_num: int = 3,
+    z_den: int = 1,
+) -> DataFrame:
+    """Per-key volume-spike detection: bucket counts on a GAP-FILLED
+    grid (silent buckets count 0 — absence is evidence, not a missing
+    row), then flag buckets whose count sits more than ``z_num/z_den``
+    population standard deviations ABOVE the mean of the trailing
+    ``window`` buckets.
+
+    The z² comparison is pure BIGINT: with n, Σx, Σx² over the trailing
+    frame and dev = n·x − Σx,
+
+        z² = dev² / (n·Σx² − (Σx)²)        (exactly — no n missing:
+        (x−μ)² / σ²_pop = ((n·x−Σx)/n)² · n²/(n·Σx²−(Σx)²))
+
+    so the flag is ``dev > 0 AND dev²·z_den² > z_num²·(n·Σx²−(Σx)²)``,
+    with a zero-variance history flagging any strictly-higher count
+    (z = ∞). No sqrt, no division, no floats — bit-identical on any
+    engine with 64-bit integers. Overflow bound: dev² ≤ (window·max_cnt)²
+    must fit int64, i.e. max per-bucket count ≲ 3·10⁸ at window=24 —
+    pre-aggregate coarser buckets first if a source runs hotter.
+
+    Emits EVERY grid bucket: ``(key_cols..., bucket_start, n_events,
+    n_window, dev_num, var_num, is_anomaly)`` — n_window < min_n rows
+    carry ``is_anomaly = false`` (warmup, not evidence).
+
+    Scale shape: rides :func:`gap_fill` (hash aggregate + bucket-index
+    grid, payload-free), then ONE window shuffle on the keys; the frame
+    is rows-bounded on the dense grid so ROWS == RANGE and state is
+    O(window) per key.
+    """
+    if window < 1:
+        raise ValueError(f"window ({window}) must be >= 1")
+    if min_n < 2:
+        raise ValueError(f"min_n ({min_n}) must be >= 2 (variance needs 2 points)")
+    grid = gap_fill(events, key_cols, ts_col, bucket_seconds)
+    x = F.col("n_events")
+    frame = (
+        W.partitionBy(*key_cols)
+        .orderBy("bucket_start")
+        .rowsBetween(-window, -1)
+    )
+    g = grid.select(
+        *key_cols,
+        "bucket_start",
+        F.col("n_rows").alias("n_events"),
+    ).select(
+        "*",
+        F.count("*").over(frame).cast("bigint").alias("n_window"),
+        F.coalesce(F.sum("n_events").over(frame), F.lit(0)).cast("bigint").alias("__s"),
+        F.coalesce(F.sum(F.col("n_events") * F.col("n_events")).over(frame), F.lit(0))
+        .cast("bigint")
+        .alias("__q"),
+    )
+    n, s, q = F.col("n_window"), F.col("__s"), F.col("__q")
+    dev = (n * x - s).cast("bigint")
+    var_num = (n * q - s * s).cast("bigint")
+    flag = (
+        (n >= min_n)
+        & (dev > 0)
+        & (
+            ((var_num == 0) & (dev > 0))
+            | (dev * dev * (z_den * z_den) > F.lit(z_num * z_num) * var_num)
+        )
+    )
+    return g.select(
+        *key_cols,
+        "bucket_start",
+        x.cast("bigint").alias("n_events"),
+        "n_window",
+        dev.alias("dev_num"),
+        var_num.alias("var_num"),
+        flag.alias("is_anomaly"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    side_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per group between the ``side = 'ref'``
+    and ``side = 'cur'`` rows of ``df`` (the model-monitoring standard:
+    PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+
+    Bin edges are EXACT order statistics of the reference side —
+    quantile i·n/n_bins selected by rank (the agg_percentile_disc
+    integer-ceil discipline), never interpolated — and binning is pure
+    comparison: ``bin(x) = |{edges e : x > e}|``. Proportions are
+    Laplace-smoothed ((count+1)/(total+n_bins)) so empty bins stay
+    finite. Each bin's PSI term quantizes as
+
+        term = floor( (p_cur − p_ref) · floor(1e6·ln(p_cur/p_ref)) · 1e6 )
+
+    — ln first (the only libm call, quantized to BIGINT), then
+    exactly-rounded double arithmetic on exact inputs, floored to a
+    BIGINT whose per-group SUM (``psi12``, PSI scaled by 1e12) is
+    associative. PSI terms are ≥ 0 ((p_cur−p_ref) and ln share sign),
+    so flooring never flips a sign.
+
+    Returns one row per (group, bin): ``(group, bin, n_ref, n_cur,
+    l6, term12, psi12)`` with ``psi12`` the group total replicated per
+    row (window sum over exact BIGINTs).
+
+    Scale shape: one window shuffle on the group key for the ranks (the
+    exact-percentile cost — swap in approx edges past ~10⁸ rows/group),
+    one hash aggregate for bin counts over a dense group×bin grid
+    (n_bins rows/group — broadcast-joined edges, no fan-out of the data
+    rows), and a 9-element array comparison per row.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins ({n_bins}) must be >= 2")
+    ref = df.filter(F.col(side_col) == "ref")
+    wr = W.partitionBy(group_col).orderBy(value_col)
+    wall = W.partitionBy(group_col)
+    ranked = ref.select(
+        group_col,
+        F.col(value_col).alias("__v"),
+        F.row_number().over(wr).alias("__rn"),
+        F.count("*").over(wall).alias("__n"),
+    )
+
+    def edge(i: int) -> Column:
+        rank = F.expr(f"({i} * __n + {n_bins - 1}) DIV {n_bins}")
+        return F.min(F.when(F.col("__rn") == rank, F.col("__v"))).alias(f"__e{i}")
+
+    edges = ranked.groupBy(group_col).agg(*[edge(i) for i in range(1, n_bins)])
+    edges = edges.select(
+        group_col, F.array(*[f"__e{i}" for i in range(1, n_bins)]).alias("__edges")
+    )
+    binned = (
+        df.join(F.broadcast(edges), group_col)
+        .select(
+            group_col,
+            F.col(side_col).alias("__side"),
+            F.size(
+                F.filter("__edges", lambda e: F.col(value_col) > e)
+            ).cast("bigint").alias("bin"),
+        )
+        .groupBy(group_col, "__side", "bin")
+        .agg(F.count("*").cast("bigint").alias("__c"))
+    )
+    grid = (
+        df.select(group_col)
+        .distinct()
+        .select(group_col, F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"))
+    )
+    counts = (
+        grid.join(
+            binned.filter(F.col("__side") == "ref").select(
+                group_col, "bin", F.col("__c").alias("n_ref")
+            ),
+            [group_col, "bin"],
+            "left",
+        )
+        .join(
+            binned.filter(F.col("__side") == "cur").select(
+                group_col, "bin", F.col("__c").alias("n_cur")
+            ),
+            [group_col, "bin"],
+            "left",
+        )
+        .select(
+            group_col,
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    tot = counts.groupBy(group_col).agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    t = counts.join(F.broadcast(tot), group_col)
+    pr = (F.col("n_ref") + 1).cast("double") / (F.col("__tr") + n_bins).cast("double")
+    pc = (F.col("n_cur") + 1).cast("double") / (F.col("__tc") + n_bins).cast("double")
+    l6 = F.floor(F.lit(float(LOG_SCALE)) * F.log(pc / pr)).cast("bigint")
+    term12 = F.floor((pc - pr) * l6.cast("double") * F.lit(float(LOG_SCALE))).cast(
+        "bigint"
+    )
+    out = t.select(group_col, "bin", "n_ref", "n_cur", l6.alias("l6"), term12.alias("term12"))
+    return out.select(
+        "*", F.sum("term12").over(W.partitionBy(group_col)).cast("bigint").alias("psi12")
+    )
+
+
+def kl_mixture(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_v: int = 256,
+) -> DataFrame:
+    """Per-source KL divergence KL(p_source ‖ q_corpus) over the shared
+    top-``top_v`` unigram vocabulary — the mixture diagnostic behind
+    DoReMi-style source reweighting (Xie et al. 2023, arXiv:2305.10429:
+    excess per-source divergence drives the domain weights) and CCNet's
+    per-shard LM screening: a source whose token distribution sits far
+    from the corpus mixture is either gold (novel domain) or broken
+    (boilerplate flood) — both need a human before the next mixture.
+
+    Vocabulary = top_v terms by (global count DESC, term ASC) — an
+    exact distributed top-k (TakeOrderedAndProject), no single-partition
+    window. Distributions are Laplace-smoothed over the vocab —
+    (count+1)/(in_vocab_total+|vocab|), restricted to in-vocab mass so p
+    and q share a support by construction. |vocab| is the REALIZED size
+    (an in-plan COUNT riding the same broadcast as the mass total), not
+    top_v: a corpus with fewer distinct terms than top_v would otherwise
+    leave both distributions summing below 1 and Gibbs' inequality void —
+    "KL" goes negative (caught by the sf0.01 oracle while wiring this:
+    the synthetic corpus has ~31 distinct normalized tokens). Per term,
+
+        term = floor( p · floor(1e6·ln(p/q)) · 1e6 )    (BIGINT)
+
+    — same quantize-ln-first discipline as :func:`psi_drift`; terms can
+    be negative (p < q) and floor is toward −∞ on both engines. Returns
+    one row per source: ``(source, n_docs, vocab_tokens, kl12)`` with
+    kl12 = KL·1e12 as an exact BIGINT sum.
+
+    Scale shape: one token-keyed partial aggregate for global counts
+    (the phrase_scores shuffle), a top-k, one (source, token) aggregate
+    blocked to the broadcast vocab (map-side filter BEFORE the shuffle —
+    out-of-vocab tokens never shuffle), and a source×vocab dense grid of
+    |sources|·top_v longs.
+    """
+    if top_v < 1:
+        raise ValueError(f"top_v ({top_v}) must be >= 1")
+    from kafka_workers_spark.operators.text import normalized
+
+    toked = docs.select(
+        F.col(group_col).alias("source"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    gcnt = toked.groupBy("term").agg(F.count("*").cast("bigint").alias("g_cnt"))
+    vocab = gcnt.orderBy(F.col("g_cnt").desc(), F.col("term").asc()).limit(top_v)
+    scnt = (
+        toked.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("s_cnt"))
+    )
+    n_docs = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    grid = n_docs.select("source").crossJoin(F.broadcast(vocab))
+    cells = grid.join(scnt, ["source", "term"], "left").select(
+        "source",
+        "term",
+        "g_cnt",
+        F.coalesce("s_cnt", F.lit(0)).cast("bigint").alias("s_cnt"),
+    )
+    totals = cells.groupBy("source").agg(
+        F.sum("s_cnt").cast("bigint").alias("vocab_tokens")
+    )
+    gtot = vocab.agg(
+        F.sum("g_cnt").cast("bigint").alias("__g"),
+        F.count("*").cast("bigint").alias("__v"),
+    )
+    t = cells.join(F.broadcast(totals), "source").crossJoin(F.broadcast(gtot))
+    p = (F.col("s_cnt") + 1).cast("double") / (
+        F.col("vocab_tokens") + F.col("__v")
+    ).cast("double")
+    q = (F.col("g_cnt") + 1).cast("double") / (F.col("__g") + F.col("__v")).cast(
+        "double"
+    )
+    l6 = F.floor(F.lit(float(LOG_SCALE)) * F.log(p / q)).cast("bigint")
+    term = F.floor(p * l6.cast("double") * F.lit(float(LOG_SCALE))).cast("bigint")
+    kl = t.groupBy("source").agg(
+        F.max("vocab_tokens").alias("vocab_tokens"),
+        F.sum(term).cast("bigint").alias("kl12"),
+    )
+    return n_docs.join(kl, "source").select(
+        "source", "n_docs", "vocab_tokens", "kl12"
+    )

@@ -1740,3 +1740,93 @@ def sample_weighted(
             "rank",
         )
     )
+
+
+def sample_allocation(
+    docs: DataFrame,
+    total_n: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-budget stratified sampling with Hamilton (largest-remainder)
+    allocation: draw EXACTLY ``total_n`` rows overall, split across
+    strata proportionally to their sizes — quota_h = ⌊n·N_h/N⌋ plus one
+    extra for the ⌈·⌉-side strata with the largest remainders (ties by
+    stratum ascending), the apportionment rule that makes the quotas sum
+    to ``total_n`` exactly. Complements :func:`sample_stratified` (RATE
+    per stratum, no global budget) and :func:`sample_pps` (weight-
+    proportional): this is the "give me exactly 10M documents with the
+    corpus's language mix" draw a mixture builder runs per epoch.
+
+    Within a stratum rows are taken in md5-key order (the
+    :func:`~kafka_workers_spark.functions.determinism.sample_coin`
+    permutation family — first 15 hex chars of md5(id) as int64, ties by
+    id): deterministic, RNG-state-free, so re-runs and backfills draw
+    identical rows. All allocation arithmetic is int64 (``total_n · N_h``
+    must fit — n·N ≲ 9·10¹⁸ holds for any realistic budget); quotas never
+    exceed N_h when ``total_n ≤ N`` (⌊n·N_h/N⌋ < N_h for n < N, and at
+    n = N every remainder is zero), and a ``total_n > N`` ask raises
+    in-plan rather than silently under-delivering.
+
+    Returns the sampled rows as ``(strata_col, id_col)``.
+
+    Shape at scale: one tiny strata-counts aggregate (|strata| rows —
+    the allocation windows run on THAT frame, never the data), one
+    stratum-keyed rank window over the data (the exact-order-statistic
+    cost, same class as sample_pps), and a broadcast quota join with a
+    map-side filter.
+    """
+    if total_n < 0:
+        raise ValueError(f"total_n ({total_n}) must be >= 0")
+    from pyspark.sql import Window as W
+
+    counts = docs.groupBy(strata_col).agg(F.count("*").cast("bigint").alias("__nh"))
+    tot = counts.agg(F.sum("__nh").cast("bigint").alias("__n"))
+    alloc = counts.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        "__nh",
+        "__n",
+        F.expr(f"({total_n} * __nh) DIV __n").alias("__base"),
+        F.expr(f"({total_n} * __nh) % __n").alias("__rem"),
+    )
+    leftover = alloc.agg(
+        (F.lit(total_n) - F.sum("__base")).cast("bigint").alias("__l")
+    )
+    # in-plan guard riding the quota expression itself (an unused column
+    # would be pruned and never evaluate): assert_true is NULL when the
+    # budget fits and raises otherwise, so the +coalesce term is a no-op
+    guard = F.coalesce(
+        F.assert_true(
+            F.lit(total_n) <= F.col("__n"),
+            F.lit(f"sample_allocation: total_n ({total_n}) exceeds the row count"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    # |strata|-row frame: the global remainder-rank window is fine HERE
+    w_rem = W.orderBy(F.col("__rem").desc(), F.col(strata_col).asc())
+    quota = (
+        alloc.crossJoin(F.broadcast(leftover))
+        .withColumn("__rk", F.row_number().over(w_rem))
+        .select(
+            strata_col,
+            (
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__l"), 1).otherwise(0)
+                + guard
+            )
+            .cast("bigint")
+            .alias("__q"),
+        )
+    )
+    hkey = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+    w_rank = W.partitionBy(strata_col).orderBy(hkey.asc(), F.col(id_col).asc())
+    return (
+        docs.select(strata_col, id_col)
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .join(F.broadcast(quota), strata_col)
+        .filter(F.col("__rn") <= F.col("__q"))
+        .select(strata_col, id_col)
+    )

@@ -81,6 +81,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline_ops,
         relational,
         graph,
+        drift,
     )
 
     return REGISTRY

@@ -859,3 +859,54 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_weighted(
         d.select("lang", "doc_id", "n_chars"), _ES_K, "n_chars", ["lang"]
     )
+
+
+_ALLOC_N = 120
+
+
+@register(
+    "corpus_sample_allocation",
+    f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS nh FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(nh) AS BIGINT) AS n FROM counts
+    ), alloc AS (
+      SELECT lang, nh,
+             ({_ALLOC_N} * nh) // n AS base,
+             ({_ALLOC_N} * nh) % n AS rem
+      FROM counts, tot
+    ), lo AS (
+      SELECT CAST({_ALLOC_N} - SUM(base) AS BIGINT) AS l FROM alloc
+    ), quota AS (
+      SELECT lang,
+             CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) <= l
+                              THEN 1 ELSE 0 END AS BIGINT) AS q
+      FROM alloc, lo
+    ), keyed AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT k.lang, k.doc_id
+    FROM keyed k JOIN quota ON k.lang = quota.lang
+    WHERE k.rn <= quota.q
+    """,
+    category="corpus",
+    windowed=False,
+)
+def corpus_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget stratified draw (pipeline.sample_allocation): exactly
+    {n} documents allocated across languages by Hamilton largest-remainder
+    apportionment, rows picked per stratum in the deterministic md5-key
+    order (sample_coin permutation family) — the per-epoch "exact budget,
+    corpus mix" draw. The oracle replays the integer allocation (DuckDB
+    // == Spark DIV, all operands non-negative), the remainder ranking
+    (ties by lang ASC) and the keyed rank selection."""
+    from kafka_workers_spark.pipeline import sample_allocation
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_allocation(d, _ALLOC_N, strata_col="lang", id_col="doc_id")

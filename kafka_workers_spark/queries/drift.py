@@ -1,0 +1,231 @@
+"""Drift / anomaly queries (operators/drift.py): rolling z-score volume
+spikes, PSI between order-date halves, and per-source KL against the
+corpus unigram mixture. All three oracles are rendered from the SAME
+constants as the Spark plans (scales, bin counts, split dates) so the
+two sides cannot desync — the sql_minhash_signature pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_workers_spark.operators.drift import LOG_SCALE
+from kafka_workers_spark.operators.text import sql_normalized
+from kafka_workers_spark.queries import register
+from kafka_workers_spark.sources.files import load_table
+
+_AZ_BUCKET_S = 3600
+_AZ_BUCKET_US = _AZ_BUCKET_S * 1_000_000
+_AZ_WINDOW = 24
+_AZ_MIN_N = 8
+_AZ_Z = 3  # z_den = 1
+
+
+@register(
+    "events_anomaly_zscore",
+    f"""
+    WITH per AS (
+      SELECT event_type,
+             (epoch_us(ts) - ((epoch_us(ts) % {_AZ_BUCKET_US})
+                              + {_AZ_BUCKET_US}) % {_AZ_BUCKET_US})
+               // {_AZ_BUCKET_US} AS bkt,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, MIN(bkt) AS lo, MAX(bkt) AS hi FROM per GROUP BY 1
+    ), grid AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi)) AS bkt FROM span
+    ), g AS (
+      SELECT grid.event_type, grid.bkt, CAST(COALESCE(per.c, 0) AS BIGINT) AS x
+      FROM grid LEFT JOIN per
+        ON per.event_type = grid.event_type AND per.bkt = grid.bkt
+    ), w AS (
+      SELECT event_type, bkt, x,
+             CAST(COUNT(*) OVER f AS BIGINT) AS n,
+             CAST(COALESCE(SUM(x) OVER f, 0) AS BIGINT) AS s,
+             CAST(COALESCE(SUM(x * x) OVER f, 0) AS BIGINT) AS q
+      FROM g
+      WINDOW f AS (PARTITION BY event_type ORDER BY bkt
+                   ROWS BETWEEN {_AZ_WINDOW} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           make_timestamp(bkt * {_AZ_BUCKET_US}) AS bucket_start,
+           x AS n_events,
+           n AS n_window,
+           CAST(n * x - s AS BIGINT) AS dev_num,
+           CAST(n * q - s * s AS BIGINT) AS var_num,
+           (n >= {_AZ_MIN_N} AND (n * x - s) > 0
+            AND ((n * q - s * s = 0 AND (n * x - s) > 0)
+                 OR (n * x - s) * (n * x - s) > {_AZ_Z * _AZ_Z} * (n * q - s * s)))
+             AS is_anomaly
+    FROM w
+    """,
+    category="drift",
+    windowed=False,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score volume-spike screen (operators.drift.anomaly_zscore):
+    hourly per-event-type counts on the gap-filled grid, flagged when a
+    bucket sits more than 3 population standard deviations above the
+    trailing 24-bucket mean — the z² test as a pure BIGINT predicate
+    (no sqrt, no division, no floats; the agg_percentile_disc school of
+    exactness applied to second moments). Silent hours count 0 — a flood
+    after a quiet day flags; a missing-row grid would hide it."""
+    from kafka_workers_spark.operators.drift import anomaly_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    return anomaly_zscore(
+        ev,
+        ["event_type"],
+        "ts",
+        bucket_seconds=_AZ_BUCKET_S,
+        window=_AZ_WINDOW,
+        min_n=_AZ_MIN_N,
+        z_num=_AZ_Z,
+        z_den=1,
+    )
+
+
+_PSI_BINS = 10
+_PSI_SPLIT = "1995-06-01"
+_PSI_EDGE_SQL = ", ".join(
+    f"MIN(CASE WHEN rn = ({i} * n + {_PSI_BINS - 1}) // {_PSI_BINS} THEN v END)"
+    for i in range(1, _PSI_BINS)
+)
+
+
+@register(
+    "quality_psi_drift",
+    f"""
+    WITH t AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v,
+             CASE WHEN o_orderdate < DATE '{_PSI_SPLIT}' THEN 'ref' ELSE 'cur' END AS side
+      FROM orders
+    ), ranked AS (
+      SELECT grp, v,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM t WHERE side = 'ref'
+    ), edges AS (
+      SELECT grp, [{_PSI_EDGE_SQL}] AS es FROM ranked GROUP BY grp
+    ), binned AS (
+      SELECT t.grp, t.side,
+             CAST(len(list_filter(es, e -> t.v > e)) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM t JOIN edges ON t.grp = edges.grp
+      GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT grp, UNNEST(generate_series(0, {_PSI_BINS - 1})) AS bin
+      FROM (SELECT DISTINCT grp FROM t)
+    ), counts AS (
+      SELECT g.grp, g.bin,
+             CAST(COALESCE(r.c, 0) AS BIGINT) AS n_ref,
+             CAST(COALESCE(cu.c, 0) AS BIGINT) AS n_cur
+      FROM grid g
+      LEFT JOIN (SELECT grp, bin, c FROM binned WHERE side = 'ref') r
+        ON r.grp = g.grp AND r.bin = g.bin
+      LEFT JOIN (SELECT grp, bin, c FROM binned WHERE side = 'cur') cu
+        ON cu.grp = g.grp AND cu.bin = g.bin
+    ), tot AS (
+      SELECT grp, SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts GROUP BY 1
+    ), terms AS (
+      SELECT c.grp, c.bin, c.n_ref, c.n_cur,
+             CAST(c.n_cur + 1 AS DOUBLE) / CAST(t.tc + {_PSI_BINS} AS DOUBLE) AS pc,
+             CAST(c.n_ref + 1 AS DOUBLE) / CAST(t.tr + {_PSI_BINS} AS DOUBLE) AS pr
+      FROM counts c JOIN tot t ON c.grp = t.grp
+    ), quant AS (
+      SELECT grp, bin, n_ref, n_cur,
+             CAST(floor({LOG_SCALE}.0 * ln(pc / pr)) AS BIGINT) AS l6,
+             CAST(floor(((pc - pr)
+                         * CAST(CAST(floor({LOG_SCALE}.0 * ln(pc / pr)) AS BIGINT) AS DOUBLE))
+                        * {LOG_SCALE}.0) AS BIGINT) AS term12
+      FROM terms
+    )
+    SELECT grp, bin, n_ref, n_cur, l6, term12,
+           CAST(SUM(term12) OVER (PARTITION BY grp) AS BIGINT) AS psi12
+    FROM quant
+    """,
+    category="drift",
+    windowed=False,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift screen (operators.drift.psi_drift): o_totalprice
+    distribution per order priority, pre- vs post-{split} orders, over
+    exact rank-selected decile edges of the reference half. The single
+    libm ln() is quantized to BIGINT at 1e6 BEFORE any arithmetic; the
+    per-bin term and the per-group psi12 total (PSI·1e12) are exact
+    integer sums — the driver's value-hash sees no raw transcendental."""
+    from kafka_workers_spark.operators.drift import psi_drift
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("date"), "ref")
+        .otherwise("cur")
+        .alias("side"),
+    )
+    return psi_drift(o, "grp", "v", "side", n_bins=_PSI_BINS)
+
+
+_KL_V = 256
+
+
+@register(
+    "corpus_kl_mixture",
+    f"""
+    WITH toked AS (
+      SELECT source, UNNEST(string_split({sql_normalized("text")}, ' ')) AS term
+      FROM documents
+    ), tok AS (
+      SELECT source, term FROM toked WHERE length(term) > 0
+    ), gcnt AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS g_cnt FROM tok GROUP BY 1
+    ), vocab AS (
+      SELECT term, g_cnt FROM gcnt ORDER BY g_cnt DESC, term ASC LIMIT {_KL_V}
+    ), scnt AS (
+      SELECT source, tok.term, CAST(COUNT(*) AS BIGINT) AS s_cnt
+      FROM tok JOIN vocab ON tok.term = vocab.term GROUP BY 1, 2
+    ), nd AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+    ), cells AS (
+      SELECT g.source, g.term, g.g_cnt, CAST(COALESCE(s.s_cnt, 0) AS BIGINT) AS s_cnt
+      FROM (SELECT nd.source, vocab.term, vocab.g_cnt FROM nd CROSS JOIN vocab) g
+      LEFT JOIN scnt s ON s.source = g.source AND s.term = g.term
+    ), tots AS (
+      SELECT source, CAST(SUM(s_cnt) AS BIGINT) AS vocab_tokens FROM cells GROUP BY 1
+    ), gtot AS (
+      SELECT CAST(SUM(g_cnt) AS BIGINT) AS gt, CAST(COUNT(*) AS BIGINT) AS vs
+      FROM vocab
+    ), probs AS (
+      SELECT c.source,
+             CAST(c.s_cnt + 1 AS DOUBLE) / CAST(t.vocab_tokens + g.vs AS DOUBLE) AS p,
+             CAST(c.g_cnt + 1 AS DOUBLE) / CAST(g.gt + g.vs AS DOUBLE) AS q
+      FROM cells c JOIN tots t ON c.source = t.source CROSS JOIN gtot g
+    ), k AS (
+      SELECT source,
+             CAST(SUM(CAST(floor((p * CAST(CAST(floor({LOG_SCALE}.0 * ln(p / q)) AS BIGINT)
+                                       AS DOUBLE))
+                                 * {LOG_SCALE}.0) AS BIGINT)) AS BIGINT) AS kl12
+      FROM probs GROUP BY 1
+    )
+    SELECT nd.source, nd.n_docs, tots.vocab_tokens, k.kl12
+    FROM nd JOIN tots ON nd.source = tots.source JOIN k ON nd.source = k.source
+    """,
+    category="drift",
+    windowed=False,
+)
+def corpus_kl_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence vs the corpus unigram mixture
+    (operators.drift.kl_mixture — the DoReMi/CCNet source-weighting
+    diagnostic, arXiv:2305.10429): shared top-256 vocabulary by exact
+    distributed top-k, Laplace-smoothed over the REALIZED vocab size
+    (the synthetic corpus has fewer distinct tokens than 256; smoothing
+    by the requested cap would denormalize both distributions and void
+    Gibbs' KL ≥ 0), KL·1e12 as an exact BIGINT sum with ln() quantized
+    first. A boilerplate-flooded or truncated source shows up as a KL
+    outlier before it pollutes the next training mixture."""
+    from kafka_workers_spark.operators.drift import kl_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return kl_mixture(d, group_col="source", text_col="text", top_v=_KL_V)

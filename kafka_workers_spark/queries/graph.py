@@ -217,3 +217,67 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     return label_propagation(edges, iters=_LPA_ITERS)
+
+
+_KCORE_K = 10
+_KCORE_ITERS = 3
+
+
+def _sql_kcore_ctes(k: int, iters: int) -> str:
+    """Unroll the synchronous peel as a LINEAR chain of CTEs: each round
+    references the previous round exactly ONCE (degree via two window
+    counts over the symmetric edge list, then the filter), because a
+    twice-referenced CTE chain re-evaluates exponentially when the
+    engine inlines instead of materializing — probed while wiring this:
+    the join-shaped unroll (k_i FROM e_{i-1} joined back to e_{i-1})
+    took minutes at 8 rounds where this form takes 0.4 s."""
+    ctes = [
+        "sym AS (SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "e0 AS (SELECT s, d FROM sym UNION SELECT d, s FROM sym)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"e{i} AS (SELECT s, d FROM ("
+            f"SELECT s, d, COUNT(*) OVER (PARTITION BY s) AS ds,"
+            f" COUNT(*) OVER (PARTITION BY d) AS dd"
+            f" FROM e{i - 1}) WHERE ds >= {k} AND dd >= {k})"
+        )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_kcore",
+    f"""
+    WITH {_sql_kcore_ctes(_KCORE_K, _KCORE_ITERS)}
+    SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e{_KCORE_ITERS} GROUP BY 1
+    """,
+    category="graph",
+    windowed=False,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the purchase network
+    (operators.components.kcore, Seidman 1983): nodes surviving
+    {_KCORE_ITERS} synchronous peel rounds at k={_KCORE_K}, with their
+    degree in the surviving subgraph — the dense-core extraction that
+    ranks dedup-canonical candidates and prunes weakly-connected noise
+    before community detection. Pure integer degrees; the oracle
+    unrolls the identical rounds (the pagerank discipline) as a
+    LINEAR CTE chain (see _sql_kcore_ctes on why never twice-referenced).
+    The multi-round peel cascade itself is pinned on a tail-on-triangle
+    graph in tests/test_components.py — this TPC-H graph's uniform
+    degrees converge in one round at any k."""
+    from kafka_workers_spark.operators.components import kcore
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore(edges, k=_KCORE_K, iters=_KCORE_ITERS)

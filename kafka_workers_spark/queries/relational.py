@@ -1867,3 +1867,61 @@ def stream_markov_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(
         markov_tasks_batch(ev).select("prev_state", "next_state")
     )
+
+
+_RATE_WINDOW_US = 24 * 3600 * 1_000_000  # trailing day
+_RATE_LIMIT = 5  # flag the 6th+ event of the trailing day
+
+
+@register(
+    "window_trailing_range",
+    f"""
+    SELECT user_id, event_id, ts,
+           n_prev_24h,
+           sum_value_24h,
+           n_prev_24h >= {_RATE_LIMIT} AS over_limit
+    FROM (
+      SELECT user_id, event_id, ts,
+             CAST(COUNT(*) OVER f - 1 AS BIGINT) AS n_prev_24h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER f
+                  - CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS sum_value_24h
+      FROM events
+      WINDOW f AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN {_RATE_WINDOW_US} PRECEDING AND CURRENT ROW)
+    )
+    """,
+    windowed=False,
+)
+def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame (the velocity-feature / sliding rate-limit
+    idiom: per event, how many same-user events and how much value landed
+    in the trailing day): a RANGE BETWEEN frame over exact integer epoch
+    micros — never an interval frame over raw timestamps, whose tz
+    semantics differ per engine — with the DECIMAL discipline on the
+    value sum. The frame is [ts − 24h, ts] INCLUSIVE of peers (rows with
+    the identical timestamp share the frame on both engines, which makes
+    the result deterministic even under ts ties: 'count minus self'
+    rather than an order-dependent running count); ``over_limit`` flags
+    the {_RATE_LIMIT}+1-th event of any trailing day — the streaming
+    rate limiter's batch-replayable form.
+
+    Scale shape: ONE window shuffle on user_id; the range frame is
+    evaluated with a sliding two-pointer over each partition's sort —
+    no self-join, no bucket explode (contrast interval_overlap_join,
+    which needs buckets precisely because it has no equi-key)."""
+    ev = load_table(spark, sf_dir, "events")
+    f = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_RATE_WINDOW_US, 0)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.count("*").over(f) - 1).cast("bigint").alias("n_prev_24h"),
+        (F.sum(dec).over(f) - dec).cast("double").alias("sum_value_24h"),
+    ).select(
+        "*", (F.col("n_prev_24h") >= _RATE_LIMIT).alias("over_limit")
+    )

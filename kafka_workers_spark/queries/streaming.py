@@ -455,3 +455,63 @@ def stream_gate_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("released_bytes", F.lit(0)).cast("bigint").alias("released_bytes"),
         F.col("last_released_offset").cast("bigint").alias("last_released_offset"),
     )
+
+
+_IJ_UPPER_S = 14400
+
+
+@register(
+    "stream_interval_join",
+    f"""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           v.ts AS view_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL {_IJ_UPPER_S} SECOND
+    """,
+    category="streaming",
+    windowed=False,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.py) in its
+    deterministic batch-replay form: every view joined to the purchases
+    the same user made within the following 4 hours, with the lag in
+    exact integer microseconds (``unix_micros`` == DuckDB ``epoch_us``;
+    interval arithmetic is microsecond-exact on both engines — no
+    truncating second-granularity diffs). The LIVE path — watermarks on
+    both sides, bounded state, eager inner emission and
+    watermark-delayed left_outer emission — is exercised end-to-end
+    against this same batch plan in tests/test_stream_join.py.
+
+    Scale shape: one equi-key shuffle per side (stream state is
+    key-partitioned the same way); the interval is a residual filter on
+    the key match, so no time-bucket fan-out and no nested-loop join."""
+    from kafka_workers_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return interval_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        lower_s=0,
+        upper_s=_IJ_UPPER_S,
+        how="inner",
+    ).withColumn(
+        "lag_us", F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+    )

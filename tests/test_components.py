@@ -441,3 +441,41 @@ def test_label_propagation_two_cliques_and_validation(spark):
     assert got[3] == 0 and got[10] == 10
     with pytest.raises(ValueError, match="iters"):
         label_propagation(df, iters=0)
+
+
+def test_kcore_peels_tail_and_keeps_core(spark):
+    """Triangle with a 3-node tail, k=2: the tail peels one node per
+    round (the synchronous cascade), the triangle is the fixed point.
+    Trajectory: iters=1 drops the endpoint, 2 drops the next, 3 reaches
+    the 2-core = triangle; further rounds are stable. Degrees count
+    distinct neighbors in the surviving subgraph."""
+    from kafka_workers_spark.operators.components import kcore
+
+    # triangle 0-1-2, tail 2-3-4-5
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def nodes(iters):
+        return {r.node: r.degree for r in kcore(df, k=2, iters=iters).collect()}
+
+    assert set(nodes(1)) == {0, 1, 2, 3, 4}  # 5 peeled (deg 1)
+    assert set(nodes(2)) == {0, 1, 2, 3}     # 4 peeled (deg fell to 1)
+    assert nodes(3) == {0: 2, 1: 2, 2: 2}    # fixed point: the triangle
+    assert nodes(4) == nodes(3)
+    # k above the max degree empties the graph
+    assert kcore(df, k=4, iters=2).count() == 0
+    with pytest.raises(ValueError, match="k "):
+        kcore(df, k=0)
+    with pytest.raises(ValueError, match="iters"):
+        kcore(df, k=2, iters=0)
+
+
+def test_kcore_symmetrizes_and_ignores_self_loops(spark):
+    """Directed duplicates and self-loops must not inflate degrees:
+    (a,b) and (b,a) are ONE undirected edge; (a,a) drops."""
+    from kafka_workers_spark.operators.components import kcore
+
+    edges = [(0, 1), (1, 0), (0, 0), (1, 2), (0, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.degree for r in kcore(df, k=2, iters=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}

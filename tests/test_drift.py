@@ -1,0 +1,137 @@
+"""Drift/anomaly operators (operators/drift.py): pure-semantics pins for
+the rolling z-score flag, PSI, and KL mixture — the cross-engine oracle
+parity itself rides tests/test_oracle_extra.py like every EXTRA query.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from kafka_workers_spark.operators.drift import anomaly_zscore, kl_mixture, psi_drift
+
+T0 = datetime(2024, 1, 1)
+
+
+def _events(spark, counts_per_hour, key="a"):
+    """One event row per count unit, hour h gets counts_per_hour[h] rows."""
+    rows = []
+    for h, c in enumerate(counts_per_hour):
+        for i in range(c):
+            rows.append((key, T0 + timedelta(hours=h, seconds=i)))
+    return spark.createDataFrame(rows, "k string, ts timestamp")
+
+
+def _flags(df):
+    return {
+        (r.k, r.bucket_start.hour + 24 * (r.bucket_start.day - 1)): (
+            r.n_events,
+            r.n_window,
+            r.is_anomaly,
+        )
+        for r in df.collect()
+    }
+
+
+def test_anomaly_flags_spike_not_noise(spark):
+    # 24h of steady 10±1, then a 30-count spike: mean 10, sd <= 1 -> z >> 3
+    base = [10, 11, 9, 10, 10, 11, 9, 10] * 3
+    df = _events(spark, base + [30])
+    got = _flags(anomaly_zscore(df, ["k"], "ts", 3600, window=24, min_n=8))
+    assert got[("a", 24)][2] is True  # the spike
+    assert all(not v[2] for k, v in got.items() if k != ("a", 24))
+    # same history, a 12-count hour: dev = 24*12 - 240 = 48;
+    # var_num = 24*2414 - 240^2 = 336; 48^2=2304 < 9*336*... -> compute:
+    # 2304 > 9*336 = 3024 is FALSE -> not an anomaly
+    got2 = _flags(anomaly_zscore(_events(spark, base + [12]), ["k"], "ts", 3600))
+    assert got2[("a", 24)][2] is False
+
+
+def test_anomaly_zero_variance_history_flags_any_rise(spark):
+    df = _events(spark, [5] * 24 + [6])
+    got = _flags(anomaly_zscore(df, ["k"], "ts", 3600))
+    assert got[("a", 24)] == (6, 24, True)  # var 0, dev > 0 -> z = inf
+    df2 = _events(spark, [5] * 24 + [5])
+    assert _flags(anomaly_zscore(df2, ["k"], "ts", 3600))[("a", 24)][2] is False
+
+
+def test_anomaly_warmup_and_gap_semantics(spark):
+    # fewer than min_n history buckets -> never flagged, however extreme
+    df = _events(spark, [1, 1, 1, 100])
+    got = _flags(anomaly_zscore(df, ["k"], "ts", 3600, min_n=8))
+    assert not any(v[2] for v in got.values())
+    # silent hours count as zeros: 8 quiet-but-nonempty bookends around
+    # 16 SILENT hours, then a burst — the gap-filled mean is low, flags
+    counts = [3] + [0] * 16 + [3, 3, 3, 3, 3, 3, 3] + [40]
+    got = _flags(anomaly_zscore(_events(spark, counts), ["k"], "ts", 3600))
+    assert got[("a", 24)][2] is True
+    assert got[("a", 24)][1] == 24  # window spans the silent hours too
+
+
+def test_anomaly_validates_params(spark):
+    df = _events(spark, [1])
+    with pytest.raises(ValueError, match="window"):
+        anomaly_zscore(df, ["k"], "ts", 3600, window=0)
+    with pytest.raises(ValueError, match="min_n"):
+        anomaly_zscore(df, ["k"], "ts", 3600, min_n=1)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _sided(spark, ref_vals, cur_vals, grp="g"):
+    rows = [(grp, float(v), "ref") for v in ref_vals] + [
+        (grp, float(v), "cur") for v in cur_vals
+    ]
+    return spark.createDataFrame(rows, "grp string, v double, side string")
+
+
+def test_psi_zero_when_identical(spark):
+    vals = list(range(1, 101))
+    out = psi_drift(_sided(spark, vals, vals), "grp", "v", "side").collect()
+    assert len(out) == 10
+    psi = out[0].psi12
+    # identical populations: every bin's p_cur == p_ref -> ln ratio
+    # quantizes to 0 or -1 (floor), |psi| bounded by quantization slack
+    assert abs(psi) < 100_000, psi  # < 1e-7 in PSI units
+    assert sum(r.n_ref for r in out) == 100 and sum(r.n_cur for r in out) == 100
+
+
+def test_psi_detects_shift_and_is_nonnegative_up_to_quantization(spark):
+    vals = list(range(1, 101))
+    shifted = [v + 80 for v in vals]
+    out = psi_drift(_sided(spark, vals, shifted), "grp", "v", "side").collect()
+    psi = out[0].psi12
+    assert psi > 1_000_000_000_000  # > 1.0: a gross shift
+    assert all(r.term12 >= -1 for r in out)  # terms >= 0 modulo floor
+
+
+def test_psi_validates_bins(spark):
+    with pytest.raises(ValueError, match="n_bins"):
+        psi_drift(_sided(spark, [1.0], [1.0]), "grp", "v", "side", n_bins=1)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "source string, text string")
+
+
+def test_kl_zero_for_single_source_and_positive_for_skew(spark):
+    # one source: p == q exactly -> every ln ratio is 0 or floors to -1
+    out = kl_mixture(_docs(spark, [("s1", "a b c a b a")] * 4), top_v=8).collect()
+    assert len(out) == 1 and abs(out[0].kl12) < 100_000
+    # two sources with disjoint-ish vocab: both diverge from the mixture
+    docs = [("s1", "a a a a b")] * 5 + [("s2", "z z z z y")] * 5
+    out = {r.source: r for r in kl_mixture(_docs(spark, docs), top_v=8).collect()}
+    assert out["s1"].kl12 > 100_000_000_000 and out["s2"].kl12 > 100_000_000_000
+    # smoothing uses the REALIZED vocab (4 terms here, not top_v=8):
+    # Gibbs holds, so no negative KL even with the cap unreachable
+    assert all(r.kl12 >= -1_000_000 for r in out.values())
+
+
+def test_kl_validates_top_v(spark):
+    with pytest.raises(ValueError, match="top_v"):
+        kl_mixture(_docs(spark, [("s", "a")]), top_v=0)

@@ -1317,3 +1317,49 @@ def test_sample_weighted_es_properties(spark):
     floats = df.select("doc_id", F.col("w").cast("double").alias("w"))
     with pytest.raises(ValueError, match="integral"):
         sample_weighted(floats, 5, "w")
+
+
+def test_sample_allocation_hamilton_budget(spark):
+    """Exact total, largest-remainder extras, deterministic within-stratum
+    draw, and the in-plan budget guard."""
+    from pyspark.sql.utils import AnalysisException
+
+    from kafka_workers_spark.pipeline import sample_allocation
+
+    # strata sizes 50/30/20, n=7: quotas 3.5/2.1/1.4 -> base 3/2/1,
+    # leftover 1 goes to 'a' (largest remainder .5)
+    rows = (
+        [("a", i) for i in range(50)]
+        + [("b", 100 + i) for i in range(30)]
+        + [("c", 200 + i) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    got = sample_allocation(df, 7, "lang", "doc_id").collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.lang, set()).add(r.doc_id)
+    assert sum(len(v) for v in by.values()) == 7
+    assert {k: len(v) for k, v in by.items()} == {"a": 4, "b": 2, "c": 1}
+    # deterministic: a re-run draws the identical ids
+    again = sample_allocation(df, 7, "lang", "doc_id").collect()
+    assert {(r.lang, r.doc_id) for r in again} == {(r.lang, r.doc_id) for r in got}
+    # n == N takes everything; n > N raises in-plan; n < 0 at call time
+    assert sample_allocation(df, 100, "lang", "doc_id").count() == 100
+    with pytest.raises(Exception, match="exceeds the row count"):
+        sample_allocation(df, 101, "lang", "doc_id").collect()
+    with pytest.raises(ValueError, match="total_n"):
+        sample_allocation(df, -1, "lang", "doc_id")
+    assert sample_allocation(df, 0, "lang", "doc_id").count() == 0
+
+
+def test_sample_allocation_remainder_tie_breaks_by_stratum(spark):
+    """Equal remainders: the extra seats go to the lexicographically
+    smallest strata (the documented deterministic tiebreak)."""
+    from kafka_workers_spark.pipeline import sample_allocation
+
+    # four strata of 25 each, n=2: base 0 each, remainders all equal ->
+    # the 2 extras go to 'a' and 'b'
+    rows = [(s, ord(s) * 100 + i) for s in "abcd" for i in range(25)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    got = sorted({r.lang for r in sample_allocation(df, 2, "lang", "doc_id").collect()})
+    assert got == ["a", "b"]

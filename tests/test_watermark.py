@@ -219,3 +219,75 @@ def test_sliding_pane_merge_streaming(spark, tmp_path):
         )
     }
     assert got == expected, (sorted(got), sorted(expected))
+
+
+def test_session_window_streaming_equals_batch(spark, tmp_path):
+    """Native session_window under a watermark: closed sessions emitted
+    on the stream must equal the batch session_window aggregate on the
+    same rows — the 'streaming-ready' claim events_session_window's
+    docstring makes, run live. Covers the merge case (two events 10 min
+    apart fusing into one session) and the split case (gap > 30 min)."""
+    src = str(tmp_path / "src")
+    data = [
+        (1, _ts(0)), (1, _ts(600)),      # one session [0, 600+1800)
+        (1, _ts(3000)),                  # gap 2400s > 1800 -> new session
+        (2, _ts(100)),                   # singleton
+    ]
+    schema = "user_id long, ts timestamp"
+    spark.createDataFrame(data, schema).coalesce(1).write.parquet(src)
+    # sentinel pair: advance the watermark past every session end, then
+    # run one more batch so the eviction emits (same discipline as
+    # test_sliding_pane_merge_streaming)
+    for day in (2, 3):
+        spark.createDataFrame(
+            [(SENT := 999, datetime(2024, 1, day))], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sw_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(f"SELECT * FROM sw_out WHERE user_id <> {SENT}").collect(),
+        )
+    )
+    batch = spark.createDataFrame(data, schema)
+    want = sorted(
+        map(
+            tuple,
+            batch.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    assert [(r[0], r[3]) for r in got] == [(1, 2), (1, 1), (2, 1)]
