@@ -642,3 +642,98 @@ def kcore(
     return adj.groupBy(F.col("__s").alias("node")).agg(
         F.count("*").cast("bigint").alias("degree")
     )
+
+
+def select_survivors(
+    groups: DataFrame,
+    stats: DataFrame,
+    score_col: str,
+    group_col: str = "group_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-based survivor selection over dedup groups: per group keep
+    the member with the HIGHEST ``score_col`` (ties: smallest id) — the
+    production dedup rule. Min-id canonicalization
+    (:func:`connected_components`' ``comp``) picks an arbitrary member;
+    a curated corpus keeps the longest / highest-quality duplicate and
+    drops the rest, so the survivor must be score-ranked, not id-ranked.
+
+    ``groups`` is ``(id_col, group_col)`` (the components output);
+    ``stats`` is ``(id_col, score_col)`` — joined 1:1 on ``id_col``.
+    Ids must be numeric (the argmax rides ``max(struct(score, -id))``,
+    one partially-aggregatable max — the label_propagation tiebreak).
+    Returns ``(id_col, group_col, score_col, survivor_id, is_survivor)``.
+
+    Shape at scale: one equi-join groups⋈stats on the id (both sides
+    pre-hashed by upstream shuffles), one group-keyed max aggregate over
+    (group, score, id) longs, one broadcast-size join back when groups
+    are many-per — Spark plans it as a shuffled hash join on group_col;
+    payloads never enter."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(groups.schema[id_col].dataType, NumericType):
+        raise ValueError(
+            f"select_survivors requires numeric ids; {id_col!r} is "
+            f"{groups.schema[id_col].dataType.simpleString()}"
+        )
+    scored = groups.join(stats.select(id_col, score_col), id_col)
+    best = scored.groupBy(group_col).agg(
+        F.max(
+            F.struct(F.col(score_col).alias("__s"), (-F.col(id_col)).alias("__ni"))
+        ).alias("__m")
+    ).select(group_col, (-F.col("__m.__ni")).alias("survivor_id"))
+    return scored.join(best, group_col).select(
+        id_col,
+        group_col,
+        score_col,
+        "survivor_id",
+        (F.col(id_col) == F.col("survivor_id")).alias("is_survivor"),
+    )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    min_common: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Neighbor-overlap similarity between ``dst`` nodes of a bipartite
+    edge list: Jaccard over their ``src`` neighbor sets — the
+    collaborative-filtering / co-occurrence similarity (suppliers who
+    share customers, documents that share near-dup partners, tokens that
+    share contexts). Pairs generate by the WEDGE join (two edges meeting
+    at one src — the triangle_counts shape): cost Σ_src deg(src)², never
+    |dst|², and ``min_common`` prunes AFTER one aggregate over (long,
+    long) pairs. Returns ``(node_a, node_b, n_common, deg_a, deg_b,
+    jaccard)`` with node_a < node_b; jaccard = common/(da+db−common) is
+    ONE IEEE division of exact long counts (the transition_matrix float
+    rule), so the whole row rides the value hash.
+
+    A hub src with degree d contributes d² wedges — cap or drop
+    pathological hubs upstream (the stopword rule) before calling at
+    10⁹-edge scale."""
+    if min_common < 1:
+        raise ValueError(f"min_common ({min_common}) must be >= 1")
+    e = edges.select(F.col(src).alias("__c"), F.col(dst).alias("__s")).distinct()
+    deg = e.groupBy("__s").agg(F.count("*").cast("long").alias("__d"))
+    a, b = e.alias("a"), e.alias("b")
+    common = (
+        a.join(b, (F.col("a.__c") == F.col("b.__c")) & (F.col("a.__s") < F.col("b.__s")))
+        .groupBy(
+            F.col("a.__s").alias("node_a"), F.col("b.__s").alias("node_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    da = deg.select(F.col("__s").alias("node_a"), F.col("__d").alias("deg_a"))
+    db = deg.select(F.col("__s").alias("node_b"), F.col("__d").alias("deg_b"))
+    out = common.join(da, "node_a").join(db, "node_b")
+    denom = (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast("double")
+    return out.select(
+        "node_a",
+        "node_b",
+        "n_common",
+        "deg_a",
+        "deg_b",
+        (F.col("n_common").cast("double") / denom).alias("jaccard"),
+    )

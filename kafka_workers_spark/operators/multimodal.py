@@ -463,6 +463,71 @@ def media_near_dup(
     )
 
 
+def _frame_signatures(
+    media: DataFrame,
+    frame_len: int,
+    every_nth: int,
+    payload_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared frame-fingerprint stage for :func:`frame_dedup_pairs` and
+    :func:`scene_cuts`: ``(id, frame_no, nf, ph)`` per sampled complete
+    frame. Stage 1 hexes each payload ONCE behind a barrier (DIV, not
+    `/`, structurally matching the DuckDB twins' `//`); stage 2 slices
+    each sampled frame's hex inside ONE ``transform`` over the
+    frame-index sequence (``__hex`` is an attribute there, so the
+    per-element substr is O(frame) — total O(bytes) per row), explodes
+    (frame_no, fhex), hashes each frame, and PINS the signatures behind
+    a (id, frame_no) aggregate that rides the barrier's id-partitioning
+    ((id, frame_no) is unique, so ``first()`` is a semantic no-op; the
+    pin stops inferred isnotnull constraints re-substituting the
+    signature tree below the exchange — the measured 165 s trap, see
+    :func:`media_near_dup`)."""
+    from kafka_workers_spark.operators.dedup import barrier
+
+    two_l = 2 * frame_len
+    staged = barrier(
+        media.filter(F.col(payload_col).isNotNull())
+        .select(
+            id_col,
+            F.hex(F.col(payload_col)).alias("__hex"),
+            F.expr(f"octet_length(`{payload_col}`) DIV {frame_len}")
+            .cast("long")
+            .alias("__nf"),
+        )
+        .filter(F.col("__nf") >= 1),
+        id_col,
+    )
+    fl = F.lit(frame_len).cast("long")
+    frames = staged.select(
+        id_col,
+        "__nf",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nf") - 1, F.lit(every_nth)),
+                lambda i: F.struct(
+                    i.cast("long").alias("frame_no"),
+                    F.substr(
+                        F.col("__hex"), i * two_l + 1, F.lit(two_l)
+                    ).alias("fhex"),
+                ),
+            )
+        ).alias("__f"),
+    )
+    return (
+        frames.select(
+            id_col,
+            "__nf",
+            F.col("__f.frame_no").alias("frame_no"),
+            _phash_from_cells(
+                fl, _cells_from_hex(F.col("__f.fhex"), fl)
+            ).alias("ph"),
+        )
+        .groupBy(id_col, "frame_no")
+        .agg(F.first("__nf").alias("nf"), F.first("ph").alias("ph"))
+    )
+
+
 def frame_dedup_pairs(
     media: DataFrame,
     frame_len: int,
@@ -512,7 +577,7 @@ def frame_dedup_pairs(
     never fan out into pairs, and pair cost is Sigma bucket^2, never n^2."""
     from fractions import Fraction
 
-    from kafka_workers_spark.operators.dedup import barrier, hamming32, simhash_bands
+    from kafka_workers_spark.operators.dedup import hamming32, simhash_bands
 
     if frame_len < 1:
         raise ValueError(f"frame_len must be >= 1, got {frame_len}")
@@ -526,59 +591,8 @@ def frame_dedup_pairs(
     if not 0 < min_match_frac <= 1:
         raise ValueError(f"min_match_frac must be in (0, 1], got {min_match_frac}")
     frac = Fraction(min_match_frac).limit_denominator(1_000_000)
-    two_l = 2 * frame_len
 
-    # Stage 1: hex once per payload behind the barrier; complete frames
-    # only (nf >= 1). NULL payloads drop on the scan column.
-    staged = barrier(
-        media.filter(F.col(payload_col).isNotNull())
-        .select(
-            id_col,
-            F.hex(F.col(payload_col)).alias("__hex"),
-            # DIV, not `/`: structural match with the DuckDB twin's `//`
-            # (the cross-engine exactness discipline — float division
-            # happens to be exact here but should not be load-bearing)
-            F.expr(f"octet_length(`{payload_col}`) DIV {frame_len}")
-            .cast("long")
-            .alias("__nf"),
-        )
-        .filter(F.col("__nf") >= 1),
-        id_col,
-    )
-    # Stage 2: slice each sampled frame's hex inside ONE transform over
-    # the frame-index sequence (__hex is an attribute here, so the
-    # per-element substr is O(frame) -- total O(bytes) per row), explode
-    # (frame_no, frame_hex), hash each frame, and PIN the signatures
-    # behind a (id, frame_no) aggregate ((id, frame_no) is unique, so
-    # first() is a semantic no-op).
-    fl = F.lit(frame_len).cast("long")
-    frames = staged.select(
-        id_col,
-        "__nf",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("__nf") - 1, F.lit(every_nth)),
-                lambda i: F.struct(
-                    i.cast("long").alias("frame_no"),
-                    F.substr(
-                        F.col("__hex"), i * two_l + 1, F.lit(two_l)
-                    ).alias("fhex"),
-                ),
-            )
-        ).alias("__f"),
-    )
-    sigs = (
-        frames.select(
-            id_col,
-            "__nf",
-            F.col("__f.frame_no").alias("frame_no"),
-            _phash_from_cells(
-                fl, _cells_from_hex(F.col("__f.fhex"), fl)
-            ).alias("ph"),
-        )
-        .groupBy(id_col, "frame_no")
-        .agg(F.first("__nf").alias("nf"), F.first("ph").alias("ph"))
-    )
+    sigs = _frame_signatures(media, frame_len, every_nth, payload_col, id_col)
     bands = sigs.select(
         id_col,
         "frame_no",
@@ -889,4 +903,106 @@ def sql_cdc_chunks(payload_expr: str, boundary_bits: int = 6) -> str:
                        (ends[k] - COALESCE(ends[k - 1], 0)) * 2)) AS chunk_digest,
             CAST(ends[k] - COALESCE(ends[k - 1], 0) AS BIGINT) AS chunk_len
      FROM bounded, UNNEST(generate_series(1, len(ends))) AS t(k))
+    """
+
+
+def scene_cuts(
+    media: DataFrame,
+    frame_len: int,
+    cut_hamming: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scene-cut (shot-boundary) detection over video-like binary
+    payloads: perceptual-hash every complete ``frame_len``-byte frame
+    (the :func:`_frame_signatures` stage shared with
+    :func:`frame_dedup_pairs`), then mark a CUT wherever the Hamming
+    distance between a frame's signature and its predecessor exceeds
+    ``cut_hamming`` — the classic pairwise-difference shot detector
+    (threshold on consecutive-frame dissimilarity), run engine-side so a
+    video corpus can be scene-segmented before frame sampling: sampling
+    one frame PER SCENE beats every-Nth sampling for training-data
+    diversity at the same budget.
+
+    Returns one row per sampled frame: ``(id, frame_no, ph, hamming_prev
+    [NULL on the first frame], is_cut, scene_no)`` — ``scene_no`` is the
+    running cut count per media (first frame opens scene 0), so
+    downstream GROUP BY (id, scene_no) is the per-scene frame budget.
+    All columns are exact integers; the DuckDB twin
+    (:func:`sql_scene_cuts`) replays the identical hex-slice fingerprint
+    and lag/cumsum — cross-engine value-hash-exact.
+
+    Shape at 100 TB: the fingerprint stage is O(bytes) per row behind
+    one barrier (payloads never shuffle past it); the cut detection is
+    ONE window shuffle on the media id over (id, frame_no, ph) longs —
+    no joins, no fan-out beyond the per-frame explode."""
+    if not 0 <= cut_hamming <= 32:
+        raise ValueError(f"cut_hamming ({cut_hamming}) outside [0, 32]")
+    from pyspark.sql import Window as W
+
+    from kafka_workers_spark.operators.dedup import hamming32
+
+    sigs = _frame_signatures(media, frame_len, 1, payload_col, id_col)
+    w = W.partitionBy(id_col).orderBy("frame_no")
+    prev = F.lag("ph").over(w)
+    d = F.when(prev.isNotNull(), hamming32(F.col("ph"), prev)).cast("int")
+    cut = F.coalesce(d > cut_hamming, F.lit(False))
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        sigs.select(
+            id_col,
+            "frame_no",
+            "ph",
+            d.alias("hamming_prev"),
+            cut.alias("is_cut"),
+        )
+        .select(
+            "*",
+            F.sum(F.col("is_cut").cast("long")).over(wrun).cast("bigint").alias("scene_no"),
+        )
+    )
+
+
+def sql_scene_cuts(
+    payload_expr: str,
+    id_expr: str,
+    from_clause: str,
+    frame_len: int,
+    cut_hamming: int = 8,
+    id_alias: str = "doc_id",
+) -> str:
+    """DuckDB replay of :func:`scene_cuts`: same hex-slice fingerprint
+    (:func:`sql_perceptual_hash_hex`), same lag + running-sum cut
+    numbering; ``id_alias`` names the output id column to match the
+    Spark side's ``id_col``."""
+    two_l = 2 * frame_len
+    ph = sql_perceptual_hash_hex(
+        f"substr(hx, frame_no * {two_l} + 1, {two_l})", str(frame_len)
+    )
+    return f"""
+    WITH media AS (
+      SELECT {id_expr} AS mid, hex({payload_expr}) AS hx,
+             octet_length({payload_expr}) // {frame_len} AS nf
+      {from_clause}
+      WHERE {payload_expr} IS NOT NULL
+        AND octet_length({payload_expr}) >= {frame_len}
+    ), frames AS (
+      SELECT mid, nf, hx, unnest(generate_series(0, nf - 1)) AS frame_no
+      FROM media
+    ), sigs AS (
+      SELECT mid, nf, frame_no, {ph} AS ph FROM frames
+    ), lagged AS (
+      SELECT mid, frame_no, ph,
+             CAST(bit_count(xor(ph, LAG(ph) OVER w)) AS INTEGER) AS hamming_prev
+      FROM sigs
+      WINDOW w AS (PARTITION BY mid ORDER BY frame_no)
+    )
+    SELECT mid AS {id_alias}, frame_no, ph, hamming_prev,
+           COALESCE(hamming_prev > {cut_hamming}, FALSE) AS is_cut,
+           CAST(SUM(CASE WHEN COALESCE(hamming_prev > {cut_hamming}, FALSE)
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY mid ORDER BY frame_no
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS scene_no
+    FROM lagged
     """

@@ -735,3 +735,173 @@ def transition_matrix(transitions: DataFrame) -> DataFrame:
         n_from.alias("n_from"),
         (F.col("n").cast("double") / n_from.cast("double")).alias("prob"),
     )
+
+
+def pit_enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    dim_ts: str,
+    attrs: list[str],
+    dim_tiebreak: str | None = None,
+) -> DataFrame:
+    """Point-in-time dimension enrichment WITHOUT a join: stamp every
+    fact row with the dimension attributes valid AT its event time —
+    the SCD2 lookup (``valid_from <= ts < valid_to``) every feature
+    pipeline runs to avoid label leakage (training features must be the
+    values known AT the event, not today's).
+
+    The naive plan is an interval-containment join (fact × history
+    range predicate). This operator instead UNIONS the two frames —
+    dimension versions as state-change markers, facts as probes — and
+    takes ``last(attr, ignorenulls)`` over one (key)-partitioned window
+    ordered by (ts, side): a single shuffle, NO join, no interval
+    fan-out, the asof_join union trick generalized to versioned
+    dimensions. At equal timestamps the dimension row sorts FIRST, so a
+    version is visible from its own ``valid_from`` inclusive — exactly
+    the half-open [valid_from, valid_to) containment. The DuckDB oracle
+    for join_scd2_pointintime deliberately replays the CONTAINMENT-JOIN
+    form, so the two formulations are held equal cross-engine — a
+    cross-PLAN check, not a replay of the same shape.
+
+    ``dim`` must carry unique ``(key, dim_ts)`` versions, or pass
+    ``dim_tiebreak`` (e.g. ``valid_to`` ascending-nulls-last for SCD2
+    histories with zero-width versions: the version whose interval
+    extends furthest is the visible one). Facts earlier than every
+    version get NULL attributes (the LEFT-join semantics). Fact and
+    dimension column names must be disjoint apart from ``key``.
+
+    Shape at scale: one window shuffle on ``key`` over facts+versions —
+    versions are a vanishing fraction of facts, so the cost is one sort
+    of the fact stream; payloads ride the window but never replicate
+    (contrast the containment join, whose range predicate needs a
+    bucket explode or a nested loop when the optimizer can't see the
+    partition-by-time structure)."""
+    clash = (set(facts.columns) & set(dim.columns)) - {key}
+    if clash:
+        raise ValueError(
+            f"facts/dim share non-key columns {sorted(clash)}; rename one side"
+        )
+    for a in attrs:
+        if a not in dim.columns:
+            raise ValueError(f"attr {a!r} not in dim columns {dim.columns}")
+    from pyspark.sql import Window as W
+
+    d = dim.select(
+        F.col(key),
+        F.col(dim_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        (
+            F.col(dim_tiebreak)
+            if dim_tiebreak
+            else F.lit(None).cast("long")
+        ).alias("__dtb"),
+        *[F.col(a) for a in attrs],
+        *[F.lit(None).cast(facts.schema[c].dataType).alias(c)
+          for c in facts.columns if c != key],
+    )
+    f = facts.select(
+        F.col(key),
+        F.col(fact_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(d.schema["__dtb"].dataType).alias("__dtb"),
+        *[F.lit(None).cast(dim.schema[a].dataType).alias(a) for a in attrs],
+        *[F.col(c) for c in facts.columns if c != key],
+    )
+    w = (
+        W.partitionBy(key)
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__side").asc(),
+            F.col("__dtb").asc_nulls_last(),
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    enriched = d.unionByName(f).select(
+        "*",
+        *[
+            F.last(F.when(F.col("__side") == 0, F.col(a)), ignorenulls=True)
+            .over(w)
+            .alias(f"__pit_{a}")
+            for a in attrs
+        ],
+        F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
+        .over(w)
+        .alias("__pit_since"),
+    )
+    return enriched.filter(F.col("__side") == 1).select(
+        key,
+        *[F.col(c) for c in facts.columns if c != key],
+        *[F.col(f"__pit_{a}").alias(a) for a in attrs],
+        F.col("__pit_since").alias("valid_since"),
+    )
+
+
+MARKOV_SCALE = 10**9
+
+
+def markov_stationary(
+    transitions: DataFrame,
+    iters: int = 4,
+) -> DataFrame:
+    """Stationary distribution of the first-order Markov chain by
+    fixed-iteration power method in exact scaled integers (the pagerank
+    discipline applied to :func:`transition_matrix`'s chain): transition
+    probabilities quantize once as ``q9 = (n · 10^9) DIV n_from`` and
+    each round folds ``π'(s') = Σ_s (π(s) · q9(s,s')) DIV 10^9`` — every
+    intermediate ≤ 10^18, so the recurrence never overflows int64 at ANY
+    corpus scale (contrast folding the raw counts, where π·n breaks past
+    n_from ≈ 9·10⁹). The long-run state mix is the journey-level
+    complement of the per-transition matrix: where does a user
+    population settle.
+
+    ``iters`` is FIXED and the oracle unrolls the same count (the
+    pagerank/kcore discipline). States with no outgoing transition leak
+    their mass (the dangling-node behavior pagerank documents); DIV
+    flooring bleeds ≤ |states| units of 10⁻⁹ per round. Returns
+    ``(state, pi9)`` with π scaled by 10^9.
+
+    Shape at scale: the transition matrix aggregates once (state-pair
+    keyed, tiny); each round is one broadcast-size join of the π vector
+    to the matrix plus one aggregate over (state, long) rows — the
+    Pregel-on-SQL shape on a |states|² frame, independent of event
+    count."""
+    if iters < 1:
+        raise ValueError(f"iters ({iters}) must be >= 1")
+    from pyspark.sql import Window as W
+
+    counts = transitions.groupBy(
+        F.col("prev_state").alias("__p"), F.col("next_state").alias("__x")
+    ).agg(F.count("*").cast("long").alias("__n"))
+    q = counts.select(
+        "__p",
+        "__x",
+        "__n",
+        F.sum("__n").over(W.partitionBy("__p")).cast("long").alias("__nf"),
+    ).select(
+        "__p", "__x", F.expr(f"(__n * {MARKOV_SCALE}) DIV __nf").alias("__q9")
+    )
+    states = (
+        transitions.select(F.col("prev_state").alias("state"))
+        .unionAll(transitions.select(F.col("next_state").alias("state")))
+        .distinct()
+    )
+    ns = states.agg(F.count("*").cast("long").alias("__c"))
+    pi = states.crossJoin(F.broadcast(ns)).select(
+        "state", F.expr(f"{MARKOV_SCALE} DIV __c").cast("long").alias("pi9")
+    )
+    for _ in range(iters):
+        contrib = (
+            pi.join(q, pi["state"] == q["__p"])
+            .groupBy(F.col("__x").alias("state"))
+            .agg(
+                F.sum(F.expr(f"(pi9 * __q9) DIV {MARKOV_SCALE}"))
+                .cast("long")
+                .alias("__s")
+            )
+        )
+        pi = states.join(contrib, "state", "left").select(
+            "state", F.coalesce("__s", F.lit(0)).cast("long").alias("pi9")
+        )
+    return pi

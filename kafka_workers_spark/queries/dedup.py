@@ -422,10 +422,10 @@ def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_group_components",
-    f"""
-    WITH RECURSIVE sigs AS (
+# the pair-generation + closure CTE chain, shared by
+# dedup_group_components and dedup_survivor_quality so the two oracles
+# can never drift (the sql_minhash_signature pattern at CTE scale)
+_CC_CLOSURE_CTES = f"""sigs AS (
       SELECT doc_id, {sql_minhash_signature(_SHINGLES_SQL, MINHASH_K)} AS sig
       FROM documents
     ), bands AS (
@@ -457,7 +457,13 @@ def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT u AS node, u AS comp FROM edges
       UNION
       SELECT e.v AS node, r.comp FROM reach r JOIN edges e ON e.u = r.node
-    )
+    )"""
+
+
+@register(
+    "dedup_group_components",
+    f"""
+    WITH RECURSIVE {_CC_CLOSURE_CTES}
     SELECT node AS doc_id, MIN(comp) AS group_id,
            (MIN(comp) = node) AS is_canonical
     FROM reach GROUP BY node
@@ -498,6 +504,18 @@ def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = component diameter (near-dup clusters: 2-4). Reference
     tie-in: the reference keeps payloads opaque (api/task/WorkerTask.java:50)
     — group resolution is engine-side training-data surface."""
+    comp = _cc_groups(spark, sf_dir)
+    return comp.select(
+        "doc_id",
+        "group_id",
+        (F.col("group_id") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+def _cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair generation + closure for the component-based dedup
+    queries: (doc_id, group_id) for every doc in at least one candidate
+    pair — the Spark twin of _CC_CLOSURE_CTES."""
     from kafka_workers_spark.operators.components import connected_components
 
     d = load_table(spark, sf_dir, "documents")
@@ -541,9 +559,7 @@ def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("ka.doc_id").alias("doc_a"), F.col("kb.doc_id").alias("doc_b"))
     comp = connected_components(mh.union(ng), src="doc_a", dst="doc_b")
     return comp.select(
-        F.col("node").alias("doc_id"),
-        F.col("comp").alias("group_id"),
-        (F.col("comp") == F.col("node")).alias("is_canonical"),
+        F.col("node").alias("doc_id"), F.col("comp").alias("group_id")
     )
 
 
@@ -880,4 +896,45 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
         F.count("*").alias("n_occurrences"),
         F.min("chunk_len").alias("chunk_len"),
+    )
+
+
+@register(
+    "dedup_survivor_quality",
+    f"""
+    WITH RECURSIVE {_CC_CLOSURE_CTES}, groups AS (
+      SELECT node AS doc_id, MIN(comp) AS group_id FROM reach GROUP BY node
+    ), scored AS (
+      SELECT g.doc_id, g.group_id, d.n_chars
+      FROM groups g JOIN documents d ON g.doc_id = d.doc_id
+    ), best AS (
+      SELECT doc_id AS survivor_id, group_id FROM (
+        SELECT doc_id, group_id,
+               ROW_NUMBER() OVER (PARTITION BY group_id
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT s.doc_id, s.group_id, s.n_chars, b.survivor_id,
+           (s.doc_id = b.survivor_id) AS is_survivor
+    FROM scored s JOIN best b ON s.group_id = b.group_id
+    """,
+    category="dedup",
+    windowed=False,
+)
+def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked survivor selection over the transitive dedup groups
+    (operators.components.select_survivors over the same closure as
+    dedup_group_components): per group the LONGEST member survives (ties:
+    smallest doc_id) — the curated-corpus rule, vs the arbitrary min-id
+    canonical. The oracle extends the shared closure CTE chain
+    (_CC_CLOSURE_CTES — literally the same SQL object, so the two
+    component queries can never drift) with a score-ranked window pick;
+    the Spark side ranks with one partially-aggregatable max(struct)
+    instead of a window — another cross-plan pairing."""
+    stats = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from kafka_workers_spark.operators.components import select_survivors
+
+    return select_survivors(
+        _cc_groups(spark, sf_dir), stats, "n_chars", "group_id", "doc_id"
     )

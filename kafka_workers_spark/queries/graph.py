@@ -281,3 +281,48 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore(edges, k=_KCORE_K, iters=_KCORE_ITERS)
+
+
+_NJ_MIN_COMMON = 10
+
+
+@register(
+    "graph_neighbor_jaccard",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), deg AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1
+    ), common AS (
+      SELECT a.s AS node_a, b.s AS node_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_NJ_MIN_COMMON}
+    )
+    SELECT c.node_a, c.node_b, c.n_common,
+           da.d AS deg_a, db.d AS deg_b,
+           CAST(c.n_common AS DOUBLE)
+             / CAST(da.d + db.d - c.n_common AS DOUBLE) AS jaccard
+    FROM common c
+    JOIN deg da ON da.s = c.node_a
+    JOIN deg db ON db.s = c.node_b
+    """,
+    category="graph",
+    windowed=False,
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-to-supplier similarity by shared-customer overlap
+    (operators.components.neighbor_jaccard): the co-occurrence/
+    collaborative-filtering wedge join — pairs via two purchase edges
+    meeting at one customer (Σ deg² cost, never |suppliers|²), Jaccard
+    as one IEEE division of exact long counts. The training-pipeline
+    twin is document similarity by shared near-dup partners."""
+    from kafka_workers_spark.operators.components import neighbor_jaccard
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    return neighbor_jaccard(edges, min_common=_NJ_MIN_COMMON)

@@ -184,3 +184,39 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_dedup_pairs(
         media, frame_len=_FRAME_LEN, every_nth=1, max_hamming=3, min_match_frac=0.5
     )
+
+
+from kafka_workers_spark.operators.multimodal import sql_scene_cuts  # noqa: E402
+
+_CUT_HAMMING = 16  # median consecutive-frame hamming on this corpus is 15
+
+
+@register(
+    "multimodal_scene_cuts",
+    sql_scene_cuts(
+        "encode(text)",
+        "doc_id",
+        "FROM documents",
+        frame_len=_FRAME_LEN,
+        cut_hamming=_CUT_HAMMING,
+    ),
+    category="multimodal",
+    windowed=False,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over video-like payloads
+    (operators.multimodal.scene_cuts): every 64-byte frame
+    perceptual-hashed through the SAME fingerprint stage as
+    multimodal_frame_dedup, a cut flagged where consecutive frames'
+    Hamming distance exceeds {cut} — the pairwise shot-boundary
+    detector, with the running cut count as the per-media scene number
+    (GROUP BY (doc_id, scene_no) is the scene-stratified frame-sampling
+    key). The oracle replays fingerprint, lag and cumsum; hamming_prev
+    is NULL on each media's first frame on both engines."""
+    from kafka_workers_spark.operators.multimodal import scene_cuts
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id", F.to_binary(F.col("text"), F.lit("utf-8")).alias("payload")
+    )
+    return scene_cuts(media, frame_len=_FRAME_LEN, cut_hamming=_CUT_HAMMING)

@@ -1925,3 +1925,141 @@ def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "*", (F.col("n_prev_24h") >= _RATE_LIMIT).alias("over_limit")
     )
+
+
+@register(
+    "join_scd2_pointintime",
+    """
+    WITH obs AS (
+      SELECT user_id, ts, event_type, event_id,
+             LAG(event_type) OVER w AS prev,
+             ROW_NUMBER() OVER w AS rn
+      FROM events WHERE event_type <> 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, ts, event_type, event_id FROM obs
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    ), history AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM changes
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, p.purchase_ts,
+           h.event_type AS state, h.valid_from AS valid_since
+    FROM p LEFT JOIN history h
+      ON h.user_id = p.user_id
+     AND h.valid_from <= p.purchase_ts
+     AND (h.valid_to IS NULL OR p.purchase_ts < h.valid_to)
+    """,
+    windowed=False,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup (operators.relational.pit_enrich over
+    pipeline.scd2_history): every purchase stamped with the user's state
+    — the most recent non-purchase event_type version valid AT purchase
+    time — the label-leakage-safe feature join. The Spark plan is the
+    JOIN-FREE union-window form (one key shuffle, versions as
+    change markers, last-ignore-nulls); the oracle deliberately replays
+    the interval-CONTAINMENT-JOIN form over the same SCD2 history, so
+    the two formulations are held equal cross-engine (a cross-plan
+    check, the stream_funnel_state pairing). Purchases before a user's
+    first observation keep NULL state (LEFT semantics on both forms);
+    ties at valid_from are dim-first on the window side and
+    valid_from <= ts on the join side — the same half-open interval."""
+    from kafka_workers_spark.operators.relational import pit_enrich
+    from kafka_workers_spark.pipeline import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_history(
+        ev.filter(F.col("event_type") != "purchase").select(
+            "user_id", "ts", "event_type", "event_id"
+        ),
+        ["user_id"],
+        "ts",
+        ["event_type"],
+        "event_id",
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return pit_enrich(
+        facts,
+        dim.select("user_id", "valid_from", "valid_to", "state"),
+        key="user_id",
+        fact_ts="purchase_ts",
+        dim_ts="valid_from",
+        attrs=["state"],
+        dim_tiebreak="valid_to",
+    ).select("user_id", "purchase_id", "purchase_ts", "state", "valid_since")
+
+
+_MST_ITERS = 4
+_MST_SCALE = 10**9  # == operators.relational.MARKOV_SCALE (asserted in tests)
+
+
+def _sql_markov_stationary_ctes(iters: int) -> str:
+    """Unroll the scaled-integer power iteration as a LINEAR CTE chain
+    (each p{i} referenced once — the graph_kcore lesson)."""
+    s = _MST_SCALE
+    ctes = [
+        """t AS (
+      SELECT event_type AS nxt,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prv
+      FROM events
+    )""",
+        "c AS (SELECT prv, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM t WHERE prv IS NOT NULL GROUP BY 1, 2)",
+        f"q AS (SELECT prv, nxt, (n * {s}) // CAST(SUM(n) OVER (PARTITION BY prv) AS BIGINT) AS q9 FROM c)",
+        "states AS (SELECT prv AS state FROM c UNION SELECT nxt FROM c)",
+        "ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM states)",
+        f"p0 AS (SELECT state, CAST({s} // cnt AS BIGINT) AS pi9 FROM states CROSS JOIN ns)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT q.nxt AS state, SUM((p.pi9 * q.q9) // {s}) AS sm"
+            f" FROM p{i - 1} p JOIN q ON p.state = q.prv GROUP BY 1)"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT states.state, CAST(COALESCE(c{i}.sm, 0) AS BIGINT) AS pi9"
+            f" FROM states LEFT JOIN c{i} ON c{i}.state = states.state)"
+        )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "events_markov_stationary",
+    f"""
+    WITH {_sql_markov_stationary_ctes(_MST_ITERS)}
+    SELECT state, pi9 FROM p{_MST_ITERS}
+    """,
+    category="relational",
+    windowed=False,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run state mix of the user-journey Markov chain
+    (operators.relational.markov_stationary): {iters} power-method
+    rounds in exact scaled integers — transition probabilities quantize
+    ONCE as (n·10⁹) DIV n_from, each round folds (π·q9) DIV 10⁹, every
+    intermediate ≤ 10¹⁸ so the recurrence is int64-safe at any corpus
+    scale. Completes the Markov trio's matrix with where the population
+    settles; the oracle unrolls the identical rounds as a linear CTE
+    chain (the pagerank/kcore discipline)."""
+    from kafka_workers_spark.operators.relational import markov_stationary
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.lag("event_type").over(w).alias("prev_state"),
+        F.col("event_type").alias("next_state"),
+    ).filter(F.col("prev_state").isNotNull())
+    return markov_stationary(trans, iters=_MST_ITERS)

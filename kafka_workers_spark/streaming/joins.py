@@ -20,7 +20,8 @@ interval condition let Spark drop left state once the watermark passes
 property that makes the join viable on an unbounded stream). ``inner``
 emits eagerly on match; ``left_outer`` additionally emits null-padded
 left rows once their window closes, so late output lags the watermark by
-design.
+design; ``left_semi`` emits each matched left row once (the "views that
+converted" filter — left columns only, no fan-out per match).
 
 Batch is the deterministic replay: the same join expression on static
 DataFrames — Catalyst plans the equi-key part as a hash/SMJ join and
@@ -33,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_HOW = {"inner", "left_outer"}
+_HOW = {"inner", "left_outer", "left_semi"}
 
 
 def interval_join(
@@ -84,9 +85,9 @@ def interval_join(
         & (rt <= lt + F.expr(f"INTERVAL {int(upper_s)} SECOND"))
     )
     joined = left.alias("__l").join(right.alias("__r"), cond, how)
-    keep = (
-        [lk.alias(key)]
-        + [F.col(f"__l.{c}") for c in left.columns if c != key]
-        + [F.col(f"__r.{c}") for c in right.columns if c != key]
-    )
+    keep = [lk.alias(key)] + [
+        F.col(f"__l.{c}") for c in left.columns if c != key
+    ]
+    if how != "left_semi":  # semi output carries the left side only
+        keep += [F.col(f"__r.{c}") for c in right.columns if c != key]
     return joined.select(*keep)

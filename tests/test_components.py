@@ -479,3 +479,56 @@ def test_kcore_symmetrizes_and_ignores_self_loops(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.degree for r in kcore(df, k=2, iters=2).collect()}
     assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_select_survivors_prefers_quality_then_min_id(spark):
+    """Highest score survives; ties break to the smallest id; every
+    member points at its group's survivor; non-numeric ids rejected."""
+    from kafka_workers_spark.operators.components import select_survivors
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, group_id long",
+    )
+    stats = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)], "doc_id long, n_chars long"
+    )
+    got = {
+        r.doc_id: (r.survivor_id, r.is_survivor)
+        for r in select_survivors(groups, stats, "n_chars").collect()
+    }
+    # group 1: docs 2 and 3 tie at 9 -> min id 2 survives (not min-id 1!)
+    assert got == {
+        1: (2, False), 2: (2, True), 3: (2, False),
+        10: (10, True), 11: (10, False),
+    }
+    import pytest
+
+    sgroups = groups.select(F.col("doc_id").cast("string").alias("doc_id"), "group_id")
+    with pytest.raises(ValueError, match="numeric ids"):
+        select_survivors(sgroups, stats, "n_chars")
+
+
+def test_neighbor_jaccard_wedge_counts(spark):
+    """Known bipartite graph: customers {1,2} both buy A and B, customer 3
+    buys B and C -> J(A,B) = 2/(2+3-2), J(B,C) = 1/(3+1-1); A-C share
+    nothing and never pair; min_common prunes; duplicate edges collapse."""
+    from kafka_workers_spark.operators.components import neighbor_jaccard
+
+    edges = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "B"), (3, "C"),
+             (1, "A")]  # duplicate edge must not double-count
+    df = spark.createDataFrame(edges, "src long, dst string")
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.deg_a, r.deg_b, r.jaccard)
+        for r in neighbor_jaccard(df, min_common=1).collect()
+    }
+    assert got == {
+        ("A", "B"): (2, 2, 3, 2 / 3),
+        ("B", "C"): (1, 3, 1, 1 / 3),
+    }
+    only = neighbor_jaccard(df, min_common=2).collect()
+    assert [(r.node_a, r.node_b) for r in only] == [("A", "B")]
+    import pytest
+
+    with pytest.raises(ValueError, match="min_common"):
+        neighbor_jaccard(df, min_common=0)

@@ -399,3 +399,42 @@ def test_frame_dedup_parameter_validation(spark):
         frame_dedup_pairs(df, 64, max_hamming=4)
     with pytest.raises(ValueError, match="min_match_frac"):
         frame_dedup_pairs(df, 64, min_match_frac=0.0)
+
+
+def test_scene_cuts_flags_boundary_and_numbers_scenes(spark):
+    """Two constant 'shots' with a hard boundary: identical frames inside
+    a shot (hamming 0, no cut), one cut at the transition, scene_no
+    increments exactly there; first frame has NULL hamming and opens
+    scene 0; a payload shorter than one frame drops."""
+    from kafka_workers_spark.operators.multimodal import scene_cuts
+
+    # patterned frames, not constant ones: aHash thresholds each cell
+    # against the FRAME mean, so a flat frame hashes identically at any
+    # brightness (all cells == mean) — a dark->bright flat transition is
+    # invisible to it (found writing this test); opposite gradients give
+    # complementary bits and a maximal Hamming jump instead
+    frame_a = bytes(range(16))            # ascending gradient
+    frame_b = bytes(reversed(range(16)))  # descending gradient
+    rows = [
+        (1, frame_a * 3 + frame_b * 2),  # cut between frame 2 and 3
+        (2, frame_a),                    # single frame: one scene, no cut
+        (3, b"\x01" * 7),                # shorter than a frame -> dropped
+        (4, None),                       # NULL payload -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = scene_cuts(df, frame_len=16, cut_hamming=8)
+    got = {
+        (r.doc_id, r.frame_no): (r.hamming_prev, r.is_cut, r.scene_no)
+        for r in out.collect()
+    }
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (1, 3), (1, 4), (2, 0)}
+    assert got[(1, 0)] == (None, False, 0)
+    assert got[(1, 1)] == (0, False, 0)
+    assert got[(1, 2)] == (0, False, 0)
+    assert got[(1, 3)][1] is True and got[(1, 3)][2] == 1  # the cut
+    assert got[(1, 4)] == (0, False, 1)
+    assert got[(2, 0)] == (None, False, 0)
+    import pytest
+
+    with pytest.raises(ValueError, match="cut_hamming"):
+        scene_cuts(df, frame_len=16, cut_hamming=40)

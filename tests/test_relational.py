@@ -690,3 +690,89 @@ def test_interval_overlap_join_equals_naive_on_random_intervals(spark, ivs, buck
         if x < y and sx <= sy + ly and sy <= sx + lx
     )
     assert got == want, f"bucket={bucket}: {got} != {want}"
+
+
+def test_pit_enrich_boundaries_and_validation(spark):
+    """Point-in-time lookup semantics (operators.relational.pit_enrich):
+    a fact AT a version's valid_from sees that version (half-open
+    interval, dim-first tie order); a fact before every version gets
+    NULL; zero-width versions (two changes at one timestamp) resolve to
+    the one whose interval extends (valid_to tiebreak, ascending nulls
+    last); shared non-key columns are rejected."""
+    from datetime import datetime
+
+    import pytest
+
+    from kafka_workers_spark.operators.relational import pit_enrich
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    dim = spark.createDataFrame(
+        [
+            # user 1: A from 10 (zero-width A' at 20 superseded by B at 20)
+            (1, ts(10), ts(20), "A"),
+            (1, ts(20), ts(20), "A2"),   # zero-width version [20, 20)
+            (1, ts(20), None, "B"),
+        ],
+        "user_id long, valid_from timestamp, valid_to timestamp, state string",
+    )
+    facts = spark.createDataFrame(
+        [(1, 100, ts(5)), (1, 101, ts(10)), (1, 102, ts(20)), (1, 103, ts(25)),
+         (2, 200, ts(30))],
+        "user_id long, fact_id long, fts timestamp",
+    )
+    out = {
+        r.fact_id: (r.state, r.valid_since)
+        for r in pit_enrich(
+            facts, dim, key="user_id", fact_ts="fts", dim_ts="valid_from",
+            attrs=["state"], dim_tiebreak="valid_to",
+        ).collect()
+    }
+    assert out[100] == (None, None)          # before the first version
+    assert out[101] == ("A", ts(10))         # AT valid_from -> visible
+    assert out[102] == ("B", ts(20))         # zero-width A2 skipped
+    assert out[103] == ("B", ts(20))
+    assert out[200] == (None, None)          # user with no dim at all
+    clash = facts.withColumnRenamed("fts", "valid_from")
+    with pytest.raises(ValueError, match="share non-key"):
+        pit_enrich(clash, dim, "user_id", "valid_from", "valid_from", ["state"])
+    with pytest.raises(ValueError, match="not in dim"):
+        pit_enrich(facts, dim, "user_id", "fts", "valid_from", ["nope"])
+
+
+def test_markov_stationary_matches_integer_replay(spark):
+    """The scaled-integer power iteration vs a literal Python replay on a
+    chain with known stationary mix (A: .75 self-loop, .25 -> B; B -> A
+    always => pi = (0.8, 0.2)), plus the dangling-state mass leak and
+    the iters guard."""
+    import pytest
+
+    from kafka_workers_spark.operators.relational import (
+        MARKOV_SCALE,
+        markov_stationary,
+    )
+
+    trans = [("A", "A")] * 3 + [("A", "B")] + [("B", "A")] * 2
+    df = spark.createDataFrame(trans, "prev_state string, next_state string")
+    got = {r.state: r.pi9 for r in markov_stationary(df, iters=4).collect()}
+
+    # literal replay of the documented recurrence
+    s = MARKOV_SCALE
+    q = {("A", "A"): (3 * s) // 4, ("A", "B"): (1 * s) // 4, ("B", "A"): (2 * s) // 2}
+    pi = {"A": s // 2, "B": s // 2}
+    for _ in range(4):
+        nxt = {"A": 0, "B": 0}
+        for (p, x), q9 in q.items():
+            nxt[x] += (pi[p] * q9) // s
+        pi = nxt
+    assert got == pi
+    assert abs(got["A"] - 0.8 * s) < 0.01 * s  # converging on (0.8, 0.2)
+
+    # dangling terminal state: B absorbs then leaks (pagerank's documented
+    # behavior) — mass shrinks, never crashes
+    leak = spark.createDataFrame([("A", "B")], "prev_state string, next_state string")
+    got = {r.state: r.pi9 for r in markov_stationary(leak, iters=2).collect()}
+    assert got == {"A": 0, "B": 0}  # A's mass moved to B, then leaked
+    with pytest.raises(ValueError, match="iters"):
+        markov_stationary(df, iters=0)

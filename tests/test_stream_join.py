@@ -172,3 +172,48 @@ def test_streaming_equals_batch(spark, tmp_path, how):
         for r in _join(_left_df(spark, _VIEWS), _right_df(spark, _PURCHASES), how).collect()
     )
     assert got == want
+
+
+def test_batch_left_semi_emits_converted_views_once(spark):
+    """left_semi: each view with >=1 in-window purchase appears exactly
+    once, left columns only (view 10 matches TWO purchases yet emits one
+    row)."""
+    out = _join(_left_df(spark, _VIEWS), _right_df(spark, _PURCHASES), "left_semi")
+    assert sorted(out.columns) == ["user_id", "view_id", "view_ts"]
+    got = sorted((r.user_id, r.view_id) for r in out.collect())
+    assert got == [(1, 10), (2, 20)]
+
+
+def test_streaming_left_semi_equals_batch(spark, tmp_path):
+    got = _run_live_semi(spark, tmp_path, "ij_semi")
+    want = sorted(
+        (r.user_id, r.view_id)
+        for r in _join(
+            _left_df(spark, _VIEWS), _right_df(spark, _PURCHASES), "left_semi"
+        ).collect()
+    )
+    assert got == want
+
+
+def _run_live_semi(spark, tmp_path, name):
+    lsrc, rsrc = _write_stream_sources(spark, tmp_path)
+    left = (
+        spark.readStream.schema(_LEFT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(lsrc)
+    )
+    right = (
+        spark.readStream.schema(_RIGHT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(rsrc)
+    )
+    out = _join(left, right, "left_semi")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        f"SELECT user_id, view_id FROM {name} WHERE user_id <> {SENTINEL}"
+    ).collect()
+    return sorted((r.user_id, r.view_id) for r in rows)
