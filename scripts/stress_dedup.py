@@ -1002,6 +1002,113 @@ def run_maintenance_stress(n_keys: int, n_trickle: int, batch_keys: int) -> int:
     return 0
 
 
+def run_pit_stress(n_facts: int, n_keys: int, versions_per_key: int) -> int:
+    """pit_enrich's scale claim, measured: the JOIN-FREE union-window
+    point-in-time lookup vs the interval-containment join on the same
+    (facts, dim-history) workload. The containment join IS an equi-key
+    join in Spark (key match + range residual), but it materializes
+    ``versions_per_key`` candidate rows per fact before the residual
+    filters them — the window form sorts facts+versions once and never
+    fans out. Both paths must return row-identical results (asserted via
+    exceptAll both ways) before the walls count."""
+    import time
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.relational import pit_enrich
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stress_pit")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    day_us = 86_400 * 1_000_000
+    span_us = 30 * day_us
+    step = span_us // versions_per_key
+    # dim: versions_per_key versions per key, evenly spaced, jittered per
+    # key so version boundaries don't align across keys; valid_to = next
+    dim = (
+        spark.range(n_keys * versions_per_key)
+        .select(
+            (F.col("id") % n_keys).alias("key"),
+            F.expr(f"id DIV {n_keys}").alias("__v"),
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(step)).alias("__j"),
+        )
+        .select(
+            "key",
+            "__v",
+            (F.col("__v") * step + F.col("__j")).alias("__from_us"),
+        )
+    )
+    # valid_to = NEXT version's valid_from (lead), NOT from+step: the
+    # jitter makes fixed-width intervals OVERLAP at version boundaries,
+    # and overlapping versions multi-match the containment join (caught
+    # by the row-count assert on the first run of this rep)
+    from pyspark.sql import Window as W
+
+    wlead = W.partitionBy("key").orderBy("__from_us")
+    dim = dim.select(
+        "key",
+        F.timestamp_micros(F.col("__from_us")).alias("valid_from"),
+        F.timestamp_micros(F.lead("__from_us").over(wlead)).alias("valid_to"),
+        F.concat(F.lit("s"), F.pmod(F.xxhash64("key", "__v"), F.lit(1000))).alias(
+            "state"
+        ),
+    )
+    facts = spark.range(n_facts).select(
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(n_keys)).alias("key"),
+        F.col("id").alias("fact_id"),
+        F.timestamp_micros(F.pmod(F.xxhash64("id", F.lit(13)), F.lit(span_us))).alias("fts"),
+    )
+    dim = dim.persist()
+    facts = facts.persist()
+    print(f"dim versions: {dim.count():,}  facts: {facts.count():,}", flush=True)
+
+    t0 = time.time()
+    win = pit_enrich(
+        facts, dim, key="key", fact_ts="fts", dim_ts="valid_from",
+        attrs=["state"], dim_tiebreak="valid_to",
+    ).select("key", "fact_id", "fts", "state")
+    n_win = win.count()
+    t_win = time.time() - t0
+    print(f"window form: {t_win:.1f}s  rows={n_win:,}", flush=True)
+
+    t0 = time.time()
+    j = (
+        facts.join(
+            dim,
+            (facts["key"] == dim["key"])
+            & (dim["valid_from"] <= facts["fts"])
+            & (dim["valid_to"].isNull() | (facts["fts"] < dim["valid_to"])),
+            "left",
+        )
+        .select(facts["key"], "fact_id", "fts", "state")
+    )
+    n_join = j.count()
+    t_join = time.time() - t0
+    print(f"containment join: {t_join:.1f}s  rows={n_join:,}", flush=True)
+
+    assert n_win == n_join == n_facts, (n_win, n_join, n_facts)
+    diff = win.exceptAll(j).count() + j.exceptAll(win).count()
+    assert diff == 0, f"plans disagree on {diff} rows"
+    print(
+        f"row-identical; window/join wall ratio: {t_win / t_join:.2f} "
+        f"(fan-out factor at play: {versions_per_key})",
+        flush=True,
+    )
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -1055,6 +1162,13 @@ def main() -> int:
     ap.add_argument("--n-keys", type=int, default=20_000)
     ap.add_argument("--n-trickle", type=int, default=30)
     ap.add_argument("--batch-keys", type=int, default=20)
+    ap.add_argument(
+        "--pit",
+        action="store_true",
+        help="run the pit_enrich window-form vs containment-join rep instead",
+    )
+    ap.add_argument("--n-facts", type=int, default=2_000_000)
+    ap.add_argument("--versions-per-key", type=int, default=50)
     args = ap.parse_args()
     if args.paragraphs:
         return run_paragraph_stress(args.replicas)
@@ -1070,6 +1184,8 @@ def main() -> int:
         return run_interval_stress(args.n_background, args.n_hot)
     if args.maintenance:
         return run_maintenance_stress(args.n_keys, args.n_trickle, args.batch_keys)
+    if args.pit:
+        return run_pit_stress(args.n_facts, args.n_keys, args.versions_per_key)
     if args.pagerank:
         return run_pagerank_stress()
     if args.cc:
