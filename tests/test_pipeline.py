@@ -1363,3 +1363,36 @@ def test_sample_allocation_remainder_tie_breaks_by_stratum(spark):
     df = spark.createDataFrame(rows, "lang string, doc_id long")
     got = sorted({r.lang for r in sample_allocation(df, 2, "lang", "doc_id").collect()})
     assert got == ["a", "b"]
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_strata_strategy = st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=6)
+
+
+@settings(max_examples=5, deadline=None)
+@given(sizes=_strata_strategy, frac=st.integers(min_value=0, max_value=100))
+def test_sample_allocation_apportionment_properties(spark, sizes, frac):
+    """Hypothesis sweep of the Hamilton invariants on random strata
+    shapes: quotas sum EXACTLY to n, every quota is within one of the
+    exact proportional share (largest-remainder never strays past
+    floor/ceil), and no stratum over-draws its population."""
+    from kafka_workers_spark.pipeline import sample_allocation
+
+    n_total = sum(sizes)
+    n = (n_total * frac) // 100
+    rows = [
+        (f"s{si:02d}", si * 1000 + i) for si, sz in enumerate(sizes) for i in range(sz)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    got = sample_allocation(df, n, "lang", "doc_id").collect()
+    by: dict[str, int] = {}
+    for r in got:
+        by[r.lang] = by.get(r.lang, 0) + 1
+    assert sum(by.values()) == n
+    for si, sz in enumerate(sizes):
+        q = by.get(f"s{si:02d}", 0)
+        share = n * sz / n_total
+        assert q <= sz
+        assert share - 1 < q < share + 1, (q, share)

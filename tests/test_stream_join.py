@@ -217,3 +217,44 @@ def _run_live_semi(spark, tmp_path, name):
         f"SELECT user_id, view_id FROM {name} WHERE user_id <> {SENTINEL}"
     ).collect()
     return sorted((r.user_id, r.view_id) for r in rows)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_events_strategy = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=3), st.integers(min_value=0, max_value=100)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    lrows=_events_strategy,
+    rrows=_events_strategy,
+    lower=st.integers(min_value=0, max_value=30),
+    width=st.integers(min_value=0, max_value=30),
+)
+def test_interval_join_equals_brute_force(spark, lrows, rrows, lower, width):
+    """Hypothesis boundary sweep: random (user, ts) sets and random
+    CLOSED bounds [lower, lower+width] must reproduce the brute-force
+    predicate pair-for-pair — including zero-width windows (lower ==
+    upper: only exact-lag matches) and duplicate timestamps."""
+    upper = lower + width
+    left = _left_df(spark, [(u, i, float(s)) for i, (u, s) in enumerate(lrows)])
+    right = _right_df(spark, [(u, 100 + i, float(s)) for i, (u, s) in enumerate(rrows)])
+    got = sorted(
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in interval_join(
+            left, right, key="user_id", left_ts="view_ts", right_ts="purchase_ts",
+            lower_s=lower, upper_s=upper, how="inner",
+        ).collect()
+    )
+    want = sorted(
+        (ul, il, 100 + ir)
+        for il, (ul, sl) in enumerate(lrows)
+        for ir, (ur, sr) in enumerate(rrows)
+        if ul == ur and sl + lower <= sr <= sl + upper
+    )
+    assert got == want
