@@ -47,6 +47,7 @@ def anomaly_zscore(
     min_n: int = 8,
     z_num: int = 3,
     z_den: int = 1,
+    season: int | None = None,
 ) -> DataFrame:
     """Per-key volume-spike detection: bucket counts on a GAP-FILLED
     grid (silent buckets count 0 — absence is evidence, not a missing
@@ -71,6 +72,14 @@ def anomaly_zscore(
     n_window, dev_num, var_num, is_anomaly)`` — n_window < min_n rows
     carry ``is_anomaly = false`` (warmup, not evidence).
 
+    ``season`` turns the screen SEASONAL: the trailing frame holds only
+    buckets at the same phase (``bucket_index % season`` — e.g. season=24
+    on hourly buckets compares 3 a.m. against the PREVIOUS DAYS' 3 a.m.,
+    so a nightly batch spike stops tripping the flat baseline and a
+    flood during the quiet hour still does). The frame stays rows-bounded
+    because the phase grid is as dense as the full grid, one row per
+    season step.
+
     Scale shape: rides :func:`gap_fill` (hash aggregate + bucket-index
     grid, payload-free), then ONE window shuffle on the keys; the frame
     is rows-bounded on the dense grid so ROWS == RANGE and state is
@@ -80,10 +89,21 @@ def anomaly_zscore(
         raise ValueError(f"window ({window}) must be >= 1")
     if min_n < 2:
         raise ValueError(f"min_n ({min_n}) must be >= 2 (variance needs 2 points)")
+    if season is not None and season < 2:
+        raise ValueError(f"season ({season}) must be >= 2 when given")
     grid = gap_fill(events, key_cols, ts_col, bucket_seconds)
     x = F.col("n_events")
+    parts = [F.col(c) for c in key_cols]
+    if season is not None:
+        # phase = bucket index mod season; unix_micros is exact and the
+        # grid's bucket_start is already bucket-aligned, so DIV + pmod
+        # replay identically in the oracle
+        phase = F.expr(
+            f"pmod(unix_micros(bucket_start) DIV {bucket_seconds * 1_000_000}, {season})"
+        )
+        parts = [*parts, phase]
     frame = (
-        W.partitionBy(*key_cols)
+        W.partitionBy(*parts)
         .orderBy("bucket_start")
         .rowsBetween(-window, -1)
     )

@@ -229,3 +229,75 @@ def corpus_kl_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return kl_mixture(d, group_col="source", text_col="text", top_v=_KL_V)
+
+
+_SA_WINDOW = 7  # trailing same-phase days
+_SA_MIN_N = 4
+_SA_SEASON = 24
+
+
+@register(
+    "events_seasonal_anomaly",
+    f"""
+    WITH per AS (
+      SELECT event_type,
+             (epoch_us(ts) - ((epoch_us(ts) % {_AZ_BUCKET_US})
+                              + {_AZ_BUCKET_US}) % {_AZ_BUCKET_US})
+               // {_AZ_BUCKET_US} AS bkt,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, MIN(bkt) AS lo, MAX(bkt) AS hi FROM per GROUP BY 1
+    ), grid AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi)) AS bkt FROM span
+    ), g AS (
+      SELECT grid.event_type, grid.bkt, CAST(COALESCE(per.c, 0) AS BIGINT) AS x
+      FROM grid LEFT JOIN per
+        ON per.event_type = grid.event_type AND per.bkt = grid.bkt
+    ), w AS (
+      SELECT event_type, bkt, x,
+             CAST(COUNT(*) OVER f AS BIGINT) AS n,
+             CAST(COALESCE(SUM(x) OVER f, 0) AS BIGINT) AS s,
+             CAST(COALESCE(SUM(x * x) OVER f, 0) AS BIGINT) AS q
+      FROM g
+      WINDOW f AS (PARTITION BY event_type, ((bkt % {_SA_SEASON}) + {_SA_SEASON}) % {_SA_SEASON}
+                   ORDER BY bkt
+                   ROWS BETWEEN {_SA_WINDOW} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           make_timestamp(bkt * {_AZ_BUCKET_US}) AS bucket_start,
+           x AS n_events,
+           n AS n_window,
+           CAST(n * x - s AS BIGINT) AS dev_num,
+           CAST(n * q - s * s AS BIGINT) AS var_num,
+           (n >= {_SA_MIN_N} AND (n * x - s) > 0
+            AND ((n * q - s * s = 0 AND (n * x - s) > 0)
+                 OR (n * x - s) * (n * x - s) > {_AZ_Z * _AZ_Z} * (n * q - s * s)))
+             AS is_anomaly
+    FROM w
+    """,
+    category="drift",
+    windowed=False,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal volume-spike screen (operators.drift.anomaly_zscore with
+    season=24): each hourly bucket is tested against the SAME HOUR of
+    the trailing {w} days, not the trailing {w} hours — the
+    daily-seasonality baseline that stops a nightly batch window from
+    flagging and still catches a flood during the quiet hour. Same
+    pure-BIGINT z² predicate; the phase is exact integer bucket
+    arithmetic (pmod of the bucket index) on both engines."""
+    from kafka_workers_spark.operators.drift import anomaly_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    return anomaly_zscore(
+        ev,
+        ["event_type"],
+        "ts",
+        bucket_seconds=_AZ_BUCKET_S,
+        window=_SA_WINDOW,
+        min_n=_SA_MIN_N,
+        z_num=_AZ_Z,
+        z_den=1,
+        season=_SA_SEASON,
+    )

@@ -135,3 +135,35 @@ def test_kl_zero_for_single_source_and_positive_for_skew(spark):
 def test_kl_validates_top_v(spark):
     with pytest.raises(ValueError, match="top_v"):
         kl_mixture(_docs(spark, [("s", "a")]), top_v=0)
+
+
+def test_anomaly_seasonal_baseline_vs_flat(spark):
+    """Daily pattern: hour 3 always runs hot (batch window, 50/hour),
+    other hours run 5/hour. On day 8: hour 3 at its usual 50 must NOT
+    flag under season=24 (same-phase history expects 50) though the
+    FLAT screen would call it a spike; hour 12 at 50 must flag under
+    BOTH. Also pins the season validation."""
+    counts = []
+    for day in range(8):
+        for h in range(24):
+            if day == 7 and h == 12:
+                counts.append(50)          # the real anomaly
+            elif h == 3:
+                counts.append(50)          # the nightly batch
+            else:
+                counts.append(5)
+    counts = counts[: 7 * 24 + 13]         # stop right after day-8 hour 12
+    df = _events(spark, counts)
+    seasonal = _flags(
+        anomaly_zscore(df, ["k"], "ts", 3600, window=7, min_n=4, season=24)
+    )
+    flat = _flags(anomaly_zscore(df, ["k"], "ts", 3600, window=24, min_n=8))
+    hot_phase = ("a", 7 * 24 + 3)          # day-8 hour 3
+    real = ("a", 7 * 24 + 12)              # day-8 hour 12
+    assert seasonal[hot_phase][2] is False  # usual nightly spike: quiet
+    assert flat[hot_phase][2] is True       # the flat screen false-alarms
+    assert seasonal[real][2] is True and flat[real][2] is True
+    import pytest
+
+    with pytest.raises(ValueError, match="season"):
+        anomaly_zscore(df, ["k"], "ts", 3600, season=1)
