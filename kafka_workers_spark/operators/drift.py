@@ -126,7 +126,7 @@ def anomaly_zscore(
         (n >= min_n)
         & (dev > 0)
         & (
-            ((var_num == 0) & (dev > 0))
+            (var_num == 0)  # zero-variance history: any rise is z = ∞
             | (dev * dev * (z_den * z_den) > F.lit(z_num * z_num) * var_num)
         )
     )

@@ -745,6 +745,7 @@ def pit_enrich(
     dim_ts: str,
     attrs: list[str],
     dim_tiebreak: str | None = None,
+    dim_valid_to: str | None = None,
 ) -> DataFrame:
     """Point-in-time dimension enrichment WITHOUT a join: stamp every
     fact row with the dimension attributes valid AT its event time —
@@ -755,15 +756,25 @@ def pit_enrich(
     The naive plan is an interval-containment join (fact × history
     range predicate). This operator instead UNIONS the two frames —
     dimension versions as state-change markers, facts as probes — and
-    takes ``last(attr, ignorenulls)`` over one (key)-partitioned window
-    ordered by (ts, side): a single shuffle, NO join, no interval
-    fan-out, the asof_join union trick generalized to versioned
-    dimensions. At equal timestamps the dimension row sorts FIRST, so a
-    version is visible from its own ``valid_from`` inclusive — exactly
-    the half-open [valid_from, valid_to) containment. The DuckDB oracle
-    for join_scd2_pointintime deliberately replays the CONTAINMENT-JOIN
+    takes the last version over one (key)-partitioned window ordered by
+    (ts, side): a single shuffle, NO join, no interval fan-out, the
+    asof_join union trick generalized to versioned dimensions. At equal
+    timestamps the dimension row sorts FIRST, so a version is visible
+    from its own ``valid_from`` inclusive. The DuckDB oracle for
+    join_scd2_pointintime deliberately replays the CONTAINMENT-JOIN
     form, so the two formulations are held equal cross-engine — a
     cross-PLAN check, not a replay of the same shape.
+
+    The window carries each version as ONE STRUCT (attrs + valid_from
+    [+ valid_to]), not per-attribute last-ignore-nulls: a version whose
+    attribute is legitimately NULL stays NULL (scd2_history supports
+    value→NULL transitions; skipping nulls per-attribute would resurrect
+    an OLDER version's value and could stitch attributes from different
+    versions — review r12). With ``dim_valid_to`` set, enrichment is the
+    EXACT half-open containment: a fact after the latest version's
+    ``valid_to`` (expired entity, or a gap between versions) gets NULL
+    attributes, same as the containment join. Without it, versions are
+    treated as open-ended (pure as-of: latest valid_from ≤ ts wins).
 
     ``dim`` must carry unique ``(key, dim_ts)`` versions, or pass
     ``dim_tiebreak`` (e.g. ``valid_to`` ascending-nulls-last for SCD2
@@ -786,8 +797,22 @@ def pit_enrich(
     for a in attrs:
         if a not in dim.columns:
             raise ValueError(f"attr {a!r} not in dim columns {dim.columns}")
+    if dim_valid_to is not None and dim_valid_to not in dim.columns:
+        raise ValueError(f"dim_valid_to {dim_valid_to!r} not in dim columns")
     from pyspark.sql import Window as W
 
+    # the version rides the window as one struct so (attrs, valid_since,
+    # valid_to) always come from the SAME version row
+    vt = (
+        F.col(dim_valid_to)
+        if dim_valid_to is not None
+        else F.lit(None).cast(dim.schema[dim_ts].dataType)
+    )
+    ver_struct = F.struct(
+        *[F.col(a).alias(a) for a in attrs],
+        F.col(dim_ts).alias("__vf"),
+        vt.alias("__vt"),
+    )
     d = dim.select(
         F.col(key),
         F.col(dim_ts).alias("__t"),
@@ -797,7 +822,7 @@ def pit_enrich(
             if dim_tiebreak
             else F.lit(None).cast("long")
         ).alias("__dtb"),
-        *[F.col(a) for a in attrs],
+        ver_struct.alias("__ver"),
         *[F.lit(None).cast(facts.schema[c].dataType).alias(c)
           for c in facts.columns if c != key],
     )
@@ -806,7 +831,7 @@ def pit_enrich(
         F.col(fact_ts).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(d.schema["__dtb"].dataType).alias("__dtb"),
-        *[F.lit(None).cast(dim.schema[a].dataType).alias(a) for a in attrs],
+        F.lit(None).cast(d.schema["__ver"].dataType).alias("__ver"),
         *[F.col(c) for c in facts.columns if c != key],
     )
     w = (
@@ -819,22 +844,21 @@ def pit_enrich(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     enriched = d.unionByName(f).select(
-        "*",
-        *[
-            F.last(F.when(F.col("__side") == 0, F.col(a)), ignorenulls=True)
-            .over(w)
-            .alias(f"__pit_{a}")
-            for a in attrs
-        ],
-        F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
-        .over(w)
-        .alias("__pit_since"),
+        "*", F.last("__ver", ignorenulls=True).over(w).alias("__pit")
+    )
+    # expiry/gap: the latest version only applies while the fact sits
+    # inside its [valid_from, valid_to) interval (valid_to NULL = open)
+    in_interval = F.col("__pit").isNotNull() & (
+        F.col("__pit.__vt").isNull() | (F.col("__t") < F.col("__pit.__vt"))
     )
     return enriched.filter(F.col("__side") == 1).select(
         key,
         *[F.col(c) for c in facts.columns if c != key],
-        *[F.col(f"__pit_{a}").alias(a) for a in attrs],
-        F.col("__pit_since").alias("valid_since"),
+        *[
+            F.when(in_interval, F.col(f"__pit.{a}")).alias(a)
+            for a in attrs
+        ],
+        F.when(in_interval, F.col("__pit.__vf")).alias("valid_since"),
     )
 
 
@@ -859,8 +883,9 @@ def markov_stationary(
     ``iters`` is FIXED and the oracle unrolls the same count (the
     pagerank/kcore discipline). States with no outgoing transition leak
     their mass (the dangling-node behavior pagerank documents); DIV
-    flooring bleeds ≤ |states| units of 10⁻⁹ per round. Returns
-    ``(state, pi9)`` with π scaled by 10^9.
+    flooring bleeds ≤ 1 unit of 10⁻⁹ per TRANSITION EDGE per round (each
+    (π·q9) DIV fold floors once). Returns ``(state, pi9)`` with π scaled
+    by 10^9.
 
     Shape at scale: the transition matrix aggregates once (state-pair
     keyed, tiny); each round is one broadcast-size join of the π vector

@@ -1792,16 +1792,6 @@ def sample_allocation(
     leftover = alloc.agg(
         (F.lit(total_n) - F.sum("__base")).cast("bigint").alias("__l")
     )
-    # in-plan guard riding the quota expression itself (an unused column
-    # would be pruned and never evaluate): assert_true is NULL when the
-    # budget fits and raises otherwise, so the +coalesce term is a no-op
-    guard = F.coalesce(
-        F.assert_true(
-            F.lit(total_n) <= F.col("__n"),
-            F.lit(f"sample_allocation: total_n ({total_n}) exceeds the row count"),
-        ).cast("long"),
-        F.lit(0),
-    )
     # |strata|-row frame: the global remainder-rank window is fine HERE
     w_rem = W.orderBy(F.col("__rem").desc(), F.col(strata_col).asc())
     quota = (
@@ -1809,13 +1799,27 @@ def sample_allocation(
         .withColumn("__rk", F.row_number().over(w_rem))
         .select(
             strata_col,
-            (
-                F.col("__base")
-                + F.when(F.col("__rk") <= F.col("__l"), 1).otherwise(0)
-                + guard
-            )
+            (F.col("__base") + F.when(F.col("__rk") <= F.col("__l"), 1).otherwise(0))
             .cast("bigint")
             .alias("__q"),
+        )
+    )
+    # in-plan over-budget guard on a frame that ALWAYS has one row (the
+    # global-count aggregate), because a guard riding the quota rows
+    # never evaluates when the input is EMPTY — total_n > 0 on an empty
+    # frame must still raise, not silently return nothing (review r12).
+    # assert_true is NULL when the budget fits, so the poison branch
+    # filters to zero rows; when it fails the filter's evaluation raises.
+    guard = F.assert_true(
+        F.lit(total_n) <= F.coalesce(F.col("__n"), F.lit(0)),
+        F.lit(f"sample_allocation: total_n ({total_n}) exceeds the row count"),
+    )
+    poison = (
+        tot.select(guard.alias("__g"))
+        .filter(F.col("__g").isNotNull())
+        .select(
+            F.lit(None).cast(docs.schema[strata_col].dataType).alias(strata_col),
+            F.lit(None).cast(docs.schema[id_col].dataType).alias(id_col),
         )
     )
     hkey = (
@@ -1823,10 +1827,11 @@ def sample_allocation(
         .cast("bigint")
     )
     w_rank = W.partitionBy(strata_col).orderBy(hkey.asc(), F.col(id_col).asc())
-    return (
+    picked = (
         docs.select(strata_col, id_col)
         .withColumn("__rn", F.row_number().over(w_rank))
         .join(F.broadcast(quota), strata_col)
         .filter(F.col("__rn") <= F.col("__q"))
         .select(strata_col, id_col)
     )
+    return picked.unionByName(poison)

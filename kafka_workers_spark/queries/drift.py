@@ -22,9 +22,14 @@ _AZ_MIN_N = 8
 _AZ_Z = 3  # z_den = 1
 
 
-@register(
-    "events_anomaly_zscore",
-    f"""
+def _sql_anomaly_zscore(window: int, min_n: int, phase_sql: str = "") -> str:
+    """Shared oracle renderer for the flat and seasonal z² screens —
+    one SQL body, parameterized by (window, min_n, phase partition), so
+    a fix to the bucket math or the predicate can never desync the two
+    (the _sql_kcore_ctes discipline; review r12). ``phase_sql`` is an
+    extra PARTITION BY term ('' = flat)."""
+    part = f"event_type{phase_sql}"
+    return f"""
     WITH per AS (
       SELECT event_type,
              (epoch_us(ts) - ((epoch_us(ts) % {_AZ_BUCKET_US})
@@ -46,8 +51,8 @@ _AZ_Z = 3  # z_den = 1
              CAST(COALESCE(SUM(x) OVER f, 0) AS BIGINT) AS s,
              CAST(COALESCE(SUM(x * x) OVER f, 0) AS BIGINT) AS q
       FROM g
-      WINDOW f AS (PARTITION BY event_type ORDER BY bkt
-                   ROWS BETWEEN {_AZ_WINDOW} PRECEDING AND 1 PRECEDING)
+      WINDOW f AS (PARTITION BY {part} ORDER BY bkt
+                   ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
     )
     SELECT event_type,
            make_timestamp(bkt * {_AZ_BUCKET_US}) AS bucket_start,
@@ -55,12 +60,17 @@ _AZ_Z = 3  # z_den = 1
            n AS n_window,
            CAST(n * x - s AS BIGINT) AS dev_num,
            CAST(n * q - s * s AS BIGINT) AS var_num,
-           (n >= {_AZ_MIN_N} AND (n * x - s) > 0
-            AND ((n * q - s * s = 0 AND (n * x - s) > 0)
+           (n >= {min_n} AND (n * x - s) > 0
+            AND (n * q - s * s = 0
                  OR (n * x - s) * (n * x - s) > {_AZ_Z * _AZ_Z} * (n * q - s * s)))
              AS is_anomaly
     FROM w
-    """,
+    """
+
+
+@register(
+    "events_anomaly_zscore",
+    _sql_anomaly_zscore(_AZ_WINDOW, _AZ_MIN_N),
     category="drift",
     windowed=False,
 )
@@ -238,44 +248,11 @@ _SA_SEASON = 24
 
 @register(
     "events_seasonal_anomaly",
-    f"""
-    WITH per AS (
-      SELECT event_type,
-             (epoch_us(ts) - ((epoch_us(ts) % {_AZ_BUCKET_US})
-                              + {_AZ_BUCKET_US}) % {_AZ_BUCKET_US})
-               // {_AZ_BUCKET_US} AS bkt,
-             CAST(COUNT(*) AS BIGINT) AS c
-      FROM events GROUP BY 1, 2
-    ), span AS (
-      SELECT event_type, MIN(bkt) AS lo, MAX(bkt) AS hi FROM per GROUP BY 1
-    ), grid AS (
-      SELECT event_type, UNNEST(generate_series(lo, hi)) AS bkt FROM span
-    ), g AS (
-      SELECT grid.event_type, grid.bkt, CAST(COALESCE(per.c, 0) AS BIGINT) AS x
-      FROM grid LEFT JOIN per
-        ON per.event_type = grid.event_type AND per.bkt = grid.bkt
-    ), w AS (
-      SELECT event_type, bkt, x,
-             CAST(COUNT(*) OVER f AS BIGINT) AS n,
-             CAST(COALESCE(SUM(x) OVER f, 0) AS BIGINT) AS s,
-             CAST(COALESCE(SUM(x * x) OVER f, 0) AS BIGINT) AS q
-      FROM g
-      WINDOW f AS (PARTITION BY event_type, ((bkt % {_SA_SEASON}) + {_SA_SEASON}) % {_SA_SEASON}
-                   ORDER BY bkt
-                   ROWS BETWEEN {_SA_WINDOW} PRECEDING AND 1 PRECEDING)
-    )
-    SELECT event_type,
-           make_timestamp(bkt * {_AZ_BUCKET_US}) AS bucket_start,
-           x AS n_events,
-           n AS n_window,
-           CAST(n * x - s AS BIGINT) AS dev_num,
-           CAST(n * q - s * s AS BIGINT) AS var_num,
-           (n >= {_SA_MIN_N} AND (n * x - s) > 0
-            AND ((n * q - s * s = 0 AND (n * x - s) > 0)
-                 OR (n * x - s) * (n * x - s) > {_AZ_Z * _AZ_Z} * (n * q - s * s)))
-             AS is_anomaly
-    FROM w
-    """,
+    _sql_anomaly_zscore(
+        _SA_WINDOW,
+        _SA_MIN_N,
+        phase_sql=f", ((bkt % {_SA_SEASON}) + {_SA_SEASON}) % {_SA_SEASON}",
+    ),
     category="drift",
     windowed=False,
 )

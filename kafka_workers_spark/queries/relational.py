@@ -2000,6 +2000,7 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim_ts="valid_from",
         attrs=["state"],
         dim_tiebreak="valid_to",
+        dim_valid_to="valid_to",
     ).select("user_id", "purchase_id", "purchase_ts", "state", "valid_since")
 
 

@@ -1396,3 +1396,16 @@ def test_sample_allocation_apportionment_properties(spark, sizes, frac):
         share = n * sz / n_total
         assert q <= sz
         assert share - 1 < q < share + 1, (q, share)
+
+
+def test_sample_allocation_empty_input_guard(spark):
+    """total_n > 0 on an EMPTY frame must raise (there is nothing to
+    draw from), not silently return zero rows — the guard rides a
+    one-row aggregate anchor, not the (empty) quota rows; total_n = 0 on
+    empty stays a clean empty result."""
+    from kafka_workers_spark.pipeline import sample_allocation
+
+    empty = spark.createDataFrame([], "lang string, doc_id long")
+    with pytest.raises(Exception, match="exceeds the row count"):
+        sample_allocation(empty, 5, "lang", "doc_id").collect()
+    assert sample_allocation(empty, 0, "lang", "doc_id").count() == 0

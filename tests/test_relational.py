@@ -692,6 +692,66 @@ def test_interval_overlap_join_equals_naive_on_random_intervals(spark, ivs, buck
     assert got == want, f"bucket={bucket}: {got} != {want}"
 
 
+def test_pit_enrich_expiry_gap_and_null_attrs(spark):
+    """The containment semantics the oracle's JOIN form implies
+    (review r12): a fact AFTER a closed final version gets NULL (expired
+    entity); a fact inside a GAP between versions gets NULL; a version
+    whose attribute is legitimately NULL stays NULL instead of
+    resurrecting the previous version's value — and valid_since always
+    comes from the SAME version as the attribute (the struct carry)."""
+    from datetime import datetime
+
+    from kafka_workers_spark.operators.relational import pit_enrich
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    dim = spark.createDataFrame(
+        [
+            (1, ts(10), ts(20), "A"),   # closed final version: expires at 20
+            (2, ts(10), ts(20), "B1"),  # gap [20, 30)
+            (2, ts(30), None, "B2"),
+            (3, ts(10), ts(20), "C"),
+            (3, ts(20), None, None),    # value -> NULL transition
+        ],
+        "user_id long, valid_from timestamp, valid_to timestamp, state string",
+    )
+    facts = spark.createDataFrame(
+        [(1, 100, ts(25)),   # after expiry -> NULL
+         (2, 200, ts(25)),   # inside the gap -> NULL
+         (2, 201, ts(35)),   # in B2
+         (3, 300, ts(25))],  # in the NULL-state version -> NULL, NOT 'C'
+        "user_id long, fact_id long, fts timestamp",
+    )
+    out = {
+        r.fact_id: (r.state, r.valid_since)
+        for r in pit_enrich(
+            facts, dim, key="user_id", fact_ts="fts", dim_ts="valid_from",
+            attrs=["state"], dim_tiebreak="valid_to", dim_valid_to="valid_to",
+        ).collect()
+    }
+    assert out[100] == (None, None)
+    assert out[200] == (None, None)
+    assert out[201] == ("B2", ts(30))
+    assert out[300] == (None, ts(20))  # the NULL-state version IS in force
+    # without dim_valid_to the same lookup is pure as-of (open versions)
+    asof = {
+        r.fact_id: (r.state, r.valid_since)
+        for r in pit_enrich(
+            facts, dim, key="user_id", fact_ts="fts", dim_ts="valid_from",
+            attrs=["state"], dim_tiebreak="valid_to",
+        ).collect()
+    }
+    assert asof[100] == ("A", ts(10)) and asof[200] == ("B1", ts(10))
+    import pytest
+
+    with pytest.raises(ValueError, match="dim_valid_to"):
+        pit_enrich(
+            facts, dim, "user_id", "fts", "valid_from", ["state"],
+            dim_valid_to="nope",
+        )
+
+
 def test_pit_enrich_boundaries_and_validation(spark):
     """Point-in-time lookup semantics (operators.relational.pit_enrich):
     a fact AT a version's valid_from sees that version (half-open

@@ -140,7 +140,7 @@ def _write_stream_sources(spark, tmp_path):
     return lsrc, rsrc
 
 
-def _run_live(spark, tmp_path, how, name):
+def _run_live(spark, tmp_path, how, name, cols="user_id, view_id, purchase_id"):
     lsrc, rsrc = _write_stream_sources(spark, tmp_path)
     left = (
         spark.readStream.schema(_LEFT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(lsrc)
@@ -159,9 +159,9 @@ def _run_live(spark, tmp_path, how, name):
     )
     q.awaitTermination(120)
     rows = spark.sql(
-        f"SELECT user_id, view_id, purchase_id FROM {name} WHERE user_id <> {SENTINEL}"
+        f"SELECT {cols} FROM {name} WHERE user_id <> {SENTINEL}"
     ).collect()
-    return sorted((r.user_id, r.view_id, r.purchase_id) for r in rows)
+    return sorted(map(tuple, rows))
 
 
 @pytest.mark.parametrize("how", ["inner", "left_outer"])
@@ -185,7 +185,7 @@ def test_batch_left_semi_emits_converted_views_once(spark):
 
 
 def test_streaming_left_semi_equals_batch(spark, tmp_path):
-    got = _run_live_semi(spark, tmp_path, "ij_semi")
+    got = _run_live(spark, tmp_path, "left_semi", "ij_semi", cols="user_id, view_id")
     want = sorted(
         (r.user_id, r.view_id)
         for r in _join(
@@ -193,30 +193,6 @@ def test_streaming_left_semi_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want
-
-
-def _run_live_semi(spark, tmp_path, name):
-    lsrc, rsrc = _write_stream_sources(spark, tmp_path)
-    left = (
-        spark.readStream.schema(_LEFT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(lsrc)
-    )
-    right = (
-        spark.readStream.schema(_RIGHT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(rsrc)
-    )
-    out = _join(left, right, "left_semi")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    rows = spark.sql(
-        f"SELECT user_id, view_id FROM {name} WHERE user_id <> {SENTINEL}"
-    ).collect()
-    return sorted((r.user_id, r.view_id) for r in rows)
 
 
 from hypothesis import given, settings  # noqa: E402
