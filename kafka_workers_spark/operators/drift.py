@@ -64,9 +64,15 @@ def anomaly_zscore(
     so the flag is ``dev > 0 AND dev²·z_den² > z_num²·(n·Σx²−(Σx)²)``,
     with a zero-variance history flagging any strictly-higher count
     (z = ∞). No sqrt, no division, no floats — bit-identical on any
-    engine with 64-bit integers. Overflow bound: dev² ≤ (window·max_cnt)²
-    must fit int64, i.e. max per-bucket count ≲ 3·10⁸ at window=24 —
-    pre-aggregate coarser buckets first if a source runs hotter.
+    engine with 64-bit integers. Overflow bound (ADVICE r12 #1 — the
+    tight term is ``z_num²·var_num ≤ z_num²·window²·max_cnt²``, not
+    dev² alone): ``window · max_cnt · max(z_num, z_den) ≤ ⌊√(2⁶³−1)⌋ =
+    3 037 000 499`` must hold, i.e. max per-bucket count ≲ 4.2·10⁷ at
+    window=24, z=3 — pre-aggregate coarser buckets first if a source
+    runs hotter. The bound is ENFORCED in-plan: an ``assert_true`` rides
+    the ``is_anomaly`` expression (anchored on an emitted column so
+    Catalyst cannot prune it), so a too-hot bucket raises at runtime
+    instead of wrapping silently under non-ANSI arithmetic.
 
     Emits EVERY grid bucket: ``(key_cols..., bucket_start, n_events,
     n_window, dev_num, var_num, is_anomaly)`` — n_window < min_n rows
@@ -91,6 +97,18 @@ def anomaly_zscore(
         raise ValueError(f"min_n ({min_n}) must be >= 2 (variance needs 2 points)")
     if season is not None and season < 2:
         raise ValueError(f"season ({season}) must be >= 2 when given")
+    # ADVICE r12 #2: z_den = 0 silently disables the z-test (the
+    # comparison degenerates to dev²·0 > z²·var, never true) and a
+    # negative numerator/denominator inverts it after squaring hides
+    # the sign — both are caller bugs, not thresholds.
+    if z_num < 1:
+        raise ValueError(f"z_num ({z_num}) must be >= 1")
+    if z_den < 1:
+        raise ValueError(f"z_den ({z_den}) must be >= 1")
+    # int64 safety: every product in the predicate is bounded by
+    # (window · max_cnt · max(z_num, z_den))² — enforce the linear bound
+    # per row (see docstring; ⌊√(2⁶³−1)⌋ = 3_037_000_499).
+    count_limit = 3_037_000_499 // (window * max(z_num, z_den))
     grid = gap_fill(events, key_cols, ts_col, bucket_seconds)
     x = F.col("n_events")
     parts = [F.col(c) for c in key_cols]
@@ -130,6 +148,22 @@ def anomaly_zscore(
             | (dev * dev * (z_den * z_den) > F.lit(z_num * z_num) * var_num)
         )
     )
+    # overflow guard rides the OUTPUT column (assert_true is NULL on
+    # pass, so `when` takes the flag branch on every valid row; a hot
+    # bucket raises instead of wrapping) — anchored here rather than a
+    # side branch so no downstream filter can prune it away unevaluated
+    guard = F.assert_true(
+        x <= F.lit(count_limit),
+        F.concat(
+            F.lit(
+                f"anomaly_zscore: per-bucket count exceeds the int64-safe "
+                f"limit {count_limit} at window={window}, z={z_num}/{z_den} "
+                f"(got "
+            ),
+            x.cast("string"),
+            F.lit("); pre-aggregate coarser buckets"),
+        ),
+    )
     return g.select(
         *key_cols,
         "bucket_start",
@@ -137,7 +171,7 @@ def anomaly_zscore(
         "n_window",
         dev.alias("dev_num"),
         var_num.alias("var_num"),
-        flag.alias("is_anomaly"),
+        F.when(guard.isNull(), flag).alias("is_anomaly"),
     )
 
 

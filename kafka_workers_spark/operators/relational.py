@@ -794,6 +794,28 @@ def pit_enrich(
         raise ValueError(
             f"facts/dim share non-key columns {sorted(clash)}; rename one side"
         )
+    # ADVICE r12 #5: the plan synthesizes `valid_since` plus __-prefixed
+    # internals (__t/__side/__dtb/__ver/__pit and the struct fields) —
+    # an input column with one of those names would silently duplicate
+    # or shadow an output column, so reject up front on BOTH sides.
+    reserved = {"__t", "__side", "__dtb", "__ver", "__pit"}
+    for side, frame in (("facts", facts), ("dim", dim)):
+        bad = sorted(c for c in frame.columns if c in reserved or c.startswith("__"))
+        if bad:
+            raise ValueError(
+                f"{side} columns {bad} collide with pit_enrich's reserved "
+                "__-prefixed internals; rename them first"
+            )
+    if "valid_since" in facts.columns:
+        raise ValueError(
+            "facts column 'valid_since' collides with pit_enrich's "
+            "synthesized output column; rename it first"
+        )
+    if "valid_since" in attrs:
+        raise ValueError(
+            "attr 'valid_since' collides with pit_enrich's synthesized "
+            "output column; rename the dim attribute first"
+        )
     for a in attrs:
         if a not in dim.columns:
             raise ValueError(f"attr {a!r} not in dim columns {dim.columns}")
@@ -874,9 +896,15 @@ def markov_stationary(
     discipline applied to :func:`transition_matrix`'s chain): transition
     probabilities quantize once as ``q9 = (n · 10^9) DIV n_from`` and
     each round folds ``π'(s') = Σ_s (π(s) · q9(s,s')) DIV 10^9`` — every
-    intermediate ≤ 10^18, so the recurrence never overflows int64 at ANY
-    corpus scale (contrast folding the raw counts, where π·n breaks past
-    n_from ≈ 9·10⁹). The long-run state mix is the journey-level
+    intermediate in the RECURRENCE is ≤ 10^18, so the iteration itself
+    never overflows int64 regardless of corpus scale. The one-time
+    quantization carries its own ceiling (ADVICE r12 #3): ``n · 10^9``
+    overflows int64 when a single (prev, next) transition count exceeds
+    ⌊(2⁶³−1)/10⁹⌋ ≈ 9.2·10⁹ — the same ceiling the rejected raw-count
+    fold hits every round, here hit once and ENFORCED by an in-plan
+    ``assert_true`` riding the ``__q9`` column (raises instead of
+    wrapping under non-ANSI arithmetic; past it, pre-aggregate counts
+    to a coarser unit before calling). The long-run state mix is the journey-level
     complement of the per-transition matrix: where does a user
     population settle.
 
@@ -905,7 +933,24 @@ def markov_stationary(
         "__n",
         F.sum("__n").over(W.partitionBy("__p")).cast("long").alias("__nf"),
     ).select(
-        "__p", "__x", F.expr(f"(__n * {MARKOV_SCALE}) DIV __nf").alias("__q9")
+        "__p",
+        "__x",
+        # quantization ceiling guard (docstring): __n · 10⁹ must fit
+        # int64; anchored on the emitted __q9 so it cannot be pruned
+        F.when(
+            F.assert_true(
+                F.col("__n") <= F.lit((2**63 - 1) // MARKOV_SCALE),
+                F.concat(
+                    F.lit(
+                        "markov_stationary: a (prev,next) transition count "
+                        f"exceeds the quantization ceiling {(2**63 - 1) // MARKOV_SCALE} (got "
+                    ),
+                    F.col("__n").cast("string"),
+                    F.lit("); pre-aggregate to a coarser unit first"),
+                ),
+            ).isNull(),
+            F.expr(f"(__n * {MARKOV_SCALE}) DIV __nf"),
+        ).alias("__q9"),
     )
     states = (
         transitions.select(F.col("prev_state").alias("state"))

@@ -1792,24 +1792,40 @@ def sample_allocation(
     leftover = alloc.agg(
         (F.lit(total_n) - F.sum("__base")).cast("bigint").alias("__l")
     )
-    # |strata|-row frame: the global remainder-rank window is fine HERE
+    # |strata|-row frame: the global remainder-rank window is fine HERE.
+    # The over-budget guard rides __q ITSELF (ADVICE r12 #4): the earlier
+    # side-branch-only form could be pruned — a downstream filter on
+    # strata/id constant-folds the poison branch's NULL literals to a
+    # false predicate and PropagateEmptyRelation then removes the branch
+    # WITHOUT evaluating assert_true, silently under-delivering. Anchored
+    # on the quota values (which every surviving output row needs), the
+    # guard evaluates whenever ANY stratum flows, prune-proof.
     w_rem = W.orderBy(F.col("__rem").desc(), F.col(strata_col).asc())
+    q_guard = F.assert_true(
+        F.lit(total_n) <= F.col("__n"),
+        F.lit(f"sample_allocation: total_n ({total_n}) exceeds the row count"),
+    )
     quota = (
         alloc.crossJoin(F.broadcast(leftover))
         .withColumn("__rk", F.row_number().over(w_rem))
         .select(
             strata_col,
-            (F.col("__base") + F.when(F.col("__rk") <= F.col("__l"), 1).otherwise(0))
+            F.when(
+                q_guard.isNull(),
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__l"), 1).otherwise(0),
+            )
             .cast("bigint")
             .alias("__q"),
         )
     )
-    # in-plan over-budget guard on a frame that ALWAYS has one row (the
-    # global-count aggregate), because a guard riding the quota rows
-    # never evaluates when the input is EMPTY — total_n > 0 on an empty
-    # frame must still raise, not silently return nothing (review r12).
-    # assert_true is NULL when the budget fits, so the poison branch
-    # filters to zero rows; when it fails the filter's evaluation raises.
+    # Second anchor, for the EMPTY-input case (quota has zero rows then,
+    # so the q_guard never evaluates): a one-row branch off the global
+    # count aggregate. Its output columns reference __g (not bare NULL
+    # literals) so a pushed-down predicate over them is NOT foldable and
+    # the branch survives optimization long enough to evaluate the
+    # assert (review r12 + ADVICE r12 #4). assert_true is NULL when the
+    # budget fits, so the branch filters to zero rows at runtime.
     guard = F.assert_true(
         F.lit(total_n) <= F.coalesce(F.col("__n"), F.lit(0)),
         F.lit(f"sample_allocation: total_n ({total_n}) exceeds the row count"),
@@ -1818,8 +1834,13 @@ def sample_allocation(
         tot.select(guard.alias("__g"))
         .filter(F.col("__g").isNotNull())
         .select(
-            F.lit(None).cast(docs.schema[strata_col].dataType).alias(strata_col),
-            F.lit(None).cast(docs.schema[id_col].dataType).alias(id_col),
+            # cast(__g) not lit(NULL): an attribute reference is never
+            # constant-folded, so a pushed-down predicate over these
+            # columns stays non-foldable and cannot empty the branch
+            # before the assert evaluates (__g is NULL-typed at runtime,
+            # so the cast yields the same NULLs the literals did)
+            F.col("__g").cast(docs.schema[strata_col].dataType).alias(strata_col),
+            F.col("__g").cast(docs.schema[id_col].dataType).alias(id_col),
         )
     )
     hkey = (

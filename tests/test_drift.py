@@ -75,6 +75,31 @@ def test_anomaly_validates_params(spark):
         anomaly_zscore(df, ["k"], "ts", 3600, window=0)
     with pytest.raises(ValueError, match="min_n"):
         anomaly_zscore(df, ["k"], "ts", 3600, min_n=1)
+    # ADVICE r12 #2: z_den = 0 silently disables the test; negatives
+    # invert it after squaring — both rejected up front
+    with pytest.raises(ValueError, match="z_den"):
+        anomaly_zscore(df, ["k"], "ts", 3600, z_den=0)
+    with pytest.raises(ValueError, match="z_num"):
+        anomaly_zscore(df, ["k"], "ts", 3600, z_num=0)
+    with pytest.raises(ValueError, match="z_num"):
+        anomaly_zscore(df, ["k"], "ts", 3600, z_num=-3)
+
+
+def test_anomaly_overflow_guard_fires_in_plan(spark):
+    """ADVICE r12 #1: the int64 bound window·max_cnt·max(z_num,z_den) ≤
+    ⌊√(2⁶³−1)⌋ is enforced IN-PLAN. An absurd z_num drives the per-bucket
+    count limit to 0, so any nonempty bucket must raise at runtime —
+    through the emitted is_anomaly column, where no filter can prune the
+    assert away — instead of wrapping silently in the BIGINT predicate.
+    A run at the same counts with a sane z stays clean (the guard is
+    inert on valid data, so oracle hashes are untouched)."""
+    df = _events(spark, [3, 3, 3, 3])
+    hot = anomaly_zscore(df, ["k"], "ts", 3600, window=2, min_n=2,
+                         z_num=3_037_000_499, z_den=1)
+    with pytest.raises(Exception, match="int64-safe limit"):
+        hot.collect()
+    ok = anomaly_zscore(df, ["k"], "ts", 3600, window=2, min_n=2)
+    assert len(ok.collect()) == 4
 
 
 # ---------------------------------------------------------------------------

@@ -1409,3 +1409,44 @@ def test_sample_allocation_empty_input_guard(spark):
     with pytest.raises(Exception, match="exceeds the row count"):
         sample_allocation(empty, 5, "lang", "doc_id").collect()
     assert sample_allocation(empty, 0, "lang", "doc_id").count() == 0
+
+
+def test_sample_allocation_guard_survives_downstream_pruning(spark):
+    """ADVICE r12 #4: a downstream filter on strata/id used to
+    constant-fold the poison branch's NULL literals to a false predicate
+    and prune the whole branch — the over-budget assert then never
+    evaluated and total_n > N silently under-delivered. The guard now
+    rides __q itself (evaluates whenever any stratum flows) and the
+    poison branch's columns reference __g (non-foldable), so the raise
+    survives any downstream shape."""
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.pipeline import sample_allocation
+
+    df = spark.createDataFrame(
+        [("en", i) for i in range(60)] + [("de", i + 100) for i in range(40)],
+        "lang string, doc_id long",
+    )
+    # downstream equality filter (the pruning trigger) + over-budget ask
+    with pytest.raises(Exception, match="exceeds the row count"):
+        sample_allocation(df, 101, "lang", "doc_id").filter(
+            F.col("lang") == "en"
+        ).collect()
+    # same with an id-side filter
+    with pytest.raises(Exception, match="exceeds the row count"):
+        sample_allocation(df, 101, "lang", "doc_id").filter(
+            F.col("doc_id") >= 0
+        ).collect()
+    # empty input + downstream filter: the poison anchor must survive too
+    empty = spark.createDataFrame([], "lang string, doc_id long")
+    with pytest.raises(Exception, match="exceeds the row count"):
+        sample_allocation(empty, 5, "lang", "doc_id").filter(
+            F.col("lang") == "en"
+        ).collect()
+    # in-budget ask with the same downstream filter: clean, exact split
+    got = (
+        sample_allocation(df, 50, "lang", "doc_id")
+        .filter(F.col("lang") == "en")
+        .collect()
+    )
+    assert len(got) == 30  # Hamilton: 50·60/100 = 30 exactly

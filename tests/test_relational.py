@@ -799,6 +799,29 @@ def test_pit_enrich_boundaries_and_validation(spark):
         pit_enrich(clash, dim, "user_id", "valid_from", "valid_from", ["state"])
     with pytest.raises(ValueError, match="not in dim"):
         pit_enrich(facts, dim, "user_id", "fts", "valid_from", ["nope"])
+    # ADVICE r12 #5: the plan synthesizes valid_since + __-internals —
+    # an input column with one of those names would duplicate/shadow an
+    # output column, so both sides reject up front
+    with pytest.raises(ValueError, match="valid_since"):
+        pit_enrich(
+            facts.withColumn("valid_since", facts.fts),
+            dim, "user_id", "fts", "valid_from", ["state"],
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        pit_enrich(
+            facts.withColumn("__ver", facts.fact_id),
+            dim, "user_id", "fts", "valid_from", ["state"],
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        pit_enrich(
+            facts, dim.withColumn("__t", dim.user_id),
+            "user_id", "fts", "valid_from", ["state"],
+        )
+    with pytest.raises(ValueError, match="valid_since"):
+        pit_enrich(
+            facts, dim.withColumnRenamed("state", "valid_since"),
+            "user_id", "fts", "valid_from", ["valid_since"],
+        )
 
 
 def test_markov_stationary_matches_integer_replay(spark):
