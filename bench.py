@@ -9,6 +9,24 @@ warmup of the input files' footers; every timed rep (including noise
 retries) starts from spark.catalog.clearCache() so persisted frames can
 never make a retry cache-assisted, and the JSON records the first run
 per query alongside the kept minimum.
+
+Self-adjudication (VERDICT r12 #1 — BENCH_r12's 124.5 s first-run was
+recorded under machine contention and nothing in the artifact could
+prove it): the JSON now carries enough context to adjudicate a suspect
+number WITHOUT a re-run —
+
+- ``load``: 1/5/15-min load averages + CPU count, sampled BEFORE the
+  session starts (the clean external-contention signal — our own Spark
+  load is still zero then), at the end, and the 1-min value per query.
+- ``slowest_recheck``: after the full pass, the 3 slowest first-run
+  queries run once more. On a quiet machine the recheck lands inside
+  normal jitter of the kept time; a run whose early numbers were
+  inflated by a competing workload shows large end-of-run improvements.
+- ``contaminated`` + ``contamination_reasons``: the explicit verdict,
+  from :func:`assess_contamination` (pure, unit-tested in
+  tests/test_bench_contract.py) — pre-session 1-min load >
+  CONTENTION_LOAD_START, or a median slowest-3 recheck improvement >
+  RECHECK_IMPROVEMENT.
 """
 
 from __future__ import annotations
@@ -21,7 +39,52 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kafka_workers_spark import WorkersConfig, build_session
-from kafka_workers_spark.queries import load_all, load_extra
+
+#: Pre-session 1-min load average above which a run starts contaminated.
+#: The sample is taken before the Spark session exists, so ANY load is a
+#: competing workload; 2+ cores of sustained foreign work is the scale
+#: that skewed BENCH_r12 (VERDICT r12: 124.5 s contended vs 93.2 s quiet).
+CONTENTION_LOAD_START = 2.0
+
+#: Median fractional improvement of the slowest-3 end-of-run rechecks
+#: above which the run is flagged: quiet-machine jitter on multi-second
+#: queries sits well under this; BENCH_r12's contended rows re-ran ~25-55%
+#: faster once the competing load drained.
+RECHECK_IMPROVEMENT = 0.20
+
+
+def assess_contamination(
+    load_start_1m: float,
+    recheck: dict[str, dict[str, float]],
+) -> tuple[bool, list[str]]:
+    """The adjudication rule, as a pure function so it is unit-testable
+    with a synthetic contended run (the 'deliberate contended-run test'
+    VERDICT r12 #1 asks for): returns (contaminated, reasons).
+
+    ``recheck`` maps query name -> {"kept": timed_s, "recheck": rerun_s}.
+    """
+    reasons: list[str] = []
+    if load_start_1m > CONTENTION_LOAD_START:
+        reasons.append(
+            f"pre-session 1-min load {load_start_1m:.2f} > "
+            f"{CONTENTION_LOAD_START} (a competing workload was already "
+            "running when the bench started)"
+        )
+    improvements = sorted(
+        (r["kept"] - r["recheck"]) / r["kept"]
+        for r in recheck.values()
+        if r["kept"] > 0
+    )
+    if improvements:
+        med = improvements[len(improvements) // 2]
+        if med > RECHECK_IMPROVEMENT:
+            reasons.append(
+                f"slowest-3 end-of-run recheck median improvement "
+                f"{med:.0%} > {RECHECK_IMPROVEMENT:.0%} (early timings were "
+                "inflated by load that drained before the end of the run)"
+            )
+    return (bool(reasons), reasons)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,10 +99,17 @@ def main() -> None:
     # cold-path regression in a rotated-out family is visible before it
     # rotates back into the driver window. The driver's own invocation
     # (no args) is unchanged.
+    from kafka_workers_spark.queries import load_all, load_extra
+
     extra = "--extra" in sys.argv[1:]
     registry = load_extra() if extra else load_all()
     metric = "extra_queries_total" if extra else "headline_queries_total"
     names = list(registry)
+
+    # sampled BEFORE the session: our own load is zero, so this is pure
+    # external contention
+    load_start = os.getloadavg()
+    cpus = os.cpu_count() or 1
 
     spark = build_session(
         WorkersConfig(
@@ -72,7 +142,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    load1_at_query: dict[str, float] = {}
     for name in names:
+        load1_at_query[name] = round(os.getloadavg()[0], 2)
         timings[name] = first_run[name] = run_once(name)
         print(f"timed {name} {timings[name]:.2f}s", file=sys.stderr, flush=True)
 
@@ -93,6 +165,22 @@ def main() -> None:
             if timings[name] <= threshold:
                 break
 
+    # End-of-run recheck of the 3 slowest first-run rows (VERDICT r12 #1):
+    # a contended run's early numbers deflate sharply once the competing
+    # load drains, so the kept-vs-recheck delta adjudicates the artifact
+    # without a judge re-run. The recheck also updates the kept minimum —
+    # it is one more honest cache-cleared rep.
+    slowest = sorted(first_run, key=first_run.get, reverse=True)[:3]
+    recheck: dict[str, dict[str, float]] = {}
+    for name in slowest:
+        again = run_once(name)
+        print(f"recheck {name} {again:.2f}s (kept {timings[name]:.2f}s)", file=sys.stderr, flush=True)
+        recheck[name] = {"kept": round(timings[name], 3), "recheck": round(again, 3)}
+        timings[name] = min(timings[name], again)
+
+    load_end = os.getloadavg()
+    contaminated, reasons = assess_contamination(load_start[0], recheck)
+
     timings = {n: round(t, 3) for n, t in timings.items()}
     first_run = {n: round(t, 3) for n, t in first_run.items()}
     total = sum(timings.values())
@@ -109,6 +197,15 @@ def main() -> None:
                 # when min-of-retries keeps a faster later rep
                 "queries_first_run": first_run,
                 "sf": sf,
+                "load": {
+                    "start_1m_5m_15m": [round(x, 2) for x in load_start],
+                    "end_1m_5m_15m": [round(x, 2) for x in load_end],
+                    "cpus": cpus,
+                    "at_query_1m": load1_at_query,
+                },
+                "slowest_recheck": recheck,
+                "contaminated": contaminated,
+                "contamination_reasons": reasons,
             }
         )
     )
