@@ -164,7 +164,8 @@ _FRAME_LEN = 64  # ~300-byte docs → ~4 complete frames each; <64-byte docs dro
         min_match_frac=0.5,
     ),
     category="multimodal",
-    windowed=False,  # new round 12 — EXTRA seasoning before window rotation
+    # rotated INTO the driver window round 13 (VERDICT r12 #3) after one
+    # round of EXTRA seasoning (r12: green at sf0.001 + sf0.01 + sf0.1)
 )
 def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal frame-alignment near-dup over video-like payloads

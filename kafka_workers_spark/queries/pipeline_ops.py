@@ -42,6 +42,10 @@ _MERGE_SIDES = 3
     )
     """,
     category="pipeline",
+    # rotated OUT of the driver window round 13 (VERDICT r12 #3) to make
+    # room for multimodal_frame_dedup — still held to this oracle every
+    # pytest run by test_rotated_out_queries_still_match_oracle
+    windowed=False,
 )
 def split_corpus_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split assignment (pipeline.split_corpus):
@@ -73,6 +77,10 @@ def split_corpus_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= {_CAP}
     """,
     category="pipeline",
+    # rotated OUT of the driver window round 13 (VERDICT r12 #3) to make
+    # room for stream_interval_join — still held to this oracle every
+    # pytest run by test_rotated_out_queries_still_match_oracle
+    windowed=False,
 )
 def cap_per_key_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-domain-dominance cap (pipeline.cap_per_key): at most

@@ -476,7 +476,8 @@ _IJ_UPPER_S = 14400
      AND p.ts <= v.ts + INTERVAL {_IJ_UPPER_S} SECOND
     """,
     category="streaming",
-    windowed=False,
+    # rotated INTO the driver window round 13 (VERDICT r12 #3) after one
+    # round of EXTRA seasoning (r12: green at sf0.001 + sf0.01 + sf0.1)
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (streaming/joins.py) in its
