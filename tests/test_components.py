@@ -532,3 +532,128 @@ def test_neighbor_jaccard_wedge_counts(spark):
 
     with pytest.raises(ValueError, match="min_common"):
         neighbor_jaccard(df, min_common=0)
+
+
+# ---------------------------------------------------------------------------
+# Stored components artifact (VERDICT r12 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_components_store_roundtrip_and_validation(spark, tmp_path):
+    """components_write/components_read round-trip: stored == fresh
+    bit-for-bit; a wrong expected fingerprint, a corrupted meta row
+    count, and a future layout version all refuse to serve."""
+    from kafka_workers_spark.operators.components import (
+        components_read,
+        components_write,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "doc_a long, doc_b long"
+    )
+    comp = connected_components(edges, src="doc_a", dst="doc_b")
+    path = str(tmp_path / "cc_store")
+    components_write(comp, path, fingerprint="snap-1")
+    back = components_read(spark, path, expect_fingerprint="snap-1")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, comp.collect()))
+    # stale-input refusal
+    with pytest.raises(ValueError, match="stale"):
+        components_read(spark, path, expect_fingerprint="snap-2")
+    # without an expectation the read serves (caller opted out of pinning)
+    assert components_read(spark, path).count() == comp.count()
+    # mode=error refuses a second write; overwrite replaces
+    with pytest.raises(Exception):
+        components_write(comp, path, fingerprint="snap-1")
+    components_write(comp.limit(2), path, mode="overwrite", fingerprint="snap-2")
+    assert components_read(spark, path, expect_fingerprint="snap-2").count() == 2
+
+
+def test_components_merge_equals_fresh_closure_over_union(spark):
+    """components_merge (stored labeling as star edges + new pairs) must
+    equal connected_components over (old pairs UNION new pairs) — on a
+    batch that bridges two stored components, extends one, and introduces
+    brand-new nodes; and on random graphs split arbitrarily into
+    old/new batches."""
+    from kafka_workers_spark.operators.components import components_merge
+
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 31)], "doc_a long, doc_b long"
+    )
+    stored = connected_components(old, src="doc_a", dst="doc_b")
+    new = spark.createDataFrame(
+        [(3, 10),      # bridges {1,2,3} with {10,11}
+         (31, 32),     # extends {30,31}
+         (50, 51)],    # brand-new component
+        "doc_a long, doc_b long",
+    )
+    merged = {
+        (r.node, r.comp)
+        for r in components_merge(stored, new).collect()
+    }
+    fresh = {
+        (r.node, r.comp)
+        for r in connected_components(
+            old.unionByName(new), src="doc_a", dst="doc_b"
+        ).collect()
+    }
+    assert merged == fresh
+    # randomized: any old/new split of one edge set merges to the same
+    # labeling as the one-shot closure
+    rng = random.Random(13)
+    for trial in range(3):
+        pairs = [
+            (rng.randrange(40), rng.randrange(40)) for _ in range(60)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        cut = rng.randrange(1, len(pairs) - 1)
+        old_df = spark.createDataFrame(pairs[:cut], "doc_a long, doc_b long")
+        new_df = spark.createDataFrame(pairs[cut:], "doc_a long, doc_b long")
+        stored_t = connected_components(old_df, src="doc_a", dst="doc_b")
+        got = {
+            (r.node, r.comp) for r in components_merge(stored_t, new_df).collect()
+        }
+        want = {
+            (r.node, r.comp)
+            for r in connected_components(
+                old_df.unionByName(new_df), src="doc_a", dst="doc_b"
+            ).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_cc_store_serves_fresh_results_and_force_rebuilds(spark, tmp_path, monkeypatch):
+    """The fingerprint-keyed store behind dedup_group_components /
+    dedup_survivor_quality: first touch builds and publishes, second
+    touch serves the identical mapping from parquet (stored == fresh
+    bit-for-bit), force_rebuild re-publishes, and the artifact lands
+    under the overridable KW_COMPONENTS_STORE root."""
+    import os
+
+    from kafka_workers_spark.queries.dedup import _cc_groups, _cc_store
+
+    monkeypatch.setenv("KW_COMPONENTS_STORE", str(tmp_path / "store_root"))
+    sf = "/root/testdata/sf0.001"
+    fresh = sorted(map(tuple, _cc_groups(spark, sf).collect()))
+    first = sorted(map(tuple, _cc_store(spark, sf).collect()))
+    assert first == fresh
+    # one generation dir + one published symlink pointing at it
+    root = str(tmp_path / "store_root")
+    links = [d for d in os.listdir(root) if os.path.islink(os.path.join(root, d))]
+    gens = [d for d in os.listdir(root) if ".v-" in d and not d.startswith(".")]
+    assert len(links) == 1 and len(gens) == 1
+    assert os.readlink(os.path.join(root, links[0])) == gens[0]
+    # second touch: served from parquet (no new generation), equal
+    second = sorted(map(tuple, _cc_store(spark, sf).collect()))
+    assert second == fresh
+    assert len([d for d in os.listdir(root) if ".v-" in d]) == 1
+    # force_rebuild publishes a NEW generation atomically (symlink
+    # repoints; the previous generation is retained for in-flight scans)
+    third = sorted(map(tuple, _cc_store(spark, sf, force_rebuild=True).collect()))
+    assert third == fresh
+    gens2 = [d for d in os.listdir(root) if ".v-" in d and not d.startswith(".")]
+    assert len(gens2) == 2
+    assert os.readlink(os.path.join(root, links[0])) != gens[0]
+    # a third rebuild prunes back to two generations (current + previous)
+    fourth = sorted(map(tuple, _cc_store(spark, sf, force_rebuild=True).collect()))
+    assert fourth == fresh
+    assert len([d for d in os.listdir(root) if ".v-" in d and not d.startswith(".")]) == 2
