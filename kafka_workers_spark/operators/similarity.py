@@ -1294,3 +1294,154 @@ def ann_append_index(
     )
     fresh_codes.write.mode("append").parquet(f"{path}/codes")
     assigned.select(id_col, "list_id").write.mode("append").parquet(f"{path}/assign")
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (diverse-subset selection — Gonzalez 1985)
+# ---------------------------------------------------------------------------
+
+
+def kcenter_coreset(
+    vecs: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v6",
+) -> DataFrame:
+    """Greedy k-center selection over fixed-point embeddings (Gonzalez,
+    "Clustering to minimize the maximum intercluster distance", TCS 1985
+    — the classic 2-approximation): seed with the minimum-id point, then
+    ``k−1`` times add the point FARTHEST from the selected set (max of
+    min squared-L2 distance, ties by ascending id). This is the standard
+    diverse-subset / coreset draw a training-data pipeline runs to pick
+    maximally-spread exemplars (dedup canonical pools, eval probes,
+    annotation batches) — the opposite bias of similarity search.
+
+    All arithmetic is exact int64: vectors are fixed-point bigints
+    (operators.dedup.embedding_fixed) and the distance is
+    ``Σ (a_i − b_i)²`` — at the 10⁶ scale with |x| ≤ ~1, a 64-dim
+    squared distance is ≤ ~2.6·10¹⁴, far inside int64 — so every
+    selection (and every tie) replays bit-identically on any engine;
+    the oracle unrolls the same k rounds as CTEs
+    (:func:`sql_kcenter_coreset`).
+
+    Returns ``(round, center_id, radius2)`` — one row per selection in
+    order; ``radius2`` is the selected point's min-distance to the
+    PREVIOUS centers (the coverage radius the next round removes; NULL
+    for the seed). The classic k-center guarantee: after round i, every
+    point is within ``radius2(i)`` of some center.
+
+    Scale shape (10⁹ vectors): each round is one broadcast of the single
+    new center row, one map-side LEAST update of the (id, vector, d2)
+    frame, and one TakeOrderedAndProject(1) reduction — no shuffle of
+    the corpus, k linear passes total. The min-distance frame is
+    ``localCheckpoint``ed per round — MANDATORY, not an optimization
+    (the connected_components rationale): round i references round i−1
+    TWICE (the argmax pick + the LEAST fold), so the logical plan
+    doubles per round and driver analysis alone OOMs near k ≈ 8 without
+    truncation. The interpreted array-lambda distance is one evaluation
+    per point per round; swap in the dot_fixed_fast pandas-UDF variant
+    past ~10⁸ rows/pass."""
+    if k < 1:
+        raise ValueError(f"k ({k}) must be >= 1")
+
+    def dist2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    pts = vecs.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    seed = (
+        pts.orderBy(F.col("__id").asc())
+        .limit(1)
+        .select(
+            F.col("__id").alias("center_id"),
+            F.col("__v").alias("__cv"),
+            F.lit(None).cast("bigint").alias("radius2"),
+            F.lit(0).cast("bigint").alias("round"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    centers = [seed]
+    mind = (
+        pts.crossJoin(F.broadcast(seed.select("__cv")))
+        .select("__id", "__v", dist2(F.col("__v"), F.col("__cv")).alias("__d2"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(1, k):
+        nxt = (
+            mind.orderBy(F.col("__d2").desc(), F.col("__id").asc())
+            .limit(1)
+            .select(
+                F.col("__id").alias("center_id"),
+                F.col("__v").alias("__cv"),
+                F.col("__d2").alias("radius2"),
+                F.lit(i).cast("bigint").alias("round"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        centers.append(nxt)
+        if i < k - 1:
+            mind = (
+                mind.crossJoin(F.broadcast(nxt.select("__cv")))
+                .select(
+                    "__id",
+                    "__v",
+                    F.least(
+                        F.col("__d2"), dist2(F.col("__v"), F.col("__cv"))
+                    ).alias("__d2"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = centers[0]
+    for c in centers[1:]:
+        out = out.unionByName(c)
+    return out.select("round", "center_id", "radius2")
+
+
+def sql_kcenter_coreset(
+    k: int,
+    dim: int,
+    vec_fixed_expr: str,
+    id_col: str = "vec_id",
+    from_clause: str = "FROM embeddings",
+) -> str:
+    """DuckDB rendering of :func:`kcenter_coreset`: the identical k
+    greedy rounds unrolled as CTEs (the pagerank/kcore oracle
+    discipline) — same seed, same LEAST-folded min distances, same
+    (d2 DESC, id ASC) selection order."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum([(({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i])"
+            f" FOR i IN generate_series(1, {dim})]) AS BIGINT)"
+        )
+
+    ctes = [
+        f"v AS (SELECT {id_col} AS vid, {vec_fixed_expr} AS v6 {from_clause})",
+        "c0 AS (SELECT vid AS cid, v6 AS cv FROM v ORDER BY vid LIMIT 1)",
+        f"d0 AS (SELECT v.vid, v.v6, {d2('v.v6', 'c0.cv')} AS d2 FROM v CROSS JOIN c0)",
+    ]
+    for i in range(1, k):
+        prev = f"d{i - 1}"
+        ctes.append(
+            f"c{i} AS (SELECT vid AS cid, v6 AS cv, d2 AS r2 FROM {prev}"
+            f" ORDER BY d2 DESC, vid ASC LIMIT 1)"
+        )
+        if i < k - 1:
+            ctes.append(
+                f"d{i} AS (SELECT d.vid, d.v6,"
+                f" LEAST(d.d2, {d2('d.v6', f'c{i}.cv')}) AS d2"
+                f" FROM {prev} d CROSS JOIN c{i})"
+            )
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS round, cid AS center_id,"
+        " CAST(NULL AS BIGINT) AS radius2 FROM c0"
+    ]
+    for i in range(1, k):
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS round, cid AS center_id,"
+            f" CAST(r2 AS BIGINT) AS radius2 FROM c{i}"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL ".join(selects)

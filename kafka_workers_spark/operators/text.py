@@ -2392,3 +2392,122 @@ def chi2_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition screens (Gopher-style quality filters — Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+
+def repetition_screen(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition statistics — the Gopher/MassiveText
+    repetition filters (Rae et al. 2021, Appendix A1.1: "fraction of
+    duplicate n-grams", "fraction of characters in most common n-gram"),
+    token-level and exact-integer so the screen replays cross-engine:
+
+    - ``n_tokens``; ``n_grams`` = n_tokens − n + 1 (0 when too short);
+    - ``n_distinct_grams``, ``top_gram_count`` (the modal n-gram's
+      multiplicity), ``dup_gram_tokens`` (Σ multiplicity over n-grams
+      occurring more than once — gram INSTANCES inside repeated grams);
+    - ``top_gram_frac`` = top_gram_count·n / n_tokens and
+      ``dup_gram_frac`` = dup_gram_tokens / n_grams, each ONE IEEE
+      division of exact longs (the transition_matrix float rule), NULL
+      when the denominator is 0.
+
+    A training-data pipeline thresholds these (Gopher drops docs with
+    dup_2gram_frac > 0.2); this operator emits the raw screen so the
+    threshold stays a policy, not a baked-in constant. The reference has
+    no content surface (opaque payloads, api/record/WorkerRecord.java) —
+    engine extension, the text-quality family.
+
+    Scale shape: tokenize stage (one exchange), one explode → hash
+    aggregate keyed (doc, gram) — partial aggregation absorbs the
+    per-doc repetition BEFORE the shuffle, so the shuffled rows are
+    distinct (doc, gram) pairs, not gram instances — then one aggregate
+    keyed (doc). Short docs survive via explode_outer (a NULL-gram row
+    that the aggregates ignore); payloads never ride past the tokenize
+    stage."""
+    if n < 1:
+        raise ValueError(f"n ({n}) must be >= 1")
+    staged = tokenize_stage(docs.select(id_col, text_col), text_col)
+    grams = staged.select(
+        id_col,
+        F.size("toks").cast("bigint").alias("__nt"),
+        F.explode_outer(word_shingles(F.col("toks"), n)).alias("__g"),
+    )
+    counts = grams.groupBy(id_col, "__nt", "__g").agg(
+        F.count("*").cast("bigint").alias("__c")
+    )
+    isg = F.col("__g").isNotNull()
+    agg = counts.groupBy(id_col, "__nt").agg(
+        F.coalesce(F.sum(F.when(isg, F.col("__c"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_grams"),
+        F.coalesce(F.count(F.when(isg, F.lit(1))), F.lit(0))
+        .cast("bigint")
+        .alias("n_distinct_grams"),
+        F.coalesce(F.max(F.when(isg, F.col("__c"))), F.lit(0))
+        .cast("bigint")
+        .alias("top_gram_count"),
+        F.coalesce(F.sum(F.when(isg & (F.col("__c") > 1), F.col("__c"))), F.lit(0))
+        .cast("bigint")
+        .alias("dup_gram_tokens"),
+    )
+    return agg.select(
+        id_col,
+        F.col("__nt").alias("n_tokens"),
+        "n_grams",
+        "n_distinct_grams",
+        "top_gram_count",
+        "dup_gram_tokens",
+        F.when(
+            F.col("__nt") > 0,
+            (F.col("top_gram_count") * n).cast("double") / F.col("__nt").cast("double"),
+        ).alias("top_gram_frac"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("dup_gram_tokens").cast("double") / F.col("n_grams").cast("double"),
+        ).alias("dup_gram_frac"),
+    )
+
+
+def sql_repetition_screen(n: int = 2, from_clause: str = "FROM documents") -> str:
+    """DuckDB rendering of :func:`repetition_screen` — same tokenizer,
+    same shingles, same single-division fractions."""
+    sh = sql_word_shingles("toks", n)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks {from_clause}
+    ), g AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, unnest({sh}) AS gram
+      FROM (SELECT doc_id, toks FROM t)
+    ), c AS (
+      SELECT doc_id, n_tokens, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g GROUP BY 1, 2, 3
+    ), a AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(cnt) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+             CAST(MAX(cnt) AS BIGINT) AS top_gram_count,
+             CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS dup_gram_tokens
+      FROM c GROUP BY 1, 2
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           COALESCE(a.n_grams, 0) AS n_grams,
+           COALESCE(a.n_distinct_grams, 0) AS n_distinct_grams,
+           COALESCE(a.top_gram_count, 0) AS top_gram_count,
+           COALESCE(a.dup_gram_tokens, 0) AS dup_gram_tokens,
+           CASE WHEN len(t.toks) > 0 THEN
+             CAST(COALESCE(a.top_gram_count, 0) * {n} AS DOUBLE) / CAST(len(t.toks) AS BIGINT)
+           END AS top_gram_frac,
+           CASE WHEN COALESCE(a.n_grams, 0) > 0 THEN
+             CAST(a.dup_gram_tokens AS DOUBLE) / a.n_grams
+           END AS dup_gram_frac
+    FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+    """

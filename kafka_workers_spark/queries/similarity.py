@@ -834,3 +834,30 @@ def ann_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank_exact(
         short.select("query_id", "neighbor_id"), comp, q, k_top=TOP_K
     )
+
+
+from kafka_workers_spark.operators.similarity import (  # noqa: E402
+    kcenter_coreset,
+    sql_kcenter_coreset,
+)
+
+_KC_K = 8
+
+
+@register(
+    "embed_kcenter_coreset",
+    sql_kcenter_coreset(_KC_K, _DIM, _EMB6),
+    category="similarity",
+    windowed=False,  # new round 13 — EXTRA until rotated in
+)
+def embed_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diverse-subset selection over the embeddings table
+    (operators.similarity.kcenter_coreset — Gonzalez 1985): 8 maximally
+    spread exemplars in exact int64 fixed-point squared-L2, seeded at the
+    min id, ties by id. The oracle unrolls the identical 8 greedy rounds
+    as CTEs (the pagerank discipline), so every selection AND its
+    coverage radius hash-match bit-for-bit — an end-to-end pin of an
+    ITERATIVE argmax chain, not just a final aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", embedding_fixed(F.col("embedding")).alias("v6"))
+    return kcenter_coreset(vecs, k=_KC_K, id_col="vec_id", vec_col="v6")

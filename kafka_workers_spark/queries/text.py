@@ -1698,3 +1698,118 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").isin(_BM25_QUERIES)
     )
     return rrf_fuse([bm, cos], top_k=_RRF_TOP_K, k0=_RRF_K0)
+
+
+from kafka_workers_spark.operators.text import (  # noqa: E402
+    repetition_screen,
+    sql_repetition_screen,
+)
+
+_GOPHER_N = 2
+
+
+@register(
+    "quality_repetition_screen",
+    sql_repetition_screen(_GOPHER_N),
+    category="text",
+    windowed=False,  # new round 13 — EXTRA until rotated in
+)
+def quality_repetition_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition screen, ready to threshold
+    (operators.text.repetition_screen — Rae et al. 2021 §A1.1). Extends
+    ``text_ngram_repetition``'s raw counts with the three quantities the
+    MassiveText filters actually need and that row cannot derive:
+    ``n_tokens`` (the normalizer), ``dup_gram_tokens`` (Σ multiplicity
+    over n-grams occurring more than once — the duplicated-instance
+    MASS, not recoverable from total/distinct/top), and the two
+    one-division fractions (``top_gram_frac``, ``dup_gram_frac``) that
+    the Gopher thresholds compare (drop at dup_2gram_frac > 0.2). The
+    oracle replays the identical tokenizer, shingles, and divisions via
+    sql_repetition_screen — the shared-renderer pattern, so the two
+    sides cannot drift. The synthetic corpus is heavily repetitive, so
+    the screen emits a full spread of non-trivial values at every SF."""
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_screen(d, "doc_id", "text", n=_GOPHER_N)
+
+
+@register(
+    "corpus_zipf_slope",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang,
+             CAST(floor(1000000 * ln(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY cnt DESC, tok ASC))) AS BIGINT) AS x,
+             CAST(floor(1000000 * ln(cnt)) AS BIGINT) AS y
+      FROM freq
+    ), stats AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx
+      FROM ranked GROUP BY 1
+    ), sloped AS (
+      SELECT lang, n, sx, sy,
+             CASE WHEN n * sxx - sx * sx <> 0
+                  THEN CAST(((n * sxy - sx * sy) * 1000000000)
+                            // (n * sxx - sx * sx) AS BIGINT)
+             END AS slope9
+      FROM stats
+    )
+    SELECT lang, n, slope9,
+           CAST(slope9 AS DOUBLE) / 1e9 AS slope,
+           CASE WHEN slope9 IS NOT NULL THEN
+             (CAST(sy AS DOUBLE)
+              - (CAST(slope9 AS DOUBLE) / 1e9) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * 1.0)
+           END AS intercept
+    FROM sloped
+    """,
+    category="text",
+    windowed=False,  # new round 13 — EXTRA until rotated in
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the per-language token frequency
+    distribution (Zipf 1949; the corpus-health diagnostic a mixture
+    builder tracks per source/language — a slope far from −1 flags
+    boilerplate floods or truncated vocabularies): ln(freq) regressed on
+    ln(rank) via the exact-OLS operator
+    (operators.relational.group_ols, the agg_group_ols discipline). Both
+    axes quantize FIRST (floor(1e6·ln(·)) → BIGINT — the psi/tfidf ln
+    rule), the sufficient statistics ride DECIMAL(38,0)/HUGEINT, the
+    slope materializes as an exact DIV-scaled integer, and the derived
+    slope/intercept doubles are single IEEE ops on identical bigints —
+    the whole regression hash-matches cross-engine.
+
+    Shape at scale: one explode → (lang, token) hash aggregate (partial
+    combine absorbs repetition before the shuffle), one lang-keyed rank
+    window over the VOCABULARY (not the corpus), one 5-sum OLS
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    from kafka_workers_spark.operators.relational import group_ols
+    from kafka_workers_spark.operators.text import tokenize_stage
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = tokenize_stage(d.select("lang", "text"))
+    freq = (
+        staged.select("lang", F.explode("toks").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = freq.select(
+        "lang",
+        F.floor(F.lit(1_000_000.0) * F.log(F.row_number().over(w).cast("double")))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.lit(1_000_000.0) * F.log(F.col("cnt").cast("double")))
+        .cast("bigint")
+        .alias("y"),
+    )
+    return group_ols(ranked, ["lang"], "x", "y", scale=1)

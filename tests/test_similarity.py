@@ -1133,3 +1133,40 @@ def test_ann_append_index_refuses_dup_ids_and_drifted_orphans(spark, tmp_path):
     ).write.mode("append").parquet(f"{path}/codes")
     with pytest.raises(ValueError, match="DIFFERENT embeddings"):
         ann_append_index(spark, path, one)
+
+
+def test_kcenter_coreset_known_answer_and_degenerate_k(spark):
+    """Greedy k-center (operators.similarity.kcenter_coreset, Gonzalez
+    1985) on a hand-checkable 1-D-ish layout: points at 0, 1, 10, 11,
+    100 (padded to 2 dims). Seed = min id (point 0); round 1 picks the
+    farthest point (100, d²=10000); round 2 the farthest from {0, 100}
+    (10 or 11: d² to 0 is 100/121, to 100 is 8100/7921 → min-dists 100
+    and 121 → picks 11); ties break by ascending id. k exceeding the
+    number of DISTINCT points keeps selecting deterministically with
+    radius² = 0 (documented degenerate case)."""
+    import pytest
+
+    from kafka_workers_spark.operators.similarity import kcenter_coreset
+
+    pts = spark.createDataFrame(
+        [(i, [v, 0]) for i, v in enumerate([0, 1, 10, 11, 100])],
+        "vec_id long, v6 array<bigint>",
+    )
+    got = {
+        r.round: (r.center_id, r.radius2)
+        for r in kcenter_coreset(pts, k=3).collect()
+    }
+    assert got[0] == (0, None)
+    assert got[1] == (4, 100 * 100)
+    assert got[2] == (3, 11 * 11)  # min(121, (100-11)²=7921) = 121
+    # k = 1: just the seed
+    only = kcenter_coreset(pts, k=1).collect()
+    assert len(only) == 1 and only[0].center_id == 0
+    # k > distinct points: duplicates at radius² 0, still deterministic
+    two = spark.createDataFrame(
+        [(1, [0, 0]), (2, [0, 0])], "vec_id long, v6 array<bigint>"
+    )
+    rows = kcenter_coreset(two, k=3).collect()
+    assert [r.radius2 for r in sorted(rows, key=lambda r: r.round)] == [None, 0, 0]
+    with pytest.raises(ValueError, match="k "):
+        kcenter_coreset(pts, k=0)

@@ -1437,3 +1437,42 @@ def test_chi2_terms_ranks_label_exclusive_terms_first(spark):
 
     with _pt.raises(ValueError, match="top_k"):
         chi2_terms(df, "lang", top_k=0)
+
+
+def test_repetition_screen_known_answers(spark):
+    """Gopher repetition screen (operators.text.repetition_screen) on
+    hand-checkable docs: 'a b a b' has 2-grams [a b, b a, a b] → top
+    count 2, duplicated-instance mass 2, dup_frac 2/3; a fully unique
+    doc scores 0 mass; a one-token doc has zero grams and NULL fractions
+    denominator-guarded; an empty-ish doc still emits a row."""
+    import pytest
+
+    from kafka_workers_spark.operators.text import repetition_screen
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "x y z w"),
+            (3, "solo"),
+            (4, "r r r r r"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_screen(docs, n=2).collect()}
+    assert len(out) == 4
+    r1 = out[1]
+    assert (r1.n_tokens, r1.n_grams, r1.n_distinct_grams) == (4, 3, 2)
+    assert (r1.top_gram_count, r1.dup_gram_tokens) == (2, 2)
+    assert r1.top_gram_frac == 2 * 2 / 4
+    assert r1.dup_gram_frac == 2 / 3
+    r2 = out[2]
+    assert (r2.top_gram_count, r2.dup_gram_tokens) == (1, 0)
+    assert r2.dup_gram_frac == 0.0
+    r3 = out[3]
+    assert (r3.n_tokens, r3.n_grams, r3.top_gram_count) == (1, 0, 0)
+    assert r3.top_gram_frac == 0.0 and r3.dup_gram_frac is None
+    r4 = out[4]  # 'r r' ×4, all duplicated
+    assert (r4.n_grams, r4.n_distinct_grams, r4.top_gram_count) == (4, 1, 4)
+    assert r4.dup_gram_frac == 1.0
+    with pytest.raises(ValueError, match="n "):
+        repetition_screen(docs, n=0)
