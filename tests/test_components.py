@@ -568,6 +568,7 @@ def test_components_store_roundtrip_and_validation(spark, tmp_path):
     assert components_read(spark, path, expect_fingerprint="snap-2").count() == 2
 
 
+@pytest.mark.slow
 def test_components_merge_equals_fresh_closure_over_union(spark):
     """components_merge (stored labeling as star edges + new pairs) must
     equal connected_components over (old pairs UNION new pairs) — on a

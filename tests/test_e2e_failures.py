@@ -22,6 +22,11 @@ import time
 
 import pandas as pd
 import pytest
+
+# slow tier (VERDICT r12 #6): live failure-injection queries (poison/deadline/timers) -- seconds-per-test by
+# nature (micro-batch scheduling waits, not compute). Full suite
+# stays the pre-commit gate; `-m "not slow"` is the fast lane.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from kafka_workers_spark.streaming.lifecycle import (

@@ -224,6 +224,7 @@ def test_accept_gate_drops_state_for_drained_keys(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_gate_record_deadline_fails_query(spark, tmp_path):
     """A9 record granularity for buffered records: a head blocked past
     max_buffer_age_ms raises ProcessingTimeoutError and the live query
@@ -458,6 +459,7 @@ def test_gate_random_arrivals_match_reference_model():
     run()
 
 
+@pytest.mark.slow
 def test_gate_tasks_batch_equals_live_gate(spark, tmp_path):
     """The batch replay entry (gate_tasks_batch — the stream_gate_release
     registry row's engine) emits exactly the rows the LIVE gate releases

@@ -78,6 +78,7 @@ def test_merge_streaming_matches_batch(spark, tmp_path):
     assert spark.sql("SELECT * FROM merge_out WHERE pair = 1").count() == 0
 
 
+@pytest.mark.slow
 def test_merge_streaming_incremental_release(spark, tmp_path):
     """The live behavior MergerTest exercises: releases happen per batch as
     the slower side catches up; the held-back tail stays buffered until its
@@ -206,6 +207,7 @@ def test_merge_single_scan_plans_one_exchange(spark):
     assert released.filter("pair = 1").count() == 0
 
 
+@pytest.mark.slow
 def test_merge_stream_ttl_flushes_buffer(spark, tmp_path):
     """ADVICE r01: state TTL must FLUSH the unreleased tail (at-least-once),
     not silently drop it. A group with only one side present would buffer
@@ -255,6 +257,7 @@ def test_merge_stream_ttl_flushes_buffer(spark, tmp_path):
     assert [r.ts for r in flushed] == [10000, 20000]
 
 
+@pytest.mark.slow
 def test_merge_release_rule_property(spark):
     """Property (hypothesis-driven data, one Spark round-trip): for random
     two-sided inputs, the released set is EXACTLY the rows at or below
@@ -346,6 +349,7 @@ def test_merge_ordered_many_three_way(spark):
         merge_ordered_many({"a": a}, "g", "t")
 
 
+@pytest.mark.slow
 def test_merge_ordered_stream_many_three_way(spark, tmp_path):
     """Streaming N-way merge: releases follow min-of-three frontiers
     across micro-batches; the late third feed unblocks its group."""
@@ -490,6 +494,7 @@ def test_merge_stream_handler_random_arrivals_match_reference_model():
     run()
 
 
+@pytest.mark.slow
 def test_merge_ordered_many_nway_release_rule_property(spark):
     """Property (hypothesis-generated data, batched Spark round-trips):
     the N-way BATCH merge releases exactly the rows at or below their

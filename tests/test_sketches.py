@@ -611,6 +611,7 @@ def test_kmv_jaccard_tracks_true_overlap(spark):
     assert abs(j - 1 / 3) < 4 / (k ** 0.5)
 
 
+@pytest.mark.slow
 def test_streaming_kmv_rollup_equals_whole_pass(spark, tmp_path):
     """The index-once/update-incrementally shape for KMV under
     Structured Streaming: each micro-batch builds its own sketch in

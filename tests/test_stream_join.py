@@ -165,6 +165,7 @@ def _run_live(spark, tmp_path, how, name, cols="user_id, view_id, purchase_id"):
 
 
 @pytest.mark.parametrize("how", ["inner", "left_outer"])
+@pytest.mark.slow
 def test_streaming_equals_batch(spark, tmp_path, how):
     got = _run_live(spark, tmp_path, how, f"ij_{how}")
     want = sorted(
@@ -184,6 +185,7 @@ def test_batch_left_semi_emits_converted_views_once(spark):
     assert got == [(1, 10), (2, 20)]
 
 
+@pytest.mark.slow
 def test_streaming_left_semi_equals_batch(spark, tmp_path):
     got = _run_live(spark, tmp_path, "left_semi", "ij_semi", cols="user_id, view_id")
     want = sorted(

@@ -172,6 +172,7 @@ def test_worker_task_counts_per_key(spark, tmp_path):
     assert finals == {0: 8, 1: 8}
 
 
+@pytest.mark.slow
 def test_worker_task_state_survives_restart(spark, tmp_path):
     """The documented upgrade over the reference (ARCHITECTURE.md §5):
     task state is checkpointed, so a restarted query CONTINUES its per-key
@@ -232,6 +233,7 @@ def test_worker_task_state_survives_restart(spark, tmp_path):
     assert sorted(rows) == [(0, 2), (0, 3), (1, 2), (1, 4)], sorted(rows)
 
 
+@pytest.mark.slow
 def test_worker_task_punctuate_fires_without_data(spark, tmp_path):
     """A5: a key idle in a later batch gets its punctuate callback
     (processing-time timer)."""
