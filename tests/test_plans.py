@@ -409,7 +409,14 @@ def test_pagerank_plan_shape_pinned(spark):
     by the load metadata + slowest-3 recheck. This pin makes any FUTURE
     plan change loud instead of another three-round forensic: if the
     shape legitimately changes, update the expected counts AND the
-    PLANS.md adjudication together."""
+    PLANS.md adjudication together.
+
+    clearCache first: the pin is about the COLD plan (what the bench and
+    the driver see in a fresh session). Spark's CacheManager substitutes
+    InMemoryRelation for ANY matching subplan, so frames persisted by
+    earlier test modules in the shared session would otherwise rewrite
+    the scan subtrees and make the counts test-order-dependent."""
+    spark.catalog.clearCache()
     a = audit(POOL["graph_pagerank"].fn(spark, SF))
     got = (
         a.exchanges,
