@@ -52,16 +52,32 @@ CONTENTION_LOAD_START = 2.0
 #: faster once the competing load drained.
 RECHECK_IMPROVEMENT = 0.20
 
+#: Third signal (found live in round 13 when a concurrent pytest run
+#: polluted a bench whose start load was clean and whose END was still
+#: loaded — neither other rule fires then): when noise-retries find a
+#: much faster rep for MANY rows, the first-run lane was measured under
+#: load. A quiet run retries few rows with modest gains; the one known
+#: legitimate big gap is a store-backed row's build-vs-hit (a single
+#: row), and the documented rare scheduler stall is also singular — so
+#: the threshold is a COUNT of rows, not any single row's ratio.
+RETRY_GAIN_RATIO = 2.0
+RETRY_GAIN_ROWS = 4
+RETRY_GAIN_MIN_KEPT_S = 0.2
+
 
 def assess_contamination(
     load_start_1m: float,
     recheck: dict[str, dict[str, float]],
+    first_run: dict[str, float] | None = None,
+    kept: dict[str, float] | None = None,
 ) -> tuple[bool, list[str]]:
     """The adjudication rule, as a pure function so it is unit-testable
     with a synthetic contended run (the 'deliberate contended-run test'
     VERDICT r12 #1 asks for): returns (contaminated, reasons).
 
-    ``recheck`` maps query name -> {"kept": timed_s, "recheck": rerun_s}.
+    ``recheck`` maps query name -> {"kept": timed_s, "recheck": rerun_s};
+    ``first_run``/``kept`` are the per-query lanes (optional for
+    backward-compatible callers/tests of the first two rules).
     """
     reasons: list[str] = []
     if load_start_1m > CONTENTION_LOAD_START:
@@ -82,6 +98,20 @@ def assess_contamination(
                 f"slowest-3 end-of-run recheck median improvement "
                 f"{med:.0%} > {RECHECK_IMPROVEMENT:.0%} (early timings were "
                 "inflated by load that drained before the end of the run)"
+            )
+    if first_run and kept:
+        gained = [
+            n
+            for n, f in first_run.items()
+            if kept.get(n, 0) > RETRY_GAIN_MIN_KEPT_S
+            and f / kept[n] > RETRY_GAIN_RATIO
+        ]
+        if len(gained) >= RETRY_GAIN_ROWS:
+            reasons.append(
+                f"{len(gained)} rows' retries ran >{RETRY_GAIN_RATIO:.0f}x "
+                f"faster than their first run ({', '.join(sorted(gained)[:6])}"
+                f"{'…' if len(gained) > 6 else ''}) — the first-run lane was "
+                "measured under load that later drained"
             )
     return (bool(reasons), reasons)
 
@@ -179,7 +209,9 @@ def main() -> None:
         timings[name] = min(timings[name], again)
 
     load_end = os.getloadavg()
-    contaminated, reasons = assess_contamination(load_start[0], recheck)
+    contaminated, reasons = assess_contamination(
+        load_start[0], recheck, first_run, timings
+    )
 
     timings = {n: round(t, 3) for n, t in timings.items()}
     first_run = {n: round(t, 3) for n, t in first_run.items()}

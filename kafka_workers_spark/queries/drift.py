@@ -278,3 +278,45 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z_den=1,
         season=_SA_SEASON,
     )
+
+
+@register(
+    "stream_anomaly_zscore",
+    f"""
+    WITH base AS ({_sql_anomaly_zscore(_AZ_WINDOW, _AZ_MIN_N)})
+    SELECT event_type, bucket_start, n_events, n_window,
+           dev_num, var_num, is_anomaly
+    FROM (
+      SELECT *, MAX(bucket_start) OVER (PARTITION BY event_type) AS __mx
+      FROM base
+    ) WHERE bucket_start < __mx
+    """,
+    category="drift",
+    windowed=False,  # new round 13 — EXTRA until rotated in
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_anomaly_zscore computed through the WorkerTask state
+    machine instead of the gap-fill + window (streaming/drift.py
+    anomaly_tasks_batch — per-key carried ring of trailing bucket
+    counts, replayed over full history via applyInPandas): the
+    imperative per-key task vs the relational grid, ONE oracle — the
+    markov/funnel cross-plan pattern applied to the drift family. The
+    oracle composes the registered flat-arm SQL with the stream's one
+    documented divergence (each key's final bucket never closes, so it
+    never emits); the LIVE streaming form of the same task — including
+    a bucket and its gap zeros split across micro-batches — is pinned
+    equal in tests/test_drift_stream.py."""
+    from kafka_workers_spark.streaming.drift import anomaly_tasks_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return anomaly_tasks_batch(
+        ev,
+        ["event_type"],
+        "ts",
+        tiebreak_col="event_id",
+        bucket_seconds=_AZ_BUCKET_S,
+        window=_AZ_WINDOW,
+        min_n=_AZ_MIN_N,
+        z_num=_AZ_Z,
+        z_den=1,
+    )

@@ -129,3 +129,25 @@ def test_bench_json_contract_fields():
         check=True,
     )
     assert out.stdout.strip() == str(CONTENTION_LOAD_START)
+
+
+def test_mid_run_contention_flags_via_retry_gains():
+    """The round-13 live miss: a concurrent workload started AFTER the
+    bench (clean pre-session load) and was still running at the end (so
+    rechecks got WORSE, not better) — neither original rule fires, but
+    8 rows' noise-retries ran 3-9x faster than their first runs. The
+    retry-gain count rule catches exactly that; a quiet run with one
+    store-backed row's legitimate 26x build-vs-hit gap (and one odd
+    scheduler stall) stays clean because the rule counts ROWS."""
+    first = {f"q{i}": 10.0 for i in range(8)}
+    kept = {f"q{i}": 2.5 for i in range(8)}
+    flagged, reasons = assess_contamination(0.5, {}, first, kept)
+    assert flagged and any("retries ran" in r for r in reasons)
+    # quiet run: one store-backed row + one stall, rest flat
+    first_q = {"store_row": 10.7, "stall": 30.0, "a": 5.0, "b": 3.0, "c": 1.0}
+    kept_q = {"store_row": 0.4, "stall": 5.0, "a": 4.9, "b": 3.1, "c": 1.0}
+    assert not assess_contamination(0.5, {}, first_q, kept_q)[0]
+    # sub-threshold kept times never count (trivial rows churn on noise)
+    tiny_f = {f"t{i}": 1.0 for i in range(6)}
+    tiny_k = {f"t{i}": 0.1 for i in range(6)}
+    assert not assess_contamination(0.5, {}, tiny_f, tiny_k)[0]
