@@ -56,12 +56,16 @@ RECHECK_IMPROVEMENT = 0.20
 #: polluted a bench whose start load was clean and whose END was still
 #: loaded — neither other rule fires then): when noise-retries find a
 #: much faster rep for MANY rows, the first-run lane was measured under
-#: load. A quiet run retries few rows with modest gains; the one known
-#: legitimate big gap is a store-backed row's build-vs-hit (a single
-#: row), and the documented rare scheduler stall is also singular — so
-#: the threshold is a COUNT of rows, not any single row's ratio.
+#: load. The threshold is a COUNT of rows, not any single row's ratio,
+#: and it sits ABOVE the structural quiet-run gainers measured in round
+#: 13 (4 rows: the store-backed build-vs-hit row, plus rows whose sf0.1
+#: plan shape diverges from the sf0.001 warmup so their first rep pays
+#: JIT/codegen — multimodal_frame_dedup reproduces 16.5 s → 5.0 s in an
+#: ISOLATED quiet session) but below the contended-run count (9 rows).
+#: The per-row list is always recorded as `retry_gain_rows` so a reader
+#: can adjudicate borderline runs from the artifact.
 RETRY_GAIN_RATIO = 2.0
-RETRY_GAIN_ROWS = 4
+RETRY_GAIN_ROWS = 7
 RETRY_GAIN_MIN_KEPT_S = 0.2
 
 
@@ -78,6 +82,8 @@ def assess_contamination(
     ``recheck`` maps query name -> {"kept": timed_s, "recheck": rerun_s};
     ``first_run``/``kept`` are the per-query lanes (optional for
     backward-compatible callers/tests of the first two rules).
+    Returns (contaminated, reasons); callers can recompute the
+    retry-gain row list via :func:`retry_gain_rows`.
     """
     reasons: list[str] = []
     if load_start_1m > CONTENTION_LOAD_START:
@@ -100,12 +106,7 @@ def assess_contamination(
                 "inflated by load that drained before the end of the run)"
             )
     if first_run and kept:
-        gained = [
-            n
-            for n, f in first_run.items()
-            if kept.get(n, 0) > RETRY_GAIN_MIN_KEPT_S
-            and f / kept[n] > RETRY_GAIN_RATIO
-        ]
+        gained = retry_gain_rows(first_run, kept)
         if len(gained) >= RETRY_GAIN_ROWS:
             reasons.append(
                 f"{len(gained)} rows' retries ran >{RETRY_GAIN_RATIO:.0f}x "
@@ -114,6 +115,20 @@ def assess_contamination(
                 "measured under load that later drained"
             )
     return (bool(reasons), reasons)
+
+
+def retry_gain_rows(
+    first_run: dict[str, float], kept: dict[str, float]
+) -> list[str]:
+    """Rows whose kept rep beat their first run by more than
+    RETRY_GAIN_RATIO — the contamination-rule input, also recorded
+    verbatim in the JSON so borderline runs stay adjudicable."""
+    return sorted(
+        n
+        for n, f in first_run.items()
+        if kept.get(n, 0) > RETRY_GAIN_MIN_KEPT_S
+        and f / kept[n] > RETRY_GAIN_RATIO
+    )
 
 
 def main() -> None:
@@ -236,6 +251,7 @@ def main() -> None:
                     "at_query_1m": load1_at_query,
                 },
                 "slowest_recheck": recheck,
+                "retry_gain_rows": retry_gain_rows(first_run, timings),
                 "contaminated": contaminated,
                 "contamination_reasons": reasons,
             }
