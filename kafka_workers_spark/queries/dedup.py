@@ -1093,3 +1093,46 @@ def dedup_components_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_id",
         (F.col("group_id") == F.col("doc_id")).alias("is_canonical"),
     )
+
+
+@register(
+    "dedup_group_stats",
+    f"""
+    WITH RECURSIVE {_CC_CLOSURE_CTES}, groups AS (
+      SELECT node AS doc_id, MIN(comp) AS group_id FROM reach GROUP BY node
+    ), scored AS (
+      SELECT g.group_id, g.doc_id, d.n_chars
+      FROM groups g JOIN documents d ON g.doc_id = d.doc_id
+    )
+    SELECT group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+    FROM scored GROUP BY group_id
+    """,
+    category="dedup",
+    windowed=False,  # new round 13 — the store's third consumer
+)
+def dedup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group dedup profile off the STORED components artifact — the
+    third consumer of :func:`_cc_store` (after group resolution and
+    survivor selection), and the report a curation run actually reads:
+    group size, duplicated character mass (what dedup will delete), the
+    largest member, and the min-id canonical. One store read + one
+    broadcast-side join to per-doc stats + one partial-aggregatable
+    hash aggregate — the compute-once/consume-many story in one row per
+    group. Same oracle chain (_CC_CLOSURE_CTES) as the other two
+    component queries, so all three can never drift."""
+    stats = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = _cc_store(spark, sf_dir)
+    return (
+        comp.join(stats, "doc_id")
+        .groupBy("group_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+        )
+    )
