@@ -1005,6 +1005,74 @@ def build_dedup_index(
     ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.band_key").alias("band_key"))
 
 
+def dedup_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-batch near-dup PAIR DELTA against a stored band index — the
+    incremental feeder for the streaming components fold
+    (streaming/components.py): where :func:`near_dedup_incremental`
+    applies the greedy drop rule immediately, this emits the raw
+    candidate pairs (batch x stored-corpus band collisions, plus
+    within-batch collisions a < b) and leaves the survivor policy to
+    the components store's consumers (exact transitive resolution,
+    quality-ranked survivors, group stats).
+
+    The identity that makes it correct: every colliding pair (i, j)
+    with i landing before j is emitted exactly once — in j's batch,
+    against an index that already holds i's bands (or within j's own
+    batch) — so the UNION of all batch deltas equals the one-shot
+    band-collision pair set of the full corpus, and the incremental
+    closure (components_merge per batch) equals the one-shot
+    connected_components over it (pinned in
+    tests/test_components_stream.py). Returns ``(pairs, new_index_rows)``
+    with pairs as ``(doc_a, doc_b)``; append the second element to the
+    index (every batch doc indexes, unlike the greedy variant which
+    indexes only survivors — groups need ALL members).
+
+    Shape at scale: batch signatures + ONE equi-join against the index
+    on (band, band_key) + one within-batch self-join on the same key —
+    per-batch cost is O(batch x collisions), never a corpus pass."""
+    new_bands = build_dedup_index(
+        new_docs, id_col=id_col, text_col=text_col, k=k,
+        n_bands=n_bands, rows_per_band=rows_per_band, shingle_n=shingle_n,
+    )
+    nb = new_bands.alias("nb")
+    ix = index.alias("ix")
+    cross = (
+        nb.join(
+            ix,
+            (F.col("nb.band") == F.col("ix.band"))
+            & (F.col("nb.band_key") == F.col("ix.band_key")),
+        )
+        .select(
+            F.col(f"ix.{id_col}").alias("doc_a"),
+            F.col(f"nb.{id_col}").alias("doc_b"),
+        )
+    )
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+    )
+    pairs = cross.unionByName(within).distinct()
+    return pairs, new_bands
+
+
 def near_dedup_incremental(
     new_docs: DataFrame,
     index: DataFrame,

@@ -122,3 +122,66 @@ def test_components_fold_heals_torn_swap(spark, tmp_path):
         )
     )
     assert _canon(read_components_store(spark, store)) == want
+
+
+def test_incremental_pair_deltas_close_to_one_shot_groups(spark, tmp_path):
+    """The full production loop, end to end: documents land in three
+    batches; each batch emits its near-dup PAIR DELTA against the
+    accumulated band index (pipeline.dedup_pairs_incremental) and folds
+    into the components store (components_fold). The final labeling
+    must equal the ONE-SHOT connected_components over the full corpus's
+    band-collision pairs — the identity that makes incremental dedup
+    groups exact: every colliding pair (i, j) is emitted exactly once,
+    in the later member's batch. Uses the real sf0.001 documents so the
+    collision structure is the corpus's own, not synthetic."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.pipeline import build_dedup_index, dedup_pairs_incremental
+    from kafka_workers_spark.sources.files import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "cc_store")
+    fold = components_fold(spark, store, lineage="inc")
+
+    index = None
+    for bid, pred in enumerate(
+        ["doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2"]
+    ):
+        batch = docs.filter(pred)
+        if index is None:
+            empty = build_dedup_index(batch.limit(0))
+            index = empty
+        pairs, new_rows = dedup_pairs_incremental(batch, index)
+        fold(pairs, bid)
+        # accumulate the index the way a real ingest would (append);
+        # materialize to break the growing lineage across batches
+        index_path = os.path.join(str(tmp_path), "band_index")
+        new_rows.write.mode("append").parquet(index_path)
+        index = spark.read.parquet(index_path)
+
+    got = sorted(
+        (r.node, r.comp) for r in read_components_store(spark, store).collect()
+    )
+    full_bands = build_dedup_index(docs)
+    a, b = full_bands.alias("a"), full_bands.alias("b")
+    one_shot_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    want = sorted(
+        (r.node, r.comp)
+        for r in connected_components(
+            one_shot_pairs, src="doc_a", dst="doc_b"
+        ).collect()
+    )
+    assert got == want and len(got) > 0

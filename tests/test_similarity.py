@@ -1172,3 +1172,43 @@ def test_kcenter_coreset_known_answer_and_degenerate_k(spark):
     assert [r.radius2 for r in sorted(rows, key=lambda r: r.round)] == [None, 0, 0]
     with pytest.raises(ValueError, match="k "):
         kcenter_coreset(pts, k=0)
+
+
+def test_kcenter_coreset_matches_python_greedy_replay(spark):
+    """Property sweep: on random integer vector sets, the Spark chain
+    must reproduce a literal Python replay of Gonzalez's greedy rule
+    (min-id seed, max-min-distance selection, ties by id) — selections
+    AND radii, for every round; radii must be non-increasing from round
+    2 onward (each added center only shrinks coverage distances)."""
+    import random
+
+    from kafka_workers_spark.operators.similarity import kcenter_coreset
+
+    rng = random.Random(49157)
+    for trial in range(3):
+        n, dim = rng.randint(5, 24), rng.randint(2, 5)
+        pts = {i: [rng.randint(-50, 50) for _ in range(dim)] for i in range(n)}
+        k = rng.randint(2, min(8, n))
+
+        def d2(a, b):
+            return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+        centers = [min(pts)]
+        expect = [(0, centers[0], None)]
+        mind = {i: d2(v, pts[centers[0]]) for i, v in pts.items()}
+        for r in range(1, k):
+            nxt = max(pts, key=lambda i: (mind[i], -i))
+            expect.append((r, nxt, mind[nxt]))
+            for i, v in pts.items():
+                mind[i] = min(mind[i], d2(v, pts[nxt]))
+        df = spark.createDataFrame(
+            [(i, v) for i, v in pts.items()], "vec_id long, v6 array<bigint>"
+        )
+        got = [
+            (r.round, r.center_id, r.radius2)
+            for r in sorted(kcenter_coreset(df, k=k).collect(),
+                            key=lambda r: r.round)
+        ]
+        assert got == expect, f"trial {trial}: {got} != {expect}"
+        radii = [r2 for _, _, r2 in got[1:]]
+        assert all(a >= b for a, b in zip(radii, radii[1:])), radii

@@ -1476,3 +1476,46 @@ def test_repetition_screen_known_answers(spark):
     assert r4.dup_gram_frac == 1.0
     with pytest.raises(ValueError, match="n "):
         repetition_screen(docs, n=0)
+
+
+def test_repetition_screen_matches_python_counter_replay(spark):
+    """Property sweep: on random small-vocabulary docs (repetition-heavy
+    by construction), every emitted column must equal a literal Python
+    Counter replay of the Gopher screen — including short docs, the
+    n=3 variant, and single-token/empty-ish extremes."""
+    import random
+    from collections import Counter
+
+    from kafka_workers_spark.operators.text import repetition_screen
+
+    rng = random.Random(20260816)
+    vocab = ["a", "b", "c", "dd"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    for n in (2, 3):
+        expect = {}
+        for i, text in docs:
+            toks = text.split(" ")
+            grams = [
+                " ".join(toks[j: j + n]) for j in range(len(toks) - n + 1)
+            ] if len(toks) >= n else []
+            c = Counter(grams)
+            n_grams = len(grams)
+            top = max(c.values()) if c else 0
+            dup = sum(v for v in c.values() if v > 1)
+            expect[i] = (
+                len(toks), n_grams, len(c), top, dup,
+                top * n / len(toks) if toks else None,
+                dup / n_grams if n_grams else None,
+            )
+        out = {
+            r.doc_id: (r.n_tokens, r.n_grams, r.n_distinct_grams,
+                       r.top_gram_count, r.dup_gram_tokens,
+                       r.top_gram_frac, r.dup_gram_frac)
+            for r in repetition_screen(
+                spark.createDataFrame(docs, "doc_id long, text string"), n=n
+            ).collect()
+        }
+        assert out == expect, f"n={n}"
