@@ -320,3 +320,88 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z_num=_AZ_Z,
         z_den=1,
     )
+
+
+# MAD threshold as an exact rational: the Gaussian consistency constant
+# is sigma ~= 1.4826 * MAD, so the 3-sigma-equivalent robust cut is
+# ~4.45 * MAD — carried as 9/2 (integer comparison, no floats). Raw
+# 3 * MAD would re-flag ~24% of grid buckets on this corpus (MAD
+# understates spread on skewed discrete counts); 9/2 puts the robust
+# screen on the same sensitivity scale as the z² screen while keeping
+# its in-window breakdown resistance.
+_MAD_Z_NUM, _MAD_Z_DEN = 9, 2
+
+
+@register(
+    "events_anomaly_mad",
+    f"""
+    WITH per AS (
+      SELECT event_type,
+             (epoch_us(ts) - ((epoch_us(ts) % {_AZ_BUCKET_US})
+                              + {_AZ_BUCKET_US}) % {_AZ_BUCKET_US})
+               // {_AZ_BUCKET_US} AS bkt,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, MIN(bkt) AS lo, MAX(bkt) AS hi FROM per GROUP BY 1
+    ), grid AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi)) AS bkt FROM span
+    ), g AS (
+      SELECT grid.event_type, grid.bkt, CAST(COALESCE(per.c, 0) AS BIGINT) AS x
+      FROM grid LEFT JOIN per
+        ON per.event_type = grid.event_type AND per.bkt = grid.bkt
+    ), w AS (
+      SELECT event_type, bkt, x,
+             list_sort(list(x) OVER f) AS arr
+      FROM g
+      WINDOW f AS (PARTITION BY event_type ORDER BY bkt
+                   ROWS BETWEEN {_AZ_WINDOW} PRECEDING AND 1 PRECEDING)
+    ), m AS (
+      SELECT event_type, bkt, x, arr,
+             -- an empty trailing frame yields a NULL list in DuckDB
+             -- (Spark's collect_list yields []): coalesce n to 0
+             CAST(COALESCE(len(arr), 0) AS BIGINT) AS n,
+             CAST(arr[(len(arr) + 1) // 2] AS BIGINT) AS med
+      FROM w
+    )
+    SELECT event_type,
+           make_timestamp(bkt * {_AZ_BUCKET_US}) AS bucket_start,
+           x AS n_events,
+           n AS n_window,
+           med,
+           CAST(list_sort([abs(v - med) FOR v IN arr])[(len(arr) + 1) // 2]
+                AS BIGINT) AS mad,
+           CASE WHEN n > 0 THEN
+             (n >= {_AZ_MIN_N} AND (x - med) > 0
+              AND (x - med) * {_MAD_Z_DEN} > {_MAD_Z_NUM} *
+                  list_sort([abs(v - med) FOR v IN arr])[(len(arr) + 1) // 2])
+           ELSE FALSE END AS is_anomaly
+    FROM m
+    """,
+    category="drift",
+    windowed=False,  # new round 13 — EXTRA until rotated in
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD volume-spike screen
+    (operators.drift.anomaly_mad — Leys et al. 2013): the
+    outlier-resistant sibling of events_anomaly_zscore on the same
+    gap-filled hourly grid. Where a flood INSIDE the trailing window
+    inflates σ and masks the next flood (the mean/σ screen's ~25%
+    breakdown point), the median and the median absolute deviation
+    tolerate up to half the window being junk. Pure int64 comparisons on
+    exact counts (no squares, so no overflow guard needed at any
+    realistic count); 'lower median' = element ⌈n/2⌉ of the ascending
+    sort, replayed verbatim by the oracle's list_sort indexing."""
+    from kafka_workers_spark.operators.drift import anomaly_mad
+
+    ev = load_table(spark, sf_dir, "events")
+    return anomaly_mad(
+        ev,
+        ["event_type"],
+        "ts",
+        bucket_seconds=_AZ_BUCKET_S,
+        window=_AZ_WINDOW,
+        min_n=_AZ_MIN_N,
+        z_num=_MAD_Z_NUM,
+        z_den=_MAD_Z_DEN,
+    )

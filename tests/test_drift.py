@@ -192,3 +192,63 @@ def test_anomaly_seasonal_baseline_vs_flat(spark):
 
     with pytest.raises(ValueError, match="season"):
         anomaly_zscore(df, ["k"], "ts", 3600, season=1)
+
+
+def test_anomaly_mad_resists_in_window_flood_masking(spark):
+    """The reason the MAD screen exists (Leys et al. 2013): a flood
+    INSIDE the trailing window inflates sigma and masks the next flood
+    for the z² screen, while the median/MAD statistics shrug it off.
+    History: 11 quiet hours (counts 5), one 300-count flood, 12 more
+    quiet hours, then a 40-count spike. The trailing-24 window at the
+    spike contains the flood: the z² screen stays silent (sigma blown
+    up), the MAD screen flags. Also pins the known-answer med/mad and
+    the raw Python replay of the lower-median rule."""
+    from kafka_workers_spark.operators.drift import anomaly_mad
+
+    counts = [5] * 11 + [300] + [5] * 12 + [40]
+    df = _events(spark, counts)
+    spike = ("a", len(counts) - 1)
+    z = _flags(anomaly_zscore(df, ["k"], "ts", 3600, window=24, min_n=8))
+    assert z[spike][2] is False  # masked: the flood inflated sigma
+    mad_rows = {
+        (r.k, int(r.bucket_start.timestamp() // 3600)): r
+        for r in anomaly_mad(df, ["k"], "ts", 3600, window=24, min_n=8,
+                             z_num=9, z_den=2).collect()
+    }
+    base = min(b for _, b in mad_rows)
+    r = mad_rows[("a", base + len(counts) - 1)]
+    assert r.is_anomaly is True          # robust screen still fires
+    # python replay of the trailing stats: 23 fives and one 300
+    trail = sorted([5] * 23 + [300])
+    med = trail[(len(trail) + 1) // 2 - 1]
+    mad = sorted(abs(v - med) for v in trail)[(len(trail) + 1) // 2 - 1]
+    assert (r.med, r.mad) == (med, mad) == (5, 0)
+    # parameter validation parity with the z² screen
+    import pytest
+
+    with pytest.raises(ValueError, match="z_den"):
+        anomaly_mad(df, ["k"], "ts", 3600, z_den=0)
+    with pytest.raises(ValueError, match="window"):
+        anomaly_mad(df, ["k"], "ts", 3600, window=0)
+
+
+def test_anomaly_mad_median_rule_nonzero_mad(spark):
+    """Non-degenerate MAD: history alternating 4s and 10s gives med=4
+    (lower median of 12x4+12x10), mad=0... use 11x4+13x10 -> med=10,
+    mad=0? Construct a genuinely mixed window: counts cycling 2,4,6
+    eight times -> sorted trail has med=4, deviations {2,0,2}*8 ->
+    mad=2; a count of 14 fires at 9/2 ((14-4)*2=20 > 9*2=18) while 12
+    does not ((12-4)*2=16 < 18) — the exact integer boundary."""
+    from kafka_workers_spark.operators.drift import anomaly_mad
+
+    base = [2, 4, 6] * 8
+    for probe, want in ((14, True), (12, False)):
+        df = _events(spark, base + [probe])
+        rows = {
+            int(r.bucket_start.timestamp() // 3600): r
+            for r in anomaly_mad(df, ["k"], "ts", 3600, window=24, min_n=8,
+                                 z_num=9, z_den=2).collect()
+        }
+        last = rows[max(rows)]
+        assert (last.med, last.mad) == (4, 2)
+        assert last.is_anomaly is want, (probe, last)
