@@ -227,6 +227,11 @@ def main() -> None:
     contaminated, reasons = assess_contamination(
         load_start[0], recheck, first_run, timings
     )
+    # ADVICE r13 #3: the recorded retry_gain_rows must be the SAME list
+    # the verdict was computed from — compute it once from the unrounded
+    # lanes (a row at the ratio boundary could otherwise appear in one
+    # and not the other after 3-decimal rounding)
+    gain_rows = retry_gain_rows(first_run, timings)
 
     timings = {n: round(t, 3) for n, t in timings.items()}
     first_run = {n: round(t, 3) for n, t in first_run.items()}
@@ -251,7 +256,7 @@ def main() -> None:
                     "at_query_1m": load1_at_query,
                 },
                 "slowest_recheck": recheck,
-                "retry_gain_rows": retry_gain_rows(first_run, timings),
+                "retry_gain_rows": gain_rows,
                 "contaminated": contaminated,
                 "contamination_reasons": reasons,
             }

@@ -70,9 +70,15 @@ def anomaly_zscore(
     3 037 000 499`` must hold, i.e. max per-bucket count ≲ 4.2·10⁷ at
     window=24, z=3 — pre-aggregate coarser buckets first if a source
     runs hotter. The bound is ENFORCED in-plan: an ``assert_true`` rides
-    the ``is_anomaly`` expression (anchored on an emitted column so
-    Catalyst cannot prune it), so a too-hot bucket raises at runtime
-    instead of wrapping silently under non-ANSI arithmetic.
+    the emitted columns, so a too-hot bucket raises at runtime instead
+    of wrapping silently under non-ANSI arithmetic. Two hardenings
+    (ADVICE r13 #1): the guard tests the MAX over the trailing frame as
+    well as the row's own count — a hot bucket contaminates the window
+    sums (Σx, Σx²) of its ``window`` FOLLOWERS, so those rows must raise
+    too even when a pushed-down filter drops the hot row itself — and it
+    anchors on ``dev_num``/``var_num``/``is_anomaly`` alike, so a
+    consumer projecting only the numerators cannot read a silently
+    wrapped value.
 
     Emits EVERY grid bucket: ``(key_cols..., bucket_start, n_events,
     n_window, dev_num, var_num, is_anomaly)`` — n_window < min_n rows
@@ -136,6 +142,9 @@ def anomaly_zscore(
         F.coalesce(F.sum(F.col("n_events") * F.col("n_events")).over(frame), F.lit(0))
         .cast("bigint")
         .alias("__q"),
+        F.coalesce(F.max("n_events").over(frame), F.lit(0))
+        .cast("bigint")
+        .alias("__m"),
     )
     n, s, q = F.col("n_window"), F.col("__s"), F.col("__q")
     dev = (n * x - s).cast("bigint")
@@ -148,19 +157,25 @@ def anomaly_zscore(
             | (dev * dev * (z_den * z_den) > F.lit(z_num * z_num) * var_num)
         )
     )
-    # overflow guard rides the OUTPUT column (assert_true is NULL on
-    # pass, so `when` takes the flag branch on every valid row; a hot
-    # bucket raises instead of wrapping) — anchored here rather than a
-    # side branch so no downstream filter can prune it away unevaluated
+    # overflow guard rides the OUTPUT columns (assert_true is NULL on
+    # pass, so `when` takes the value branch on every valid row; a hot
+    # bucket raises instead of wrapping) — anchored on EVERY column the
+    # squared terms feed (dev_num, var_num, is_anomaly), not just the
+    # flag, so a consumer projecting a numerator alone still trips it;
+    # and the tested count is greatest(own count, trailing-frame max)
+    # because a hot bucket also poisons the Σx/Σx² of its `window`
+    # followers (ADVICE r13 #1 — a filter dropping the hot row must not
+    # silence the guard for the rows whose statistics still include it)
+    hot = F.greatest(x, F.col("__m"))
     guard = F.assert_true(
-        x <= F.lit(count_limit),
+        hot <= F.lit(count_limit),
         F.concat(
             F.lit(
-                f"anomaly_zscore: per-bucket count exceeds the int64-safe "
-                f"limit {count_limit} at window={window}, z={z_num}/{z_den} "
-                f"(got "
+                f"anomaly_zscore: a per-bucket count in this row's window "
+                f"exceeds the int64-safe limit {count_limit} at "
+                f"window={window}, z={z_num}/{z_den} (got "
             ),
-            x.cast("string"),
+            hot.cast("string"),
             F.lit("); pre-aggregate coarser buckets"),
         ),
     )
@@ -169,8 +184,8 @@ def anomaly_zscore(
         "bucket_start",
         x.cast("bigint").alias("n_events"),
         "n_window",
-        dev.alias("dev_num"),
-        var_num.alias("var_num"),
+        F.when(guard.isNull(), dev).alias("dev_num"),
+        F.when(guard.isNull(), var_num).alias("var_num"),
         F.when(guard.isNull(), flag).alias("is_anomaly"),
     )
 

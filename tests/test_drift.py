@@ -102,6 +102,29 @@ def test_anomaly_overflow_guard_fires_in_plan(spark):
     assert len(ok.collect()) == 4
 
 
+def test_anomaly_overflow_guard_covers_window_and_numerators(spark):
+    """ADVICE r13 #1: a too-hot bucket poisons the Σx/Σx² of its
+    `window` FOLLOWERS, so the guard must fire for those rows even when
+    (a) a pushed-down filter drops the hot row itself and (b) the
+    consumer projects only var_num, never is_anomaly. Counts [3,3,9,3]
+    with a limit of 4 (z_num chosen so count_limit = 3_037_000_499 //
+    (2·379625062) = 4): hour 2 is hot; filtering to hour 3 — whose own
+    count is fine but whose window includes hour 2 — and selecting
+    var_num alone must still raise."""
+    from pyspark.sql import functions as F
+
+    df = _events(spark, [3, 3, 9, 3])
+    out = anomaly_zscore(df, ["k"], "ts", 3600, window=2, min_n=2,
+                         z_num=379_625_062, z_den=1)
+    late = out.filter(F.hour("bucket_start") == 3).select("var_num")
+    with pytest.raises(Exception, match="int64-safe limit"):
+        late.collect()
+    # rows whose window predates the hot bucket stay clean under the
+    # same filter-and-project shape
+    early = out.filter(F.hour("bucket_start") == 1).select("var_num")
+    assert early.collect()[0].var_num is not None
+
+
 # ---------------------------------------------------------------------------
 
 
