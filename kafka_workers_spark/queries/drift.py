@@ -331,10 +331,10 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its in-window breakdown resistance.
 _MAD_Z_NUM, _MAD_Z_DEN = 9, 2
 
-
-@register(
-    "events_anomaly_mad",
-    f"""
+# shared oracle body for the batch AND streaming MAD screens (the
+# _sql_anomaly_zscore pattern: one renderer, two registrations, no way
+# to desync the predicate between them)
+_SQL_ANOMALY_MAD = f"""
     WITH per AS (
       SELECT event_type,
              (epoch_us(ts) - ((epoch_us(ts) % {_AZ_BUCKET_US})
@@ -377,7 +377,12 @@ _MAD_Z_NUM, _MAD_Z_DEN = 9, 2
                   list_sort([abs(v - med) FOR v IN arr])[(len(arr) + 1) // 2])
            ELSE FALSE END AS is_anomaly
     FROM m
-    """,
+"""
+
+
+@register(
+    "events_anomaly_mad",
+    _SQL_ANOMALY_MAD,
     category="drift",
     windowed=False,  # new round 13 — EXTRA until rotated in
 )
@@ -399,6 +404,47 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["event_type"],
         "ts",
+        bucket_seconds=_AZ_BUCKET_S,
+        window=_AZ_WINDOW,
+        min_n=_AZ_MIN_N,
+        z_num=_MAD_Z_NUM,
+        z_den=_MAD_Z_DEN,
+    )
+
+
+@register(
+    "stream_anomaly_mad",
+    f"""
+    WITH base AS ({_SQL_ANOMALY_MAD})
+    SELECT event_type, bucket_start, n_events, n_window,
+           med, mad, is_anomaly
+    FROM (
+      SELECT *, MAX(bucket_start) OVER (PARTITION BY event_type) AS __mx
+      FROM base
+    ) WHERE bucket_start < __mx
+    """,
+    category="drift",
+    windowed=False,  # new round 14 — EXTRA until rotated in
+)
+def stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_anomaly_mad computed through the WorkerTask state machine
+    (streaming/drift.py mad_tasks_batch — the carried trailing-count
+    ring, replayed over full history via applyInPandas): the robust
+    screen's LIVE arm under the z² trio discipline (VERDICT r13 #2 —
+    the screen's whole point is floods, and floods arrive on the
+    stream). Oracle composes the registered batch-arm SQL with the one
+    documented stream divergence (each key's final bucket never closes,
+    so it never emits); the live micro-batch form — including the
+    masking fixture where an in-window flood silences z² but not MAD —
+    is pinned equal in tests/test_drift_stream.py."""
+    from kafka_workers_spark.streaming.drift import mad_tasks_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_tasks_batch(
+        ev,
+        ["event_type"],
+        "ts",
+        tiebreak_col="event_id",
         bucket_seconds=_AZ_BUCKET_S,
         window=_AZ_WINDOW,
         min_n=_AZ_MIN_N,

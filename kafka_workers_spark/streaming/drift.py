@@ -1,9 +1,13 @@
-"""Streaming volume-spike screen: the rolling z² anomaly test
-(operators/drift.py anomaly_zscore) as a per-key WorkerTask state
-machine — the fourth member of the live==batch cross-plan family
-(funnel, attribution, markov), applied to the drift screens so the
-"per ingest batch" diagnostic the drift module's docstring promises
-actually runs ON the ingest stream.
+"""Streaming volume-spike screens: the rolling z² anomaly test and its
+robust median/MAD sibling (operators/drift.py anomaly_zscore /
+anomaly_mad) as per-key WorkerTask state machines — members four and
+five of the live==batch cross-plan family (funnel, attribution,
+markov), applied to the drift screens so the "per ingest batch"
+diagnostic the drift module's docstring promises actually runs ON the
+ingest stream. The MAD arm matters MOST live: its whole point is floods
+(an in-window flood inflates σ and masks the z² screen's next flood),
+and floods arrive on the stream, not in a nightly batch (VERDICT r13
+#2).
 
 State per key is tiny and bounded: the current OPEN bucket (index +
 count) plus the trailing ``window`` CLOSED bucket counts (a ring of
@@ -12,21 +16,25 @@ bucket arrives (possibly in a later micro-batch: the carried state
 supplies the continuation) — and the machine back-fills the silent
 buckets in between with zero counts, replaying
 :func:`~kafka_workers_spark.operators.relational.gap_fill`'s per-key
-grid exactly. All flag arithmetic is the same pure-integer z²
-predicate as the batch operator, evaluated on Python ints (arbitrary
-precision — the int64 in-plan guard of the batch arm bounds the same
-counts upstream).
+grid exactly. All flag arithmetic matches the batch operators on
+Python ints (arbitrary precision — the int64 in-plan guard of the z²
+batch arm bounds the same counts upstream; the MAD screen's products
+are linear and need no guard).
 
-Documented divergence, shared with the batch plan by construction:
-each key's FINAL bucket never closes (there is no later event), so the
-stream never emits it — and the batch entry point replays the same
-rule, so live == batch holds bit-for-bit; against the relational
-``anomaly_zscore`` the stream equals "all rows except each key's max
-bucket" (the registered oracle composes the flat-arm SQL with exactly
-that filter). Per-user ordering contract: nondecreasing (ts, tiebreak)
+Documented divergence, shared with the batch entry points by
+construction: each key's FINAL bucket never closes (there is no later
+event), so the stream never emits it — and the batch entry points
+replay the same rule, so live == batch holds bit-for-bit; against the
+relational operators the stream equals "all rows except each key's max
+bucket" (the registered oracles compose the flat-arm SQL with exactly
+that filter). Per-key ordering contract: nondecreasing (ts, tiebreak)
 across micro-batches (the per-partition offset-order guarantee, as for
-markov/funnel). The seasonal arm stays batch-only (a phase-sliced ring
-is straightforward but nothing streams it yet).
+markov/funnel) — and ENFORCED, not assumed (ADVICE r13 #4): a batch
+whose first bucket precedes the carried open bucket raises instead of
+silently rewinding the ring and re-emitting earlier buckets with a
+corrupted trailing window, matching the fail-loud discipline of the
+maintenance folds. The seasonal z² arm stays batch-only (a
+phase-sliced ring is straightforward but nothing streams it yet).
 
 At 100 TB: state is ``window + 2`` longs per ACTIVE key; output volume
 is one row per closed grid bucket, independent of event count.
@@ -34,11 +42,76 @@ is one row per closed grid bucket, independent of event count.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_workers_spark.streaming.stateful import WorkerTask, apply_worker_task
+
+
+def _bucket_worker_task(
+    key_cols: list[str],
+    ts_col: str,
+    bucket_seconds: int,
+    window: int,
+    stat_cols: list[str],
+    stats: Callable[[list[int], int], tuple],
+) -> WorkerTask:
+    """Shared per-key bucket-fold machine for the drift screens: counts
+    events into the open bucket, closes buckets (back-filling gap zeros)
+    as later buckets arrive, and delegates the per-closed-bucket
+    statistics to ``stats(trailing_counts, count) -> tuple`` aligned
+    with ``stat_cols``. Emits ``(key_cols..., bucket_idx, n_events,
+    *stat_cols)``."""
+    step_us = bucket_seconds * 1_000_000
+
+    def process(key, pdf, st):
+        if len(pdf) == 0:
+            return None, st
+        cur_b = st.get("cur_b")
+        cur_n = st.get("cur_n", 0)
+        buf = st.get("buf", [])
+        rows = []
+
+        def close(b: int, n: int) -> None:
+            rows.append((*key, b, n, *stats(buf, n)))
+            buf.append(n)
+            if len(buf) > window:
+                del buf[: len(buf) - window]
+
+        # epoch micros // step is a floor division in both engines (the
+        # gap_fill pmod rule); pandas datetime64[ns] -> int64 ns
+        for b in (pdf[ts_col].astype("int64") // 1000 // step_us).tolist():
+            if cur_b is None:
+                cur_b, cur_n = b, 1
+            elif b == cur_b:
+                cur_n += 1
+            elif b < cur_b:
+                # ADVICE r13 #4: the per-key ordering contract is
+                # enforced, not assumed — silently closing cur_b and
+                # rewinding would re-emit earlier buckets against a
+                # corrupted trailing window. Fail loudly like the
+                # maintenance folds.
+                raise ValueError(
+                    f"drift worker task: bucket index {b} arrived after "
+                    f"open bucket {cur_b} for key {key!r} — events must be "
+                    "nondecreasing in event time per key across "
+                    "micro-batches (sort upstream or fix the tiebreak)"
+                )
+            else:
+                close(cur_b, cur_n)
+                for g in range(cur_b + 1, b):
+                    close(g, 0)  # silent buckets: absence is evidence
+                cur_b, cur_n = b, 1
+        out = None
+        if rows:
+            cols = [*key_cols, "bucket_idx", "n_events", *stat_cols]
+            out = pd.DataFrame(dict(zip(cols, map(list, zip(*rows)))))
+        return out, {"cur_b": cur_b, "cur_n": cur_n, "buf": buf}
+
+    return WorkerTask(process=process)
 
 
 def anomaly_worker_task(
@@ -50,7 +123,7 @@ def anomaly_worker_task(
     z_num: int = 3,
     z_den: int = 1,
 ) -> WorkerTask:
-    """The state machine. Emits ``(key_cols..., bucket_idx, n_events,
+    """The z² state machine. Emits ``(key_cols..., bucket_idx, n_events,
     n_window, dev_num, var_num, is_anomaly)`` — ``bucket_idx`` is the
     floor-division epoch bucket index (a long; the query layer converts
     to a timestamp JVM-side so timezone handling stays engine-side,
@@ -63,73 +136,152 @@ def anomaly_worker_task(
         raise ValueError(f"z_num ({z_num}) must be >= 1")
     if z_den < 1:
         raise ValueError(f"z_den ({z_den}) must be >= 1")
-    step_us = bucket_seconds * 1_000_000
 
-    def process(key, pdf, st):
-        if len(pdf) == 0:
-            return None, st
-        cur_b = st.get("cur_b")
-        cur_n = st.get("cur_n", 0)
-        buf = st.get("buf", [])
-        rows = []
+    def stats(buf: list[int], n: int) -> tuple:
+        nw = len(buf)
+        s = sum(buf)
+        q = sum(v * v for v in buf)
+        dev = nw * n - s
+        var = nw * q - s * s
+        flag = (
+            nw >= min_n
+            and dev > 0
+            and (var == 0 or dev * dev * z_den * z_den > z_num * z_num * var)
+        )
+        return (nw, dev, var, flag)
 
-        def close(b: int, n: int) -> None:
-            nw = len(buf)
-            s = sum(buf)
-            q = sum(v * v for v in buf)
-            dev = nw * n - s
-            var = nw * q - s * s
-            flag = (
-                nw >= min_n
-                and dev > 0
-                and (var == 0 or dev * dev * z_den * z_den > z_num * z_num * var)
-            )
-            rows.append((*key, b, n, nw, dev, var, flag))
-            buf.append(n)
-            if len(buf) > window:
-                del buf[: len(buf) - window]
-
-        # epoch micros // step is a floor division in both engines (the
-        # gap_fill pmod rule); pandas datetime64[ns] -> int64 ns
-        for b in (pdf[ts_col].astype("int64") // 1000 // step_us).tolist():
-            if cur_b is None:
-                cur_b, cur_n = b, 1
-            elif b == cur_b:
-                cur_n += 1
-            else:
-                close(cur_b, cur_n)
-                for g in range(cur_b + 1, b):
-                    close(g, 0)  # silent buckets: absence is evidence
-                cur_b, cur_n = b, 1
-        out = None
-        if rows:
-            cols = [*key_cols, "bucket_idx", "n_events", "n_window",
-                    "dev_num", "var_num", "is_anomaly"]
-            out = pd.DataFrame(dict(zip(cols, map(list, zip(*rows)))))
-        return out, {"cur_b": cur_b, "cur_n": cur_n, "buf": buf}
-
-    return WorkerTask(process=process)
+    return _bucket_worker_task(
+        key_cols, ts_col, bucket_seconds, window,
+        ["n_window", "dev_num", "var_num", "is_anomaly"], stats,
+    )
 
 
-def _out_schema(events: DataFrame, key_cols: list[str]) -> str:
+def mad_worker_task(
+    key_cols: list[str],
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    window: int = 24,
+    min_n: int = 8,
+    z_num: int = 9,
+    z_den: int = 2,
+) -> WorkerTask:
+    """The robust median/MAD state machine (the live arm of
+    operators.drift.anomaly_mad — Leys et al. 2013): same bucket fold,
+    but the closed bucket is tested against the LOWER MEDIAN of the
+    trailing counts and their median absolute deviation — breakdown
+    point ~50%, so a flood already sitting INSIDE the carried window
+    cannot mask the next one (the failure mode that motivates running
+    this screen live at all). Emits ``(key_cols..., bucket_idx,
+    n_events, n_window, med, mad, is_anomaly)``; med/mad are None for
+    an empty trailing frame, matching the batch operator's NULLs."""
+    if window < 1:
+        raise ValueError(f"window ({window}) must be >= 1")
+    if min_n < 2:
+        raise ValueError(f"min_n ({min_n}) must be >= 2")
+    if z_num < 1:
+        raise ValueError(f"z_num ({z_num}) must be >= 1")
+    if z_den < 1:
+        raise ValueError(f"z_den ({z_den}) must be >= 1")
+
+    def stats(buf: list[int], n: int) -> tuple:
+        nw = len(buf)
+        if nw == 0:
+            return (0, None, None, False)
+        # lower median: element ceil(nw/2) of the ascending sort,
+        # 1-based — the agg_percentile_disc discipline, identical to the
+        # batch operator's element_at((size+1) DIV 2)
+        idx = (nw + 1) // 2 - 1
+        srt = sorted(buf)
+        med = srt[idx]
+        mad = sorted(abs(v - med) for v in buf)[idx]
+        dev = n - med
+        flag = nw >= min_n and dev > 0 and dev * z_den > z_num * mad
+        return (nw, med, mad, flag)
+
+    return _bucket_worker_task(
+        key_cols, ts_col, bucket_seconds, window,
+        ["n_window", "med", "mad", "is_anomaly"], stats,
+    )
+
+
+_Z_STATS = ["n_window", "dev_num", "var_num", "is_anomaly"]
+_MAD_STATS = ["n_window", "med", "mad", "is_anomaly"]
+
+
+def _out_schema(events: DataFrame, key_cols: list[str], stat_cols: list[str]) -> str:
     keys = ", ".join(
         f"{c} {events.schema[c].dataType.simpleString()}" for c in key_cols
     )
-    return (
-        f"{keys}, bucket_idx bigint, n_events bigint, n_window bigint, "
-        "dev_num bigint, var_num bigint, is_anomaly boolean"
+    stats = ", ".join(
+        f"{c} {'boolean' if c == 'is_anomaly' else 'bigint'}" for c in stat_cols
     )
+    return f"{keys}, bucket_idx bigint, n_events bigint, {stats}"
 
 
-def _with_bucket_start(df: DataFrame, bucket_seconds: int) -> DataFrame:
-    cols = [c for c in df.columns if c != "bucket_idx"]
-    head = [c for c in cols if c not in
-            ("n_events", "n_window", "dev_num", "var_num", "is_anomaly")]
+def _with_bucket_start(
+    df: DataFrame, bucket_seconds: int, stat_cols: list[str]
+) -> DataFrame:
+    tail = ["n_events", *stat_cols]
+    head = [c for c in df.columns if c not in ("bucket_idx", *tail)]
     return df.select(
         *head,
         F.timestamp_seconds(F.col("bucket_idx") * bucket_seconds).alias("bucket_start"),
-        "n_events", "n_window", "dev_num", "var_num", "is_anomaly",
+        *tail,
     )
+
+
+def _run_live(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str | None,
+    bucket_seconds: int,
+    task: WorkerTask,
+    stat_cols: list[str],
+) -> DataFrame:
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    out = apply_worker_task(
+        events.select(*key_cols, ts_col, *([tiebreak_col] if tiebreak_col else [])),
+        key_cols,
+        task,
+        _out_schema(events, key_cols, stat_cols),
+        order_by=order,
+    )
+    return _with_bucket_start(out, bucket_seconds, stat_cols)
+
+
+def _run_batch(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str | None,
+    bucket_seconds: int,
+    task: WorkerTask,
+    stat_cols: list[str],
+) -> DataFrame:
+    schema = _out_schema(events, key_cols, stat_cols)
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    key_dtypes = dict(zip(key_cols, ["object"] * len(key_cols)))
+    int_cols = ["bucket_idx", "n_events"] + [c for c in stat_cols if c != "is_anomaly"]
+
+    def fn(key, pdf):
+        out, _ = task.process(key, pdf.sort_values(order), {})
+        if out is None:
+            out = pd.DataFrame(
+                {
+                    **{c: pd.Series(dtype=key_dtypes[c]) for c in key_cols},
+                    **{c: pd.Series(dtype="int64") for c in int_cols},
+                    "is_anomaly": pd.Series(dtype=bool),
+                }
+            )
+        return out
+
+    grouped = (
+        events.select(*key_cols, ts_col, *([tiebreak_col] if tiebreak_col else []))
+        .groupBy(*key_cols)
+        .applyInPandas(fn, schema)
+    )
+    return _with_bucket_start(grouped, bucket_seconds, stat_cols)
 
 
 def streaming_anomaly_zscore(
@@ -143,20 +295,14 @@ def streaming_anomaly_zscore(
     z_num: int = 3,
     z_den: int = 1,
 ) -> DataFrame:
-    """The live screen via ``apply_worker_task``: one row per CLOSED
+    """The live z² screen via ``apply_worker_task``: one row per CLOSED
     grid bucket, flags computed against the carried trailing window."""
     task = anomaly_worker_task(
         key_cols, ts_col, bucket_seconds, window, min_n, z_num, z_den
     )
-    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
-    out = apply_worker_task(
-        events.select(*key_cols, ts_col, *([tiebreak_col] if tiebreak_col else [])),
-        key_cols,
-        task,
-        _out_schema(events, key_cols),
-        order_by=order,
+    return _run_live(
+        events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _Z_STATS
     )
-    return _with_bucket_start(out, bucket_seconds)
 
 
 def anomaly_tasks_batch(
@@ -170,7 +316,7 @@ def anomaly_tasks_batch(
     z_num: int = 3,
     z_den: int = 1,
 ) -> DataFrame:
-    """The same task replayed over full history in one grouped-map pass
+    """The z² task replayed over full history in one grouped-map pass
     (``applyInPandas``) — the batch entry the cross-plan oracle drives:
     equals the relational :func:`anomaly_zscore` minus each key's final
     (never-closed) bucket, bit for bit. ONE key-keyed shuffle; per-group
@@ -178,27 +324,53 @@ def anomaly_tasks_batch(
     task = anomaly_worker_task(
         key_cols, ts_col, bucket_seconds, window, min_n, z_num, z_den
     )
-    schema = _out_schema(events, key_cols)
-    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
-    key_dtypes = dict(zip(key_cols, ["object"] * len(key_cols)))
-
-    def fn(key, pdf):
-        out, _ = task.process(key, pdf.sort_values(order), {})
-        if out is None:
-            out = pd.DataFrame(
-                {
-                    **{c: pd.Series(dtype=key_dtypes[c]) for c in key_cols},
-                    **{c: pd.Series(dtype="int64")
-                       for c in ("bucket_idx", "n_events", "n_window",
-                                 "dev_num", "var_num")},
-                    "is_anomaly": pd.Series(dtype=bool),
-                }
-            )
-        return out
-
-    grouped = (
-        events.select(*key_cols, ts_col, *([tiebreak_col] if tiebreak_col else []))
-        .groupBy(*key_cols)
-        .applyInPandas(fn, schema)
+    return _run_batch(
+        events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _Z_STATS
     )
-    return _with_bucket_start(grouped, bucket_seconds)
+
+
+def streaming_anomaly_mad(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    bucket_seconds: int = 3600,
+    window: int = 24,
+    min_n: int = 8,
+    z_num: int = 9,
+    z_den: int = 2,
+) -> DataFrame:
+    """The live robust screen: one row per CLOSED grid bucket, each
+    tested against the carried trailing window's median/MAD. Run THIS
+    arm where incidents cluster — an in-window flood silences the z²
+    screen but not this one (pinned on exactly that fixture in
+    tests/test_drift_stream.py)."""
+    task = mad_worker_task(
+        key_cols, ts_col, bucket_seconds, window, min_n, z_num, z_den
+    )
+    return _run_live(
+        events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _MAD_STATS
+    )
+
+
+def mad_tasks_batch(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    bucket_seconds: int = 3600,
+    window: int = 24,
+    min_n: int = 8,
+    z_num: int = 9,
+    z_den: int = 2,
+) -> DataFrame:
+    """The MAD task replayed over full history in one grouped-map pass —
+    equals the relational :func:`anomaly_mad` minus each key's final
+    (never-closed) bucket, bit for bit (the cross-plan identity the
+    registered ``stream_anomaly_mad`` oracle encodes)."""
+    task = mad_worker_task(
+        key_cols, ts_col, bucket_seconds, window, min_n, z_num, z_den
+    )
+    return _run_batch(
+        events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _MAD_STATS
+    )

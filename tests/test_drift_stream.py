@@ -18,6 +18,9 @@ from datetime import datetime, timedelta
 from kafka_workers_spark.streaming.drift import (
     anomaly_tasks_batch,
     anomaly_worker_task,
+    mad_tasks_batch,
+    mad_worker_task,
+    streaming_anomaly_mad,
     streaming_anomaly_zscore,
 )
 
@@ -149,3 +152,129 @@ def test_batch_entry_equals_relational_minus_open_buckets(spark):
         .drop("__mx")
     )
     assert _canon(via_task) == _canon(rel_closed)
+
+
+# ---------------------------------------------------------------------------
+# Robust median/MAD live arm (VERDICT r13 #2): the z² trio discipline
+# applied to the outlier-resistant screen, on the fixture that motivates
+# it — an in-window flood that masks the z² screen but not this one.
+# ---------------------------------------------------------------------------
+
+
+def _canon_mad(df):
+    return sorted(
+        (r.k, r.bucket_start, r.n_events, r.n_window, r.med, r.mad, r.is_anomaly)
+        for r in df.collect()
+    )
+
+
+def test_streaming_mad_equals_batch_on_masking_fixture(spark, tmp_path):
+    """Live == batch for the MAD screen across a micro-batch split, ON
+    the masking fixture: 11 quiet hours + a 300-count flood land in file
+    1, 12 more quiet hours + a 40-count spike (+ a sentinel to close it)
+    in file 2 — the carried ring holds the flood when the spike arrives.
+    The spike must flag under MAD (med/mad shrug off the flood) while
+    the SAME live events stay silent under z² (sigma blown up) — the
+    two live screens adjudicated side by side on one stream."""
+    src = str(tmp_path / "src")
+    f1 = _rows({h: 5 for h in range(11)}) + _rows({11: 300}, base_id=500)
+    f2 = (
+        _rows({h: 5 for h in range(12, 24)}, base_id=2000)
+        + _rows({24: 40}, base_id=3000)
+        + [("a", _ts(25.1), 9999)]
+    )
+    spark.createDataFrame(f1, SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(f2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    def run_live(fn):
+        stream = (
+            spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        live = fn(
+            stream, ["k"], "ts", tiebreak_col="event_id",
+            bucket_seconds=3600, window=24, min_n=8,
+        )
+        out_dir = str(tmp_path / f"out_{fn.__name__}")
+        ckpt = str(tmp_path / f"ckpt_{fn.__name__}")
+        q = (
+            live.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    got = _canon_mad(run_live(streaming_anomaly_mad))
+    batch = mad_tasks_batch(
+        spark.createDataFrame(f1 + f2, SCHEMA), ["k"], "ts",
+        tiebreak_col="event_id", bucket_seconds=3600, window=24, min_n=8,
+    )
+    assert got == _canon_mad(batch)
+    by_hour = {r[1].hour + 24 * (r[1].day - 1): r for r in got}
+    # the spike at hour 24 flags: window med=5, mad=0 (flood is one of
+    # 24, medians untouched) -> any rise fires... mad=0 path: (40-5)*2 >
+    # 9*0 holds
+    assert by_hour[24][6] is True
+    # the flood itself flagged too (quiet history at hour 11)
+    assert by_hour[11][6] is True
+    # the z² live screen on the SAME stream stays masked at the spike
+    z = {r[1].hour + 24 * (r[1].day - 1): r
+         for r in _canon(run_live(streaming_anomaly_zscore))}
+    assert z[24][6] is False
+
+
+def test_mad_batch_entry_equals_relational_minus_open_buckets(spark):
+    """mad_tasks_batch == operators.drift.anomaly_mad minus each key's
+    max bucket, bit for bit — med/mad NULLs on empty trailing frames
+    included — on multi-key data with gaps and the masking flood."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.drift import anomaly_mad
+
+    rows = (
+        _rows({0: 5, 1: 5, 2: 300, 5: 5, 6: 5, 7: 5, 8: 5, 9: 5, 10: 40, 11: 1},
+              key="a")
+        + _rows({0: 2, 3: 2, 4: 2, 5: 2, 6: 9, 7: 1}, key="b", base_id=5000)
+    )
+    ev = spark.createDataFrame(rows, SCHEMA)
+    via_task = mad_tasks_batch(
+        ev, ["k"], "ts", tiebreak_col="event_id",
+        bucket_seconds=3600, window=6, min_n=4, z_num=9, z_den=2,
+    )
+    rel = anomaly_mad(ev, ["k"], "ts", 3600, window=6, min_n=4, z_num=9, z_den=2)
+    rel_closed = (
+        rel.withColumn("__mx", F.max("bucket_start").over(W.partitionBy("k")))
+        .filter(F.col("bucket_start") < F.col("__mx"))
+        .drop("__mx")
+    )
+    assert _canon_mad(via_task) == _canon_mad(rel_closed)
+
+
+def test_drift_tasks_reject_backwards_buckets(spark):
+    """ADVICE r13 #4: the per-key ordering contract is ENFORCED — a
+    batch whose bucket precedes the carried open bucket raises instead
+    of silently rewinding the ring and re-emitting earlier buckets with
+    a corrupted trailing window. Both screens share the fold, so both
+    fail loudly; in-order continuation still works after a clean batch."""
+    import pandas as pd
+
+    for maker in (anomaly_worker_task, mad_worker_task):
+        task = maker(["k"], "ts", 3600, window=4, min_n=2)
+        pdf1 = pd.DataFrame({"k": ["a"] * 2, "ts": [_ts(5), _ts(6)],
+                             "event_id": [1, 2]})
+        _, st = task.process(("a",), pdf1, {})
+        back = pd.DataFrame({"k": ["a"], "ts": [_ts(3)], "event_id": [3]})
+        with pytest.raises(ValueError, match="nondecreasing"):
+            task.process(("a",), back, st)
+        # a backwards bucket WITHIN one batch trips the same guard
+        task2 = maker(["k"], "ts", 3600, window=4, min_n=2)
+        mixed = pd.DataFrame({"k": ["a"] * 2, "ts": [_ts(6), _ts(5)],
+                              "event_id": [1, 2]})
+        with pytest.raises(ValueError, match="nondecreasing"):
+            task2.process(("a",), mixed, {})
+    # MAD param validation parity
+    with pytest.raises(ValueError, match="z_num"):
+        mad_worker_task(["k"], z_num=0)
