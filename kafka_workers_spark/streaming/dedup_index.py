@@ -1,0 +1,342 @@
+"""Stored LSH band index for incremental near-dedup (VERDICT r13 #4):
+the persistence + lineage + crash-heal discipline of the bm25 / ann /
+components stores applied to the index :func:`~kafka_workers_spark.
+pipeline.dedup_pairs_incremental` joins each ingest batch against — so
+a RESTARTED producer reloads the accumulated index from disk instead of
+re-deriving it from corpus text or hand-managing a parquet path (the
+last piece of the incremental dedup production loop that was still
+caller convention).
+
+Layout — a LOG-STRUCTURED store, not a rewrite-per-batch one, because
+the index only ever APPENDS (every batch document's band rows enter it;
+nothing is updated in place), and rewriting a corpus-sized artifact per
+ingest batch would be O(corpus) I/O at every fold — the exact fan-out
+mistake the round-13 bucketed-backfill profiling caught:
+
+    index_dir/
+      _kw_index_meta        one JSON file: blocking parameters
+                            (id_col, k, n_bands, rows_per_band,
+                            shingle_n), lineage, layout version
+      base-<upto>           optional compacted parquet covering every
+                            batch id <= upto (written by
+                            :func:`dedup_index_compact`)
+      delta-<batch_id>      one immutable parquet dir per committed
+                            batch — (id_col, band, band_key) rows
+
+Per-batch commit is ONE atomic directory rename (write to a dot-tmp
+dir, ``os.rename`` into place), so a crash mid-write leaves only an
+ignored dot-tmp that the next fold reaps — the swap_output crash-window
+story without the park/publish dance, because an append-only log never
+replaces anything a reader holds open.
+
+Replay correctness does NOT rest on a marker: a replayed batch id finds
+its delta already present and skips the append, and — the part that
+matters — pair generation always reads the index AS OF the batch
+(``delta id < batch_id``), so a replay joins against exactly the rows
+the first attempt saw. Without that cut, a replayed batch would join
+against its OWN banded rows and emit every in-batch document as a
+self-collision. The parameters are stamped once and validated on every
+fold and read — :func:`~kafka_workers_spark.pipeline.build_dedup_index`
+has always documented that mismatched k/bands make the keys
+meaningless; the store now enforces it loudly instead of documenting
+it. Lineage follows the maintenance-fold contract: batch ids are only
+monotonic within one checkpoint lineage, so a fold under a different
+lineage fails instead of silently misfiling deltas.
+
+At 100 TB: each fold costs O(batch) index rows (~50 bytes each) plus
+the (band, band_key) equi-join of the batch against the store;
+``dedup_index_compact`` bounds reader fan-in (union of N delta dirs →
+one base) and is itself atomic-rename-committed. Reference analog: the
+stored offsets contract (impl/offsets/DefaultOffsetsState.java — state
+that survives restart, never double-applies, and is bound to one
+consumer lineage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka_workers_spark.pipeline import dedup_pairs_incremental
+from kafka_workers_spark.streaming.components import components_fold
+
+_META = "_kw_index_meta"
+_INDEX_VERSION = 1
+
+
+def _index_params(
+    id_col: str, k: int, n_bands: int, rows_per_band: int, shingle_n: int
+) -> dict:
+    return {
+        "id_col": id_col,
+        "k": k,
+        "n_bands": n_bands,
+        "rows_per_band": rows_per_band,
+        "shingle_n": shingle_n,
+    }
+
+
+def _heal_index(index_dir: str) -> None:
+    """Reap crash leftovers: dot-tmp dirs from appends/compactions that
+    never reached their atomic rename, and — after a compaction that
+    crashed between publishing the new base and deleting what it
+    absorbed — superseded bases and deltas already covered by the
+    newest base. Runs before anything trusts the directory (the
+    _heal_torn_swap rule)."""
+    if not os.path.isdir(index_dir):
+        return
+    entries = os.listdir(index_dir)
+    for d in entries:
+        if d.startswith("."):
+            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    bases = sorted(int(d.split("-", 1)[1]) for d in entries if d.startswith("base-"))
+    if bases:
+        upto = bases[-1]
+        for d in entries:
+            if d.startswith("base-") and int(d.split("-", 1)[1]) < upto:
+                shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+            elif d.startswith("delta-") and int(d.split("-", 1)[1]) <= upto:
+                shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+
+
+def _read_meta(index_dir: str) -> dict | None:
+    path = os.path.join(index_dir, _META)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _init_or_check_meta(index_dir: str, params: dict, lineage: str | None) -> None:
+    """First touch stamps the blocking parameters + lineage atomically
+    (tmp file + rename); every later touch validates both — mismatched
+    parameters would silently make every stored band key meaningless,
+    and a foreign lineage breaks batch-id monotonicity (the
+    _last_applied contract)."""
+    meta = _read_meta(index_dir)
+    if meta is None:
+        os.makedirs(index_dir, exist_ok=True)
+        tmp = os.path.join(index_dir, f".{_META}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {**params, "lineage": lineage, "version": _INDEX_VERSION}, fh
+            )
+        os.rename(tmp, os.path.join(index_dir, _META))
+        return
+    if meta.get("version") != _INDEX_VERSION:
+        raise ValueError(
+            f"dedup index {index_dir!r}: layout version {meta.get('version')} != "
+            f"{_INDEX_VERSION} — rebuild the index with this package"
+        )
+    stored = {k: meta.get(k) for k in params}
+    if stored != params:
+        raise ValueError(
+            f"dedup index {index_dir!r} was built with blocking parameters "
+            f"{stored} but this call uses {params} — band keys from different "
+            "parameters are meaningless together; use the stored parameters "
+            "or rebuild the index"
+        )
+    if meta.get("lineage") != lineage:
+        raise RuntimeError(
+            f"dedup index {index_dir!r} was written under lineage "
+            f"{meta.get('lineage')!r} but this fold runs under {lineage!r}; "
+            "batch ids are only monotonic within one checkpoint lineage. "
+            "Reuse the original checkpoint, or delete the index to rebuild."
+        )
+
+
+def read_dedup_index(
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "doc_id",
+    k: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    before_batch: int | None = None,
+) -> DataFrame:
+    """Load the stored band index as one DataFrame — the union of the
+    newest compacted base (if any) and the committed deltas, pruned to
+    ``delta id < before_batch`` when given (the as-of-batch cut the
+    replay contract needs). Validates the caller's blocking parameters
+    against the stamped meta so a mismatched reader fails loudly.
+    Returns an EMPTY correctly-typed frame for a store that exists but
+    holds no committed rows yet."""
+    _heal_index(index_dir)
+    params = _index_params(id_col, k, n_bands, rows_per_band, shingle_n)
+    meta = _read_meta(index_dir)
+    if meta is None:
+        raise FileNotFoundError(
+            f"dedup index {index_dir!r} has no {_META} — not an index store"
+        )
+    if meta.get("version") != _INDEX_VERSION:
+        raise ValueError(
+            f"dedup index {index_dir!r}: layout version {meta.get('version')} != "
+            f"{_INDEX_VERSION} — rebuild the index with this package"
+        )
+    stored = {p: meta.get(p) for p in params}
+    if stored != params:
+        raise ValueError(
+            f"dedup index {index_dir!r} was built with blocking parameters "
+            f"{stored} but this read expects {params}"
+        )
+    entries = os.listdir(index_dir)
+    bases = sorted(int(d.split("-", 1)[1]) for d in entries if d.startswith("base-"))
+    parts: list[str] = []
+    floor = -1
+    if bases:
+        floor = bases[-1]
+        parts.append(os.path.join(index_dir, f"base-{floor}"))
+    for d in entries:
+        if d.startswith("delta-"):
+            bid = int(d.split("-", 1)[1])
+            if bid > floor and (before_batch is None or bid < before_batch):
+                parts.append(os.path.join(index_dir, d))
+    if not parts:
+        return spark.createDataFrame(
+            [], f"{id_col} long, band int, band_key string"
+        )
+    return spark.read.parquet(*parts).select(id_col, "band", "band_key")
+
+
+def dedup_index_fold(
+    spark: SparkSession,
+    index_dir: str,
+    cc_store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    lineage: str | None = None,
+    max_rounds: int = 50,
+) -> Callable[[DataFrame, int], None]:
+    """The per-batch ingest fold for the FULL incremental dedup loop,
+    exposed for tests/backfills like every maintenance fold: given a
+    micro-batch of documents, (1) join it against the stored index AS OF
+    this batch to emit the near-dup pair delta, (2) fold the delta into
+    the components store (:func:`~kafka_workers_spark.streaming.
+    components.components_fold` — star-merge, marker-guarded), then
+    (3) commit the batch's own band rows as ``delta-<batch_id>`` with
+    one atomic rename. Pairs-before-index order makes a crash between
+    the two stores safe in both directions: the components marker skips
+    an already-folded replay, and a replay whose delta already landed
+    recomputes the identical pair set against the identical as-of index
+    cut before skipping the append."""
+    params = _index_params(id_col, k, n_bands, rows_per_band, shingle_n)
+    ccfold = components_fold(
+        spark,
+        cc_store_dir,
+        lineage=lineage,
+        max_rounds=max_rounds,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _heal_index(index_dir)
+        _init_or_check_meta(index_dir, params, lineage)
+        if batch_df.isEmpty():
+            return
+        index = read_dedup_index(
+            spark,
+            index_dir,
+            id_col=id_col,
+            k=k,
+            n_bands=n_bands,
+            rows_per_band=rows_per_band,
+            shingle_n=shingle_n,
+            before_batch=batch_id,
+        )
+        pairs, new_rows = dedup_pairs_incremental(
+            batch_df,
+            index,
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            n_bands=n_bands,
+            rows_per_band=rows_per_band,
+            shingle_n=shingle_n,
+        )
+        ccfold(pairs, batch_id)
+        delta = os.path.join(index_dir, f"delta-{batch_id}")
+        if not os.path.isdir(delta):
+            tmp = os.path.join(index_dir, f".delta-{batch_id}.tmp")
+            new_rows.write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, delta)
+
+    return fold
+
+
+def dedup_index_compact(spark: SparkSession, index_dir: str) -> None:
+    """Fold every committed delta (and any previous base) into one
+    ``base-<max batch id>`` so reader fan-in stays bounded as batches
+    accumulate — the log-structured store's periodic merge. Committed by
+    one atomic rename; the superseded base/deltas are deleted after the
+    publish, and a crash between the two is healed by the absorbed-dirs
+    reap in :func:`_heal_index` (readers already prefer the newest base,
+    so the window is benign)."""
+    _heal_index(index_dir)
+    meta = _read_meta(index_dir)
+    if meta is None:
+        raise FileNotFoundError(f"dedup index {index_dir!r} has no {_META}")
+    entries = os.listdir(index_dir)
+    bases = sorted(int(d.split("-", 1)[1]) for d in entries if d.startswith("base-"))
+    deltas = sorted(int(d.split("-", 1)[1]) for d in entries if d.startswith("delta-"))
+    live = [d for d in deltas if not bases or d > bases[-1]]
+    if not live:
+        return
+    upto = live[-1]
+    parts = [os.path.join(index_dir, f"delta-{d}") for d in live]
+    if bases:
+        parts.append(os.path.join(index_dir, f"base-{bases[-1]}"))
+    tmp = os.path.join(index_dir, f".base-{upto}.tmp")
+    spark.read.parquet(*parts).write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(index_dir, f"base-{upto}"))
+    for d in live:
+        shutil.rmtree(os.path.join(index_dir, f"delta-{d}"), ignore_errors=True)
+    for b in bases:
+        shutil.rmtree(os.path.join(index_dir, f"base-{b}"), ignore_errors=True)
+
+
+def streaming_dedup_ingest(
+    docs: DataFrame,
+    index_dir: str,
+    cc_store_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    max_rounds: int = 50,
+) -> StreamingQuery:
+    """Run the incremental dedup loop LIVE: each micro-batch of
+    documents emits its pair delta against the stored band index, folds
+    it into the components store, and appends its own bands — restart
+    from the same checkpoint resumes exactly; a different checkpoint
+    pointed at either store fails loudly at the first batch."""
+    fold = dedup_index_fold(
+        docs.sparkSession,
+        index_dir,
+        cc_store_dir,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        shingle_n=shingle_n,
+        lineage=os.path.abspath(checkpoint),
+        max_rounds=max_rounds,
+    )
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -124,48 +124,13 @@ def test_components_fold_heals_torn_swap(spark, tmp_path):
     assert _canon(read_components_store(spark, store)) == want
 
 
-def test_incremental_pair_deltas_close_to_one_shot_groups(spark, tmp_path):
-    """The full production loop, end to end: documents land in three
-    batches; each batch emits its near-dup PAIR DELTA against the
-    accumulated band index (pipeline.dedup_pairs_incremental) and folds
-    into the components store (components_fold). The final labeling
-    must equal the ONE-SHOT connected_components over the full corpus's
-    band-collision pairs — the identity that makes incremental dedup
-    groups exact: every colliding pair (i, j) is emitted exactly once,
-    in the later member's batch. Uses the real sf0.001 documents so the
-    collision structure is the corpus's own, not synthetic."""
-    import os
-
+def _one_shot_labels(spark, docs):
+    """One-shot ground truth: closure over the full corpus's
+    band-collision pairs."""
     from pyspark.sql import functions as F
 
-    from kafka_workers_spark.pipeline import build_dedup_index, dedup_pairs_incremental
-    from kafka_workers_spark.sources.files import load_table
+    from kafka_workers_spark.pipeline import build_dedup_index
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
-        "doc_id", "text"
-    )
-    store = str(tmp_path / "cc_store")
-    fold = components_fold(spark, store, lineage="inc")
-
-    index = None
-    for bid, pred in enumerate(
-        ["doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2"]
-    ):
-        batch = docs.filter(pred)
-        if index is None:
-            empty = build_dedup_index(batch.limit(0))
-            index = empty
-        pairs, new_rows = dedup_pairs_incremental(batch, index)
-        fold(pairs, bid)
-        # accumulate the index the way a real ingest would (append);
-        # materialize to break the growing lineage across batches
-        index_path = os.path.join(str(tmp_path), "band_index")
-        new_rows.write.mode("append").parquet(index_path)
-        index = spark.read.parquet(index_path)
-
-    got = sorted(
-        (r.node, r.comp) for r in read_components_store(spark, store).collect()
-    )
     full_bands = build_dedup_index(docs)
     a, b = full_bands.alias("a"), full_bands.alias("b")
     one_shot_pairs = (
@@ -178,10 +143,198 @@ def test_incremental_pair_deltas_close_to_one_shot_groups(spark, tmp_path):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    want = sorted(
+    return sorted(
         (r.node, r.comp)
         for r in connected_components(
             one_shot_pairs, src="doc_a", dst="doc_b"
         ).collect()
     )
+
+
+def test_incremental_pair_deltas_close_to_one_shot_groups(spark, tmp_path):
+    """The full production loop, end to end, FROM THE STORED INDEX
+    (VERDICT r13 #3): documents land in three batches through
+    dedup_index_fold — each batch joins the STORED band index as of its
+    batch id, folds its pair delta into the components store, and
+    commits its own bands as a delta. Between batches 2 and 3 the
+    producer 'restarts': a brand-new fold instance reloads everything
+    from disk (nothing carried in memory). The final labeling must
+    equal the ONE-SHOT connected_components over the full corpus's
+    band-collision pairs — every colliding pair (i, j) is emitted
+    exactly once, in the later member's batch, whether the index it
+    joined was freshly built or reloaded. Uses the real sf0.001
+    documents so the collision structure is the corpus's own."""
+    from kafka_workers_spark.sources.files import load_table
+    from kafka_workers_spark.streaming.dedup_index import dedup_index_fold
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "cc_store")
+    index_dir = str(tmp_path / "band_index")
+    fold = dedup_index_fold(spark, index_dir, store, lineage="inc")
+    fold(docs.filter("doc_id % 3 = 0"), 0)
+    fold(docs.filter("doc_id % 3 = 1"), 1)
+    # restart: a NEW fold (fresh process simulation) reloads the index
+    fold2 = dedup_index_fold(spark, index_dir, store, lineage="inc")
+    fold2(docs.filter("doc_id % 3 = 2"), 2)
+
+    got = sorted(
+        (r.node, r.comp) for r in read_components_store(spark, store).collect()
+    )
+    want = _one_shot_labels(spark, docs)
     assert got == want and len(got) > 0
+
+
+def test_dedup_index_replay_params_and_lineage(spark, tmp_path):
+    """The stored index's contracts: a replayed batch id recomputes the
+    identical pair delta against the identical as-of index cut and
+    leaves both stores untouched; mismatched blocking parameters and a
+    foreign lineage fail loudly; the reader's as-of cut excludes the
+    batch's own delta (joining a batch against its own banded rows
+    would emit every document as a self-collision)."""
+    import os
+
+    from kafka_workers_spark.sources.files import load_table
+    from kafka_workers_spark.streaming.dedup_index import (
+        dedup_index_fold,
+        read_dedup_index,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "cc_store")
+    index_dir = str(tmp_path / "band_index")
+    fold = dedup_index_fold(spark, index_dir, store, lineage="L")
+    fold(docs.filter("doc_id % 2 = 0"), 0)
+    fold(docs.filter("doc_id % 2 = 1"), 1)
+    after = sorted(
+        (r.node, r.comp) for r in read_components_store(spark, store).collect()
+    )
+    n_rows = read_dedup_index(spark, index_dir).count()
+    marker_mtime = os.path.getmtime(os.path.join(store, "_kw_batch"))
+    # replay of batch 1: pair delta recomputed against deltas < 1 only,
+    # components marker skips, index delta already present — no change
+    fold(docs.filter("doc_id % 2 = 1"), 1)
+    assert sorted(
+        (r.node, r.comp) for r in read_components_store(spark, store).collect()
+    ) == after
+    assert read_dedup_index(spark, index_dir).count() == n_rows
+    assert os.path.getmtime(os.path.join(store, "_kw_batch")) == marker_mtime
+    # the as-of cut: index as of batch 1 is exactly batch 0's rows —
+    # no odd doc_id (batch 1) ever appears, and nothing of batch 0 is
+    # lost (the two cuts partition the full index)
+    as_of = read_dedup_index(spark, index_dir, before_batch=1)
+    assert as_of.filter("doc_id % 2 = 1").count() == 0
+    assert as_of.count() + read_dedup_index(spark, index_dir).filter(
+        "doc_id % 2 = 1"
+    ).count() == n_rows
+    # parameter mismatch fails loudly on fold AND read
+    with pytest.raises(ValueError, match="blocking parameters"):
+        dedup_index_fold(spark, index_dir, store, k=16, lineage="L")(
+            docs.limit(5), 2
+        )
+    with pytest.raises(ValueError, match="blocking parameters"):
+        read_dedup_index(spark, index_dir, n_bands=8)
+    # foreign lineage fails loudly
+    with pytest.raises(RuntimeError, match="lineage"):
+        dedup_index_fold(spark, index_dir, store, lineage="M")(docs.limit(5), 0)
+
+
+def test_dedup_index_crash_heal_and_compact(spark, tmp_path):
+    """Crash windows and the log-structured merge: a dot-tmp delta from
+    a killed append is reaped before anything trusts the dir; compaction
+    folds base+deltas into one base with identical content; a crash
+    between the compacted base's publish and the absorbed dirs' delete
+    (both still present) heals to the same rows, never double-counts."""
+    import os
+
+    from kafka_workers_spark.sources.files import load_table
+    from kafka_workers_spark.streaming.dedup_index import (
+        dedup_index_compact,
+        dedup_index_fold,
+        read_dedup_index,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "cc_store")
+    index_dir = str(tmp_path / "band_index")
+    fold = dedup_index_fold(spark, index_dir, store, lineage="L")
+    for bid, pred in enumerate(["doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2"]):
+        fold(docs.filter(pred), bid)
+    rows = sorted(
+        map(tuple, read_dedup_index(spark, index_dir).collect())
+    )
+    # killed append: dot-tmp leftover must be reaped, content unchanged
+    os.makedirs(os.path.join(index_dir, ".delta-9.tmp"))
+    assert sorted(map(tuple, read_dedup_index(spark, index_dir).collect())) == rows
+    assert not os.path.exists(os.path.join(index_dir, ".delta-9.tmp"))
+    # compaction: one base, same rows
+    dedup_index_compact(spark, index_dir)
+    names = os.listdir(index_dir)
+    assert any(d.startswith("base-") for d in names)
+    assert not any(d.startswith("delta-") for d in names)
+    assert sorted(map(tuple, read_dedup_index(spark, index_dir).collect())) == rows
+    # torn compaction: base published but an absorbed delta still
+    # present — the reader/heal must not double-count it
+    import shutil
+
+    base = next(d for d in os.listdir(index_dir) if d.startswith("base-"))
+    shutil.copytree(
+        os.path.join(index_dir, base), os.path.join(index_dir, "delta-0"),
+    )
+    assert sorted(map(tuple, read_dedup_index(spark, index_dir).collect())) == rows
+    # folding continues on top of the compacted base
+    fold(docs.filter("doc_id % 3 = 0").limit(0), 3)  # empty: no-op
+    got = sorted(
+        (r.node, r.comp) for r in read_components_store(spark, store).collect()
+    )
+    assert got == _one_shot_labels(spark, docs)
+
+
+def test_streaming_dedup_ingest_with_restart_equals_one_shot(spark, tmp_path):
+    """The live wrapper: document batches stream through foreachBatch
+    with a checkpoint restart mid-corpus; both stores (band index +
+    components labeling) resume exactly and the final labeling equals
+    the one-shot closure — the full incremental dedup loop with zero
+    caller-carried state."""
+    from kafka_workers_spark.sources.files import load_table
+    from kafka_workers_spark.streaming.dedup_index import (
+        read_dedup_index,
+        streaming_dedup_ingest,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src, index_dir, store, ckpt = (
+        str(tmp_path / d) for d in ("src", "band_index", "cc_store", "ckpt")
+    )
+    docs.filter("doc_id % 3 = 0").coalesce(1).write.parquet(src)
+    docs.filter("doc_id % 3 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_dedup_ingest(stream, index_dir, store, ckpt)
+        q.awaitTermination(180)
+
+    run()
+    docs.filter("doc_id % 3 = 2").coalesce(1).write.mode("append").parquet(src)
+    run()  # checkpoint restart: only the new file folds
+    got = sorted(
+        (r.node, r.comp) for r in read_components_store(spark, store).collect()
+    )
+    assert got == _one_shot_labels(spark, docs)
+    # the stored index holds every document's bands exactly once
+    from kafka_workers_spark.pipeline import build_dedup_index
+
+    assert sorted(map(tuple, read_dedup_index(spark, index_dir).collect())) == sorted(
+        map(tuple, build_dedup_index(docs).collect())
+    )
