@@ -62,6 +62,7 @@ PACK_BUDGET = 512  # tokens per training sequence
     FROM packed
     """,
     category="corpus",
+    windowed=False,  # rotated out round 14 (cheap veteran; pytest holds the oracle)
 )
 def corpus_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling + sequence packing in one pass.

@@ -1122,7 +1122,8 @@ def dedup_survivor_quality(
     FROM reach GROUP BY node
     """,
     category="dedup",
-    windowed=False,  # new round 13 — the store family's cold-build row
+    # rotated IN round 14 (VERDICT r13 #1): the cold closure build is the
+    # heaviest row in either lane — the driver window keeps it measured
 )
 def dedup_components_rebuild(
     spark: SparkSession, sf_dir: str, snapshot_id: str | None = None

@@ -384,7 +384,8 @@ _SQL_ANOMALY_MAD = f"""
     "events_anomaly_mad",
     _SQL_ANOMALY_MAD,
     category="drift",
-    windowed=False,  # new round 13 — EXTRA until rotated in
+    # rotated IN round 14 (VERDICT r13 #1): the robust screen joins the
+    # driver window alongside its new live arm
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust median/MAD volume-spike screen

@@ -939,6 +939,7 @@ def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY 2
     """,
+    windowed=False,  # rotated out round 14 (cheap veteran; pytest holds the oracle)
 )
 def agg_moments_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two statistical-aggregate families in one tagged result.
