@@ -1,5 +1,7 @@
 """Distribution-drift and anomaly screens for a continuously-ingesting
-corpus: rolling z-score spike detection, PSI (population stability
+corpus: rolling z-score spike detection, the robust median/MAD sibling,
+two-sided CUSUM mean-shift detection (the sequential screen for small
+SUSTAINED shifts both per-bucket tests miss), PSI (population stability
 index) between a reference and a current population, and per-source KL
 divergence against the corpus unigram mixture (the DoReMi/CCNet-style
 source-weighting diagnostic).
@@ -488,4 +490,151 @@ def anomaly_mad(
         "med",
         "mad",
         F.when(F.col("n_window") > 0, flag).otherwise(F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def anomaly_cusum(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    bucket_seconds: int = 3600,
+    warmup: int = 24,
+    k_num: int = 1,
+    k_den: int = 2,
+    h_num: int = 5,
+    h_den: int = 1,
+) -> DataFrame:
+    """Two-sided CUSUM mean-shift screen (Page 1954): the sequential
+    sibling of :func:`anomaly_zscore` / :func:`anomaly_mad`, which test
+    each bucket IN ISOLATION and therefore miss the third failure mode —
+    a SMALL, SUSTAINED level shift. A source that silently drifts +40%
+    and stays there never trips a per-bucket screen (every bucket is
+    individually unremarkable, and the rolling baseline adapts within
+    one window), but its drift ACCUMULATES here; symmetrically, the
+    down-arm catches a source quietly fading out — the classic
+    "upstream died and nobody noticed" incident.
+
+    SPC phase discipline on the gap-filled per-key grid: the first
+    ``warmup`` buckets are phase I — they freeze a ROBUST reference
+    (lower median ``med`` and MAD ``mad`` of the warmup counts, the
+    :func:`anomaly_mad` order statistics) and never flag. From bucket
+    warmup+1 (phase II), with allowance k = (k_num/k_den)·mad and
+    threshold h = (h_num/h_den)·mad, the classic recursions
+
+        S⁺_t = max(0, S⁺_{t-1} + (x_t − med) − k)
+        S⁻_t = max(0, S⁻_{t-1} + (med − x_t) − k)
+
+    are computed WITHOUT recursion via the prefix-sum identity
+    ``S_t = P_t − min(0, min_{i≤t} P_i)`` with ``P_t = Σ d_i`` — two
+    stacked window aggregates over ONE shuffle, no iterative loop, no
+    UDF. Everything is BIGINT at scale k_den: ``d = k_den·(x − med) −
+    k_num·mad``, emitted ``s_up``/``s_dn`` are S·k_den, and the flag is
+    the integer predicate ``s·h_den > h_num·mad·k_den`` (mad = 0 — a
+    constant warmup — degenerates to ``s > 0``: any net drift flags,
+    the zero-variance convention of the sibling screens). int64 bound:
+    |P| ≤ buckets·(k_den·max_cnt + k_num·mad) — ~10¹⁴ at a million
+    buckets of 10⁷ events, comfortably inside 2⁶³.
+
+    No post-alarm reset (a deliberate divergence from chart-keeping SPC
+    practice, where S rezeros after each alarm): the flag here reads
+    "the level still differs from the phase-I reference", which is the
+    question a pipeline monitor actually asks — it stays up until the
+    source recovers (S drains at k per bucket once the level returns),
+    rather than re-alarming on a fixed cadence during one long incident.
+
+    Emits EVERY grid bucket: ``(key_cols..., bucket_start, n_events,
+    med, mad, s_up, s_dn, is_shift_up, is_shift_dn)`` — warmup rows
+    carry NULL s and false flags (phase I is calibration, not
+    evidence). Keys with ≤ warmup grid buckets never leave phase I.
+
+    Scale shape: rides :func:`gap_fill`, ONE window shuffle on the keys
+    (row-number, prefix sums, and prefix mins share the partitioning
+    and sort), plus a broadcast of the one-row-per-key reference."""
+    if warmup < 2:
+        raise ValueError(f"warmup ({warmup}) must be >= 2")
+    if k_num < 0 or k_den < 1:
+        raise ValueError(
+            f"allowance k ({k_num}/{k_den}) needs k_num >= 0 and k_den >= 1"
+        )
+    if h_num < 1 or h_den < 1:
+        raise ValueError(
+            f"threshold h ({h_num}/{h_den}) needs h_num >= 1 and h_den >= 1"
+        )
+    grid = gap_fill(events, key_cols, ts_col, bucket_seconds)
+    wk = W.partitionBy(*[F.col(c) for c in key_cols]).orderBy("bucket_start")
+    g = grid.select(
+        *key_cols,
+        "bucket_start",
+        F.col("n_rows").cast("bigint").alias("n_events"),
+    ).select("*", F.row_number().over(wk).alias("__rn"))
+    # phase-I reference: lower med/MAD of each key's first `warmup`
+    # buckets (one row per key -> broadcast back)
+    ref = (
+        g.filter(F.col("__rn") <= warmup)
+        .groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("n_events")).alias("__arr"))
+    )
+    idx = ((F.size("__arr") + 1) / 2).cast("int")
+    ref = ref.select(
+        *key_cols, F.element_at("__arr", idx).cast("bigint").alias("med"), "__arr"
+    )
+    ref = ref.select(
+        *key_cols,
+        "med",
+        F.element_at(
+            F.sort_array(F.transform("__arr", lambda v: F.abs(v - F.col("med")))), idx
+        ).cast("bigint").alias("mad"),
+    )
+    j = g.join(F.broadcast(ref), key_cols)
+    x, med, mad = F.col("n_events"), F.col("med"), F.col("mad")
+    live = F.col("__rn") > warmup
+    # warmup rows contribute ZERO drift so one window pass covers both
+    # phases (no union, no second scan of the grid)
+    d_up = F.when(live, k_den * (x - med) - k_num * mad).otherwise(F.lit(0))
+    d_dn = F.when(live, k_den * (med - x) - k_num * mad).otherwise(F.lit(0))
+    frame = wk.rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = j.select(
+        *key_cols,
+        "bucket_start",
+        "n_events",
+        "med",
+        "mad",
+        "__rn",
+        F.sum(d_up).over(frame).cast("bigint").alias("__pu"),
+        F.sum(d_dn).over(frame).cast("bigint").alias("__pd"),
+    )
+    s = c.select(
+        *key_cols,
+        "bucket_start",
+        "n_events",
+        "med",
+        "mad",
+        "__rn",
+        (F.col("__pu") - F.least(F.lit(0), F.min("__pu").over(frame)))
+        .cast("bigint")
+        .alias("__su"),
+        (F.col("__pd") - F.least(F.lit(0), F.min("__pd").over(frame)))
+        .cast("bigint")
+        .alias("__sd"),
+    )
+
+    def shift(col: Column) -> Column:
+        return F.when(
+            F.col("__rn") > warmup,
+            F.when(mad > 0, col * h_den > F.lit(h_num) * mad * k_den).otherwise(
+                col > 0
+            ),
+        ).otherwise(F.lit(False))
+
+    live_out = F.col("__rn") > warmup
+    return s.select(
+        *key_cols,
+        "bucket_start",
+        "n_events",
+        "med",
+        "mad",
+        F.when(live_out, F.col("__su")).alias("s_up"),
+        F.when(live_out, F.col("__sd")).alias("s_dn"),
+        shift(F.col("__su")).alias("is_shift_up"),
+        shift(F.col("__sd")).alias("is_shift_dn"),
     )

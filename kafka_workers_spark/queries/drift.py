@@ -452,3 +452,162 @@ def stream_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         z_num=_MAD_Z_NUM,
         z_den=_MAD_Z_DEN,
     )
+
+
+# CUSUM parameters: 24-bucket phase-I reference; allowance k = MAD/2
+# (drift smaller than half the routine spread accrues nothing — the
+# standard half-sigma allowance transplanted to the robust scale);
+# threshold h = 5·MAD (the SPC h=5σ convention, robust-scaled).
+_CU_WARMUP = 24
+_CU_K_NUM, _CU_K_DEN = 1, 2
+_CU_H_NUM, _CU_H_DEN = 5, 1
+
+_SQL_CUSUM = f"""
+    WITH per AS (
+      SELECT event_type,
+             (epoch_us(ts) - ((epoch_us(ts) % {_AZ_BUCKET_US})
+                              + {_AZ_BUCKET_US}) % {_AZ_BUCKET_US})
+               // {_AZ_BUCKET_US} AS bkt,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, MIN(bkt) AS lo, MAX(bkt) AS hi FROM per GROUP BY 1
+    ), grid AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi)) AS bkt FROM span
+    ), g AS (
+      SELECT grid.event_type, grid.bkt,
+             CAST(COALESCE(per.c, 0) AS BIGINT) AS x,
+             ROW_NUMBER() OVER (PARTITION BY grid.event_type
+                                ORDER BY grid.bkt) AS rn
+      FROM grid LEFT JOIN per
+        ON per.event_type = grid.event_type AND per.bkt = grid.bkt
+    ), warm AS (
+      SELECT event_type, list_sort(list(x)) AS arr
+      FROM g WHERE rn <= {_CU_WARMUP} GROUP BY 1
+    ), ref0 AS (
+      SELECT event_type, arr,
+             CAST(arr[(len(arr) + 1) // 2] AS BIGINT) AS med
+      FROM warm
+    ), ref AS (
+      SELECT event_type, med,
+             CAST(list_sort([abs(v - med) FOR v IN arr])[(len(arr) + 1) // 2]
+                  AS BIGINT) AS mad
+      FROM ref0
+    ), d AS (
+      SELECT g.event_type, bkt, x, rn, med, mad,
+             CASE WHEN rn > {_CU_WARMUP}
+                  THEN {_CU_K_DEN} * (x - med) - {_CU_K_NUM} * mad
+                  ELSE 0 END AS d_up,
+             CASE WHEN rn > {_CU_WARMUP}
+                  THEN {_CU_K_DEN} * (med - x) - {_CU_K_NUM} * mad
+                  ELSE 0 END AS d_dn
+      FROM g JOIN ref ON g.event_type = ref.event_type
+    ), cum AS (
+      SELECT *, CAST(SUM(d_up) OVER w AS BIGINT) AS pu,
+                CAST(SUM(d_dn) OVER w AS BIGINT) AS pd
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT *, CAST(pu - LEAST(0, MIN(pu) OVER w) AS BIGINT) AS su,
+                CAST(pd - LEAST(0, MIN(pd) OVER w) AS BIGINT) AS sd
+      FROM cum
+      WINDOW w AS (PARTITION BY event_type ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           make_timestamp(bkt * {_AZ_BUCKET_US}) AS bucket_start,
+           x AS n_events, med, mad,
+           CASE WHEN rn > {_CU_WARMUP} THEN su END AS s_up,
+           CASE WHEN rn > {_CU_WARMUP} THEN sd END AS s_dn,
+           CASE WHEN rn > {_CU_WARMUP} THEN
+             CASE WHEN mad > 0
+                  THEN su * {_CU_H_DEN} > {_CU_H_NUM} * mad * {_CU_K_DEN}
+                  ELSE su > 0 END
+           ELSE FALSE END AS is_shift_up,
+           CASE WHEN rn > {_CU_WARMUP} THEN
+             CASE WHEN mad > 0
+                  THEN sd * {_CU_H_DEN} > {_CU_H_NUM} * mad * {_CU_K_DEN}
+                  ELSE sd > 0 END
+           ELSE FALSE END AS is_shift_dn
+    FROM s
+"""
+
+
+@register(
+    "events_cusum_shift",
+    _SQL_CUSUM,
+    category="drift",
+    windowed=False,  # new round 14 — EXTRA until rotated in
+)
+def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM mean-shift screen (operators.drift.anomaly_cusum
+    — Page 1954): the drift family's third failure mode. The z² and MAD
+    screens test each hourly bucket in isolation, so a source that
+    silently drifts +40% AND STAYS THERE never flags (every bucket is
+    individually unremarkable and the rolling baseline adapts within one
+    window); CUSUM accumulates the drift against a phase-I robust
+    reference (med/MAD of the first 24 buckets) and the down-arm
+    symmetrically catches a source quietly fading out. Pure BIGINT via
+    the prefix-sum identity S_t = P_t - min(0, min P_i) — the max(0,·)
+    recursion as two stacked window aggregates over one shuffle, no
+    loop, no UDF."""
+    from kafka_workers_spark.operators.drift import anomaly_cusum
+
+    ev = load_table(spark, sf_dir, "events")
+    return anomaly_cusum(
+        ev,
+        ["event_type"],
+        "ts",
+        bucket_seconds=_AZ_BUCKET_S,
+        warmup=_CU_WARMUP,
+        k_num=_CU_K_NUM,
+        k_den=_CU_K_DEN,
+        h_num=_CU_H_NUM,
+        h_den=_CU_H_DEN,
+    )
+
+
+@register(
+    "stream_cusum_shift",
+    f"""
+    WITH base AS ({_SQL_CUSUM})
+    SELECT event_type, bucket_start, n_events, med, mad,
+           s_up, s_dn, is_shift_up, is_shift_dn
+    FROM (
+      SELECT *, MAX(bucket_start) OVER (PARTITION BY event_type) AS __mx,
+             COUNT(*) OVER (PARTITION BY event_type) AS __nb
+      FROM base
+    ) WHERE bucket_start < __mx AND __nb >= {_CU_WARMUP + 1}
+    """,
+    category="drift",
+    windowed=False,  # new round 14 — EXTRA until rotated in
+)
+def stream_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_cusum_shift computed through the WorkerTask state machine
+    (streaming/drift.py cusum_tasks_batch — four carried longs per key
+    in phase II, phase-I rows buffered until the robust reference
+    freezes): the sequential screen's LIVE arm, completing the trio
+    discipline for all three drift failure modes (spike / masked spike /
+    sustained shift). Oracle composes the registered batch-arm SQL with
+    the stream's two documented divergences: each key's final bucket
+    never closes, and a key whose warmup never completes has emitted
+    nothing (the phase-I buffer only flushes when the reference
+    freezes). Live micro-batch form — including a warmup that completes
+    MID-stream and a shift split across batches — pinned equal in
+    tests/test_drift_stream.py."""
+    from kafka_workers_spark.streaming.drift import cusum_tasks_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_tasks_batch(
+        ev,
+        ["event_type"],
+        "ts",
+        tiebreak_col="event_id",
+        bucket_seconds=_AZ_BUCKET_S,
+        warmup=_CU_WARMUP,
+        k_num=_CU_K_NUM,
+        k_den=_CU_K_DEN,
+        h_num=_CU_H_NUM,
+        h_den=_CU_H_DEN,
+    )

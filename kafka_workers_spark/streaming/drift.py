@@ -1,13 +1,14 @@
-"""Streaming volume-spike screens: the rolling z² anomaly test and its
-robust median/MAD sibling (operators/drift.py anomaly_zscore /
-anomaly_mad) as per-key WorkerTask state machines — members four and
-five of the live==batch cross-plan family (funnel, attribution,
-markov), applied to the drift screens so the "per ingest batch"
-diagnostic the drift module's docstring promises actually runs ON the
-ingest stream. The MAD arm matters MOST live: its whole point is floods
-(an in-window flood inflates σ and masks the z² screen's next flood),
-and floods arrive on the stream, not in a nightly batch (VERDICT r13
-#2).
+"""Streaming volume screens: the rolling z² anomaly test, its robust
+median/MAD sibling, and the two-sided CUSUM mean-shift screen
+(operators/drift.py anomaly_zscore / anomaly_mad / anomaly_cusum) as
+per-key WorkerTask state machines — the drift members of the
+live==batch cross-plan family (funnel, attribution, markov), so the
+"per ingest batch" diagnostic the drift module's docstring promises
+actually runs ON the ingest stream. The MAD arm matters MOST live: its
+whole point is floods (an in-window flood inflates σ and masks the z²
+screen's next flood), and floods arrive on the stream, not in a nightly
+batch (VERDICT r13 #2); the CUSUM arm is the only one that sees a
+small SUSTAINED shift at all, and it needs just four carried longs.
 
 State per key is tiny and bounded: the current OPEN bucket (index +
 count) plus the trailing ``window`` CLOSED bucket counts (a ring of
@@ -204,8 +205,115 @@ def mad_worker_task(
     )
 
 
+def cusum_worker_task(
+    key_cols: list[str],
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    warmup: int = 24,
+    k_num: int = 1,
+    k_den: int = 2,
+    h_num: int = 5,
+    h_den: int = 1,
+) -> WorkerTask:
+    """The CUSUM state machine (the live arm of
+    operators.drift.anomaly_cusum — Page 1954): same bucket fold as the
+    sibling screens, but phase-aware. Phase I BUFFERS each closed bucket
+    (the robust reference med/MAD cannot exist until ``warmup`` buckets
+    have closed, and the batch plan stamps every row with that frozen
+    reference — so the live arm holds its first rows and flushes them
+    all, reference attached, in the micro-batch where the warmup
+    completes; live == batch stays bit-exact at the price of bounded
+    latency on the first ``warmup`` rows). Phase II carries four longs —
+    running prefix sums and prefix minima of both arms — and emits each
+    closed bucket immediately via S_t = P_t − min(0, min P_i). Keys
+    whose warmup never completes emit nothing (documented divergence,
+    alongside the never-closing final bucket)."""
+    if warmup < 2:
+        raise ValueError(f"warmup ({warmup}) must be >= 2")
+    if k_num < 0 or k_den < 1:
+        raise ValueError(
+            f"allowance k ({k_num}/{k_den}) needs k_num >= 0 and k_den >= 1"
+        )
+    if h_num < 1 or h_den < 1:
+        raise ValueError(
+            f"threshold h ({h_num}/{h_den}) needs h_num >= 1 and h_den >= 1"
+        )
+    step_us = bucket_seconds * 1_000_000
+
+    def process(key, pdf, st):
+        if len(pdf) == 0:
+            return None, st
+        cur_b = st.get("cur_b")
+        cur_n = st.get("cur_n", 0)
+        warm = st.get("warm", [])
+        pending = st.get("pending", [])
+        med, mad = st.get("med"), st.get("mad")
+        pu, mnu = st.get("pu", 0), st.get("mnu", 0)
+        pd_, mnd = st.get("pd", 0), st.get("mnd", 0)
+        rows = []
+
+        def close(b: int, n: int) -> None:
+            nonlocal med, mad, pu, mnu, pd_, mnd
+            if med is None:
+                warm.append(n)
+                pending.append([b, n])
+                if len(warm) == warmup:
+                    srt = sorted(warm)
+                    i = (warmup + 1) // 2 - 1
+                    med = srt[i]
+                    mad = sorted(abs(v - med) for v in warm)[i]
+                    for qb, qn in pending:
+                        rows.append((*key, qb, qn, med, mad, None, None,
+                                     False, False))
+                    pending.clear()
+                return
+            d_up = k_den * (n - med) - k_num * mad
+            d_dn = k_den * (med - n) - k_num * mad
+            pu += d_up
+            mnu = min(mnu, pu)
+            pd_ += d_dn
+            mnd = min(mnd, pd_)
+            su = pu - min(0, mnu)
+            sd = pd_ - min(0, mnd)
+            if mad > 0:
+                up = su * h_den > h_num * mad * k_den
+                dn = sd * h_den > h_num * mad * k_den
+            else:
+                up, dn = su > 0, sd > 0
+            rows.append((*key, b, n, med, mad, su, sd, up, dn))
+
+        for b in (pdf[ts_col].astype("int64") // 1000 // step_us).tolist():
+            if cur_b is None:
+                cur_b, cur_n = b, 1
+            elif b == cur_b:
+                cur_n += 1
+            elif b < cur_b:
+                raise ValueError(
+                    f"drift worker task: bucket index {b} arrived after "
+                    f"open bucket {cur_b} for key {key!r} — events must be "
+                    "nondecreasing in event time per key across "
+                    "micro-batches (sort upstream or fix the tiebreak)"
+                )
+            else:
+                close(cur_b, cur_n)
+                for g in range(cur_b + 1, b):
+                    close(g, 0)
+                cur_b, cur_n = b, 1
+        out = None
+        if rows:
+            cols = [*key_cols, "bucket_idx", "n_events", *_CUSUM_STATS]
+            out = pd.DataFrame(dict(zip(cols, map(list, zip(*rows)))))
+        return out, {
+            "cur_b": cur_b, "cur_n": cur_n, "warm": warm, "pending": pending,
+            "med": med, "mad": mad, "pu": pu, "mnu": mnu, "pd": pd_, "mnd": mnd,
+        }
+
+    return WorkerTask(process=process)
+
+
 _Z_STATS = ["n_window", "dev_num", "var_num", "is_anomaly"]
 _MAD_STATS = ["n_window", "med", "mad", "is_anomaly"]
+_CUSUM_STATS = ["med", "mad", "s_up", "s_dn", "is_shift_up", "is_shift_dn"]
 
 
 def _out_schema(events: DataFrame, key_cols: list[str], stat_cols: list[str]) -> str:
@@ -213,7 +321,7 @@ def _out_schema(events: DataFrame, key_cols: list[str], stat_cols: list[str]) ->
         f"{c} {events.schema[c].dataType.simpleString()}" for c in key_cols
     )
     stats = ", ".join(
-        f"{c} {'boolean' if c == 'is_anomaly' else 'bigint'}" for c in stat_cols
+        f"{c} {'boolean' if c.startswith('is_') else 'bigint'}" for c in stat_cols
     )
     return f"{keys}, bucket_idx bigint, n_events bigint, {stats}"
 
@@ -262,7 +370,10 @@ def _run_batch(
     schema = _out_schema(events, key_cols, stat_cols)
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     key_dtypes = dict(zip(key_cols, ["object"] * len(key_cols)))
-    int_cols = ["bucket_idx", "n_events"] + [c for c in stat_cols if c != "is_anomaly"]
+    int_cols = ["bucket_idx", "n_events"] + [
+        c for c in stat_cols if not c.startswith("is_")
+    ]
+    bool_cols = [c for c in stat_cols if c.startswith("is_")]
 
     def fn(key, pdf):
         out, _ = task.process(key, pdf.sort_values(order), {})
@@ -271,7 +382,7 @@ def _run_batch(
                 {
                     **{c: pd.Series(dtype=key_dtypes[c]) for c in key_cols},
                     **{c: pd.Series(dtype="int64") for c in int_cols},
-                    "is_anomaly": pd.Series(dtype=bool),
+                    **{c: pd.Series(dtype=bool) for c in bool_cols},
                 }
             )
         return out
@@ -373,4 +484,52 @@ def mad_tasks_batch(
     )
     return _run_batch(
         events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _MAD_STATS
+    )
+
+
+def streaming_anomaly_cusum(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    bucket_seconds: int = 3600,
+    warmup: int = 24,
+    k_num: int = 1,
+    k_den: int = 2,
+    h_num: int = 5,
+    h_den: int = 1,
+) -> DataFrame:
+    """The live CUSUM screen: sustained level shifts accumulate in four
+    carried longs per key; phase-I rows flush, reference attached, in
+    the micro-batch where the warmup completes."""
+    task = cusum_worker_task(
+        key_cols, ts_col, bucket_seconds, warmup, k_num, k_den, h_num, h_den
+    )
+    return _run_live(
+        events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _CUSUM_STATS
+    )
+
+
+def cusum_tasks_batch(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    bucket_seconds: int = 3600,
+    warmup: int = 24,
+    k_num: int = 1,
+    k_den: int = 2,
+    h_num: int = 5,
+    h_den: int = 1,
+) -> DataFrame:
+    """The CUSUM task replayed over full history — equals the relational
+    :func:`anomaly_cusum` minus each key's final (never-closed) bucket,
+    restricted to keys whose warmup completed (≥ warmup CLOSED buckets;
+    a key still in phase I has emitted nothing). Both divergences are
+    composed into the registered ``stream_cusum_shift`` oracle."""
+    task = cusum_worker_task(
+        key_cols, ts_col, bucket_seconds, warmup, k_num, k_den, h_num, h_den
+    )
+    return _run_batch(
+        events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _CUSUM_STATS
     )

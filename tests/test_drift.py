@@ -275,3 +275,113 @@ def test_anomaly_mad_median_rule_nonzero_mad(spark):
         last = rows[max(rows)]
         assert (last.med, last.mad) == (4, 2)
         assert last.is_anomaly is want, (probe, last)
+
+
+def test_cusum_catches_sustained_shift_missed_by_per_bucket_screens(spark):
+    """The CUSUM screen's reason to exist (Page 1954): a +1 sustained
+    shift on a baseline alternating 9/10/11 (med=10, mad=1). Per bucket
+    the shift is invisible — z² (σ≈0.8, z≈1.2) and MAD ((x−med)·2 = 2 <
+    9·mad) never flag ANY bucket — but the shifted drift accumulates
+    d = k_den·(x−med) − k_num·mad = 1 per bucket, crossing h·mad·k_den =
+    10 at exactly the 11th shifted bucket. The down-arm mirrors it on a
+    −1 fade. Warmup rows carry NULL s and false flags."""
+    from kafka_workers_spark.operators.drift import anomaly_cusum
+
+    base = [9, 10, 11] * 8
+    for shift, flag_col, s_col in ((+1, "is_shift_up", "s_up"),
+                                   (-1, "is_shift_dn", "s_dn")):
+        counts = base + [10 + shift] * 14
+        df = _events(spark, counts)
+        # neither per-bucket screen flags anywhere
+        z = _flags(anomaly_zscore(df, ["k"], "ts", 3600, window=24, min_n=8))
+        assert not any(v[2] for v in z.values())
+        from kafka_workers_spark.operators.drift import anomaly_mad
+
+        m = anomaly_mad(df, ["k"], "ts", 3600, window=24, min_n=8,
+                        z_num=9, z_den=2)
+        assert m.filter("is_anomaly").count() == 0
+        out = anomaly_cusum(df, ["k"], "ts", 3600, warmup=24,
+                            k_num=1, k_den=2, h_num=5, h_den=1)
+        rows = {int(r.bucket_start.timestamp() // 3600): r
+                for r in out.collect()}
+        lo = min(rows)
+        assert (rows[lo].med, rows[lo].mad) == (10, 1)
+        # warmup: NULL s, false flags
+        assert rows[lo].s_up is None and rows[lo][flag_col] is False
+        # the 11th shifted bucket is the first flag; the 10th is not
+        first_live = lo + 24
+        assert rows[first_live + 10][flag_col] is True
+        assert rows[first_live + 9][flag_col] is False
+        # s accumulates linearly at 1 per shifted bucket (scaled k_den=2)
+        assert rows[first_live + 10][s_col] == 11
+
+
+def test_cusum_prefix_identity_matches_recursion(spark):
+    """Property pin: the windowed prefix-sum form S_t = P_t − min(0,
+    min P_i) must equal the textbook max(0, S_{t−1} + d_t) recursion,
+    replayed in raw Python over random count sequences (3 keys in one
+    frame — the identity must hold per key under partitioning)."""
+    import random
+
+    from kafka_workers_spark.operators.drift import anomaly_cusum
+
+    rng = random.Random(14)
+    warmup, k_num, k_den, h_num, h_den = 6, 1, 2, 5, 1
+    seqs = {
+        f"k{i}": [rng.randrange(0, 20) for _ in range(warmup + rng.randrange(5, 25))]
+        for i in range(3)
+    }
+    rows = []
+    for key, counts in seqs.items():
+        for h, c in enumerate(counts):
+            for i in range(c):
+                rows.append((key, T0 + timedelta(hours=h, seconds=i)))
+    # NOTE: zero-count hours are genuine gaps here; the operator's grid
+    # starts at each key's first NONEMPTY bucket, so replay from the
+    # first nonzero count
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    epoch0 = int(T0.timestamp() // 3600)  # fixture hour 0 in epoch hours
+    got = {
+        (r.k, int(r.bucket_start.timestamp() // 3600) - epoch0): (
+            r.med, r.mad, r.s_up, r.s_dn, r.is_shift_up, r.is_shift_dn)
+        for r in anomaly_cusum(df, ["k"], "ts", 3600, warmup=warmup,
+                               k_num=k_num, k_den=k_den,
+                               h_num=h_num, h_den=h_den).collect()
+    }
+    for key, counts in seqs.items():
+        first = next(i for i, c in enumerate(counts) if c > 0)
+        last = max(i for i, c in enumerate(counts) if c > 0)
+        grid = counts[first:last + 1]
+        warm = grid[:warmup]
+        srt = sorted(warm)
+        i1 = (len(srt) + 1) // 2 - 1
+        med = srt[i1]
+        mad = sorted(abs(v - med) for v in warm)[i1]
+        su = sd = 0
+        for t, x in enumerate(grid):
+            want_key = (key, first + t)
+            if t < warmup:
+                assert got[want_key] == (med, mad, None, None, False, False), want_key
+                continue
+            su = max(0, su + k_den * (x - med) - k_num * mad)
+            sd = max(0, sd + k_den * (med - x) - k_num * mad)
+            if mad > 0:
+                up = su * h_den > h_num * mad * k_den
+                dn = sd * h_den > h_num * mad * k_den
+            else:
+                up, dn = su > 0, sd > 0
+            assert got[want_key] == (med, mad, su, sd, up, dn), want_key
+
+
+def test_cusum_validates_params(spark):
+    from kafka_workers_spark.operators.drift import anomaly_cusum
+
+    df = _events(spark, [1, 1, 1])
+    with pytest.raises(ValueError, match="warmup"):
+        anomaly_cusum(df, ["k"], "ts", 3600, warmup=1)
+    with pytest.raises(ValueError, match="allowance"):
+        anomaly_cusum(df, ["k"], "ts", 3600, k_num=-1)
+    with pytest.raises(ValueError, match="allowance"):
+        anomaly_cusum(df, ["k"], "ts", 3600, k_den=0)
+    with pytest.raises(ValueError, match="threshold"):
+        anomaly_cusum(df, ["k"], "ts", 3600, h_num=0)

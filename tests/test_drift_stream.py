@@ -278,3 +278,94 @@ def test_drift_tasks_reject_backwards_buckets(spark):
     # MAD param validation parity
     with pytest.raises(ValueError, match="z_num"):
         mad_worker_task(["k"], z_num=0)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM live arm (round 14): warmup completes MID-stream (the phase-I
+# buffer flushes in a later micro-batch), the shift accrues across the
+# batch boundary, and a key that never completes warmup emits nothing.
+# ---------------------------------------------------------------------------
+
+from kafka_workers_spark.streaming.drift import (  # noqa: E402
+    cusum_tasks_batch,
+    cusum_worker_task,
+    streaming_anomaly_cusum,
+)
+
+
+def _canon_cusum(df):
+    return sorted(
+        (r.k, r.bucket_start, r.n_events, r.med, r.mad, r.s_up, r.s_dn,
+         r.is_shift_up, r.is_shift_dn)
+        for r in df.collect()
+    )
+
+
+def test_streaming_cusum_equals_batch_with_midstream_warmup(spark, tmp_path):
+    """Warmup=6: file 1 holds only 4 baseline buckets of key 'a' (phase I
+    cannot complete — the live run emits NOTHING for it yet), file 2
+    completes the warmup and carries a sustained +1 shift; key 'b' has
+    3 buckets total and never completes warmup (absent from the live
+    output AND from the batch entry, present in the relational plan).
+    Live == batch bit-for-bit; batch == relational under the composed
+    final-bucket + warmup-complete filters; the shift flags once its
+    accumulation crosses h·mad·k_den."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.drift import anomaly_cusum
+
+    src = str(tmp_path / "src")
+    base = {h: c for h, c in enumerate([9, 10, 11, 9])}
+    f1 = _rows(base) + _rows({0: 2, 1: 2, 2: 2}, key="b", base_id=9000)
+    live_counts = {h: c for h, c in enumerate([10, 11] + [11] * 16, start=4)}
+    f2 = _rows(live_counts, base_id=1000) + [("a", _ts(22.5), 9999)]
+    spark.createDataFrame(f1, SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(f2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    live = streaming_anomaly_cusum(
+        stream, ["k"], "ts", tiebreak_col="event_id",
+        bucket_seconds=3600, warmup=6, k_num=1, k_den=2, h_num=5, h_den=1,
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        live.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _canon_cusum(spark.read.parquet(out_dir))
+
+    all_events = spark.createDataFrame(f1 + f2, SCHEMA)
+    batch = cusum_tasks_batch(
+        all_events, ["k"], "ts", tiebreak_col="event_id",
+        bucket_seconds=3600, warmup=6, k_num=1, k_den=2, h_num=5, h_den=1,
+    )
+    assert got == _canon_cusum(batch)
+    # key 'b' never completed warmup: absent live, present relationally
+    assert not any(r[0] == "b" for r in got)
+    rel = anomaly_cusum(all_events, ["k"], "ts", 3600, warmup=6,
+                        k_num=1, k_den=2, h_num=5, h_den=1)
+    assert rel.filter("k = 'b'").count() == 3
+    rel_closed = (
+        rel.withColumn("__mx", F.max("bucket_start").over(W.partitionBy("k")))
+        .withColumn("__nb", F.count("*").over(W.partitionBy("k")))
+        .filter((F.col("bucket_start") < F.col("__mx")) & (F.col("__nb") >= 7))
+        .drop("__mx", "__nb")
+    )
+    assert got == _canon_cusum(rel_closed)
+    # warmup rows flushed with the frozen reference (med=10, mad=1 over
+    # [9,10,11,9,10,11]); the sustained +1 shift flags at s_up > 10
+    by_hour = {r[1].hour: r for r in got if r[0] == "a"}
+    assert (by_hour[0][3], by_hour[0][4]) == (10, 1)
+    assert by_hour[0][5] is None and by_hour[0][7] is False
+    flagged = [h for h, r in by_hour.items() if r[7]]
+    assert flagged and min(flagged) == 16  # 11th shifted bucket (6..21)
+    # CUSUM task validates params like the batch operator
+    with pytest.raises(ValueError, match="warmup"):
+        cusum_worker_task(["k"], warmup=1)
