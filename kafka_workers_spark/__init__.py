@@ -32,9 +32,19 @@ __all__ = ["WorkersConfig", "build_session", "__version__"]
 #   streaming.sinks     — foreachBatch / exactly-once sinks
 #   streaming.gate      — generic accept gate (A3) + record deadline (A9)
 #   streaming.dedup     — watermark-bounded streaming dedup
+#   streaming.dedup_index — stored LSH band index for incremental
+#                         near-dedup: log-structured delta-per-batch
+#                         store + compaction; dedup_index_fold runs the
+#                         full ingest loop (pair deltas → components
+#                         fold → index append) with lineage + crash heal
+#   streaming.drift     — live z² / median-MAD / CUSUM volume screens
+#                         (WorkerTask state machines, live == batch ==
+#                         relational pinned)
+#   streaming.components — live components-store maintenance (star-merge
+#                         folds under the maintenance marker contract)
 #   streaming.weigher   — record-weight model + admission sizing (A8)
 #   operators.{relational,dedup,components,similarity,text,multimodal,
-#              scoring,classify} — DataFrame operators (directional
+#              scoring,classify,drift} — DataFrame operators (directional
 #                         as-of/range/salted joins, dedup families incl.
 #                         global paragraph dedup + PII redaction +
 #                         PassJoin edit-distance pairs, connected
