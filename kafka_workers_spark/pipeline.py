@@ -398,6 +398,96 @@ def decontaminate_with_bloom(
     return train.join(hits, id_col, "left_anti")
 
 
+def decontaminate_near(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """NEAR-duplicate eval decontamination: strike training documents
+    whose MinHash signature collides with an eval document's in any LSH
+    band AND agrees at ≥ ``min_est_jaccard`` — the fuzzy complement to
+    :func:`decontaminate`'s exact n-gram overlap. A paraphrased or
+    lightly-edited benchmark leak (reworded question, renumbered
+    answer) keeps most of its SHORT shingles — so its signature still
+    collides — while a single edit inside every long n-gram blinds the
+    exact 8-gram pass completely; run both, in either order (they
+    commute: each only ever drops train rows). ``shingle_n`` is the
+    paraphrase-tolerance knob: an edit every E tokens caps n-gram
+    Jaccard near (1 − n/E)/(1 + n/E), so heavier paraphrase wants
+    narrower shingles (n=2 tolerates an edit every 8 tokens at J≈0.6;
+    n=3 sits at the 0.5 boundary there).
+
+    Returns ``(survivors, flagged)`` — flagged carries one row per
+    struck train doc: ``(id_col, eval_id, est_jaccard)``, its
+    best-matching eval document (ties broken toward the lower eval id),
+    the audit trail a leakage report wants.
+
+    Shape at scale: the eval set is tiny next to the corpus, so its
+    banded signatures BROADCAST (like :func:`decontaminate`'s digest
+    set); the train side pays ONE scan (signatures) plus a broadcast
+    band equi-join — candidates carry two k-digest signatures into the
+    agreement check, never text, and there is no corpus self-join and
+    no shuffle of corpus bytes. Cited analog: the GPT-3 appendix-C /
+    Dolma decontamination passes run exactly this band-then-verify
+    shape against benchmark suites."""
+    if not 0.0 < min_est_jaccard <= 1.0:
+        raise ValueError(
+            f"min_est_jaccard ({min_est_jaccard}) must be in (0, 1]"
+        )
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        staged = shingle_stage(
+            tokenize_stage(df.select(id_col, text_col), text_col=text_col),
+            shingle_n,
+            distinct=True,
+        )
+        sigs = minhash_agg(staged, [id_col], k=k)
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.col("sig").alias(f"__sig_{out_id}"),
+            F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("__b"),
+        ).select(
+            out_id,
+            f"__sig_{out_id}",
+            F.col("__b.band").alias("band"),
+            F.col("__b.band_key").alias("band_key"),
+        )
+
+    tb = banded(train, "__t_id")
+    eb = banded(eval_docs, "eval_id")
+    flagged = (
+        tb.join(F.broadcast(eb), ["band", "band_key"])
+        .select(
+            "__t_id",
+            "eval_id",
+            minhash_agreement(
+                F.col("__sig___t_id"), F.col("__sig_eval_id"), k
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        # best match per train doc: max agreement, min eval id on ties —
+        # deterministic, and one row per struck doc for the report
+        .groupBy("__t_id")
+        .agg(
+            F.max(F.struct(F.col("est_jaccard"), (-F.col("eval_id")).alias("__neg")))
+            .alias("__best")
+        )
+        .select(
+            F.col("__t_id").alias(id_col),
+            (-F.col("__best.__neg")).alias("eval_id"),
+            F.col("__best.est_jaccard").alias("est_jaccard"),
+        )
+    )
+    survivors = train.join(flagged.select(id_col), id_col, "left_anti")
+    return survivors, flagged
+
+
 def prepare_training_mix(
     docs: DataFrame,
     eval_docs: DataFrame | None = None,

@@ -1188,3 +1188,84 @@ def dedup_group_stats(
             F.min("doc_id").cast("bigint").alias("canonical_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate eval decontamination (round 14)
+# ---------------------------------------------------------------------------
+
+_DN_MIN_EST = 0.5  # >= 4 of 8 signature positions agree
+
+
+def _sql_decontaminate_near() -> str:
+    """Cross-set variant of the _sql_lsh_pairs renderer: train × eval
+    band collisions, agreement-verified, best eval match per struck
+    train doc (max est_jaccard, min eval_id on ties — the same struct-
+    max order the Spark side uses)."""
+    sig = sql_minhash_signature(_SHINGLES_SQL, MINHASH_K)
+    band_key = (
+        "md5(CAST(b AS VARCHAR) || ':' || sig[2*b + 1] || ':' || sig[2*b + 2])"
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, {sig} AS sig FROM documents
+    ), bands AS (
+      SELECT doc_id, sig, b, {band_key} AS band_key
+      FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS b)
+    ), cand AS (
+      SELECT DISTINCT t.doc_id AS t_id, e.doc_id AS e_id,
+                      t.sig AS sig_t, e.sig AS sig_e
+      FROM (SELECT * FROM bands WHERE doc_id % 10 <> 0) t
+      JOIN (SELECT * FROM bands WHERE doc_id % 10 = 0) e
+        ON t.b = e.b AND t.band_key = e.band_key
+    ), scored AS (
+      SELECT t_id, e_id,
+             CAST(list_sum([CASE WHEN sig_t[i] = sig_e[i] THEN 1 ELSE 0 END
+                            FOR i IN generate_series(1, {MINHASH_K})]) AS DOUBLE)
+               / {MINHASH_K} AS est_jaccard
+      FROM cand
+    ), ranked AS (
+      SELECT t_id, e_id, est_jaccard,
+             ROW_NUMBER() OVER (PARTITION BY t_id
+                                ORDER BY est_jaccard DESC, e_id ASC) AS rn
+      FROM scored WHERE est_jaccard >= {_DN_MIN_EST}
+    )
+    SELECT t_id AS doc_id, e_id AS eval_id, est_jaccard
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register(
+    "corpus_decontaminate_near",
+    _sql_decontaminate_near(),
+    category="corpus",
+    windowed=False,  # new round 14 — EXTRA until rotated in
+)
+def corpus_decontaminate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate eval decontamination report
+    (pipeline.decontaminate_near): training documents whose MinHash
+    signature collides with a held-out document's in any LSH band and
+    agrees at >= 0.5 — the fuzzy complement to corpus_contamination's
+    exact 8-gram pass. A paraphrased benchmark leak keeps most of its
+    3-gram shingles (the signature still collides) while a single edit
+    inside every 8-gram blinds the exact pass; production pipelines run
+    both (the GPT-3 appendix-C / Dolma decontamination shape). Emits the
+    audit trail: each struck train doc with its best-matching eval doc
+    (max agreement, lower id on ties) and the estimated Jaccard. Eval
+    side = doc_id % 10 == 0 (a wider slice than corpus_contamination's
+    % 50 so the fixture exercises real cross-set collisions). The
+    eval bands broadcast; the corpus pays one signature scan and a
+    broadcast band equi-join — no self-join, no text shuffle."""
+    from kafka_workers_spark.pipeline import decontaminate_near
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, flagged = decontaminate_near(
+        d.filter("doc_id % 10 != 0"),
+        d.filter("doc_id % 10 = 0"),
+        k=MINHASH_K,
+        n_bands=LSH_BANDS,
+        rows_per_band=LSH_ROWS,
+        shingle_n=3,
+        min_est_jaccard=_DN_MIN_EST,
+    )
+    return flagged

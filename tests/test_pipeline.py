@@ -1453,3 +1453,54 @@ def test_sample_allocation_guard_survives_downstream_pruning(spark):
         .collect()
     )
     assert len(got) == 30  # Hamilton: 50·60/100 = 30 exactly
+
+
+def test_decontaminate_near_catches_paraphrased_leak_exact_misses(spark):
+    """The near pass's reason to exist: a leaked eval doc edited every
+    few words keeps most 3-gram shingles (MinHash still collides) while
+    NO 8-gram survives intact — the exact pass keeps it, the near pass
+    strikes it. Survivors+flagged partition the train set; the flagged
+    report carries the best eval match; clean docs and sub-shingle
+    shorties survive; threshold validation."""
+    import pytest
+
+    from kafka_workers_spark.pipeline import decontaminate, decontaminate_near
+
+    base = [f"w{i}" for i in range(80)]
+    # paraphrase: replace every 8th token — every 8-gram window contains
+    # an edit (the exact pass is blind), while ~3/4 of the 2-gram
+    # shingles survive (measured signature agreement 0.625 at k=8; the
+    # near pass runs shingle_n=2 here precisely because an edit every 8
+    # tokens caps 3-gram Jaccard at ~0.46 — shingle width is the
+    # paraphrase-tolerance knob, documented on the operator)
+    edited = [t if i % 8 else f"EDIT{i}" for i, t in enumerate(base)]
+    train = spark.createDataFrame(
+        [
+            (1, " ".join(edited)),                       # paraphrased leak
+            (2, " ".join(f"x{i}" for i in range(80))),   # clean
+            (3, "too short"),                            # sub-shingle: kept
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, " ".join(base))], "doc_id long, text string"
+    )
+    # exact 8-gram pass keeps the paraphrase (no 8-gram survived intact)
+    exact_ids = sorted(r.doc_id for r in decontaminate(train, eval_docs).collect())
+    assert exact_ids == [1, 2, 3], exact_ids
+    # near pass strikes it, names the match, keeps the rest
+    survivors, flagged = decontaminate_near(
+        train, eval_docs, shingle_n=2, min_est_jaccard=0.5
+    )
+    assert sorted(r.doc_id for r in survivors.collect()) == [2, 3]
+    fl = flagged.collect()
+    assert len(fl) == 1 and (fl[0].doc_id, fl[0].eval_id) == (1, 100)
+    assert fl[0].est_jaccard >= 0.5
+    # tie-break: two identical eval docs -> the LOWER eval id is reported
+    eval2 = spark.createDataFrame(
+        [(100, " ".join(base)), (90, " ".join(base))], "doc_id long, text string"
+    )
+    _, fl2 = decontaminate_near(train, eval2, shingle_n=2, min_est_jaccard=0.5)
+    assert fl2.collect()[0].eval_id == 90
+    with pytest.raises(ValueError, match="min_est_jaccard"):
+        decontaminate_near(train, eval_docs, min_est_jaccard=0.0)
