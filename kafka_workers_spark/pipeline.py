@@ -727,6 +727,7 @@ def split_corpus(
     id_col: str = "doc_id",
     salt: str = "split",
     out_col: str = "split",
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic train/val/test split with near-duplicate leakage
     safety.
@@ -751,13 +752,29 @@ def split_corpus(
     ``dup_pairs`` the call is EAGER (component rounds execute now — the
     same documented exception as ``near_dedup_lsh(exact_groups=True)``).
 
+    ``groups`` is the STORE-SERVED form of the same guard (round 14 —
+    the fourth components-store consumer): pass a precomputed
+    ``(id_col, group_id)`` mapping (the ``_cc_store`` consumer shape)
+    and the coin is taken over ``group_id`` directly — fully LAZY, no
+    closure rounds, no pair regeneration; the mapping was resolved once
+    per corpus snapshot. Mutually exclusive with ``dup_pairs``.
+
     Scale: one broadcast-or-shuffle join against the (pairs-sized)
     component table plus pure column expressions; no collect.
     """
     weights = weights or {"train": 98, "val": 1, "test": 1}
     if any(w <= 0 for w in weights.values()) or sum(weights.values()) != 100:
         raise ValueError(f"weights must be positive ints summing to 100, got {weights}")
-    if dup_pairs is not None:
+    if dup_pairs is not None and groups is not None:
+        raise ValueError("pass dup_pairs OR groups, not both")
+    if groups is not None:
+        docs = docs.join(
+            groups.select(id_col, F.col("group_id").alias("__grp")),
+            id_col,
+            "left",
+        )
+        grp = F.coalesce(F.col("__grp"), F.col(id_col))
+    elif dup_pairs is not None:
         from kafka_workers_spark.operators.components import connected_components
 
         src, dst = pair_cols
@@ -784,7 +801,7 @@ def split_corpus(
         acc += w
         expr = F.when(coin < acc, name) if expr is None else expr.when(coin < acc, name)
     out = docs.withColumn(out_col, expr)
-    return out.drop("__grp") if dup_pairs is not None else out
+    return out.drop("__grp") if (dup_pairs is not None or groups is not None) else out
 
 
 def sample_by_quality(

@@ -1269,3 +1269,48 @@ def corpus_decontaminate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_est_jaccard=_DN_MIN_EST,
     )
     return flagged
+
+
+@register(
+    "split_corpus_grouped",
+    f"""
+    WITH RECURSIVE {_CC_CLOSURE_CTES}, grp AS (
+      SELECT node AS doc_id, MIN(comp) AS group_id FROM reach GROUP BY node
+    ), keyed AS (
+      SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS grp_id
+      FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN coin < 90 THEN 'train'
+                WHEN coin < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('split|' || CAST(grp_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 100 AS coin
+      FROM keyed
+    )
+    """,
+    category="pipeline",
+    windowed=False,  # new round 14 — EXTRA until rotated in
+)
+def split_corpus_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split SERVED FROM the components
+    store (pipeline.split_corpus(groups=...) — the store's fourth
+    consumer, closing the 'split leakage guards' promise three
+    docstrings have carried since round 13): the split coin is taken
+    over each document's near-dup GROUP id, so every member of a
+    near-duplicate cluster lands in the SAME split and the validation
+    set cannot contain near-twins of training documents. The group
+    mapping is the stored artifact — resolved once per corpus snapshot,
+    read as a lazy parquet scan here (no closure rounds, no pair
+    regeneration; contrast the dup_pairs= form, which is eager). The
+    oracle replays the FULL chain: both pair generators, the recursive
+    closure, the left join, and the md5 coin."""
+    from kafka_workers_spark.pipeline import split_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    groups = _cc_store(spark, sf_dir)
+    return split_corpus(
+        docs, weights={"train": 90, "val": 5, "test": 5}, groups=groups
+    )

@@ -585,6 +585,23 @@ def test_split_corpus_keeps_near_dup_groups_together(spark):
         assert len(splits) == 1, (cluster, splits)
     # singletons still split deterministically and completely
     assert len(got) == 200 and set(got.values()) == {"train", "val", "test"}
+    # round 14: the STORE-SERVED form — a precomputed (doc_id, group_id)
+    # mapping (the _cc_store consumer shape) must assign identically to
+    # the eager dup_pairs closure over the same edges, lazily
+    from kafka_workers_spark.operators.components import connected_components
+    from pyspark.sql import functions as F
+
+    groups = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("group_id")
+    )
+    via_store = split_corpus(
+        docs, weights={"train": 50, "val": 25, "test": 25}, groups=groups
+    )
+    assert {r.doc_id: r.split for r in via_store.collect()} == got
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        split_corpus(docs, dup_pairs=pairs, groups=groups)
 
 
 def test_curate_corpus_with_redaction_and_paragraph_dedup(spark):
