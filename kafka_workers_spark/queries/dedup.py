@@ -1314,3 +1314,51 @@ def split_corpus_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_corpus(
         docs, weights={"train": 90, "val": 5, "test": 5}, groups=groups
     )
+
+
+_GC_CAP = 2
+
+
+@register(
+    "dedup_group_cap",
+    f"""
+    WITH RECURSIVE {_CC_CLOSURE_CTES}, grp AS (
+      SELECT node AS doc_id, MIN(comp) AS group_id FROM reach GROUP BY node
+    ), keyed AS (
+      SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc_id
+    )
+    SELECT doc_id, group_id FROM (
+      SELECT doc_id, group_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY group_id
+               ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM keyed
+    ) WHERE rn <= {_GC_CAP}
+    """,
+    category="dedup",
+    windowed=False,  # new round 14 — EXTRA until rotated in
+)
+def dedup_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-capped sampling SERVED FROM the components store — the
+    fifth store consumer, closing the last 'group-capped sampling'
+    promise in the store docstrings: keep at most {cap} documents per
+    near-dup GROUP (a softer policy than survivor-only dedup — retain
+    bounded redundancy for robustness, drop the long tail of a
+    5000-copy boilerplate cluster). Selection rides cap_per_key's
+    deterministic md5 coin over the store-served group id (singletons =
+    their own group via the left-join coalesce, same as the grouped
+    split), so re-runs keep the identical subset and the skew-aware
+    two-path plan applies — under-cap groups pass with NO data shuffle;
+    only over-cap groups' rows enter the partial-WindowGroupLimit
+    ranking. Oracle replays pair generation, recursive closure, the
+    coalesce, and the capped window."""
+    from kafka_workers_spark.pipeline import cap_per_key
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    groups = _cc_store(spark, sf_dir)
+    keyed = docs.join(groups, "doc_id", "left").select(
+        "doc_id", F.coalesce("group_id", "doc_id").alias("group_id")
+    )
+    return cap_per_key(keyed, ["group_id"], _GC_CAP, id_col="doc_id", seed="cap")
