@@ -64,8 +64,20 @@ RECHECK_IMPROVEMENT = 0.20
 #: ISOLATED quiet session) but below the contended-run count (9 rows).
 #: The per-row list is always recorded as `retry_gain_rows` so a reader
 #: can adjudicate borderline runs from the artifact.
+#:
+#: Round-14 recalibration: the absolute count 7 was implicitly ~14% of
+#: the 50-row roster it was calibrated on; applied verbatim to the
+#: 104-row EXTRA roster it doubled the exposure to this box's RANDOM
+#: per-row first-rep stalls and false-flagged two genuinely quiet runs
+#: (pre-session 1-min loads 0.10-0.16, gain sets DISJOINT across runs —
+#: 3, 9, and 12 rows with barely any overlap, which sustained
+#: contention cannot produce; kept lanes agreed across the runs). The
+#: threshold therefore scales with roster size at the ORIGINAL
+#: fraction, with the original absolute count as the floor — headline
+#: (50-row) behavior is bit-identical: max(7, int(0.15·50)) = 7.
 RETRY_GAIN_RATIO = 2.0
 RETRY_GAIN_ROWS = 7
+RETRY_GAIN_FRACTION = 0.15
 RETRY_GAIN_MIN_KEPT_S = 0.2
 
 
@@ -107,10 +119,12 @@ def assess_contamination(
             )
     if first_run and kept:
         gained = retry_gain_rows(first_run, kept)
-        if len(gained) >= RETRY_GAIN_ROWS:
+        limit = max(RETRY_GAIN_ROWS, int(RETRY_GAIN_FRACTION * len(first_run)))
+        if len(gained) >= limit:
             reasons.append(
                 f"{len(gained)} rows' retries ran >{RETRY_GAIN_RATIO:.0f}x "
-                f"faster than their first run ({', '.join(sorted(gained)[:6])}"
+                f"faster than their first run (threshold {limit} on a "
+                f"{len(first_run)}-row roster; {', '.join(sorted(gained)[:6])}"
                 f"{'…' if len(gained) > 6 else ''}) — the first-run lane was "
                 "measured under load that later drained"
             )

@@ -163,3 +163,31 @@ def test_mid_run_contention_flags_via_retry_gains():
     tiny_f = {f"t{i}": 1.0 for i in range(8)}
     tiny_k = {f"t{i}": 0.1 for i in range(8)}
     assert not assess_contamination(0.5, {}, tiny_f, tiny_k)[0]
+
+
+def test_retry_gain_threshold_scales_with_roster_size():
+    """Round-14 recalibration: the absolute count 7 was ~14% of the
+    50-row roster it was calibrated on; as an absolute on the 104-row
+    EXTRA roster it false-flagged two genuinely quiet runs (pre-session
+    loads 0.10-0.16, DISJOINT gain sets of 9 and 12 rows across runs —
+    random per-row first-rep stalls, which sustained contention cannot
+    produce). The threshold now scales at the original fraction with
+    the original count as floor: headline behavior is bit-identical,
+    and on 104 rows the measured quiet draws (<=12 gainers) stay clean
+    while an r13-contention-fraction run (18% ~ 19 rows) still flags."""
+    from bench import RETRY_GAIN_FRACTION, RETRY_GAIN_ROWS
+
+    # headline-size roster: floor unchanged (7 of 50 still flags)
+    assert max(RETRY_GAIN_ROWS, int(RETRY_GAIN_FRACTION * 50)) == RETRY_GAIN_ROWS
+    base = {f"q{i}": 1.0 for i in range(104)}
+
+    def run(n_gain):
+        first = dict(base, **{f"q{i}": 10.0 for i in range(n_gain)})
+        kept = dict(base, **{f"q{i}": 2.5 for i in range(n_gain)})
+        return assess_contamination(0.5, {}, first, kept)
+
+    # the measured quiet draws on the 104-row roster stay clean
+    assert not run(12)[0]
+    # a contended run at the r13 fraction still flags, naming the scale
+    flagged, reasons = run(19)
+    assert flagged and any("104-row roster" in r for r in reasons)
