@@ -287,12 +287,27 @@ def test_dedup_index_crash_heal_and_compact(spark, tmp_path):
         os.path.join(index_dir, base), os.path.join(index_dir, "delta-0"),
     )
     assert sorted(map(tuple, read_dedup_index(spark, index_dir).collect())) == rows
-    # folding continues on top of the compacted base
+    # folding continues on top of the compacted base: an empty batch is
+    # a no-op, and a REAL later batch (copies of early docs under fresh
+    # ids) must band-join the compacted rows and merge into their groups
     fold(docs.filter("doc_id % 3 = 0").limit(0), 3)  # empty: no-op
+    from pyspark.sql import functions as F
+
+    copies = (
+        docs.filter("doc_id % 7 = 0")
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    fold(copies, 4)
     got = sorted(
         (r.node, r.comp) for r in read_components_store(spark, store).collect()
     )
-    assert got == _one_shot_labels(spark, docs)
+    assert got == _one_shot_labels(spark, docs.unionByName(copies))
+    # every copy landed in its original's component (identical text ->
+    # identical bands -> a cross pair against the compacted index)
+    labels = dict(got)
+    for r in copies.select("doc_id").collect():
+        orig = r.doc_id - 1_000_000
+        assert labels[r.doc_id] == labels.get(orig, orig), r.doc_id
 
 
 def test_streaming_dedup_ingest_with_restart_equals_one_shot(spark, tmp_path):

@@ -428,3 +428,14 @@ def test_pagerank_plan_shape_pinned(spark):
         a.python_evals,
     )
     assert got == (16, 1, 7, 0, 1, 0, 0), (got, a.text[:800])
+
+
+def test_cusum_plans_one_window_chain_no_loop(spark):
+    """The CUSUM screen's whole design claim: the max(0,·) recursion
+    compiles to stacked window aggregates over ONE key-partitioned sort
+    order — no iterative loop, no UDF, no sort-merge join (the phase-I
+    reference is one row per key and must BROADCAST back)."""
+    a = audit(load_extra()["events_cusum_shift"].fn(spark, SF))
+    assert a.python_evals == 0 and a.cartesian_products == 0, a.text[:800]
+    assert a.sortmerge_joins == 0, a.text[:800]  # ref joins broadcast
+    assert a.broadcast_joins >= 1, a.text[:800]
