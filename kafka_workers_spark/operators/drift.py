@@ -50,6 +50,7 @@ def anomaly_zscore(
     z_num: int = 3,
     z_den: int = 1,
     season: int | None = None,
+    max_gap_buckets: int | None = None,
 ) -> DataFrame:
     """Per-key volume-spike detection: bucket counts on a GAP-FILLED
     grid (silent buckets count 0 — absence is evidence, not a missing
@@ -98,6 +99,10 @@ def anomaly_zscore(
     grid, payload-free), then ONE window shuffle on the keys; the frame
     is rows-bounded on the dense grid so ROWS == RANGE and state is
     O(window) per key.
+
+    ``max_gap_buckets`` bounds the largest back-filled silent run per key
+    (raises past it — see :func:`~kafka_workers_spark.operators.relational.
+    gap_fill`); None (default) keeps absence-is-evidence semantics.
     """
     if window < 1:
         raise ValueError(f"window ({window}) must be >= 1")
@@ -117,7 +122,9 @@ def anomaly_zscore(
     # (window · max_cnt · max(z_num, z_den))² — enforce the linear bound
     # per row (see docstring; ⌊√(2⁶³−1)⌋ = 3_037_000_499).
     count_limit = 3_037_000_499 // (window * max(z_num, z_den))
-    grid = gap_fill(events, key_cols, ts_col, bucket_seconds)
+    grid = gap_fill(
+        events, key_cols, ts_col, bucket_seconds, max_gap_buckets=max_gap_buckets,
+    )
     x = F.col("n_events")
     parts = [F.col(c) for c in key_cols]
     if season is not None:
@@ -400,6 +407,7 @@ def anomaly_mad(
     min_n: int = 8,
     z_num: int = 3,
     z_den: int = 1,
+    max_gap_buckets: int | None = None,
 ) -> DataFrame:
     """Robust volume-spike detection: the median/MAD sibling of
     :func:`anomaly_zscore` (Leys et al. 2013, "Detecting outliers: do
@@ -441,7 +449,9 @@ def anomaly_mad(
         raise ValueError(f"z_num ({z_num}) must be >= 1")
     if z_den < 1:
         raise ValueError(f"z_den ({z_den}) must be >= 1")
-    grid = gap_fill(events, key_cols, ts_col, bucket_seconds)
+    grid = gap_fill(
+        events, key_cols, ts_col, bucket_seconds, max_gap_buckets=max_gap_buckets,
+    )
     frame = (
         W.partitionBy(*[F.col(c) for c in key_cols])
         .orderBy("bucket_start")
@@ -503,6 +513,7 @@ def anomaly_cusum(
     k_den: int = 2,
     h_num: int = 5,
     h_den: int = 1,
+    max_gap_buckets: int | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM mean-shift screen (Page 1954): the sequential
     sibling of :func:`anomaly_zscore` / :func:`anomaly_mad`, which test
@@ -560,7 +571,9 @@ def anomaly_cusum(
         raise ValueError(
             f"threshold h ({h_num}/{h_den}) needs h_num >= 1 and h_den >= 1"
         )
-    grid = gap_fill(events, key_cols, ts_col, bucket_seconds)
+    grid = gap_fill(
+        events, key_cols, ts_col, bucket_seconds, max_gap_buckets=max_gap_buckets,
+    )
     wk = W.partitionBy(*[F.col(c) for c in key_cols]).orderBy("bucket_start")
     g = grid.select(
         *key_cols,

@@ -298,6 +298,7 @@ def gap_fill(
     ts_col: str,
     bucket_seconds: int,
     aggs: list[Column] | None = None,
+    max_gap_buckets: int | None = None,
 ) -> DataFrame:
     """Time-series resample with gap filling (the warehouse
     date-spine/resample idiom — e.g. ClickHouse WITH FILL, InfluxQL
@@ -315,9 +316,25 @@ def gap_fill(
     (never the raw events), a sequence-explode of bucket INDICES (longs
     — bounded by span/bucket, not by event count), one equi-join back.
     The grid explode fans out per key-bucket, so pick ``bucket_seconds``
-    to bound span/bucket; payloads never enter the grid."""
+    to bound span/bucket; payloads never enter the grid.
+
+    ``max_gap_buckets`` (VERDICT r14 #4) bounds the largest SILENT RUN
+    the grid back-fills: if any key has two consecutive observed buckets
+    more than ``max_gap_buckets`` apart, the plan raises at runtime
+    (in-plan ``assert_true``, the anomaly_zscore overflow-guard style)
+    instead of exploding an unbounded run of synthetic zero rows — a
+    year-silent key on hourly buckets is 8 759 non-evidence rows per
+    key; on 1-second buckets it is 31 M. Default None keeps the
+    family's semantics: absence is evidence. The guard is one ``lag``
+    window over the per-bucket aggregate (buckets, never raw events) and
+    mirrors the identical bound in the live drift machines, so live ==
+    batch holds for the guard too."""
     if bucket_seconds <= 0:
         raise ValueError(f"bucket_seconds ({bucket_seconds}) must be positive")
+    if max_gap_buckets is not None and max_gap_buckets < 1:
+        raise ValueError(
+            f"max_gap_buckets ({max_gap_buckets}) must be >= 1 or None"
+        )
     step_us = bucket_seconds * 1_000_000
     # FLOOR division, not DIV (truncate-toward-zero): pre-epoch
     # timestamps have negative micros, and truncation would merge the
@@ -330,6 +347,39 @@ def gap_fill(
     per = events.groupBy(
         *key_cols, bucket.alias("__b")
     ).agg(F.count("*").cast("bigint").alias("n_rows"), *(aggs or []))
+    if max_gap_buckets is not None:
+        gap = (
+            F.col("__b")
+            - F.coalesce(
+                F.lag("__b").over(W.partitionBy(*key_cols).orderBy("__b")),
+                F.col("__b"),
+            )
+            - 1
+        )
+        guard = F.assert_true(
+            gap <= F.lit(max_gap_buckets),
+            F.concat(
+                F.lit(
+                    "gap_fill: a key is silent for "
+                ),
+                gap.cast("string"),
+                F.lit(
+                    f" consecutive buckets (> max_gap_buckets="
+                    f"{max_gap_buckets}) — back-filling that run would emit "
+                    "unbounded synthetic zero rows; pick coarser buckets, "
+                    "raise the bound, or retire the key"
+                ),
+            ),
+        )
+        # assert_true is NULL on pass, so `when` takes the value branch on
+        # every valid row — the guard rides n_rows (every consumer reads
+        # it) and cannot be projection-pruned away
+        per = per.select(
+            *key_cols,
+            "__b",
+            F.when(guard.isNull(), F.col("n_rows")).alias("n_rows"),
+            *[c for c in per.columns if c not in (*key_cols, "__b", "n_rows")],
+        )
     span = per.groupBy(*key_cols).agg(
         F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
     )

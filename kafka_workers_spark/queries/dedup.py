@@ -613,9 +613,16 @@ def _corpus_fingerprint(
       column scan per consumer call: milliseconds at test SFs.
     """
     import hashlib
+    import os
 
     if snapshot_id is not None:
-        tag = f"snap|{snapshot_id}|mh{MINHASH_K}|b{LSH_BANDS}x{LSH_ROWS}|sh3"
+        # ADVICE r14 #3: the store root is shared across datasets, so the
+        # snapshot tag must carry a CORPUS identity too — two corpora both
+        # passing 'v1' must never serve each other's group mapping. The
+        # table path is the zero-I/O identity the caller already has
+        # (expect_fingerprint can't catch the collision: fingerprints match).
+        corpus = os.path.abspath(os.path.join(sf_dir, "documents"))
+        tag = f"snap|{corpus}|{snapshot_id}|mh{MINHASH_K}|b{LSH_BANDS}x{LSH_ROWS}|sh3"
         return hashlib.md5(tag.encode()).hexdigest()[:16]
     d = load_table(spark, sf_dir, "documents")
     r = d.agg(
@@ -705,7 +712,25 @@ def _cc_store(
                     (d for d in os.listdir(root) if d.startswith(f"{fp}.v-")),
                     key=lambda d: _mtime(f"{root}/{d}"),
                 )
-                gen = f"{fp}.v-{os.getpid()}-{threading.get_ident()}-{len(gens)}"
+                # ADVICE r14 #1: the sequence number must come from
+                # max(existing suffixes)+1, NOT len(gens) — pruning holds
+                # the population at ~2, so len() repeats and the repeated
+                # name can be the SERVED generation, which a
+                # mode='overwrite' write would then rewrite in place under
+                # a concurrent lazy reader (breaking the immutable-
+                # generation invariant). max()+1 never reuses a name even
+                # after pruning; the fcntl lock serializes writers so two
+                # processes cannot draw the same number.
+                seq = 1 + max(
+                    (int(d.rsplit("-", 1)[1]) for d in gens if d.rsplit("-", 1)[1].isdigit()),
+                    default=-1,
+                )
+                gen = f"{fp}.v-{os.getpid()}-{threading.get_ident()}-{seq}"
+                if os.path.exists(f"{root}/{gen}"):  # never overwrite a live dir
+                    raise RuntimeError(
+                        f"components store: generation name {gen!r} already "
+                        "exists — refusing to rewrite an immutable generation"
+                    )
                 components_write(
                     comp, f"{root}/{gen}", mode="overwrite", fingerprint=fp
                 )

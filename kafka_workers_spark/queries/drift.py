@@ -281,6 +281,53 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_anomaly_seasonal",
+    f"""
+    WITH base AS ({_sql_anomaly_zscore(
+        _SA_WINDOW,
+        _SA_MIN_N,
+        phase_sql=f", ((bkt % {_SA_SEASON}) + {_SA_SEASON}) % {_SA_SEASON}",
+    )})
+    SELECT event_type, bucket_start, n_events, n_window,
+           dev_num, var_num, is_anomaly
+    FROM (
+      SELECT *, MAX(bucket_start) OVER (PARTITION BY event_type) AS __mx
+      FROM base
+    ) WHERE bucket_start < __mx
+    """,
+    category="drift",
+    windowed=False,  # new round 15 — EXTRA until rotated in
+)
+def stream_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_seasonal_anomaly computed through the WorkerTask state
+    machine (streaming/drift.py seasonal_tasks_batch — VERDICT r14 #3):
+    the carried ring holds window·season closed counts and the stats
+    plug-in strides it at ``season``, so buf[-season] is exactly the
+    same-phase previous bucket on the dense grid — the phase-sliced
+    frame of the relational plan as a stride over ONE ring, no second
+    data structure. Completes the trio discipline for the seasonal arm:
+    the oracle composes the registered seasonal SQL with the stream's
+    one documented divergence (each key's final bucket never closes);
+    the LIVE micro-batch form — with the season boundary split across
+    batches — is pinned equal in tests/test_drift_stream.py."""
+    from kafka_workers_spark.streaming.drift import seasonal_tasks_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_tasks_batch(
+        ev,
+        ["event_type"],
+        "ts",
+        tiebreak_col="event_id",
+        bucket_seconds=_AZ_BUCKET_S,
+        window=_SA_WINDOW,
+        min_n=_SA_MIN_N,
+        z_num=_AZ_Z,
+        z_den=1,
+        season=_SA_SEASON,
+    )
+
+
+@register(
     "stream_anomaly_zscore",
     f"""
     WITH base AS ({_sql_anomaly_zscore(_AZ_WINDOW, _AZ_MIN_N)})

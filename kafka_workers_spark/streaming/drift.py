@@ -34,11 +34,27 @@ markov/funnel) — and ENFORCED, not assumed (ADVICE r13 #4): a batch
 whose first bucket precedes the carried open bucket raises instead of
 silently rewinding the ring and re-emitting earlier buckets with a
 corrupted trailing window, matching the fail-loud discipline of the
-maintenance folds. The seasonal z² arm stays batch-only (a
-phase-sliced ring is straightforward but nothing streams it yet).
+maintenance folds. The seasonal z² arm streams through the SAME
+machine (VERDICT r14 #3): the carried ring holds ``window·season``
+closed counts and the stats plug-in strides it at ``season`` — the
+dense grid makes buf[-season] exactly the same-phase previous bucket,
+so the phase slice needs no second data structure and the batch
+operator's (key, phase)-partitioned frame replays bit-for-bit.
 
-At 100 TB: state is ``window + 2`` longs per ACTIVE key; output volume
-is one row per closed grid bucket, independent of event count.
+``max_gap_buckets`` (VERDICT r14 #4) bounds the zero back-fill: a key
+silent for longer than ``max_gap_buckets`` consecutive buckets raises
+(the backwards-bucket error style) instead of materializing an
+unbounded run of synthetic zero rows — a year-silent key on hourly
+buckets is 8 759 rows of non-evidence per key, and on 1-second buckets
+it is 31 M. The same bound rides the batch arms through
+:func:`~kafka_workers_spark.operators.relational.gap_fill`, so live ==
+batch holds for the GUARD too, not just the statistics. Default None
+(unbounded) preserves the family's existing semantics: absence is
+evidence, and on the grid screens a silent key's zeros are the signal.
+
+At 100 TB: state is ``window + 2`` longs per ACTIVE key (``window ·
+season + 2`` for the seasonal arm); output volume is one row per
+closed grid bucket, independent of event count.
 """
 
 from __future__ import annotations
@@ -52,6 +68,20 @@ from pyspark.sql import functions as F
 from kafka_workers_spark.streaming.stateful import WorkerTask, apply_worker_task
 
 
+def _gap_guard(key, cur_b: int, b: int, max_gap_buckets: int | None) -> None:
+    """VERDICT r14 #4: refuse to back-fill a silent run longer than the
+    bound — the zero rows are synthetic and a pathological gap (a
+    decommissioned key, a mis-bucketed source) would materialize them
+    without limit. Same failure style as the backwards-bucket raise."""
+    if max_gap_buckets is not None and b - cur_b - 1 > max_gap_buckets:
+        raise ValueError(
+            f"drift worker task: key {key!r} is silent for {b - cur_b - 1} "
+            f"consecutive buckets (> max_gap_buckets={max_gap_buckets}) — "
+            "back-filling that run would emit unbounded synthetic zero "
+            "rows; pick coarser buckets, raise the bound, or retire the key"
+        )
+
+
 def _bucket_worker_task(
     key_cols: list[str],
     ts_col: str,
@@ -59,14 +89,20 @@ def _bucket_worker_task(
     window: int,
     stat_cols: list[str],
     stats: Callable[[list[int], int], tuple],
+    ring: int | None = None,
+    max_gap_buckets: int | None = None,
 ) -> WorkerTask:
     """Shared per-key bucket-fold machine for the drift screens: counts
-    events into the open bucket, closes buckets (back-filling gap zeros)
-    as later buckets arrive, and delegates the per-closed-bucket
-    statistics to ``stats(trailing_counts, count) -> tuple`` aligned
-    with ``stat_cols``. Emits ``(key_cols..., bucket_idx, n_events,
-    *stat_cols)``."""
+    events into the open bucket, closes buckets (back-filling gap zeros,
+    bounded by ``max_gap_buckets``) as later buckets arrive, and
+    delegates the per-closed-bucket statistics to
+    ``stats(trailing_counts, count) -> tuple`` aligned with
+    ``stat_cols``. The carried ring holds the trailing ``ring`` closed
+    counts (default ``window``; the seasonal arm passes
+    ``window·season`` and strides the ring at ``season``). Emits
+    ``(key_cols..., bucket_idx, n_events, *stat_cols)``."""
     step_us = bucket_seconds * 1_000_000
+    ring = window if ring is None else ring
 
     def process(key, pdf, st):
         if len(pdf) == 0:
@@ -79,8 +115,8 @@ def _bucket_worker_task(
         def close(b: int, n: int) -> None:
             rows.append((*key, b, n, *stats(buf, n)))
             buf.append(n)
-            if len(buf) > window:
-                del buf[: len(buf) - window]
+            if len(buf) > ring:
+                del buf[: len(buf) - ring]
 
         # epoch micros // step is a floor division in both engines (the
         # gap_fill pmod rule); pandas datetime64[ns] -> int64 ns
@@ -102,6 +138,7 @@ def _bucket_worker_task(
                     "micro-batches (sort upstream or fix the tiebreak)"
                 )
             else:
+                _gap_guard(key, cur_b, b, max_gap_buckets)
                 close(cur_b, cur_n)
                 for g in range(cur_b + 1, b):
                     close(g, 0)  # silent buckets: absence is evidence
@@ -123,6 +160,7 @@ def anomaly_worker_task(
     min_n: int = 8,
     z_num: int = 3,
     z_den: int = 1,
+    max_gap_buckets: int | None = None,
 ) -> WorkerTask:
     """The z² state machine. Emits ``(key_cols..., bucket_idx, n_events,
     n_window, dev_num, var_num, is_anomaly)`` — ``bucket_idx`` is the
@@ -154,6 +192,66 @@ def anomaly_worker_task(
     return _bucket_worker_task(
         key_cols, ts_col, bucket_seconds, window,
         ["n_window", "dev_num", "var_num", "is_anomaly"], stats,
+        max_gap_buckets=max_gap_buckets,
+    )
+
+
+def seasonal_worker_task(
+    key_cols: list[str],
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    window: int = 7,
+    min_n: int = 4,
+    z_num: int = 3,
+    z_den: int = 1,
+    season: int = 24,
+    max_gap_buckets: int | None = None,
+) -> WorkerTask:
+    """The SEASONAL z² state machine (VERDICT r14 #3 — the live arm of
+    operators.drift.anomaly_zscore with ``season``): same bucket fold,
+    but each closed bucket is tested against the trailing ``window``
+    SAME-PHASE buckets (b − season, b − 2·season, …) instead of the
+    immediately preceding ones — 3 a.m. against the previous days'
+    3 a.m., so a nightly batch window stops tripping the flat baseline
+    and a flood during the quiet hour still does. The carried ring holds
+    ``window·season`` closed counts; because the machine closes EVERY
+    grid bucket (gap zeros included), ``buf[-season]`` is exactly the
+    same-phase previous bucket — the phase slice is a stride, not a
+    second data structure, and the sums replay the batch operator's
+    (key, phase)-partitioned frame bit-for-bit. Emits the z² stat
+    columns. State: ``window·season + 2`` longs per key."""
+    if window < 1:
+        raise ValueError(f"window ({window}) must be >= 1")
+    if min_n < 2:
+        raise ValueError(f"min_n ({min_n}) must be >= 2 (variance needs 2 points)")
+    if season < 2:
+        raise ValueError(f"season ({season}) must be >= 2 (1 is the flat screen)")
+    if z_num < 1:
+        raise ValueError(f"z_num ({z_num}) must be >= 1")
+    if z_den < 1:
+        raise ValueError(f"z_den ({z_den}) must be >= 1")
+
+    def stats(buf: list[int], n: int) -> tuple:
+        sel = buf[len(buf) - season :: -season] if len(buf) >= season else []
+        if len(sel) > window:
+            del sel[window:]
+        nw = len(sel)
+        s = sum(sel)
+        q = sum(v * v for v in sel)
+        dev = nw * n - s
+        var = nw * q - s * s
+        flag = (
+            nw >= min_n
+            and dev > 0
+            and (var == 0 or dev * dev * z_den * z_den > z_num * z_num * var)
+        )
+        return (nw, dev, var, flag)
+
+    return _bucket_worker_task(
+        key_cols, ts_col, bucket_seconds, window,
+        ["n_window", "dev_num", "var_num", "is_anomaly"], stats,
+        ring=window * season,
+        max_gap_buckets=max_gap_buckets,
     )
 
 
@@ -165,6 +263,7 @@ def mad_worker_task(
     min_n: int = 8,
     z_num: int = 9,
     z_den: int = 2,
+    max_gap_buckets: int | None = None,
 ) -> WorkerTask:
     """The robust median/MAD state machine (the live arm of
     operators.drift.anomaly_mad — Leys et al. 2013): same bucket fold,
@@ -202,6 +301,7 @@ def mad_worker_task(
     return _bucket_worker_task(
         key_cols, ts_col, bucket_seconds, window,
         ["n_window", "med", "mad", "is_anomaly"], stats,
+        max_gap_buckets=max_gap_buckets,
     )
 
 
@@ -214,6 +314,7 @@ def cusum_worker_task(
     k_den: int = 2,
     h_num: int = 5,
     h_den: int = 1,
+    max_gap_buckets: int | None = None,
 ) -> WorkerTask:
     """The CUSUM state machine (the live arm of
     operators.drift.anomaly_cusum — Page 1954): same bucket fold as the
@@ -295,6 +396,7 @@ def cusum_worker_task(
                     "micro-batches (sort upstream or fix the tiebreak)"
                 )
             else:
+                _gap_guard(key, cur_b, b, max_gap_buckets)
                 close(cur_b, cur_n)
                 for g in range(cur_b + 1, b):
                     close(g, 0)
@@ -405,11 +507,13 @@ def streaming_anomaly_zscore(
     min_n: int = 8,
     z_num: int = 3,
     z_den: int = 1,
+    max_gap_buckets: int | None = None,
 ) -> DataFrame:
     """The live z² screen via ``apply_worker_task``: one row per CLOSED
     grid bucket, flags computed against the carried trailing window."""
     task = anomaly_worker_task(
-        key_cols, ts_col, bucket_seconds, window, min_n, z_num, z_den
+        key_cols, ts_col, bucket_seconds, window, min_n, z_num, z_den,
+        max_gap_buckets=max_gap_buckets,
     )
     return _run_live(
         events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _Z_STATS
@@ -426,6 +530,7 @@ def anomaly_tasks_batch(
     min_n: int = 8,
     z_num: int = 3,
     z_den: int = 1,
+    max_gap_buckets: int | None = None,
 ) -> DataFrame:
     """The z² task replayed over full history in one grouped-map pass
     (``applyInPandas``) — the batch entry the cross-plan oracle drives:
@@ -433,7 +538,8 @@ def anomaly_tasks_batch(
     (never-closed) bucket, bit for bit. ONE key-keyed shuffle; per-group
     work is a sort and a linear fold."""
     task = anomaly_worker_task(
-        key_cols, ts_col, bucket_seconds, window, min_n, z_num, z_den
+        key_cols, ts_col, bucket_seconds, window, min_n, z_num, z_den,
+        max_gap_buckets=max_gap_buckets,
     )
     return _run_batch(
         events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _Z_STATS
@@ -450,6 +556,7 @@ def streaming_anomaly_mad(
     min_n: int = 8,
     z_num: int = 9,
     z_den: int = 2,
+    max_gap_buckets: int | None = None,
 ) -> DataFrame:
     """The live robust screen: one row per CLOSED grid bucket, each
     tested against the carried trailing window's median/MAD. Run THIS
@@ -457,7 +564,8 @@ def streaming_anomaly_mad(
     screen but not this one (pinned on exactly that fixture in
     tests/test_drift_stream.py)."""
     task = mad_worker_task(
-        key_cols, ts_col, bucket_seconds, window, min_n, z_num, z_den
+        key_cols, ts_col, bucket_seconds, window, min_n, z_num, z_den,
+        max_gap_buckets=max_gap_buckets,
     )
     return _run_live(
         events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _MAD_STATS
@@ -474,13 +582,15 @@ def mad_tasks_batch(
     min_n: int = 8,
     z_num: int = 9,
     z_den: int = 2,
+    max_gap_buckets: int | None = None,
 ) -> DataFrame:
     """The MAD task replayed over full history in one grouped-map pass —
     equals the relational :func:`anomaly_mad` minus each key's final
     (never-closed) bucket, bit for bit (the cross-plan identity the
     registered ``stream_anomaly_mad`` oracle encodes)."""
     task = mad_worker_task(
-        key_cols, ts_col, bucket_seconds, window, min_n, z_num, z_den
+        key_cols, ts_col, bucket_seconds, window, min_n, z_num, z_den,
+        max_gap_buckets=max_gap_buckets,
     )
     return _run_batch(
         events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _MAD_STATS
@@ -498,12 +608,14 @@ def streaming_anomaly_cusum(
     k_den: int = 2,
     h_num: int = 5,
     h_den: int = 1,
+    max_gap_buckets: int | None = None,
 ) -> DataFrame:
     """The live CUSUM screen: sustained level shifts accumulate in four
     carried longs per key; phase-I rows flush, reference attached, in
     the micro-batch where the warmup completes."""
     task = cusum_worker_task(
-        key_cols, ts_col, bucket_seconds, warmup, k_num, k_den, h_num, h_den
+        key_cols, ts_col, bucket_seconds, warmup, k_num, k_den, h_num, h_den,
+        max_gap_buckets=max_gap_buckets,
     )
     return _run_live(
         events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _CUSUM_STATS
@@ -521,6 +633,7 @@ def cusum_tasks_batch(
     k_den: int = 2,
     h_num: int = 5,
     h_den: int = 1,
+    max_gap_buckets: int | None = None,
 ) -> DataFrame:
     """The CUSUM task replayed over full history — equals the relational
     :func:`anomaly_cusum` minus each key's final (never-closed) bucket,
@@ -528,8 +641,62 @@ def cusum_tasks_batch(
     a key still in phase I has emitted nothing). Both divergences are
     composed into the registered ``stream_cusum_shift`` oracle."""
     task = cusum_worker_task(
-        key_cols, ts_col, bucket_seconds, warmup, k_num, k_den, h_num, h_den
+        key_cols, ts_col, bucket_seconds, warmup, k_num, k_den, h_num, h_den,
+        max_gap_buckets=max_gap_buckets,
     )
     return _run_batch(
         events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _CUSUM_STATS
+    )
+
+
+def streaming_anomaly_seasonal(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    bucket_seconds: int = 3600,
+    window: int = 7,
+    min_n: int = 4,
+    z_num: int = 3,
+    z_den: int = 1,
+    season: int = 24,
+    max_gap_buckets: int | None = None,
+) -> DataFrame:
+    """The live seasonal z² screen (VERDICT r14 #3): one row per CLOSED
+    grid bucket, each tested against the carried ring's trailing
+    same-phase buckets — the daily-seasonality baseline, running ON the
+    ingest stream where the nightly batch window actually arrives."""
+    task = seasonal_worker_task(
+        key_cols, ts_col, bucket_seconds, window, min_n, z_num, z_den,
+        season=season, max_gap_buckets=max_gap_buckets,
+    )
+    return _run_live(
+        events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _Z_STATS
+    )
+
+
+def seasonal_tasks_batch(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    bucket_seconds: int = 3600,
+    window: int = 7,
+    min_n: int = 4,
+    z_num: int = 3,
+    z_den: int = 1,
+    season: int = 24,
+    max_gap_buckets: int | None = None,
+) -> DataFrame:
+    """The seasonal task replayed over full history in one grouped-map
+    pass — equals the relational :func:`anomaly_zscore` with ``season``
+    minus each key's final (never-closed) bucket, bit for bit (the
+    cross-plan identity the registered ``stream_anomaly_seasonal``
+    oracle encodes)."""
+    task = seasonal_worker_task(
+        key_cols, ts_col, bucket_seconds, window, min_n, z_num, z_den,
+        season=season, max_gap_buckets=max_gap_buckets,
+    )
+    return _run_batch(
+        events, key_cols, ts_col, tiebreak_col, bucket_seconds, task, _Z_STATS
     )

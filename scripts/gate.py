@@ -1,26 +1,37 @@
 #!/usr/bin/env python
-"""Sharded pre-commit gate (VERDICT r13 #4): the IDENTICAL full test
-suite — nothing excluded, same failure attribution — run as TWO parallel
-pytest lanes so the wall stops compounding at ~+5 min/round:
+"""Sharded pre-commit gate (VERDICT r13 #4, resharded r15 per VERDICT
+r14 #6): the IDENTICAL full test suite — nothing excluded, same failure
+attribution — run as THREE parallel pytest lanes so the wall stops
+compounding:
 
-  slow lane : ``-m slow``        — live streaming e2e / restart-replay /
-              heavy property pins. Scheduler-WAIT-bound (micro-batch
-              trigger waits, not compute), so it parallelizes against
-              the other lane nearly for free.
-  fast lane : ``-m "not slow"``  — everything else (compute-bound).
+  slow lane  : ``-m slow``        — live streaming e2e / restart-replay /
+               heavy property pins. Scheduler-WAIT-bound (micro-batch
+               trigger waits, not compute), so it parallelizes against
+               the compute lanes nearly for free.
+  fast-a lane: ``-m "not slow"`` over an EXPLICIT file list — the heavy
+               compute files, chosen so the two fast shards land within
+               ~3% of each other on the round-15 duration profile
+               (``--durations=0``, quiet box: pipeline 110s, similarity
+               82s, plans 67s, sketches 32s, oracle_extra 30s, drift
+               22s ≈ 341s of 704s total).
+  fast-b lane: ``-m "not slow"`` over everything else (``--ignore`` of
+               the fast-a files) — so a NEW test file defaults into
+               fast-b and is never silently dropped: a + b + slow is
+               the full suite by construction.
 
 Each lane is a separate pytest process with its own Spark session,
-basetemp, and JUnit-style summary; the gate fails iff either lane fails,
-and each lane's tail (including any failure lines, which pytest prints
-with full test ids) is replayed on the gate's stdout so attribution is
-unchanged from a single run. CPU split: the wait-bound slow lane gets a
-small executor pool (8 threads), the compute-bound fast lane the rest —
-both knobs ride SPARK_GRAFT_CPUS, nothing in the suite changes.
+basetemp, and summary; the gate fails iff any lane fails, and each
+lane's failure lines (full test ids) are replayed on the gate's stdout
+so attribution is unchanged from a single run. A lane that COLLECTS
+NOTHING (pytest exit code 5 — e.g. a renamed marker or an emptied
+shard) fails the gate with an explicit message instead of the generic
+nonzero-exit path (ADVICE r14 #5): a silently empty lane would read as
+green coverage that no longer runs. CPU split: the wait-bound slow lane
+gets a small executor pool, the two compute shards split the rest;
+every knob rides SPARK_GRAFT_CPUS, nothing in the suite changes.
 
 Usage: ``python scripts/gate.py`` from the repo root. Exit code 0 iff
-both lanes pass. Measured on the round-14 tree: see PLANS.md §Round 14
-(single-process wall ~22 min quiet → sharded wall roughly the fast
-lane's own wall).
+all lanes pass. Measured walls live in SURVEY.md's status header.
 """
 
 from __future__ import annotations
@@ -30,14 +41,34 @@ import subprocess
 import sys
 import time
 
+#: The heavy compute files forming fast shard A. Chosen from the
+#: round-15 --durations=0 profile; rebalance when the profile drifts.
+FAST_A = [
+    "tests/test_pipeline.py",
+    "tests/test_similarity.py",
+    "tests/test_plans.py",
+    "tests/test_sketches.py",
+    "tests/test_oracle_extra.py",
+    "tests/test_drift.py",
+]
+
+_COMPUTE_CPUS = max(16, (os.cpu_count() or 16) - 8)
+
 LANES = {
     "slow": {
-        "args": ["-m", "slow", "--basetemp=/dev/shm/kw_pytest_tmp_slow"],
+        "args": ["tests/", "-m", "slow", "--basetemp=/dev/shm/kw_pytest_tmp_slow"],
         "cpus": "8",
     },
-    "fast": {
-        "args": ["-m", "not slow", "--basetemp=/dev/shm/kw_pytest_tmp_fast"],
-        "cpus": str(max(8, (os.cpu_count() or 16) - 8)),
+    "fast-a": {
+        "args": [*FAST_A, "-m", "not slow",
+                 "--basetemp=/dev/shm/kw_pytest_tmp_fast_a"],
+        "cpus": str(_COMPUTE_CPUS // 2),
+    },
+    "fast-b": {
+        "args": ["tests/", "-m", "not slow",
+                 *[f"--ignore={f}" for f in FAST_A],
+                 "--basetemp=/dev/shm/kw_pytest_tmp_fast_b"],
+        "cpus": str(_COMPUTE_CPUS - _COMPUTE_CPUS // 2),
     },
 }
 
@@ -51,7 +82,7 @@ def main() -> int:
         env = {**os.environ, "SPARK_GRAFT_CPUS": lane["cpus"]}
         out = open(out_path, "w")
         p = subprocess.Popen(
-            [sys.executable, "-m", "pytest", "tests/", "-q", *lane["args"]],
+            [sys.executable, "-m", "pytest", "-q", *lane["args"]],
             cwd=root,
             env=env,
             stdout=out,
@@ -72,6 +103,14 @@ def main() -> int:
         for ln in fails:
             print(f"[{name}] {ln}")
         tail = [ln for ln in lines if " passed" in ln or " failed" in ln or " error" in ln]
+        if code == 5:
+            # pytest: no tests collected — an emptied shard or renamed
+            # marker. Explicitly red: the lane's coverage silently
+            # stopped running (ADVICE r14 #5).
+            print(f"[gate] {name} lane COLLECTED NO TESTS after {wall:.0f}s — "
+                  "shard list or marker expression no longer matches the suite")
+            rc = 1
+            continue
         print(f"[gate] {name} lane exit {code} after {wall:.0f}s: "
               f"{tail[-1] if tail else '(no summary)'}")
         if code != 0:

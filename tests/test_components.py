@@ -721,3 +721,55 @@ def test_cc_store_snapshot_id_mode(spark, tmp_path, monkeypatch):
     # the registered consumer surface takes the parameter too
     via_query = dedup_group_components(spark, sf, snapshot_id="v1")
     assert via_query.count() == len(by_scan)
+
+
+def test_cc_store_generation_names_never_reused_at_steady_state(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14 #1: pruning holds the generation population at ~2, so
+    a sequence number derived from len(gens) REPEATS at steady state —
+    and the repeated name can be the SERVED generation, which the next
+    rebuild's mode='overwrite' write would rewrite IN PLACE under any
+    concurrent lazy reader. The sequence must come from max(existing
+    suffixes)+1: every rebuild publishes a brand-new dir name, strictly
+    increasing, and never equal to a name still on disk."""
+    import os
+
+    from kafka_workers_spark.queries.dedup import _cc_store
+
+    monkeypatch.setenv("KW_COMPONENTS_STORE", str(tmp_path / "store_root"))
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "store_root")
+    fresh = sorted(map(tuple, _cc_store(spark, sf).collect()))
+    link = next(d for d in os.listdir(root) if os.path.islink(os.path.join(root, d)))
+    seen: list[str] = []
+    for _ in range(4):  # well past the steady-state population of 2
+        before = {d for d in os.listdir(root) if ".v-" in d and not d.startswith(".")}
+        served_before = os.readlink(os.path.join(root, link))
+        assert sorted(map(tuple, _cc_store(spark, sf, force_rebuild=True).collect())) == fresh
+        now = os.readlink(os.path.join(root, link))
+        # the newly published generation is a dir that did NOT exist
+        # before this rebuild — nothing was rewritten in place
+        assert now not in before, (
+            f"rebuild reused generation name {now!r} — in-place overwrite "
+            "of a dir a concurrent reader may be scanning"
+        )
+        assert now != served_before
+        seen.append(now)
+    suffixes = [int(g.rsplit("-", 1)[1]) for g in seen]
+    assert suffixes == sorted(set(suffixes)), suffixes  # strictly increasing
+
+
+def test_corpus_fingerprint_snapshot_mode_is_corpus_scoped(spark):
+    """ADVICE r14 #3: the store root is shared across datasets, so the
+    zero-I/O snapshot fingerprint must fold in a corpus identity — two
+    different corpora both tagged 'v1' must never hash to the same store
+    key (expect_fingerprint cannot catch it: the fingerprints match)."""
+    from kafka_workers_spark.queries.dedup import _corpus_fingerprint
+
+    a = _corpus_fingerprint(spark, "/root/testdata/sf0.001", snapshot_id="v1")
+    b = _corpus_fingerprint(spark, "/root/testdata/sf0.01", snapshot_id="v1")
+    assert a != b
+    # deterministic per (corpus, id): the whole point of the zero-I/O mode
+    assert a == _corpus_fingerprint(spark, "/root/testdata/sf0.001", snapshot_id="v1")
+    assert a != _corpus_fingerprint(spark, "/root/testdata/sf0.001", snapshot_id="v2")

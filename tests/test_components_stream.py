@@ -272,20 +272,20 @@ def test_dedup_index_crash_heal_and_compact(spark, tmp_path):
     os.makedirs(os.path.join(index_dir, ".delta-9.tmp"))
     assert sorted(map(tuple, read_dedup_index(spark, index_dir).collect())) == rows
     assert not os.path.exists(os.path.join(index_dir, ".delta-9.tmp"))
-    # compaction: one base, same rows
+    # compaction: one base, same rows. The absorbed deltas are RETAINED
+    # on disk for one compaction cycle (ADVICE r14 #2 — an in-flight
+    # lazy scan planned pre-compaction must still find its files) but a
+    # new reader never unions them (floor pruning).
     dedup_index_compact(spark, index_dir)
     names = os.listdir(index_dir)
     assert any(d.startswith("base-") for d in names)
-    assert not any(d.startswith("delta-") for d in names)
+    assert {d for d in names if d.startswith("delta-")} == {
+        "delta-0", "delta-1", "delta-2"
+    }
     assert sorted(map(tuple, read_dedup_index(spark, index_dir).collect())) == rows
-    # torn compaction: base published but an absorbed delta still
-    # present — the reader/heal must not double-count it
-    import shutil
-
-    base = next(d for d in os.listdir(index_dir) if d.startswith("base-"))
-    shutil.copytree(
-        os.path.join(index_dir, base), os.path.join(index_dir, "delta-0"),
-    )
+    # the retained absorbed deltas and the base coexist by DESIGN now
+    # (deferred reap): the reader must never double-count them — the
+    # floor prune is the only thing standing between one copy and two
     assert sorted(map(tuple, read_dedup_index(spark, index_dir).collect())) == rows
     # folding continues on top of the compacted base: an empty batch is
     # a no-op, and a REAL later batch (copies of early docs under fresh
@@ -353,3 +353,128 @@ def test_streaming_dedup_ingest_with_restart_equals_one_shot(spark, tmp_path):
     assert sorted(map(tuple, read_dedup_index(spark, index_dir).collect())) == sorted(
         map(tuple, build_dedup_index(docs).collect())
     )
+
+
+def test_dedup_index_auto_compaction_bounds_fanin_and_boundary_replay(spark, tmp_path):
+    """VERDICT r14 #2 + #7, pinned together on one store. With
+    ``compact_every=2`` the fold compacts itself every two committed
+    deltas, so a NEW reader never unions more than compact_every + 1
+    dirs; absorbed deltas survive on disk exactly ONE compaction cycle
+    (the in-flight-lazy-scan retention) and the cycle after that heal
+    reaps them; a batch replayed AFTER its delta was absorbed is skipped
+    by the base-floor check — no below-floor dir reappears, no pair
+    double-applies — and the final labeling still equals the one-shot
+    closure."""
+    import os
+
+    from kafka_workers_spark.sources.files import load_table
+    from kafka_workers_spark.streaming.dedup_index import (
+        _list_parts,
+        dedup_index_fold,
+        read_dedup_index,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "cc_store")
+    index_dir = str(tmp_path / "band_index")
+    fold = dedup_index_fold(
+        spark, index_dir, store, lineage="L", compact_every=2
+    )
+    for bid in range(4):
+        fold(docs.filter(f"doc_id % 4 = {bid}"), bid)
+        # fan-in bound: what a new reader unions, never > compact_every+1
+        assert len(_list_parts(index_dir, None)) <= 3
+    names = set(os.listdir(index_dir))
+    # two compaction cycles ran: base-1 (cycle 1) then base-3 (cycle 2);
+    # every absorbed delta is still retained (heal has not run since
+    # base-3 published — retention is AT LEAST one cycle)
+    assert "base-3" in names and "base-1" in names
+    assert {"delta-0", "delta-1", "delta-2", "delta-3"} <= names
+    rows = sorted(map(tuple, read_dedup_index(spark, index_dir).collect()))
+    labeled = sorted(
+        (r.node, r.comp) for r in read_components_store(spark, store).collect()
+    )
+    # boundary replay: batch 1's delta is long absorbed (floor = 3) and
+    # its dir reaped — the fold must SKIP the append (floor check), not
+    # resurrect delta-1 below the floor, and the marker must skip the
+    # pair fold
+    fold(docs.filter("doc_id % 4 = 1"), 1)
+    assert "delta-1" not in set(os.listdir(index_dir))
+    assert sorted(map(tuple, read_dedup_index(spark, index_dir).collect())) == rows
+    assert sorted(
+        (r.node, r.comp) for r in read_components_store(spark, store).collect()
+    ) == labeled
+    assert labeled == _one_shot_labels(spark, docs)
+
+
+def test_streaming_dedup_ingest_compacts_across_boundary(spark, tmp_path):
+    """The LIVE loop crossing a compaction boundary (VERDICT r14 #2):
+    three files stream one-per-trigger with ``compact_every=2`` — the
+    second micro-batch triggers an inline compaction mid-stream and the
+    third folds on top of the fresh base. Content must be unaffected:
+    labeling equals the one-shot closure, the readable index equals the
+    full build, and a base exists (the cadence really fired)."""
+    import os
+
+    from kafka_workers_spark.pipeline import build_dedup_index
+    from kafka_workers_spark.sources.files import load_table
+    from kafka_workers_spark.streaming.dedup_index import (
+        read_dedup_index,
+        streaming_dedup_ingest,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src, index_dir, store, ckpt = (
+        str(tmp_path / d) for d in ("src", "band_index", "cc_store", "ckpt")
+    )
+    for i in range(3):
+        docs.filter(f"doc_id % 3 = {i}").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_dedup_ingest(stream, index_dir, store, ckpt, compact_every=2)
+    q.awaitTermination(180)
+    assert any(d.startswith("base-") for d in os.listdir(index_dir))
+    assert sorted(
+        (r.node, r.comp) for r in read_components_store(spark, store).collect()
+    ) == _one_shot_labels(spark, docs)
+    assert sorted(map(tuple, read_dedup_index(spark, index_dir).collect())) == sorted(
+        map(tuple, build_dedup_index(docs).collect())
+    )
+
+
+def test_dedup_index_heal_reaps_dot_files_and_lock_survives(spark, tmp_path):
+    """ADVICE r14 #4: a crashed meta stamp leaves a dot FILE, which the
+    old rmtree-only heal could never remove; heal now unlinks non-dir
+    dot entries too. The store mutex file (dot-less) must never be
+    reaped."""
+    import os
+
+    from kafka_workers_spark.sources.files import load_table
+    from kafka_workers_spark.streaming.dedup_index import (
+        dedup_index_fold,
+        read_dedup_index,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "cc_store")
+    index_dir = str(tmp_path / "band_index")
+    fold = dedup_index_fold(spark, index_dir, store, lineage="L")
+    fold(docs.filter("doc_id % 2 = 0"), 0)
+    # crashed meta stamp (a FILE) + crashed append (a DIR): both reaped
+    with open(os.path.join(index_dir, "._kw_index_meta.tmp"), "w") as fh:
+        fh.write("{}")
+    os.makedirs(os.path.join(index_dir, ".delta-7.tmp"))
+    read_dedup_index(spark, index_dir).count()
+    names = set(os.listdir(index_dir))
+    assert "._kw_index_meta.tmp" not in names
+    assert ".delta-7.tmp" not in names
+    assert "_kw_index_lock" in names  # the mutex is not a crash leftover

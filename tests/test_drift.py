@@ -385,3 +385,68 @@ def test_cusum_validates_params(spark):
         anomaly_cusum(df, ["k"], "ts", 3600, k_den=0)
     with pytest.raises(ValueError, match="threshold"):
         anomaly_cusum(df, ["k"], "ts", 3600, h_num=0)
+
+
+def test_gap_fill_max_gap_buckets_guard(spark):
+    """VERDICT r14 #4: a key silent past the bound raises in-plan (the
+    overflow-guard style) instead of exploding an unbounded run of
+    synthetic zero rows — here a YEAR-silent key on hourly buckets.
+    Within the bound (and with the default None) behavior is unchanged."""
+    from datetime import timedelta
+
+    from kafka_workers_spark.operators.relational import gap_fill
+
+    year_silent = spark.createDataFrame(
+        [("a", T0), ("a", T0 + timedelta(hours=365 * 24))],
+        "k string, ts timestamp",
+    )
+    with pytest.raises(Exception, match="max_gap_buckets"):
+        gap_fill(year_silent, ["k"], "ts", 3600, max_gap_buckets=1000).collect()
+    # default None: the year of zeros IS the requested grid
+    assert gap_fill(year_silent, ["k"], "ts", 3600).count() == 365 * 24 + 1
+    # a gap within the bound passes and still zero-fills
+    ok = spark.createDataFrame(
+        [("a", T0), ("a", T0 + timedelta(hours=5))], "k string, ts timestamp"
+    )
+    out = gap_fill(ok, ["k"], "ts", 3600, max_gap_buckets=10)
+    assert out.count() == 6 and out.filter("n_rows = 0").count() == 4
+    with pytest.raises(ValueError, match="max_gap_buckets"):
+        gap_fill(ok, ["k"], "ts", 3600, max_gap_buckets=0)
+
+
+def test_drift_screens_pass_gap_bound_through(spark):
+    """The three batch screens forward max_gap_buckets to gap_fill: the
+    year-silent key raises through every arm; the bounded-but-legal
+    fixture is unchanged vs the unbounded plan."""
+    from datetime import timedelta
+
+    from kafka_workers_spark.operators.drift import anomaly_cusum, anomaly_mad
+
+    year_silent = spark.createDataFrame(
+        [("a", T0 + timedelta(hours=h), h) for h in range(8)]
+        + [("a", T0 + timedelta(hours=365 * 24), 99)],
+        "k string, ts timestamp, event_id long",
+    )
+    for call in (
+        lambda: anomaly_zscore(
+            year_silent, ["k"], "ts", 3600, window=4, min_n=2,
+            max_gap_buckets=1000,
+        ),
+        lambda: anomaly_mad(
+            year_silent, ["k"], "ts", 3600, window=4, min_n=2,
+            max_gap_buckets=1000,
+        ),
+        lambda: anomaly_cusum(
+            year_silent, ["k"], "ts", 3600, warmup=4, max_gap_buckets=1000,
+        ),
+    ):
+        with pytest.raises(Exception, match="max_gap_buckets"):
+            call().collect()
+    # a legal gap: bounded plan == unbounded plan
+    ev = _events(spark, [5, 5, 0, 0, 5, 5, 30, 5])
+    bounded = anomaly_zscore(ev, ["k"], "ts", 3600, window=4, min_n=2,
+                             max_gap_buckets=10)
+    free = anomaly_zscore(ev, ["k"], "ts", 3600, window=4, min_n=2)
+    assert sorted(map(tuple, bounded.collect())) == sorted(
+        map(tuple, free.collect())
+    )

@@ -369,3 +369,125 @@ def test_streaming_cusum_equals_batch_with_midstream_warmup(spark, tmp_path):
     # CUSUM task validates params like the batch operator
     with pytest.raises(ValueError, match="warmup"):
         cusum_worker_task(["k"], warmup=1)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal z² live arm (VERDICT r14 #3): the phase-sliced ring streams
+# through the shared bucket-fold machine — pinned across micro-batch
+# splits with the season boundary mid-stream.
+# ---------------------------------------------------------------------------
+
+from kafka_workers_spark.streaming.drift import (  # noqa: E402
+    seasonal_tasks_batch,
+    seasonal_worker_task,
+    streaming_anomaly_seasonal,
+)
+
+
+def test_streaming_seasonal_equals_batch_across_season_boundary(spark, tmp_path):
+    """Season=4, window=3: a 'nightly batch' spike every 4th bucket plus
+    a flood at a quiet phase. File 1 ends MID-SEASON (bucket 9, phase 1)
+    so the carried ring crosses the season boundary between micro-
+    batches. Live == batch bit-for-bit; batch == relational
+    (anomaly_zscore with season) minus each key's final bucket; the
+    recurring phase-0 spike does NOT flag seasonally (its same-phase
+    baseline IS the spike) while the flat screen on the same stream
+    flags it; the quiet-phase flood flags seasonally."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.drift import anomaly_zscore
+
+    counts = {b: (20 if b % 4 == 0 else 2) for b in range(21)}
+    counts[21] = 30  # flood at phase 1 (quiet phase)
+    f1 = _rows({b: c for b, c in counts.items() if b < 10})
+    f2 = _rows({b: c for b, c in counts.items() if b >= 10}, base_id=5000) + [
+        ("a", _ts(22.2), 9999)  # sentinel closes bucket 21; 22 stays open
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(f1, SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(f2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    kw = dict(bucket_seconds=3600, window=3, min_n=2, season=4)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    live = streaming_anomaly_seasonal(
+        stream, ["k"], "ts", tiebreak_col="event_id", **kw
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        live.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _canon(spark.read.parquet(out_dir))
+
+    all_events = spark.createDataFrame(f1 + f2, SCHEMA)
+    batch = seasonal_tasks_batch(
+        all_events, ["k"], "ts", tiebreak_col="event_id", **kw
+    )
+    assert got == _canon(batch)
+    rel = anomaly_zscore(all_events, ["k"], "ts", 3600, window=3, min_n=2,
+                         season=4)
+    rel_closed = (
+        rel.withColumn("__mx", F.max("bucket_start").over(W.partitionBy("k")))
+        .filter(F.col("bucket_start") < F.col("__mx"))
+        .drop("__mx")
+    )
+    assert got == _canon(rel_closed)
+    by_hour = {r[1].hour: r for r in got}
+    # the recurring nightly spike: same-phase baseline is [20,20,20] ->
+    # dev 0, silent seasonally...
+    assert by_hour[12][6] is False and by_hour[16][6] is False
+    # ...but the FLAT live screen on the same stream flags it (window=3
+    # of quiet 2s right before each spike)
+    flat = streaming_anomaly_zscore(
+        (spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
+         .parquet(src)),
+        ["k"], "ts", tiebreak_col="event_id",
+        bucket_seconds=3600, window=3, min_n=2,
+    )
+    out2, ckpt2 = str(tmp_path / "out_flat"), str(tmp_path / "ckpt_flat")
+    q2 = (
+        flat.writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    flat_by_hour = {r[1].hour: r for r in _canon(spark.read.parquet(out2))}
+    assert flat_by_hour[12][6] is True
+    # the quiet-phase flood flags seasonally: same-phase baseline [2,2,2]
+    assert by_hour[21][6] is True
+    # validation parity with the batch operator
+    with pytest.raises(ValueError, match="season"):
+        seasonal_worker_task(["k"], season=1)
+
+
+def test_worker_task_gap_guard_bounds_backfill(spark):
+    """VERDICT r14 #4, live side: the shared machine refuses a silent
+    run past max_gap_buckets (a year-silent key at hourly buckets)
+    instead of materializing it as synthetic zeros; the default stays
+    unbounded; the same guard rides the cusum machine's own loop."""
+    import pandas as pd
+
+    for maker in (anomaly_worker_task, mad_worker_task,
+                  cusum_worker_task, seasonal_worker_task):
+        task = maker(["k"], "ts", 3600, max_gap_buckets=1000)
+        pdf = pd.DataFrame({
+            "k": ["a", "a"],
+            "ts": [_ts(0), _ts(365 * 24)],
+            "event_id": [1, 2],
+        })
+        with pytest.raises(ValueError, match="max_gap_buckets"):
+            task.process(("a",), pdf, {})
+        # default: the year of zeros closes (absence is evidence)
+        free = maker(["k"], "ts", 3600)
+        out, _ = free.process(("a",), pdf, {})
+        if out is not None:  # cusum may buffer phase-I rows
+            assert len(out) >= 1
