@@ -1264,7 +1264,8 @@ def _sql_decontaminate_near() -> str:
     "corpus_decontaminate_near",
     _sql_decontaminate_near(),
     category="corpus",
-    windowed=False,  # new round 14 — EXTRA until rotated in
+    # rotated IN round 15 (VERDICT r14 #1): the fuzzy decontamination
+    # flagship enters the driver window
 )
 def corpus_decontaminate_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate eval decontamination report

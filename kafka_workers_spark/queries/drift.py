@@ -585,7 +585,8 @@ _SQL_CUSUM = f"""
     "events_cusum_shift",
     _SQL_CUSUM,
     category="drift",
-    windowed=False,  # new round 14 — EXTRA until rotated in
+    # rotated IN round 15 (VERDICT r14 #1): the family's only
+    # sustained-shift screen enters the driver window
 )
 def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM mean-shift screen (operators.drift.anomaly_cusum

@@ -107,7 +107,8 @@ def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_inner_broadcast",
-    f"""
+    windowed=False,  # rotated out round 15 (cheap veteran; pytest holds the oracle)
+    oracle=f"""
     SELECT n_name, {sql_dsum('o_totalprice', 'total_sales', 2)}, COUNT(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -1029,6 +1030,7 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked
     GROUP BY o_orderpriority
     """,
+    windowed=False,  # rotated out round 15 (cheap veteran; pytest holds the oracle)
 )
 def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete percentiles by rank selection (value at ceil(p·n)) —
