@@ -516,3 +516,84 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "lag_us", F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
     )
+
+
+_DR_K = 8  # ~15 users at test SFs: per-(type, day) keys saturate AND not
+_DR_HEX = 13  # == functions.sketches.KMV_HEX_CHARS (asserted in the fn)
+_DR_SPACE = float(16**_DR_HEX)
+
+
+@register(
+    "stream_distinct_rollup",
+    f"""
+    WITH ev AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day_idx,
+             user_id
+      FROM events
+    ),
+    dh AS (
+      SELECT DISTINCT event_type, day_idx,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, {_DR_HEX}) AS h
+      FROM ev
+    ),
+    ranked AS (
+      SELECT event_type, day_idx, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day_idx ORDER BY h)
+               AS rnk
+      FROM dh
+    ),
+    sk AS (
+      SELECT event_type, day_idx, list(h ORDER BY h) AS hashes
+      FROM ranked WHERE rnk <= {_DR_K} GROUP BY 1, 2
+    )
+    SELECT event_type, day_idx,
+           CAST(len(hashes) AS BIGINT) AS n_distinct_capped,
+           CASE WHEN len(hashes) < {_DR_K} THEN CAST(len(hashes) AS DOUBLE)
+                ELSE CAST({_DR_K - 1} AS DOUBLE)
+                     / (CAST(('0x' || hashes[{_DR_K}]) AS BIGINT)::DOUBLE
+                        / {_DR_SPACE!r})
+           END AS est_distinct
+    FROM sk
+    """,
+    category="streaming",
+    windowed=False,  # new round 15 — EXTRA until rotated in
+)
+def stream_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per (event_type, day) through the LIVE cardinality
+    store's merge path (streaming/cardinality.py — per-batch KMV bottom-k
+    sketches folded by kmv_merge): the batch arm splits events into
+    deterministic pseudo-batches (event_id mod 3, the fold's unit) and
+    merges the per-batch sketches, so the oracle's whole-pass bottom-k
+    must hold HASH-for-hash — merge-exactness (bottom-k of a union ==
+    bottom-k of the bottom-ks, Beyer et al. SIGMOD 2007) is precisely
+    what makes the maintained store verifiable. The restart/replay/
+    torn-swap discipline of the store itself is pinned in
+    tests/test_cardinality_stream.py; day bucketing is the engine-exact
+    epoch-micros DIV (never date_trunc). Reference analog: the
+    accumulated per-sensor counters that survive across punctuations
+    (impl/metrics/WorkersMetrics.java)."""
+    from kafka_workers_spark.functions.sketches import (
+        KMV_HEX_CHARS,
+        kmv_build,
+        kmv_distinct_estimate,
+        kmv_merge,
+    )
+
+    assert KMV_HEX_CHARS == _DR_HEX
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
+        "user_id",
+        (F.col("event_id") % 3).alias("__batch"),
+    )
+    shards = kmv_build(
+        ev, "user_id", k=_DR_K, group_cols=["event_type", "day_idx", "__batch"]
+    ).drop("__batch")
+    merged = kmv_merge(shards, group_cols=["event_type", "day_idx"])
+    return merged.select(
+        "event_type",
+        "day_idx",
+        "n_distinct_capped",
+        kmv_distinct_estimate("hashes", _DR_K).alias("est_distinct"),
+    )

@@ -29,7 +29,9 @@ def test_projection_prunes_columns(spark):
 
 
 def test_star_join_broadcasts_dimensions(spark):
-    a = audit(REG["join_inner_broadcast"].fn(spark, SF))
+    # join_inner_broadcast rotated to EXTRA round 15 — the plan shape
+    # stays asserted here regardless (the sort_limit_topk precedent)
+    a = audit(load_extra()["join_inner_broadcast"].fn(spark, SF))
     assert a.broadcast_joins >= 2, a.text[:800]
     assert a.cartesian_products == 0
 
@@ -435,7 +437,8 @@ def test_cusum_plans_one_window_chain_no_loop(spark):
     compiles to stacked window aggregates over ONE key-partitioned sort
     order — no iterative loop, no UDF, no sort-merge join (the phase-I
     reference is one row per key and must BROADCAST back)."""
-    a = audit(load_extra()["events_cusum_shift"].fn(spark, SF))
+    # events_cusum_shift rotated INTO the driver window round 15
+    a = audit(REG["events_cusum_shift"].fn(spark, SF))
     assert a.python_evals == 0 and a.cartesian_products == 0, a.text[:800]
     assert a.sortmerge_joins == 0, a.text[:800]  # ref joins broadcast
     assert a.broadcast_joins >= 1, a.text[:800]
