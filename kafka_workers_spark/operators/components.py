@@ -744,6 +744,77 @@ def neighbor_jaccard(
 # ---------------------------------------------------------------------------
 
 #: layout version stamped into the meta table; bumped on any schema change
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS hop distance, bounded horizon: ``(node, hops)``
+    for every node within ``max_hops`` undirected hops of ANY seed,
+    ``hops`` = the MINIMUM hop count (the BFS layer the node is first
+    reached in). The graph family's distance primitive — connected
+    components answers "same group?", this answers "how close?": the
+    blast radius of a flagged entity (a contaminated document through
+    near-dup links, a sanctioned supplier through order relationships)
+    is a distance query, not a membership one.
+
+    Semantics: edges symmetrize and self-loops drop (the kcore rule);
+    seeds appear in the output at hops 0 whether or not they touch any
+    edge; ``max_hops`` is a FIXED horizon, no convergence test — the
+    caller picks it and the oracle unrolls the same bound (the pagerank
+    fixed-iteration discipline). Exactness is structural: layer h is
+    the frontier's neighbors anti-joined against every node already
+    labeled, so a node's first appearance IS its minimum distance —
+    integers end to end, engine-replayable (the DuckDB oracle is a
+    recursive CTE over the same symmetrized edges with ``MIN(hops)``).
+
+    Scale shape (10^9 edges): the symmetrized adjacency computes once
+    and persists; each round is ONE equi-join of the current frontier
+    (only the newly-labeled nodes, never the accumulated set) against
+    the adjacency plus one anti-join — frontier-sized shuffles, the
+    semi-naive Datalog evaluation. Each frontier persists because round
+    h+1 and the final union both reference it. The accumulated label
+    frame is a lazy union tree, linear in ``max_hops``; for horizons
+    ≳ 15 swap in the localCheckpoint-per-round pattern of
+    :func:`connected_components` (driver-side analysis cost only).
+    Reference analog: the rebalance cascade walking partition
+    assignments outward one neighbor set at a time
+    (impl/partitioner/SubpartitionSupplier.java — set expansion to a
+    fixed frontier, not a closure).
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops ({max_hops}) must be >= 1")
+    adj = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .unionAll(edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d")))
+        .filter(F.col("__s") != F.col("__d"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("bigint").alias("hops"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        new = (
+            adj.join(frontier, adj["__s"] == frontier["node"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(h).cast("bigint").alias("hops"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        dist = dist.unionByName(new).persist(StorageLevel.MEMORY_AND_DISK)
+        frontier = new
+    return dist
+
+
 _COMPONENTS_STORE_VERSION = 1
 
 

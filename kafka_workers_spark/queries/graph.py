@@ -326,3 +326,78 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
     )
     return neighbor_jaccard(edges, min_common=_NJ_MIN_COMMON)
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS blast radius (round 15)
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+_BFS_SEEDS = 3
+
+
+@register(
+    "graph_bfs_reach",
+    f"""
+    WITH RECURSIVE
+    edges0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    adj AS (
+      SELECT src, dst FROM edges0 WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM edges0 WHERE src <> dst
+    ),
+    seeds AS (
+      SELECT s_suppkey * 2 + 1 AS node FROM (
+        SELECT s_suppkey,
+               ROW_NUMBER() OVER (ORDER BY s_acctbal, s_suppkey) AS rn
+        FROM supplier
+      ) WHERE rn <= 3
+    ),
+    walk(node, hops) AS (
+      SELECT node, CAST(0 AS BIGINT) AS hops FROM seeds
+      UNION
+      SELECT a.dst AS node, w.hops + 1 AS hops
+      FROM walk w JOIN adj a ON a.src = w.node
+      WHERE w.hops < {_BFS_HOPS}
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node
+    """,
+    category="graph",
+    windowed=False,  # new round 15 — EXTRA until rotated in
+)
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS blast radius (operators.components.bfs_hops):
+    minimum hop distance from the {_BFS_SEEDS} lowest-balance suppliers
+    (rank-selected with the agg_percentile_disc tiebreak discipline, so
+    the seed set is deterministic and nonempty at EVERY test SF) through
+    the undirected customer–supplier purchase graph, horizon
+    {_BFS_HOPS} — "which entities sit within N relationship hops of a
+    flagged one", the distance complement of connected components (the
+    training-pipeline use: contamination blast radius through near-dup
+    links). Exact integers end to end: layer h is the frontier's
+    neighbors anti-joined against everything already labeled, and the
+    oracle's recursive CTE accumulates (node, hops) pairs under UNION
+    semantics with the same bound, so MIN(hops) replays the BFS layers
+    bit-for-bit."""
+    from kafka_workers_spark.operators.components import bfs_hops
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    # global bottom-3 via sort+limit, NOT a partitionless window: this
+    # compiles to TakeOrderedAndProject (per-partition top-k + driver
+    # merge of 3-row heads), the sort_limit_topk plan discipline
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_acctbal")
+        .orderBy("s_acctbal", "s_suppkey")
+        .limit(_BFS_SEEDS)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    return bfs_hops(edges, seeds, max_hops=_BFS_HOPS)

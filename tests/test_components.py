@@ -773,3 +773,38 @@ def test_corpus_fingerprint_snapshot_mode_is_corpus_scoped(spark):
     # deterministic per (corpus, id): the whole point of the zero-I/O mode
     assert a == _corpus_fingerprint(spark, "/root/testdata/sf0.001", snapshot_id="v1")
     assert a != _corpus_fingerprint(spark, "/root/testdata/sf0.001", snapshot_id="v2")
+
+
+def test_bfs_hops_known_answers(spark):
+    """Multi-source BFS on a hand-drawn graph: path 1-2-3-4-5 plus an
+    isolated edge 10-11 and a self-loop. Single seed walks the path in
+    layers up to the horizon; a second seed turns hops into the MIN over
+    sources; a seed absent from the graph still reports itself at 0;
+    unreachable nodes are absent; self-loops never count."""
+    from kafka_workers_spark.operators.components import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (3, 3)],
+        "src long, dst long",
+    )
+
+    def run(seed_ids, max_hops):
+        seeds = spark.createDataFrame([(s,) for s in seed_ids], "node long")
+        return dict(
+            (r.node, r.hops)
+            for r in bfs_hops(edges, seeds, max_hops=max_hops).collect()
+        )
+
+    # single seed, horizon 2: layers 0/1/2, nodes past the horizon absent
+    assert run([1], 2) == {1: 0, 2: 1, 3: 2}
+    # horizon covers the path; the 10-11 component stays unreachable
+    assert run([1], 4) == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    # multi-source: hops is the MIN over seeds (5 pulls the far end in);
+    # edges are undirected (5 reaches 4 against edge direction)
+    assert run([1, 5], 2) == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+    # a seed with no edges reports itself at hops 0
+    assert run([99], 3) == {99: 0}
+    # duplicate seeds collapse
+    assert run([1, 1], 1) == {1: 0, 2: 1}
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_hops(edges, spark.createDataFrame([(1,)], "node long"), max_hops=0)
