@@ -1,13 +1,16 @@
 #!/usr/bin/env python
 """Sharded pre-commit gate (VERDICT r13 #4, resharded r15 per VERDICT
 r14 #6): the IDENTICAL full test suite — nothing excluded, same failure
-attribution — run as THREE parallel pytest lanes so the wall stops
+attribution — run as FOUR parallel pytest lanes so the wall stops
 compounding:
 
-  slow lane  : ``-m slow``        — live streaming e2e / restart-replay /
-               heavy property pins. Scheduler-WAIT-bound (micro-batch
-               trigger waits, not compute), so it parallelizes against
-               the compute lanes nearly for free.
+  slow-a/b   : ``-m slow`` split by explicit file list / its ignore-
+               complement — live streaming e2e / restart-replay / heavy
+               property pins. Scheduler-WAIT-bound (micro-batch trigger
+               waits, not compute), so the pair parallelizes against the
+               compute lanes nearly for free; split in round 15 when the
+               tier's serial wall (~503s) overtook the fast shards and
+               became the gate's critical path.
   fast-a lane: ``-m "not slow"`` over an EXPLICIT file list — the heavy
                compute files, chosen so the two fast shards land within
                ~3% of each other on the round-15 duration profile
@@ -16,8 +19,9 @@ compounding:
                22s ≈ 341s of 704s total).
   fast-b lane: ``-m "not slow"`` over everything else (``--ignore`` of
                the fast-a files) — so a NEW test file defaults into
-               fast-b and is never silently dropped: a + b + slow is
-               the full suite by construction.
+               fast-b (a NEW slow test into slow-b) and is never
+               silently dropped: the four lanes partition the suite by
+               construction (pinned in tests/test_gate_script.py).
 
 Each lane is a separate pytest process with its own Spark session,
 basetemp, and summary; the gate fails iff any lane fails, and each
@@ -52,12 +56,33 @@ FAST_A = [
     "tests/test_drift.py",
 ]
 
-_COMPUTE_CPUS = max(16, (os.cpu_count() or 16) - 8)
+#: The heavy live-streaming files forming slow shard A (the slow tier
+#: grew past the fast shards' wall in round 15 — the new critical path
+#: splits the same way; ~254s/~249s on the round-15 profile). Files can
+#: appear in a FAST list AND a SLOW list: the marker expressions keep
+#: the two tiers disjoint.
+SLOW_A = [
+    "tests/test_components_stream.py",
+    "tests/test_drift_stream.py",
+    "tests/test_cardinality_stream.py",
+    "tests/test_watermark.py",
+    "tests/test_markov_stream.py",
+    "tests/test_integration_stream.py",
+]
+
+_COMPUTE_CPUS = max(16, (os.cpu_count() or 16) - 12)
 
 LANES = {
-    "slow": {
-        "args": ["tests/", "-m", "slow", "--basetemp=/dev/shm/kw_pytest_tmp_slow"],
-        "cpus": "8",
+    "slow-a": {
+        "args": [*SLOW_A, "-m", "slow",
+                 "--basetemp=/dev/shm/kw_pytest_tmp_slow_a"],
+        "cpus": "6",
+    },
+    "slow-b": {
+        "args": ["tests/", "-m", "slow",
+                 *[f"--ignore={f}" for f in SLOW_A],
+                 "--basetemp=/dev/shm/kw_pytest_tmp_slow_b"],
+        "cpus": "6",
     },
     "fast-a": {
         "args": [*FAST_A, "-m", "not slow",

@@ -23,7 +23,7 @@ def _gate():
 
 def test_fast_a_shard_files_exist():
     gate, root = _gate()
-    for f in gate.FAST_A:
+    for f in gate.FAST_A + gate.SLOW_A:
         assert os.path.exists(os.path.join(root, f)), (
             f"gate shard file {f} no longer exists — fast-a would collect "
             "less than it claims (fast-b's ignore of it is then a no-op, "
@@ -32,17 +32,20 @@ def test_fast_a_shard_files_exist():
 
 
 def test_lanes_are_disjoint_and_cover():
-    """fast-b ignores exactly the fast-a files; the slow lane is the
-    marker complement — structural, so the full-collect equality check
-    (run once per reshard, recorded in SURVEY) cannot silently drift."""
+    """Each -b lane ignores exactly its -a lane's files; the slow pair
+    and fast pair are marker complements — structural, so the
+    full-collect equality check (run once per reshard, recorded in
+    SURVEY) cannot silently drift."""
     gate, _ = _gate()
-    a_files = set(gate.FAST_A)
-    b_ignores = {
-        arg.split("=", 1)[1]
-        for arg in gate.LANES["fast-b"]["args"]
-        if arg.startswith("--ignore=")
-    }
-    assert b_ignores == a_files
-    assert gate.LANES["fast-a"]["args"][: len(gate.FAST_A)] == gate.FAST_A
-    assert "slow" in gate.LANES and "not slow" in gate.LANES["fast-a"]["args"]
+    for tier, files in (("fast", gate.FAST_A), ("slow", gate.SLOW_A)):
+        b_ignores = {
+            arg.split("=", 1)[1]
+            for arg in gate.LANES[f"{tier}-b"]["args"]
+            if arg.startswith("--ignore=")
+        }
+        assert b_ignores == set(files), tier
+        assert gate.LANES[f"{tier}-a"]["args"][: len(files)] == files, tier
+    assert "not slow" in gate.LANES["fast-a"]["args"]
     assert "not slow" in gate.LANES["fast-b"]["args"]
+    assert "slow" in gate.LANES["slow-a"]["args"]
+    assert "slow" in gate.LANES["slow-b"]["args"]
