@@ -815,6 +815,98 @@ def bfs_hops(
     return dist
 
 
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    seed_col: str = "node",
+) -> DataFrame:
+    """Bounded Bellman-Ford: minimum path COST from any seed using at
+    most ``rounds`` undirected edges — the weighted companion to
+    :func:`bfs_hops` (hop distance answers "how many relationships
+    away"; this answers "how cheap is the cheapest route": supply-chain
+    latency, trust decay, similarity-weighted contamination). Returns
+    ``(node, cost)`` for every node reachable within the horizon;
+    ``weight_col=None`` degenerates to unit weights (cost == hops).
+
+    Exact BIGINT end to end: per round every labeled node relaxes its
+    neighbors (``cost + w``) and each node keeps the MIN of its old
+    label and the round's offers — textbook Bellman-Ford with a fixed
+    horizon instead of a convergence test (the pagerank discipline; the
+    oracle unrolls the identical rounds as CTEs, one MIN-aggregate per
+    round, so costs replay bit-for-bit). Parallel edges collapse to
+    their MIN weight first (the only weight a shortest path can use);
+    non-positive weights raise in-plan (zero/negative edges break the
+    bounded-horizon optimality argument — with them a longer path can
+    be cheaper than any bounded relaxation sees). Self-loops drop.
+
+    Scale shape (10^9 edges): symmetrized min-weight adjacency computes
+    once and persists; each round is ONE equi-join of the CURRENT label
+    frame against the adjacency plus one MIN hash-aggregate — label-
+    frame-sized shuffles of (node, cost) longs. Unlike BFS the whole
+    label frame relaxes every round (an improved cost must re-offer),
+    so each label frame persists; horizons ≳ 15 swap in the
+    localCheckpoint-per-round pattern of :func:`connected_components`.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds ({rounds}) must be >= 1")
+    if weight_col is None:
+        w_src = edges.select(
+            F.col(src).alias("__s"), F.col(dst).alias("__d"),
+            F.lit(1).cast("bigint").alias("__w"),
+        )
+    else:
+        w_src = edges.select(
+            F.col(src).alias("__s"), F.col(dst).alias("__d"),
+            F.col(weight_col).cast("bigint").alias("__w"),
+        )
+    und = w_src.unionByName(
+        w_src.select(
+            F.col("__d").alias("__s"), F.col("__s").alias("__d"), "__w"
+        )
+    ).filter(F.col("__s") != F.col("__d"))
+    adj = (
+        und.groupBy("__s", "__d")
+        .agg(F.min("__w").alias("__w"))
+        .select(
+            "__s",
+            "__d",
+            F.when(F.col("__w") > 0, F.col("__w"))
+            .otherwise(
+                F.raise_error(
+                    F.lit("shortest_paths: edge weights must be positive")
+                ).cast("bigint")
+            )
+            .alias("__w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("bigint").alias("cost"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(rounds):
+        offers = (
+            adj.join(dist, adj["__s"] == dist["node"])
+            .select(
+                F.col("__d").alias("node"),
+                (F.col("cost") + F.col("__w")).alias("cost"),
+            )
+        )
+        dist = (
+            dist.unionByName(offers)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return dist
+
+
 _COMPONENTS_STORE_VERSION = 1
 
 

@@ -401,3 +401,79 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("s_suppkey") * 2 + 1).alias("node"))
     )
     return bfs_hops(edges, seeds, max_hops=_BFS_HOPS)
+
+
+_SP_ROUNDS = 3
+
+
+def _sql_shortest_ctes(rounds: int) -> str:
+    """Unroll the bounded Bellman-Ford rounds as CTEs — bit-for-bit the
+    operator's plan (one MIN aggregate over old labels + this round's
+    relaxation offers), the _sql_pagerank_ctes discipline. Parallel
+    edges collapse to MIN weight before any relaxation, exactly as the
+    operator's adjacency build does."""
+    ctes = [
+        "raw AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,"
+        " CAST(l_quantity AS BIGINT) AS w"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "adj AS (SELECT src, dst, MIN(w) AS w FROM ("
+        "  SELECT src, dst, w FROM raw WHERE src <> dst"
+        "  UNION ALL SELECT dst, src, w FROM raw WHERE src <> dst"
+        ") GROUP BY 1, 2)",
+        "seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier"
+        " ORDER BY s_acctbal, s_suppkey LIMIT 3)",
+        "d0 AS (SELECT node, CAST(0 AS BIGINT) AS cost FROM seeds)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"d{i - 1}"
+        ctes.append(
+            f"d{i} AS (SELECT node, MIN(cost) AS cost FROM ("
+            f"  SELECT node, cost FROM {prev}"
+            f"  UNION ALL"
+            f"  SELECT a.dst AS node, p.cost + a.w AS cost"
+            f"  FROM {prev} p JOIN adj a ON a.src = p.node"
+            f") GROUP BY node)"
+        )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_shortest_cost",
+    f"""
+    WITH {_sql_shortest_ctes(_SP_ROUNDS)}
+    SELECT node, cost FROM d{_SP_ROUNDS}
+    """,
+    category="graph",
+    windowed=False,  # new round 15 — EXTRA until rotated in
+)
+def graph_shortest_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford (operators.components.shortest_paths): the
+    cheapest quantity-weighted route from the {_BFS_SEEDS} lowest-
+    balance suppliers within {_SP_ROUNDS} undirected purchase-graph
+    edges — the weighted companion to graph_bfs_reach (hop distance
+    says "how many relationships away"; this says "how cheap is the
+    cheapest route"). Parallel (cust, supp) edges collapse to their MIN
+    l_quantity before relaxation; costs are pure BIGINT sums and the
+    oracle unrolls the identical MIN-relaxation rounds as CTEs, so the
+    result replays bit-for-bit."""
+    from kafka_workers_spark.operators.components import shortest_paths
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_acctbal")
+        .orderBy("s_acctbal", "s_suppkey")
+        .limit(_BFS_SEEDS)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    return shortest_paths(
+        edges, seeds, rounds=_SP_ROUNDS, weight_col="w"
+    )

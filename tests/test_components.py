@@ -808,3 +808,60 @@ def test_bfs_hops_known_answers(spark):
     assert run([1, 1], 1) == {1: 0, 2: 1}
     with pytest.raises(ValueError, match="max_hops"):
         bfs_hops(edges, spark.createDataFrame([(1,)], "node long"), max_hops=0)
+
+
+def test_shortest_paths_known_answers(spark):
+    """Bounded Bellman-Ford on a hand-drawn weighted graph:
+
+        1 --5-- 2 --1-- 3        direct 1-3 edge costs 10, the 2-hop
+        1 --10- 3                route 6 — found only once the horizon
+        1 --(3,7)-- 4            allows 2 edges; parallel edges collapse
+                                 to MIN; unit-weight mode == bfs layers.
+    """
+    from kafka_workers_spark.operators.components import bfs_hops, shortest_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (1, 3, 10), (1, 4, 3), (4, 1, 7), (2, 2, 1)],
+        "src long, dst long, w long",
+    )
+
+    def run(seed_ids, rounds, weight="w"):
+        seeds = spark.createDataFrame([(s,) for s in seed_ids], "node long")
+        return dict(
+            (r.node, r.cost)
+            for r in shortest_paths(
+                edges, seeds, rounds=rounds, weight_col=weight
+            ).collect()
+        )
+
+    # horizon 1: direct edges only (1-3 via the expensive direct edge;
+    # the 1-4 parallel pair collapses to 3)
+    assert run([1], 1) == {1: 0, 2: 5, 3: 10, 4: 3}
+    # horizon 2: the 2-edge route 1-2-3 (cost 6) beats the direct 10
+    assert run([1], 2) == {1: 0, 2: 5, 3: 6, 4: 3}
+    # multi-source min; undirected relaxation
+    assert run([3, 4], 1) == {3: 0, 4: 0, 2: 1, 1: 3}
+    # unit weights degenerate to BFS hop layers
+    unit = dict(
+        (r.node, r.cost)
+        for r in shortest_paths(
+            edges, spark.createDataFrame([(1,)], "node long"), rounds=2,
+            weight_col=None,
+        ).collect()
+    )
+    hops = dict(
+        (r.node, r.hops)
+        for r in bfs_hops(
+            edges, spark.createDataFrame([(1,)], "node long"), max_hops=2
+        ).collect()
+    )
+    assert unit == hops
+    # non-positive weight raises in-plan
+    bad = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
+    with pytest.raises(Exception, match="positive"):
+        shortest_paths(
+            bad, spark.createDataFrame([(1,)], "node long"), rounds=1,
+            weight_col="w",
+        ).collect()
+    with pytest.raises(ValueError, match="rounds"):
+        shortest_paths(edges, spark.createDataFrame([(1,)], "node long"), rounds=0)
