@@ -2067,3 +2067,53 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("next_state"),
     ).filter(F.col("prev_state").isNotNull())
     return markov_stationary(trans, iters=_MST_ITERS)
+
+
+_KA_K = 5
+
+
+@register(
+    "quality_k_anonymity",
+    f"""
+    WITH g AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM orders
+      GROUP BY 1, 2, 3
+    )
+    SELECT o_orderpriority, o_orderstatus, order_year, group_size,
+           group_size < {_KA_K} AS is_violating,
+           CAST(MIN(group_size) OVER () AS BIGINT) AS k_anonymity
+    FROM g
+    """,
+    category="relational",
+    windowed=False,  # new round 15 — EXTRA until rotated in
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002, the data-governance screen a
+    dataset release runs next to text_redact_pii): group sizes over the
+    quasi-identifier tuple (priority, status, order year) — a group
+    smaller than k={_KA_K} re-identifies its members by QI alone, so
+    each group row carries its size, the violation flag, and the
+    table-level k-anonymity (the global minimum, the number the release
+    checklist quotes). One hash aggregate over the QI columns; the
+    global minimum attaches as a one-row aggregate BROADCAST back (the
+    pagerank in-plan-N discipline — never a partitionless window, even
+    over the QI-sized group table); year() is UTC-pinned by load_table
+    so both engines extract the same calendar year."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+    ).agg(F.count("*").cast("bigint").alias("group_size"))
+    k_min = g.groupBy().agg(F.min("group_size").cast("bigint").alias("k_anonymity"))
+    return g.crossJoin(F.broadcast(k_min)).select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "order_year",
+        "group_size",
+        (F.col("group_size") < _KA_K).alias("is_violating"),
+        "k_anonymity",
+    )
