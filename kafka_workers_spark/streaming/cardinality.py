@@ -44,7 +44,6 @@ key-hashed like any table.
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Callable
 
@@ -52,12 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from kafka_workers_spark.functions.sketches import kmv_build, kmv_merge
-from kafka_workers_spark.pipeline import swap_output
-from kafka_workers_spark.streaming.maintenance import (
-    _heal_torn_swap,
-    _last_applied,
-    _MARKER,
-)
+from kafka_workers_spark.streaming.maintenance import _heal_torn_swap
 
 
 def cardinality_fold(
@@ -74,36 +68,25 @@ def cardinality_fold(
     the bottom k per key (``kmv_merge``, exact), and republish the full
     sketch table with one atomic swap. Keys absent from the batch pass
     through untouched; keys new in the batch enter with their batch
-    sketch. Store layout: parquet ``(*partition_cols, hashes,
-    n_distinct_capped, k)`` + the ``_kw_batch`` marker."""
+    sketch. Implemented on the generic :func:`~kafka_workers_spark.
+    streaming.sketch_store.sketch_store_fold` — KMV is one instance of
+    the exactly-mergeable-sketch maintenance contract, alongside the
+    HDR quantile and CMS frequency stores. Store layout: parquet
+    ``(*partition_cols, hashes, n_distinct_capped, k)`` + the
+    ``_kw_batch`` marker."""
     if not partition_cols:
         raise ValueError("partition_cols must be non-empty")
+    from kafka_workers_spark.streaming.sketch_store import sketch_store_fold
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        _heal_torn_swap(store_dir)
-        if batch_id <= _last_applied(store_dir, lineage):
-            return  # replay of an already-published batch
-        if batch_df.isEmpty():
-            return
-        fresh = kmv_build(batch_df, value_col, k=k, group_cols=partition_cols)
-        if os.path.exists(os.path.join(store_dir, "_SUCCESS")):
-            stored = spark.read.parquet(store_dir).select(
-                *partition_cols, "hashes", "n_distinct_capped", "k"
-            )
-            # mixed k (a fold with different params than the store was
-            # built with) raises inside kmv_merge before anything lands
-            merged = kmv_merge(
-                stored.unionByName(fresh), group_cols=partition_cols
-            )
-        else:
-            merged = fresh
-        tmp = f"{store_dir}.tmp-{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, _MARKER), "w") as fh:
-            json.dump({"batch_id": batch_id, "lineage": lineage}, fh)
-        swap_output(tmp, store_dir)
-
-    return fold
+    # mixed k (a fold with different params than the store was built
+    # with) raises inside kmv_merge before anything lands
+    return sketch_store_fold(
+        spark,
+        store_dir,
+        build=lambda df: kmv_build(df, value_col, k=k, group_cols=partition_cols),
+        merge=lambda df: kmv_merge(df, group_cols=partition_cols),
+        lineage=lineage,
+    )
 
 
 def read_cardinality_store(
