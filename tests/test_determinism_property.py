@@ -39,6 +39,8 @@ ROSTER = [
     ("multimodal_frame_dedup", "banded pair plan + offset vote"),
     ("events_markov_transitions", "lag over explicit total order"),
     ("window_topk_per_group", "window top-k tiebreakers"),
+    ("stream_distinct_rollup", "KMV shard-merge + (k-1)/U_(k) IEEE division"),
+    ("graph_shortest_cost", "iterative MIN-relaxation rounds"),
 ]
 
 _POOL = {**load_all(), **load_extra()}
