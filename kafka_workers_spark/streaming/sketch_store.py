@@ -12,15 +12,18 @@ streaming/cardinality.py) left on the table:
   (cms_build/cms_merge): the live heavy-hitter store. "how often has
   this n-gram/user/url appeared, ever" answers from one broadcast row
   per key.
+- :func:`membership_fold` — Bloom filters (bloom_build/bloom_merge):
+  the live seen-before store, completing the quartet (distinct-count /
+  quantile / frequency / membership) under one contract.
 
-Why these three and not HLL: the maintenance discipline pins BIT-EXACT
+Why these families and not HLL: the maintenance discipline pins BIT-EXACT
 equalities — the folded store after any batch split, restart, or replay
 must equal the one-shot build over all events ever landed. KMV bottom-k,
 HDR cell sums, and CMS cell sums are exactly mergeable (merge of
 partials == whole-pass build, element for element), so the pin is an
-equality, not a tolerance. A sketch whose merge is representation-
-order-sensitive would reduce every pin to "estimates roughly agree",
-which is not a maintenance contract.
+equality, not a tolerance (Bloom's bitwise OR likewise). A sketch
+whose merge is representation-order-sensitive would reduce every pin to
+"estimates roughly agree", which is not a maintenance contract.
 
 Discipline inherited from streaming/maintenance.py (the stored-offsets
 contract, reference impl/offsets/DefaultOffsetsState.java): the batch
@@ -237,6 +240,74 @@ def streaming_counts_maintenance(
         value_col,
         width=width,
         depth=depth,
+        partition_cols=partition_cols,
+        lineage=os.path.abspath(checkpoint),
+    )
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership store (seen-before filters, live)
+# ---------------------------------------------------------------------------
+
+
+def membership_fold(
+    spark: SparkSession,
+    store_dir: str,
+    value_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    partition_cols: list[str] | None = None,
+    lineage: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Per-key Bloom membership maintenance — the fourth instance,
+    completing the sketch quartet under one contract (distinct-count /
+    quantile / frequency / MEMBERSHIP): batch filters OR into the
+    stored word arrays (bloom_merge — bitwise, lossless), so "have we
+    ever seen this url/digest/user" answers from a fixed-size filter
+    with the one-sided guarantee (present values NEVER false-negative —
+    folding can only set bits, so the guarantee is monotone across
+    batches). OR is idempotent, so like the set-union folds the marker
+    is belt-and-suspenders here; a fold under a different
+    (n_bits, n_hashes) raises up front (bloom_merge's scheme check).
+    The cross-run URL-dedup / decontamination-filter shape, maintained
+    live instead of rebuilt per run."""
+    from kafka_workers_spark.functions.sketches import bloom_build, bloom_merge
+
+    group = list(partition_cols or [])
+    return sketch_store_fold(
+        spark,
+        store_dir,
+        build=lambda df: bloom_build(
+            df, value_col, n_bits=n_bits, n_hashes=n_hashes, group_cols=group
+        ),
+        merge=lambda df: bloom_merge(df, group_cols=group),
+        lineage=lineage,
+    )
+
+
+def streaming_membership_maintenance(
+    events: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    value_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    partition_cols: list[str] | None = None,
+) -> StreamingQuery:
+    """Run the membership store live; same lineage contract as every
+    maintenance fold."""
+    fold = membership_fold(
+        events.sparkSession,
+        store_dir,
+        value_col,
+        n_bits=n_bits,
+        n_hashes=n_hashes,
         partition_cols=partition_cols,
         lineage=os.path.abspath(checkpoint),
     )

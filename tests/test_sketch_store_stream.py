@@ -187,3 +187,56 @@ def test_streaming_histogram_with_restart_equals_one_shot(spark, tmp_path):
         hdr_build(ev, "cents", sig_bits=SIG, max_bits=MAXB,
                   group_cols=["event_type"])
     )
+
+
+def test_membership_fold_equals_one_shot_and_never_false_negative(spark, tmp_path):
+    """Bloom store (the quartet's membership instance): folded words ==
+    one-shot bloom_build word-for-word; every value ever folded probes
+    TRUE (the one-sided guarantee is monotone — folding only sets
+    bits); values never folded mostly probe false at this sizing; a
+    mixed-geometry fold raises up front; replay is a no-op."""
+    from kafka_workers_spark.functions.sketches import bloom_build, bloom_probe
+    from kafka_workers_spark.streaming.sketch_store import membership_fold
+
+    ev = _events(spark).select(
+        "event_id", F.concat_ws("#", "event_type", "user_id").alias("seen_key")
+    )
+    store = str(tmp_path / "store")
+    fold = membership_fold(
+        spark, store, "seen_key", n_bits=1 << 14, n_hashes=4, lineage="L"
+    )
+    fold(ev.filter("event_id % 2 = 0"), 0)
+    fold(ev.filter("event_id % 2 = 1"), 1)
+    got = sorted(
+        (tuple(r.words), r.n_bits, r.n_hashes)
+        for r in read_sketch_store(spark, store).collect()
+    )
+    want = sorted(
+        (tuple(r.words), r.n_bits, r.n_hashes)
+        for r in bloom_build(ev, "seen_key", n_bits=1 << 14, n_hashes=4).collect()
+    )
+    assert got == want and len(got) == 1
+    # one-sided: every folded value probes TRUE
+    probed = bloom_probe(
+        ev.select("seen_key").distinct(),
+        read_sketch_store(spark, store),
+        "seen_key",
+    )
+    assert probed.filter("NOT might_contain").count() == 0
+    # unseen values mostly probe FALSE (FP rate, not a correctness claim)
+    unseen = spark.range(500).select(
+        F.concat(F.lit("never#"), F.col("id")).alias("seen_key")
+    )
+    fp = bloom_probe(
+        unseen, read_sketch_store(spark, store), "seen_key"
+    ).filter("might_contain").count()
+    assert fp < 100, fp
+    # replay no-op + mixed geometry raises
+    marker = os.path.join(store, "_kw_batch")
+    mtime = os.path.getmtime(marker)
+    fold(ev.filter("event_id % 2 = 0"), 0)
+    assert os.path.getmtime(marker) == mtime
+    with pytest.raises(Exception, match="n_bits|scheme|geometr|mix"):
+        membership_fold(
+            spark, store, "seen_key", n_bits=1 << 15, n_hashes=4, lineage="L"
+        )(ev.limit(5), 2)
