@@ -865,3 +865,63 @@ def test_shortest_paths_known_answers(spark):
         ).collect()
     with pytest.raises(ValueError, match="rounds"):
         shortest_paths(edges, spark.createDataFrame([(1,)], "node long"), rounds=0)
+
+
+def test_distance_ops_match_python_reference_on_seeded_random_graphs(spark):
+    """bfs_hops and shortest_paths vs a plain-Python Dijkstra/BFS over
+    seeded random graphs (fixed seeds — the determinism-property
+    discipline): multi-source, undirected, parallel edges, self-loops,
+    disconnected pockets, and horizons short enough that the bound
+    actually cuts — the shapes a hand-drawn fixture under-samples."""
+    import heapq
+    import random
+
+    from kafka_workers_spark.operators.components import bfs_hops, shortest_paths
+
+    def py_shortest(edge_list, seed_ids, rounds, unit):
+        # bounded Bellman-Ford over the min-collapsed symmetric adjacency
+        adj: dict[int, dict[int, int]] = {}
+        for u, v, w in edge_list:
+            if u == v:
+                continue
+            ww = 1 if unit else w
+            for a, b in ((u, v), (v, u)):
+                cur = adj.setdefault(a, {})
+                cur[b] = min(cur.get(b, ww), ww)
+        dist = {s: 0 for s in set(seed_ids)}
+        for _ in range(rounds):
+            offers = dict(dist)
+            for u, c in dist.items():
+                for v, w in adj.get(u, {}).items():
+                    if c + w < offers.get(v, 1 << 62):
+                        offers[v] = c + w
+            dist = offers
+        return dist
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = rng.randint(8, 20)
+        edge_list = [
+            (rng.randint(0, n), rng.randint(0, n), rng.randint(1, 9))
+            for _ in range(rng.randint(10, 40))
+        ]
+        seeds = [rng.randint(0, n) for _ in range(rng.randint(1, 3))]
+        horizon = rng.randint(1, 4)
+        edges = spark.createDataFrame(edge_list, "src long, dst long, w long")
+        seed_df = spark.createDataFrame([(s,) for s in set(seeds)], "node long")
+
+        got_hops = dict(
+            (r.node, r.hops)
+            for r in bfs_hops(edges, seed_df, max_hops=horizon).collect()
+        )
+        want_hops = py_shortest(edge_list, seeds, horizon, unit=True)
+        assert got_hops == want_hops, (seed, "bfs", horizon)
+
+        got_cost = dict(
+            (r.node, r.cost)
+            for r in shortest_paths(
+                edges, seed_df, rounds=horizon, weight_col="w"
+            ).collect()
+        )
+        want_cost = py_shortest(edge_list, seeds, horizon, unit=False)
+        assert got_cost == want_cost, (seed, "cost", horizon)
