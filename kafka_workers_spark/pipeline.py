@@ -291,6 +291,40 @@ def pack_sequences(
     )
 
 
+def _contamination_hits(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    max_shared: int,
+) -> DataFrame:
+    """The exact-overlap hit rule shared by :func:`decontaminate` (which
+    anti-joins the hits away) and :func:`contamination_radius` (which
+    seeds a BFS from them): training ids sharing more than ``max_shared``
+    word n-grams with the eval union."""
+
+    def digests(df: DataFrame) -> DataFrame:
+        staged = shingle_stage(
+            tokenize_stage(df.select(id_col, text_col), text_col=text_col),
+            shingle_n,
+            distinct=True,
+        )
+        return staged.select(id_col, F.explode("shingles").alias("__s")).select(
+            id_col, F.substring(F.md5("__s"), 1, 16).alias("__h")
+        )
+
+    eval_h = digests(eval_docs).select("__h").distinct()
+    return (
+        digests(train)
+        .join(F.broadcast(eval_h), "__h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__n_shared"))
+        .filter(F.col("__n_shared") > max_shared)
+        .select(id_col)
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_docs: DataFrame,
@@ -306,27 +340,73 @@ def decontaminate(
     broadcasts (benchmarks are tiny next to the corpus); the train side's
     only shuffle is the per-doc hit-count aggregate. Returns the surviving
     training rows unchanged."""
-
-    def digests(df: DataFrame) -> DataFrame:
-        staged = shingle_stage(
-            tokenize_stage(df.select(id_col, text_col), text_col=text_col),
-            shingle_n,
-            distinct=True,
-        )
-        return staged.select(id_col, F.explode("shingles").alias("__s")).select(
-            id_col, F.substring(F.md5("__s"), 1, 16).alias("__h")
-        )
-
-    eval_h = digests(eval_docs).select("__h").distinct()
-    hits = (
-        digests(train)
-        .join(F.broadcast(eval_h), "__h")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("__n_shared"))
-        .filter(F.col("__n_shared") > max_shared)
-        .select(id_col)
+    hits = _contamination_hits(
+        train, eval_docs, id_col, text_col, shingle_n, max_shared
     )
     return train.join(hits, id_col, "left_anti")
+
+
+def contamination_radius(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    max_hops: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    max_shared: int = 0,
+    dedup_k: int = 8,
+    dedup_bands: int = 4,
+    dedup_rows: int = 2,
+    dedup_shingle_n: int = 3,
+) -> DataFrame:
+    """The blast radius the per-doc screens cannot see: ``(id_col,
+    hops)`` where hops 0 = a DIRECT eval-overlap hit (the
+    :func:`decontaminate` rule) and hops h = within h near-dup LSH links
+    of one — the paraphrase-of-paraphrase chain. A leaks the benchmark
+    verbatim; B near-dups A with one edit per 8-gram window, so B shares
+    NO exact shingle with the eval and every per-doc pass keeps it; C
+    paraphrases B. Striking the radius (or auditing it before release)
+    is a GRAPH-distance question, which is why
+    :func:`~kafka_workers_spark.operators.components.bfs_hops` exists.
+
+    Shape at scale: the direct hits are the decontaminate broadcast
+    join; the near-dup edges are band-collision pairs over the corpus
+    (digests-only shuffles, the dedup_minhash_lsh plan); the BFS is
+    frontier-sized per hop — and with small ``max_hops`` (the practical
+    radius) the whole thing is a handful of key-shuffles. Blocking
+    parameters are the dedup family's; pick ``dedup_shingle_n`` by the
+    paraphrase tolerance you need (the decontaminate_near shingle-width
+    rule)."""
+    from kafka_workers_spark.operators.components import bfs_hops
+
+    hits = _contamination_hits(
+        train, eval_docs, id_col, text_col, shingle_n, max_shared
+    )
+    bands = build_dedup_index(
+        train,
+        id_col=id_col,
+        text_col=text_col,
+        k=dedup_k,
+        n_bands=dedup_bands,
+        rows_per_band=dedup_rows,
+        shingle_n=dedup_shingle_n,
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("__src"), F.col(f"b.{id_col}").alias("__dst")
+    )
+    return bfs_hops(
+        pairs,
+        hits.select(F.col(id_col).alias("node")),
+        max_hops=max_hops,
+        src="__src",
+        dst="__dst",
+    ).select(F.col("node").alias(id_col), "hops")
 
 
 def eval_digest_bloom(

@@ -1521,3 +1521,51 @@ def test_decontaminate_near_catches_paraphrased_leak_exact_misses(spark):
     assert fl2.collect()[0].eval_id == 90
     with pytest.raises(ValueError, match="min_est_jaccard"):
         decontaminate_near(train, eval_docs, min_est_jaccard=0.0)
+
+
+def test_contamination_radius_walks_paraphrase_chains(spark):
+    """The blast radius the per-doc screens cannot see (round 15 —
+    pipeline.contamination_radius): A leaks the eval verbatim (direct
+    hit, hops 0); B paraphrases A with an edit in every 8-gram window,
+    so B shares NO exact shingle with the eval and both per-doc passes
+    keep it — but B band-collides with A (hops 1); C drops B's first 24
+    tokens and appends fresh ones, so C collides with B but with
+    NEITHER A nor the eval (hops 2 — reachable only through the chain);
+    D is unrelated (absent). The fixture's collision pair set is
+    deterministic (md5 minhash) and was verified to be exactly
+    {(A,B), (B,C)} at these blocking parameters; the horizon cuts the
+    chain at max_hops=1."""
+    from kafka_workers_spark.pipeline import contamination_radius, decontaminate
+
+    base = [f"w{i}" for i in range(80)]
+    a_doc = " ".join(base)
+    b_tokens = [t if i % 8 else f"B{i}" for i, t in enumerate(base)]
+    c_doc = " ".join(b_tokens[24:] + [f"c{i}" for i in range(24)])
+    train = spark.createDataFrame(
+        [
+            (1, a_doc),                                  # A: verbatim leak
+            (2, " ".join(b_tokens)),                     # B: paraphrase of A
+            (3, c_doc),                                  # C: chain through B
+            (4, " ".join(f"x{i}" for i in range(80))),   # D: unrelated
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, a_doc)], "doc_id long, text string"
+    )
+    # the exact per-doc pass strikes ONLY A — B and C are invisible to it
+    assert sorted(
+        r.doc_id for r in decontaminate(train, eval_docs).collect()
+    ) == [2, 3, 4]
+    kw = dict(dedup_bands=4, dedup_rows=2, dedup_shingle_n=2)
+    got = dict(
+        (r.doc_id, r.hops)
+        for r in contamination_radius(train, eval_docs, max_hops=2, **kw).collect()
+    )
+    assert got == {1: 0, 2: 1, 3: 2}, got
+    # the horizon is a real cut: C is out of reach at max_hops=1
+    got1 = dict(
+        (r.doc_id, r.hops)
+        for r in contamination_radius(train, eval_docs, max_hops=1, **kw).collect()
+    )
+    assert got1 == {1: 0, 2: 1}, got1
