@@ -1388,3 +1388,97 @@ def dedup_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce("group_id", "doc_id").alias("group_id")
     )
     return cap_per_key(keyed, ["group_id"], _GC_CAP, id_col="doc_id", seed="cap")
+
+
+_CR_HOPS = 2
+_CR_EVAL_MOD = 50  # the corpus_contamination eval convention; at sf0.001
+# the radius genuinely LAYERS under this split (a hop-1 doc that is not
+# itself a hit) — wider slices make every near-dup of a hit a hit too,
+# flattening the walk to hops 0
+_SH8_RADIUS_SQL = sql_word_shingles(_TOKS_SQL, 8)
+
+
+def _sql_contamination_radius() -> str:
+    """Recursive-CTE oracle for the paraphrase-chain blast radius: the
+    corpus_contamination hit rule (8-gram digest overlap, eval = doc_id
+    % 50 == 0) seeds a bounded walk over the dedup family's LSH
+    band-collision pairs (the _sql_lsh_pairs machinery restricted to
+    train docs), MIN(hops) per reached node — the graph_bfs_reach
+    oracle shape composed from two already-green renderers."""
+    sig = sql_minhash_signature(_SHINGLES_SQL, MINHASH_K)
+    band_key = (
+        "md5(CAST(b AS VARCHAR) || ':' || sig[2*b + 1] || ':' || sig[2*b + 2])"
+    )
+    return f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct([substr(md5(s), 1, 16) FOR s IN {_SH8_RADIUS_SQL}])) AS h
+      FROM documents
+    ),
+    hits AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT * FROM sh WHERE doc_id % {_CR_EVAL_MOD} <> 0) t
+      JOIN (SELECT DISTINCT h FROM sh WHERE doc_id % {_CR_EVAL_MOD} = 0) e ON t.h = e.h
+    ),
+    sigs AS (
+      SELECT doc_id, {sig} AS sig FROM documents WHERE doc_id % {_CR_EVAL_MOD} <> 0
+    ),
+    bands AS (
+      SELECT doc_id, b, {band_key} AS band_key
+      FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS b)
+    ),
+    pairs0 AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    adj AS (
+      SELECT src, dst FROM pairs0 UNION SELECT dst, src FROM pairs0
+    ),
+    walk(node, hops) AS (
+      SELECT doc_id AS node, CAST(0 AS BIGINT) AS hops FROM hits
+      UNION
+      SELECT a.dst AS node, w.hops + 1 AS hops
+      FROM walk w JOIN adj a ON a.src = w.node
+      WHERE w.hops < {_CR_HOPS}
+    )
+    SELECT node AS doc_id, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """
+
+
+@register(
+    "corpus_contamination_radius",
+    _sql_contamination_radius(),
+    category="corpus",
+    windowed=False,  # new round 15 — EXTRA until rotated in
+)
+def corpus_contamination_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paraphrase-chain blast radius as a registered row
+    (pipeline.contamination_radius): documents within {_CR_HOPS}
+    near-dup LSH links of a DIRECT eval-overlap hit — hops 0 = shares
+    an 8-gram with the held-out set (the corpus_contamination hit rule
+    and eval convention, doc_id % 50 == 0), hops h = reachable through h
+    band-collision edges among the train docs. The chain a per-document
+    screen provably keeps (verbatim leak → paraphrase → paraphrase of
+    the paraphrase) is pinned on a planted fixture in
+    tests/test_pipeline.py; here the whole composition — exact-hit
+    seeds, MinHash banding, multi-source BFS layers — replays under one
+    DuckDB recursive-CTE oracle. Shape: the decontaminate broadcast
+    join + the dedup_minhash_lsh pair plan + frontier-sized BFS
+    shuffles; no corpus text ever enters the walk."""
+    from kafka_workers_spark.pipeline import contamination_radius
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % _CR_EVAL_MOD != 0)
+    eval_docs = d.filter(F.col("doc_id") % _CR_EVAL_MOD == 0)
+    return contamination_radius(
+        train,
+        eval_docs,
+        max_hops=_CR_HOPS,
+        dedup_k=MINHASH_K,
+        dedup_bands=LSH_BANDS,
+        dedup_rows=LSH_ROWS,
+        dedup_shingle_n=3,
+    )
