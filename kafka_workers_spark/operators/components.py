@@ -301,6 +301,8 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight_col: str | None = None,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """Fixed-iteration PageRank (Page, Brin, Motwani, Winograd, "The
     PageRank Citation Ranking", Stanford 1999) in EXACT scaled-integer
@@ -330,6 +332,17 @@ def pagerank(
     int64); duplicate edges sum their weights, non-positive weights
     raise in-plan, and ``weight_col=None`` keeps the bit-exact
     unweighted arithmetic the oracle replays.
+
+    With ``seeds``, the teleport term restricts to the seed set —
+    PERSONALIZED PageRank (Haveliwala, "Topic-Sensitive PageRank",
+    WWW 2002): ``r0`` and the per-round base are ``10^9 DIV |S|`` /
+    ``(10^9 − d9) DIV |S|`` on seed nodes and ZERO elsewhere, so ranks
+    measure proximity to the seed set under random walks with restart
+    (the recommendation / entity-neighborhood primitive). ``|S|`` is
+    the distinct seed count AS GIVEN; a seed absent from the graph's
+    node set simply never materializes, so its teleport share leaks —
+    the dangling-mass convention applied to restart mass. Broadcast
+    membership join; same integer arithmetic, same overflow bound.
 
     Overflow: ``d9·r9 ≤ 0.85·10^9 · 10^9 < 2^63`` — total rank mass is
     ≤ 10^9 by induction (base sums to ≤ 10^9−d9, damped contributions
@@ -387,16 +400,31 @@ def pagerank(
     )
     # N and the per-node base term derive IN-PLAN (job-free build, the
     # package-wide discipline): one-row aggregate broadcast back
-    n_row = nodes.groupBy().agg(F.count("*").alias("__n"))
-    nodes = (
-        nodes.crossJoin(F.broadcast(n_row))
-        .select(
+    if seeds is None:
+        n_row = nodes.groupBy().agg(F.count("*").alias("__n"))
+        nodes = nodes.crossJoin(F.broadcast(n_row)).select(
             "node",
             F.expr(f"CAST({s} AS BIGINT) DIV __n").alias("__r0"),
             F.expr(f"CAST({s} - {d9} AS BIGINT) DIV __n").alias("__base9"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    else:
+        sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+        ns_row = sd.groupBy().agg(F.count("*").alias("__n"))
+        is_seed = F.col("__is_seed").isNotNull()
+        nodes = (
+            nodes.join(F.broadcast(sd.withColumn("__is_seed", F.lit(1))), "node", "left")
+            .crossJoin(F.broadcast(ns_row))
+            .select(
+                "node",
+                F.when(is_seed, F.expr(f"CAST({s} AS BIGINT) DIV __n"))
+                .otherwise(F.lit(0).cast("bigint"))
+                .alias("__r0"),
+                F.when(is_seed, F.expr(f"CAST({s} - {d9} AS BIGINT) DIV __n"))
+                .otherwise(F.lit(0).cast("bigint"))
+                .alias("__base9"),
+            )
+        )
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     if weight_col is None:
         deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
         contrib_expr = f"(CAST({d9} AS BIGINT) * r9 DIV {s}) DIV __deg"

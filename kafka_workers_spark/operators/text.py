@@ -1744,24 +1744,31 @@ def bpe_pair_counts(syms):
     )
 
 
-def _bpe_apply_merge(symbols: Column, left: str, right: str) -> Column:
+def _bpe_apply_merge_cols(symbols: Column, left: Column, right: Column) -> Column:
     """Greedy left-to-right replacement of adjacent (left, right) with
     their concatenation — one BPE merge applied to one symbol array, as
     a codegen'd fold (F.aggregate). Overlaps resolve left-first exactly
     like the reference algorithm ("aaa" under (a,a) → [aa, a]): once the
-    pair merges, the new symbol's string differs from ``left``, so the
-    fold cannot re-consume it."""
-    merged = F.lit(left + right)
+    pair merges, the new symbol's string (left||right, never empty on
+    the right) differs from ``left``, so the fold cannot re-consume it.
+    ``left``/``right`` are COLUMNS so the rule can come off a broadcast
+    1-row argmax frame (bpe_train_plan) as well as a Python literal
+    (bpe_train)."""
+    merged = F.concat(left, right)
     return F.aggregate(
         symbols,
         F.expr("CAST(array() AS array<string>)"),
         lambda acc, s: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (s == F.lit(right)),
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == left) & (s == right),
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
         ).otherwise(F.concat(acc, F.array(s))),
     )
+
+
+def _bpe_apply_merge(symbols: Column, left: str, right: str) -> Column:
+    """Literal-rule form of :func:`_bpe_apply_merge_cols` (the driver
+    loop's path, where the argmax was collected to Python)."""
+    return _bpe_apply_merge_cols(symbols, F.lit(left), F.lit(right))
 
 
 def bpe_train(
@@ -1780,17 +1787,21 @@ def bpe_train(
     against a plain-Python reference, the bigram-LM float discipline
     applied to control flow).
 
-    This is the package's one legitimately ITERATIVE driver loop (like
-    no other operator here): each merge's argmax depends on data, so
-    lazy unrolling à la the kmeans oracle CTEs is impossible — one
-    small action per merge is the honest cost, and it is the standard
+    This is the package's one ITERATIVE driver loop (like no other
+    operator here), and what it buys over the lazily-unrolled
+    :func:`bpe_train_plan` is data-dependent CONTROL FLOW: early stop
+    at ``min_pair_count`` and rule counts in the tens of thousands
+    (where an unrolled plan tree would be absurd) — one small 1-row
+    action per merge is the honest cost, and it is the standard
     cost: every published BPE trainer iterates. Scale shape: the corpus
     is touched ONCE (the word-count aggregate); all ``n_merges``
     iterations then run on the persisted vocab-sized symbol frame
     (Zipf-bounded), each a codegen'd pair count + a 1-row argmax
     collect + an in-plan fold rewrite. Stops early when no pair reaches
     ``min_pair_count``. Returns the ordered merge list — persist it as
-    a table and feed :func:`bpe_encode`."""
+    a table and feed :func:`bpe_encode`. For a FIXED small rule count
+    (dashboards, the oracle-checked query) see :func:`bpe_train_plan`,
+    which expresses the same rounds as one collect-free Spark plan."""
     from pyspark.storagelevel import StorageLevel
 
     wc = bpe_word_counts(docs, text_col)
@@ -1819,6 +1830,58 @@ def bpe_train(
     finally:
         syms.unpersist()
     return merges
+
+
+def bpe_train_plan(docs, n_merges: int = 8, text_col: str = "text"):
+    """Fixed-round BPE training as ONE lazy Spark plan — zero driver
+    collects: round k's argmax pair is a 1-row ``orderBy(cnt DESC,
+    left, right).limit(1)`` frame (TakeOrderedAndProject), broadcast
+    cross-joined onto the vocab-sized symbol frame so the merge rule is
+    applied as COLUMNS inside the codegen'd fold. The data-dependent
+    part of Sennrich's Algorithm 1 is only WHICH pair each round picks,
+    and a broadcast 1-row join expresses exactly that without ever
+    surfacing the pair to the driver — the same move the kmeans chains
+    use for data-dependent centroids.
+
+    Returns ``(merge_rank, lhs, rhs, merged, cnt)`` — the ordered merge
+    table, one row per round. Plan shape: the logical tree doubles per
+    round (round k+1 references round k's symbols both directly and
+    through its argmax), so this form is for SMALL fixed rule counts;
+    runtime cost stays modest because every round's pair-count exchange
+    is stage-reused (AQE) and all rewrites run over the Zipf-bounded
+    vocabulary, never the corpus. Production rule counts use
+    :func:`bpe_train`'s driver loop."""
+    wc = bpe_word_counts(docs, text_col)
+    syms = wc.select(F.split("word", "").alias("symbols"), "n")
+    rounds = []
+    for k in range(1, n_merges + 1):
+        top = (
+            bpe_pair_counts(syms)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+        )
+        rounds.append(
+            top.select(
+                F.lit(k).alias("merge_rank"),
+                F.col("left").alias("lhs"),
+                F.col("right").alias("rhs"),
+                F.concat("left", "right").alias("merged"),
+                "cnt",
+            )
+        )
+        rule = F.broadcast(
+            top.select(F.col("left").alias("__l"), F.col("right").alias("__r"))
+        )
+        syms = syms.crossJoin(rule).select(
+            _bpe_apply_merge_cols(
+                F.col("symbols"), F.col("__l"), F.col("__r")
+            ).alias("symbols"),
+            "n",
+        )
+    out = rounds[0]
+    for t in rounds[1:]:
+        out = out.unionByName(t)
+    return out
 
 
 def bpe_encode(

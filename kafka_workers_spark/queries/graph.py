@@ -83,6 +83,91 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=_PR_ITERS, damping_num=_PR_D_NUM, damping_den=_PR_D_DEN)
 
 
+_PPR_SEEDS = 3
+
+
+def _sql_ppr_ctes(iters: int) -> str:
+    """Unroll personalized PageRank — _sql_pagerank_ctes with the
+    teleport term restricted to the seed set: base mass is
+    ``(10^9 − d9) // |S|`` on seeds and ZERO elsewhere, r0 likewise.
+    Seeds are the lowest-keyed active customers, picked from the edge
+    set itself (ORDER BY + LIMIT = TakeOrderedAndProject both engines),
+    so every seed is in the graph by construction."""
+    ctes = [
+        "edges AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"seeds AS (SELECT DISTINCT src AS node FROM edges ORDER BY node"
+        f" LIMIT {_PPR_SEEDS})",
+        "ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src)",
+        f"r0 AS (SELECT nodes.node, CASE WHEN seeds.node IS NOT NULL"
+        f" THEN CAST({_S} // ns.n AS BIGINT) ELSE CAST(0 AS BIGINT) END AS r9"
+        f" FROM nodes CROSS JOIN ns LEFT JOIN seeds ON seeds.node = nodes.node)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" SUM(({_D9} * r.r9 // {_S}) // deg.d) AS s"
+            f" FROM edges e JOIN r{i - 1} r ON r.node = e.src"
+            f" JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" CAST(CASE WHEN seeds.node IS NOT NULL"
+            f" THEN ({_S} - {_D9}) // ns.n ELSE 0 END"
+            f" + COALESCE(c{i}.s, 0) AS BIGINT) AS r9"
+            f" FROM nodes CROSS JOIN ns"
+            f" LEFT JOIN seeds ON seeds.node = nodes.node"
+            f" LEFT JOIN c{i} ON c{i}.node = nodes.node)"
+        )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_pagerank_personalized",
+    f"""
+    WITH {_sql_ppr_ctes(_PR_ITERS)}
+    SELECT node, r9, CAST(r9 AS DOUBLE) / {_S} AS rank
+    FROM r{_PR_ITERS}
+    WHERE r9 > 0
+    """,
+    category="graph",
+    windowed=False,  # new round 15 — EXTRA until rotated in
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Haveliwala WWW 2002;
+    operators.components.pagerank with ``seeds``): random walks with
+    restart from the {_PPR_SEEDS} lowest-keyed active customers over
+    the same purchase digraph as graph_pagerank — the
+    entity-neighborhood relevance score (recommendation / related-
+    entity primitive), where rank measures proximity to the seed set
+    instead of global centrality. Teleport mass restricts to the seeds
+    (zero base elsewhere, integer DIV by |S|); nodes the walk never
+    reaches stay at exactly 0 and are filtered IDENTICALLY both sides,
+    so the reachable frontier's r9 matches bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(_PPR_SEEDS)
+    )
+    out = pagerank(
+        edges,
+        iters=_PR_ITERS,
+        damping_num=_PR_D_NUM,
+        damping_den=_PR_D_DEN,
+        seeds=seeds,
+    )
+    return out.filter(F.col("r9") > 0)
+
+
 # ---------------------------------------------------------------------------
 # Triangle counts over the near-dup candidate graph
 # ---------------------------------------------------------------------------

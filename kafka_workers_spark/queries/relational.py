@@ -2117,3 +2117,59 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("group_size") < _KA_K).alias("is_violating"),
         "k_anonymity",
     )
+
+
+_LD_L = 4  # sf0.001's min distinct-customer count is exactly 3 -> the flag fires
+
+
+@register(
+    "quality_l_diversity",
+    f"""
+    WITH g AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_sensitive
+      FROM orders
+      GROUP BY 1, 2, 3
+    )
+    SELECT o_orderpriority, o_orderstatus, order_year, group_size,
+           n_sensitive, n_sensitive < {_LD_L} AS is_violating,
+           CAST(MIN(n_sensitive) OVER () AS BIGINT) AS l_diversity
+    FROM g
+    """,
+    category="relational",
+    windowed=False,  # new round 15 — EXTRA until rotated in
+)
+def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2006) — the companion
+    screen quality_k_anonymity's docstring points a release checklist
+    at next: a QI group can be large (k-safe) yet expose its members
+    anyway if the SENSITIVE attribute barely varies inside it, so each
+    group row carries its distinct-sensitive count (customer identity as the
+    sensitive column — a group whose orders all trace to one customer
+    re-identifies that customer), the l={_LD_L} violation flag, and the
+    table-level l-diversity (the global minimum). Same shape as the
+    k screen: one hash aggregate over the QI columns (COUNT DISTINCT
+    is exact — the governance number must not be a sketch), global
+    minimum attached as a one-row broadcast, never a partitionless
+    window."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+    ).agg(
+        F.count("*").cast("bigint").alias("group_size"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_sensitive"),
+    )
+    l_min = g.groupBy().agg(F.min("n_sensitive").cast("bigint").alias("l_diversity"))
+    return g.crossJoin(F.broadcast(l_min)).select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "order_year",
+        "group_size",
+        "n_sensitive",
+        (F.col("n_sensitive") < _LD_L).alias("is_violating"),
+        "l_diversity",
+    )

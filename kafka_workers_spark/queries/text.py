@@ -866,12 +866,10 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-iteration BPE pair statistics (operators.text.bpe_word_counts
     → bpe_pair_counts, Sennrich et al. ACL 2016): corpus-weighted
     adjacent-CHARACTER pair frequencies over the pre-token vocabulary —
-    the table whose argmax is the first learned merge rule, and the one
-    exact-integer surface of the BPE trainer an oracle can replay
-    (the merge LOOP is data-dependent control flow, so it is
-    differential-tested against a plain-Python reference in
-    tests/test_text_quality.py instead — the bigram-LM discipline
-    applied to iteration).
+    the table whose argmax is the first learned merge rule. (The merge
+    LOOP itself is oracle-checked too since round 15 — text_bpe_train
+    unrolls fixed rounds; this row stays as the full-table surface the
+    argmax only samples.)
 
     Scale shape: the corpus collapses to its Zipf-bounded vocabulary in
     one partial-aggregatable shuffle; pair counting is array expressions
@@ -884,6 +882,89 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(syms).select(
         F.col("left").alias("lhs"), F.col("right").alias("rhs"), "cnt"
     )
+
+
+_BPE_MERGES = 8
+
+
+def _sql_bpe_ctes(n_merges: int) -> str:
+    """Unroll the BPE merge rounds as CTEs — the _sql_shortest_ctes
+    discipline applied to tokenizer training. Greedy left-to-right
+    merge application is expressed STATELESSLY via run parity: matches
+    of pair (l, r) can only overlap when l = r, and inside a maximal
+    run of l's the greedy scan merges exactly the positions at EVEN
+    offsets from the run start — so a window MAX over run breaks plus
+    a parity test replays the scan without sequential state. The
+    position after a selected merge is dropped via LAG(sel)."""
+    ctes = [
+        "w0 AS (SELECT UNNEST(regexp_extract_all(text,"
+        " '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS word FROM documents)",
+        "s0 AS (SELECT word, COUNT(*) AS n, string_split(word, '') AS symbols"
+        " FROM w0 GROUP BY word)",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"p{k} AS (SELECT s.word, s.n, t.i, s.symbols[t.i] AS a,"
+            f" s.symbols[t.i + 1] AS b"
+            f" FROM s{k - 1} s, UNNEST(range(1, len(s.symbols) + 1)) t(i))"
+        )
+        ctes.append(
+            f"t{k} AS (SELECT a AS l, b AS r, CAST(SUM(n) AS BIGINT) AS cnt"
+            f" FROM p{k} WHERE b IS NOT NULL"
+            f" GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        if k < n_merges:  # the last round's rewrite feeds nothing
+            ctes.append(
+                f"m{k} AS (SELECT p.word, p.n, p.i, p.a, q.l, q.r,"
+                f" COALESCE(p.a = q.l AND p.b = q.r, FALSE)"
+                f" AND (q.l <> q.r OR (p.i -"
+                f" (COALESCE(MAX(CASE WHEN p.a <> q.l THEN p.i END)"
+                f" OVER (PARTITION BY p.word ORDER BY p.i"
+                f" ROWS UNBOUNDED PRECEDING), 0) + 1)) % 2 = 0) AS sel"
+                f" FROM p{k} p CROSS JOIN t{k} q)"
+            )
+            ctes.append(
+                f"s{k} AS (SELECT word, n,"
+                f" list(CASE WHEN sel THEN l || r ELSE a END ORDER BY i)"
+                f" AS symbols"
+                f" FROM (SELECT m.*, COALESCE(LAG(sel)"
+                f" OVER (PARTITION BY word ORDER BY i), FALSE) AS dropped"
+                f" FROM m{k} m) WHERE NOT dropped GROUP BY word, n)"
+            )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, l AS lhs, r AS rhs,"
+        f" l || r AS merged, cnt FROM t{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return ",\n    ".join(ctes) + "\n    " + sel
+
+
+@register(
+    "text_bpe_train",
+    f"""
+    WITH {_sql_bpe_ctes(_BPE_MERGES)}
+    """,
+    category="text",
+    windowed=False,  # new round 15 — EXTRA until rotated in
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge LOOP, oracle-checked (operators.text.bpe_train_plan,
+    Sennrich et al. ACL 2016 Algorithm 1): {_BPE_MERGES} merge rounds
+    learned from the corpus as ONE collect-free Spark plan — each
+    round's argmax pair is a broadcast 1-row TakeOrderedAndProject
+    frame applied as columns inside the codegen'd greedy fold, and the
+    oracle unrolls the identical rounds as CTEs, replaying the greedy
+    left-to-right scan statelessly via run parity (overlapping matches
+    exist only for l = r, where the scan provably merges the
+    even-offset positions of each run). Pure integer counts +
+    lexicographic tie-breaks end to end, so the learned merge TABLE —
+    rule order, spellings, and corpus-weighted counts — matches
+    bit-for-bit. Scale shape: the corpus is touched once (the word
+    aggregate); every round runs over the Zipf-bounded vocabulary."""
+    from kafka_workers_spark.operators.text import bpe_train_plan
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    return bpe_train_plan(d, n_merges=_BPE_MERGES)
 
 
 _PHRASE_DELTA = 2

@@ -212,6 +212,42 @@ def test_pagerank_matches_python_integer_reference(spark):
     assert got[3] == max(got.values())
 
 
+def test_pagerank_personalized_matches_python_reference(spark):
+    """Seeded teleport vs a literal Python replay on the same digraph:
+    base mass lands ONLY on seeds (integer DIV by |S|), unreachable
+    nodes stay at exactly 0, and a seed absent from the graph leaks its
+    teleport share (|S| counts it, no node row materializes it)."""
+    from kafka_workers_spark.operators.components import PAGERANK_SCALE, pagerank
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (4, 3), (4, 2), (2, 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    s, d9 = PAGERANK_SCALE, (PAGERANK_SCALE * 17) // 20
+
+    def replay(seed_set, n_seeds, iters=4):
+        nodes = sorted({n for e in edge_list for n in e})
+        deg = {}
+        for a, _ in edge_list:
+            deg[a] = deg.get(a, 0) + 1
+        r = {v: (s // n_seeds if v in seed_set else 0) for v in nodes}
+        for _ in range(iters):
+            nxt = {v: ((s - d9) // n_seeds if v in seed_set else 0) for v in nodes}
+            for a, b in edge_list:
+                nxt[b] += (d9 * r[a] // s) // deg[a]
+            r = nxt
+        return r
+
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.r9 for r in pagerank(edges, iters=4, seeds=seeds).collect()}
+    assert got == replay({1}, 1)
+    # node 4 has no in-edges and is not a seed: exactly zero
+    assert got[4] == 0
+    # absent seed 99 dilutes the restart mass but gets no row
+    seeds2 = spark.createDataFrame([(1,), (99,)], "node long")
+    got2 = {r.node: r.r9 for r in pagerank(edges, iters=4, seeds=seeds2).collect()}
+    assert got2 == replay({1}, 2)
+    assert 99 not in got2
+
+
 def test_pagerank_rejects_bad_params(spark):
     from kafka_workers_spark.operators.components import pagerank
 

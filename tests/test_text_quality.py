@@ -894,6 +894,49 @@ def test_bpe_train_matches_python_reference_and_encode_roundtrips(spark):
         assert all(len(t) == 1 or t in learned for t in r.bpe_tokens), r.bpe_tokens
 
 
+def test_bpe_train_plan_matches_python_reference(spark):
+    """The lazily-unrolled one-plan trainer learns EXACTLY the
+    reference's merge sequence on real documents — same corpus and
+    rule count as the driver-loop test above, so the two Spark forms
+    and the Python reference are pinned three ways."""
+    from kafka_workers_spark.operators.text import bpe_train_plan
+    from kafka_workers_spark.sources.files import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select("text")
+    texts = [r.text for r in d.collect()]
+    n = 8
+    expected = _py_bpe_reference(texts, n)
+    rows = bpe_train_plan(d, n_merges=n).orderBy("merge_rank").collect()
+    assert [(r.lhs, r.rhs) for r in rows] == expected
+    assert [r.merge_rank for r in rows] == list(range(1, n + 1))
+    assert all(r.merged == r.lhs + r.rhs for r in rows)
+
+
+def test_bpe_train_plan_run_parity_overlap(spark):
+    """The l = r overlap class the greedy fold must resolve left-first:
+    runs of one character merge at even offsets only ('aaaaa' →
+    [aa][aa][a]), and later rounds merge the MERGED symbol's runs
+    ((aa,aa), (aa,a) …) — the corpus is built so single-character runs
+    dominate the argmax for several consecutive rounds, checked against
+    the Python reference at every depth."""
+    from kafka_workers_spark.operators.text import bpe_train_plan
+
+    # ×2 so every round's argmax count stays ≥ 2 — the plan form has no
+    # early stop, so the Python reference (which stops below 2) must be
+    # kept in its running regime for the sequences to be comparable;
+    # the duplication also lands several pairs ON the tie count,
+    # exercising the lexicographic break at depth 3-4
+    texts = ["aaaaa aaaa aaa baab", "aaaaaa caa aaaa"] * 2
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    for n in (1, 2, 3, 4):
+        expected = _py_bpe_reference(texts, n)
+        got = [
+            (r.lhs, r.rhs)
+            for r in bpe_train_plan(df, n_merges=n).orderBy("merge_rank").collect()
+        ]
+        assert got == expected, (n, got, expected)
+
+
 def test_bpe_encode_applies_merges_in_learned_order(spark):
     """Rank order, not positional greed: on 'abc' with merges
     [(b,c), (a,b)], rank 0 is (b,c), so the encode must produce
