@@ -1844,13 +1844,16 @@ def bpe_train_plan(docs, n_merges: int = 8, text_col: str = "text"):
     use for data-dependent centroids.
 
     Returns ``(merge_rank, lhs, rhs, merged, cnt)`` — the ordered merge
-    table, one row per round. Plan shape: the logical tree doubles per
-    round (round k+1 references round k's symbols both directly and
-    through its argmax), so this form is for SMALL fixed rule counts;
-    runtime cost stays modest because every round's pair-count exchange
-    is stage-reused (AQE) and all rewrites run over the Zipf-bounded
-    vocabulary, never the corpus. Production rule counts use
-    :func:`bpe_train`'s driver loop."""
+    table, one row per round. Plan shape: round k+1 references round
+    k's symbols BOTH directly and through its argmax, so the naive
+    lazy tree doubles per round (measured: ~28 s of pure driver-side
+    analysis at 8 rounds) — exactly the connected_components case, and
+    it gets the same cut: a LAZY localCheckpoint per round truncates
+    lineage at the vocab-sized symbol frame (Zipf-bounded — the one
+    frame here that is small by construction), making build and
+    execution linear in rounds while keeping the zero-collect
+    property. Production rule counts use :func:`bpe_train`'s driver
+    loop."""
     wc = bpe_word_counts(docs, text_col)
     syms = wc.select(F.split("word", "").alias("symbols"), "n")
     rounds = []
@@ -1877,7 +1880,7 @@ def bpe_train_plan(docs, n_merges: int = 8, text_col: str = "text"):
                 F.col("symbols"), F.col("__l"), F.col("__r")
             ).alias("symbols"),
             "n",
-        )
+        ).localCheckpoint(eager=False)
     out = rounds[0]
     for t in rounds[1:]:
         out = out.unionByName(t)
