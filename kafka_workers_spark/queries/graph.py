@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_workers_spark.operators.components import PAGERANK_SCALE, pagerank
+from kafka_workers_spark.operators.components import PAGERANK_SCALE, hits, pagerank
 from kafka_workers_spark.queries import register
 from kafka_workers_spark.sources.files import load_table
 
@@ -166,6 +166,79 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds=seeds,
     )
     return out.filter(F.col("r9") > 0)
+
+
+_HITS_ROUNDS = 2
+
+
+def _sql_hits_ctes(rounds: int) -> str:
+    """Unroll integer HITS — per half-round one aggregate over the
+    previous scores plus a MAX normalization computed over the SAME
+    zero-filled full node frame the operator normalizes (so an
+    in-edge-less node's zero participates identically both sides); the
+    normalization product runs in HUGEINT, mirroring the operator's
+    DECIMAL(38,0) (`//` == Spark DIV on non-negatives)."""
+    ctes = [
+        "edges AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"h0 AS (SELECT node, CAST({_S} AS BIGINT) AS h9 FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        for raw, out, prev_tbl, prev_col, e_from, e_to in (
+            (f"araw{i}", f"a{i}", f"h{i - 1}", "h9", "src", "dst"),
+            (f"hraw{i}", f"h{i}", f"a{i}", "a9", "dst", "src"),
+        ):
+            col = "a9" if out.startswith("a") else "h9"
+            ctes.append(
+                f"{raw} AS (SELECT e.{e_to} AS node, SUM(p.{prev_col}) AS v"
+                f" FROM edges e JOIN {prev_tbl} p ON p.node = e.{e_from}"
+                f" GROUP BY e.{e_to})"
+            )
+            ctes.append(
+                f"{raw}m AS (SELECT MAX(COALESCE(r.v, 0)) AS m"
+                f" FROM nodes LEFT JOIN {raw} r ON r.node = nodes.node)"
+            )
+            ctes.append(
+                f"{out} AS (SELECT nodes.node,"
+                f" CAST(CAST(COALESCE(r.v, 0) AS HUGEINT) * {_S}"
+                f" // GREATEST(m.m, 1) AS BIGINT) AS {col}"
+                f" FROM nodes CROSS JOIN {raw}m m"
+                f" LEFT JOIN {raw} r ON r.node = nodes.node)"
+            )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_hits",
+    f"""
+    WITH {_sql_hits_ctes(_HITS_ROUNDS)}
+    SELECT nodes.node,
+           CAST(COALESCE(h.h9, 0) AS BIGINT) AS hub9,
+           CAST(COALESCE(a.a9, 0) AS BIGINT) AS auth9
+    FROM nodes
+    LEFT JOIN h{_HITS_ROUNDS} h ON h.node = nodes.node
+    LEFT JOIN a{_HITS_ROUNDS} a ON a.node = nodes.node
+    """,
+    category="graph",
+    windowed=False,  # new round 15 — EXTRA until rotated in
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round integer HITS (Kleinberg JACM 1999;
+    operators.components.hits): hubs & authorities over the purchase
+    digraph — on this bipartite graph hubs land on customers ("broad
+    buyers") and authorities on suppliers ("widely bought"), the
+    complement to graph_pagerank's single centrality. MAX normalization
+    per half-step keeps the whole chain in exact scaled integers
+    (top score each half-step is exactly 10^9), so the oracle's
+    unrolled rounds match bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return hits(edges, rounds=_HITS_ROUNDS)
 
 
 # ---------------------------------------------------------------------------
@@ -451,7 +524,8 @@ _BFS_SEEDS = 3
     SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node
     """,
     category="graph",
-    windowed=False,  # new round 15 — EXTRA until rotated in
+    # rotated INTO the driver window round 15 second swap (the round's
+    # graph-distance flagship; events_sessionize freed the row)
 )
 def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS blast radius (operators.components.bfs_hops):

@@ -189,6 +189,9 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part JOIN supplier ON s_acctbal < p_retailprice / 100.0
     GROUP BY p_partkey, p_name
     """,
+    windowed=False,  # rotated out round 15 second swap (cheap veteran; the
+    # theta/range family stays windowed via join_range_bucketed +
+    # join_interval_overlap; pytest holds the oracle)
 )
 def join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta join → BroadcastNestedLoopJoin (supplier side is tiny; at scale
@@ -1245,6 +1248,9 @@ _SESSION_GAP_S = 1800  # 30-minute inactivity gap
     FROM numbered
     GROUP BY user_id, session_id
     """,
+    windowed=False,  # rotated out round 15 second swap (its twin
+    # events_session_window keeps the sessionization family windowed;
+    # pytest holds the oracle)
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based batch sessionization (operators.relational.sessionize,
@@ -2172,4 +2178,114 @@ def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sensitive",
         (F.col("n_sensitive") < _LD_L).alias("is_violating"),
         "l_diversity",
+    )
+
+
+_TC_T9 = 200_000_000  # t = 0.2 at the 10^9 scale
+
+
+@register(
+    "quality_t_closeness",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             o_orderstatus
+      FROM orders
+    ),
+    g AS (SELECT o_orderpriority, order_year, CAST(COUNT(*) AS BIGINT) AS group_size
+          FROM base GROUP BY 1, 2),
+    cat AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS m_c FROM base GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_tot FROM base),
+    gc AS (SELECT o_orderpriority, order_year, o_orderstatus,
+                  CAST(COUNT(*) AS BIGINT) AS n_gc
+           FROM base GROUP BY 1, 2, 3),
+    tv AS (
+      SELECT g.o_orderpriority, g.order_year, g.group_size,
+             SUM(ABS(COALESCE(gc.n_gc, 0) * tot.m_tot - cat.m_c * g.group_size))
+               AS tv_num
+      FROM g CROSS JOIN cat CROSS JOIN tot
+      LEFT JOIN gc ON gc.o_orderpriority = g.o_orderpriority
+                  AND gc.order_year = g.order_year
+                  AND gc.o_orderstatus = cat.o_orderstatus
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT o_orderpriority, order_year, group_size,
+             CAST(CAST(tv_num AS HUGEINT) * 1000000000
+                  // (2 * CAST(group_size AS HUGEINT) * (SELECT m_tot FROM tot))
+                  AS BIGINT) AS t9
+      FROM tv
+    )
+    SELECT o_orderpriority, order_year, group_size, t9,
+           t9 > {_TC_T9} AS is_violating,
+           CAST(MAX(t9) OVER () AS BIGINT) AS t_closeness9
+    FROM scored
+    """,
+    category="relational",
+    windowed=False,  # new round 15 — EXTRA until rotated in
+)
+def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third leg of the governance trio: a group can be k-safe AND
+    l-diverse yet still leak when its sensitive DISTRIBUTION skews far
+    from the table's. For the categorical sensitive column
+    (order status) the earth-mover distance degenerates to total
+    variation, computed EXACTLY in integers: per (group, category),
+    |n_gc·M − m_c·N_g| cross-multiplies the two distributions onto a
+    common denominator, the sum scales to t9 = tv·10^9 DIV (2·N_g·M)
+    (HUGEINT/DECIMAL(38,0) — the product passes int64), and the
+    table-level worst group attaches as a one-row broadcast MAX.
+    Missing (group, category) combos contribute m_c·N_g via the
+    zero-filled cross — the term a naive join would silently drop.
+    Threshold t = 0.2; sf0.001's skewest year-groups genuinely
+    violate."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_orderstatus",
+    )
+    g = base.groupBy("o_orderpriority", "order_year").agg(
+        F.count("*").cast("bigint").alias("group_size")
+    )
+    cat = base.groupBy("o_orderstatus").agg(F.count("*").cast("bigint").alias("m_c"))
+    tot = base.groupBy().agg(F.count("*").cast("bigint").alias("m_tot"))
+    gc = base.groupBy("o_orderpriority", "order_year", "o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_gc")
+    )
+    tv = (
+        g.crossJoin(F.broadcast(cat))
+        .crossJoin(F.broadcast(tot))
+        .join(gc, ["o_orderpriority", "order_year", "o_orderstatus"], "left")
+        .select(
+            "o_orderpriority",
+            "order_year",
+            "group_size",
+            F.abs(
+                F.coalesce("n_gc", F.lit(0)) * F.col("m_tot")
+                - F.col("m_c") * F.col("group_size")
+            ).alias("d"),
+        )
+        .groupBy("o_orderpriority", "order_year", "group_size")
+        .agg(F.sum("d").alias("tv_num"))
+    )
+    scored = tv.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "order_year",
+        "group_size",
+        F.expr(
+            "CAST(CAST(tv_num AS DECIMAL(38,0)) * 1000000000"
+            " DIV (2 * CAST(group_size AS DECIMAL(38,0))"
+            " * CAST(m_tot AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("t9"),
+    )
+    t_max = scored.groupBy().agg(F.max("t9").cast("bigint").alias("t_closeness9"))
+    return scored.crossJoin(F.broadcast(t_max)).select(
+        "o_orderpriority",
+        "order_year",
+        "group_size",
+        "t9",
+        (F.col("t9") > _TC_T9).alias("is_violating"),
+        "t_closeness9",
     )

@@ -945,7 +945,8 @@ def _sql_bpe_ctes(n_merges: int) -> str:
     WITH {_sql_bpe_ctes(_BPE_MERGES)}
     """,
     category="text",
-    windowed=False,  # new round 15 — EXTRA until rotated in
+    # rotated INTO the driver window round 15 second swap (the round's
+    # tokenizer-training flagship; join_nonequi_range freed the row)
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BPE merge LOOP, oracle-checked (operators.text.bpe_train_plan,
