@@ -462,6 +462,94 @@ def pagerank(
     )
 
 
+def hits(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round HITS hubs & authorities (Kleinberg, "Authoritative
+    sources in a hyperlinked environment", JACM 1999) in exact
+    scaled-integer arithmetic — the pagerank discipline applied to the
+    mutually-recursive pair: per round, authority is the sum of
+    in-neighbor hub scores and hub the sum of out-neighbor authority
+    scores. The textbook L2 normalization is replaced by MAX
+    normalization (``x9' = x_raw·10^9 DIV max(x_raw)``, one-row
+    broadcast) — same fixed point direction, deterministic, and
+    integer-exact where an L2 norm would drag the whole chain through
+    floats; the top score each half-step is exactly ``10^9``. The
+    normalization PRODUCT can exceed int64 (raw ≤ 10^9·max-degree), so
+    it runs in DECIMAL(38,0) and lands back in a bigint, the weighted-
+    pagerank overflow pattern.
+
+    Returns ``(node, hub9, auth9)`` over every node of the graph; on a
+    bipartite src→dst graph (e.g. customer→supplier purchases) hubs
+    live on the src side and authorities on the dst side, which is the
+    shape that separates "broad buyers" from "widely-bought" — the
+    canonical-candidate ranking complement to pagerank on the near-dup
+    pair graph. ``rounds`` is FIXED (no convergence test): the caller
+    picks the horizon, the oracle unrolls the same count. Scale shape:
+    edges dedup + persist once; each half-round is one equi-join over
+    slim (node, score) longs + a hash aggregate + a one-row max
+    broadcast — no windows, no driver collects."""
+    if rounds < 1:
+        raise ValueError(f"rounds ({rounds}) must be >= 1")
+    s = PAGERANK_SCALE
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).distinct()
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _normalize(frame: DataFrame, col: str) -> DataFrame:
+        m = frame.groupBy().agg(F.max(col).alias("__m"))
+        return frame.crossJoin(F.broadcast(m)).select(
+            "node",
+            F.expr(
+                f"CAST(CAST({col} AS DECIMAL(38,0)) * {s}"
+                f" DIV CAST(GREATEST(__m, 1) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias(col),
+        )
+
+    hub = nodes.select("node", F.lit(s).cast("bigint").alias("h9"))
+    auth = None
+    for _ in range(rounds):
+        a_raw = (
+            e.join(hub, e["__src"] == hub["node"])
+            .groupBy(F.col("__dst").alias("node"))
+            .agg(F.sum("h9").alias("a9"))
+        )
+        auth = _normalize(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("a9", F.lit(0)).alias("a9")
+            ),
+            "a9",
+        )
+        h_raw = (
+            e.join(auth, e["__dst"] == auth["node"])
+            .groupBy(F.col("__src").alias("node"))
+            .agg(F.sum("a9").alias("h9"))
+        )
+        hub = _normalize(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("h9", F.lit(0)).alias("h9")
+            ),
+            "h9",
+        )
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h9", F.lit(0)).alias("hub9"),
+            F.coalesce("a9", F.lit(0)).alias("auth9"),
+        )
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",

@@ -248,6 +248,43 @@ def test_pagerank_personalized_matches_python_reference(spark):
     assert 99 not in got2
 
 
+def test_hits_matches_python_integer_reference(spark):
+    """Integer HITS vs a literal Python replay on a small digraph: MAX
+    normalization per half-step (top score exactly 10^9), zero-filled
+    full node frame in every max, duplicate edges collapse."""
+    from kafka_workers_spark.operators.components import PAGERANK_SCALE, hits
+
+    s = PAGERANK_SCALE
+    edge_list = [(1, 2), (1, 3), (2, 3), (4, 3), (4, 2), (2, 1), (1, 2)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: (r.hub9, r.auth9) for r in hits(edges, rounds=2).collect()}
+
+    es = sorted(set(edge_list))
+    nodes = sorted({n for e in es for n in e})
+    hub = {v: s for v in nodes}
+    auth = {}
+
+    def norm(d):
+        m = max(max(d.values()), 1)
+        return {v: d[v] * s // m for v in d}
+
+    for _ in range(2):
+        auth = {v: 0 for v in nodes}
+        for a, b in es:
+            auth[b] += hub[a]
+        auth = norm(auth)
+        hub = {v: 0 for v in nodes}
+        for a, b in es:
+            hub[a] += auth[b]
+        hub = norm(hub)
+    assert got == {v: (hub[v], auth[v]) for v in nodes}
+    # the top hub and top authority sit exactly at the scale
+    assert max(h for h, _ in got.values()) == s
+    assert max(a for _, a in got.values()) == s
+    # node 3 is a pure sink: zero hub; node 4 a pure source: zero authority
+    assert got[3][0] == 0 and got[4][1] == 0
+
+
 def test_pagerank_rejects_bad_params(spark):
     from kafka_workers_spark.operators.components import pagerank
 
