@@ -442,3 +442,39 @@ def test_cusum_plans_one_window_chain_no_loop(spark):
     assert a.python_evals == 0 and a.cartesian_products == 0, a.text[:800]
     assert a.sortmerge_joins == 0, a.text[:800]  # ref joins broadcast
     assert a.broadcast_joins >= 1, a.text[:800]
+
+
+def test_bpe_train_plan_argmax_take_ordered_one_exchange_per_round(spark):
+    """The unrolled BPE trainer's design claims (rotated INTO the
+    driver window round 15): each round's argmax pair compiles to a
+    1-row TakeOrderedAndProject (per-partition top-1 + driver merge of
+    heads — never a partitionless window), the visible plan pays
+    EXACTLY one exchange per pair-count aggregate plus one for the
+    word-count base (rewrite chains hide behind the per-round lazy
+    checkpoint cut), and the whole chain stays JVM-side."""
+    spark.catalog.clearCache()
+    a = audit(REG["text_bpe_train"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in a.text, a.text[:800]
+    assert a.python_evals == 0 and a.cartesian_products == 0, a.text[:800]
+    assert a.sortmerge_joins == 0, a.text[:800]
+    assert a.exchanges == 9, (a.exchanges, a.text[:800])  # 1 wc + 8 rounds
+
+
+def test_bfs_reach_plan_shape(spark):
+    """graph_bfs_reach (rotated INTO the driver window round 15):
+    semi-naive frontier rounds — label frames join sort-merge, small
+    seed/frontier sides broadcast, and the seed selection is a
+    TakeOrderedAndProject; no cartesian, no Python, no nested loop."""
+    spark.catalog.clearCache()
+    a = audit(REG["graph_bfs_reach"].fn(spark, SF))
+    got = (
+        a.exchanges,
+        a.broadcast_joins,
+        a.sortmerge_joins,
+        a.shuffled_hash_joins,
+        a.nested_loop_joins,
+        a.cartesian_products,
+        a.python_evals,
+    )
+    assert got == (14, 4, 6, 0, 0, 0, 0), (got, a.text[:800])
+    assert "TakeOrderedAndProject" in a.text, a.text[:800]
