@@ -759,6 +759,67 @@ def run_pagerank_stress() -> int:
     return 0
 
 
+def run_hits_stress() -> int:
+    """Skewed-graph rep for HITS on the pagerank stress topology (~1M
+    deterministic edges over 200k nodes, 100 hash-built hubs drawing
+    ~20% of in-edges): measures wall for 2 full rounds (4 half-steps,
+    each an equi-join + aggregate + one-row max broadcast), checks the
+    structural claims — the skew targets dominate the AUTHORITY
+    ranking (they are what everyone points at), the per-half-step MAX
+    normalization lands the top score exactly at the scale, and no
+    score exceeds it (the integer overflow envelope the DECIMAL(38,0)
+    product protects)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from kafka_workers_spark.operators.components import PAGERANK_SCALE, hits
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stress_hits")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_nodes, n_edges, n_hubs = 200_000, 1_000_000, 100
+    base = spark.range(n_edges)
+    edges = base.select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("src"),
+        F.when(
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) == 0,  # ~20% to hubs
+            F.pmod(F.xxhash64("id", F.lit(4)), F.lit(n_hubs)),
+        )
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_nodes)))
+        .alias("dst"),
+    )
+    t0 = time.perf_counter()
+    scores = hits(edges, rounds=2).persist()
+    n = scores.count()
+    wall = time.perf_counter() - t0
+    top = [
+        r.node
+        for r in scores.orderBy(F.desc("auth9"), "node").limit(n_hubs).collect()
+    ]
+    hub_share = sum(1 for t in top if t < n_hubs) / n_hubs
+    mx = scores.agg(
+        F.max("auth9").alias("a"), F.max("hub9").alias("h")
+    ).collect()[0]
+    print(
+        f"hits 2 rounds over ~{n_edges} edges / {n} nodes: wall={wall:.2f}s "
+        f"top-{n_hubs} authority hub share={hub_share:.2%} "
+        f"max auth9={mx.a} max hub9={mx.h} (scale {PAGERANK_SCALE})"
+    )
+    assert hub_share >= 0.95, hub_share
+    assert mx.a == PAGERANK_SCALE and mx.h == PAGERANK_SCALE, mx
+    scores.unpersist()
+    spark.stop()
+    return 0
+
+
 def run_interval_stress(n_background: int, n_hot: int) -> int:
     """VERDICT r09 #4 / r10 #2 / r11 #2: the interval_overlap_join
     hot-bucket skew rep. A self-join workload with two populations:
@@ -1143,6 +1204,11 @@ def main() -> int:
         help="run the pagerank skewed-graph rep instead",
     )
     ap.add_argument(
+        "--hits",
+        action="store_true",
+        help="run the HITS skewed-graph rep instead",
+    )
+    ap.add_argument(
         "--phrases",
         action="store_true",
         help="run the phrase_scores Zipf-skew rep instead",
@@ -1188,6 +1254,8 @@ def main() -> int:
         return run_pit_stress(args.n_facts, args.n_keys, args.versions_per_key)
     if args.pagerank:
         return run_pagerank_stress()
+    if args.hits:
+        return run_hits_stress()
     if args.cc:
         return run_cc_stress()
     build_corpus(args.replicas)
