@@ -62,6 +62,28 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def checkpointed_rdd_ids(df: DataFrame) -> set[int]:
+    """The id of the internal RDD a just-returned ``checkpoint()`` /
+    ``localCheckpoint()`` Dataset persisted, read off its LogicalRDD.
+
+    This is the ONLY safe way for an iterative loop to free its own
+    superseded round pins on a shared session. Never diff the session-
+    global ``getPersistentRDDs()`` set around the pin instead: a
+    concurrent thread's persist/localCheckpoint (e.g. the pooled plan
+    audit building bpe_train_plan's lazy checkpoint chain) can land
+    between the two snapshots, get attributed to this loop, and the
+    freeing ``unpersist`` then resets the VICTIM's storage level to
+    NONE — its later materialization dies with "Storage level
+    StorageLevel(1 replicas) is not appropriate for local
+    checkpointing" (race found live in the round-15 sharded gate).
+    Returns an empty set under Spark Connect (no JVM handle) — callers
+    fall back to GC-driven cleanup."""
+    try:
+        return {int(df._jdf.queryExecution().analyzed().rdd().id())}  # noqa: SLF001
+    except Exception:  # noqa: BLE001 — best-effort bookkeeping only
+        return set()
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -120,11 +142,8 @@ def connected_components(
         # the logical plan doubles per round
         return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
-    def _persistent_ids() -> set[int]:
-        try:
-            return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}  # noqa: SLF001
-        except Exception:  # noqa: BLE001 — best-effort bookkeeping only
-            return set()
+    _pinned_ids = checkpointed_rdd_ids  # see module-level docstring: own-pin
+    # tracking must be per-DataFrame, never a global getPersistentRDDs diff
 
     def _free(rdd_ids: set[int]) -> None:
         # superseded local checkpoints otherwise stay pinned in executor
@@ -184,13 +203,12 @@ def connected_components(
                 compacted.count()
                 edges.unpersist()
                 edges = compacted
-        before = _persistent_ids()
         labels = _pin(
             edges.select(F.col("u").alias("node"))
             .distinct()
             .withColumn("comp", F.col("node"))
         )
-        label_ids = _persistent_ids() - before
+        label_ids = _pinned_ids(labels)
         for rounds in range(1, max_rounds + 1):
             nbr_min = (
                 edges.join(labels, edges["v"] == labels["node"])
@@ -226,13 +244,12 @@ def connected_components(
                 )
             else:
                 jumped = propagated
-            before = _persistent_ids()
             new_labels = _pin(
                 jumped.select(
                     "node", "comp", (F.col("comp") != F.col("__old")).alias("__changed")
                 )
             )
-            new_ids = _persistent_ids() - before
+            new_ids = _pinned_ids(new_labels)
             changed = new_labels.filter(F.col("__changed")).limit(1).count()
             _free(label_ids)  # the superseded round; changed-check is done with it
             label_ids = new_ids

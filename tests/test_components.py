@@ -998,3 +998,49 @@ def test_distance_ops_match_python_reference_on_seeded_random_graphs(spark):
         )
         want_cost = py_shortest(edge_list, seeds, horizon, unit=False)
         assert got_cost == want_cost, (seed, "cost", horizon)
+
+
+def test_cc_round_pin_bookkeeping_is_per_dataframe_not_global(spark):
+    """Regression for the round-15 gate race: connected_components frees
+    its superseded round pins by the EXACT RDD id of its own checkpoint
+    (operators.components.checkpointed_rdd_ids), never by diffing the
+    session-global getPersistentRDDs() set — the diff attributed a
+    concurrent thread's lazy localCheckpoint to the loop and unpersisted
+    it, resetting the victim's storage level to NONE so its later
+    materialization died with "Storage level ... is not appropriate for
+    local checkpointing".
+
+    Two assertions: (1) checkpointed_rdd_ids returns exactly the
+    persisted internal RDD id; (2) a CC run racing a lazy-localCheckpoint
+    chain in another thread leaves the chain materializable."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kafka_workers_spark.operators.components import checkpointed_rdd_ids
+
+    pinned = spark.range(100).selectExpr("id", "id % 7 as k").localCheckpoint(eager=True)
+    ids = checkpointed_rdd_ids(pinned)
+    live = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()  # noqa: SLF001
+    }
+    assert len(ids) == 1 and ids <= live, (ids, live)
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "doc_a long, doc_b long"
+    )
+
+    def run_cc():
+        return connected_components(edges).count()
+
+    def lazy_chain():
+        # bpe_train_plan's shape: mark lazily mid-race, materialize after
+        df = spark.range(200).selectExpr("id", "id * 2 as x")
+        for _ in range(3):
+            df = df.selectExpr("id", "x + 1 as x").localCheckpoint(eager=False)
+        return df.count()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cc_fut = pool.submit(run_cc)
+        chain_fut = pool.submit(lazy_chain)
+        assert cc_fut.result() > 0
+        assert chain_fut.result() == 200  # raised pre-fix when the race hit
