@@ -818,20 +818,41 @@ def set_similarity_pairs(
     alpha = F.expr(
         f"({num} * (__na + __nb) + {num} + {den} - 1) DIV ({num} + {den})"
     )
+    # The pair-keyed repartition before the dedup is a PARALLELISM pin,
+    # not a semantic step (round-15 optimization, guide §2.5/§2.6): the
+    # prefix frame reaching the candidate join is tiny (~3.5 MiB at
+    # sf0.1), so AQE coalesces its shuffle to a handful of partitions —
+    # and because the join fans out in-stage and hash(__ida) alone is a
+    # SUBSET of the dedup keys, the dedup aggregate, both verify joins
+    # (broadcast) and the array_intersect all inherit that starved
+    # partitioning: the heavy verify ran at ~3-way parallelism on 32
+    # cores (measured 12.0 s; 4.6-5.9 s with the pin — and repartitioning
+    # by __ida alone does NOT fix it: near-dup clusters make single docs
+    # hot keys, so pair-key hashing is also the skew-correct spread).
+    # The explicit numPartitions (session shuffle partitions, the
+    # barrier() convention) is AQE-uncoalescible by design and scales
+    # with the deployment's session setting.
     cand = (
-        a.join(b, "__t")
-        .filter(
-            (F.col("__ida") < F.col("__idb"))
-            & (
-                F.lit(den) * F.least("__na", "__nb")
-                >= F.lit(num) * F.greatest("__na", "__nb")
+        barrier(
+            a.join(b, "__t")
+            .filter(
+                (F.col("__ida") < F.col("__idb"))
+                & (
+                    F.lit(den) * F.least("__na", "__nb")
+                    >= F.lit(num) * F.greatest("__na", "__nb")
+                )
+                & (
+                    1
+                    + F.least(
+                        F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+                    )
+                    >= alpha
+                )
             )
-            & (
-                1 + F.least(F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb"))
-                >= alpha
-            )
+            .select("__ida", "__idb"),
+            "__ida",
+            "__idb",
         )
-        .select("__ida", "__idb")
         .dropDuplicates(["__ida", "__idb"])
     )
     sets = df.select(
