@@ -389,17 +389,40 @@ def _survivors_after_verify(
     rule — greedy (any id verified-similar to a lower id loses) or exact
     transitive groups via connected components (EAGER, see
     operators/components.py)."""
-    from kafka_workers_spark.operators.dedup import dot_fixed_fast
+    from kafka_workers_spark.operators.dedup import barrier, dot_fixed_fast
 
     vecs = df.select(
         F.col(id_col).alias("__vid"), embedding_fixed(F.col(vec_col)).alias("v6")
     )
     norms = norms_fixed(explode_fixed(vecs, ["__vid"]), ["__vid"])
+    # Round-15 optimization (guide §2.5/§3): the candidate table arrives
+    # partitioned by the BLOCKING key (list_id / band key) — a handful of
+    # distinct values with quadratic per-key pair counts, so every verify
+    # join, the Arrow dot and the survivor distinct would run at ≤k-way
+    # parallelism with the largest block as a straggler. Repartitioning by
+    # the pair key spreads the quadratic stage uniformly and scales with
+    # the session's shuffle-partition setting. Vector and norm ride ONE
+    # frame per side (2 broadcast joins instead of 4 — half the join
+    # stages on the pair table).
+    vn = vecs.join(norms, "__vid")
     enriched = (
-        cand.join(vecs.withColumnRenamed("__vid", "id_a").withColumnRenamed("v6", "va"), "id_a")
-        .join(vecs.withColumnRenamed("__vid", "id_b").withColumnRenamed("v6", "vb"), "id_b")
-        .join(norms.withColumnRenamed("__vid", "id_a").withColumnRenamed("norm6", "na"), "id_a")
-        .join(norms.withColumnRenamed("__vid", "id_b").withColumnRenamed("norm6", "nb"), "id_b")
+        barrier(cand, "id_a", "id_b")
+        .join(
+            vn.select(
+                F.col("__vid").alias("id_a"),
+                F.col("v6").alias("va"),
+                F.col("norm6").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vn.select(
+                F.col("__vid").alias("id_b"),
+                F.col("v6").alias("vb"),
+                F.col("norm6").alias("nb"),
+            ),
+            "id_b",
+        )
     )
     verified = enriched.withColumn(
         "cosine", cosine_from_fixed(dot_fixed_fast(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
