@@ -81,29 +81,111 @@ def kmeans_fixed(
     Returns ``(cents, assign)``: ``(list_id, i, c6)`` integer centroids
     and ``(id_col, list_id)`` assignments.
 
-    Scale shape: each Lloyd pass is one broadcast join (k·dim centroid
-    rows) + codegen hash agg over the TRAINING set — pass ``train`` (a
-    filtered subset of ``exploded``, e.g. a deterministic id-mod sample)
-    so training touches a fraction of the corpus (standard practice);
-    only the single final assignment pass reads every vector. At 100 TB,
-    assign once at ingest instead; see :func:`train_ivf`'s docstring.
+    Scale shape (round-15 optimization): vectors collapse ONCE to wide
+    arrays (one shuffle), centroids ride a one-row collected array
+    broadcast-cross-joined against them, and nearest-centroid assignment
+    is then a pure MAP pass (k·dim integer ops per row, zero shuffles —
+    the old long-format shape shuffled the training set twice per
+    assignment). Each Lloyd pass costs exactly ONE corpus-wide shuffle
+    (the (list, dim) mean aggregate; the old shape paid four). Dims must
+    be DENSE per id (0..dim−1 — what :func:`~kafka_workers_spark.
+    operators.dedup.explode_fixed` and ``hashed_doc_vectors`` emit); a
+    doc/centroid width mismatch raises in-plan rather than silently
+    skipping dims. Pass ``train`` (a filtered subset of ``exploded``,
+    e.g. a deterministic id-mod sample) so training touches a fraction
+    of the corpus (standard practice); only the single final assignment
+    pass reads every vector. At 100 TB, assign once at ingest instead;
+    see :func:`train_ivf`'s docstring.
     """
     train = exploded if train is None else train
+
+    def widen(df: DataFrame) -> DataFrame:
+        # (id, i, x) → (id, xs): array_sort on (i, x) structs orders by
+        # the unique dim index, so xs[j] is dim j exactly
+        return (
+            df.groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(F.struct("i", "x"))).alias("__sx"))
+            .select(id_col, F.col("__sx.x").alias("__xs"))
+        )
+
+    def dist(xs, cs):
+        # exact integer squared L2; width mismatch (sparse input) fails
+        # loudly instead of silently dropping dims
+        return F.when(
+            F.size(xs) == F.size(cs),
+            F.aggregate(
+                F.zip_with(xs, cs, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        ).otherwise(
+            F.raise_error(
+                F.lit("kmeans_fixed: vector/centroid width mismatch — dims must be dense")
+            ).cast("long")
+        )
+
+    def one_row_cents(cents_wide: DataFrame) -> DataFrame:
+        # all centroids as ONE collected row (k·dim values — tiny) for
+        # the broadcast cross join; collect_list order is irrelevant
+        # because the argmin is an array_min over (d, list_id) structs
+        return cents_wide.groupBy().agg(
+            F.collect_list(F.struct("list_id", "__cs")).alias("__cents")
+        )
+
+    def assign_wide(wide: DataFrame, cents_row: DataFrame) -> DataFrame:
+        # nearest centroid as a map-side expression: min over
+        # (d, list_id) structs == exact integer argmin with ties to the
+        # lowest list_id — the same total order the long shape's
+        # min(struct(d, list_id)) aggregate used
+        best = F.array_min(
+            F.transform(
+                F.col("__cents"),
+                lambda c: F.struct(
+                    dist(F.col("__xs"), c["__cs"]).alias("d"),
+                    c["list_id"].alias("list_id"),
+                ),
+            )
+        )["list_id"]
+        # the filter drops rows only when the centroid set is EMPTY
+        # (array_min over no centroids → NULL) — the old join-based
+        # assignment produced zero rows there too
+        return (
+            wide.crossJoin(F.broadcast(cents_row))
+            .select(id_col, "__xs", best.alias("list_id"))
+            .filter(F.col("list_id").isNotNull())
+        )
+
+    wide_train = widen(train)
     seeds = train.select(id_col).distinct().orderBy(id_col).limit(k)
+    cents_row = one_row_cents(
+        wide_train.join(F.broadcast(seeds), id_col).select(
+            F.col(id_col).alias("list_id"), F.col("__xs").alias("__cs")
+        )
+    )
+    # long-format seed centroids — the returned frame when iters == 0
     cents = train.join(F.broadcast(seeds), id_col).select(
         F.col(id_col).alias("list_id"), "i", F.col("x").alias("c6")
     )
     for _ in range(iters):
-        assign = _assign_nearest(train, cents, id_col)
+        assigned = assign_wide(wide_train, cents_row)
         # floor-divided integer mean: (S - pmod(S, c)) DIV c is exact —
         # pmod keeps the remainder non-negative so the floor semantics
-        # match DuckDB's // on negative sums too
+        # match DuckDB's // on negative sums too. ONE shuffle: the
+        # assignment is in-row, so only this (list, dim) aggregate moves
+        # data — same multiset of (x) per (list, i) as the old
+        # join-then-aggregate, so c6 replays bit-for-bit.
         cents = (
-            train.join(assign, id_col)
+            assigned.select("list_id", F.posexplode("__xs").alias("i", "x"))
             .groupBy("list_id", "i")
             .agg(F.expr("(sum(x) - pmod(sum(x), count(*))) DIV count(*)").alias("c6"))
         )
-    return cents, _assign_nearest(exploded, cents, id_col)
+        cents_row = one_row_cents(
+            cents.groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c6"))).alias("__sc"))
+            .select("list_id", F.col("__sc.c6").alias("__cs"))
+        )
+    assign = assign_wide(widen(exploded), cents_row).select(id_col, "list_id")
+    return cents, assign
 
 
 def _assign_nearest(exploded: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
