@@ -272,15 +272,23 @@ def simhash_agg(df: DataFrame, id_cols: list[str], toks_col: str = "toks", out: 
     the tokens). Array higher-order functions are interpreted in Spark —
     a nested aggregate-over-tokens expression is O(bits × tokens)
     interpreted lambda calls per row; the relational shape keeps the md5
-    and bit math inside whole-stage codegen.
+    and bit math inside whole-stage codegen. The per-token hash is
+    HOISTED into its own projection below the aggregate (round-15):
+    embedding it in each of the 32 SUM expressions copies the md5 tree
+    32× into the aggregate (best-effort codegen CSE mostly saves the
+    runtime, but the 32-copy codegen unit alone cost ~3.5 s of first-run
+    JIT at sf0.1 — 4.6 s → 1.1 s cold, identical signatures); the
+    optimizer keeps the hoisted alias as a separate project (verified:
+    one md5 in the optimized plan).
     """
     exploded = df.select(*id_cols, F.explode_outer(F.col(toks_col)).alias("__tok"))
     h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("long")
+    hoisted = exploded.select(*id_cols, h.alias("__h"))
     bit_sums = [
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__b{b}")
+        F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__b{b}")
         for b in range(SIMHASH_BITS)
     ]
-    agg = exploded.groupBy(*id_cols).agg(*bit_sums)
+    agg = hoisted.groupBy(*id_cols).agg(*bit_sums)
     sim = None
     for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))

@@ -431,6 +431,14 @@ def media_near_dup(
     sigs = agg.select(
         id_col, _phash_from_cells(F.col("__n"), F.col("__cells")).alias("phash")
     )
+    # persist the computed fingerprints so the band self-join reads the
+    # DECODED signatures on both sides rather than re-running the cell
+    # tree per side (the frame_dedup_pairs rationale: runtime exchange
+    # reuse only shares the pre-decode hex barrier; digests-only cache,
+    # (id, phash) = 16 bytes per row)
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     bands = sigs.select(
         id_col, "phash", F.explode(simhash_bands(F.col("phash"))).alias("bk")
     ).select(
@@ -577,7 +585,7 @@ def frame_dedup_pairs(
     never fan out into pairs, and pair cost is Sigma bucket^2, never n^2."""
     from fractions import Fraction
 
-    from kafka_workers_spark.operators.dedup import hamming32, simhash_bands
+    from kafka_workers_spark.operators.dedup import barrier, hamming32, simhash_bands
 
     if frame_len < 1:
         raise ValueError(f"frame_len must be >= 1, got {frame_len}")
@@ -593,6 +601,22 @@ def frame_dedup_pairs(
     frac = Fraction(min_match_frac).limit_denominator(1_000_000)
 
     sigs = _frame_signatures(media, frame_len, every_nth, payload_col, id_col)
+    # Persist the COMPUTED signatures before the band self-join
+    # (round-15): AQE's runtime exchange reuse only shares the deepest
+    # common exchange between the two join sides — the pre-decode hex
+    # barrier — so the whole per-frame fingerprint tree ran once PER
+    # SIDE (measured 2× the fingerprint cost, ~8 s vs ~4.4 s at sf0.1).
+    # Re-shuffling the signatures cannot fix it: the second exchange
+    # pair never canonicalizes equal once one side holds the first
+    # ReusedExchange (nested reuse doesn't fire), and a bare repartition
+    # additionally re-substitutes the signature tree below the exchange
+    # (the 165 s trap — measured 18 s here). The pin is digests only —
+    # (id, frame_no, nf, ph), 32 bytes per sampled frame, payloads
+    # never — so the cache is corpus-count-sized, spills to disk
+    # gracefully, and the decode runs exactly once at any scale.
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     bands = sigs.select(
         id_col,
         "frame_no",
