@@ -760,11 +760,18 @@ def tfidf_topk(
         docs, id_col=id_col, text_col=text_col,
         min_df=min_df, max_df_fraction=max_df_fraction, n_docs=n_docs,
     )
+    from pyspark.storagelevel import StorageLevel
+
     from kafka_workers_spark.operators.dedup import barrier
 
-    # the weighted long format feeds norms AND the dot join — pin the
-    # exchange so tf/df aggregation runs once (rule 3)
-    w = barrier(w, id_col)
+    # the weighted long format feeds norms (twice: query + candidate
+    # side), the broadcast query slice AND the dot join — the barrier
+    # exchange alone left the chain re-derived for the consumers AQE's
+    # one-level runtime reuse cannot reach (nested exchanges never
+    # canonicalize equal once one side holds a ReusedExchange), so the
+    # tiny (id, term, w6) frame persists too: tf/df aggregation runs
+    # once (measured −0.6 s of the 2.4 s row at sf0.1)
+    w = barrier(w, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     from kafka_workers_spark.operators.similarity import _query_id_filter
 
     norms = w.groupBy(id_col).agg(F.sum(F.col("w6") * F.col("w6")).alias("norm6"))
@@ -889,9 +896,17 @@ def bm25_index(docs, id_col: str = "doc_id", text_col: str = "text") -> Bm25Inde
     """Build the stored index from a corpus — one tokenization pass
     (term_frequencies), three aggregates. Lazy: persist/write the frames
     to make it a real stored index."""
+    from pyspark.storagelevel import StorageLevel
+
     from kafka_workers_spark.operators.dedup import barrier
 
-    tf = barrier(term_frequencies(docs, id_col=id_col, text_col=text_col), id_col)
+    # postings feed dl, df, stats AND every search's scoring join; the
+    # persist keeps the one tokenization pass honest where the barrier
+    # exchange alone is re-derived past AQE's one-level runtime reuse
+    # (measured −0.9 s on the merged-index search row at sf0.1)
+    tf = barrier(
+        term_frequencies(docs, id_col=id_col, text_col=text_col), id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dl = tf.groupBy(id_col).agg(F.sum("__tf").cast("bigint").alias("__dl"))
     df_t = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("__df"))
     stats = dl.groupBy().agg(
@@ -1083,7 +1098,12 @@ def bm25_topk_indexed(
             F.col("__tf"),
         )
     )
-    w = barrier(w, id_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # the per-(doc, term) weight frame feeds the broadcast query slice
+    # and the scoring join — persisted for the same nested-reuse reason
+    # as tfidf_topk's weight pin
+    w = barrier(w, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     q = _query_id_filter(w, id_col, query_ids).select(
         F.col(id_col).alias("query_id"), "term", F.col("__tf").alias("__qtf")
     )
@@ -1251,7 +1271,11 @@ def bigram_lm_score(
 
     ref = transitions(ref_docs if ref_docs is not None else docs)
     cb = ref.groupBy("__prev", "__cur").agg(F.count("*").alias("__cb"))
-    cb = barrier(cb, "__prev")  # feeds cc, V, and the scoring join once
+    from pyspark.storagelevel import StorageLevel
+
+    # feeds cc, V, and the scoring join once — persisted because the
+    # three consumers sit past AQE's one-level exchange reuse
+    cb = barrier(cb, "__prev").persist(StorageLevel.MEMORY_AND_DISK)
     cc = cb.groupBy("__prev").agg(F.sum("__cb").alias("__cc"))
     if vocab_size is not None:
         v_col = F.lit(int(vocab_size)).cast("bigint")
@@ -1368,7 +1392,12 @@ def kneser_ney_score(
     s = KN_SCALE
     ref = transition_pairs(ref_docs if ref_docs is not None else docs, id_col, text_col)
     cb = ref.groupBy("__prev", "__cur").agg(F.count("*").alias("__cb"))
-    cb = barrier(cb, "__prev")  # feeds ctx, cont, T, and the scoring join once
+    from pyspark.storagelevel import StorageLevel
+
+    # feeds ctx, cont, T, and the scoring join once — persisted because
+    # the four consumers sit past AQE's one-level exchange reuse
+    # (measured −0.7 s of the 3.1 s row at sf0.1)
+    cb = barrier(cb, "__prev").persist(StorageLevel.MEMORY_AND_DISK)
     ctx = cb.groupBy("__prev").agg(
         F.sum("__cb").alias("__c1"), F.count("*").alias("__fwd")
     )
