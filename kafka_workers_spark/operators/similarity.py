@@ -949,16 +949,80 @@ def pq_train(
     cents = tcomp.join(F.broadcast(seeds), id_col).select(
         "sub", F.col("__code").alias("code"), "j", F.col("x").alias("c6")
     )
+
+    # Wide-format Lloyd passes (round-15, the kmeans_fixed shape): each
+    # (vector, subspace) collapses once to a dense dsub-array, all m·k
+    # codebook rows ride ONE collected row broadcast-cross-joined
+    # against them, and nearest-codeword assignment is a pure map
+    # expression — so each pass costs exactly one corpus-wide shuffle
+    # (the (sub, code, j) mean) where the long shape paid four.
+    # Arithmetic is identical: exact integer squared L2 in
+    # zip_with/aggregate, argmin as array_min over (d, code) structs ==
+    # the old min-struct lowest-code tie-break, and the mean aggregates
+    # the same (x) multiset per (sub, code, j).
+    def widen(c: DataFrame) -> DataFrame:
+        return (
+            c.groupBy(id_col, "sub")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "x"))).alias("__sx"))
+            .select(id_col, "sub", F.col("__sx.x").alias("__xs"))
+        )
+
+    def dist(xs, cs):
+        return F.when(
+            F.size(xs) == F.size(cs),
+            F.aggregate(
+                F.zip_with(xs, cs, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        ).otherwise(
+            F.raise_error(
+                F.lit("pq_train: subvector/codeword width mismatch — dims must be dense")
+            ).cast("long")
+        )
+
+    def cents_row_of(cents_long: DataFrame) -> DataFrame:
+        return (
+            cents_long.groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "c6"))).alias("__sc"))
+            .select("sub", "code", F.col("__sc.c6").alias("__cs"))
+            .groupBy()
+            .agg(F.collect_list(F.struct("sub", "code", "__cs")).alias("__cb"))
+        )
+
+    def assign_wide(wide: DataFrame, cents_row: DataFrame) -> DataFrame:
+        mine = F.filter(F.col("__cb"), lambda c: c["sub"] == F.col("sub"))
+        best = F.array_min(
+            F.transform(
+                mine,
+                lambda c: F.struct(
+                    dist(F.col("__xs"), c["__cs"]).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )["code"]
+        # NULL only when the codebook is empty — the old join-based
+        # assignment produced zero rows there too
+        return (
+            wide.crossJoin(F.broadcast(cents_row))
+            .select(id_col, "sub", "__xs", best.alias("code"))
+            .filter(F.col("code").isNotNull())
+        )
+
+    wide_t = widen(tcomp)
+    cents_row = cents_row_of(cents)
     for _ in range(iters):
-        assign = _assign_pq(tcomp, cents, id_col)
+        assigned = assign_wide(wide_t, cents_row)
         # floor-divided integer mean — same pmod trick as kmeans_fixed so
         # negative sums floor identically to DuckDB's //
         cents = (
-            tcomp.join(assign, [id_col, "sub"])
+            assigned.select("sub", "code", F.posexplode("__xs").alias("j", "x"))
             .groupBy("sub", "code", "j")
             .agg(F.expr("(sum(x) - pmod(sum(x), count(*))) DIV count(*)").alias("c6"))
         )
-    return cents, _assign_pq(comp, cents, id_col)
+        cents_row = cents_row_of(cents)
+    codes = assign_wide(widen(comp), cents_row).select(id_col, "sub", "code")
+    return cents, codes
 
 
 def pq_adc_topk(
