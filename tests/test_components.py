@@ -72,6 +72,18 @@ def test_components_random_graphs(spark):
     _check(spark, edges)
 
 
+def test_components_empty_and_negative_ids(spark):
+    """Edge cases of the round-15 sum-equality convergence: an EMPTY pair
+    set must converge to an empty labeling (the coalesced 0-sum repeats
+    immediately — no infinite loop, no raise), and NEGATIVE node ids
+    (hash-derived id spaces) must resolve exactly — the label sum is
+    strictly decreasing until the fixed point for any sign, which is the
+    property the convergence check rides."""
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).collect() == []
+    _check(spark, [(-5, -3), (-3, 7), (2, -9), (100, 101)])
+
+
 def test_dedup_groups_bridging_doc_merges_clusters(spark):
     """The exact-resolution property the greedy rule lacks: doc 3 bridging
     {1,3} and {3,5} yields ONE group with canonical 1 — nothing deleted

@@ -111,6 +111,25 @@ def test_registered_ivf_trains_its_own_quantizer(spark):
     assert rec > 0.2, f"trained quantizer recall collapsed: {rec}"
 
 
+def test_kmeans_fixed_sparse_input_raises_not_skips(spark):
+    """The round-15 wide-format Lloyd loop requires DENSE dims per id;
+    a ragged long-format input (missing dims) must fail loudly via the
+    in-plan width guard instead of silently skipping dimensions (the old
+    join-on-dim shape quietly computed distances over the intersection)."""
+    import pytest
+
+    from kafka_workers_spark.operators.similarity import kmeans_fixed
+
+    ragged = spark.createDataFrame(
+        # vec 1 has dims {0,1}; vec 2 only dim {0} — ragged
+        [(1, 0, 5), (1, 1, 7), (2, 0, 9)],
+        "vec_id long, i int, x long",
+    )
+    _, assign = kmeans_fixed(ragged, k=1, iters=1)
+    with pytest.raises(Exception, match="width mismatch"):
+        assign.collect()
+
+
 def test_kmeans_fixed_deterministic_and_total(spark):
     """Same input -> identical centroids and assignments (pure integer
     arithmetic, no seed even needed); every vector gets exactly one list."""
