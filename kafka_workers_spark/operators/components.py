@@ -189,9 +189,18 @@ def connected_components(
     # needed to mix a node's own label back in. They derive from the
     # CACHED symmetrized frame — unioning extra branches of the raw pair
     # source instead re-scans the (expensive) pair generator (measured
-    # +40% on the edge materialization at sf0.1).
+    # +40% on the edge materialization at sf0.1). Input self-pairs
+    # (src == dst) are dropped from the edge branch BEFORE the union —
+    # the selfloops branch re-adds exactly one (u, u) per node, so such
+    # input never yields duplicate edge/initial-label rows (the node set
+    # still includes self-pair-only nodes: selfloops read sym's
+    # unfiltered endpoints).
     selfloops = sym.select("u").distinct().select("u", F.col("u").alias("v"))
-    edges = sym.unionByName(selfloops).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = (
+        sym.filter(F.col("u") != F.col("v"))
+        .unionByName(selfloops)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     spark = pairs.sparkSession
     restore_parts: str | None = None
     label_ids: set[int] = set()
@@ -205,6 +214,13 @@ def connected_components(
             # materializes the persisted edge list, so round 1 starts
             # warm — the count is not an extra pass
             n_edges = edges.count()
+            # sym's only consumers are the two union branches, fully
+            # served now that edges is materialized — release it here so
+            # the loop holds ONE cached edge list, not two (at 10⁹ edges
+            # the doubled footprint would evict other state for the
+            # whole iteration); the finally's unpersist stays as the
+            # failure-path cleanup
+            sym.unpersist()
             session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
             if loop_shuffle_partitions == "auto":
                 p = max(1, min(session_parts, -(-n_edges // 1_000_000)))

@@ -585,7 +585,7 @@ def frame_dedup_pairs(
     never fan out into pairs, and pair cost is Sigma bucket^2, never n^2."""
     from fractions import Fraction
 
-    from kafka_workers_spark.operators.dedup import barrier, hamming32, simhash_bands
+    from kafka_workers_spark.operators.dedup import hamming32, simhash_bands
 
     if frame_len < 1:
         raise ValueError(f"frame_len must be >= 1, got {frame_len}")

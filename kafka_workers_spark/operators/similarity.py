@@ -100,29 +100,10 @@ def kmeans_fixed(
     train = exploded if train is None else train
 
     def widen(df: DataFrame) -> DataFrame:
-        # (id, i, x) → (id, xs): array_sort on (i, x) structs orders by
-        # the unique dim index, so xs[j] is dim j exactly
-        return (
-            df.groupBy(id_col)
-            .agg(F.array_sort(F.collect_list(F.struct("i", "x"))).alias("__sx"))
-            .select(id_col, F.col("__sx.x").alias("__xs"))
-        )
+        return _widen_dense(df, [id_col], "i", "x", "kmeans_fixed")
 
     def dist(xs, cs):
-        # exact integer squared L2; width mismatch (sparse input) fails
-        # loudly instead of silently dropping dims
-        return F.when(
-            F.size(xs) == F.size(cs),
-            F.aggregate(
-                F.zip_with(xs, cs, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        ).otherwise(
-            F.raise_error(
-                F.lit("kmeans_fixed: vector/centroid width mismatch — dims must be dense")
-            ).cast("long")
-        )
+        return _sq_dist_dense(xs, cs, "kmeans_fixed")
 
     def one_row_cents(cents_wide: DataFrame) -> DataFrame:
         # all centroids as ONE collected row (k·dim values — tiny) for
@@ -186,6 +167,56 @@ def kmeans_fixed(
         )
     assign = assign_wide(widen(exploded), cents_row).select(id_col, "list_id")
     return cents, assign
+
+
+def _widen_dense(
+    df: DataFrame, key_cols: list[str], idx_col: str, val_col: str, op: str
+) -> DataFrame:
+    """Collapse a long-format ``(keys…, idx, val)`` frame to one dense
+    array per key group — the wide-format Lloyd loops' input shape.
+    ``array_sort`` on (idx, val) structs orders by the dim index, and the
+    sorted index list is verified IN-PLAN to be exactly 0..n−1: a ragged
+    group (missing or duplicate dim indices) raises instead of silently
+    relabeling dims by position (equal-width ragged inputs would
+    otherwise misalign — caught by review, pinned in
+    tests/test_similarity.py)."""
+    agged = df.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_list(F.struct(idx_col, val_col))).alias("__sx")
+    )
+    dense = F.col("__sx").getField(idx_col).cast("array<int>") == F.sequence(
+        F.lit(0), F.size("__sx") - 1
+    )
+    return agged.select(
+        *key_cols,
+        F.when(dense, F.col("__sx").getField(val_col))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"{op}: width mismatch — dim indices must be dense 0..n-1 "
+                    "per id (missing or duplicate dims)"
+                )
+            ).cast("array<bigint>")
+        )
+        .alias("__xs"),
+    )
+
+
+def _sq_dist_dense(xs, cs, op: str):
+    """Exact integer squared L2 over two dense arrays; a width mismatch
+    (vector vs centroid trained at a different dimensionality) fails
+    loudly instead of silently dropping dims."""
+    return F.when(
+        F.size(xs) == F.size(cs),
+        F.aggregate(
+            F.zip_with(xs, cs, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"{op}: vector/centroid width mismatch — dims must be dense")
+        ).cast("long")
+    )
 
 
 def _assign_nearest(exploded: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
@@ -961,25 +992,10 @@ def pq_train(
     # the old min-struct lowest-code tie-break, and the mean aggregates
     # the same (x) multiset per (sub, code, j).
     def widen(c: DataFrame) -> DataFrame:
-        return (
-            c.groupBy(id_col, "sub")
-            .agg(F.array_sort(F.collect_list(F.struct("j", "x"))).alias("__sx"))
-            .select(id_col, "sub", F.col("__sx.x").alias("__xs"))
-        )
+        return _widen_dense(c, [id_col, "sub"], "j", "x", "pq_train")
 
     def dist(xs, cs):
-        return F.when(
-            F.size(xs) == F.size(cs),
-            F.aggregate(
-                F.zip_with(xs, cs, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        ).otherwise(
-            F.raise_error(
-                F.lit("pq_train: subvector/codeword width mismatch — dims must be dense")
-            ).cast("long")
-        )
+        return _sq_dist_dense(xs, cs, "pq_train")
 
     def cents_row_of(cents_long: DataFrame) -> DataFrame:
         return (

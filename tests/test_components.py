@@ -82,6 +82,11 @@ def test_components_empty_and_negative_ids(spark):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(empty).collect() == []
     _check(spark, [(-5, -3), (-3, 7), (2, -9), (100, 101)])
+    # input self-pairs: never duplicate edge/label rows, and a node
+    # appearing ONLY in a self-pair is still returned as its own group
+    selfp = spark.createDataFrame([(3, 3), (1, 2)], "doc_a long, doc_b long")
+    got = {r.node: r.comp for r in connected_components(selfp).collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
 
 
 def test_dedup_groups_bridging_doc_merges_clusters(spark):

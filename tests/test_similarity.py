@@ -121,13 +121,23 @@ def test_kmeans_fixed_sparse_input_raises_not_skips(spark):
     from kafka_workers_spark.operators.similarity import kmeans_fixed
 
     ragged = spark.createDataFrame(
-        # vec 1 has dims {0,1}; vec 2 only dim {0} — ragged
+        # vec 1 has dims {0,1}; vec 2 only dim {0} — ragged widths
         [(1, 0, 5), (1, 1, 7), (2, 0, 9)],
         "vec_id long, i int, x long",
     )
     _, assign = kmeans_fixed(ragged, k=1, iters=1)
     with pytest.raises(Exception, match="width mismatch"):
         assign.collect()
+    # EQUAL-width ragged (the subtle case): vec 2 has dims {1, 2} — same
+    # width as the dense vec 1, so a size check alone would silently
+    # relabel its dims by position; the in-plan density guard must raise
+    shifted = spark.createDataFrame(
+        [(1, 0, 5), (1, 1, 7), (2, 1, 9), (2, 2, 100)],
+        "vec_id long, i int, x long",
+    )
+    _, assign2 = kmeans_fixed(shifted, k=1, iters=1)
+    with pytest.raises(Exception, match="width mismatch"):
+        assign2.collect()
 
 
 def test_kmeans_fixed_deterministic_and_total(spark):
