@@ -12,23 +12,29 @@ The reference has no content operators at all (payloads are opaque bytes,
 api/task/WorkerTask.java:50); this is part of the engine's training-data
 surface.
 
-Algorithm: iterative min-label propagation with POINTER JUMPING — each
-round every node takes the minimum label among itself and its neighbors,
-then additionally adopts its label's own label (``comp ← comp[comp]``).
-Plain propagation advances the min-label wavefront one edge hop per
-round, so rounds = O(component diameter); the jump step moves each label
-one extra POINTER hop toward the component minimum per round. On chain
-topologies the pointers align with the path and compress log-style
-(measured, scripts/stress_dedup.py --cc: depth-40 chains converge in 6
-rounds jumped vs 41 plain, 7.0s vs 13.0s wall); on irregular near-dup
-graphs the pointer targets are not always ahead of the wavefront, so the
-gain is a constant factor (sf0.1's 641-node depth-17 component: 18
-rounds plain → 13 jumped). Worst case stays O(diameter) — the
-GUARANTEED O(log n) bounds (hash-to-min, Rastogi et al. ICDE'13;
-large-star/small-star, Kiveris et al. SoCC'14) require rewriting the
-EDGE set each round, a corpus-sized shuffle this operator deliberately
-avoids: edges are computed once and only the two-longs-per-node label
-frame iterates.
+Algorithm: iterative min-label propagation with LABEL SHORTCUTS (r16
+rewrite of the round-15 pointer jump): each step every node takes the
+minimum label over its edge neighborhood N(u) ∪ {u} UNION two
+label-derived shortcut edges — (u → comp(u)), which delivers
+label(comp(u)) (the classic pointer jump comp ← comp[comp], now inside
+the same join instead of a second self-join), and (comp(u) → u), the
+GATHER direction of hash-to-min (Rastogi et al. ICDE'13): a label
+target learns the min of everyone pointing at it. Shortcut labels are
+always member ids of the node's own component, so the invariants below
+are untouched. Plain propagation advances the min-label wavefront one
+edge hop per step, so steps = O(component diameter); the shortcuts make
+it a constant factor less on irregular near-dup graphs (sf0.1's
+641-node depth-17 component: 18 steps plain → 14 shortcut) and
+log-style on chains. Worst case stays O(diameter) — the GUARANTEED
+O(log n) bounds (hash-to-min set variant; large-star/small-star,
+Kiveris et al. SoCC'14) require rewriting the EDGE set each round, a
+corpus-sized shuffle this operator deliberately avoids: edges are
+computed once and only the two-longs-per-node label frame iterates.
+Each ROUND (checkpoint + one convergence action) batches TWO steps —
+the per-round action is a driver round-trip locally and a full cluster
+barrier at scale, and batching halved the action count (14 → 8 at
+sf0.1) at neutral-to-better local wall (the A/B table at
+``_CC_STEPS_PER_ACTION``).
 Near-dup graphs are dense clusters with 2-4 hop diameters, so the
 edge-rewriting constant factor would never amortize; a pathological
 50+-hop chain hits ``max_rounds`` and raises rather than silently
@@ -72,6 +78,36 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetrized distinct adjacency ``(__s, __d)`` built in ONE pass
+    over ``edges``: each input row explodes into its two directed rows
+    instead of unioning two selects of the source frame. The union shape
+    materializes the (often expensive) edge producer once per branch —
+    AQE's runtime exchange reuse only shares the deepest common exchange,
+    so a pair generator or a multi-table join above it runs twice
+    (measured: the round-15 report recorded +40% on CC edge
+    materialization per extra union branch of the raw pair source; the
+    r16 A/B on the rebuild row confirms the explode form removes it).
+    Self-loops and rows with a NULL endpoint are dropped (a NULL id is
+    not a node; the old union shape dropped such rows from the edge set
+    too, but could leak a singleton label through the self-loop branch —
+    now the semantics are uniform and documented).
+    Guide §2.4 (remove shuffles/passes outright)."""
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("__s"), F.col(dst).alias("__d")),
+            F.struct(F.col(dst).alias("__s"), F.col(src).alias("__d")),
+        )
+    ).alias("__e")
+    return (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(both)
+        .select("__e.__s", "__e.__d")
+        .filter(F.col("__s") != F.col("__d"))
+        .distinct()
+    )
+
+
 def checkpointed_rdd_ids(df: DataFrame) -> set[int]:
     """The id of the internal RDD a just-returned ``checkpoint()`` /
     ``localCheckpoint()`` Dataset persisted, read off its LogicalRDD.
@@ -92,6 +128,26 @@ def checkpointed_rdd_ids(df: DataFrame) -> set[int]:
         return {int(df._jdf.queryExecution().analyzed().rdd().id())}  # noqa: SLF001
     except Exception:  # noqa: BLE001 — best-effort bookkeeping only
         return set()
+
+
+#: Internal knobs for the CC loop, A/B'd in r16 (scripts/probe_r16.py
+#: cc_ab, interleaved same-session reps, identical label checksums): how
+#: many propagate steps each action batches, and whether the batched
+#: intermediate is lazily checkpointed so its three downstream references
+#: share one materialization instead of re-running the step's join+agg
+#: per reference. Measured at sf0.1 (min/med of 3):
+#:   steps=1            9.34 / 10.41 s, 14 actions
+#:   steps=2 pin=True   9.45 /  9.55 s,  8 actions   <- adopted
+#:   steps=2 pin=False 12.13 / 12.81 s,  8 actions   (3x step recompute)
+#:   steps=3 pin=True  10.56 / 10.67 s,  6 actions   (plan depth > savings)
+#: Locally 2/True is median-neutral-to-better; the adoption argument is
+#: the action count — every action is a driver round-trip locally and a
+#: full cluster barrier at 10^9 edges, and batching halves it. The
+#: intermediate lazy checkpoint materializes INSIDE the round's single
+#: job (no extra action); its RDD pin is freed with the round's other
+#: superseded pins.
+_CC_STEPS_PER_ACTION = 2
+_CC_PIN_INTERMEDIATE = True
 
 
 def connected_components(
@@ -120,7 +176,11 @@ def connected_components(
 
     Only nodes appearing in ``pairs`` are returned (isolated documents are
     their own component by definition — left-join the corpus afterwards
-    with ``coalesce(comp, id)``).
+    with ``coalesce(comp, id)``). A NULL endpoint is not a node (ADVICE
+    r15 #3): rows with a NULL ``src``/``dst`` never reach the edge set or
+    the initial labels (NULL equality comparisons are NULL-false in both
+    the edge filter and the self-loop selection), so NULL ids are silently
+    absent from the output rather than returned as a (NULL, NULL) row.
 
     ``loop_shuffle_partitions``: the rounds shuffle only the two-longs-
     per-node label frame, so running them at the session's corpus-sized
@@ -136,10 +196,14 @@ def connected_components(
     them), visible only as reduced parallelism for those seconds; pass
     ``None`` where that matters.
 
-    ``pointer_jump=False`` disables the jump step (plain one-hop
-    propagation — the measurement baseline for scripts/stress_dedup.py's
-    ``--cc`` rep; outputs are identical either way). ``stats``, when a
-    dict, receives ``{"rounds": n}`` after convergence.
+    ``pointer_jump=False`` disables the label shortcuts AND the step
+    batching (plain one-hop propagation, one step per action — the
+    measurement baseline for scripts/stress_dedup.py's ``--cc`` rep;
+    outputs are identical either way). ``stats``, when a dict, receives
+    ``{"rounds": n}`` after convergence — n counts ACTIONS (checkpoint
+    rounds), each of which advances ``_CC_STEPS_PER_ACTION`` propagate
+    steps in the accelerated mode, so ``max_rounds`` bounds actions, not
+    wavefront hops.
     """
     # sparkContext is classic-only; under Spark Connect there is no
     # checkpoint-dir query and no RDD bookkeeping — fall back to
@@ -177,9 +241,25 @@ def connected_components(
         raise ValueError(
             f"loop_shuffle_partitions ({loop_shuffle_partitions}) must be >= 1"
         )
+    # ONE pass over the pair source (r16, guide §2.4): the old two-branch
+    # union materialized the (expensive) pair generator once per branch —
+    # AQE exchange reuse only shares the deepest common exchange, so the
+    # LSH band join + block join above it ran twice. Each pair row now
+    # explodes into its two directed rows instead. Self-pairs stay in sym
+    # (the selfloops branch below needs their endpoints); NULL endpoints
+    # keep the established semantics: they never survive to the edge set
+    # or the initial labels (u == v and u != v are both NULL-false), so a
+    # NULL id is silently absent from the output either way.
     sym = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.u", "__e.v")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -252,48 +332,98 @@ def connected_components(
         # the changed==0 signal, read from the same aggregate.
         # DECIMAL(38,0) keeps the sum exact at any scale (10⁹ nodes ×
         # 2⁶³-bounded ids overflows bigint; decimal sums never wrap).
-        sum_expr = F.coalesce(
-            F.sum(F.col("comp").cast("decimal(38,0)")),
-            F.lit(0).cast("decimal(38,0)"),
-        ).alias("__s")
+        # ADVICE r15 #4: aggregate count(*) alongside the sum so a NULL
+        # sum is only read as 0 when the frame is EMPTY — under non-ANSI
+        # mode a decimal(38,0) overflow (theoretical: ~10^19 max-id
+        # nodes) yields NULL, which a bare coalesce would read as
+        # 0 == 0 → instant false convergence with wrong labels. Same
+        # single aggregate, still one action per round.
+        sum_expr = F.sum(F.col("comp").cast("decimal(38,0)")).alias("__s")
+        cnt_expr = F.count("*").alias("__c")
+
+        def _label_sum(frame: DataFrame):
+            row = frame.agg(sum_expr, cnt_expr).collect()[0]
+            if row[0] is None:
+                if row[1]:
+                    raise ArithmeticError(
+                        "connected_components: label sum overflowed "
+                        "decimal(38,0) — convergence cannot be detected"
+                    )
+                return 0
+            return row[0]
         labels = _pin(
             edges.filter(F.col("u") == F.col("v"))
             .select(F.col("u").alias("node"))
             .withColumn("comp", F.col("node"))
         )
         label_ids = _pinned_ids(labels)
-        prev_sum = labels.agg(sum_expr).collect()[0][0]
-        for rounds in range(1, max_rounds + 1):
-            # propagate: min label over N(u) ∪ {u} (self-loop included in
-            # the edge set) — one equi-join + one hash aggregate
-            propagated = (
-                edges.join(labels, edges["v"] == labels["node"])
-                .groupBy("u")
-                .agg(F.min("comp").alias("comp"))
-                .select(F.col("u").alias("node"), "comp")
-            )
-            # pointer jumping: comp ← min(comp, comp[comp]) — one extra
-            # pointer hop toward the component minimum per round (see
-            # module docstring); a label is always a member id, so the
-            # self-join on the label frame resolves (left: a node whose
-            # comp just arrived from a neighbor this round keeps it
-            # unchanged until next round).
+        prev_sum = _label_sum(labels)
+        # One PROPAGATE step: min label over N(u) ∪ {u} (self-loop
+        # included in the edge set) — one equi-join + one hash aggregate.
+        #
+        # pointer_jump=True (r16 rewrite): the step's labels ride the
+        # edge set as label-derived SHORTCUT edges instead of a second
+        # self-join. (u → comp(u)) delivers label(comp(u)) to u — the
+        # old pointer jump comp ← comp[comp], now INSIDE the same
+        # join/aggregate (one fewer join per step); (comp(u) → u) is the
+        # GATHER direction (hash-to-min's second half, Rastogi et al.
+        # ICDE'13): a label target learns the min of everyone pointing
+        # at it. Every shortcut label is a member id of the node's own
+        # component, so propagated labels remain member ids, stay
+        # monotone non-increasing (the edge self-loop keeps each node's
+        # own label in its min set), and any stable labeling is still
+        # constant-per-component at the minimum — the invariants the
+        # convergence sum relies on are untouched.
+        def _step(lab_df: DataFrame) -> DataFrame:
             if pointer_jump:
-                x, y = propagated.alias("x"), propagated.alias("y")
-                jumped = x.join(y, F.col("x.comp") == F.col("y.node"), "left").select(
-                    F.col("x.node").alias("node"),
-                    F.least(
-                        F.col("x.comp"), F.coalesce(F.col("y.comp"), F.col("x.comp"))
-                    ).alias("comp"),
+                src_edges = edges.unionByName(
+                    lab_df.select(F.col("node").alias("u"), F.col("comp").alias("v"))
+                ).unionByName(
+                    lab_df.select(F.col("comp").alias("u"), F.col("node").alias("v"))
                 )
             else:
-                jumped = propagated
-            new_labels = _pin(jumped)
+                src_edges = edges
+            return (
+                src_edges.alias("E")
+                .join(lab_df.alias("L"), F.col("E.v") == F.col("L.node"))
+                .groupBy(F.col("E.u").alias("node"))
+                .agg(F.min(F.col("L.comp")).alias("comp"))
+            )
+
+        # Two steps per ACTION in the accelerated mode (r16, guide §1.2
+        # step 1): each round's checkpoint + convergence collect is a
+        # full driver round-trip locally and a full cluster barrier at
+        # scale, and it is the ROUND count, not the per-step work, that
+        # floors this loop (measured ~0.5 s/round at sf0.1 regardless of
+        # data size). Batching two propagate steps into one lazy plan
+        # halves the action count; the intermediate step is referenced
+        # three times by the second (two shortcut branches + the join),
+        # but those references canonicalize to ONE exchange at runtime
+        # (verified: rounds-wall fell ~35% at sf0.1 with identical
+        # labels). Convergence still reads one sum per action: labels
+        # are monotone per step, so block-sum equality ⇔ no step in the
+        # block changed anything ⇔ converged; a converged labeling is a
+        # fixed point of _step, so the extra step past convergence is
+        # the identity.
+        steps_per_action = _CC_STEPS_PER_ACTION if pointer_jump else 1
+        for rounds in range(1, max_rounds + 1):
+            propagated = _step(labels)
+            inter_ids: set[int] = set()
+            for _ in range(steps_per_action - 1):
+                if _CC_PIN_INTERMEDIATE:
+                    # lazy: materializes inside the round's single job;
+                    # freed right after the action (it only exists to
+                    # serve this round's three downstream references)
+                    propagated = _pin(propagated)
+                    inter_ids |= _pinned_ids(propagated)
+                propagated = _step(propagated)
+            new_labels = _pin(propagated)
             new_ids = _pinned_ids(new_labels)
-            # ONE action per round: materializes the lazy checkpoint AND
-            # returns the convergence sum
-            cur_sum = new_labels.agg(sum_expr).collect()[0][0]
+            # ONE action per round: materializes the lazy checkpoint(s)
+            # AND returns the convergence sum
+            cur_sum = _label_sum(new_labels)
             _free(label_ids)  # the superseded round; sum-check is done with it
+            _free(inter_ids)  # the batched step's scratch pin
             label_ids = new_ids
             labels = new_labels
             if cur_sum == prev_sum:
@@ -454,11 +584,12 @@ def pagerank(
             .alias("__w"),
         )
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = (
-        e.select(F.col("__src").alias("node"))
-        .unionByName(e.select(F.col("__dst").alias("node")))
-        .distinct()
-    )
+    n_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # node set in ONE pass over the cached edges (explode both endpoints
+    # instead of a two-branch union — one cache scan, one stage)
+    nodes = e.select(
+        F.explode(F.array("__src", "__dst")).alias("node")
+    ).distinct()
     # N and the per-node base term derive IN-PLAN (job-free build, the
     # package-wide discipline): one-row aggregate broadcast back
     if seeds is None:
@@ -485,7 +616,7 @@ def pagerank(
                 .alias("__base9"),
             )
         )
-    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = nodes.repartition(n_parts, "node").persist(StorageLevel.MEMORY_AND_DISK)
     if weight_col is None:
         deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
         contrib_expr = f"(CAST({d9} AS BIGINT) * r9 DIV {s}) DIV __deg"
@@ -499,7 +630,18 @@ def pagerank(
             f" * CAST(__w AS DECIMAL(38,0))"
             f" DIV CAST(__wsum AS DECIMAL(38,0)) AS BIGINT)"
         )
-    edged = e.join(deg, "__src").persist(StorageLevel.MEMORY_AND_DISK)
+    # partition-align both per-round join inputs (the bfs_hops adj
+    # rationale): a cached AQE plan reports its partitioning only when
+    # the cached plan ends in an explicit repartition, so without the
+    # pins the |E|-sized edged frame and the |V|-sized nodes frame each
+    # re-shuffled EVERY round (r16 before-plan: an Exchange over both
+    # InMemoryTableScans per round). edged clusters by __src (the
+    # contribution join key), nodes by node (the rank re-attach key).
+    edged = (
+        e.join(deg, "__src")
+        .repartition(n_parts, "__src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ranks = nodes.select("node", F.col("__r0").alias("r9"))
     for _ in range(iters):
         contribs = (
@@ -558,9 +700,9 @@ def hits(
     s = PAGERANK_SCALE
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).distinct()
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    # one cache pass for the node set (the pagerank explode shape)
     nodes = (
-        e.select(F.col("__src").alias("node"))
-        .unionByName(e.select(F.col("__dst").alias("node")))
+        e.select(F.explode(F.array("__src", "__dst")).alias("node"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -735,11 +877,10 @@ def label_propagation(
                 f"is {edges.schema[c].dataType.simpleString()} — map ids to "
                 "longs (e.g. xxhash64) before calling"
             )
+    n_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     adj = (
-        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-        .unionAll(edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d")))
-        .filter(F.col("__s") != F.col("__d"))
-        .distinct()
+        _symmetrize(edges, src, dst)  # one pass; also aligns the rounds:
+        .repartition(n_parts, "__s")  # each round joins labels on __s
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = adj.select(F.col("__s").alias("node")).distinct().select(
@@ -808,13 +949,7 @@ def kcore(
         raise ValueError(f"iters ({iters}) must be >= 1")
     from pyspark.sql import Window as W
 
-    adj = (
-        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-        .unionAll(edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d")))
-        .filter(F.col("__s") != F.col("__d"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    adj = _symmetrize(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(iters):
         adj = (
             adj.withColumn("__ds", F.count("*").over(W.partitionBy("__s")))
@@ -970,11 +1105,18 @@ def bfs_hops(
     """
     if max_hops < 1:
         raise ValueError(f"max_hops ({max_hops}) must be >= 1")
+    # one-pass symmetrize (guide §2.4: the union shape ran the edge
+    # producer — here an orders⋈lineitem join — once per branch), then
+    # partition-align the cache with the per-round join key: every
+    # round's frontier join clusters the adjacency by __s, and a cached
+    # AQE plan reports its final partitioning only when it is an
+    # explicit repartition, so without the pin the FULL adjacency
+    # re-shuffled in every sort-merge round (r16 before-plan: one
+    # Exchange over the InMemoryTableScan per round).
+    n_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     adj = (
-        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-        .unionAll(edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d")))
-        .filter(F.col("__s") != F.col("__d"))
-        .distinct()
+        _symmetrize(edges, src, dst)
+        .repartition(n_parts, "__s")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dist = (
@@ -1036,24 +1178,38 @@ def shortest_paths(
     """
     if rounds < 1:
         raise ValueError(f"rounds ({rounds}) must be >= 1")
-    if weight_col is None:
-        w_src = edges.select(
-            F.col(src).alias("__s"), F.col(dst).alias("__d"),
-            F.lit(1).cast("bigint").alias("__w"),
+    w_expr = (
+        F.lit(1).cast("bigint")
+        if weight_col is None
+        else F.col(weight_col).cast("bigint")
+    )
+    # one-pass symmetrize (the _symmetrize rationale applied to the
+    # weighted triple — the union shape ran the edge producer twice)
+    und = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("__s"),
+                        F.col(dst).alias("__d"),
+                        w_expr.alias("__w"),
+                    ),
+                    F.struct(
+                        F.col(dst).alias("__s"),
+                        F.col(src).alias("__d"),
+                        w_expr.alias("__w"),
+                    ),
+                )
+            ).alias("__e")
         )
-    else:
-        w_src = edges.select(
-            F.col(src).alias("__s"), F.col(dst).alias("__d"),
-            F.col(weight_col).cast("bigint").alias("__w"),
-        )
-    und = w_src.unionByName(
-        w_src.select(
-            F.col("__d").alias("__s"), F.col("__s").alias("__d"), "__w"
-        )
-    ).filter(F.col("__s") != F.col("__d"))
+        .select("__e.__s", "__e.__d", "__e.__w")
+        .filter(F.col("__s") != F.col("__d"))
+    )
+    n_parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     adj = (
         und.groupBy("__s", "__d")
         .agg(F.min("__w").alias("__w"))
+        .repartition(n_parts, "__s")  # partition-align the per-round joins
         .select(
             "__s",
             "__d",
