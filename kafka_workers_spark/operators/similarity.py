@@ -54,6 +54,13 @@ def train_ivf(
     return model, assigned
 
 
+#: r16 A/B knob: pin the widened training frame so the per-iteration
+#: assignment passes and the final assignment read ONE materialization
+#: instead of re-running the widen aggregate per consumer (the exchange
+#: below it is runtime-reused; the aggregate above is not).
+_KMEANS_PIN_WIDE = False
+
+
 def kmeans_fixed(
     exploded: DataFrame,
     k: int,
@@ -137,6 +144,10 @@ def kmeans_fixed(
         )
 
     wide_train = widen(train)
+    if _KMEANS_PIN_WIDE and iters > 0:
+        from kafka_workers_spark.operators.dedup import generation_pin
+
+        wide_train = generation_pin(wide_train, "similarity.kmeans_fixed.wide")
     seeds = train.select(id_col).distinct().orderBy(id_col).limit(k)
     cents_row = one_row_cents(
         wide_train.join(F.broadcast(seeds), id_col).select(
@@ -165,7 +176,8 @@ def kmeans_fixed(
             .agg(F.array_sort(F.collect_list(F.struct("i", "c6"))).alias("__sc"))
             .select("list_id", F.col("__sc.c6").alias("__cs"))
         )
-    assign = assign_wide(widen(exploded), cents_row).select(id_col, "list_id")
+    wide_full = wide_train if train is exploded else widen(exploded)
+    assign = assign_wide(wide_full, cents_row).select(id_col, "list_id")
     return cents, assign
 
 
@@ -650,7 +662,10 @@ def semantic_dedup(
     else:
         train = None
     _, assign = kmeans_fixed(comp, k=k, iters=iters, id_col=id_col, train=train)
-    assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
+    from kafka_workers_spark.operators.dedup import generation_pin
+
+    # generation_pin (r16): repeated dedup calls release superseded pins
+    assign = generation_pin(assign, "similarity.semantic_dedup.assign")
     a, b = assign.alias("a"), assign.alias("b")
     cand = (
         a.join(

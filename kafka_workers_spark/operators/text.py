@@ -760,9 +760,7 @@ def tfidf_topk(
         docs, id_col=id_col, text_col=text_col,
         min_df=min_df, max_df_fraction=max_df_fraction, n_docs=n_docs,
     )
-    from pyspark.storagelevel import StorageLevel
-
-    from kafka_workers_spark.operators.dedup import barrier
+    from kafka_workers_spark.operators.dedup import barrier, generation_pin
 
     # the weighted long format feeds norms (twice: query + candidate
     # side), the broadcast query slice AND the dot join — the barrier
@@ -770,8 +768,9 @@ def tfidf_topk(
     # one-level runtime reuse cannot reach (nested exchanges never
     # canonicalize equal once one side holds a ReusedExchange), so the
     # tiny (id, term, w6) frame persists too: tf/df aggregation runs
-    # once (measured −0.6 s of the 2.4 s row at sf0.1)
-    w = barrier(w, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # once (measured −0.6 s of the 2.4 s row at sf0.1). generation_pin
+    # (r16): a later call on this session releases this generation.
+    w = generation_pin(barrier(w, id_col), "text.tfidf_topk.weights")
     from kafka_workers_spark.operators.similarity import _query_id_filter
 
     norms = w.groupBy(id_col).agg(F.sum(F.col("w6") * F.col("w6")).alias("norm6"))
@@ -896,17 +895,20 @@ def bm25_index(docs, id_col: str = "doc_id", text_col: str = "text") -> Bm25Inde
     """Build the stored index from a corpus — one tokenization pass
     (term_frequencies), three aggregates. Lazy: persist/write the frames
     to make it a real stored index."""
-    from pyspark.storagelevel import StorageLevel
-
-    from kafka_workers_spark.operators.dedup import barrier
+    from kafka_workers_spark.operators.dedup import barrier, generation_pin
 
     # postings feed dl, df, stats AND every search's scoring join; the
     # persist keeps the one tokenization pass honest where the barrier
     # exchange alone is re-derived past AQE's one-level runtime reuse
-    # (measured −0.9 s on the merged-index search row at sf0.1)
-    tf = barrier(
-        term_frequencies(docs, id_col=id_col, text_col=text_col), id_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # (measured −0.9 s on the merged-index search row at sf0.1).
+    # generation_pin (r16): rebuilds on this session release the old
+    # pins; keep=2 because one merged-index query legitimately builds
+    # two half-indexes that are consumed together.
+    tf = generation_pin(
+        barrier(term_frequencies(docs, id_col=id_col, text_col=text_col), id_col),
+        "text.bm25_index.postings",
+        keep=2,
+    )
     dl = tf.groupBy(id_col).agg(F.sum("__tf").cast("bigint").alias("__dl"))
     df_t = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("__df"))
     stats = dl.groupBy().agg(
@@ -1098,12 +1100,15 @@ def bm25_topk_indexed(
             F.col("__tf"),
         )
     )
-    from pyspark.storagelevel import StorageLevel
+    from kafka_workers_spark.operators.dedup import generation_pin
 
     # the per-(doc, term) weight frame feeds the broadcast query slice
     # and the scoring join — persisted for the same nested-reuse reason
-    # as tfidf_topk's weight pin
-    w = barrier(w, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # as tfidf_topk's weight pin; generation_pin (r16) makes repeated
+    # searches on one session release the superseded weight frames
+    # (ADVICE r15 #1: this site accumulated postings-scale blocks per
+    # search call)
+    w = generation_pin(barrier(w, id_col), "text.bm25_topk_indexed.weights")
     q = _query_id_filter(w, id_col, query_ids).select(
         F.col(id_col).alias("query_id"), "term", F.col("__tf").alias("__qtf")
     )
@@ -1271,11 +1276,12 @@ def bigram_lm_score(
 
     ref = transitions(ref_docs if ref_docs is not None else docs)
     cb = ref.groupBy("__prev", "__cur").agg(F.count("*").alias("__cb"))
-    from pyspark.storagelevel import StorageLevel
+    from kafka_workers_spark.operators.dedup import generation_pin
 
     # feeds cc, V, and the scoring join once — persisted because the
-    # three consumers sit past AQE's one-level exchange reuse
-    cb = barrier(cb, "__prev").persist(StorageLevel.MEMORY_AND_DISK)
+    # three consumers sit past AQE's one-level exchange reuse;
+    # generation_pin (r16): repeated scoring calls release old pins
+    cb = generation_pin(barrier(cb, "__prev"), "text.bigram_lm_score.counts")
     cc = cb.groupBy("__prev").agg(F.sum("__cb").alias("__cc"))
     if vocab_size is not None:
         v_col = F.lit(int(vocab_size)).cast("bigint")
@@ -1392,12 +1398,13 @@ def kneser_ney_score(
     s = KN_SCALE
     ref = transition_pairs(ref_docs if ref_docs is not None else docs, id_col, text_col)
     cb = ref.groupBy("__prev", "__cur").agg(F.count("*").alias("__cb"))
-    from pyspark.storagelevel import StorageLevel
+    from kafka_workers_spark.operators.dedup import generation_pin
 
     # feeds ctx, cont, T, and the scoring join once — persisted because
     # the four consumers sit past AQE's one-level exchange reuse
-    # (measured −0.7 s of the 3.1 s row at sf0.1)
-    cb = barrier(cb, "__prev").persist(StorageLevel.MEMORY_AND_DISK)
+    # (measured −0.7 s of the 3.1 s row at sf0.1); generation_pin (r16):
+    # repeated scoring calls release old pins
+    cb = generation_pin(barrier(cb, "__prev"), "text.kneser_ney_score.counts")
     ctx = cb.groupBy("__prev").agg(
         F.sum("__cb").alias("__c1"), F.count("*").alias("__fwd")
     )

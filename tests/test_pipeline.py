@@ -1569,3 +1569,37 @@ def test_contamination_radius_walks_paraphrase_chains(spark):
         for r in contamination_radius(train, eval_docs, max_hops=1, **kw).collect()
     )
     assert got1 == {1: 0, 2: 1}, got1
+
+
+def test_generation_pin_keeps_at_most_keep_generations(spark):
+    """ADVICE r15 #1/#2 + VERDICT r15 item 4: operator-level pins need an
+    owner — two sequential builds on one session must leave at most
+    ``keep`` pinned generations per site, a plan-identical re-pin must
+    not kill its own cache entry, and released frames keep lineage (so
+    in-flight consumers degrade to recompute, never break)."""
+    from kafka_workers_spark.operators.dedup import generation_pin
+
+    g1 = generation_pin(spark.range(10).selectExpr("id", "id*2 AS v"), "t.site")
+    g1.count()
+    assert g1.storageLevel.useMemory
+    g2 = generation_pin(spark.range(20).selectExpr("id", "id*3 AS v"), "t.site")
+    g2.count()
+    assert g2.storageLevel.useMemory
+    assert not g1.storageLevel.useMemory  # superseded generation released
+    # plan-identical re-pin: CacheManager deduplicates to one entry; the
+    # pin must NOT unpersist it out from under itself
+    g3 = generation_pin(spark.range(20).selectExpr("id", "id*3 AS v"), "t.site")
+    g3.count()
+    assert g3.storageLevel.useMemory
+    # keep=2: one logical build may pin two shards (bm25 merged halves)
+    a = generation_pin(spark.range(1, 4).selectExpr("id AS a"), "t.site2", keep=2)
+    b = generation_pin(spark.range(4, 8).selectExpr("id AS b"), "t.site2", keep=2)
+    for f in (a, b):
+        f.count()
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    c = generation_pin(spark.range(8, 16).selectExpr("id AS c"), "t.site2", keep=2)
+    c.count()
+    assert not a.storageLevel.useMemory  # only the oldest rolls off
+    assert b.storageLevel.useMemory and c.storageLevel.useMemory
+    # released frames still compute correctly (lineage kept)
+    assert g1.count() == 10 and a.count() == 3
