@@ -290,10 +290,28 @@ def connected_components(
     # edge cache — on a shared session (the pooled oracle tests) a leaked
     # override would downsize every later query
     try:
+        init_sum = None
         if loop_shuffle_partitions is not None:
             # materializes the persisted edge list, so round 1 starts
-            # warm — the count is not an extra pass
-            n_edges = edges.count()
+            # warm — the count is not an extra pass. The same aggregate
+            # also reads the INITIAL label sum (r16): the self-loop rows
+            # are exactly one (u, u) per node, so Σ u over them IS the
+            # round-0 label sum — folding it here removes the separate
+            # seed-collect action the loop used to pay (one fewer driver
+            # round-trip / cluster barrier per CC call).
+            row0 = edges.agg(
+                F.count("*").alias("__n"),
+                F.sum(
+                    F.when(F.col("u") == F.col("v"), F.col("u")).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("__s0"),
+            ).collect()[0]
+            n_edges = row0["__n"]
+            # every node carries a self-loop by construction, so a NULL
+            # Σ means an empty edge set (sum-of-none), never overflow of
+            # a non-empty one at this width with one row per node
+            init_sum = row0["__s0"] if row0["__s0"] is not None else 0
             # sym's only consumers are the two union branches, fully
             # served now that edges is materialized — release it here so
             # the loop holds ONE cached edge list, not two (at 10⁹ edges
@@ -357,7 +375,11 @@ def connected_components(
             .withColumn("comp", F.col("node"))
         )
         label_ids = _pinned_ids(labels)
-        prev_sum = _label_sum(labels)
+        # seeded by the sizing aggregate when it ran (one action saved);
+        # the explicit collect remains for loop_shuffle_partitions=None,
+        # where no sizing pass exists. The round-0 checkpoint stays LAZY
+        # either way — round 1's convergence aggregate materializes it.
+        prev_sum = init_sum if init_sum is not None else _label_sum(labels)
         # One PROPAGATE step: min label over N(u) ∪ {u} (self-loop
         # included in the edge set) — one equi-join + one hash aggregate.
         #

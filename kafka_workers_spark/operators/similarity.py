@@ -54,11 +54,17 @@ def train_ivf(
     return model, assigned
 
 
-#: r16 A/B knob: pin the widened training frame so the per-iteration
-#: assignment passes and the final assignment read ONE materialization
-#: instead of re-running the widen aggregate per consumer (the exchange
-#: below it is runtime-reused; the aggregate above is not).
-_KMEANS_PIN_WIDE = False
+#: Pin the widened training frame so the per-iteration assignment passes
+#: and the final assignment read ONE materialization instead of
+#: re-running the widen aggregate per consumer (the exchange below it is
+#: runtime-reused; the aggregate above is not). r16 interleaved A/B at
+#: sf0.1, min/med of 3 (scripts/probe_r16.py kmeans_ab):
+#:   text_cluster_topics 8.35/10.31 -> 7.74/7.90, ann_ivf_topk
+#:   5.18/6.33 -> 5.05/5.29, ann_semantic_dedup 5.59/7.45 -> 6.02/6.21.
+#: Adopted: medians improve across all consumers; the pinned frame is
+#: the TRAINING side (a sample at scale), docs x one-array rows, and
+#: generation_pin releases the previous training's pin.
+_KMEANS_PIN_WIDE = True
 
 
 def kmeans_fixed(
@@ -1041,6 +1047,10 @@ def pq_train(
         )
 
     wide_t = widen(tcomp)
+    if _KMEANS_PIN_WIDE and iters > 0:
+        from kafka_workers_spark.operators.dedup import generation_pin
+
+        wide_t = generation_pin(wide_t, "similarity.pq_train.wide")
     cents_row = cents_row_of(cents)
     for _ in range(iters):
         assigned = assign_wide(wide_t, cents_row)
@@ -1052,7 +1062,8 @@ def pq_train(
             .agg(F.expr("(sum(x) - pmod(sum(x), count(*))) DIV count(*)").alias("c6"))
         )
         cents_row = cents_row_of(cents)
-    codes = assign_wide(widen(comp), cents_row).select(id_col, "sub", "code")
+    wide_full = wide_t if tcomp is comp else widen(comp)
+    codes = assign_wide(wide_full, cents_row).select(id_col, "sub", "code")
     return cents, codes
 
 

@@ -1868,6 +1868,13 @@ def bpe_train(
     return merges
 
 
+#: Lazily checkpoint the initial symbol frame so round 1's two references
+#: (argmax broadcast + merge fold) share one corpus word-count
+#: materialization. r16 interleaved A/B at sf0.1 (scripts/probe_r16.py
+#: bpe_ab, min/med of 3): off 4.78/5.59 s, on 4.03/5.07 s — adopted.
+_BPE_PIN_SYMS0 = True
+
+
 def bpe_train_plan(docs, n_merges: int = 8, text_col: str = "text"):
     """Fixed-round BPE training as ONE lazy Spark plan — zero driver
     collects: round k's argmax pair is a 1-row ``orderBy(cnt DESC,
@@ -1892,6 +1899,11 @@ def bpe_train_plan(docs, n_merges: int = 8, text_col: str = "text"):
     loop."""
     wc = bpe_word_counts(docs, text_col)
     syms = wc.select(F.split("word", "").alias("symbols"), "n")
+    if _BPE_PIN_SYMS0:
+        # round 1 references syms twice (the argmax broadcast and the
+        # merge fold); the corpus-wide word-count aggregate re-derives
+        # per reference when runtime exchange reuse does not cover it
+        syms = syms.localCheckpoint(eager=False)
     rounds = []
     for k in range(1, n_merges + 1):
         top = (

@@ -20,7 +20,14 @@ from kafka_workers_spark.sources.files import load_table
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-spark = build_session(WorkersConfig(app_name="probe_r16"))
+# heavy sf0.1 rows (dedup_set_similarity) die on the default heap with
+# GCLocker retries (the r15 verify-recipe gotcha) — size like the bench
+spark = build_session(
+    WorkersConfig(
+        app_name="probe_r16",
+        extra_confs={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")},
+    )
+)
 
 
 def t(label, df, reps=1):
@@ -255,7 +262,7 @@ def probe_cc_ab():
             results[v].append(dt)
             rounds_of[v] = (stats.get("rounds"), tuple(row))
             print(f"  rep{rep} steps={v[0]} pin={v[1]}: {dt:6.2f}s rounds={stats.get('rounds')}", flush=True)
-    C._CC_STEPS_PER_ACTION, C._CC_PIN_INTERMEDIATE = 1, False
+    C._CC_STEPS_PER_ACTION, C._CC_PIN_INTERMEDIATE = 2, True  # adopted defaults
     for v in variants:
         print(f"steps={v[0]} pin={v[1]}: min {min(results[v]):6.2f}s med {sorted(results[v])[1]:6.2f}s rounds/checksum {rounds_of[v]}")
 
@@ -278,12 +285,33 @@ def probe_kmeans_ab():
                 t0 = time.perf_counter()
                 reg[name].fn(spark, SF).write.format("noop").mode("overwrite").save()
                 res.setdefault((name, pin), []).append(time.perf_counter() - t0)
-    S._KMEANS_PIN_WIDE = False
+    S._KMEANS_PIN_WIDE = True  # adopted default
     for (name, pin), xs in sorted(res.items()):
         print(f"{name} pin={pin}: min {min(xs):6.2f} med {sorted(xs)[len(xs)//2]:6.2f} {['%.2f'%x for x in xs]}")
 
 
 PROBES["kmeans_ab"] = probe_kmeans_ab
+
+
+def probe_bpe_ab():
+    """Interleaved A/B: _BPE_PIN_SYMS0 off/on on the text_bpe_train row."""
+    from kafka_workers_spark.operators import text as T
+    from kafka_workers_spark.queries import load_all
+    fn = load_all()["text_bpe_train"].fn
+    res = {}
+    for rep in range(3):
+        for pin in (False, True):
+            T._BPE_PIN_SYMS0 = pin
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, SF).write.format("noop").mode("overwrite").save()
+            res.setdefault(pin, []).append(time.perf_counter() - t0)
+    T._BPE_PIN_SYMS0 = True  # adopted default
+    for pin, xs in res.items():
+        print(f"bpe pin={pin}: min {min(xs):6.2f} med {sorted(xs)[len(xs)//2]:6.2f} {['%.2f'%x for x in xs]}")
+
+
+PROBES["bpe_ab"] = probe_bpe_ab
 
 if __name__ == "__main__":
     names = [a for a in sys.argv[1:] if a in PROBES] or ["cc"]

@@ -451,20 +451,37 @@ def test_bpe_train_plan_argmax_take_ordered_one_exchange_per_round(spark):
     heads — never a partitionless window), the visible plan pays
     EXACTLY one exchange per pair-count aggregate plus one for the
     word-count base (rewrite chains hide behind the per-round lazy
-    checkpoint cut), and the whole chain stays JVM-side."""
+    checkpoint cut), and the whole chain stays JVM-side. With
+    _BPE_PIN_SYMS0 (r16) the word-count base itself sits behind the
+    round-0 lazy checkpoint, so its exchange leaves the visible plan
+    too — the expected count tracks the knob."""
+    from kafka_workers_spark.operators import text as T
+
     spark.catalog.clearCache()
     a = audit(REG["text_bpe_train"].fn(spark, SF))
     assert "TakeOrderedAndProject" in a.text, a.text[:800]
     assert a.python_evals == 0 and a.cartesian_products == 0, a.text[:800]
     assert a.sortmerge_joins == 0, a.text[:800]
-    assert a.exchanges == 9, (a.exchanges, a.text[:800])  # 1 wc + 8 rounds
+    expected = 8 if T._BPE_PIN_SYMS0 else 9  # 8 rounds (+1 wc when unpinned)
+    assert a.exchanges == expected, (a.exchanges, a.text[:800])
 
 
 def test_bfs_reach_plan_shape(spark):
     """graph_bfs_reach (rotated INTO the driver window round 15):
     semi-naive frontier rounds — label frames join sort-merge, small
     seed/frontier sides broadcast, and the seed selection is a
-    TakeOrderedAndProject; no cartesian, no Python, no nested loop."""
+    TakeOrderedAndProject; no cartesian, no Python, no nested loop.
+
+    15 exchanges since r16: the adjacency cache gained ONE explicit
+    repartition by the round-join key (__s) so its InMemoryRelation
+    reports a usable output partitioning and the per-round sort-merge
+    joins read the cache WITHOUT re-shuffling it at runtime (the static
+    audit still prints the joins' conservative exchanges; AQE elides
+    them once the cached partitioning is visible — the r16 graph-family
+    A/B: bfs 6.54→5.85 s, pagerank 6.99→4.34 s). 3 broadcast joins
+    (was 4): the one-pass _symmetrize explodes each edge into its two
+    directions instead of unioning two selects of the edge producer, so
+    the producer's broadcast join appears once, not per branch."""
     spark.catalog.clearCache()
     a = audit(REG["graph_bfs_reach"].fn(spark, SF))
     got = (
@@ -476,5 +493,5 @@ def test_bfs_reach_plan_shape(spark):
         a.cartesian_products,
         a.python_evals,
     )
-    assert got == (14, 4, 6, 0, 0, 0, 0), (got, a.text[:800])
+    assert got == (15, 3, 6, 0, 0, 0, 0), (got, a.text[:800])
     assert "TakeOrderedAndProject" in a.text, a.text[:800]
