@@ -133,7 +133,7 @@ def checkpointed_rdd_ids(df: DataFrame) -> set[int]:
 #: Internal knobs for the CC loop, A/B'd in r16 (scripts/probe_r16.py
 #: cc_ab, interleaved same-session reps, identical label checksums): how
 #: many propagate steps each action batches, and whether the batched
-#: intermediate is lazily checkpointed so its three downstream references
+#: intermediate is lazily checkpointed so its downstream references
 #: share one materialization instead of re-running the step's join+agg
 #: per reference. Measured at sf0.1 (min/med of 3):
 #:   steps=1            9.34 / 10.41 s, 14 actions
@@ -387,21 +387,28 @@ def connected_components(
         # edge set as label-derived SHORTCUT edges instead of a second
         # self-join. (u → comp(u)) delivers label(comp(u)) to u — the
         # old pointer jump comp ← comp[comp], now INSIDE the same
-        # join/aggregate (one fewer join per step); (comp(u) → u) is the
-        # GATHER direction (hash-to-min's second half, Rastogi et al.
-        # ICDE'13): a label target learns the min of everyone pointing
-        # at it. Every shortcut label is a member id of the node's own
-        # component, so propagated labels remain member ids, stay
-        # monotone non-increasing (the edge self-loop keeps each node's
-        # own label in its min set), and any stable labeling is still
-        # constant-per-component at the minimum — the invariants the
-        # convergence sum relies on are untouched.
+        # join/aggregate (one fewer join per step). Every shortcut label
+        # is a member id of the node's own component, so propagated
+        # labels remain member ids, stay monotone non-increasing (the
+        # edge self-loop keeps each node's own label in its min set),
+        # and any stable labeling is still constant-per-component at the
+        # minimum — the invariants the convergence sum relies on are
+        # untouched.
+        #
+        # The GATHER direction (comp(u) → u) that rode along until r16
+        # is PROVABLY a no-op and is dropped (one |V|-row union branch
+        # less in every step's join input): its contribution to target
+        # t = comp(x) is label(x) = t — the target's own id — and t's
+        # current label is always ≤ t (labels start at comp(t) = t and
+        # are monotone non-increasing), so the branch can never lower
+        # any min; the target node t is already in the aggregate's key
+        # set through its own self-loop edge. Verified: identical label
+        # checksums and round count with/without the branch
+        # (scripts/probe_r16.py cc).
         def _step(lab_df: DataFrame) -> DataFrame:
             if pointer_jump:
                 src_edges = edges.unionByName(
                     lab_df.select(F.col("node").alias("u"), F.col("comp").alias("v"))
-                ).unionByName(
-                    lab_df.select(F.col("comp").alias("u"), F.col("node").alias("v"))
                 )
             else:
                 src_edges = edges
@@ -419,8 +426,8 @@ def connected_components(
         # floors this loop (measured ~0.5 s/round at sf0.1 regardless of
         # data size). Batching two propagate steps into one lazy plan
         # halves the action count; the intermediate step is referenced
-        # three times by the second (two shortcut branches + the join),
-        # but those references canonicalize to ONE exchange at runtime
+        # twice by the second (the shortcut branch + the join), but
+        # those references canonicalize to ONE exchange at runtime
         # (verified: rounds-wall fell ~35% at sf0.1 with identical
         # labels). Convergence still reads one sum per action: labels
         # are monotone per step, so block-sum equality ⇔ no step in the
@@ -435,7 +442,7 @@ def connected_components(
                 if _CC_PIN_INTERMEDIATE:
                     # lazy: materializes inside the round's single job;
                     # freed right after the action (it only exists to
-                    # serve this round's three downstream references)
+                    # serve this round's downstream references)
                     propagated = _pin(propagated)
                     inter_ids |= _pinned_ids(propagated)
                 propagated = _step(propagated)
